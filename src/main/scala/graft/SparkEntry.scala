@@ -1,13 +1,599 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cleanup, Dedup, Readers, Reshape, Stats, Union}
+import graft.similarity.{Ann, NearDup}
+import graft.text.TextAnalysis
+
+/** Driver contract — one named query per implemented operator family from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle in [[SparkEntry.oracleSql]].
+  *
+  * Queries are expressed through the graft core library (graft.core,
+  * graft.text, graft.similarity, graft.functions) over the TPC-H-ish test
+  * tables (TESTDATA.md). Determinism rules for oracle parity:
+  *  - double sums go through exact decimal accumulation, then cast back;
+  *  - every window/top-k has a total order (unique tiebreakers);
+  *  - collected sets are sorted before leaving the query.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** Exact decimal sum of a double column, surfaced as double (sum order
+    * independence — see SURVEY.md §7.3 float-vs-double risk).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A3/A5: grouped aggregation over the fact table ---------------
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+        )
+    }),
+
+    // --- A1 signature: groupBy + collect_set, sorted (nesting motif) --
+    "q_agg_nest" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+          count(lit(1)).as("n_orders"),
+        )
+    }),
+
+    // --- P5–P9: compound predicates, isin, rlike, range ---------------
+    "q_filter_compound" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("O", "F") &&
+            col("o_totalprice") > 50000.0 &&
+            col("o_orderpriority").rlike("^[12]-")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // --- J1: multi-way inner equi-join + aggregation ------------------
+    "q_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        )
+    }),
+
+    // --- J2: left join keeping unmatched, with zero-count repair ------
+    "q_join_left_null" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+    }),
+
+    // --- J3: left anti (subtract) -------------------------------------
+    "q_join_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // --- left semi (EXISTS) -------------------------------------------
+    "q_join_semi" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      supp
+        .join(li, supp("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
+    // --- J5: null-safe equality join (the ontology-map join shape) ----
+    "q_join_nullsafe" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), when(col("c_nationkey") % 7 =!= 0, col("c_nationkey")).as("nk"))
+      val nat = t(s, dir, "nation")
+        .select(when(col("n_nationkey") % 7 =!= 0, col("n_nationkey")).as("nk2"), col("n_name"))
+      cust
+        .join(broadcast(nat), cust("nk") <=> nat("nk2"), "left")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // --- W1: window dedup — keep best row per key (via core.Dedup) ----
+    "q_window_dedup" -> ((s, dir) => {
+      Dedup
+        .topOnePerKey(
+          t(s, dir, "lineitem"),
+          keys = Seq("l_orderkey"),
+          order = Seq(col("l_extendedprice").desc, col("l_linenumber").asc),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // --- window running aggregate (frame spec) ------------------------
+    "q_window_running" -> ((s, dir) => {
+      val w = Window
+        .partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(24,6)")).over(w).cast("double").as("running_qty"),
+        )
+    }),
+
+    // --- U1: schema-tolerant unionByName over heterogeneous branches --
+    "q_union_byname" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice").as("amount"), lit("order").as("src"))
+      val b = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_acctbal").as("balance"), lit("customer").as("src"))
+      Union
+        .unionByNameAll(Seq(a, b), allowMissingColumns = true)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), dsum(col("amount")).as("sum_amount"), dsum(col("balance")).as("sum_balance"))
+    }),
+
+    // --- R1: explode(split(...)) — multi-valued cell to rows ----------
+    "q_explode_split" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- R3: unpivot/melt (via core.Reshape, single Expand node) ------
+    "q_unpivot" -> ((s, dir) => {
+      Reshape.melt(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        varName = "metric",
+        valName = "value",
+      )
+    }),
+
+    // --- R8: literal map lookup as column expression ------------------
+    "q_map_lookup" -> ((s, dir) => {
+      val statusMap = map(
+        lit("O"), lit("open"),
+        lit("F"), lit("finished"),
+        lit("P"), lit("pending"),
+      )
+      t(s, dir, "orders")
+        .select(coalesce(element_at(statusMap, col("o_orderstatus")), lit("unknown")).as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- R6/R7: higher-order array functions over collected arrays ----
+    "q_higher_order" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(round(col("l_extendedprice"), 2))).as("prices"))
+        .select(
+          col("l_orderkey"),
+          size(col("prices")).as("n_items"),
+          // Exact decimal arithmetic end-to-end: a double multiply+round
+          // is nondeterministic across engines at .xx5 boundaries.
+          aggregate(
+            transform(col("prices"), p =>
+              (p.cast("decimal(24,2)") * lit(new java.math.BigDecimal("0.9"))).cast("decimal(38,6)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+            (acc, x) => acc + x,
+          ).cast("double").as("discounted_total"),
+          element_at(col("prices"), -1).as("max_price"),
+        )
+    }),
+
+    // --- §2.9 math: the p-value mantissa/exponent motif (core.Stats) --
+    "q_pvalue_motif" -> ((s, dir) => {
+      // +0.123 keeps the mantissa's digit tail off exact round-half ties
+      // (engine round implementations disagree only at .xxx5 boundaries).
+      val p = (col("o_totalprice") + lit(0.123)) / lit(1.0e9)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          Stats.pValueExponent(p).as("p_exp"),
+          Stats.pValueMantissa(p).as("p_mantissa"),
+        )
+    }),
+
+    // --- A4: global-min repair of zero values (in-plan, no action) ----
+    "q_zero_repair" -> ((s, dir) => {
+      Stats
+        .repairZeroPValues(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_discount")),
+          "l_discount",
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_discount"), 6).as("discount_repaired"))
+    }),
+
+    // --- when/otherwise + coalesce + nullif conditional routing -------
+    "q_case_route" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O",
+            round(col("o_totalprice").cast("decimal(24,2)") * lit(new java.math.BigDecimal("1.1")), 2))
+            .when(col("o_orderstatus") === "F",
+              round(col("o_totalprice").cast("decimal(24,2)") * lit(new java.math.BigDecimal("0.9")), 2))
+            .otherwise(lit(null))
+            .cast("double")
+            .as("adjusted"),
+          coalesce(Cleanup.emptyToNull(col("o_orderpriority")), lit("NONE")).as("priority"),
+        )
+    }),
+
+    // --- §2.9 regex + JSON extraction over semi-structured props ------
+    "q_regex_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").rlike("^(click|view|signup)$"))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k_val"),
+        )
+    }),
+
+    // --- date/time bucketing ------------------------------------------
+    "q_date_bucket" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("volume"))
+    }),
+
+    // --- string cleanup library (translate/trim/concat_ws/lower) ------
+    "q_string_clean" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          concat_ws(":", lower(translate(col("c_name"), "#", "_")), col("c_mktsegment")).as("ckey"),
+          length(col("c_name")).as("name_len"),
+        )
+    }),
+
+    // --- P10: distinct ------------------------------------------------
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    // --- beyond-reference: exact dedup (hash-groupBy, core.Dedup) -----
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs
+        .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // --- beyond-reference: document fingerprinting --------------------
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"), col("n_chars"))
+    }),
+
+    // --- beyond-reference: token counting -----------------------------
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // --- beyond-reference: quality scoring ----------------------------
+    "q_text_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis
+        .qualitySignals(docs, "text")
+        .select("doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio")
+    }),
+
+    // --- beyond-reference: language ID (stopword heuristic) -----------
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // --- beyond-reference: n-gram Jaccard near-dup (LSH recall≈1 cfg) -
+    "q_neardup_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val cands = NearDup.minhashCandidates(
+        docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000,
+      )
+      NearDup.jaccardVerify(cands, docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
+    }),
+
+    // --- beyond-reference: SimHash near-dup (rows-only check) ---------
+    "q_neardup_simhash" -> ((s, dir) => {
+      NearDup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+    }),
+
+    // --- beyond-reference: MinHash-LSH candidates (rows-only check) ---
+    "q_neardup_minhash" -> ((s, dir) => {
+      NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // --- beyond-reference: brute-force cosine top-k ANN ---------------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id",
+        vecCol = "embedding",
+        k = 5,
+      )
+    }),
+
+    // --- beyond-reference: LSH-bucketed ANN (rows-only check) ---------
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id",
+        vecCol = "embedding",
+        dim = 64,
+        k = 5,
+      )
+    }),
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracles (DuckDB SQL over the same parquet tables)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_nest" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q_filter_compound" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('O','F') AND o_totalprice > 50000.0
+        |  AND regexp_matches(o_orderpriority, '^[12]-')""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT r_name, n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_join_left_null" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, CASE WHEN c_nationkey % 7 <> 0 THEN c_nationkey END AS nk FROM customer
+        |), nat AS (
+        |  SELECT CASE WHEN n_nationkey % 7 <> 0 THEN n_nationkey END AS nk2, n_name FROM nation
+        |)
+        |SELECT n_name, count(*) AS n_cust
+        |FROM cust LEFT JOIN nat ON nk IS NOT DISTINCT FROM nk2
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_union_byname" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS custkey, o_totalprice AS amount, 'order' AS src FROM orders
+        |  UNION ALL BY NAME
+        |  SELECT c_custkey AS custkey, c_acctbal AS balance, 'customer' AS src FROM customer
+        |)
+        |SELECT src, count(*) AS n,
+        |  CAST(sum(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_amount,
+        |  CAST(sum(CAST(balance AS DECIMAL(24,6))) AS DOUBLE) AS sum_balance
+        |FROM u GROUP BY src""".stripMargin,
+
+    "q_explode_split" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
+        |UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))""".stripMargin,
+
+    "q_map_lookup" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+        |  WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_higher_order" ->
+      """WITH arr AS (
+        |  SELECT l_orderkey, list_sort(list(round(l_extendedprice, 2))) AS prices
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(prices) AS n_items,
+        |  CAST(list_sum(list_transform(prices,
+        |    p -> CAST(CAST(p AS DECIMAL(24,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DECIMAL(38,6)))) AS DOUBLE) AS discounted_total,
+        |  prices[-1] AS max_price
+        |FROM arr""".stripMargin,
+
+    "q_pvalue_motif" ->
+      """SELECT o_orderkey,
+        |  CAST(trunc(log10((o_totalprice + 0.123) / 1e9)) AS INT) - 1 AS p_exp,
+        |  round(((o_totalprice + 0.123) / 1e9) / pow(10, CAST(trunc(log10((o_totalprice + 0.123) / 1e9)) AS INT) - 1), 3) AS p_mantissa
+        |FROM orders""".stripMargin,
+
+    "q_zero_repair" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN l_discount = 0
+        |    THEN (SELECT min(l_discount) FROM lineitem WHERE l_discount > 0)
+        |    ELSE l_discount END, 6) AS discount_repaired
+        |FROM lineitem""".stripMargin,
+
+    "q_case_route" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderstatus = 'O' THEN round(CAST(o_totalprice AS DECIMAL(24,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+        |            WHEN o_orderstatus = 'F' THEN round(CAST(o_totalprice AS DECIMAL(24,2)) * CAST(0.9 AS DECIMAL(2,1)), 2) END AS DOUBLE) AS adjusted,
+        |  coalesce(CASE WHEN trim(o_orderpriority) <> '' THEN o_orderpriority END, 'NONE') AS priority
+        |FROM orders""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
+        |FROM events WHERE regexp_matches(event_type, '^(click|view|signup)$')""".stripMargin,
+
+    "q_date_bucket" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS volume
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_string_clean" ->
+      """SELECT c_custkey,
+        |  concat_ws(':', lower(replace(c_name, '#', '_')), c_mktsegment) AS ckey,
+        |  length(c_name) AS name_len
+        |FROM customer""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, n_chars
+        |FROM documents""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |       ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0
+        |    THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks), 4) END AS mean_token_len,
+        |  CASE WHEN len(toks) > 0
+        |    THEN round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS DOUBLE) / len(toks), 4) END AS stopword_ratio
+        |FROM base""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS h_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','se','un'], x))) AS h_es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS h_fr
+        |  FROM scored)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM hits""".stripMargin,
+
+    "q_neardup_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 5""".stripMargin,
+  )
+
+  /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_inner")(spark, "/root/testdata/sf0.001")
 }

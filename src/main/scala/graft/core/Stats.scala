@@ -1,0 +1,100 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.functions.GraftFunctions.erf
+
+/** Statistical column library — SURVEY.md §2.9 math/statistics.
+  *
+  * Everything here is a pure Column expression (codegen'd, no UDFs), so it
+  * rides whole-stage codegen and scales linearly with the scan.
+  */
+object Stats {
+
+  /** The reference's recurring p-value → (mantissa, exponent) motif
+    * (`AzGeneBurden.py:214-221`, `GeneBurden.py:83-92`,
+    * `GenebassGeneBurden.py:141-149`, `CvdiGeneBurden.py:226-234`):
+    *
+    *   exponent = int(log10(p)) - 1   // cast truncates toward zero
+    *   mantissa = round(p / 10^exponent, 3)
+    *
+    * Exact reproduction matters (truncation, not floor — negative
+    * exponents!): for p = 3e-5, log10 = -4.52, int() = -4, exponent = -5,
+    * mantissa = 3.0.
+    */
+  def pValueExponent(p: Column): Column =
+    log10(p).cast(IntegerType) - lit(1)
+
+  def pValueMantissa(p: Column): Column =
+    round(p / pow(lit(10.0), pValueExponent(p)), 3)
+
+  /** `10 ** -LOG10P` (reference `GeneBurden.py:83`). */
+  def pFromNegLog10(negLog10P: Column): Column =
+    pow(lit(10.0), -negLog10P)
+
+  /** Zero-p repair: replace exact-0 p-values with the global minimum
+    * positive value (reference `AzGeneBurden.py:98-115` computes the global
+    * min via an action; here it stays in-plan as a broadcast scalar join so
+    * no driver round-trip is needed).
+    */
+  def repairZeroPValues(df: DataFrame, pCol: String): DataFrame = {
+    val minPos = df
+      .filter(col(pCol) > 0)
+      .agg(min(col(pCol)).as("__minp"))
+    df.crossJoin(broadcast(minPos))
+      .withColumn(pCol, when(col(pCol) === 0, col("__minp")).otherwise(col(pCol)))
+      .drop("__minp")
+  }
+
+  /** Stouffer combined z: sum(z) / sqrt(n) (reference
+    * `encore_parser.py:246-255`).
+    */
+  def stoufferZ(sumZ: Column, n: Column): Column = sumZ / sqrt(n)
+
+  /** Two-sided p from a z-score: 2·Φ̄(|z|) = erfc(|z|/√2)
+    * (reference used a scipy UDF, `encore_parser.py:256-264`; here a
+    * codegen'd custom Catalyst expression — see graft.functions.Erf).
+    */
+  def twoSidedPFromZ(z: Column): Column =
+    lit(1.0) - erf(abs(z) / sqrt(lit(2.0)))
+
+  /** Bonferroni α = baseAlpha / nTests (reference
+    * `common/evidence.py:349-358`).
+    */
+  def bonferroni(nTests: Column, baseAlpha: Double = 0.05): Column =
+    lit(baseAlpha) / nTests
+
+  /** Confidence interval from beta ± 1.96·SE (reference
+    * `GenebassGeneBurden.py:153-154`, `GeneBurden.py:98-103`).
+    */
+  def ciLower(beta: Column, se: Column): Column = beta - lit(1.96) * se
+  def ciUpper(beta: Column, se: Column): Column = beta + lit(1.96) * se
+
+  /** Gini coefficient over an array column (reference
+    * `baseline_expression/metrics.py:15-28`, numpy per-row; here
+    * higher-order functions — sort, prefix-weighted sum — fully codegen'd,
+    * no UDF, no shuffle).
+    *
+    * gini = (2·Σᵢ i·xᵢ / (n·Σx)) - (n+1)/n   for sorted ascending x, 1-based i.
+    */
+  def gini(values: Column): Column = {
+    val sorted = array_sort(values)
+    val n = size(sorted).cast(DoubleType)
+    val total = aggregate(sorted, lit(0.0), (acc, x) => acc + x)
+    val weighted = aggregate(
+      zip_with(sorted, sequence(lit(1), size(sorted)), (x, i) => x * i.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x,
+    )
+    when(total > 0, lit(2.0) * weighted / (n * total) - (n + lit(1.0)) / n)
+  }
+
+  /** Min-max renormalization to [lo, hi] (reference
+    * `SystemsBiology.py:9-57` renormalizes scores to [0.5, 1]).
+    * The min/max come in as columns (from a global agg or window).
+    */
+  def minMaxScale(x: Column, xMin: Column, xMax: Column, lo: Double = 0.5, hi: Double = 1.0): Column =
+    when(xMax =!= xMin, lit(lo) + (x - xMin) / (xMax - xMin) * lit(hi - lo))
+      .otherwise(lit(lo))
+}

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/** Sinks — SURVEY.md §2.2 (K1, K2, K5).
+  *
+  * Reference contract: one gzipped JSON-lines file per parser
+  * (`common/evidence.py:66-80`: coalesce(1) → json+gzip → rename the single
+  * part file, assert exactly one chunk).
+  *
+  * Scale note: `coalesce(1)` funnels the entire output through one task.
+  * That is the reference's explicit contract for its (small, ≤100k-row)
+  * evidence outputs, so [[writeJsonGzSingle]] keeps it — but for large
+  * outputs use [[writeJsonGz]] (multi-part, parallel) and let downstream
+  * consumers glob the directory.
+  */
+object Writers {
+
+  /** K1: single-file gzipped JSON-lines sink (reference
+    * `common/evidence.py:66-80`). Only for outputs known to be small.
+    */
+  def writeJsonGzSingle(df: DataFrame, outFile: String): Unit = {
+    val tmp = outFile + "_tmp"
+    df.coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("compression", "gzip")
+      .json(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val parts = fs.globStatus(new Path(tmp, "part-*"))
+    require(parts.length == 1, s"expected exactly 1 part file, got ${parts.length}")
+    val dest = new Path(outFile)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(parts.head.getPath, dest)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Parallel multi-part gzipped JSON-lines sink — the 100 TB-safe variant. */
+  def writeJsonGz(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(outDir)
+
+  /** K2: format-dispatched writer (reference `BrainCRISPR.py:310-317`). */
+  def writeByExtension(df: DataFrame, path: String): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)
+    else if (lower.contains(".json")) writeJsonGzSingle(df, path)
+    else if (lower.endsWith(".tsv"))
+      df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+    else df.write.mode("overwrite").parquet(path)
+  }
+}

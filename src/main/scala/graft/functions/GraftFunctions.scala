@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim, SparkSession}
+
+/** Column-API façade over graft's custom Catalyst expressions, mirroring
+  * `org.apache.spark.sql.functions`' style. Also registers them as SQL
+  * functions (`graft_erf`, `graft_simhash64`, `graft_cosine`).
+  */
+object GraftFunctions {
+
+  def erf(c: Column): Column =
+    GraftShim.toColumn(Erf(GraftShim.toExpression(c)))
+
+  def simhash64(tokens: Column): Column =
+    GraftShim.toColumn(SimHash64(GraftShim.toExpression(tokens)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftShim.toColumn(CosineSimilarity(GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
+  def minhashShingles(tokens: Column, n: Int, k: Int): Column =
+    GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
+
+  def registerAll(spark: SparkSession): Unit = {
+    GraftShim.registerFunction(spark, "graft_erf", es => Erf(es.head))
+    GraftShim.registerFunction(spark, "graft_simhash64", es => SimHash64(es.head))
+    GraftShim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(es(0), es(1)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.cosineSim
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (beyond-reference scope; `embeddings` test table: vec_id, 64-dim vector).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast,
+  *    so the corpus side streams through one codegen'd projection + a
+  *    per-query top-k window. Correctness baseline; fine when |queries| is
+  *    small even if the corpus is 100 TB (no shuffle of the corpus —
+  *    only (query, candidate, score) rows reach the window's shuffle).
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-pattern buckets via the
+  *    same cosineSim kernel against fixed pseudo-random hyperplanes; only
+  *    bucket-colliding pairs are scored. The scale path when |queries| is
+  *    large. Deterministic: hyperplanes derive from a seeded hash, not RNG.
+  */
+object Ann {
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: (qid, vec_id, sim) with k rows per qid, ties broken by id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      includeSelf: Boolean = false,
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol), col(vecCol))
+    val scored = c
+      .join(broadcast(q), if (includeSelf) lit(true) else col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component j of plane p is a
+    * zero-mean value derived from xxhash64(p, j). Built as an array literal
+    * column per plane — no data shuffle, pure projection.
+    */
+  private def hyperplane(planeId: Int, dim: Int): Column =
+    array((0 until dim).map { j =>
+      // Map a 64-bit hash to [-1, 1) deterministically.
+      lit(((scala.util.hashing.MurmurHash3.productHash((planeId, j)).toLong & 0xffffffL).toDouble / 0x800000L) - 1.0)
+    }: _*)
+
+  /** Sign-pattern bucket id from `nPlanes` hyperplanes (random projection
+    * LSH for cosine similarity).
+    */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => when(cosineSim(vec, hyperplane(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only candidates sharing the query's bucket.
+    * Recall < 1.0 by construction; multi-probe (flip one bit) widens it.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 8,
+      multiProbe: Boolean = true,
+  ): DataFrame = {
+    val cb = corpus.select(col(idCol), col(vecCol), lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val qBucket = lshBucket(col(vecCol), dim, nPlanes)
+    val probes: Column =
+      if (multiProbe)
+        concat(
+          array(qBucket),
+          transform(sequence(lit(0), lit(nPlanes - 1)), i => qBucket.bitwiseXOR(pow(lit(2.0), i).cast("long"))),
+        )
+      else array(qBucket)
+    val qb = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), explode(probes).as("bucket"))
+    val scored = cb
+      .join(qb, Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+}

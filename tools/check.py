@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran
+  2. loads outDir/oracle_sql.json, runs each statement in DuckDB with views
+     over the sfDir parquet tables
+  3. compares rows (sorted by all columns, columns sorted by name) against
+     the Spark parquet dump — exact equality, like the driver's hash check
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        wcols, gcols = sorted(want.columns), sorted(got.columns)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        w = sorted(
+            (tuple(canon(v) for v in r) for r in want[wcols].itertuples(index=False)),
+            key=repr)
+        g = sorted(
+            (tuple(canon(v) for v in r) for r in got[gcols].itertuples(index=False)),
+            key=repr)
+        if len(w) != len(g):
+            print(f"FAIL {name}: row count differ: oracle={len(w)} spark={len(g)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(w, g) if repr(a) != repr(b)]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: oracle={bad[0][0]} spark={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(w)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
