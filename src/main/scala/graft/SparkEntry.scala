@@ -343,6 +343,149 @@ object SparkEntry {
       NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // --- A1 signature op: collect rows into sorted array<struct> ------
+    "q_collect_struct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+    }),
+
+    // --- A1 two-level nesting (Essentiality.py:149-182 pattern) -------
+    "q_collect_nested" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_suppkey").as("sk"), col("lns")))).as("supps"))
+    }),
+
+    // --- §2.9 Gini coefficient via higher-order fns (core.Stats) ------
+    "q_gini" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(collect_list(col("l_quantity")).as("qs"))
+        .select(col("l_suppkey"), round(Stats.gini(col("qs")), 6).as("gini"))
+    }),
+
+    // --- R9: zip arrays with first-element padding (core.Reshape) -----
+    "q_zip_pad" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          explode(
+            Reshape.zipWithPad(
+              array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+              array(col("l_returnflag"), col("l_linestatus")),
+            )
+          ).as("z"),
+        )
+        .select(col("l_orderkey"), col("l_linenumber"), col("z.value").as("value"), col("z.type").as("type"))
+    }),
+
+    // --- R10: delimited scalar → named struct fields ------------------
+    "q_split_struct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), Reshape.splitToStruct(col("o_orderpriority"), "-", Seq("rank", "label")).as("pr"))
+        .select(col("o_orderkey"), col("pr.rank").cast("int").as("rank"), col("pr.label").as("label"))
+    }),
+
+    // --- R11: exact-match dictionary replace (core.Cleanup) -----------
+    "q_dict_replace" -> ((s, dir) => {
+      Cleanup
+        .dictReplace(
+          t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"),
+          Seq("l_returnflag"),
+          Map("A" -> "accepted", "N" -> "none", "R" -> "returned"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- ordered top-k via sort+limit (TakeOrderedAndProject) ---------
+    "q_topk_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // --- J7: aggregate-then-rejoin (TargetSafety.py:221-227 shape) ----
+    "q_agg_rejoin" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val custTotal = ord
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("cust_total"))
+      ord
+        .join(custTotal, Seq("o_custkey"))
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") / col("cust_total"), 6).as("share"),
+        )
+    }),
+
+    // --- min-max renormalize to [0.5,1] (SystemsBiology.py:9-57) ------
+    "q_minmax_scale" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val bounds = cust.agg(min(col("c_acctbal")).as("__min"), max(col("c_acctbal")).as("__max"))
+      cust
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("c_custkey"),
+          round(Stats.minMaxScale(col("c_acctbal"), col("__min"), col("__max")), 6).as("scaled"),
+        )
+    }),
+
+    // --- Bonferroni threshold from an in-plan distinct count ----------
+    "q_bonferroni" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val nTests = broadcast(t(s, dir, "part").agg(countDistinct(col("p_partkey")).as("__n")))
+      li.crossJoin(nTests)
+        .filter((col("l_discount") + lit(0.001)) / lit(10.0) < Stats.bonferroni(col("__n")))
+        .select("l_orderkey", "l_linenumber", "l_discount")
+    }),
+
+    // --- Stouffer combined z per group (encore_parser.py:246-255) -----
+    "q_stouffer_z" -> ((s, dir) => {
+      val z = (col("l_quantity") - lit(25.5)) / lit(14.4)
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          sum(z.cast("decimal(38,18)")).cast("double").as("sum_z"),
+          count(lit(1)).as("n"),
+        )
+        .select(
+          col("l_suppkey"),
+          round(Stats.stoufferZ(col("sum_z"), col("n")), 6).as("z_combined"),
+        )
+    }),
+
+    // --- erf-based two-sided p from z (custom Expression; rows-only:
+    //     DuckDB has no erf — golden-tested in ErfSpec instead) --------
+    "q_stouffer_p" -> ((s, dir) => {
+      val z = (col("l_quantity") - lit(25.5)) / lit(14.4)
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(z.cast("decimal(38,18)")).cast("double").as("sum_z"), count(lit(1)).as("n"))
+        .select(
+          col("l_suppkey"),
+          round(Stats.twoSidedPFromZ(Stats.stoufferZ(col("sum_z"), col("n"))), 6).as("p_two_sided"),
+        )
+    }),
+
+    // --- date arithmetic: datediff across a join ----------------------
+    "q_date_diff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("ship_days"),
+        )
+    }),
+
     // --- beyond-reference: brute-force cosine top-k ANN ---------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -582,6 +725,80 @@ object SparkEntry {
         |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q_collect_struct" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(struct_pack(ln := l_linenumber, qty := l_quantity))) AS items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_collect_nested" ->
+      """WITH inner_g AS (
+        |  SELECT l_orderkey, l_suppkey, list_sort(list(l_linenumber)) AS lns
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, list_sort(list(struct_pack(sk := l_suppkey, lns := lns))) AS supps
+        |FROM inner_g GROUP BY 1""".stripMargin,
+
+    "q_gini" ->
+      """WITH g AS (
+        |  SELECT l_suppkey, list_sort(list(l_quantity)) AS qs FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey,
+        |  round(2.0 * list_dot_product(qs, list_transform(range(1, len(qs) + 1), i -> CAST(i AS DOUBLE)))
+        |        / (CAST(len(qs) AS DOUBLE) * list_sum(qs))
+        |        - (CAST(len(qs) AS DOUBLE) + 1.0) / CAST(len(qs) AS DOUBLE), 6) AS gini
+        |FROM g""".stripMargin,
+
+    "q_zip_pad" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS value, l_returnflag AS type FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_linestatus FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_discount, l_returnflag FROM lineitem""".stripMargin,
+
+    "q_split_struct" ->
+      """SELECT o_orderkey,
+        |  CAST(string_split(o_orderpriority, '-')[1] AS INT) AS rank,
+        |  string_split(o_orderpriority, '-')[2] AS label
+        |FROM orders""".stripMargin,
+
+    "q_dict_replace" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'N' THEN 'none'
+        |  WHEN 'R' THEN 'returned' ELSE l_returnflag END AS l_returnflag,
+        |  l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_agg_rejoin" ->
+      """WITH ct AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS cust_total
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, orders.o_custkey, round(o_totalprice / cust_total, 6) AS share
+        |FROM orders JOIN ct ON orders.o_custkey = ct.o_custkey""".stripMargin,
+
+    "q_minmax_scale" ->
+      """SELECT c_custkey,
+        |  round(CASE WHEN (SELECT max(c_acctbal) FROM customer) <> (SELECT min(c_acctbal) FROM customer)
+        |    THEN 0.5 + (c_acctbal - (SELECT min(c_acctbal) FROM customer))
+        |         / ((SELECT max(c_acctbal) FROM customer) - (SELECT min(c_acctbal) FROM customer)) * 0.5
+        |    ELSE 0.5 END, 6) AS scaled
+        |FROM customer""".stripMargin,
+
+    "q_bonferroni" ->
+      """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+        |WHERE (l_discount + 0.001) / 10.0 < 0.05 / (SELECT count(DISTINCT p_partkey) FROM part)""".stripMargin,
+
+    "q_stouffer_z" ->
+      """SELECT l_suppkey,
+        |  round(CAST(sum(CAST((l_quantity - 25.5) / 14.4 AS DECIMAL(38,18))) AS DOUBLE)
+        |        / sqrt(count(*)), 6) AS z_combined
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q_date_diff" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (

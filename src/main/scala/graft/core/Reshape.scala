@@ -72,7 +72,9 @@ object Reshape {
   def zipWithPad(values: Column, types: Column): Column =
     transform(
       values,
-      (v, i) => struct(v.as("value"), coalesce(element_at(types, i + 1), element_at(types, 1)).as("type")),
+      // `get` is 0-based and null-on-out-of-bounds (ANSI-safe, unlike
+      // element_at which throws under Spark 4's default ANSI mode).
+      (v, i) => struct(v.as("value"), coalesce(get(types, i), get(types, lit(0))).as("type")),
     )
 
   /** A7: empty collection → null repair (`TargetSafety.py:78-101`,

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.DoubleType
 
 /** Column-API façade over graft's custom Catalyst expressions, mirroring
   * `org.apache.spark.sql.functions`' style. Also registers them as SQL
@@ -21,7 +23,8 @@ object GraftFunctions {
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 
   def registerAll(spark: SparkSession): Unit = {
-    GraftShim.registerFunction(spark, "graft_erf", es => Erf(es.head))
+    // SQL numeric literals arrive as decimals — cast into the kernel type.
+    GraftShim.registerFunction(spark, "graft_erf", es => Erf(Cast(es.head, DoubleType)))
     GraftShim.registerFunction(spark, "graft_simhash64", es => SimHash64(es.head))
     GraftShim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(es(0), es(1)))
   }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest for the `events` table (stretch scope —
+  * SURVEY.md §2.11: the reference has no streaming; this is the
+  * beyond-reference path a training-data pipeline needs for continuous
+  * ingest).
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded; the
+  * aggregation is keyed on (window, event_type) so state partitions across
+  * executors; `maxFilesPerTrigger` paces file-source backfills.
+  */
+object EventsStream {
+
+  /** events.parquet schema as read with nanosAsLong (ts: long nanos). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Normalize the nanos-long ts into a proper timestamp column. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    withEventTime(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * bounded state and late-data discard.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"),
+      )
+
+  case class UserEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API).
+    */
+  def userRunningTotals(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_time"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserSession(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DataFrame to a named in-memory table and block
+    * until the backlog drains — the local smoke harness.
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

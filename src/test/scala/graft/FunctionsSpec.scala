@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Stats
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("erf golden values (commons-math3 reference)") {
+    val got = Seq(0.0, 1.0, -1.0, 2.0).toDF("x")
+      .select($"x", GraftFunctions.erf($"x").as("e"))
+      .as[(Double, Double)].collect().toMap
+    assert(got(0.0) == 0.0)
+    assert(math.abs(got(1.0) - 0.8427007929497149) < 1e-15)
+    assert(got(-1.0) == -got(1.0))
+    assert(math.abs(got(2.0) - 0.9953222650189527) < 1e-15)
+  }
+
+  test("twoSidedPFromZ matches the normal sf: z=1.96 -> ~0.05") {
+    val p = Seq(1.96).toDF("z")
+      .select(Stats.twoSidedPFromZ($"z").as("p")).head().getDouble(0)
+    assert(math.abs(p - 0.04999579029644087) < 1e-12)
+  }
+
+  test("erf works through SQL registration") {
+    GraftFunctions.registerAll(spark)
+    val p = spark.sql("SELECT graft_erf(1.0) AS e").head().getDouble(0)
+    assert(math.abs(p - 0.8427007929497149) < 1e-15)
+  }
+
+  test("simhash64: identical token arrays hash identically; near-identical are close") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val nearDup = base.updated(5, "CHANGED")
+    val far = (1 to 40).map(i => s"other$i")
+    val df = Seq(("a", base), ("b", base), ("c", nearDup), ("d", far))
+      .toDF("id", "toks")
+      .select($"id", GraftFunctions.simhash64($"toks").as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("a") == m("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("c")) < 16, s"near-dup hamming ${ham(m("a"), m("c"))}")
+    assert(ham(m("a"), m("d")) > 16, s"far hamming ${ham(m("a"), m("d"))}")
+  }
+
+  test("cosineSim: orthogonal -> 0, identical -> 1, works on float arrays") {
+    val df = Seq(
+      ("id", Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      ("orth", Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      ("neg", Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),
+      ("zero", Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),
+    ).toDF("k", "a", "b").select($"k", GraftFunctions.cosineSim($"a", $"b").as("c"))
+    val m = df.as[(String, Double)].collect().toMap
+    assert(m("id") == 1.0 && m("orth") == 0.0 && m("neg") == -1.0 && m("zero") == 0.0)
+  }
+
+  test("minhashShingles: identical docs share full signature; jaccard-similar share most") {
+    val a = "the quick brown fox jumps over the lazy dog again and again".split(" ").toSeq
+    val b = a.updated(4, "leaps") // one change -> most 3-shingles shared? (3 shingles differ)
+    val df = Seq(("a", a), ("a2", a), ("b", b), ("short", Seq("x", "y")))
+      .toDF("id", "toks")
+      .select($"id", GraftFunctions.minhashShingles($"toks", 3, 32).as("sig"))
+    val rows = df.collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(rows("a").get == rows("a2").get)
+    assert(rows("short").isEmpty, "docs with < n tokens yield null signature")
+    val shared = rows("a").get.zip(rows("b").get).count { case (x, y) => x == y }
+    assert(shared > 16, s"expected most minhashes shared, got $shared/32")
+    assert(shared < 32)
+  }
+}

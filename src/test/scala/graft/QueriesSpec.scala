@@ -1,0 +1,21 @@
+package graft
+
+class QueriesSpec extends SparkTestBase {
+
+  test("entry flagship returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("all queries execute and return rows at sf0.001 (except known-empty)") {
+    val mayBeEmpty = Set("q_join_anti") // every sf0.001 customer has orders
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{Ann, NearDup}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkDocs = {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    Seq((1L, base), (2L, base), (3L, nearDup), (4L, other)).toDF("doc_id", "text")
+  }
+
+  test("minhashCandidates surfaces dup and near-dup pairs, not unrelated ones") {
+    val pairs = NearDup.minhashCandidates(mkDocs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
+  test("jaccardVerify computes exact jaccard and filters") {
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val out = NearDup.jaccardVerify(cands, mkDocs, "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0)
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("simhashCandidates finds near-identical docs within hamming bound") {
+    val pairs = NearDup.simhashCandidates(mkDocs, "doc_id", "text", maxDist = 10)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bruteForceTopK returns k best neighbors with self excluded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Ann.bruteForceTopK(emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", k = 4)
+    val byQ = out.select("qid", "vec_id", "sim", "rn").collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 4)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims not descending")
+      assert(!rows.exists(r => r.getLong(1) == r.getLong(0)), "self in neighbors")
+    }
+  }
+
+  test("lshTopK recall against brute force is reasonable on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // 6 planes -> 64 buckets over ~500 vectors: recall/cost point suited
+    // to near-uniform synthetic embeddings (more planes = finer buckets =
+    // lower recall; production tuning depends on the embedding geometry).
+    val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", dim = 64, k = 3, nPlanes = 6)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowedCounts over streamed events matches batch computation") {
+    val dir = tmpDir("stream_in")
+    // Stage the events parquet as the stream source directory.
+    spark.read.schema(EventsStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .limit(2000)
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 2)
+    val agg = EventsStream.windowedCounts(stream, "5 minutes", "10 minutes")
+    val q = EventsStream.runToMemory(agg, "win_counts",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+      val batch = EventsStream.withEventTime(
+          spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+        .groupBy(window($"event_time", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start", $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+      // Append mode only emits windows the watermark has closed; every
+      // emitted window must match the batch result exactly.
+      assert(streamed.nonEmpty, "no windows emitted")
+      assert(streamed.subsetOf(batch), s"streamed windows disagree with batch")
+    } finally q.stop()
+  }
+
+  test("userRunningTotals keeps per-user state across micro-batches") {
+    val dir = tmpDir("stream_state")
+    spark.read.schema(EventsStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .limit(500)
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val totals = EventsStream.userRunningTotals(stream)(spark)
+    val q = EventsStream.runToMemory(totals.toDF(), "user_totals",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      // Update mode re-emits a row per state change; the latest row per
+      // user must equal the batch aggregate.
+      val latest = spark.table("user_totals")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .as[(Long, Long)].collect().toMap
+      val batch = spark.read.schema(EventsStream.eventsSchema).parquet(dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest == batch, "stateful totals diverge from batch")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens/tokenCount handle blanks and repeated whitespace") {
+    val df = Seq("  a  b\tc ", "", "single").toDF("t")
+      .select($"t", TextAnalysis.tokenCount($"t").as("n"))
+    val m = df.as[(String, Int)].collect().toMap
+    assert(m("  a  b\tc ") == 3)
+    assert(m("") == 0)
+    assert(m("single") == 1)
+  }
+
+  test("wordShingles produces n-grams; short docs give empty") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.wordShingles($"t", 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.wordShingles($"t", 3).as("sh")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("charShingles slides over normalized text") {
+    val out = Seq("ab  cd").toDF("t")
+      .select(TextAnalysis.charShingles($"t", 3).as("sh")).head().getSeq[String](0)
+    assert(out == Seq("ab ", "b c", " cd"))
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "hello worlds"))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.fingerprintMd5($"t").as("f"), TextAnalysis.fingerprint64($"t").as("f64"))
+    val rows = df.collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows("a") == rows("b"))
+    assert(rows("a") != rows("c"))
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and the dog is in the house"),
+      ("de", "der hund und die katze sind mit den kindern zu haus"),
+      ("fr", "le chien et les chats sont dans une des maisons du village"),
+      ("und", "zzz qqq xxx"),
+    ).toDF("expected", "t").select($"expected", TextAnalysis.langId($"t").as("got"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("bpeishTokenCount counts subword-ish units") {
+    val n = Seq("hello, world 42!").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount($"t").as("n")).head().getInt(0)
+    // hello , world 42 ! -> 5 units
+    assert(n == 5, s"got $n")
+  }
+
+  test("qualitySignals computes ratios on the documents table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val out = TextAnalysis.qualitySignals(docs.select($"doc_id", $"text"), "text")
+    val r = out.filter($"n_tokens" > 0).head()
+    assert(r.getAs[Double]("mean_token_len") > 0)
+    assert(r.getAs[Int]("n_chars") > 0)
+  }
+}
