@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.GraftFunctions.erf
+import graft.functions.GraftFunctions.erfc
 
 /** Statistical column library — SURVEY.md §2.9 math/statistics.
   *
@@ -54,10 +54,12 @@ object Stats {
 
   /** Two-sided p from a z-score: 2·Φ̄(|z|) = erfc(|z|/√2)
     * (reference used a scipy UDF, `encore_parser.py:256-264`; here a
-    * codegen'd custom Catalyst expression — see graft.functions.Erf).
+    * codegen'd custom Catalyst expression — see graft.functions.Erfc).
+    * erfc, not 1−erf: the latter underflows to 0 beyond z ≈ 8 while deep
+    * GWAS tails (p ~ 1e-300) are exactly the regime this motif serves.
     */
   def twoSidedPFromZ(z: Column): Column =
-    lit(1.0) - erf(abs(z) / sqrt(lit(2.0)))
+    erfc(abs(z) / sqrt(lit(2.0)))
 
   /** Bonferroni α = baseAlpha / nTests (reference
     * `common/evidence.py:349-358`).

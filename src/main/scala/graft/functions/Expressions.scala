@@ -30,6 +30,21 @@ case class Erf(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Complementary error function erfc(x) = 1 − erf(x), computed directly —
+  * `1 - erf(x)` underflows to 0 for x ≳ 6 while erfc keeps full relative
+  * precision into the deep tail (p-values ~1e-300).
+  */
+case class Erfc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_erfc"
+  override def nullSafeEval(v: Any): Any =
+    org.apache.commons.math3.special.Erf.erfc(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.commons.math3.special.Erf.erfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): Erfc =
+    copy(child = newChild)
+}
+
 object SimHashImpl {
   /** 64-bit SimHash over an array of string tokens: per-token xxhash64,
     * per-bit majority vote. Static so generated code can call it directly.

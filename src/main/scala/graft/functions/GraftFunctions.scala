@@ -13,6 +13,9 @@ object GraftFunctions {
   def erf(c: Column): Column =
     GraftShim.toColumn(Erf(GraftShim.toExpression(c)))
 
+  def erfc(c: Column): Column =
+    GraftShim.toColumn(Erfc(GraftShim.toExpression(c)))
+
   def simhash64(tokens: Column): Column =
     GraftShim.toColumn(SimHash64(GraftShim.toExpression(tokens)))
 
@@ -25,6 +28,7 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     // SQL numeric literals arrive as decimals — cast into the kernel type.
     GraftShim.registerFunction(spark, "graft_erf", es => Erf(Cast(es.head, DoubleType)))
+    GraftShim.registerFunction(spark, "graft_erfc", es => Erfc(Cast(es.head, DoubleType)))
     GraftShim.registerFunction(spark, "graft_simhash64", es => SimHash64(es.head))
     GraftShim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(es(0), es(1)))
   }
