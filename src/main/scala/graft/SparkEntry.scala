@@ -343,6 +343,38 @@ object SparkEntry {
       NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // --- J4: right outer join -----------------------------------------
+    "q_join_right" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      val supp = t(s, dir, "supplier")
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"), "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(col("l_orderkey")).as("n_big_lines"))
+    }),
+
+    // --- R2: explode_outer keeps parents with null/empty arrays -------
+    "q_explode_outer" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          explode_outer(when(col("o_orderstatus") =!= "P", split(col("o_orderpriority"), "-"))).as("part"),
+        )
+    }),
+
+    // --- beyond-reference: embedding-cosine near-dup pairs ------------
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      val a = emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_id_a") < col("vec_id_b"))
+        .select(
+          col("vec_id_a"), col("vec_id_b"),
+          graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")).as("sim"),
+        )
+        .filter(col("sim") >= 0.35)
+        .select(col("vec_id_a"), col("vec_id_b"), round(col("sim"), 6).as("sim"))
+    }),
+
     // --- A1 signature op: collect rows into sorted array<struct> ------
     "q_collect_struct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -725,6 +757,27 @@ object SparkEntry {
         |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT s_suppkey, s_name, count(l_orderkey) AS n_big_lines
+        |FROM (SELECT * FROM lineitem WHERE l_quantity >= 48) li
+        |RIGHT JOIN supplier ON li.l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT o_orderkey, u.part FROM orders
+        |LEFT JOIN LATERAL (
+        |  SELECT unnest(CASE WHEN o_orderstatus <> 'P'
+        |                     THEN string_split(o_orderpriority, '-') END) AS part
+        |) u ON TRUE""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
 
     "q_collect_struct" ->
       """SELECT l_orderkey,

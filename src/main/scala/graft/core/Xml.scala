@@ -1,0 +1,71 @@
+package graft.core
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** S11: XML ingestion (reference `modules/Orphanet.py:52-126` parses the
+  * Orphanet product6 XML with ElementTree on the driver and hands rows to
+  * `spark.createDataFrame`).
+  *
+  * Same architecture here — a streaming StAX parse on the driver feeding
+  * `createDataFrame` — because the reference's XML inputs are single
+  * smallish files (tens of MB). For sharded 100 TB XML one would register
+  * a DataSource V2 with per-file tasks; out of scope while no input needs
+  * it (the parse below is already streaming/O(1)-memory per record).
+  */
+object Xml {
+
+  /** Extract one row per `recordTag` element: each requested field is the
+    * text of the first descendant element with that local name. All
+    * columns are strings (cast downstream, same as the reference).
+    */
+  def readRecords(
+      spark: SparkSession,
+      path: String,
+      recordTag: String,
+      fields: Seq[String],
+  ): DataFrame = {
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val in = new java.io.FileInputStream(path)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val reader = factory.createXMLStreamReader(in)
+      var inRecord = false
+      var current: scala.collection.mutable.Map[String, String] = null
+      var capture: String = null
+      val sb = new StringBuilder
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val name = reader.getLocalName
+            if (name == recordTag) {
+              inRecord = true
+              current = scala.collection.mutable.Map.empty
+            } else if (inRecord && fields.contains(name) && !current.contains(name)) {
+              capture = name
+              sb.clear()
+            }
+          case XMLStreamConstants.CHARACTERS if capture != null =>
+            sb.append(reader.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            val name = reader.getLocalName
+            if (capture == name) {
+              current.put(name, sb.toString.trim)
+              capture = null
+            }
+            if (name == recordTag && inRecord) {
+              rows += Row.fromSeq(fields.map(f => current.get(f).orNull))
+              inRecord = false
+            }
+          case _ =>
+        }
+      }
+      reader.close()
+    } finally in.close()
+    val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
+    spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava), schema)
+  }
+}
