@@ -362,8 +362,10 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: embedding-cosine near-dup pairs ------------
+    // Fixed-size subset (vec_id < 1000): the brute-force O(n²) tier is the
+    // correctness baseline; the corpus-scale path is q_ann_lsh's bucketing.
     "q_embed_neardup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
       val a = emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_id_a") < col("vec_id_b"))
@@ -397,6 +399,21 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(collect_list(col("l_quantity")).as("qs"))
         .select(col("l_suppkey"), round(Stats.gini(col("qs")), 6).as("gini"))
+    }),
+
+    // --- §2.9 HPA specificity/distribution classifiers (core.Stats) ---
+    "q_hpa_metrics" -> ((s, dir) => {
+      // One-pass custom expression (HpaClassify); the composable HOF
+      // variant in core.Stats is semantically identical but O(n²)/row
+      // interpreted — see graft.functions.HpaImpl.
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(collect_list(col("l_quantity")).as("qs"))
+        .select(
+          col("l_suppkey"),
+          graft.functions.GraftFunctions.hpaClassify(col("qs"), 1.0).getField("specificity").as("specificity"),
+          graft.functions.GraftFunctions.hpaClassify(col("qs"), 1.0).getField("distribution").as("distribution"),
+        )
     }),
 
     // --- R9: zip arrays with first-element padding (core.Reshape) -----
@@ -773,7 +790,7 @@ object SparkEntry {
 
     "q_embed_neardup" ->
       """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 5 = 0)
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -798,6 +815,25 @@ object SparkEntry {
         |  round(2.0 * list_dot_product(qs, list_transform(range(1, len(qs) + 1), i -> CAST(i AS DOUBLE)))
         |        / (CAST(len(qs) AS DOUBLE) * list_sum(qs))
         |        - (CAST(len(qs) AS DOUBLE) + 1.0) / CAST(len(qs) AS DOUBLE), 6) AS gini
+        |FROM g""".stripMargin,
+
+    "q_hpa_metrics" ->
+      """WITH g AS (
+        |  SELECT l_suppkey, list_sort(list(l_quantity)) AS qs FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey,
+        |  CASE WHEN qs[-1] < 1.0 THEN 'Not detected'
+        |       WHEN qs[-2] = 0 OR qs[-1]/qs[-2] >= 4.0 THEN 'Tissue enriched'
+        |       WHEN (qs[-3] = 0 OR qs[-2]/qs[-3] >= 4.0) OR (qs[-4] = 0 OR qs[-3]/qs[-4] >= 4.0)
+        |         OR (qs[-5] = 0 OR qs[-4]/qs[-5] >= 4.0) OR (qs[-6] = 0 OR qs[-5]/qs[-6] >= 4.0)
+        |         THEN 'Group enriched'
+        |       WHEN len(list_filter(qs, e -> e / (list_sum(qs)/len(qs)) >= 4.0)) BETWEEN 1 AND 5
+        |         THEN 'Tissue enhanced'
+        |       ELSE 'Low tissue specificity' END AS specificity,
+        |  CASE WHEN qs[-1] < 1.0 THEN 'Not detected'
+        |       WHEN len(list_filter(qs, e -> e > 1.0)) = 1 THEN 'Detected in single'
+        |       WHEN len(list_filter(qs, e -> e > 1.0)) < CAST(len(qs) AS DOUBLE)/3 THEN 'Detected in some'
+        |       WHEN len(list_filter(qs, e -> e > 1.0)) < len(qs) THEN 'Detected in many'
+        |       ELSE 'Detected in all' END AS distribution
         |FROM g""".stripMargin,
 
     "q_zip_pad" ->

@@ -108,6 +108,39 @@ object Readers {
     }
   }
 
+  /** S10: multi-row-header delimited scan (reference CvdiGeneBurden Excel
+    * sheets with pandas `header=[0,1,2]` + horizontal ffill,
+    * `CvdiGeneBurden.py:100-150`; Excel itself is out of engine scope —
+    * inputs arrive pre-converted to CSV, this reproduces the multiindex
+    * flattening).
+    *
+    * The first `headerRows` lines are read on the driver (tiny), each row
+    * forward-filled horizontally (merged-cell semantics), and the
+    * per-column name is the '_'-joined non-empty parts. Data rows are then
+    * parsed with [[csvSkipRows]] under the synthesized all-string schema.
+    */
+  def csvMultiHeader(
+      spark: SparkSession,
+      path: String,
+      headerRows: Int,
+      sep: String = ",",
+  ): DataFrame = {
+    val headerLines = scala.util.Using.resource(scala.io.Source.fromFile(path)) {
+      _.getLines().take(headerRows).toList
+    }
+    val cells = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+    val width = cells.map(_.length).max
+    val filled = cells.map { row =>
+      row.padTo(width, "").scanLeft("") { (prev, c) => if (c.trim.isEmpty) prev else c.trim }.drop(1)
+    }
+    val names = (0 until width).map { i =>
+      val parts = filled.map(_(i)).filter(_.nonEmpty).distinct
+      if (parts.isEmpty) s"_c$i" else parts.mkString("_")
+    }
+    val schema = StructType(names.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    csvSkipRows(spark, path, skipRows = headerRows, schema = schema, sep = sep, header = false)
+  }
+
   /** S13: local curated collection → DataFrame (reference literal maps,
     * e.g. `BrainCRISPR.py:112-116`). Small: always broadcast-join these.
     */

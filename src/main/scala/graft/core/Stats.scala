@@ -92,6 +92,52 @@ object Stats {
     when(total > 0, lit(2.0) * weighted / (n * total) - (n + lit(1.0)) / n)
   }
 
+  /** HPA expression-specificity classifier (reference
+    * `baseline_expression/metrics.py:31-44`, per-row numpy over the tissue
+    * vector; here a pure sorted-array rule chain — no UDF).
+    *
+    * Rules, on ascending-sorted expression vector `expr` (1-indexed from
+    * the top as expr[-k]):
+    *   top < low                      → Not detected
+    *   expr[-2]=0 ∨ top/expr[-2] ≥ 4  → Tissue enriched
+    *   ∃i∈2..5: expr[-i-1]=0 ∨ expr[-i]/expr[-i-1] ≥ 4 → Group enriched
+    *   1 ≤ #{e : e/mean ≥ 4} ≤ 5      → Tissue enhanced
+    *   otherwise                      → Low tissue specificity
+    *
+    * Short vectors (n < 6) degrade gracefully: out-of-range lookups are
+    * null and their rules simply don't fire (the reference would throw).
+    */
+  def hpaSpecificity(values: Column, lowThreshold: Double): Column = {
+    val sorted = array_sort(values)
+    val n = size(sorted)
+    def fromTop(k: Int): Column = get(sorted, n - k) // 0-based get: expr[-k]
+    val top = fromTop(1)
+    val mean = aggregate(sorted, lit(0.0), (a, x) => a + x) / n.cast(DoubleType)
+    val enhancedCount = size(filter(values, e => e / mean >= 4.0))
+    val groupEnriched = (2 to 5)
+      .map(i => (fromTop(i + 1) === 0.0) || (fromTop(i) / fromTop(i + 1) >= 4.0))
+      .reduce(_ || _)
+    when(top < lowThreshold, "Not detected")
+      .when((fromTop(2) === 0.0) || (top / fromTop(2) >= 4.0), "Tissue enriched")
+      .when(groupEnriched, "Group enriched")
+      .when(enhancedCount.between(1, 5), "Tissue enhanced")
+      .otherwise("Low tissue specificity")
+  }
+
+  /** HPA expression-distribution classifier (reference
+    * `baseline_expression/metrics.py:47-58`).
+    */
+  def hpaDistribution(values: Column, lowThreshold: Double): Column = {
+    val n = size(values)
+    val top = get(array_sort(values), n - 1)
+    val numDetected = size(filter(values, e => e > lowThreshold))
+    when(top < lowThreshold, "Not detected")
+      .when(numDetected === 1, "Detected in single")
+      .when(numDetected < n.cast(DoubleType) / 3, "Detected in some")
+      .when(numDetected < n, "Detected in many")
+      .otherwise("Detected in all")
+  }
+
   /** Min-max renormalization to [lo, hi] (reference
     * `SystemsBiology.py:9-57` renormalizes scores to [0.5, 1]).
     * The min/max come in as columns (from a global agg or window).

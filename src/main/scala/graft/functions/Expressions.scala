@@ -155,6 +155,80 @@ case class MinHashShingles(child: Expression, n: Int, k: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+object HpaImpl {
+  private val SPEC = Array("Not detected", "Tissue enriched", "Group enriched",
+    "Tissue enhanced", "Low tissue specificity").map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val DIST = Array("Not detected", "Detected in single", "Detected in some",
+    "Detected in many", "Detected in all").map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  /** One-pass HPA specificity + distribution classification
+    * (`baseline_expression/metrics.py:31-58` semantics; see
+    * graft.core.Stats for the rule definitions).
+    *
+    * Exists because the composable higher-order-function formulation
+    * inlines the mean-aggregate into the filter lambda — O(n²) interpreted
+    * per row (278 s for sf0.1's ~600-element vectors vs <1 s here).
+    */
+  def classify(values: ArrayData, low: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = values.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    var total = 0.0
+    while (i < n) { xs(i) = values.getDouble(i); total += xs(i); i += 1 }
+    java.util.Arrays.sort(xs)
+    val top = if (n > 0) xs(n - 1) else Double.NaN
+    val mean = if (n > 0) total / n else Double.NaN
+
+    val spec: org.apache.spark.unsafe.types.UTF8String =
+      if (n == 0 || top < low) SPEC(0)
+      else if (n >= 2 && (xs(n - 2) == 0.0 || top / xs(n - 2) >= 4.0)) SPEC(1)
+      else {
+        var group = false
+        var k = 2
+        while (k <= 5 && !group) {
+          if (n >= k + 1 && (xs(n - k - 1) == 0.0 || xs(n - k) / xs(n - k - 1) >= 4.0)) group = true
+          k += 1
+        }
+        if (group) SPEC(2)
+        else {
+          var cnt = 0
+          var j = 0
+          while (j < n) { if (xs(j) / mean >= 4.0) cnt += 1; j += 1 }
+          if (cnt >= 1 && cnt <= 5) SPEC(3) else SPEC(4)
+        }
+      }
+
+    val dist: org.apache.spark.unsafe.types.UTF8String =
+      if (n == 0 || top < low) DIST(0)
+      else {
+        var det = 0
+        var j = 0
+        while (j < n) { if (xs(j) > low) det += 1; j += 1 }
+        if (det == 1) DIST(1)
+        else if (det < n.toDouble / 3) DIST(2)
+        else if (det < n) DIST(3)
+        else DIST(4)
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](spec, dist))
+  }
+}
+
+/** hpa_classify(values: array<double>, low) →
+  * struct<specificity: string, distribution: string>, one pass.
+  */
+case class HpaClassify(child: Expression, low: Double) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("specificity", StringType, nullable = false),
+    StructField("distribution", StringType, nullable = false)))
+  override def prettyName: String = "graft_hpa_classify"
+  override def nullSafeEval(v: Any): Any =
+    HpaImpl.classify(v.asInstanceOf[ArrayData], low)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HpaImpl.classify($c, $low)")
+  override protected def withNewChildInternal(newChild: Expression): HpaClassify =
+    copy(child = newChild)
+}
+
 object CosineImpl {
   /** Cosine similarity of two equal-length numeric vectors. `aFloat` /
     * `bFloat` select each side's element accessor (the two sides may have

@@ -25,6 +25,10 @@ object GraftFunctions {
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 
+  /** One-pass HPA classification; input must be array<double>. */
+  def hpaClassify(values: Column, low: Double): Column =
+    GraftShim.toColumn(HpaClassify(GraftShim.toExpression(values), low))
+
   def registerAll(spark: SparkSession): Unit = {
     // SQL numeric literals arrive as decimals — cast into the kernel type.
     GraftShim.registerFunction(spark, "graft_erf", es => Erf(Cast(es.head, DoubleType)))
