@@ -18,6 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state measurement: absorb JVM/codegen/FileIndex warmup with
+    // one untimed trivial pass before the timed loop.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

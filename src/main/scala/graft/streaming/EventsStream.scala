@@ -52,6 +52,20 @@ object EventsStream {
         col("event_type"), col("n"), col("total_value"),
       )
 
+  /** Session windows: activity bursts per user separated by `gap` of
+    * silence (native `session_window`, state bounded by the watermark).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"),
+      )
+
   case class UserEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.parsers.{ChemblParser, OrphanetParser}
+import graft.streaming.EventsStream
+
+class Parsers2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ChemblParser: map-in-transform categories + NCT harvest + union rejoin") {
+    val evidence = Seq(
+      ("e1", Some("Trial was stopped"), Seq("https://clinicaltrials.gov/study/NCT001")),
+      ("e2", None, Seq("https://clinicaltrials.gov/study/NCT999")),
+    ).toDF("id", "studyStopReason", "url_list")
+      .withColumn("urls", transform(col("url_list"), u => struct(lit("ct").as("niceName"), u.as("url"))))
+      .drop("url_list")
+    val predictions = Seq(
+      ("NCT001", Seq("Safety_Sideeffects", "Covid19", "UNKNOWN_TAG")),
+    ).toDF("nct_id", "subclasses")
+    val out = ChemblParser(evidence, predictions)
+    assert(out.count() == 2, "union preserves row count")
+    val stopped = out.filter($"id" === "e1").head()
+    assert(stopped.getAs[scala.collection.Seq[String]]("studyStopReasonCategories") ==
+      Seq("Safety or side effects", "COVID-19", null), "unknown tags map to null")
+    assert(out.filter($"id" === "e2").head().getAs[Any]("studyStopReasonCategories") == null)
+  }
+
+  test("OrphanetParser: XML -> status filter -> consequence map") {
+    val dir = tmpDir("orphanet2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "product6.xml"),
+      """<?xml version="1.0"?>
+        |<JDBOR><DisorderList>
+        |<Disorder><OrphaCode>93</OrphaCode>
+        |  <DisorderGeneAssociationList>
+        |    <DisorderGeneAssociation>
+        |      <OrphaCode>93</OrphaCode><DisorderName>Achondroplasia</DisorderName>
+        |      <GeneSymbol>FGFR3</GeneSymbol>
+        |      <AssociationType>Disease-causing germline mutation(s) (gain of function) in</AssociationType>
+        |      <AssociationStatus>Assessed</AssociationStatus>
+        |    </DisorderGeneAssociation>
+        |    <DisorderGeneAssociation>
+        |      <OrphaCode>93</OrphaCode><DisorderName>Achondroplasia</DisorderName>
+        |      <GeneSymbol>FAKE1</GeneSymbol>
+        |      <AssociationType>Candidate gene tested in</AssociationType>
+        |      <AssociationStatus>Not validated</AssociationStatus>
+        |    </DisorderGeneAssociation>
+        |  </DisorderGeneAssociationList>
+        |</Disorder>
+        |</DisorderList></JDBOR>
+        |""".stripMargin)
+    val assoc = OrphanetParser.fromXml(spark, s"$dir/product6.xml")
+    assert(assoc.count() == 2)
+    val out = OrphanetParser(assoc)
+    assert(out.count() == 1, "non-validated association filtered")
+    val r = out.head()
+    assert(r.getAs[String]("targetFromSourceId") == "FGFR3")
+    assert(r.getAs[String]("diseaseFromSourceId") == "Orphanet_93")
+    assert(r.getAs[String]("variantFunctionalConsequenceId") == "SO_0002053")
+  }
+
+  test("sessionCounts groups activity bursts per user (session_window)") {
+    val dir = tmpDir("stream_sess")
+    // Two bursts for user 1 separated by > 30 min, one burst for user 2.
+    def ns(min: Long) = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L + min * 60L * 1000000000L
+    val rows = Seq(
+      (1L, ns(0), 1L, "click", 1.0, "{}"),
+      (2L, ns(5), 1L, "click", 2.0, "{}"),
+      (3L, ns(60), 1L, "view", 3.0, "{}"),
+      (4L, ns(2), 2L, "click", 4.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(dir)
+    val stream = EventsStream.readEvents(spark, dir)
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionCounts(stream, "30 minutes", "1 hour"), "sessions")
+    try {
+      // Append mode only emits sessions the watermark has closed; push a
+      // far-future event in a second micro-batch to advance it.
+      Seq((99L, ns(600), 99L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val sess = spark.table("sessions")
+        .filter($"user_id" =!= 99L)
+        .select("user_id", "n_events").as[(Long, Long)].collect().sorted.toSeq
+      assert(sess == Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+        s"expected two sessions for user 1 and one for user 2, got $sess")
+    } finally q.stop()
+  }
+}
