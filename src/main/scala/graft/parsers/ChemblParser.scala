@@ -48,7 +48,12 @@ object ChemblParser {
     * @param predictions (nct_id, subclasses array) classification output
     * @param checkFractions reference QC gates (disable for tiny fixtures)
     */
-  def apply(evidence: DataFrame, predictions: DataFrame, checkFractions: Boolean = false): DataFrame = {
+  def apply(evidenceIn: DataFrame, predictions: DataFrame, checkFractions: Boolean = false): DataFrame = {
+    // Multi-consumer point (§2.12): the evidence subtree feeds the QC
+    // counts, the stopped branch, and the running branch — persist so the
+    // scan+decode runs once (reference persists at the same spot,
+    // `ChEMBL.py:32`).
+    val evidence = if (checkFractions) evidenceIn.persist() else evidenceIn
     val pretty = prettifySubclasses(predictions)
     val stopped = evidence
       .filter(col("studyStopReason").isNotNull)
