@@ -395,10 +395,12 @@ object SparkEntry {
 
     // --- §2.9 Gini coefficient via higher-order fns (core.Stats) ------
     "q_gini" -> ((s, dir) => {
+      // One-pass Gini kernel (graft.functions.Gini); equivalent HOF
+      // formulation lives in core.Stats (equivalence-tested).
       t(s, dir, "lineitem")
         .groupBy("l_suppkey")
         .agg(collect_list(col("l_quantity")).as("qs"))
-        .select(col("l_suppkey"), round(Stats.gini(col("qs")), 6).as("gini"))
+        .select(col("l_suppkey"), round(graft.functions.GraftFunctions.gini(col("qs")), 6).as("gini"))
     }),
 
     // --- §2.9 HPA specificity/distribution classifiers (core.Stats) ---

@@ -213,6 +213,53 @@ object HpaImpl {
   }
 }
 
+object GiniImpl {
+  /** Gini coefficient, one pass after sort (reference
+    * `baseline_expression/metrics.py:15-28`): Σ(2i−n−1)·xᵢ / (n·Σx) on
+    * ascending-sorted x, 1-based i. Returns null boxed as NaN-free:
+    * caller wraps. NaN when max == 0 (reference semantics).
+    */
+  def compute(values: ArrayData): Any = {
+    val n = values.numElements()
+    if (n == 0) return null
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = values.getDouble(i); i += 1 }
+    java.util.Arrays.sort(xs)
+    if (xs(n - 1) == 0.0) return null
+    var total = 0.0
+    var weighted = 0.0
+    i = 0
+    while (i < n) {
+      total += xs(i)
+      weighted += (2.0 * (i + 1) - n - 1) * xs(i)
+      i += 1
+    }
+    if (total <= 0.0) null else java.lang.Double.valueOf(weighted / (n * total))
+  }
+}
+
+/** gini(values: array<double>) → double, one-pass kernel (the HOF
+  * formulation in core.Stats is equivalent but interpreted).
+  */
+case class Gini(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gini"
+  override def nullSafeEval(v: Any): Any =
+    GiniImpl.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object giniRes = graft.functions.GiniImpl.compute($c);
+         |if (giniRes == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) giniRes).doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Gini =
+    copy(child = newChild)
+}
+
 /** hpa_classify(values: array<double>, low) →
   * struct<specificity: string, distribution: string>, one pass.
   */

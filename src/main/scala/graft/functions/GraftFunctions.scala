@@ -25,6 +25,10 @@ object GraftFunctions {
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 
+  /** One-pass Gini; input must be array<double>. */
+  def gini(values: Column): Column =
+    GraftShim.toColumn(Gini(GraftShim.toExpression(values)))
+
   /** One-pass HPA classification; input must be array<double>. */
   def hpaClassify(values: Column, low: Double): Column =
     GraftShim.toColumn(HpaClassify(GraftShim.toExpression(values), low))

@@ -38,7 +38,7 @@ object BaselineExpressionParser {
     val withMetrics = vectors.select(
       col(geneCol),
       col("tissues"),
-      round(Stats.gini(col("expr_vec")), 6).as("gini"),
+      round(graft.functions.GraftFunctions.gini(col("expr_vec")), 6).as("gini"),
       hpa.getField("specificity").as("hpaSpecificity"),
       hpa.getField("distribution").as("hpaDistribution"),
     )

@@ -32,12 +32,18 @@ class StatsSpec extends SparkTestBase {
     assert(out == Seq(1e-12, 1e-12, 0.5))
   }
 
-  test("gini: uniform array -> 0, fully concentrated -> (n-1)/n") {
+  test("gini: uniform array -> 0, fully concentrated -> (n-1)/n; kernel agrees with HOF") {
     val df = Seq(
       (1, Seq(5.0, 5.0, 5.0, 5.0)),
       (2, Seq(0.0, 0.0, 0.0, 8.0)),
-    ).toDF("k", "xs").select($"k", round(Stats.gini($"xs"), 9).as("g"))
-    val m = df.as[(Int, Double)].collect().toMap
+    ).toDF("k", "xs").select(
+      $"k",
+      round(Stats.gini($"xs"), 9).as("g"),
+      round(graft.functions.GraftFunctions.gini($"xs"), 9).as("gk"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"kernel/HOF gini disagree: $r")
+    }
+    val m = df.select("k", "g").as[(Int, Double)].collect().toMap
     assert(m(1) == 0.0)
     assert(m(2) == 0.75)
   }
