@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.core.Layout
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.count() // materialize so AQE finalizes the plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("bucketed tables join with zero shuffle (co-located SMJ)") {
+    // Warehouse dir is set (static conf) in TestSession.
+    // Force SMJ path: disable broadcast so the test is about bucketing.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+      Layout.writeBucketed(orders.withColumnRenamed("o_orderkey", "k"), "b_orders", Seq("k"), 8)
+      Layout.writeBucketed(lines.withColumnRenamed("l_orderkey", "k"), "b_lines", Seq("k"), 8)
+      val joined = spark.table("b_orders").join(spark.table("b_lines"), Seq("k"))
+      val nShuffles = countShuffles(joined)
+      assert(nShuffles == 0, s"expected shuffle-free bucketed join, got $nShuffles exchanges")
+      // Same join on plain parquet shuffles both sides.
+      val plain = orders.join(lines, orders("o_orderkey") === lines("l_orderkey"))
+      assert(countShuffles(plain) >= 2, "plain SMJ should shuffle both sides")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lines")
+    }
+  }
+
+  test("saltedJoin matches plain join results") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) "HOT" else s"k$i", i))
+      .toDF("key", "v")
+    val small = Seq(("HOT", "hot-payload"), ("k5", "k5-payload")).toDF("key", "payload")
+    val plain = large.join(small, Seq("key")).select("key", "v", "payload")
+      .as[(String, Int, String)].collect().toSet
+    val salted = Layout.saltedJoin(large, small, "key", saltFactor = 4)
+      .select("key", "v", "payload").as[(String, Int, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "HOT") == 100)
+  }
+
+  test("saltedCount matches plain groupBy count") {
+    val df = (1 to 500).map(i => if (i % 5 == 0) "HOT" else s"k${i % 7}").toDF("key")
+    val plain = df.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Layout.saltedCount(df, "key", saltFactor = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
