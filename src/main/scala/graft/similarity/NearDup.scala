@@ -92,7 +92,10 @@ object NearDup {
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4
     * 16-bit chunks; by pigeonhole, any pair within Hamming distance 3
-    * shares at least one exact chunk. Verify with bit_count(xor) ≤ maxDist.
+    * (= bands − 1) shares at least one exact chunk — full recall up to
+    * there. Verify with bit_count(xor) ≤ maxDist. For maxDist > 3 the
+    * chunk-collision candidate set is approximate (recall < 1): pairs
+    * with all four chunks differing are never surfaced.
     */
   def simhashCandidates(
       docs: DataFrame,
