@@ -39,11 +39,13 @@ object Stats {
     * no driver round-trip is needed).
     */
   def repairZeroPValues(df: DataFrame, pCol: String): DataFrame = {
-    val minPos = df
-      .filter(col(pCol) > 0)
-      .agg(min(col(pCol)).as("__minp"))
+    // Conditional min INSIDE the aggregate (not a filter before it): the
+    // aggregate then always yields exactly one row — a filtered-empty
+    // build side would cross-join every row away when no p > 0 exists.
+    val minPos = df.agg(min(when(col(pCol) > 0, col(pCol))).as("__minp"))
     df.crossJoin(broadcast(minPos))
-      .withColumn(pCol, when(col(pCol) === 0, col("__minp")).otherwise(col(pCol)))
+      .withColumn(pCol,
+        when(col(pCol) === 0 && col("__minp").isNotNull, col("__minp")).otherwise(col(pCol)))
       .drop("__minp")
   }
 

@@ -32,6 +32,12 @@ class StatsSpec extends SparkTestBase {
     assert(out == Seq(1e-12, 1e-12, 0.5))
   }
 
+  test("repairZeroPValues keeps rows when NO positive p exists (edge)") {
+    val df = Seq(0.0, 0.0).toDF("p")
+    val out = Stats.repairZeroPValues(df, "p").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.0), "rows must survive an all-zero column")
+  }
+
   test("gini: uniform array -> 0, fully concentrated -> (n-1)/n; kernel agrees with HOF") {
     val df = Seq(
       (1, Seq(5.0, 5.0, 5.0, 5.0)),
