@@ -50,6 +50,11 @@ object Layout {
       saltFactor: Int,
       joinType: String = "inner",
   ): DataFrame = {
+    // Replicating the small side is only sound when its unmatched rows
+    // are never emitted: right/full outer would surface each unmatched
+    // replica saltFactor times.
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltedLarge = large.withColumn(
       "__salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(saltFactor)).cast("int"))

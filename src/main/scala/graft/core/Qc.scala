@@ -60,8 +60,10 @@ object Qc {
     * single aggregate pass; returns violation counts keyed by label.
     */
   def assertAll(df: DataFrame, invariants: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    // coalesce: sum over ZERO rows is null; an empty DataFrame has zero
+    // violations and must pass, not NPE.
     val aggs = invariants.map { case (label, pred) =>
-      sum(when(pred, 1L).otherwise(0L)).as(label)
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val bad = invariants.zipWithIndex.collect {

@@ -125,9 +125,10 @@ object Readers {
       headerRows: Int,
       sep: String = ",",
   ): DataFrame = {
-    val headerLines = scala.util.Using.resource(scala.io.Source.fromFile(path)) {
-      _.getLines().take(headerRows).toList
-    }
+    // Through the Spark reader (not java.io): works on any Hadoop FS
+    // (hdfs://, s3://, …), and take(n) on a single file preserves the
+    // leading-line order.
+    val headerLines = spark.read.textFile(path).take(headerRows).toList
     val cells = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
     val width = cells.map(_.length).max
     val filled = cells.map { row =>

@@ -88,6 +88,8 @@ object Reshape {
     */
   def splitToStruct(c: Column, sep: String, names: Seq[String]): Column = {
     val parts = split(c, sep)
-    struct(names.zipWithIndex.map { case (n, i) => parts.getItem(i).as(n) }: _*)
+    // get(), not getItem(): missing trailing segments become null fields
+    // instead of an ANSI out-of-bounds error.
+    struct(names.zipWithIndex.map { case (n, i) => get(parts, lit(i)).as(n) }: _*)
   }
 }

@@ -32,8 +32,13 @@ object Writers {
     val parts = fs.globStatus(new Path(tmp, "part-*"))
     require(parts.length == 1, s"expected exactly 1 part file, got ${parts.length}")
     val dest = new Path(outFile)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(parts.head.getPath, dest)
+    // Hadoop FS ops report failure via booleans, not exceptions — check
+    // them, and only clean the temp dir AFTER the rename landed (a failed
+    // rename must not lose the only copy of the data).
+    if (fs.exists(dest) && !fs.delete(dest, true))
+      throw new java.io.IOException(s"could not remove existing $outFile")
+    if (!fs.rename(parts.head.getPath, dest))
+      throw new java.io.IOException(s"rename to $outFile failed; data retained in $tmp")
     fs.delete(new Path(tmp), true)
   }
 

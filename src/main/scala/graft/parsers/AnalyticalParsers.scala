@@ -67,10 +67,14 @@ object ImpcParser {
       .drop("phenotypeIds")
 
     val scored = withPhenotypes
+      // Rescale 0-100 → 0-1 FIRST (matching the reference, which filters
+      // the already-rescaled resourceScore) so the cutoff is in the same
+      // units as the 0.4 default.
+      .withColumn("resourceScore", round(col("disease_model_avg_norm").cast("double") / 100, 4))
       // Reference `IMPC.py:421`: ~(score < cutoff). Three-valued logic:
       // NULL < cutoff is NULL, NOT NULL is NULL, and filter drops non-TRUE
       // rows — so null-scored associations are dropped, same as PySpark.
-      .filter(!(col("disease_model_avg_norm") < scoreCutoff))
+      .filter(!(col("resourceScore") < scoreCutoff))
       .join(geneChain, Seq("targetInModelMgiId"), "inner")
       .select(
         lit("impc").as("datasourceId"),
@@ -78,7 +82,7 @@ object ImpcParser {
         col("targetFromSourceId"),
         col("disease_id").as("diseaseFromSourceId"),
         col("model_id").as("biologicalModelId"),
-        round(col("disease_model_avg_norm").cast("double") / 100, 4).as("resourceScore"),
+        col("resourceScore"),
         col("diseaseModelAssociatedModelPhenotypes"),
       )
 
@@ -105,10 +109,11 @@ object EncoreParser {
     val molten = Reshape.meltMetricTriplets(wide, Seq("id"), metrics, entityName = "cellLine")
     // F7: emit (target, interactor) and (interactor, target) natively.
     val genes = split(col("id"), "~")
+    val (g0, g1) = (get(genes, lit(0)), get(genes, lit(1))) // null-safe under ANSI
     molten
       .withColumn("pair", array(
-        struct(genes.getItem(0).as("targetFromSourceId"), genes.getItem(1).as("interactorId")),
-        struct(genes.getItem(1).as("targetFromSourceId"), genes.getItem(0).as("interactorId")),
+        struct(g0.as("targetFromSourceId"), g1.as("interactorId")),
+        struct(g1.as("targetFromSourceId"), g0.as("interactorId")),
       ))
       .withColumn("p", explode(col("pair")))
       .select((Seq(col("p.targetFromSourceId"), col("p.interactorId"), col("cellLine")) ++

@@ -63,17 +63,16 @@ object ChemblParser {
       .join(pretty, Seq("nct_id"), "left")
       .drop("nct_id")
       .distinct()
-    if (checkFractions) {
-      val total = evidence.count().toDouble
+    if (checkFractions)
       Qc.assertFractionBetween(evidence, col("studyStopReason").isNotNull, 0.08, 0.15,
         "stopped-trial share")
-      val _ = total
-    }
     val enriched = Union.unionByNameAll(
       Seq(evidence.filter(col("studyStopReason").isNull), stopped),
       allowMissingColumns = true)
-    if (checkFractions)
-      Qc.assertCountBetween(enriched, evidence.count(), evidence.count(), "union-preserved rows")
+    if (checkFractions) {
+      val n = evidence.count() // one count, reused for both bounds
+      Qc.assertCountBetween(enriched, n, n, "union-preserved rows")
+    }
     enriched
   }
 }

@@ -32,8 +32,10 @@ object IntOGenParser {
     */
   def parseSource(source: Column): Column = {
     val m = map(doiToPmid.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // get() not element_at(): a colon-less source must yield null (as the
+    // reference's split()[1] does), not an ANSI out-of-bounds error.
     val processed = when(source.startsWith("WEB"), lit(null))
-      .otherwise(trim(element_at(split(source, ":"), 2)))
+      .otherwise(trim(get(split(source, ":"), lit(1))))
     val mapped = coalesce(element_at(m, processed), processed)
     when(mapped.isNotNull, array(mapped))
   }
@@ -204,12 +206,16 @@ object BrainCrisprParser {
   */
 object CvdiGeneBurdenParser {
 
-  /** `"1.25 (1.10-1.42)"` → (oddsRatio, ciLower, ciUpper) doubles. */
-  def parseOrCi(orCi: Column): (Column, Column, Column) = (
-    regexp_extract(orCi, "^([\\d.]+)", 1).cast("double"),
-    regexp_extract(orCi, "\\(([\\d.]+)[-–]", 1).cast("double"),
-    regexp_extract(orCi, "[-–]([\\d.]+)\\)", 1).cast("double"),
-  )
+  /** `"1.25 (1.10-1.42)"` → (oddsRatio, ciLower, ciUpper) doubles.
+    * Non-matching cells ("NA", "-") extract "" — nulled before the cast,
+    * which would otherwise throw under ANSI mode (pandas reference
+    * degrades to NaN for the same cells).
+    */
+  def parseOrCi(orCi: Column): (Column, Column, Column) = {
+    def num(pat: String): Column =
+      graft.core.Cleanup.emptyToNull(regexp_extract(orCi, pat, 1)).cast("double")
+    (num("^([\\d.]+)"), num("\\(([\\d.]+)[-–]"), num("[-–]([\\d.]+)\\)"))
+  }
 
   def apply(raw: DataFrame, efoLut: DataFrame, pCutoffCol: String = "pCutoff"): DataFrame = {
     val (or_, lo, hi) = parseOrCi(col("orCi"))

@@ -26,37 +26,56 @@ class Parsers2Spec extends SparkTestBase {
     assert(out.filter($"id" === "e2").head().getAs[Any]("studyStopReasonCategories") == null)
   }
 
-  test("OrphanetParser: XML -> status filter -> consequence map") {
+  test("OrphanetParser: real product6 nesting -> status filter -> consequence map") {
     val dir = tmpDir("orphanet2")
+    // Structure mirrors the real en_product6.xml the reference parses
+    // (Orphanet.py:75-120): Disorder-level Name/OrphaCode/DisorderType,
+    // association-level SourceOfValidation / type / status / Gene with
+    // external references.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "product6.xml"),
       """<?xml version="1.0"?>
-        |<JDBOR><DisorderList>
-        |<Disorder><OrphaCode>93</OrphaCode>
-        |  <DisorderGeneAssociationList>
+        |<JDBOR><DisorderList count="1">
+        |<Disorder id="17601">
+        |  <OrphaCode>15</OrphaCode>
+        |  <Name lang="en">Achondroplasia</Name>
+        |  <DisorderType><Name lang="en">Disease</Name></DisorderType>
+        |  <DisorderGeneAssociationList count="2">
         |    <DisorderGeneAssociation>
-        |      <OrphaCode>93</OrphaCode><DisorderName>Achondroplasia</DisorderName>
-        |      <GeneSymbol>FGFR3</GeneSymbol>
-        |      <AssociationType>Disease-causing germline mutation(s) (gain of function) in</AssociationType>
-        |      <AssociationStatus>Assessed</AssociationStatus>
+        |      <SourceOfValidation>21538838[PMID]_15772651[PMID]_junk</SourceOfValidation>
+        |      <Gene id="20160">
+        |        <Name lang="en">fibroblast growth factor receptor 3</Name>
+        |        <Symbol>FGFR3</Symbol>
+        |        <ExternalReferenceList count="2">
+        |          <ExternalReference><Source>HGNC</Source><Reference>3690</Reference></ExternalReference>
+        |          <ExternalReference><Source>Ensembl</Source><Reference>ENSG00000068078</Reference></ExternalReference>
+        |        </ExternalReferenceList>
+        |      </Gene>
+        |      <DisorderGeneAssociationType><Name lang="en">Disease-causing germline mutation(s) (gain of function) in</Name></DisorderGeneAssociationType>
+        |      <DisorderGeneAssociationStatus><Name lang="en">Assessed</Name></DisorderGeneAssociationStatus>
         |    </DisorderGeneAssociation>
         |    <DisorderGeneAssociation>
-        |      <OrphaCode>93</OrphaCode><DisorderName>Achondroplasia</DisorderName>
-        |      <GeneSymbol>FAKE1</GeneSymbol>
-        |      <AssociationType>Candidate gene tested in</AssociationType>
-        |      <AssociationStatus>Not validated</AssociationStatus>
+        |      <Gene id="99"><Name lang="en">fake gene</Name><Symbol>FAKE1</Symbol></Gene>
+        |      <DisorderGeneAssociationType><Name lang="en">Candidate gene tested in</Name></DisorderGeneAssociationType>
+        |      <DisorderGeneAssociationStatus><Name lang="en">Not validated</Name></DisorderGeneAssociationStatus>
         |    </DisorderGeneAssociation>
         |  </DisorderGeneAssociationList>
         |</Disorder>
         |</DisorderList></JDBOR>
         |""".stripMargin)
-    val assoc = OrphanetParser.fromXml(spark, s"$dir/product6.xml")
+    val assoc = OrphanetParser.readProduct6(spark, s"$dir/product6.xml")
     assert(assoc.count() == 2)
+    val a1 = assoc.filter($"targetFromSourceId".isNotNull).head()
+    assert(a1.getAs[String]("diseaseFromSource") == "Achondroplasia")
+    assert(a1.getAs[String]("type") == "Disease")
+    assert(a1.getAs[scala.collection.Seq[String]]("literature") == Seq("21538838", "15772651"),
+      "PMID-tagged entries only, tag stripped")
+    assert(a1.getAs[String]("targetFromSource") == "fibroblast growth factor receptor 3")
     val out = OrphanetParser(assoc)
     assert(out.count() == 1, "non-validated association filtered")
     val r = out.head()
-    assert(r.getAs[String]("targetFromSourceId") == "FGFR3")
-    assert(r.getAs[String]("diseaseFromSourceId") == "Orphanet_93")
+    assert(r.getAs[String]("targetFromSourceId") == "ENSG00000068078", "Ensembl xref preferred")
+    assert(r.getAs[String]("diseaseFromSourceId") == "Orphanet_15")
     assert(r.getAs[String]("variantFunctionalConsequenceId") == "SO_0002053")
   }
 

@@ -118,7 +118,7 @@ class ParsersSpec extends SparkTestBase {
     ).toDF("model_id", "model_phenotypes", "disease_id", "disease_model_avg_norm", "targetInModelMgiId")
     val mouse = Seq(("MGI:97490", "HGNC:9644")).toDF("gene_id", "hgnc_gene_id")
     val human = Seq(("HGNC:9644", "ENSG000PTEN")).toDF("hgnc_id", "ensembl_gene_id")
-    val out = ImpcParser(dms, mouse, human, scoreCutoff = 40.0)
+    val out = ImpcParser(dms, mouse, human, scoreCutoff = 0.4)
     // Reference semantics (`IMPC.py:421`): ~(NULL < cutoff) is NULL in
     // three-valued logic, so the null-scored m3 row is dropped.
     assert(out.count() == 1)
