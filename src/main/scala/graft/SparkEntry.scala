@@ -537,6 +537,37 @@ object SparkEntry {
         )
     }),
 
+    // --- batch sessionization: lag + cumulative gap-count windows -----
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = 30L * 60 * 1000000000L // 30 min in nanos (ts read as long)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // --- beyond-reference: the pretraining filter funnel composed -----
+    // lang-ID gate -> quality gate -> exact-dedup survivors, one pass.
+    "q_text_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.qualitySignals(docs.select(col("doc_id"), col("text")), "text")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      val survivors = scored
+        .filter(col("lang_pred") =!= "und" && col("n_tokens") >= 10 && col("mean_token_len") >= 2.0)
+      val keepers = survivors
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+      survivors
+        .join(keepers, Seq("fp", "doc_id"), "left_semi")
+        .select("doc_id", "lang_pred", "n_tokens")
+    }),
+
     // --- beyond-reference: brute-force cosine top-k ANN ---------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -890,6 +921,58 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_days
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsn,
+        |    CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+        |           OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM base),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM sess GROUP BY user_id""".stripMargin,
+
+    "q_text_funnel" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, fp, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |      THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks), 4) END AS mean_token_len,
+        |    len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS h_en,
+        |    len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['el','la','de','que','y','en','los','del','se','un'], x))) AS h_es,
+        |    len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
+        |    len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS h_fr
+        |  FROM scored),
+        |lang AS (
+        |  SELECT *, CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |  FROM sig),
+        |survivors AS (
+        |  SELECT * FROM lang
+        |  WHERE lang_pred <> 'und' AND n_tokens >= 10 AND mean_token_len >= 2.0),
+        |keepers AS (
+        |  SELECT fp, min(doc_id) AS doc_id FROM survivors GROUP BY fp)
+        |SELECT s.doc_id, s.lang_pred, s.n_tokens
+        |FROM survivors s
+        |WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.fp = s.fp AND k.doc_id = s.doc_id)""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (
