@@ -303,24 +303,35 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"), col("n_chars"))
     }),
 
-    // --- beyond-reference: token counting -----------------------------
+    // --- beyond-reference: token counting (one-pass TextStats kernel;
+    //     HOF formulation in graft.text equivalence-tested) ------------
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens").as("n_tokens"))
     }),
 
     // --- beyond-reference: quality scoring ----------------------------
     "q_text_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      TextAnalysis
-        .qualitySignals(docs, "text")
-        .select("doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio")
+      val st = graft.functions.GraftFunctions.textStats(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), st.as("s"))
+        .select(
+          col("doc_id"),
+          col("s.n_chars").as("n_chars"),
+          col("s.n_tokens").as("n_tokens"),
+          when(col("s.n_tokens") > 0,
+            round(col("s.n_chars_no_ws").cast("double") / col("s.n_tokens"), 4)).as("mean_token_len"),
+          when(col("s.n_tokens") > 0,
+            round(col("s.h_en").cast("double") / col("s.n_tokens"), 4)).as("stopword_ratio"),
+        )
     }),
 
     // --- beyond-reference: language ID (stopword heuristic) -----------
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.textStats(col("text")).getField("lang_pred").as("lang_pred"))
     }),
 
     // --- beyond-reference: n-gram Jaccard near-dup (LSH recall≈1 cfg) -
@@ -554,10 +565,17 @@ object SparkEntry {
     // --- beyond-reference: the pretraining filter funnel composed -----
     // lang-ID gate -> quality gate -> exact-dedup survivors, one pass.
     "q_text_funnel" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.qualitySignals(docs.select(col("doc_id"), col("text")), "text")
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      val st = graft.functions.GraftFunctions.textStats(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), st.as("s"))
+        .select(
+          col("doc_id"),
+          col("s.n_tokens").as("n_tokens"),
+          when(col("s.n_tokens") > 0,
+            round(col("s.n_chars_no_ws").cast("double") / col("s.n_tokens"), 4)).as("mean_token_len"),
+          col("s.lang_pred").as("lang_pred"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+        )
       val survivors = scored
         .filter(col("lang_pred") =!= "und" && col("n_tokens") >= 10 && col("mean_token_len") >= 2.0)
       val keepers = survivors

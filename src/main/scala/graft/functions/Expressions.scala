@@ -213,6 +213,85 @@ object HpaImpl {
   }
 }
 
+object TextStatsImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def set(words: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.length * 2)
+    words.foreach(s.add)
+    s
+  }
+  // Mirrors graft.text.TextAnalysis.stopwords exactly.
+  private val EN = set("the", "and", "of", "to", "in", "is", "that", "for", "with", "a")
+  private val ES = set("el", "la", "de", "que", "y", "en", "los", "del", "se", "un")
+  private val DE = set("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein")
+  private val FR = set("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")
+  private val LANGS = Array("de", "en", "es", "fr") // ascending, for argmax tie-break
+
+  private val UND = UTF8String.fromString("und")
+  private val LANG_U8 = LANGS.map(UTF8String.fromString)
+
+  /** One pass over the text: char counts, whitespace tokenization, and
+    * per-language stopword hits with the same argmax/tie-break as
+    * TextAnalysis.langId (greatest hits; ties → lexicographically larger
+    * language code). Semantics equivalence is asserted by TextSpec.
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val nChars = text.numChars()
+    var nTokens = 0
+    var nCharsNoWs = 0
+    val hits = new Array[Int](4) // de, en, es, fr (LANGS order)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      // skip whitespace run
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        nTokens += 1
+        nCharsNoWs += i - start
+        val tok = s.substring(start, i).toLowerCase
+        if (DE.contains(tok)) hits(0) += 1
+        if (EN.contains(tok)) hits(1) += 1
+        if (ES.contains(tok)) hits(2) += 1
+        if (FR.contains(tok)) hits(3) += 1
+      }
+    }
+    var best = 0
+    var b = 1
+    while (b < 4) { if (hits(b) >= hits(best)) best = b; b += 1 } // >=: larger code wins ties
+    val lang = if (hits(best) > 0) LANG_U8(best) else UND
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nChars, nTokens, nCharsNoWs, hits(1), hits(2), hits(0), hits(3), lang))
+  }
+}
+
+/** text_stats(text) → struct<n_chars, n_tokens, n_chars_no_ws, h_en,
+  * h_es, h_de, h_fr, lang_pred> in one pass (the composable
+  * TextAnalysis formulation re-tokenizes per output column,
+  * interpreted).
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars_no_ws", IntegerType, nullable = false),
+    StructField("h_en", IntegerType, nullable = false),
+    StructField("h_es", IntegerType, nullable = false),
+    StructField("h_de", IntegerType, nullable = false),
+    StructField("h_fr", IntegerType, nullable = false),
+    StructField("lang_pred", StringType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextStatsImpl.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 object GiniImpl {
   /** Gini coefficient, one pass after sort (reference
     * `baseline_expression/metrics.py:15-28`): Σ(2i−n−1)·xᵢ / (n·Σx) on

@@ -25,6 +25,10 @@ object GraftFunctions {
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 
+  /** One-pass text statistics (token/char counts, stopword hits, lang). */
+  def textStats(text: Column): Column =
+    GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))
+
   /** One-pass Gini; input must be array<double>. */
   def gini(values: Column): Column =
     GraftShim.toColumn(Gini(GraftShim.toExpression(values)))

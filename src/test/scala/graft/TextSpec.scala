@@ -57,6 +57,28 @@ class TextSpec extends SparkTestBase {
     assert(n == 5, s"got $n")
   }
 
+  test("TextStats kernel agrees with the HOF formulations on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "the the the")).toDF("doc_id", "text"))
+    val st = graft.functions.GraftFunctions.textStats($"text")
+    val both = docs.select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n1"), st.getField("n_tokens").as("n2"),
+      TextAnalysis.langId($"text").as("l1"), st.getField("lang_pred").as("l2"),
+      length($"text").as("c1"), st.getField("n_chars").as("c2"),
+      length(regexp_replace($"text", "\\s+", "")).as("w1"), st.getField("n_chars_no_ws").as("w2"),
+      TextAnalysis.stopwordHits($"text", TextAnalysis.stopwords("en")).as("h1"), st.getField("h_en").as("h2"),
+    ).collect()
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"token count mismatch: $r")
+      assert(r.getString(3) == r.getString(4), s"lang mismatch: $r")
+      assert(r.getInt(5) == r.getInt(6), s"n_chars mismatch: $r")
+      assert(r.getInt(7) == r.getInt(8), s"no-ws chars mismatch: $r")
+      assert(r.getInt(9) == r.getInt(10), s"stopword hits mismatch: $r")
+    }
+  }
+
   test("qualitySignals computes ratios on the documents table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val out = TextAnalysis.qualitySignals(docs.select($"doc_id", $"text"), "text")
