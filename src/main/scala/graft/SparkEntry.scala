@@ -598,6 +598,20 @@ object SparkEntry {
       )
     }),
 
+    // --- beyond-reference: IVF ANN (rows-only check) ------------------
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id",
+        vecCol = "embedding",
+        k = 5,
+        nList = 16,
+        nProbe = 4,
+      )
+    }),
+
     // --- beyond-reference: LSH-bucketed ANN (rows-only check) ---------
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

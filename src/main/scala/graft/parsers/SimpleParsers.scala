@@ -156,25 +156,65 @@ object GeneBurdenParser {
   */
 object PanelAppParser {
 
-  /** Cleanup rulebook (shape of `PanelApp.py:18-56`). */
-  val phenotypeRules: Seq[(String, String)] = Seq(
-    ("\\{|\\}", ""),              // strip braces
-    ("\\s*\\(no OMIM number\\)", ""),
-    ("\\s{2,}", " "),             // collapse runs
-    ("^\\s+|\\s+$", ""),          // trim
+  /** Pre-split cleanup rulebook — the reference's
+    * `PHENOTYPE_BEFORE_SPLIT_RE` (`PanelApp.py:18-36`), applied in order
+    * before the ';' split: record-specific fixes, curly-brace removal,
+    * unglue phenotypes fused after a 6-digit OMIM code, whitespace
+    * normalization, semicolon-spacing normalization.
+    */
+  val phenotypeRulesBeforeSplit: Seq[(String, String)] = Seq(
+    ("\\(HP:0006574;\\);", "(HP:0006574);"),
+    ("Abruzzo-Erickson;syndrome", "Abruzzo-Erickson syndrome"),
+    ("Deafness, autosomal recessive; 12", "Deafness, autosomal recessive, 12"),
+    ("Waardenburg syndrome, type; 3", "Waardenburg syndrome, type 3"),
+    ("Ectrodactyly, ectodermal dysplasia, and cleft lip/palate syndrome; 3",
+      "Ectrodactyly, ectodermal dysplasia, and cleft lip/palate syndrome, 3"),
+    ("[{}]", ""),
+    ("(\\d{6})([A-Za-z])", "$1;$2"),
+    ("[\\t ]+", " "),
+    (" ?; ?", ";"),
   )
 
+  /** Post-split scrubs — `PHENOTYPE_AFTER_SPLIT_RE` (`PanelApp.py:39-44`). */
+  val phenotypeRulesAfterSplit: Seq[(String, String)] = Seq(
+    (" \\(no OMIM number\\)", ""),
+    (" \\(NO phenotype number in OMIM\\)", ""),
+    ("(no|No|NO) OMIM( phenotype|number|entry|NUMBER|NUMBER OR DISEASE)?", ""),
+    ("[( ]*(from )?PMID:? *\\d+[ ).]*", ""),
+  )
+
+  /** Ontology-ID harvesting patterns (`PanelApp.py:46-56`). */
+  private val leading = "[ ,-]*"
+  private val sep = "[:_ #]*"
+  private val trailing = "[:.]*"
+  val omimRe: String = leading + "(OMIM|MIM)?" + sep + "(\\d{6})" + trailing
+  val otherRe: String = leading + "(OrphaNet: ORPHA|Orphanet|ORPHA|HP|MONDO)" + sep + "(\\d+)" + trailing
+
+  /** Kept for backward compatibility with earlier tests. */
+  val phenotypeRules: Seq[(String, String)] = phenotypeRulesBeforeSplit
+
   def apply(raw: DataFrame): DataFrame = {
-    val exploded = raw
-      .filter(col("phenotypes").isNotNull && col("confidence_level").isin("2", "3"))
-      .withColumn("phenotype", explode(split(col("phenotypes"), ";")))
-    val cleaned = Cleanup.applyRegexRules(exploded, "phenotype", phenotypeRules)
+    val preCleaned = Cleanup.applyRegexRules(
+      raw
+        .filter(col("phenotypes").isNotNull && col("confidence_level").isin("2", "3"))
+        .withColumn("phenotype", col("phenotypes")),
+      "phenotype", phenotypeRulesBeforeSplit)
+    val exploded = preCleaned
+      .withColumn("phenotype", explode(split(col("phenotype"), ";")))
+    val cleaned = Cleanup.applyRegexRules(exploded, "phenotype", phenotypeRulesAfterSplit)
     cleaned
-      .withColumn("omimId", Cleanup.emptyToNull(regexp_extract(col("phenotype"), "(\\d{6})", 1)))
-      .withColumn("ontologyId",
-        Cleanup.emptyToNull(regexp_extract(col("phenotype"), "((?:HP|MONDO|EFO|Orphanet):\\d+)", 1)))
+      .withColumn("omimId", Cleanup.emptyToNull(regexp_extract(col("phenotype"), omimRe, 2)))
+      .withColumn("ontologyId", Cleanup.emptyToNull(
+        when(regexp_extract(col("phenotype"), otherRe, 2) =!= "",
+          concat(
+            // Normalize source tag to its canonical prefix.
+            when(upper(regexp_extract(col("phenotype"), otherRe, 1)).contains("ORPHA"), lit("Orphanet"))
+              .otherwise(regexp_extract(col("phenotype"), otherRe, 1)),
+            lit(":"),
+            regexp_extract(col("phenotype"), otherRe, 2)))
+          .otherwise(lit(""))))
       .withColumn("cleanPhenotype",
-        Cleanup.emptyToNull(regexp_replace(col("phenotype"), "(,\\s*)?(?:HP|MONDO|EFO|Orphanet):\\d+|(,\\s*)?\\d{6}", "")))
+        Cleanup.emptyToNull(trim(regexp_replace(regexp_replace(col("phenotype"), omimRe, ""), otherRe, ""))))
       .select(
         lit("genomics_england").as("datasourceId"),
         col("gene_symbol").as("targetFromSourceId"),

@@ -44,6 +44,56 @@ object Ann {
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into nList cells by
+    * nearest centroid; a query scores only the vectors in its nProbe
+    * nearest cells. Complements [[lshTopK]]: IVF adapts to the data
+    * distribution (centroids live where vectors are) where hyperplane LSH
+    * is oblivious.
+    *
+    * Centroids here are a deterministic sample (first nList corpus
+    * vectors by id) — at 100 TB one would run a few Lloyd iterations on a
+    * sample offline and broadcast the result; the assignment/probe
+    * dataflow is identical and is what this operator demonstrates. The
+    * cell assignment is one broadcast-join pass over the corpus (no
+    * shuffle of the vectors themselves beyond the cell key).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nList: Int = 16,
+      nProbe: Int = 4,
+  ): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nList)
+        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    def nearestCells(df: DataFrame, id: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
+      df.join(centroids, lit(true))
+        .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .drop("cvec", "csim", "crn")
+    }
+    val assigned = nearestCells(corpus, idCol, 1) // corpus: 1 cell each
+    val probed = nearestCells(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")).withColumnRenamed("qvec", vecCol),
+      "qid", nProbe)
+      .withColumnRenamed(vecCol, "qvec")
+    val scored = assigned
+      .join(probed, Seq("cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is a
     * zero-mean value derived from xxhash64(p, j). Built as an array literal
     * column per plane — no data shuffle, pure projection.

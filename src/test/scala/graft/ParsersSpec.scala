@@ -82,6 +82,11 @@ class ParsersSpec extends SparkTestBase {
     val raw = Seq(
       ("BRCA2", "Breast cancer panel", "3",
         "{Breast cancer susceptibility} 600185;Ovarian cancer, HP:0100615"),
+      // Reference rulebook cases (PanelApp.py:18-44): glued phenotypes
+      // after an OMIM code, MIM-prefixed ids, '(no OMIM number)' scrub.
+      ("GLUE", "P", "3",
+        "Aarskog-Scott syndrome, 305400Mental retardation, X-linked syndromic 16, 305400"),
+      ("MIMPFX", "P", "2", "Some disease MIM# 123456; Another (no OMIM number)"),
       ("LOWCONF", "P", "1", "whatever"),
     ).toDF("gene_symbol", "panel_name", "confidence_level", "phenotypes")
     val out = PanelAppParser(raw)
@@ -91,6 +96,13 @@ class ParsersSpec extends SparkTestBase {
     assert(rows.exists(r => r.getAs[String]("ontologyId") == "HP:0100615"))
     assert(rows.exists(r => Option(r.getAs[String]("diseaseFromSource"))
       .exists(_.startsWith("Breast cancer susceptibility"))))
+    val glued = out.filter($"targetFromSourceId" === "GLUE").collect()
+    assert(glued.length == 2, s"glued phenotypes must unglue into 2 rows, got ${glued.length}")
+    assert(glued.forall(_.getAs[String]("omimId") == "305400"))
+    val mim = out.filter($"targetFromSourceId" === "MIMPFX").collect()
+    assert(mim.exists(r => r.getAs[String]("omimId") == "123456"), "MIM#-prefixed id harvested")
+    assert(mim.exists(r => r.getAs[String]("diseaseFromSource") == "Another"),
+      "'(no OMIM number)' scrubbed")
   }
 
   test("EssentialityParser: melt + two-level nesting (A1)") {

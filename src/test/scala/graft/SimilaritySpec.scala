@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfTopK: probing more cells monotonically approaches brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 3, nList = 8, nProbe = nProbe)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r8 = recallAt(8) // probing ALL cells == exhaustive -> recall 1
+    assert(r8 == 1.0, s"full probe must equal brute force, got $r8")
+    assert(r1 <= r8 + 1e-9)
+    assert(r1 > 0.1, s"single-probe recall suspiciously low: $r1")
+  }
+
   test("lshTopK recall against brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
