@@ -69,6 +69,24 @@ class Parsers4Spec extends SparkTestBase {
     assert(m(("S2", "G1")) == 0.5, "degenerate range maps to lo")
   }
 
+  test("TypedEvidence: Dataset[T] pipeline with typed reduceGroups") {
+    implicit val sp = spark
+    import graft.parsers.TypedEvidence._
+    val rows: org.apache.spark.sql.Dataset[BurdenRow] = Seq(
+      BurdenRow("G1", "trait A", 3e-9, Some(0.5)),
+      BurdenRow("G1", "trait B", 1e-12, None),
+      BurdenRow("G2", "trait C", 0.01, Some(0.1)), // filtered
+    ).toDS()
+    val ev = toEvidence(rows)
+    assert(ev.count() == 2)
+    val g1 = ev.filter($"diseaseFromSource" === "trait A").head()
+    assert(g1.pValueExponent == -9 && g1.pValueMantissa == 3.0)
+    assert(g1.beta.contains(0.5))
+    val best = bestPerTarget(ev).collect()
+    assert(best.length == 1 && best.head.diseaseFromSource == "trait B",
+      "min-p evidence wins per target")
+  }
+
   test("CrisprScreensParser: U1 fan-out shell") {
     val a = Seq(("G1", 0.5)).toDF("targetFromSourceId", "resourceScore")
     val b = Seq(("G2", "note")).toDF("targetFromSourceId", "comment")
