@@ -30,6 +30,23 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * the partition columns. Readers filtering on those columns prune
+    * whole directories at planning time (PartitionFilters in the scan) —
+    * the primary 100 TB data-layout lever for time/source-sliced tables.
+    * Keep partition cardinality moderate (≤ ~10k dirs) and combine with
+    * in-file ordering for rowgroup min/max skipping.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * random-ish deterministic salt in [0, saltFactor); the small side is
     * replicated saltFactor times. The hot key's rows then spread over

@@ -47,6 +47,21 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("writePartitioned enables partition pruning (PartitionFilters in scan)") {
+    val dir = tmpDir("part_layout") + "/orders_by_status"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    Layout.writePartitioned(orders, dir, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(dir).filter($"o_orderstatus" === "F")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PartitionFilters") && scanDesc.contains("o_orderstatus"),
+      s"expected partition filter in scan, plan:\n${scanDesc.take(800)}")
+    // Pruning must not change results.
+    assert(pruned.count() == orders.filter($"o_orderstatus" === "F").count())
+    // Only the matching partition directory is listed in the scan files.
+    val filesRead = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!filesRead.contains("o_orderstatus=O"), "non-matching partition should be pruned")
+  }
+
   test("saltedJoin matches plain join results") {
     val large = (1 to 1000).map(i => (if (i % 10 == 0) "HOT" else s"k$i", i))
       .toDF("key", "v")
