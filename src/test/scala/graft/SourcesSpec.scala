@@ -63,6 +63,27 @@ class SourcesSpec extends SparkTestBase {
     assert(r2.getAs[Any]("Symbol") == null)
   }
 
+  test("Contracts: schema conformance + required-field nullness") {
+    import graft.core.Contracts
+    import org.apache.spark.sql.types._
+    val ev = Seq(("clingen", "BRCA1", Seq("123")))
+      .toDF("datasourceId", "targetFromSourceId", "literature")
+    Contracts.assertConforms(ev, Contracts.evidenceCore)
+    Contracts.assertConforms(ev, StructType(Seq(
+      StructField("literature", ArrayType(StringType)))))
+    intercept[Contracts.ContractViolation] {
+      Contracts.assertConforms(ev, StructType(Seq(StructField("resourceScore", DoubleType))))
+    }
+    intercept[Contracts.ContractViolation] {
+      Contracts.assertConforms(ev, StructType(Seq(StructField("literature", ArrayType(DoubleType)))))
+    }
+    Contracts.assertNoNulls(ev, Seq("datasourceId", "targetFromSourceId"))
+    val withNull = Seq((null.asInstanceOf[String], "g")).toDF("datasourceId", "targetFromSourceId")
+    intercept[graft.core.Qc.QcException] {
+      Contracts.assertNoNulls(withNull, Seq("datasourceId"))
+    }
+  }
+
   test("Qc: count windows, uniqueness, invariants, fractions") {
     val df = Seq((1, 0.5), (2, 0.1), (3, 0.0)).toDF("id", "p")
     assert(Qc.assertCountBetween(df, 2, 5) == 3)
