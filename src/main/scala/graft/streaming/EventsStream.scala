@@ -66,6 +66,35 @@ object EventsStream {
         col("user_id"), col("n_events"), col("session_value"),
       )
 
+  /** Stream-stream join: per-user conversion pairs — a later event of
+    * `toType` joined to an earlier event of `fromType` within
+    * `window`. Both sides carry watermarks and the join condition bounds
+    * the event-time distance, so each side's state is droppable once the
+    * watermark passes (the canonical bounded-state stream-stream join).
+    */
+  def conversions(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      window: String = "30 minutes",
+      watermark: String = "1 hour",
+  ): DataFrame = {
+    val a = events
+      .filter(col("event_type") === fromType)
+      .select(col("user_id"), col("event_time").as("from_time"), col("event_id").as("from_id"))
+      .withWatermark("from_time", watermark)
+    val b = events
+      .filter(col("event_type") === toType)
+      .select(col("user_id").as("user_id_b"), col("event_time").as("to_time"), col("event_id").as("to_id"))
+      .withWatermark("to_time", watermark)
+    a.join(
+      b,
+      col("user_id") === col("user_id_b") &&
+        col("to_time") >= col("from_time") &&
+        col("to_time") <= col("from_time") + expr(s"INTERVAL $window"),
+    ).select("user_id", "from_id", "to_id", "from_time", "to_time")
+  }
+
   case class UserEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double)
 

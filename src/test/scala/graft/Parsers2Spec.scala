@@ -79,6 +79,26 @@ class Parsers2Spec extends SparkTestBase {
     assert(r.getAs[String]("variantFunctionalConsequenceId") == "SO_0002053")
   }
 
+  test("stream-stream conversion join matches batch self-join") {
+    val dir = tmpDir("stream_conv")
+    spark.read.schema(EventsStream.eventsSchema).parquet(s"$sf/events.parquet")
+      .limit(1500).write.mode("overwrite").parquet(dir)
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 2)
+    val q = EventsStream.runToMemory(
+      EventsStream.conversions(stream, "click", "signup", "30 minutes", "1 hour"),
+      "conversions")
+    try {
+      val streamed = spark.table("conversions")
+        .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+      val batchEvents = EventsStream.withEventTime(
+        spark.read.schema(EventsStream.eventsSchema).parquet(dir))
+      val batch = EventsStream.conversions(batchEvents, "click", "signup", "30 minutes", "1 hour")
+        .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture should contain click->signup pairs")
+      assert(streamed == batch, s"stream-stream join diverges: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("sessionCounts groups activity bursts per user (session_window)") {
     val dir = tmpDir("stream_sess")
     // Two bursts for user 1 separated by > 30 min, one burst for user 2.
