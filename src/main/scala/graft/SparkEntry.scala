@@ -164,6 +164,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("amount")).as("sum_amount"), dsum(col("balance")).as("sum_balance"))
     }),
 
+    // --- U2: positional union (identical schemas) ---------------------
+    "q_union_positional" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderkey"), lit("high").as("bucket"))
+      val lo = t(s, dir, "orders").filter(col("o_totalprice") < 10000.0)
+        .select(col("o_orderkey"), lit("low").as("bucket"))
+      Union.unionAll(Seq(hi, lo))
+    }),
+
     // --- R1: explode(split(...)) — multi-valued cell to rows ----------
     "q_explode_split" -> ((s, dir) => {
       t(s, dir, "part")
@@ -707,6 +716,11 @@ object SparkEntry {
         |  CAST(sum(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_amount,
         |  CAST(sum(CAST(balance AS DECIMAL(24,6))) AS DOUBLE) AS sum_balance
         |FROM u GROUP BY src""".stripMargin,
+
+    "q_union_positional" ->
+      """SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000.0""".stripMargin,
 
     "q_explode_split" ->
       """SELECT word, count(*) AS n FROM (
