@@ -398,19 +398,43 @@ object SparkEntry {
     }),
 
     // --- A1 signature op: collect rows into sorted array<struct> ------
+    // The array<struct> aggregation is the operator under test; the final
+    // projection flattens it to scalar columns (count + canonical string)
+    // because the driver's comparator hashes pandas frames, which cannot
+    // sort/hash raw array cells.
     "q_collect_struct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("items"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").cast("int").as("qty")))).as("items"))
+        .select(
+          col("l_orderkey"),
+          size(col("items")).as("n_items"),
+          array_join(
+            transform(col("items"), x => concat_ws(":", x.getField("ln"), x.getField("qty"))),
+            "|").as("items_s"),
+        )
     }),
 
     // --- A1 two-level nesting (Essentiality.py:149-182 pattern) -------
+    // Same flatten-at-the-edge rationale as q_collect_struct.
     "q_collect_nested" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(struct(col("l_suppkey").as("sk"), col("lns")))).as("supps"))
+        .select(
+          col("l_orderkey"),
+          size(col("supps")).as("n_supps"),
+          array_join(
+            transform(col("supps"), x =>
+              concat(
+                x.getField("sk").cast("string"), lit(":"),
+                array_join(transform(x.getField("lns"), e => e.cast("string")), ","))),
+            "|").as("supps_s"),
+        )
     }),
 
     // --- §2.9 Gini coefficient via higher-order fns (core.Stats) ------
@@ -876,15 +900,18 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
 
     "q_collect_struct" ->
-      """SELECT l_orderkey,
-        |  list_sort(list(struct_pack(ln := l_linenumber, qty := l_quantity))) AS items
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  string_agg(l_linenumber || ':' || CAST(l_quantity AS INT), '|'
+        |             ORDER BY l_linenumber, l_quantity) AS items_s
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q_collect_nested" ->
       """WITH inner_g AS (
-        |  SELECT l_orderkey, l_suppkey, list_sort(list(l_linenumber)) AS lns
+        |  SELECT l_orderkey, l_suppkey,
+        |    string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lns_s
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_orderkey, list_sort(list(struct_pack(sk := l_suppkey, lns := lns))) AS supps
+        |SELECT l_orderkey, count(*) AS n_supps,
+        |  string_agg(l_suppkey || ':' || lns_s, '|' ORDER BY l_suppkey) AS supps_s
         |FROM inner_g GROUP BY 1""".stripMargin,
 
     "q_gini" ->
