@@ -419,8 +419,15 @@ object SparkEntry {
 
     // --- A1 two-level nesting (Essentiality.py:149-182 pattern) -------
     // Same flatten-at-the-edge rationale as q_collect_struct.
+    // Partition-once: hash-partitioning on the OUTER key satisfies the
+    // clustered distribution of both groupBys ((ok,sk) ⊆ cluster-by ok),
+    // so the two-level nesting runs with ONE exchange of raw rows instead
+    // of two exchanges of collect_list buffers — the pattern to use for
+    // multi-level re-aggregation at 100 TB.
     "q_collect_nested" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
         .groupBy("l_orderkey")
@@ -469,9 +476,9 @@ object SparkEntry {
           col("l_orderkey"),
           col("l_linenumber"),
           explode(
-            Reshape.zipWithPad(
-              array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-              array(col("l_returnflag"), col("l_linestatus")),
+            Reshape.zipWithPadStatic(
+              Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+              Seq(col("l_returnflag"), col("l_linestatus")),
             )
           ).as("z"),
         )

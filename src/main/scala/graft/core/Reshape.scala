@@ -77,6 +77,20 @@ object Reshape {
       (v, i) => struct(v.as("value"), coalesce(get(types, i), get(types, lit(0))).as("type")),
     )
 
+  /** Static-arity [[zipWithPad]]: when the two sides are known column
+    * lists (the cancerBiomarkers case — fixed alteration/type columns),
+    * unroll the lambda into a plain `array(struct(...))` projection. The
+    * `transform` variant is evaluated interpreted per row (HOFs don't join
+    * whole-stage codegen); this one stays inside codegen.
+    */
+  def zipWithPadStatic(values: Seq[Column], types: Seq[Column]): Column = {
+    require(types.nonEmpty, "zipWithPadStatic needs at least one type column")
+    array(values.zipWithIndex.map { case (v, i) =>
+      val ty = if (i < types.size) coalesce(types(i), types.head) else types.head
+      struct(v.as("value"), ty.as("type"))
+    }: _*)
+  }
+
   /** A7: empty collection → null repair (`TargetSafety.py:78-101`,
     * `cancerBiomarkers.py:281-287`).
     */

@@ -59,14 +59,18 @@ object NearDup {
     val rowsPerBand = numHashes / bands
     // Single-pass custom expression (graft.functions.MinHashShingles):
     // ~7× faster than the k-pass HOF formulation in [[minhashSignature]].
+    // Too-short docs are dropped on token count BEFORE the kernel runs: a
+    // post-hoc `sig.isNotNull` filter gets collapsed below the projection
+    // and evaluates the whole minhash kernel twice per row (once in the
+    // Filter's null check, once in the Project).
     val sig = docs
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
       .select(
         col(idCol),
         graft.functions.GraftFunctions
           .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
           .as("sig"),
       )
-      .filter(col("sig").isNotNull)
     val buckets = sig
       .select(col(idCol), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col(idCol), col("b.band"), col("b.bucket"))
