@@ -664,6 +664,75 @@ object SparkEntry {
         k = 5,
       )
     }),
+
+    // --- beyond-reference: rollup (hierarchical subtotals, one Expand) -
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- beyond-reference: exact percentiles (sort-based agg) ----------
+    // Quarter percentiles only: with integral inputs the linear
+    // interpolation at .25/.5/.75 is exact in binary, so Spark percentile
+    // and DuckDB quantile_cont agree bit-for-bit (other fractions differ
+    // in formula rounding across engines).
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        )
+    }),
+
+    // --- §2.9 initcap (ProjectScore.py:43) -----------------------------
+    "q_initcap" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"), initcap(col("p_name")).as("p_name_tc"))
+    }),
+
+    // --- beyond-reference: corpus term stats (document frequency) ------
+    "q_term_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 3)
+    }),
+
+    // --- beyond-reference: skew-safe two-stage (salted) aggregation ----
+    // Stage 1 on (key, salt) spreads a hot key over 16 reducers; stage 2
+    // re-aggregates the 16 partials per key. Partials stay DECIMAL until
+    // the end so the re-aggregation is exactly the one-stage sum.
+    "q_salted_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("_salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast("decimal(24,6)")).as("pq"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+    }),
+
+    // --- beyond-reference: as-of join (core.AsOf union+window) ---------
+    // Latest order at or before each event's timestamp, per user. events.ts
+    // is nanos-as-long (TESTDATA); orderdate is scaled to nanos to share
+    // the time axis.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("asof_orderkey")) // unique (key,time): deterministic match
+        // orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast to
+        // (local) TIMESTAMP is exact and matches DuckDB epoch_ns.
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("asof_orderkey"))
+      graft.core.AsOf
+        .asOfJoin(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("asof_orderkey"))
+        .select("event_id", "user_id", "asof_orderkey")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1062,6 +1131,45 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 5""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_initcap" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS p_name_tc
+        |FROM part""".stripMargin,
+
+    "q_term_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -1,0 +1,77 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — beyond-reference scope.
+  *
+  * Spark has no ASOF JOIN primitive. The naive formulation — range
+  * theta-join (`l.key = r.key && r.t <= l.t`) followed by a per-row top-1
+  * window — materializes every (left row × earlier right row) pair before
+  * pruning: quadratic per key, hopeless at 100 TB.
+  *
+  * This is the union-and-window construction instead: tag both inputs,
+  * union them on a shared (key, time) axis, sort each key's timeline once,
+  * and carry the right side's payload forward with
+  * `last(payload, ignoreNulls) over (partition by key order by t, side
+  * rows unbounded preceding)`. One shuffle on the key, one sort, zero pair
+  * blowup — the same plan shape Flink/KDB use for as-of semantics.
+  *
+  * Right rows sort before left rows at equal timestamps (`side` tiebreak),
+  * giving inclusive `r.t <= l.t` semantics, matching DuckDB `ASOF JOIN ...
+  * ON l.t >= r.t`.
+  *
+  * Determinism: callers must ensure at most one right row per (key, time)
+  * (pre-aggregate otherwise) — with ties the "most recent" row is
+  * undefined in any engine.
+  */
+object AsOf {
+
+  /** @param left      probe side; every row is preserved (left-outer)
+    * @param right     build side carrying `payload` columns
+    * @param leftKey   equi-key column name on `left`
+    * @param leftTime  numeric/orderable time column name on `left`
+    * @param rightKey  equi-key column name on `right`
+    * @param rightTime time column on `right`, same scale as `leftTime`
+    * @param payload   columns of `right` to carry onto matching left rows
+    *                  (names must not collide with `left`'s columns)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      payload: Seq[String],
+  ): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(payload.intersect(lCols).isEmpty, s"payload collides with left columns: ${payload.intersect(lCols)}")
+    val lrowType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
+    val payType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+
+    val l = left.select(
+      col(leftKey).as("_k"),
+      col(leftTime).as("_t"),
+      lit(1).as("_side"),
+      struct(lCols.map(col): _*).as("_lrow"),
+      lit(null).cast(payType).as("_pay"),
+    )
+    val r = right.select(
+      col(rightKey).as("_k"),
+      col(rightTime).as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(lrowType).as("_lrow"),
+      struct(payload.map(col): _*).as("_pay"),
+    )
+    val w = Window
+      .partitionBy("_k")
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((lCols.map(c => col(s"_lrow.$c")) ++ payload.map(p => col(s"_asof.$p"))): _*)
+  }
+}

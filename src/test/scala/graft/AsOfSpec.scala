@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{AsOf, Reshape, Writers}
+
+/** As-of join (core.AsOf), K2/K5 writer dispatch, and the static
+  * zipWithPad fast path.
+  */
+class AsOfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AsOf.asOfJoin picks the most recent right row at-or-before each left time") {
+    val quotes = Seq( // (sym, t, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0),
+    ).toDF("sym", "qt", "px")
+    val trades = Seq( // (sym, t, qty)
+      ("A", 5L, 100),  // before any quote -> null
+      ("A", 20L, 200), // tie -> inclusive, px=2.0
+      ("A", 25L, 300), // px=2.0
+      ("A", 99L, 400), // px=3.0
+      ("B", 15L, 500), // px=9.0
+      ("C", 50L, 600), // key never quoted -> null
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf
+      .asOfJoin(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), Option(r.get(3))))
+      .toSet
+    assert(got == Set(
+      ("A", 5L, 100, None),
+      ("A", 20L, 200, Some(2.0)),
+      ("A", 25L, 300, Some(2.0)),
+      ("A", 99L, 400, Some(3.0)),
+      ("B", 15L, 500, Some(9.0)),
+      ("C", 50L, 600, None),
+    ))
+  }
+
+  test("AsOf.asOfJoin matches the naive range-join + top-1 formulation on testdata") {
+    val ev = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id", $"ts")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("ok"))
+      .select($"o_custkey", (unix_micros($"o_orderdate".cast("timestamp")) * 1000).as("odn"), $"ok")
+    val fast = AsOf.asOfJoin(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("ok"))
+    val naive = ev
+      .join(ord, ev("user_id") === ord("o_custkey") && ord("odn") <= ev("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy($"odn".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"ts", $"ok")
+    assert(fast.count() == ev.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("Reshape.zipWithPadStatic is equivalent to the lambda zipWithPad") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").limit(500)
+    val dyn = df.select(explode(Reshape.zipWithPad(
+      array($"l_quantity", $"l_extendedprice", $"l_discount"),
+      array($"l_returnflag", $"l_linestatus"))).as("z"))
+    val sta = df.select(explode(Reshape.zipWithPadStatic(
+      Seq($"l_quantity", $"l_extendedprice", $"l_discount"),
+      Seq($"l_returnflag", $"l_linestatus"))).as("z"))
+    assert(dyn.select("z.value", "z.type").exceptAll(sta.select("z.value", "z.type")).isEmpty)
+    assert(sta.select("z.value", "z.type").exceptAll(dyn.select("z.value", "z.type")).isEmpty)
+  }
+
+  test("Writers.writeByExtension dispatches parquet/json/tsv (K2, K5)") {
+    val dir = tmpDir("k2sink")
+    val df = Seq(("g1", 1), ("g2", 2)).toDF("gene", "n")
+
+    Writers.writeByExtension(df, s"$dir/out.parquet")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
+
+    Writers.writeByExtension(df, s"$dir/out.json.gz")
+    assert(new java.io.File(s"$dir/out.json.gz").isFile)
+    assert(spark.read.json(s"$dir/out.json.gz").count() == 2)
+
+    Writers.writeByExtension(df, s"$dir/out.tsv")
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(s"$dir/out.tsv")
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("gene", "n"))
+
+    Writers.writeByExtension(df, s"$dir/out_default")
+    assert(spark.read.parquet(s"$dir/out_default").count() == 2)
+  }
+}
