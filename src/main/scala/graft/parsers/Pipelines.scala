@@ -73,6 +73,16 @@ object Pipelines {
       (_, in) => SystemsBiologyParser(in("raw"))),
     Pipeline("crispr_screens", "modules/crispr_screens.py", Seq("sources"),
       (_, in) => CrisprScreensParser(in.collect { case (k, v) if k.startsWith("source") => v }.toSeq)),
+    Pipeline("progeny", "modules/PROGENY.py", Seq("raw", "diseaseLut", "pathwayLut"),
+      (_, in) => ProgenyParser(in("raw"), in("diseaseLut"), in("pathwayLut"))),
+    // Config fan-out (§2.12): replicate inputs keyed "rep*", optional
+    // "controls"; single-study wiring — multi-study callers use
+    // OtCrisprParser.apply directly.
+    Pipeline("ot_crispr", "partner_preview_scripts/ot_crispr.py", Seq("rep1", "rep2", "controls"),
+      (_, in) => OtCrisprParser(
+        Seq(OtCrisprParser.StudyConfig("OTAR", 0.05)),
+        Map("OTAR" -> in.keys.filter(_.startsWith("rep")).toSeq.sorted.map(in)),
+        in.get("controls").map("OTAR" -> _).toMap)),
   )
 
   def byName: Map[String, Pipeline] = all.map(p => p.name -> p).toMap

@@ -227,3 +227,34 @@ object PanelAppParser {
       .distinct()
   }
 }
+
+/** PROGENy pathway-activity parser (reference `modules/PROGENY.py:32-110`):
+  * literal-PMID literature array, cancer-type → EFO left LUT join
+  * (`cancer2EFO`, `:64-77`), pathway → Reactome inner LUT join
+  * (`pathway2Reactome`, `:79-90`), comma-space target-list split+explode,
+  * and the evidence projection the reference builds row-by-row on the
+  * driver (`parseEvidenceString`, `:93-110`) — expressed here as one
+  * declarative select (its K3 collect-loop is an anti-pattern, SURVEY
+  * §2.2).
+  *
+  * @param diseaseLut (Cancer_type, EFO_id); pre-renamed from the
+  *                   resource file's Cancer_type_acronym
+  * @param pathwayLut (Pathway, reactomeId, description)
+  */
+object ProgenyParser {
+  def apply(raw: DataFrame, diseaseLut: DataFrame, pathwayLut: DataFrame): DataFrame =
+    raw
+      .join(broadcast(diseaseLut), Seq("Cancer_type"), "left")
+      .join(broadcast(pathwayLut), Seq("Pathway"), "inner")
+      .withColumn("target", explode(split(col("target"), ", ")))
+      .select(
+        lit("progeny").as("datasourceId"),
+        lit("affected_pathway").as("datatypeId"),
+        col("`P.Value`").cast("double").as("resourceScore"),
+        col("target").as("targetFromSourceId"),
+        col("Cancer_type").as("diseaseFromSource"),
+        array(struct(col("reactomeId").as("id"), col("description").as("name"))).as("pathways"),
+        array(lit("29295995")).as("literature"),
+        col("EFO_id").as("diseaseFromSourceMappedId"),
+      )
+}

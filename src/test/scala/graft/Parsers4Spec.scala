@@ -94,4 +94,40 @@ class Parsers4Spec extends SparkTestBase {
     assert(out.count() == 2)
     assert(out.columns.sorted.toSeq == Seq("comment", "resourceScore", "targetFromSourceId"))
   }
+
+  test("ProgenyParser: LUT joins, target split-explode, conditional EFO") {
+    val raw = Seq(
+      ("BRCA", "EGFR", "G1, G2", 1e-5),   // mapped disease, 2 targets
+      ("LUAD", "MAPK", "G3", 2e-4),       // unmapped disease (left join keeps)
+      ("COAD", "Unknown", "G4", 3e-4),    // pathway not in LUT (inner join drops)
+    ).toDF("Cancer_type", "Pathway", "target", "P.Value")
+    val diseaseLut = Seq(("BRCA", "EFO_0000305"), ("COAD", "EFO_0005842"))
+      .toDF("Cancer_type", "EFO_id")
+    val pathwayLut = Seq(
+      ("EGFR", "R-HSA-177929", "Signaling by EGFR"),
+      ("MAPK", "R-HSA-5683057", "MAPK family signaling"),
+    ).toDF("Pathway", "reactomeId", "description")
+    val out = ProgenyParser(raw, diseaseLut, pathwayLut)
+    assert(out.count() == 3) // 2 exploded targets + 1 single; COAD row dropped
+    val g1 = out.filter($"targetFromSourceId" === "G1").head()
+    assert(g1.getAs[String]("diseaseFromSourceMappedId") == "EFO_0000305")
+    assert(g1.getSeq[Row](g1.fieldIndex("pathways")).head.getAs[String]("id") == "R-HSA-177929")
+    assert(g1.getSeq[String](g1.fieldIndex("literature")) == Seq("29295995"))
+    assert(out.filter($"targetFromSourceId" === "G3").head().isNullAt(
+      out.columns.indexOf("diseaseFromSourceMappedId")))
+  }
+
+  test("Pipelines registry covers progeny and ot_crispr wiring") {
+    assert(Pipelines.byName.contains("progeny") && Pipelines.byName.contains("ot_crispr"))
+    val rep1 = Seq(("G1", 0.01, 1.5), ("G2", 0.2, -0.5), ("CTRL", 0.01, 2.0))
+      .toDF("targetFromSourceId", "resourceScore", "log2FoldChangeValue")
+    val rep2 = Seq(("G1", 0.02, 1.1), ("CTRL", 0.02, 2.0))
+      .toDF("targetFromSourceId", "resourceScore", "log2FoldChangeValue")
+    val controls = Seq(Tuple1("CTRL")).toDF("targetFromSourceId")
+    val out = Pipelines.byName("ot_crispr").run(spark,
+      Map("rep1" -> rep1, "rep2" -> rep2, "controls" -> controls))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("targetFromSourceId") == "G1",
+      "G2 fails the all-replicates rule; CTRL is anti-joined out")
+  }
 }
