@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+
+import graft.functions._
+
+/** Library-level session extension: injects every graft kernel expression
+  * as a SQL function, so the engine's surface is reachable from
+  * `spark.sql(...)` as well as the Column API.
+  *
+  * Enable either way:
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * Injection happens at session build, before any query parses — unlike
+  * [[graft.functions.GraftFunctions.registerAll]], which registers the
+  * same builders into an already-running session's function registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Fold a (literal) argument expression to a constant, casting to the
+    * kernel's parameter type — SQL integer/decimal literals arrive as
+    * `Literal` of varying numeric types.
+    */
+  private def constInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a constant")
+    Cast(e, IntegerType).eval().asInstanceOf[Int]
+  }
+  private def constDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a constant")
+    Cast(e, DoubleType).eval().asInstanceOf[Double]
+  }
+
+  /** Name → expression builder for every kernel. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_erf" -> (es => Erf(Cast(es.head, DoubleType))),
+    "graft_erfc" -> (es => Erfc(Cast(es.head, DoubleType))),
+    "graft_simhash64" -> (es => SimHash64(es.head)),
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_minhash_shingles" ->
+      (es => MinHashShingles(es(0), constInt(es(1), "shingle length"), constInt(es(2), "num hashes"))),
+    // SQL numeric array literals arrive as array<decimal> — cast to the
+    // kernel's array<double> input type.
+    "graft_gini" -> (es => Gini(Cast(es.head, ArrayType(DoubleType)))),
+    "graft_hpa_classify" ->
+      (es => HpaClassify(Cast(es(0), ArrayType(DoubleType)), constDouble(es(1), "low cutoff"))),
+    "graft_text_stats" -> (es => TextStats(es.head)),
+  )
+}

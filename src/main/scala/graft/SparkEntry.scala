@@ -714,6 +714,20 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
     }),
 
+    // --- beyond-reference: multimodal frame-sampling plumbing ----------
+    // Binary media column -> per-partition codec lifecycle -> frame
+    // explode -> byte accounting. The stub codec's frame slicing is
+    // deterministic integer arithmetic, so the whole mapPartitions
+    // pipeline is oracle-checkable end to end (the real-codec swap point
+    // is inside Multimodal.StubCodec; the dataflow under test is real).
+    "q_multimodal" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(s, dir)
+      graft.multimodal.Multimodal
+        .explodeFrames(media, "content", framesPerVideo = 4)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("frame_bytes"))
+    }),
+
     // --- beyond-reference: as-of join (core.AsOf union+window) ---------
     // Latest order at or before each event's timestamp, per user. events.ts
     // is nanos-as-long (TESTDATA); orderdate is scaled to nanos to share
@@ -1162,6 +1176,18 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS len
+        |  FROM documents WHERE text IS NOT NULL AND strlen(text) > 0),
+        |f AS (SELECT media_id, len, unnest([0,1,2,3]) AS i FROM m),
+        |fr AS (SELECT media_id,
+        |         (len * i) // 4 AS s,
+        |         least(len, (len * i) // 4 + greatest(1, len // 4)) AS e
+        |       FROM f)
+        |SELECT media_id, count(*) AS n_frames, CAST(sum(e - s) AS BIGINT) AS frame_bytes
+        |FROM fr GROUP BY media_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (

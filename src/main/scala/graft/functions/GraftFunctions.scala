@@ -1,8 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.types.DoubleType
 
 /** Column-API façade over graft's custom Catalyst expressions, mirroring
   * `org.apache.spark.sql.functions`' style. Also registers them as SQL
@@ -37,11 +35,12 @@ object GraftFunctions {
   def hpaClassify(values: Column, low: Double): Column =
     GraftShim.toColumn(HpaClassify(GraftShim.toExpression(values), low))
 
-  def registerAll(spark: SparkSession): Unit = {
-    // SQL numeric literals arrive as decimals — cast into the kernel type.
-    GraftShim.registerFunction(spark, "graft_erf", es => Erf(Cast(es.head, DoubleType)))
-    GraftShim.registerFunction(spark, "graft_erfc", es => Erfc(Cast(es.head, DoubleType)))
-    GraftShim.registerFunction(spark, "graft_simhash64", es => SimHash64(es.head))
-    GraftShim.registerFunction(spark, "graft_cosine", es => CosineSimilarity(es(0), es(1)))
-  }
+  /** Register every kernel into a running session's function registry.
+    * Same builders as [[graft.GraftExtensions]] — use the extension for
+    * at-build injection, this for sessions you didn't construct.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    graft.GraftExtensions.all.foreach { case (name, builder) =>
+      GraftShim.registerFunction(spark, name, builder)
+    }
 }

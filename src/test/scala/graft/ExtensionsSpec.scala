@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL surface injected by [[graft.GraftExtensions]] (the shared test
+  * session is built `withExtensions`, so these functions must resolve
+  * WITHOUT any runtime registerAll call).
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("all kernels resolve and evaluate through spark.sql") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_erf(1.0) AS e,
+        |  graft_erfc(1.0) AS ec,
+        |  graft_simhash64(array('the','quick','fox')) AS sh,
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  graft_minhash_shingles(array('a','b','c','d'), 2, 4) AS mh,
+        |  graft_gini(array(1.0, 1.0, 1.0)) AS g,
+        |  graft_hpa_classify(array(10.0, 1.0, 1.0), 1.0).specificity AS spec,
+        |  graft_text_stats('the quick brown fox').n_tokens AS nt
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("e") - 0.8427007929497149) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e") + r.getAs[Double]("ec") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
+    assert(math.abs(r.getAs[Double]("g")) < 1e-12, "equal values => gini 0")
+    assert(r.getAs[String]("spec") == "Tissue enriched")
+    assert(r.getAs[Int]("nt") == 4)
+  }
+
+  test("SQL function results match the Column-API facade") {
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_text_stats(text).lang_pred AS lp FROM ext_docs")
+    val viaCol = df.select($"doc_id",
+      graft.functions.GraftFunctions.textStats($"text").getField("lang_pred").as("lp"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("non-constant kernel parameters are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_shingles(array('a'), CAST(rand()*3 AS INT), 4)").head()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+}

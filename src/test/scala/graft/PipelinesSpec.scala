@@ -7,9 +7,9 @@ import graft.streaming.{EventsStream, EvidenceSink}
 class PipelinesSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("registry covers 24 pipelines with unique names and reference citations") {
-    assert(Pipelines.all.size == 24)
-    assert(Pipelines.byName.size == 24, "duplicate pipeline names")
+  test("registry covers 26 pipelines with unique names and reference citations") {
+    assert(Pipelines.all.size == 26)
+    assert(Pipelines.byName.size == 26, "duplicate pipeline names")
     assert(Pipelines.all.forall(_.referenceModule.nonEmpty))
   }
 

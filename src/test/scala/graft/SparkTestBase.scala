@@ -9,6 +9,9 @@ object TestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // Real injection path: kernels reach SQL via the extension, not
+      // via runtime registerAll (ExtensionsSpec relies on this).
+      .withExtensions(new graft.GraftExtensions())
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
