@@ -137,6 +137,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     }),
 
+    // --- W1 at scale: agg-based keep-best (max(struct), partial agg) --
+    // Same result as the window variant but the shuffle carries one
+    // pre-combined row per (partition, key) instead of every row — the
+    // form to use at 100 TB when only the survivor matters.
+    "q_argmax_dedup" -> ((s, dir) => {
+      Dedup
+        .bestRowPerKey(
+          t(s, dir, "lineitem").select("l_extendedprice", "l_orderkey", "l_linenumber", "l_suppkey"),
+          keys = Seq("l_suppkey"),
+          orderCols = Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
     // --- window running aggregate (frame spec) ------------------------
     "q_window_running" -> ((s, dir) => {
       val w = Window
@@ -1176,6 +1190,14 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_argmax_dedup" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
 
     "q_multimodal" ->
       """WITH m AS (

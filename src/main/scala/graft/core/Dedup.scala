@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *    with AQE skew-join/skew-agg handling enabled, hot keys split fine.
   *  - Callers MUST pass a total order (unique tiebreaker) or the survivor
   *    is nondeterministic across runs/cluster sizes.
-  *  - [[exactByKey]] does the same with `max_by` semantics via an
+  *  - [[bestRowPerKey]] does the same with `max_by` semantics via an
   *    aggregate, which map-side-combines (partial aggregation) and so
   *    shuffles far less than the window variant when duplicates are many —
   *    prefer it at scale when only the surviving row (not its rank) matters.
