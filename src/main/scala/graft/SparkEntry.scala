@@ -728,6 +728,16 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
     }),
 
+    // --- beyond-reference: deterministic content-hash sampling ---------
+    // Membership depends only on the key bytes, not partitioning/rng —
+    // reproducible across engines and incremental loads (core.Sampling).
+    "q_hash_sample" -> ((s, dir) => {
+      graft.core.Sampling
+        .hashSample(t(s, dir, "events"), col("user_id"), keep = 4)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
     // --- beyond-reference: multimodal frame-sampling plumbing ----------
     // Binary media column -> per-partition codec lifecycle -> frame
     // explode -> byte accounting. The stub codec's frame slicing is
@@ -1198,6 +1208,13 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn = 1""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '4'
+        |GROUP BY event_type""".stripMargin,
 
     "q_multimodal" ->
       """WITH m AS (

@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (beyond-reference
+  * scope).
+  *
+  * `Dataset.sample` draws per-partition pseudo-random numbers: the kept
+  * set changes with partitioning, cluster size, and engine. Content-hash
+  * sampling decides membership from the key bytes alone, so it is stable
+  * across runs, repartitioning, engines (auditable in plain SQL), and —
+  * critically for incremental 100 TB pipelines — across loads: a row
+  * sampled in yesterday's run is sampled in today's.
+  */
+object Sampling {
+
+  /** Keep rows whose `md5(key)` lands in the first `keep` of 16 hex
+    * buckets — expected fraction keep/16. Exactly reproducible in any
+    * engine with md5: `WHERE substr(md5(CAST(k AS VARCHAR)), 1, 1) < '<h>'`.
+    */
+  def hashSample(df: DataFrame, key: Column, keep: Int): DataFrame = {
+    require(keep >= 1 && keep <= 16, s"keep must be in [1,16], got $keep")
+    if (keep == 16) df
+    else df.filter(substring(md5(key.cast("string")), 1, 1) < lit(Integer.toHexString(keep)))
+  }
+
+  /** Finer-grained variant: first 4 hex chars → 65536 buckets, keep
+    * buckets `[0, keep)` — fraction keep/65536.
+    */
+  def hashSample64k(df: DataFrame, key: Column, keep: Int): DataFrame = {
+    require(keep >= 1 && keep <= 65536, s"keep must be in [1,65536], got $keep")
+    if (keep == 65536) df
+    else df.filter(substring(md5(key.cast("string")), 1, 4) < lit(f"$keep%04x"))
+  }
+}

@@ -67,6 +67,21 @@ class AsOfSpec extends SparkTestBase {
     assert(sta.select("z.value", "z.type").exceptAll(dyn.select("z.value", "z.type")).isEmpty)
   }
 
+  test("Sampling.hashSample is deterministic, partition-independent, and ~keep/16") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    val total = df.count()
+    val s1 = graft.core.Sampling.hashSample(df, $"o_orderkey", 4)
+    val s2 = graft.core.Sampling.hashSample(df.repartition(7), $"o_orderkey", 4)
+    assert(s1.count() == s2.count(), "membership must not depend on partitioning")
+    assert(s1.exceptAll(s2).isEmpty)
+    val frac = s1.count().toDouble / total
+    assert(frac > 0.15 && frac < 0.35, s"expected ~0.25, got $frac")
+    assert(graft.core.Sampling.hashSample(df, $"o_orderkey", 16).count() == total)
+    // 64k-bucket variant nests inside the 16-bucket one (prefix property).
+    val fine = graft.core.Sampling.hashSample64k(df, $"o_orderkey", 4 * 4096)
+    assert(fine.exceptAll(s1).isEmpty && s1.exceptAll(fine).isEmpty)
+  }
+
   test("Writers.writeByExtension dispatches parquet/json/tsv (K2, K5)") {
     val dir = tmpDir("k2sink")
     val df = Seq(("g1", 1), ("g2", 2)).toDF("gene", "n")
