@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical plan-shape regression tests: the scale invariants documented
+  * in BENCH.md, asserted on the actual plans so they cannot silently
+  * regress. (LayoutSpec does the same for bucketed zero-shuffle joins.)
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q_collect_nested: two-level nesting runs on ONE shuffle (partition-once)") {
+    val p = plan("q_collect_nested")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"expected a single hash exchange, got:\n$p")
+  }
+
+  test("q_argmax_dedup: keep-best is a partial aggregate, not a window sort") {
+    val p = plan("q_argmax_dedup")
+    assert(p.contains("partial_max"), s"expected map-side partial_max:\n$p")
+    assert(!p.contains("Window"), s"expected no window operator:\n$p")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1)
+  }
+
+  test("q_join_inner: fact table never shuffles — broadcasts + one agg exchange") {
+    val p = plan("q_join_inner")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"only the final aggregation may shuffle:\n$p")
+    assert(countOccurrences(p, ") BroadcastHashJoin") == 4,
+      s"all four dimension joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ expected at this scale:\n$p")
+  }
+
+  test("q_zip_pad: row explosion stays inside whole-stage codegen") {
+    val p = plan("q_zip_pad")
+    // The static zip-pad keeps the Generate codegen'd — formatted plans
+    // tag codegen'd nodes with "[codegen id : N]" on the node header.
+    val genLine = p.linesIterator.find(l => l.contains(") Generate"))
+    assert(genLine.isDefined, s"explode expected:\n$p")
+    assert(genLine.get.contains("codegen id"),
+      s"Generate must be inside whole-stage codegen, got: ${genLine.get}\n$p")
+  }
+
+  test("q_filter_compound: predicates reach the parquet scan") {
+    val p = plan("q_filter_compound")
+    assert(p.contains("PushedFilters"), s"expected parquet pushdown:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice"), s"range predicate must push down:\n$p")
+    assert(p.contains("In(o_orderstatus"), s"isin predicate must push down:\n$p")
+  }
+
+  test("q_agg_stats: column pruning — scan reads only the five needed columns") {
+    val p = plan("q_agg_stats")
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schemaLine.contains("l_shipdate") && !schemaLine.contains("l_partkey"),
+      s"scan must not read unused columns:\n$schemaLine")
+  }
+}
