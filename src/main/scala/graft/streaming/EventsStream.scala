@@ -52,6 +52,21 @@ object EventsStream {
         col("event_type"), col("n"), col("total_value"),
       )
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — state
+    * expires with the watermark, so it stays bounded on an infinite
+    * stream. The continuous-ingest face of `core.Dedup.exactTextDedup`:
+    * dedup re-delivered events/documents by id or content fingerprint.
+    */
+  def dedupedEvents(
+      events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes",
+  ): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Session windows: activity bursts per user separated by `gap` of
     * silence (native `session_window`, state bounded by the watermark).
     */

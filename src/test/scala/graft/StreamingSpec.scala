@@ -37,6 +37,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupedEvents drops re-delivered rows across micro-batches (bounded state)") {
+    val dir = tmpDir("stream_dedup")
+    val base = spark.read.schema(EventsStream.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .limit(300)
+    // Two files with identical content: the second micro-batch re-delivers
+    // every event (at-least-once source behavior).
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    base.coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val deduped = EventsStream.dedupedEvents(stream, Seq("event_id"), "10 minutes")
+    val q = EventsStream.runToMemory(deduped, "dedup_events",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val got = spark.table("dedup_events").select("event_id").as[Long].collect()
+      assert(got.length == got.distinct.length, "duplicates survived the stream dedup")
+      assert(got.length == base.count(), "dedup must keep exactly one copy per event")
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across micro-batches") {
     val dir = tmpDir("stream_state")
     spark.read.schema(EventsStream.eventsSchema)

@@ -54,6 +54,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
             n_fail += 1
             continue
+        # The real driver comparator sorts a pandas frame; array/struct
+        # cells make that raise (round-1 q_collect_* failed exactly so).
+        # Reject them here even though this mimic's repr-sort would cope.
+        bad_cols = [c for c in gcols if len(got) and not got[c].map(
+            lambda v: not hasattr(v, "__len__") or isinstance(v, (str, bytes))).all()]
+        if bad_cols:
+            print(f"FAIL {name}: array-typed output columns {bad_cols} "
+                  "(driver's pandas comparator cannot sort/hash them)")
+            n_fail += 1
+            continue
         w = sorted(
             (tuple(canon(v) for v in r) for r in want[wcols].itertuples(index=False)),
             key=repr)
