@@ -106,6 +106,7 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
+      maxBucket: Int = 10000,
   ): DataFrame = {
     val fp = simhashes(docs, idCol, textCol)
     val banded = fp.select(
@@ -117,15 +118,22 @@ object NearDup {
         }: _*)
       ).as("b"),
     ).select(col(idCol), col("simhash"), col("b.band"), col("b.chunk"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
+    // Same shape as [[minhashCandidates]]: group per bucket and pair each
+    // member with its successors — no exploded self-join, and the
+    // maxBucket cap bounds the quadratic blowup of degenerate chunks
+    // (chunk 0x0000 collects every short/empty doc).
+    val sized = banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) between (2, maxBucket))
+      .select(array_sort(col("ms")).as("ms"))
+    sized
+      .select(posexplode(col("ms")).as(Seq("pos", "m")), col("ms"))
+      .select(col("m"), explode(slice(col("ms"), col("pos") + 2, size(col("ms")))).as("n"))
       .select(
-        col(s"l.$idCol").as(idCol + "_a"),
-        col(s"r.$idCol").as(idCol + "_b"),
-        bit_count(col("l.simhash") bitwiseXOR col("r.simhash")).as("hamming"),
+        col("m.id").as(idCol + "_a"),
+        col("n.id").as(idCol + "_b"),
+        bit_count(col("m.simhash") bitwiseXOR col("n.simhash")).as("hamming"),
       )
       .filter(col("hamming") <= maxDist)
       .distinct()
