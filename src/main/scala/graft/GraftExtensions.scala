@@ -52,6 +52,7 @@ object GraftExtensions {
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_minhash_shingles" ->
       (es => MinHashShingles(es(0), constInt(es(1), "shingle length"), constInt(es(2), "num hashes"))),
+    "graft_word_shingles" -> (es => WordShingles(es(0), constInt(es(1), "shingle length"))),
     // SQL numeric array literals arrive as array<decimal> — cast to the
     // kernel's array<double> input type.
     "graft_gini" -> (es => Gini(Cast(es.head, ArrayType(DoubleType)))),

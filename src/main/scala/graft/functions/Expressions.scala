@@ -155,6 +155,48 @@ case class MinHashShingles(child: Expression, n: Int, k: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+object WordShinglesImpl {
+  /** All word n-gram shingles of a token array, one pass. Matches the
+    * higher-order formulation `transform(sequence(0, size-n), i ->
+    * concat_ws(" ", slice(toks, i+1, n)))` exactly (concat_ws skips null
+    * elements); returns an empty array when the document has < n tokens.
+    * Exists because the HOF chain is interpreted and re-slices per
+    * position — O(tokens·n) allocations per row outside codegen.
+    */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val nSh = tokens.numElements() - n + 1
+    if (nSh <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nSh)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i < nSh) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (tokens.isNullAt(i + j)) null else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** word_shingles(tokens, n) → array<string>: every word n-gram of a
+  * token array ([] if fewer than n tokens; null only for null input).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+  override def nullSafeEval(v: Any): Any =
+    WordShinglesImpl.compute(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.WordShinglesImpl.compute($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object HpaImpl {
   private val SPEC = Array("Not detected", "Tissue enriched", "Group enriched",
     "Tissue enhanced", "Low tissue specificity").map(org.apache.spark.unsafe.types.UTF8String.fromString)

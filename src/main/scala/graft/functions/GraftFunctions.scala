@@ -23,6 +23,10 @@ object GraftFunctions {
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 
+  /** One-pass word n-gram shingles over a token array. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftShim.toColumn(WordShingles(GraftShim.toExpression(tokens), n))
+
   /** One-pass text statistics (token/char counts, stopword hits, lang). */
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))

@@ -29,7 +29,15 @@ object TextAnalysis {
     size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"), t => t =!= "" && t =!= " "))
 
   /** Word-level n-gram shingles (the MinHash/Jaccard unit). */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    // One-pass codegen'd kernel; coalesce keeps the HOF variant's
+    // null-text => [] convention. Equivalence-tested in TextSpec.
+    coalesce(graft.functions.GraftFunctions.wordShingles(tokens(text), n), array())
+
+  /** Composable higher-order formulation of [[wordShingles]] — identical
+    * output, interpreted per row; kept as the kernel's executable spec.
+    */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

@@ -25,6 +25,16 @@ class TextSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("wordShingles kernel is equivalent to the HOF formulation on testdata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val k = docs.select($"doc_id", TextAnalysis.wordShingles($"text", 3).as("sh"))
+    val h = docs.select($"doc_id", TextAnalysis.wordShinglesHof($"text", 3).as("sh"))
+    assert(k.exceptAll(h).isEmpty && h.exceptAll(k).isEmpty)
+    // null text => [] under both formulations
+    val nullRow = Seq[Option[String]](None).toDF("text")
+    assert(nullRow.select(TextAnalysis.wordShingles($"text", 2)).head().getSeq[String](0).isEmpty)
+  }
+
   test("charShingles slides over normalized text") {
     val out = Seq("ab  cd").toDF("t")
       .select(TextAnalysis.charShingles($"t", 3).as("sh")).head().getSeq[String](0)
