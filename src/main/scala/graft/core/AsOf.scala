@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * Determinism: callers must ensure at most one right row per (key, time)
   * (pre-aggregate otherwise) — with ties the "most recent" row is
   * undefined in any engine.
+  *
+  * Skew: a hot key serializes through one task (window partitioning). If
+  * one key dominates, pre-split its timeline into time-range chunks,
+  * as-of join within chunks seeded with each chunk's carry-in row, and
+  * union — the same salting idea `core.Layout` applies to joins.
   */
 object AsOf {
 

@@ -35,6 +35,25 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Rows-only queries (no oracle SQL): the driver still requires rows>0.
+    import glob
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: rows-only output unreadable: {e}")
+            n_fail += 1
+            continue
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only query returned 0 rows")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             want = con.execute(sql).fetchdf()
