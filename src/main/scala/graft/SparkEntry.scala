@@ -728,6 +728,22 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
     }),
 
+    // --- beyond-reference: mergeable-sketch approximations -------------
+    // HLL++ cardinality and t-digest-style quantiles: the sub-linear path
+    // when exact distinct/percentile is too expensive at 100 TB. Sketches
+    // are partition-mergeable, so these stay one-pass map-combine aggs.
+    // Rows-only (sketch internals differ per engine); SketchSpec bounds
+    // the error against exact answers.
+    "q_approx_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("n"),
+        )
+    }),
+
     // --- beyond-reference: deterministic content-hash sampling ---------
     // Membership depends only on the key bytes, not partitioning/rng —
     // reproducible across engines and incremental loads (core.Sampling).

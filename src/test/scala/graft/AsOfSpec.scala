@@ -67,6 +67,26 @@ class AsOfSpec extends SparkTestBase {
     assert(sta.select("z.value", "z.type").exceptAll(dyn.select("z.value", "z.type")).isEmpty)
   }
 
+  test("q_approx_stats sketches stay within error bounds of exact answers") {
+    val got = SparkEntry.queries("q_approx_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, med)) =>
+      val r = got(k)
+      val approxD = r.getAs[Long]("approx_orders")
+      assert(math.abs(approxD - d).toDouble / d < 0.10,
+        s"$k: HLL estimate $approxD too far from exact $d")
+      val approxM = r.getAs[Double]("approx_median_price")
+      assert(math.abs(approxM - med) / med < 0.05,
+        s"$k: approx median $approxM too far from exact $med")
+    }
+  }
+
   test("Sampling.hashSample is deterministic, partition-independent, and ~keep/16") {
     val df = spark.read.parquet(s"$sf/orders.parquet")
     val total = df.count()
