@@ -53,6 +53,9 @@ object AsOf {
   ): DataFrame = {
     val lCols = left.columns.toSeq
     require(payload.intersect(lCols).isEmpty, s"payload collides with left columns: ${payload.intersect(lCols)}")
+    val reserved = Set("_k", "_t", "_side", "_lrow", "_pay", "_asof")
+    val clash = (lCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty, s"input columns collide with asOfJoin internals: $clash")
     val lrowType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
     val payType = right.select(struct(payload.map(col): _*)).schema.head.dataType
 
