@@ -296,6 +296,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("volume"))
     }),
 
+    // --- regex rulebook fold (PanelApp.py:18-56 pattern) --------------
+    "q_regex_rulebook" -> ((s, dir) => {
+      val rules = Seq(
+        "^(\\d)-" -> "P$1 ",           // priority digit to tag
+        "URGENT" -> "RUSH",            // vocabulary normalization
+        "\\s+$" -> "",                 // trailing whitespace scrub
+      )
+      Cleanup
+        .applyRegexRules(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority").as("prio")),
+          "prio", rules)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // --- string cleanup library (translate/trim/concat_ws/lower) ------
     "q_string_clean" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -1224,6 +1239,12 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
         |  FROM lineitem)
         |WHERE rn = 1""".stripMargin,
+
+    "q_regex_rulebook" ->
+      """SELECT regexp_replace(regexp_replace(regexp_replace(o_orderpriority,
+        |    '^(\d)-', 'P\1 ', 'g'), 'URGENT', 'RUSH', 'g'), '\s+$', '', 'g') AS prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_hash_sample" ->
       """SELECT event_type, count(*) AS n,
