@@ -162,7 +162,10 @@ object SparkEntry {
           col("l_suppkey"),
           col("l_orderkey"),
           col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(24,6)")).over(w).cast("double").as("running_qty"),
+          // l_quantity is integral (1..50): a long accumulator is exact
+          // and far cheaper per row than the decimal path (which is only
+          // needed for fractional doubles — see q_stouffer_z).
+          sum(col("l_quantity").cast("long")).over(w).cast("double").as("running_qty"),
         )
     }),
 
@@ -870,7 +873,7 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6)))
+        |  CAST(sum(CAST(l_quantity AS BIGINT))
         |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
