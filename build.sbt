@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output must reach stdout RAW (no sbt "[info] " prefix): the
 // driver greps the single JSON line Bench prints; a logger prefix breaks
 // its parse (BENCH_r01.json had "parsed": null for exactly this reason).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

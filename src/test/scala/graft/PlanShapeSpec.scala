@@ -49,6 +49,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"Generate must be inside whole-stage codegen, got: ${genLine.get}\n$p")
   }
 
+  test("q_asof_join: union+window — no range-join pair materialization") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"), s"running-window carry expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a theta join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of is join-free by construction (union + window):\n$p")
+  }
+
   test("q_filter_compound: predicates reach the parquet scan") {
     val p = plan("q_filter_compound")
     assert(p.contains("PushedFilters"), s"expected parquet pushdown:\n$p")
