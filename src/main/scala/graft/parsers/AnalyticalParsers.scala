@@ -92,6 +92,74 @@ object ImpcParser {
       order = Seq(col("resourceScore").desc_nulls_last, col("biologicalModelId").asc),
     )
   }
+
+  /** Literature references per (model, gene): distinct model-target pairs
+    * joined through model phenotypes to the MGI↔PubMed table, then
+    * collect_set (reference `IMPC.py:337-346`).
+    */
+  def literature(
+      diseaseModelSummary: DataFrame,  // model_id, targetInModelMgiId, ...
+      modelMousePhenotypes: DataFrame, // model_id, mp_id
+      mgiPubmed: DataFrame,            // targetInModelMgiId, mp_id, literature
+  ): DataFrame =
+    diseaseModelSummary
+      .select("model_id", "targetInModelMgiId")
+      .distinct()
+      .join(modelMousePhenotypes, Seq("model_id"), "inner")
+      .join(mgiPubmed, Seq("targetInModelMgiId", "mp_id"), "inner")
+      .groupBy("model_id", "targetInModelMgiId")
+      .agg(sort_array(collect_set(col("literature"))).as("literature"))
+
+  /** Model-ID cleanup (reference `IMPC.py:348-369`): strip `#hom#early`
+    * zygosity modifiers, then null out anything not in the MGI namespace
+    * (e.g. `NOT-RELEASED-…`).
+    */
+  def cleanupModelId(df: DataFrame): DataFrame =
+    df
+      .withColumn("biologicalModelId", split(col("model_id"), "#").getItem(0))
+      .drop("model_id")
+      .withColumn("biologicalModelId",
+        when(col("biologicalModelId").rlike("^MGI:\\d+$"), col("biologicalModelId")))
+
+  /** The module's SECOND output (reference `IMPC.py:472-525`): the
+    * mousePhenotypes dataset built from the same cached inputs as the
+    * evidence — the §2.12 multi-consumer reuse point (callers persist
+    * `diseaseModelSummary` before producing both outputs).
+    */
+  def mousePhenotypes(
+      diseaseModelSummary: DataFrame,  // model_id, allelic, background, targetInModelMgiId
+      geneMapping: DataFrame,          // targetInModelMgiId, targetFromSourceId
+      modelMousePhenotypes: DataFrame, // model_id, mp_id
+      mpTerms: DataFrame,              // mp_id, mp_term
+      mpClass: DataFrame,              // modelPhenotypeId, modelPhenotypeClassId, modelPhenotypeClassLabel
+      lit3: DataFrame,                 // output of [[literature]]
+  ): DataFrame = {
+    val base = diseaseModelSummary
+      .select("model_id", "biologicalModelAllelicComposition",
+        "biologicalModelGeneticBackground", "targetInModelMgiId")
+      .distinct()
+      .join(geneMapping, Seq("targetInModelMgiId"), "inner")
+      .join(modelMousePhenotypes, Seq("model_id"), "inner")
+      .join(mpTerms, Seq("mp_id"), "inner")
+      .join(lit3, Seq("model_id", "targetInModelMgiId"), "left")
+      .withColumnRenamed("mp_id", "modelPhenotypeId")
+      .withColumnRenamed("mp_term", "modelPhenotypeLabel")
+      .join(mpClass, Seq("modelPhenotypeId"), "inner")
+    cleanupModelId(base)
+      .groupBy("targetFromSourceId", "targetInModelMgiId", "modelPhenotypeId", "modelPhenotypeLabel")
+      .agg(
+        collect_set(struct(
+          col("biologicalModelAllelicComposition").as("allelicComposition"),
+          col("biologicalModelGeneticBackground").as("geneticBackground"),
+          col("biologicalModelId").as("id"),
+          col("literature"),
+        )).as("biologicalModels"),
+        collect_set(struct(
+          col("modelPhenotypeClassId").as("id"),
+          col("modelPhenotypeClassLabel").as("label"),
+        )).as("modelPhenotypeClasses"),
+      )
+  }
 }
 
 /** Encore combinatorial-CRISPR parser (reference

@@ -140,6 +140,37 @@ class ParsersSpec extends SparkTestBase {
     assert(out.filter($"diseaseFromSourceId" === "OMIM:2").count() == 0, "null score dropped (3VL)")
   }
 
+  test("ImpcParser second output: literature chain + model-ID cleanup + double nesting") {
+    val dms = Seq(
+      ("MGI:3821355#hom#early", "alleleA", "bgA", "MGI:97490"),
+      ("NOT-RELEASED-025eb4", "alleleB", "bgB", "MGI:97490"),
+    ).toDF("model_id", "biologicalModelAllelicComposition",
+      "biologicalModelGeneticBackground", "targetInModelMgiId")
+    val geneMap = Seq(("MGI:97490", "ENSG000PTEN")).toDF("targetInModelMgiId", "targetFromSourceId")
+    val mmp = Seq(("MGI:3821355#hom#early", "MP:0001"), ("NOT-RELEASED-025eb4", "MP:0001"))
+      .toDF("model_id", "mp_id")
+    val pub = Seq(("MGI:97490", "MP:0001", "12345"), ("MGI:97490", "MP:0001", "67890"))
+      .toDF("targetInModelMgiId", "mp_id", "literature")
+    val mpTerms = Seq(("MP:0001", "increased body weight")).toDF("mp_id", "mp_term")
+    val mpClass = Seq(("MP:0001", "MP:0005375", "adipose tissue phenotype"))
+      .toDF("modelPhenotypeId", "modelPhenotypeClassId", "modelPhenotypeClassLabel")
+
+    val lit3 = ImpcParser.literature(dms, mmp, pub)
+    assert(lit3.count() == 2, "both models get the gene's pubmed refs")
+    assert(lit3.head().getSeq[String](2) == Seq("12345", "67890"))
+
+    val out = ImpcParser.mousePhenotypes(dms, geneMap, mmp, mpTerms, mpClass, lit3)
+    assert(out.count() == 1, "one row per (gene, phenotype) after nesting")
+    val row = out.head()
+    assert(row.getAs[String]("modelPhenotypeLabel") == "increased body weight")
+    val models = row.getSeq[Row](row.fieldIndex("biologicalModels"))
+    assert(models.length == 2)
+    val ids = models.map(_.getAs[String]("id")).toSet
+    assert(ids == Set("MGI:3821355", null), "zygosity stripped; non-MGI nulled")
+    val classes = row.getSeq[Row](row.fieldIndex("modelPhenotypeClasses"))
+    assert(classes.map(_.getAs[String]("id")) == Seq("MP:0005375"))
+  }
+
   test("EncoreParser: triplet melt + symmetrization + Stouffer/erf combine") {
     val wide = Seq(
       ("BRCA1~PARP1", 0.001, -2.0, 0.002, -1.5),
