@@ -193,6 +193,23 @@ object PanelAppParser {
   /** Kept for backward compatibility with earlier tests. */
   val phenotypeRules: Seq[(String, String)] = phenotypeRulesBeforeSplit
 
+  /** PMID harvesting (reference `PanelApp.py:58-74,333-360`): ASCII-scrub,
+    * the two known publication-string shapes regexp_extract_all'd, digit
+    * runs pulled from every occurrence, deduped as a sorted set; the
+    * placeholder `0` and over-long IDs dropped; the known garbage string
+    * filtered out entirely. The reference runs this per row in driver
+    * Python — here it is one pure column expression.
+    */
+  def extractPubmedIds(pub: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val clean = trim(regexp_replace(pub, "[^\\x20-\\x7E]", ""))
+    val p1 = regexp_extract_all(clean, lit("^[\\d, ]+(?: |$)"), lit(0))
+    val p2 = regexp_extract_all(clean, lit("(?:PubMed|PMID)[: ]*[\\d, ]+"), lit(0))
+    val ids = regexp_extract_all(array_join(concat(p1, p2), " "), lit("(\\d+)"), lit(1))
+    val kept = filter(array_distinct(ids), i => i =!= "0" && length(i) <= 8)
+    when(clean.rlike("^224,614,752,030,146,000,000,000"), array().cast("array<string>"))
+      .otherwise(sort_array(kept))
+  }
+
   def apply(raw: DataFrame): DataFrame = {
     val preCleaned = Cleanup.applyRegexRules(
       raw

@@ -140,6 +140,26 @@ class ParsersSpec extends SparkTestBase {
     assert(out.filter($"diseaseFromSourceId" === "OMIM:2").count() == 0, "null score dropped (3VL)")
   }
 
+  test("PanelAppParser.extractPubmedIds: all known publication-string shapes") {
+    val cases = Seq(
+      "15643612",                                              // bare id
+      "28055140, 27333055, 23063529",                          // comma list
+      "observed in the patient. PMID: 1908107 - describing",   // prefixed mid-string
+      "PubMed: 11111, 22222 and PMID 33333",                   // multiple prefixed runs
+      "224,614,752,030,146,000,000,000 garbage",               // filtered out
+      "0",                                                     // placeholder dropped
+      "123456789",                                             // 9 digits: too long
+      "some free text without ids",
+    ).toDF("pub")
+    val got = cases.select(PanelAppParser.extractPubmedIds($"pub").as("ids"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("15643612"))
+    assert(got(1) == Seq("23063529", "27333055", "28055140"))
+    assert(got(2) == Seq("1908107"))
+    assert(got(3) == Seq("11111", "22222", "33333"))
+    assert(got(4).isEmpty && got(5).isEmpty && got(6).isEmpty && got(7).isEmpty)
+  }
+
   test("ImpcParser second output: literature chain + model-ID cleanup + double nesting") {
     val dms = Seq(
       ("MGI:3821355#hom#early", "alleleA", "bgA", "MGI:97490"),
