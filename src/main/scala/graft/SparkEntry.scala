@@ -697,11 +697,17 @@ object SparkEntry {
       )
     }),
 
-    // --- beyond-reference: rollup (hierarchical subtotals, one Expand) -
+    // --- beyond-reference: rollup (hierarchical subtotals) -------------
+    // Rollup over a pre-aggregate: the Expand operator multiplies its
+    // input by the number of grouping sets, so roll up the 6-row
+    // (flag,status) aggregate, not the 600k-row fact table. DECIMAL
+    // partials make the re-aggregation exactly the direct rollup.
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast("decimal(24,6)")).as("pq"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
     }),
 
     // --- beyond-reference: exact percentiles (sort-based agg) ----------
