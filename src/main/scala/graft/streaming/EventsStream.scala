@@ -134,6 +134,60 @@ object EventsStream {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts: Long, event_time: java.sql.Timestamp)
+  case class SessionState(startNs: Long, lastNs: Long, n: Long)
+  case class CompletedSession(user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Long)
+
+  /** Completed-session emission via flatMapGroupsWithState: a session is
+    * emitted when the next event arrives after more than `gap` of silence
+    * (data-driven close) or when the event-time watermark passes the
+    * session's timeout (state expiry close). Hand-rolled counterpart of
+    * [[sessionCounts]]' native session_window for when the per-session
+    * output needs custom shape/logic; state is one small record per
+    * active user, expired by the timeout — bounded on an infinite stream.
+    */
+  def completedSessions(
+      events: DataFrame,
+      gapNs: Long = 30L * 60 * 1000000000L,
+      watermark: String = "1 hour",
+  )(implicit spark: SparkSession): Dataset[CompletedSession] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_time"))
+      .withWatermark("event_time", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, CompletedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(CompletedSession(uid, s.startNs, s.lastNs, s.n))
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[CompletedSession]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts).foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.lastNs > gapNs =>
+                  out += CompletedSession(uid, s.startNs, s.lastNs, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startNs, e.ts, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close the session once the watermark passes last-event + gap.
+              state.setTimeoutTimestamp(s.lastNs / 1000000L + gapNs / 1000000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and block
     * until the backlog drains — the local smoke harness.
     */

@@ -58,6 +58,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("completedSessions emits on data-driven gap across micro-batches (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("stream_sessions")
+    def write(part: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val min = 60L * 1000000000L // one minute in nanos
+    // Keep the timeline away from epoch 0: the initial watermark is 0, and
+    // events at/below it are dropped as late data.
+    val base = 1704067200L * 1000000000L // 2024-01-01
+    // File 1: user 7 has two events a minute apart (one open session).
+    write("a", Seq((1L, base, 7L), (2L, base + 1 * min, 7L)))
+    // File 2: user 7 again 2 hours later -> the 30-min gap closes session 1.
+    write("b", Seq((3L, base + 120 * min, 7L)))
+
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val sessions = EventsStream.completedSessions(stream)(spark)
+    val q = EventsStream.runToMemory(sessions.toDF(), "done_sessions")
+    try {
+      val got = spark.table("done_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, base, base + 1 * min, 2L)),
+        s"first session (2 events, minute 0-1) must be emitted on the gap; got $got")
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across micro-batches") {
     val dir = tmpDir("stream_state")
     spark.read.schema(EventsStream.eventsSchema)
