@@ -395,6 +395,23 @@ object SparkEntry {
       NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // --- beyond-reference: near-dup CLUSTERS (pairs → components) -----
+    // Duplicate groups are transitive; connected components over the
+    // verified pairs turn candidate edges into dedup clusters (label =
+    // min doc_id per component). LSH here is a deterministic function of
+    // the data (fixed xxhash64 seeds), so the edge set — and thus the
+    // clustering — is reproducible and oracle-checkable.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.jaccardVerify(
+        NearDup.minhashCandidates(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+        docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+      NearDup
+        .connectedComponents(pairs, "doc_id_a", "doc_id_b")
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+    }),
+
     // --- J4: right outer join -----------------------------------------
     "q_join_right" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
@@ -1052,6 +1069,30 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [] END AS sh FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        |SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s""".stripMargin,
 
     "q_collect_struct" ->
       """SELECT l_orderkey, count(*) AS n_items,

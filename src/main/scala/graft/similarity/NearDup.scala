@@ -139,6 +139,50 @@ object NearDup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list via min-label
+    * propagation: every node repeatedly adopts the minimum label among
+    * itself and its neighbors until fixpoint — the step a real dedup
+    * pipeline needs between candidate PAIRS and survivor selection
+    * (duplicate groups are transitive; pairs alone are not).
+    *
+    * Scale shape: one shuffle (join + groupBy on id) per iteration;
+    * iterations ≤ graph diameter, and near-dup graphs are shallow
+    * (duplicate groups are cliques or short chains). Labels persist per
+    * iteration to truncate lineage. Convergence check is a cheap
+    * sum(label) action: the label vector is component-wise
+    * non-increasing, so the sum strictly decreases until fixpoint
+    * (decimal accumulator — id sums can exceed long for hash-derived ids).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25,
+  ): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id")).persist()
+    var prevSum = labelSum(labels)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val prop = both
+        .join(labels, both("src") === labels("id"))
+        .select(both("dst").as("id"), col("label"))
+      val next = labels.union(prop).groupBy("id").agg(min("label").as("label")).persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    both.unpersist()
+    labels
+  }
+
   /** Exact word-shingle Jaccard similarity between candidate pairs:
     * joins the docs back in (broadcast if small) and computes
     * |A∩B| / |A∪B| with array set algebra — no UDF.

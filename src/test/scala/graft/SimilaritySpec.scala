@@ -66,6 +66,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(r1 > 0.1, s"single-probe recall suspiciously low: $r1")
   }
 
+  test("connectedComponents: chains, cliques, and separate components get min-id labels") {
+    // Components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val got = NearDup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // maxIter below the diameter leaves the far end unconverged — the
+    // iteration count is doing real work.
+    val truncated = NearDup.connectedComponents(edges, "a", "b", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated(4L) != 1L, "one iteration cannot reach across a diameter-3 chain")
+  }
+
   test("lshTopK recall against brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
