@@ -407,8 +407,11 @@ object SparkEntry {
         NearDup.minhashCandidates(docs, "doc_id", "text",
           shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+      // Fixed 4 rounds as one lazy plan: near-dup components are cliques
+      // or short chains (diameter ≤ 4 with huge margin); the convergent
+      // mode exists for graphs of unknown shape.
       NearDup
-        .connectedComponents(pairs, "doc_id_a", "doc_id_b")
+        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 4, fixedIterations = true)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
 

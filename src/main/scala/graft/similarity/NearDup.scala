@@ -153,34 +153,56 @@ object NearDup {
     * non-increasing, so the sum strictly decreases until fixpoint
     * (decimal accumulator — id sums can exceed long for hash-derived ids).
     */
+  /** @param fixedIterations when true, runs exactly `maxIter` propagation
+    *   rounds as ONE lazy plan (no driver actions): correct whenever
+    *   `maxIter` ≥ the largest component's diameter — a safe bet for
+    *   near-dup graphs, where groups are cliques or short chains. When
+    *   false (default), iterates with a decimal label-sum fixpoint check
+    *   per round — use for graphs of unknown shape.
+    */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
+      fixedIterations: Boolean = false,
   ): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // Cached so the edge list (often an expensive candidate+verify
+    // pipeline) computes once and is reused by every iteration — in
+    // fixed mode that reuse happens within the single final job.
     val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id")).persist()
-    var prevSum = labelSum(labels)
-    var done = false
-    var i = 0
-    while (!done && i < maxIter) {
-      val prop = both
-        .join(labels, both("src") === labels("id"))
-        .select(both("dst").as("id"), col("label"))
-      val next = labels.union(prop).groupBy("id").agg(min("label").as("label")).persist()
-      val s = labelSum(next)
-      labels.unpersist()
-      labels = next
-      done = s == prevSum
-      prevSum = s
-      i += 1
+    var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    if (fixedIterations) {
+      (1 to maxIter).foreach { _ =>
+        val prop = both
+          .join(labels, both("src") === labels("id"))
+          .select(both("dst").as("id"), col("label"))
+        labels = labels.union(prop).groupBy("id").agg(min("label").as("label"))
+      }
+      labels
+    } else {
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      var cur = labels.persist()
+      var prevSum = labelSum(cur)
+      var done = false
+      var i = 0
+      while (!done && i < maxIter) {
+        val prop = both
+          .join(cur, both("src") === cur("id"))
+          .select(both("dst").as("id"), col("label"))
+        val next = cur.union(prop).groupBy("id").agg(min("label").as("label")).persist()
+        val s = labelSum(next)
+        cur.unpersist()
+        cur = next
+        done = s == prevSum
+        prevSum = s
+        i += 1
+      }
+      both.unpersist()
+      cur
     }
-    both.unpersist()
-    labels
   }
 
   /** Exact word-shingle Jaccard similarity between candidate pairs:

@@ -180,8 +180,13 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // Close the session once the watermark passes last-event + gap.
-              state.setTimeoutTimestamp(s.lastNs / 1000000L + gapNs / 1000000L)
+              // Close the session once the watermark passes last-event +
+              // gap — clamped above the current watermark: with bursty
+              // sources the watermark can already be past the target
+              // (e.g. out-of-order file backfill), and Spark rejects
+              // timeouts at or below it.
+              val target = s.lastNs / 1000000L + gapNs / 1000000L
+              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
             }
             out.iterator
           }

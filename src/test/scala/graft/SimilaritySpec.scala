@@ -79,6 +79,11 @@ class SimilaritySpec extends SparkTestBase {
     val truncated = NearDup.connectedComponents(edges, "a", "b", maxIter = 1)
       .as[(Long, Long)].collect().toMap
     assert(truncated(4L) != 1L, "one iteration cannot reach across a diameter-3 chain")
+    // Fixed-iteration (single lazy plan) mode matches the convergent mode
+    // whenever maxIter covers the diameter.
+    val fixed = NearDup.connectedComponents(edges, "a", "b", maxIter = 3, fixedIterations = true)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == got)
   }
 
   test("lshTopK recall against brute force is reasonable on real embeddings") {

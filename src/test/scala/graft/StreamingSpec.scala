@@ -73,6 +73,10 @@ class StreamingSpec extends SparkTestBase {
     val base = 1704067200L * 1000000000L // 2024-01-01
     // File 1: user 7 has two events a minute apart (one open session).
     write("a", Seq((1L, base, 7L), (2L, base + 1 * min, 7L)))
+    // The file source orders micro-batches by modification time; a tie
+    // would let file 2 go first, advance the watermark, and drop file 1
+    // as late data.
+    Thread.sleep(1500)
     // File 2: user 7 again 2 hours later -> the 30-min gap closes session 1.
     write("b", Seq((3L, base + 120 * min, 7L)))
 
