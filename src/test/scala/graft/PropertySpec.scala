@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{Dedup, Reshape, Sampling}
+import graft.similarity.NearDup
+
+/** Property-style generative tests: each operator is checked against an
+  * independent reference implementation (driver-side Scala, or its own
+  * composable formulation) on deterministic pseudo-random inputs.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling: case i draws from Seed(base+i). */
+  private def samples[A](g: Gen[A], n: Int, base: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(base + i)))
+
+  test("connectedComponents agrees with driver-side union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(5, 18)
+      m <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    samples(edgeGen, 6, 1000L).zipWithIndex.foreach { case (edges, i) =>
+      if (edges.nonEmpty) {
+        // Reference: naive union-find with min-label roots.
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+        def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        edges.foreach { case (a, b) => union(a, b) }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+        val got = NearDup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"case $i: edges=$edges")
+      }
+    }
+  }
+
+  test("Gini kernel agrees with a driver-side reference on random vectors") {
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))
+    samples(vecGen, 8, 2000L).foreach { xs =>
+      val sorted = xs.sorted
+      val n = sorted.size
+      val s = sorted.sum
+      val ref =
+        if (s == 0.0) 0.0
+        else 2.0 * sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum / (n * s) - (n + 1.0) / n
+      val got = Seq(Tuple1(xs)).toDF("v")
+        .select(graft.functions.GraftFunctions.gini($"v").as("g"))
+        .head().getDouble(0)
+      assert(math.abs(got - ref) < 1e-9, s"vec=$xs got=$got ref=$ref")
+    }
+  }
+
+  test("zipWithPadStatic equals zipWithPad on random arrays with nulls") {
+    val sGen = Gen.option(Gen.alphaStr.map(_.take(4))).map(_.orNull)
+    val caseGen = for {
+      nv <- Gen.choose(1, 4)
+      nt <- Gen.choose(1, 3)
+      vs <- Gen.listOfN(nv, Gen.choose(-100.0, 100.0))
+      ts <- Gen.listOfN(nt, sGen)
+    } yield (vs, ts)
+    samples(caseGen, 8, 3000L).foreach { case (vs, ts) =>
+      val df = Seq((vs, ts)).toDF("vs", "ts")
+      val dynCols = df.select(explode(Reshape.zipWithPad(
+        array(vs.indices.map(i => element_at($"vs", i + 1)): _*),
+        array(ts.indices.map(i => element_at($"ts", i + 1)): _*))).as("z"))
+      val staCols = df.select(explode(Reshape.zipWithPadStatic(
+        vs.indices.map(i => element_at($"vs", i + 1)),
+        ts.indices.map(i => element_at($"ts", i + 1)))).as("z"))
+      val dyn = dynCols.select("z.value", "z.type").collect().map(r => (r.get(0), r.get(1))).toSeq
+      val sta = staCols.select("z.value", "z.type").collect().map(r => (r.get(0), r.get(1))).toSeq
+      assert(dyn == sta, s"vs=$vs ts=$ts")
+    }
+  }
+
+  test("p-value mantissa/exponent reconstructs the p-value") {
+    val pGen = for {
+      m <- Gen.choose(1.0, 9.999)
+      e <- Gen.choose(-250, -1)
+    } yield m * math.pow(10, e)
+    samples(pGen, 8, 4000L).foreach { p =>
+      val r = Seq(Tuple1(p)).toDF("p")
+        .select(
+          graft.core.Stats.pValueMantissa($"p").as("m"),
+          graft.core.Stats.pValueExponent($"p").as("e"))
+        .head()
+      val rebuilt = r.getDouble(0) * math.pow(10, r.getInt(1))
+      assert(math.abs(rebuilt - p) / p < 5e-3, s"p=$p -> m=${r.getDouble(0)} e=${r.getInt(1)}")
+    }
+  }
+
+  test("hashSample64k at keep*4096 equals hashSample at keep (prefix nesting)") {
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+    samples(Gen.choose(1, 15), 4, 5000L).foreach { keep =>
+      val coarse = Sampling.hashSample(df, $"c_custkey", keep)
+      val fine = Sampling.hashSample64k(df, $"c_custkey", keep * 4096)
+      assert(coarse.exceptAll(fine).isEmpty && fine.exceptAll(coarse).isEmpty, s"keep=$keep")
+    }
+  }
+
+  test("bestRowPerKey equals window top-1 under a total order on random data") {
+    val rowGen = for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0, 1000)
+      id <- Gen.choose(0, 100000)
+    } yield (k, v, id)
+    samples(Gen.listOfN(60, rowGen), 4, 6000L).foreach { rows =>
+      val df = rows.toDF("k", "v", "id").distinct() // (v,id) ties would break totality
+      val viaAgg = Dedup.bestRowPerKey(df, Seq("k"), Seq("v", "id"))
+      val viaWin = df.withColumn("rn",
+          row_number().over(Window.partitionBy("k").orderBy($"v".desc, $"id".desc)))
+        .filter($"rn" === 1).drop("rn")
+      assert(viaAgg.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaAgg).isEmpty)
+    }
+  }
+}
