@@ -66,13 +66,19 @@ object AsOf {
       struct(lCols.map(col): _*).as("_lrow"),
       lit(null).cast(payType).as("_pay"),
     )
-    val r = right.select(
-      col(rightKey).as("_k"),
-      col(rightTime).as("_t"),
-      lit(0).as("_side"),
-      lit(null).cast(lrowType).as("_lrow"),
-      struct(payload.map(col): _*).as("_pay"),
-    )
+    val r = right
+      // SQL as-of semantics: a right row with a NULL key or NULL time can
+      // never match (equality/inequality with NULL is never true). The
+      // window would otherwise group NULL keys together and sort NULL
+      // times first — silently carrying unmatchable rows.
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("_k"),
+        col(rightTime).as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(lrowType).as("_lrow"),
+        struct(payload.map(col): _*).as("_pay"),
+      )
     val w = Window
       .partitionBy("_k")
       .orderBy(col("_t"), col("_side"))

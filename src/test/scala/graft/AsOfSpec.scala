@@ -38,6 +38,22 @@ class AsOfSpec extends SparkTestBase {
     ))
   }
 
+  test("AsOf.asOfJoin: null keys/times on either side never match (SQL semantics)") {
+    val quotes = Seq(
+      (Some("A"), Some(10L), 1.0),
+      (None: Option[String], Some(5L), 99.0), // null key: unmatchable
+      (Some("A"), None: Option[Long], 88.0),  // null time: unmatchable
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (Some("A"), Some(20L), 1),
+      (None: Option[String], Some(20L), 2),   // null-key left row: kept, no match
+      (Some("A"), None: Option[Long], 3),     // null-time left row: kept, no match
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoin(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+      .collect().map(r => (r.getAs[Int]("qty"), Option(r.get(3)))).toMap
+    assert(got == Map(1 -> Some(1.0), 2 -> None, 3 -> None))
+  }
+
   test("AsOf.asOfJoin matches the naive range-join + top-1 formulation on testdata") {
     val ev = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id", $"ts")
     val ord = spark.read.parquet(s"$sf/orders.parquet")
