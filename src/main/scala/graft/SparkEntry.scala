@@ -730,6 +730,17 @@ object SparkEntry {
         .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
     }),
 
+    // --- beyond-reference: cube + grouping_id (all subtotal combos) ----
+    // Same pre-aggregate trick as q_rollup: Expand runs over the tiny
+    // grouped input, not the fact table.
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("pn"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("pn")).as("n"), grouping_id().cast("int").as("gid"))
+    }),
+
     // --- beyond-reference: exact percentiles (sort-based agg) ----------
     // Quarter percentiles only: with integral inputs the linear
     // interpolation at .25/.5/.75 is exact in binary, so Spark percentile
@@ -1258,6 +1269,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """WITH pre AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS pn
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, CAST(sum(pn) AS BIGINT) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM pre GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
