@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"as-of is join-free by construction (union + window):\n$p")
   }
 
+  test("q_salted_agg: two aggregation stages, map-side partials in both") {
+    val p = plan("q_salted_agg")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 2,
+      s"salted agg = exactly two exchanges (key+salt, then key):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"stage 1 must partial-aggregate map-side:\n$p")
+  }
+
+  test("q_rollup: Expand runs over the pre-aggregate, not the fact table") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), s"rollup needs an Expand node:\n$p")
+    // Pre-agg exchange + rollup exchange; a fact-table rollup would show
+    // Expand directly over the scan with a single exchange.
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 2, p)
+  }
+
   test("q_filter_compound: predicates reach the parquet scan") {
     val p = plan("q_filter_compound")
     assert(p.contains("PushedFilters"), s"expected parquet pushdown:\n$p")
