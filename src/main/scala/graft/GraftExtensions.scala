@@ -53,6 +53,8 @@ object GraftExtensions {
     "graft_minhash_shingles" ->
       (es => MinHashShingles(es(0), constInt(es(1), "shingle length"), constInt(es(2), "num hashes"))),
     "graft_word_shingles" -> (es => WordShingles(es(0), constInt(es(1), "shingle length"))),
+    "graft_winnow" ->
+      (es => Winnow(es(0), constInt(es(1), "k-gram length"), constInt(es(2), "window size"))),
     // SQL numeric array literals arrive as array<decimal> — cast to the
     // kernel's array<double> input type.
     "graft_gini" -> (es => Gini(Cast(es.head, ArrayType(DoubleType)))),

@@ -799,6 +799,18 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: winnowing rolling-hash fingerprints ---------
+    // Schleimer et al. winnowing over normalized text (rows-only: the
+    // rolling-hash values are engine-specific; FingerprintSpec checks the
+    // shared-substring guarantee instead).
+    "q_winnow" -> ((s, dir) => {
+      val fps = graft.functions.GraftFunctions.winnow(
+        Cleanup.normalizeText(col("text")), 8, 4)
+      t(s, dir, "documents")
+        .select(col("doc_id"), fps.as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("fp_min"))
+    }),
+
     // --- beyond-reference: deterministic content-hash sampling ---------
     // Membership depends only on the key bytes, not partitioning/rng —
     // reproducible across engines and incremental loads (core.Sampling).

@@ -183,6 +183,67 @@ object WordShinglesImpl {
   }
 }
 
+object WinnowImpl {
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): a polynomial ROLLING hash over every k-gram of the
+    * character sequence, then a sliding window of w hashes keeping each
+    * window's minimum, deduped in first-seen order. Guarantee: two
+    * documents sharing any substring of length ≥ w + k − 1 share at
+    * least one fingerprint. One pass, O(n) via a monotone deque.
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val B = 1000003L // rolling base (odd, > alphabet)
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    val win = math.min(w, n)
+    val out = new java.util.LinkedHashSet[Long]()
+    val deque = new java.util.ArrayDeque[Int]() // indices, increasing hash
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && hs(deque.peekLast) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - win) deque.pollFirst()
+      if (i >= win - 1) out.add(hs(deque.peekFirst))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** winnow(text, k, w) → array<long>: winnowing fingerprint set of a
+  * string ([] when shorter than k; null only for null input).
+  */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override def nullSafeEval(v: Any): Any =
+    WinnowImpl.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.WinnowImpl.compute($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
 /** word_shingles(tokens, n) → array<string>: every word n-gram of a
   * token array ([] if fewer than n tokens; null only for null input).
   */

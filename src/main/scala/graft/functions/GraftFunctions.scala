@@ -27,6 +27,10 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftShim.toColumn(WordShingles(GraftShim.toExpression(tokens), n))
 
+  /** Winnowing rolling-hash fingerprints (k-gram length, window size). */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    GraftShim.toColumn(Winnow(GraftShim.toExpression(text), k, w))
+
   /** One-pass text statistics (token/char counts, stopword hits, lang). */
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))

@@ -43,6 +43,16 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("GraftExtensions is instantiable via the spark.sql.extensions reflection path") {
+    // The config path (`--conf spark.sql.extensions=graft.GraftExtensions`)
+    // instantiates by class name with a zero-arg constructor and applies
+    // to a SparkSessionExtensions — assert those mechanics directly.
+    val inst = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    inst(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
   test("non-constant kernel parameters are rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_shingles(array('a'), CAST(rand()*3 AS INT), 4)").head()
