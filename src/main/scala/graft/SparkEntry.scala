@@ -811,6 +811,11 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fps")).as("n_fps"), array_min(col("fps")).as("fp_min"))
     }),
 
+    // --- beyond-reference: winnowing near-dup candidates (rows-only) ---
+    "q_winnow_neardup" -> ((s, dir) => {
+      NearDup.winnowCandidates(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // --- beyond-reference: deterministic content-hash sampling ---------
     // Membership depends only on the key bytes, not partitioning/rng —
     // reproducible across engines and incremental loads (core.Sampling).

@@ -90,6 +90,40 @@ object NearDup {
       .select(col("a").as(idCol + "_a"), col("b").as(idCol + "_b"))
   }
 
+  /** Winnowing-fingerprint near-dup candidates: pairs of docs sharing at
+    * least `minShared` winnow fingerprints (graft.functions.Winnow —
+    * rolling-hash k-grams, window minima). Same bucket-join shape as
+    * MinHash-LSH: explode fingerprints → group per fingerprint →
+    * successor pairs → count per pair — the O(n²) pair space is never
+    * built, and `maxBucket` caps degenerate fingerprints.
+    */
+  def winnowCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 10000,
+  ): DataFrame = {
+    val fps = docs.select(
+      col(idCol),
+      explode(graft.functions.GraftFunctions.winnow(
+        graft.core.Cleanup.normalizeText(col(textCol)), k, w)).as("fp"),
+    )
+    val sized = fps
+      .groupBy("fp")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) between (2, maxBucket))
+    sized
+      .select(posexplode(array_sort(col("ids"))).as(Seq("pos", "a")), col("ids"))
+      .select(col("a"), explode(slice(array_sort(col("ids")), col("pos") + 2, size(col("ids")))).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("a").as(idCol + "_a"), col("b").as(idCol + "_b"), col("n_shared"))
+  }
+
   /** SimHash fingerprints for a document table. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("simhash"))

@@ -36,6 +36,20 @@ class FingerprintSpec extends SparkTestBase {
     assert((a intersect c).isEmpty, "unrelated docs should not collide")
   }
 
+  test("winnowCandidates surfaces the same dup pairs minhash finds on testdata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaWinnow = graft.similarity.NearDup
+      .winnowCandidates(docs, "doc_id", "text", minShared = 4)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val viaMinhash = graft.similarity.NearDup
+      .minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // Different mechanisms, same duplicates: demand substantial agreement.
+    assert(viaWinnow.nonEmpty)
+    val overlap = (viaWinnow intersect viaMinhash).size.toDouble / viaMinhash.size
+    assert(overlap >= 0.8, s"winnow $viaWinnow vs minhash $viaMinhash ($overlap)")
+  }
+
   test("SQL surface: graft_winnow resolves through the extension") {
     val n = spark.sql(
       "SELECT size(graft_winnow('the quick brown fox jumps over it', 8, 4)) AS n")
