@@ -95,16 +95,23 @@ object NearDup {
     * rolling-hash k-grams, window minima). Same bucket-join shape as
     * MinHash-LSH: explode fingerprints → group per fingerprint →
     * successor pairs → count per pair — the O(n²) pair space is never
-    * built, and `maxBucket` caps degenerate fingerprints.
+    * built.
+    *
+    * `maxBucket` is the selectivity control, NOT just a safety cap: a
+    * fingerprint present in many documents is a stop-phrase k-gram that
+    * says nothing about duplication but pairs all its holders
+    * quadratically (defaults of k=8/w=4/maxBucket=10⁴ made ~86% of all
+    * possible doc pairs "candidates" on the test corpus). Keep it small;
+    * raise `k` for more selective grams.
     */
   def winnowCandidates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
-      w: Int = 4,
-      minShared: Int = 2,
-      maxBucket: Int = 10000,
+      k: Int = 16,
+      w: Int = 8,
+      minShared: Int = 10,
+      maxBucket: Int = 20,
   ): DataFrame = {
     val fps = docs.select(
       col(idCol),
