@@ -25,15 +25,36 @@ object EssentialityParser {
       .withColumn("targetSymbol", trim(regexp_replace(col("geneRaw"), "\\s*\\(\\d+\\)$", "")))
       .drop("geneRaw")
 
-  def apply(geneEffectWide: DataFrame, modelLut: DataFrame, essentialThreshold: Double = -1.0): DataFrame = {
-    val molten = meltGeneMatrix(geneEffectWide)
-    molten
+  /** @param keepOnlyEssentials reference `keep_only_essentials`
+    *   (`Essentiality.py:119-120`): restrict to rows flagged essential.
+    *
+    * Reference behaviors carried over (`Essentiality.py:100-115`):
+    * missing tissue → "other"; mutation classified damaging/hotspot from
+    * whichever mutation columns the model LUT carries; rows without a
+    * gene effect dropped (no data for that gene × cell line).
+    */
+  def apply(
+      geneEffectWide: DataFrame,
+      modelLut: DataFrame,
+      essentialThreshold: Double = -1.0,
+      keepOnlyEssentials: Boolean = false,
+  ): DataFrame = {
+    val lutCols = modelLut.columns.toSet
+    val dm = if (lutCols("damagingMutation")) col("damagingMutation") else lit(null)
+    val hm = if (lutCols("hotspotMutation")) col("hotspotMutation") else lit(null)
+    val flagged = meltGeneMatrix(geneEffectWide)
+      .filter(col("geneEffect").isNotNull)
       .join(broadcast(modelLut), Seq("depmapId"), "left")
-      .withColumn("isEssential", col("geneEffect") <= essentialThreshold)
+      .withColumn("tissueName", coalesce(col("tissueName"), lit("other")))
+      .withColumn("mutation", when(dm.isNotNull, "damaging").when(hm.isNotNull, "hotspot"))
+      .withColumn("isEssential", coalesce(col("geneEffect") <= essentialThreshold, lit(false)))
+    val base = if (keepOnlyEssentials) flagged.filter(col("isEssential")) else flagged
+    base
       .groupBy("targetSymbol", "tissueName")
       .agg(
         sort_array(collect_list(struct(
           col("depmapId"), col("cellLineName"),
+          col("mutation"),
           round(col("geneEffect").cast("double"), 6).as("geneEffect"),
           col("isEssential"),
         ))).as("screens"))

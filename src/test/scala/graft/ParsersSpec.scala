@@ -121,6 +121,29 @@ class ParsersSpec extends SparkTestBase {
     assert(cervixScreens.head.getAs[Boolean]("isEssential"))
   }
 
+  test("EssentialityParser: mutation classes, tissue fallback, null-effect drop, essentials-only") {
+    val wide = Seq(
+      ("ACH-1", Some(-1.5)), ("ACH-2", Some(-0.2)), ("ACH-3", None: Option[Double]),
+    ).toDF("depmapId", "BRCA1 (672)")
+    val models = Seq(
+      ("ACH-1", "HeLa", Some("Cervix"), Some("p.V600E"), None: Option[String]),
+      ("ACH-2", "A549", None: Option[String], None: Option[String], Some("hs1")),
+      ("ACH-3", "K562", Some("Blood"), None: Option[String], None: Option[String]),
+    ).toDF("depmapId", "cellLineName", "tissueName", "damagingMutation", "hotspotMutation")
+    val out = EssentialityParser(wide, models)
+    val tissues = out.head().getAs[scala.collection.Seq[Row]]("depMapEssentiality")
+    // ACH-3 dropped (null effect); ACH-2's missing tissue falls back to "other".
+    assert(tissues.map(_.getAs[String]("tissueName")).toSet == Set("Cervix", "other"))
+    val byTissue = tissues.map(t => t.getAs[String]("tissueName") ->
+      t.getAs[scala.collection.Seq[Row]]("screens").head).toMap
+    assert(byTissue("Cervix").getAs[String]("mutation") == "damaging")
+    assert(byTissue("other").getAs[String]("mutation") == "hotspot")
+    val essOnly = EssentialityParser(wide, models, keepOnlyEssentials = true).head()
+      .getAs[scala.collection.Seq[Row]]("depMapEssentiality")
+    assert(essOnly.map(_.getAs[String]("tissueName")) == Seq("Cervix"),
+      "only the ACH-1 screen is at or below the -1.0 threshold")
+  }
+
   test("ImpcParser: gene chain + phenotype harvest + tri-state filter + W1 dedup") {
     val dms = Seq(
       ("m1", "MP:0001 increased x,MP:0002 weird y", "OMIM:1", Some(90.0), "MGI:97490"),
