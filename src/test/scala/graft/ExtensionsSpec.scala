@@ -19,6 +19,7 @@ class ExtensionsSpec extends SparkTestBase {
         |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |  graft_minhash_shingles(array('a','b','c','d'), 2, 4) AS mh,
         |  graft_word_shingles(array('a','b','c'), 2) AS ws,
+        |  size(graft_winnow('abcdefghijklmnop', 8, 4)) AS nw,
         |  graft_gini(array(1.0, 1.0, 1.0)) AS g,
         |  graft_hpa_classify(array(10.0, 1.0, 1.0), 1.0).specificity AS spec,
         |  graft_text_stats('the quick brown fox').n_tokens AS nt
@@ -28,6 +29,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
     assert(r.getSeq[String](r.fieldIndex("ws")) == Seq("a b", "b c"))
+    assert(r.getAs[Int]("nw") > 0)
     assert(math.abs(r.getAs[Double]("g")) < 1e-12, "equal values => gini 0")
     assert(r.getAs[String]("spec") == "Tissue enriched")
     assert(r.getAs[Int]("nt") == 4)
