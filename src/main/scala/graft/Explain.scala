@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan-audit main: prints the formatted physical plan for the named
   * queries (or all). Usage: runMain graft.Explain [sfDir] [q1 q2 ...]
+  * Pass `--final` as the first query name to EXECUTE each query first and
+  * print the AQE final plan (isFinalPlan=true, with the runtime-chosen
+  * joins and AQEShuffleRead coalescing) instead of the initial one.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val rest = args.drop(1).toSeq
+    val finalPlan = rest.headOption.contains("--final")
+    val qargs = if (finalPlan) rest.drop(1) else rest
+    val names = if (qargs.nonEmpty) qargs else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -20,7 +26,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n======== $n ========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // Execute THIS QueryExecution's physical plan (a write/count would
+      // wrap a fresh one and leave this AdaptiveSparkPlan un-finalized).
+      if (finalPlan) df.queryExecution.executedPlan.execute().count()
+      df.explain("formatted")
     }
     spark.stop()
   }
