@@ -21,6 +21,22 @@ import graft.functions.GraftFunctions.cosineSim
   */
 object Ann {
 
+  /** Composable cosine similarity from built-in higher-order functions
+    * (`zip_with` for the elementwise products, `aggregate` for the sums)
+    * — the no-custom-code formulation. Kept as the executable spec of the
+    * `CosineSimilarity` kernel (equivalence-tested); the kernel exists
+    * because HOFs evaluate interpreted per row, ~10× slower on 64-dim
+    * vectors in the ANN hot loops.
+    */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    def sum(xs: Column): Column =
+      aggregate(xs, lit(0.0), (acc, x) => acc + x)
+    val dot = sum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(sum(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(sum(transform(b, x => x.cast("double") * x.cast("double"))))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (qid, vec_id, sim) with k rows per qid, ties broken by id.
     */

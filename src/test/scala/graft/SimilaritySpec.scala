@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(r1 > 0.1, s"single-probe recall suspiciously low: $r1")
   }
 
+  test("cosineSim kernel matches the zip_with/aggregate HOF formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("idb"), $"embedding".as("vb")).limit(5))
+    val diff = pairs.select(
+      abs(graft.functions.GraftFunctions.cosineSim($"va", $"vb") -
+        Ann.cosineSimHof($"va", $"vb")).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diff < 1e-9, s"kernel vs HOF cosine max diff $diff")
+  }
+
   test("connectedComponents: chains, cliques, and separate components get min-id labels") {
     // Components: chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21.
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
