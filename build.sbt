@@ -15,6 +15,11 @@ run / fork := true
 // driver greps the single JSON line Bench prints; a logger prefix breaks
 // its parse (BENCH_r01.json had "parsed": null for exactly this reason).
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: …" epilogue must not eat into
+// the driver's 2000-char stdout tail window after Bench's JSON line
+// (BENCH_r02.json "parsed": null — the line's head fell out of the window).
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

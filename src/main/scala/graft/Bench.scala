@@ -37,10 +37,20 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that window (BENCH_r02 lost the line's head at 68
+    // queries × full double precision). Render per-query seconds at 3
+    // decimals, dropping to 2 if the line would still overflow, and print
+    // after spark.stop() so no shutdown logging can follow it.
+    def render(fmt: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line3 = render("%.3f")
+    val line = if (line3.length <= 1900) line3 else render("%.2f")
     spark.stop()
+    println(line)
   }
 }
