@@ -407,11 +407,19 @@ object SparkEntry {
         NearDup.minhashCandidates(docs, "doc_id", "text",
           shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
-      // Fixed 4 rounds as one lazy plan: near-dup components are cliques
-      // or short chains (diameter ≤ 4 with huge margin); the convergent
-      // mode exists for graphs of unknown shape.
+      // Fixed 6 rounds as one lazy plan (headroom over the measured ≤ 4
+      // diameter — extra rounds on a converged graph are cheap no-ops in
+      // the same plan); the convergent mode exists for unknown shapes.
+      // Oracle-equality assumptions, both data-dependent: (a) 12 bands ×
+      // 1 row MinHash-LSH surfaces every pair the oracle's exact
+      // all-pairs Jaccard finds — at ≥ 0.5 similarity a pair collides in
+      // ≥ 1 of 12 single-hash bands with prob 1−(1−0.5)¹² ≈ 0.9998, and
+      // the jaccardVerify step removes any false positives, so only
+      // astronomically unlucky misses diverge; (b) maxIter ≥ component
+      // min-eccentricity. A regenerated corpus could in principle break
+      // (a) without a code change.
       NearDup
-        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 4, fixedIterations = true)
+        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 6, fixedIterations = true)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
 

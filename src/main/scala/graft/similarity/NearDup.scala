@@ -194,12 +194,30 @@ object NearDup {
     * non-increasing, so the sum strictly decreases until fixpoint
     * (decimal accumulator — id sums can exceed long for hash-derived ids).
     */
+  /** Node-id normalization for the label domain: numeric ids cast to
+    * long (lossless for integral types; ANSI mode throws rather than
+    * silently nulling on overflow), everything else (string/UUID/binary
+    * ids) hashed to a stable 64-bit label via xxhash64 — a raw
+    * cast("long") would null every string id and the null-keyed joins
+    * would silently degenerate to an empty propagation. Hashed labels
+    * live in hash space, not id space; callers needing original ids
+    * join the result back on the hashed column.
+    */
+  private def nodeId(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case _: org.apache.spark.sql.types.NumericType => c.cast("long")
+    case _ => when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
+  }
+
   /** @param fixedIterations when true, runs exactly `maxIter` propagation
-    *   rounds as ONE lazy plan (no driver actions): correct whenever
-    *   `maxIter` ≥ the largest component's diameter — a safe bet for
-    *   near-dup graphs, where groups are cliques or short chains. When
+    *   rounds as ONE lazy plan (no per-round driver actions): correct
+    *   whenever `maxIter` ≥ the largest component's diameter — a safe bet
+    *   for near-dup graphs, where groups are cliques or short chains. When
     *   false (default), iterates with a decimal label-sum fixpoint check
     *   per round — use for graphs of unknown shape.
+    *
+    * Edges with a null endpoint are dropped (they can never connect
+    * anything; left in, null==null join semantics would silently drop the
+    * propagation instead).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -208,13 +226,22 @@ object NearDup {
       maxIter: Int = 25,
       fixedIterations: Boolean = false,
   ): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    // Cached so the edge list (often an expensive candidate+verify
-    // pipeline) computes once and is reused by every iteration — in
-    // fixed mode that reuse happens within the single final job.
-    val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    val sym = edges
+      .select(
+        nodeId(edges(aCol), edges.schema(aCol).dataType).as("src"),
+        nodeId(edges(bCol), edges.schema(bCol).dataType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     if (fixedIterations) {
+      // Materialize the edge list once and truncate its lineage: the
+      // candidate+verify pipeline feeding it is expensive and appears
+      // maxIter+1 times in the lazy plan below (diamond subtrees in ONE
+      // job recompute per consumer — measured, see README). Unlike
+      // persist(), localCheckpoint blocks are reclaimed by the
+      // ContextCleaner once the result is unreferenced, so long-running
+      // sessions don't leak a cache entry per call.
+      val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
       (1 to maxIter).foreach { _ =>
         val prop = both
           .join(labels, both("src") === labels("id"))
@@ -223,6 +250,10 @@ object NearDup {
       }
       labels
     } else {
+      // Cached so the edge list computes once and is reused by every
+      // iteration's job; unpersisted before returning.
+      val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var cur = labels.persist()

@@ -173,7 +173,12 @@ object EventsStream {
                   out += CompletedSession(uid, s.startNs, s.lastNs, s.n)
                   cur = Some(SessionState(e.ts, e.ts, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startNs, e.ts, s.n + 1))
+                  // min/max, not overwrite: a late (but within-watermark)
+                  // event from a later micro-batch may precede state's
+                  // lastNs; regressing lastNs to it would shrink the
+                  // session end and make the next on-time event falsely
+                  // exceed the gap.
+                  cur = Some(SessionState(math.min(s.startNs, e.ts), math.max(s.lastNs, e.ts), s.n + 1))
                 case None =>
                   cur = Some(SessionState(e.ts, e.ts, 1))
               }

@@ -97,6 +97,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(fixed == got)
   }
 
+  test("connectedComponents: string ids are hashed, not silently nulled; null-endpoint edges drop") {
+    // cast("long") on string ids yields null, and null==null joins never
+    // match — the old behavior degenerated to an empty propagation.
+    val edges = Seq(
+      (Option("doc-a"), Option("doc-b")),
+      (Option("doc-b"), Option("doc-c")),
+      (Option("doc-x"), Option("doc-y")),
+      (Option("doc-z"), Option.empty[String]), // null endpoint: dropped
+    ).toDF("a", "b")
+    val got = NearDup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // 5 nodes: a,b,c,x,y. The null-endpoint edge drops whole, so doc-z
+    // (no surviving edge) never enters the node set — and no null keys.
+    assert(got.size == 5 && !got.keySet.contains(null.asInstanceOf[Long]))
+    // a,b,c share one label; x,y share another; the two labels differ.
+    val hash = (s: String) => spark.range(1)
+      .select(xxhash64(lit(s))).head().getLong(0)
+    val abc = Seq("doc-a", "doc-b", "doc-c").map(s => got(hash(s))).distinct
+    val xy = Seq("doc-x", "doc-y").map(s => got(hash(s))).distinct
+    assert(abc.size == 1 && xy.size == 1 && abc != xy)
+  }
+
   test("lshTopK recall against brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)

@@ -91,6 +91,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("completedSessions: a late in-watermark event must not regress the session end") {
+    import org.apache.spark.sql.Row
+    val dir = tmpDir("stream_sessions_late")
+    def write(rows: Seq[(Long, Long, Long)]): Unit = {
+      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1500) // distinct mtimes -> deterministic micro-batch order
+    }
+    val min = 60L * 1000000000L
+    val base = 1704067200L * 1000000000L // 2024-01-01, off epoch 0
+    // Batch 1: on-time event at +10min (watermark -> +10min - 1h).
+    write(Seq((1L, base + 10 * min, 7L)))
+    // Batch 2: LATE event at +0min — above the watermark, so accepted.
+    // Overwriting lastNs with it would shrink the session end to +0min.
+    write(Seq((2L, base, 7L)))
+    // Batch 3: +35min. Against max(lastNs)=+10min the gap is 25min < 30
+    // (same session); against a regressed end of +0min it is 35min > 30
+    // and would falsely split.
+    write(Seq((3L, base + 35 * min, 7L)))
+    // Batch 4: +120min closes the session via the data-driven gap.
+    write(Seq((4L, base + 120 * min, 7L)))
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val sessions = EventsStream.completedSessions(stream)(spark)
+    val q = EventsStream.runToMemory(sessions.toDF(), "late_sessions")
+    try {
+      val got = spark.table("late_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, base, base + 35 * min, 3L)),
+        s"late event split or shrank the session; got $got")
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across micro-batches") {
     val dir = tmpDir("stream_state")
     spark.read.schema(EventsStream.eventsSchema)

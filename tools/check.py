@@ -36,11 +36,21 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # Rows-only queries (no oracle SQL): the driver still requires rows>0.
+    # Intersect with the executed-query manifest (queries.json) so stray
+    # directories (checkpoints, _temporary, stale outputs) are not
+    # miscounted as query results.
     import glob
     import os
+    try:
+        executed = set(json.load(open(f"{out_dir}/queries.json")))
+    except Exception:
+        executed = None
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle:
+            continue
+        if executed is not None and name not in executed:
+            print(f"SKIP {name}: not in queries.json manifest")
             continue
         try:
             n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
