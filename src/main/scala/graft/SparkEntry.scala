@@ -867,6 +867,180 @@ object SparkEntry {
         .asOfJoin(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("asof_orderkey"))
         .select("event_id", "user_id", "asof_orderkey")
     }),
+
+    // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
+    // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
+    // training pipeline needs them (inter-event gaps, trailing windows).
+    // Total order inside each partition: (o_orderdate, o_orderkey).
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        // decimal accumulation inside the frame: order-independent sum
+        sum(col("o_totalprice").cast("decimal(24,6)"))
+          .over(w.rowsBetween(-2, 0)).cast("double").as("trail3_spend"),
+      )
+    }),
+
+    // --- beyond-reference: ranking family (dense_rank/percent_rank/ntile)
+    // percent_rank = (rank-1)/(n-1): one exact IEEE division, so the
+    // doubles hash-match across engines.
+    "q_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        dense_rank().over(w).as("drank"),
+        rank().over(w).as("rnk"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).as("quartile"),
+      )
+    }),
+
+    // --- beyond-reference: INTERSECT / EXCEPT set algebra --------------
+    // (the reference plays the subtract role with left_anti only —
+    // SURVEY §2.7; these are the remaining two set operators)
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(yr: Int) =
+        o.filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+      val k94 = custs(1995)
+      val k95 = custs(1996)
+      k94.intersect(k95).withColumn("tag", lit("both"))
+        .unionByName(k94.except(k95).withColumn("tag", lit("only_first")))
+    }),
+
+    // --- beyond-reference: pivot (long → wide), fixed value list -------
+    // The inverse of q_unpivot; explicit values keep the schema static
+    // (no extra distinct-scan job, stable at 100 TB).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+    }),
+
+    // --- beyond-reference: GROUPING SETS (general form of cube/rollup) -
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+    }),
+
+    // --- beyond-reference: JSON field extraction from a string column --
+    // events.props is a JSON object column; semi-structured extraction is
+    // a staple of log/training-data pipelines.
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // --- beyond-reference: date spine + gap fill ------------------------
+    // Generated dimension (sequence→explode) left-joined to the facts:
+    // the canonical dense-time-series shape; zero-fill keeps silent gaps
+    // from vanishing downstream.
+    "q_date_spine" -> ((s, dir) => {
+      val spine = t(s, dir, "orders").sparkSession.range(1).select(
+        explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-12-31")),
+          expr("interval 1 day"))).as("day"))
+      val daily = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      spine.join(daily, Seq("day"), "left")
+        .select(
+          col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0)).as("spend"),
+        )
+    }),
+
+    // --- beyond-reference: edit distance (fuzzy string matching) -------
+    "q_levenshtein" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("dist"),
+      )
+    }),
+
+    // --- beyond-reference: deterministic Pearson correlation -----------
+    // Built-in corr() accumulates doubles (order-dependent); this derives
+    // r from exact decimal moment sums, then a fixed-order IEEE double
+    // expression — bit-identical on any partitioning AND across engines.
+    "q_corr_manual" -> ((s, dir) => {
+      // decimal(12,3): wide enough for price (<1e5, 2 decimals), and the
+      // per-row PRODUCTS still fit DuckDB's int64 decimal storage
+      // (decimal(18,6)² overflows it before promotion).
+      val d18 = (c: Column) => c.cast("decimal(12,3)")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        // Moment sums scaled to exact INTEGERS before the double cast
+        // (corr is scale-invariant): a fractional decimal→double cast is
+        // correctly rounded in one step on the JVM but double-rounds
+        // through DuckDB's scaled-int path — a 1-ulp divergence that an
+        // integer-valued decimal can't have.
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(d18(col("l_quantity"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sx"),
+          (sum(d18(col("l_extendedprice"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sy"),
+          (sum(d18(col("l_quantity")) * d18(col("l_quantity"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("sxx"),
+          (sum(d18(col("l_extendedprice")) * d18(col("l_extendedprice"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("syy"),
+          (sum(d18(col("l_quantity")) * d18(col("l_extendedprice"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("sxy"),
+        )
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+        )
+    }),
+
+    // --- beyond-reference: TF-IDF-weighted top terms per document ------
+    // Linear idf (N/df as an exact integer ratio → one IEEE division)
+    // instead of log-idf: same ranking monotonicity, but bit-identical
+    // across engines (ln() is transcendental and libm-dependent).
+    // N arrives as a 1-row broadcast cross join, not a collected scalar.
+    "q_tfidf_topterms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val ndocs = t(s, dir, "documents").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val weighted = tf.join(dfreq, Seq("term")).crossJoin(broadcast(ndocs))
+        .withColumn("weight",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+      weighted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "rn", "term", "weight")
+    }),
+
+    // --- beyond-reference: banded range join (core.RangeJoin) ----------
+    // Trailing-window interval join as an equi-join on time bands: the
+    // non-equi BETWEEN would plan as a broadcast nested loop (O(n·m));
+    // banding shuffles by band key instead — see RangeJoin scaladoc.
+    "q_range_join" -> ((s, dir) => {
+      val days = t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_day")).distinct()
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("o_day"))
+      graft.core.RangeJoin
+        .trailingWindowJoin(days, "ship_day", ords, "o_day", lookbackDays = 3, bandDays = 4)
+        .groupBy("ship_day")
+        .agg(count(lit(1)).as("n_orders_trailing3"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1369,6 +1543,109 @@ object SparkEntry {
         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
         |SELECT e.event_id, e.user_id, o.asof_orderkey
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |            CAST(o_orderdate AS DATE)) AS days_since_prev,
+        |  lag(o_orderkey) OVER w AS prev_key,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail3_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_rank_family" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  dense_rank() OVER w AS drank,
+        |  rank() OVER w AS rnk,
+        |  percent_rank() OVER w AS prank,
+        |  ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH k94 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |k95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM k94 INTERSECT SELECT o_custkey FROM k95)
+        |UNION ALL
+        |SELECT o_custkey, 'only_first' AS tag FROM (SELECT o_custkey FROM k94 EXCEPT SELECT o_custkey FROM k95)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(gs AS DATE) AS day
+        |  FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) t(gs)),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS spend
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)
+        |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+        |  coalesce(d.spend, 0.0) AS spend
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day""".stripMargin,
+
+    "q_levenshtein" ->
+      "SELECT p_partkey, levenshtein(p_name, p_type) AS dist FROM part",
+
+    "q_corr_manual" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3)) * CAST(l_quantity AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,3)) * CAST(l_extendedprice AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3)) * CAST(l_extendedprice AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |weighted AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS weight
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, term, weight,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rn
+        |  FROM weighted)
+        |SELECT doc_id, rn, term, weight FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q_range_join" ->
+      """WITH days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_day FROM lineitem)
+        |SELECT d.ship_day, count(*) AS n_orders_trailing3
+        |FROM days d JOIN orders o
+        |  ON CAST(o.o_orderdate AS DATE) BETWEEN d.ship_day - 3 AND d.ship_day
+        |GROUP BY d.ship_day""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -17,6 +17,27 @@ class PlanShapeSpec extends SparkTestBase {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
+  test("q_range_join: banded interval join plans as an equi-join, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banding must turn the BETWEEN into an equi-join:\n$p")
+  }
+
+  test("RangeJoin.trailingWindowJoin matches the naive non-equi join") {
+    import org.apache.spark.sql.functions._
+    val days = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_shipdate").cast("date").as("ship_day")).distinct()
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderdate").cast("date").as("o_day"))
+    val banded = graft.core.RangeJoin
+      .trailingWindowJoin(days, "ship_day", ords, "o_day", lookbackDays = 3, bandDays = 4)
+      .groupBy("ship_day").agg(count(lit(1)).as("n"))
+    val naive = days.join(ords,
+        col("o_day").between(date_sub(col("ship_day"), 3), col("ship_day")))
+      .groupBy("ship_day").agg(count(lit(1)).as("n"))
+    assert(banded.collect().toSet == naive.collect().toSet)
+  }
+
   test("q_collect_nested: two-level nesting runs on ONE shuffle (partition-once)") {
     val p = plan("q_collect_nested")
     assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
