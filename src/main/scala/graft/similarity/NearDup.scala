@@ -242,11 +242,17 @@ object NearDup {
       val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
       var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
-      (1 to maxIter).foreach { _ =>
+      (1 to maxIter).foreach { i =>
         val prop = both
           .join(labels, both("src") === labels("id"))
           .select(both("dst").as("id"), col("label"))
         labels = labels.union(prop).groupBy("id").agg(min("label").as("label"))
+        // Each round references `labels` twice (join + union), so the lazy
+        // plan doubles per round — 2^k subtrees by round k, and Catalyst
+        // compile time with it. Materializing the (tiny) label table every
+        // few rounds keeps the plan bounded at ~2³ for the cost of one
+        // small job per segment.
+        if (i % 3 == 0 && i < maxIter) labels = labels.localCheckpoint()
       }
       labels
     } else {
