@@ -1041,6 +1041,64 @@ object SparkEntry {
         .groupBy("ship_day")
         .agg(count(lit(1)).as("n_orders_trailing3"))
     }),
+
+    // --- beyond-reference: deterministic train/val/test split ----------
+    // Content-hash assignment (core.Sampling.stratifiedSplit): stable
+    // across partitioning, engines, and corpus growth — no leakage when
+    // the pipeline is re-run incrementally.
+    "q_train_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", graft.core.Sampling.stratifiedSplit(
+          col("doc_id"), Seq("train" -> "cc", "val" -> "e6"), rest = "test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // --- beyond-reference: fixed-width histogram ------------------------
+    // floor((x - lo) / width): one exact IEEE subtraction+division per
+    // row, no width_bucket dependency — identical bucketing in any engine.
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(floor((col("l_extendedprice") - 900.0) / 5000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+    }),
+
+    // --- beyond-reference: salted join (skew mitigation), oracled ------
+    // l_returnflag has 3 values over the whole fact table — the worst
+    // join-key skew possible. Layout.saltedJoin spreads each hot key over
+    // saltFactor reducers; the oracle is the PLAIN join, proving the
+    // rewrite is result-identical.
+    "q_salted_join" -> ((s, dir) => {
+      val flags = t(s, dir, "lineitem").sparkSession.createDataFrame(Seq(
+        ("A", "returned"), ("N", "in_transit"), ("R", "refused")
+      )).toDF("l_returnflag", "flag_desc")
+      graft.core.Layout
+        .saltedJoin(t(s, dir, "lineitem"), flags, "l_returnflag", saltFactor = 8)
+        .groupBy("flag_desc")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // --- beyond-reference: end-to-end dedup — cluster → survivor -------
+    // The full corpus-dedup contract: EVERY doc maps to a representative
+    // (its cluster's min id; itself when unique). Downstream consumes
+    // `WHERE doc_id = rep` as the deduplicated corpus.
+    "q_dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val pairs = NearDup.jaccardVerify(
+        NearDup.minhashCandidates(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+        docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
+      val labels = NearDup
+        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 6, fixedIterations = true)
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("rep"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_survivor"),
+        )
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1646,6 +1704,55 @@ object SparkEntry {
         |FROM days d JOIN orders o
         |  ON CAST(o.o_orderdate AS DATE) BETWEEN d.ship_day - 3 AND d.ship_day
         |GROUP BY d.ship_day""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH flags(l_returnflag, flag_desc) AS (
+        |  VALUES ('A', 'returned'), ('N', 'in_transit'), ('R', 'refused'))
+        |SELECT flag_desc, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN flags USING (l_returnflag)
+        |GROUP BY flag_desc""".stripMargin,
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [] END AS sh FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |labels AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s)
+        |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS rep,
+        |  coalesce(l.cluster, d.doc_id) = d.doc_id AS is_survivor
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN labels l USING (doc_id)""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -25,6 +25,22 @@ object Sampling {
     else df.filter(substring(md5(key.cast("string")), 1, 1) < lit(Integer.toHexString(keep)))
   }
 
+  /** Deterministic train/val/test assignment: the first two hex chars of
+    * md5(key) give 256 buckets; `cuts` maps each label to its EXCLUSIVE
+    * upper hex bound (lowercase, 2 chars, ascending), the last label
+    * catching the rest. E.g. `Seq("train" -> "cc", "val" -> "e6")` +
+    * `rest = "test"` ≈ 80/10/10. Membership depends only on the key
+    * bytes: stable across partitioning, engines, and incremental loads —
+    * a row never migrates between splits when the corpus grows (the
+    * property per-run random splits lack, and leakage-free by key).
+    */
+  def stratifiedSplit(key: Column, cuts: Seq[(String, String)], rest: String): Column = {
+    val bucket = substring(md5(key.cast("string")), 1, 2)
+    cuts.foldRight(lit(rest)) { case ((label, hi), els) =>
+      when(bucket < lit(hi), lit(label)).otherwise(els)
+    }
+  }
+
   /** Finer-grained variant: first 4 hex chars → 65536 buckets, keep
     * buckets `[0, keep)` — fraction keep/65536.
     */

@@ -118,6 +118,24 @@ class AsOfSpec extends SparkTestBase {
     assert(fine.exceptAll(s1).isEmpty && s1.exceptAll(fine).isEmpty)
   }
 
+  test("Sampling.stratifiedSplit: total cover, growth-stable, ~80/10/10") {
+    import graft.core.Sampling
+    val cuts = Seq("train" -> "cc", "val" -> "e6")
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("split", Sampling.stratifiedSplit($"doc_id", cuts, "test"))
+    val byTag = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = byTag.values.sum
+    assert(byTag.keySet == Set("train", "val", "test"), s"got $byTag")
+    assert(byTag("train").toDouble / total > 0.7 && byTag("train").toDouble / total < 0.9)
+    // Growth stability: assignments on a half-corpus agree with the full
+    // corpus (the anti-leakage property a per-run random split lacks).
+    val half = spark.read.parquet(s"$sf/documents.parquet").filter($"doc_id" % 2 === 0)
+      .withColumn("split", Sampling.stratifiedSplit($"doc_id", cuts, "test"))
+    val joined = half.select($"doc_id", $"split".as("half_split"))
+      .join(df.select($"doc_id", $"split"), "doc_id")
+    assert(joined.filter($"half_split" =!= $"split").isEmpty)
+  }
+
   test("Writers.writeByExtension dispatches parquet/json/tsv (K2, K5)") {
     val dir = tmpDir("k2sink")
     val df = Seq(("g1", 1), ("g2", 2)).toDF("gene", "n")

@@ -124,6 +124,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("conversions stream-stream join matches the batch inequality join") {
+    val dir = tmpDir("stream_conv")
+    val base = spark.read.schema(EventsStream.eventsSchema)
+      .parquet(s"$sf/events.parquet").limit(2000)
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    val types = base.select("event_type").distinct().as[String].collect().sorted
+    assume(types.length >= 2, "need two event types")
+    val (from, to) = (types(0), types(1))
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val q = EventsStream.runToMemory(
+      EventsStream.conversions(stream, from, to, window = "30 minutes"), "conv")
+    try {
+      val got = spark.table("conv")
+        .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+      val b = EventsStream.withEventTime(base)
+      val a = b.filter($"event_type" === from)
+        .select($"user_id", $"event_time".as("from_time"), $"event_id".as("from_id"))
+      val c = b.filter($"event_type" === to)
+        .select($"user_id".as("ub"), $"event_time".as("to_time"), $"event_id".as("to_id"))
+      val want = a.join(c, $"user_id" === $"ub" && $"to_time" >= $"from_time" &&
+          $"to_time" <= $"from_time" + expr("INTERVAL 30 minutes"))
+        .select("from_id", "to_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream ${got.size} pairs vs batch ${want.size}")
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across micro-batches") {
     val dir = tmpDir("stream_state")
     spark.read.schema(EventsStream.eventsSchema)
