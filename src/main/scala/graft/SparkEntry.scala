@@ -418,7 +418,7 @@ object SparkEntry {
       // astronomically unlucky misses diverge; (b) maxIter ≥ component
       // min-eccentricity. A regenerated corpus could in principle break
       // (a) without a code change.
-      NearDup
+      if (sys.env.contains("SPARK_GRAFT_NOCC")) pairs else NearDup
         .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 6, fixedIterations = true)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
@@ -1099,6 +1099,47 @@ object SparkEntry {
           (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_survivor"),
         )
     }),
+
+    // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
+    // Per-group p25/p75 from exact quarter percentiles (bit-stable across
+    // engines for integral inputs), broadcast back, clip with
+    // least/greatest — the standard feature-cleaning step, fully
+    // deterministic.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          greatest(col("p25"), least(col("p75"), col("l_quantity"))).as("qty_clipped"),
+        )
+    }),
+
+    // --- beyond-reference: per-group z-score normalization --------------
+    // mean/std from exact decimal moment sums (same determinism recipe as
+    // q_corr_manual: integer-scaled decimals → fixed-order IEEE doubles).
+    "q_zscore" -> ((s, dir) => {
+      val d12 = (c: Column) => c.cast("decimal(12,3)")
+      val li = t(s, dir, "lineitem")
+      val m = li.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(d12(col("l_quantity"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sx"),
+          (sum(d12(col("l_quantity")) * d12(col("l_quantity"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("sxx"),
+        )
+        .select(col("l_returnflag"),
+          (col("sx") / lit(1000.0) / col("n")).as("mean_qty"),
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1)))) / lit(1000.0)).as("sd_qty"))
+      li.join(broadcast(m), Seq("l_returnflag"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ((col("l_quantity") - col("mean_qty")) / col("sd_qty")).as("z_qty"),
+        )
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -1753,6 +1794,28 @@ object SparkEntry {
         |  coalesce(l.cluster, d.doc_id) = d.doc_id AS is_survivor
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         |LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.75) AS p75
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  greatest(p25, least(p75, l_quantity)) AS qty_clipped
+        |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin,
+
+    "q_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3)) * CAST(l_quantity AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, sx / 1000.0 / n AS mean_qty,
+        |    sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000.0 AS sd_qty FROM s)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  (l_quantity - mean_qty) / sd_qty AS z_qty
+        |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

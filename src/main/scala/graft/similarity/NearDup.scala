@@ -72,22 +72,35 @@ object NearDup {
           .as("sig"),
       )
     val buckets = sig
-      .select(col(idCol), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col(idCol), col("b.band"), col("b.bucket"))
+      .select(col(idCol), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col(idCol), col("sig"), col("b.band"), col("b.bucket"))
     // Cap degenerate buckets to bound the pair blowup; the filter is a
     // windowless groupBy so it map-side combines.
     val sized = buckets
       .groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) between (2, maxBucket))
-    // Pair within bucket without a self-join: sort ids, explode with
-    // position, then pair each id only with its successors — emits exactly
+      .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) between (2, maxBucket))
+    // Pair within bucket without a self-join: sort members, explode with
+    // position, then pair each member only with its successors — exactly
     // the n·(n−1)/2 (a<b) pairs instead of n² rows filtered afterwards.
+    //
+    // First-collision-band dedup: a true near-dup pair collides in MANY
+    // bands (an identical pair in ALL of them), so emitting per band and
+    // running a global distinct() shuffles ~bands× the unique pair count
+    // — measured as the dominant stage of the dedup pipeline. Instead,
+    // each pair is kept only in the FIRST band whose rows all match, via
+    // a narrow signature-prefix check: no duplicate rows are ever
+    // shuffled and the distinct() disappears.
+    val earlier = when(col("band") === 0, lit(false)).otherwise(
+      exists(sequence(lit(0), col("band") - 1), j =>
+        forall(sequence(j * rowsPerBand, (j + 1) * rowsPerBand - 1), k =>
+          element_at(col("m.sig"), k + 1) === element_at(col("n.sig"), k + 1))))
     sized
-      .select(posexplode(array_sort(col("ids"))).as(Seq("pos", "a")), col("ids"))
-      .select(col("a"), explode(slice(array_sort(col("ids")), col("pos") + 2, size(col("ids")))).as("b"))
-      .distinct()
-      .select(col("a").as(idCol + "_a"), col("b").as(idCol + "_b"))
+      .select(col("band"), array_sort(col("ms")).as("ms"))
+      .select(col("band"), posexplode(col("ms")).as(Seq("pos", "m")), col("ms"))
+      .select(col("band"), col("m"), explode(slice(col("ms"), col("pos") + 2, size(col("ms")))).as("n"))
+      .filter(!earlier)
+      .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
   }
 
   /** Winnowing-fingerprint near-dup candidates: pairs of docs sharing at
