@@ -198,6 +198,49 @@ object EventsStream {
       }
   }
 
+  /** Streaming as-of enrichment against a time-versioned static dimension
+    * (slowly-changing-dimension lookup): each event picks the latest
+    * dimension version with version_ts ≤ event ts.
+    *
+    * Shape: the dimension is pre-aggregated to ONE row per key holding its
+    * time-sorted version history as an array, then broadcast-joined to the
+    * stream; a higher-order filter + element_at(-1) picks the as-of
+    * version inside a pure projection. No stateful operator, no watermark
+    * bookkeeping, no per-event shuffle — the canonical stream×static
+    * enrichment, and the streaming face of core.AsOf.asOfJoin (which
+    * handles the big-big batch case via union+window).
+    *
+    * Scale: dimension history must fit the broadcast budget (it is the
+    * per-key HISTORY, not the fact stream — the usual SCD case). A
+    * too-big dimension falls back to the batch formulation per
+    * micro-batch via forEachBatch.
+    *
+    * @param dim static DataFrame with columns (key, versionTs, payload)
+    * @return stream columns + `payload` (null when no version ≤ ts exists)
+    */
+  def asOfEnrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      streamTimeNs: String,
+      dimKey: String,
+      dimTimeNs: String,
+      payload: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val hist = dim
+      .groupBy(col(dimKey).as("_dk"))
+      .agg(sort_array(collect_list(struct(col(dimTimeNs).as("_vt"), col(payload)))).as("_hist"))
+    stream
+      .join(broadcast(hist), col(streamKey) === col("_dk"), "left")
+      .withColumn("_eligible", filter(col("_hist"), v => v("_vt") <= col(streamTimeNs)))
+      // when-guard: ANSI mode throws on element_at over an empty array
+      // (no eligible version, or no history at all → size(null) = -1).
+      .withColumn(payload,
+        when(size(col("_eligible")) > 0, element_at(col("_eligible"), -1)(payload)))
+      .drop("_dk", "_hist", "_eligible")
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and block
     * until the backlog drains — the local smoke harness.
     */

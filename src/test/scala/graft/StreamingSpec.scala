@@ -150,6 +150,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfEnrich on a stream matches the batch as-of join") {
+    val dir = tmpDir("stream_asof")
+    val base = spark.read.schema(EventsStream.eventsSchema)
+      .parquet(s"$sf/events.parquet").limit(2000)
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    // Time-versioned dimension: per user, versions at the min event ts and
+    // +30 min, so some events precede version 1 (null), some straddle.
+    val min30 = 30L * 60 * 1000000000L
+    val dim = base.groupBy($"user_id".as("k"))
+      .agg(org.apache.spark.sql.functions.min($"ts").as("t0"))
+      .select($"k", explode(array(
+        struct($"t0".as("vt"), concat(lit("v1-"), $"k").as("tier")),
+        struct(($"t0" + min30).as("vt"), concat(lit("v2-"), $"k").as("tier")))).as("v"))
+      .select($"k", $"v.vt", $"v.tier")
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val enriched = EventsStream.asOfEnrich(stream, dim, "user_id", "ts", "k", "vt", "tier")
+      .select("event_id", "tier")
+    val q = EventsStream.runToMemory(enriched, "asof_enrich")
+    try {
+      val got = spark.table("asof_enrich")
+        .as[(Long, Option[String])].collect().toMap
+      val want = graft.core.AsOf.asOfJoin(
+          base.select("event_id", "user_id", "ts"), dim, "user_id", "ts", "k", "vt", Seq("tier"))
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(got.size == want.size && got == want,
+        s"stream enrich diverges from batch as-of (${got.size} vs ${want.size})")
+    } finally q.stop()
+  }
+
   test("userRunningTotals keeps per-user state across micro-batches") {
     val dir = tmpDir("stream_state")
     spark.read.schema(EventsStream.eventsSchema)
