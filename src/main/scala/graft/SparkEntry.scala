@@ -1100,6 +1100,18 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: Bloom-filter semi-join reduction ------------
+    // Exact result (oracle = the PLAIN semi join): the Bloom pre-filter
+    // only shrinks what reaches the shuffle — see core.BloomJoin.
+    "q_bloom_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 250000.0)
+      graft.core.BloomJoin
+        .semiJoinReduced(t(s, dir, "lineitem"), bigOrders,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -1794,6 +1806,14 @@ object SparkEntry {
         |  coalesce(l.cluster, d.doc_id) = d.doc_id AS is_survivor
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         |LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 250000.0)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join reduction — shrink the fact side BEFORE its
+  * shuffle, keeping the result exact.
+  *
+  * The scale problem: `fact SEMI JOIN dim` where dim is too big to
+  * broadcast shuffles the ENTIRE fact table on the join key, even when
+  * only a sliver of it matches. Spark's own runtime row-level filters
+  * (spark.sql.optimizer.runtime.bloomFilter.enabled) attack the same
+  * waste; this utility makes the pattern explicit and composable:
+  *
+  *   1. collect a Bloom filter over the dim keys (one pass over dim,
+  *      a few MB sketch on the driver);
+  *   2. broadcast it and drop fact rows whose key cannot match — a
+  *      narrow, pre-shuffle filter with fpp false positives;
+  *   3. run the exact semi join on the survivors — false positives are
+  *      removed here, so the final result is EXACTLY the plain join's.
+  *
+  * At 100 TB: the fact scan still reads everything (no pushdown for an
+  * opaque sketch), but the shuffle — the expensive stage — carries only
+  * matches + fpp·|fact| rows instead of |fact|.
+  */
+object BloomJoin {
+
+  /** Exact left-semi join with a Bloom pre-filter on the fact side.
+    * Key columns must be integral (hashed as longs into the sketch).
+    *
+    * @param expectedItems sizing for the sketch (dim-side distinct keys)
+    * @param fpp           false-positive rate: shuffle waste, not error
+    */
+  def semiJoinReduced(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+  ): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    // java.lang.Long parameter: keeps null keys flowing to the UDF (a
+    // primitive Long would make Spark null-skip and default to false —
+    // which is also what we want, but explicitly).
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    val d = dim.select(col(dimKey).as("__bk")).where(col("__bk").isNotNull)
+    fact
+      .filter(might(col(factKey)))
+      .join(d, col(factKey) === col("__bk"), "left_semi")
+  }
+}

@@ -38,6 +38,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(banded.collect().toSet == naive.collect().toSet)
   }
 
+  test("BloomJoin: pre-filter shrinks the shuffled side; result stays exact") {
+    import org.apache.spark.sql.functions._
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf/orders.parquet").filter(col("o_totalprice") > 250000.0)
+    val reduced = graft.core.BloomJoin
+      .semiJoinReduced(fact, dim, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+    val plain = fact.join(dim.select(col("o_orderkey").as("k")),
+      col("l_orderkey") === col("k"), "left_semi")
+    assert(reduced.count() == plain.count())
+    // The Bloom stage alone must cut the fact side hard (selective dim):
+    val bf = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    val kept = fact.filter(might(col("l_orderkey"))).count()
+    assert(kept < fact.count() / 2,
+      s"bloom pre-filter kept $kept of ${fact.count()} — no reduction")
+  }
+
   test("q_collect_nested: two-level nesting runs on ONE shuffle (partition-once)") {
     val p = plan("q_collect_nested")
     assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
