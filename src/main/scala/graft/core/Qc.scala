@@ -56,6 +56,26 @@ object Qc {
     frac
   }
 
+  /** Zero-cost QC via `Dataset.observe`: metrics accumulate DURING the
+    * pipeline's own action instead of re-scanning with a separate
+    * count()/agg() job (every helper above, like the reference's eager
+    * QC asserts, pays one extra pass — at 100 TB that is a second full
+    * scan). Attach near the scan, run the normal write, then validate
+    * with [[observedMetrics]].
+    */
+  def observed(df: DataFrame, name: String, metrics: org.apache.spark.sql.Column*): DataFrame =
+    df.observe(name, metrics.head, metrics.tail: _*)
+
+  /** Metrics recorded by [[observed]] for the LAST completed action that
+    * ran this Dataset's own QueryExecution (collect/foreach/toLocalIterator;
+    * empty before any such action). `df.write` builds a NEW QueryExecution,
+    * so for writes read the metrics from a `QueryExecutionListener` (the
+    * listener receives every execution, including writes) — or in
+    * streaming, from `StreamingQueryProgress.observedMetrics`.
+    */
+  def observedMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] =
+    df.queryExecution.observedMetrics
+
   /** Several boolean invariants in ONE job: each predicate is counted in a
     * single aggregate pass; returns violation counts keyed by label.
     */

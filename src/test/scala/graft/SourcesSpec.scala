@@ -96,4 +96,18 @@ class SourcesSpec extends SparkTestBase {
     Qc.assertAll(df, Seq("neg_p" -> ($"p" < 0), "huge_p" -> ($"p" > 1)))
     intercept[Qc.QcException](Qc.assertAll(df, Seq("zero_p" -> ($"p" === 0.0))))
   }
+
+  test("Qc.observed records metrics during the pipeline's own action (no extra job)") {
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    val observed = Qc.observed(base, "qc",
+      count(lit(1)).as("rows"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("bad_qty"))
+      .filter($"l_quantity" > 0) // QC sees pre-filter rows: attached at the scan
+    // collect() runs the Dataset's OWN QueryExecution — the one observe is
+    // attached to (a write would build a fresh one; see Qc scaladoc).
+    val n = observed.collect().length
+    val m = Qc.observedMetrics(observed)("qc")
+    assert(m.getAs[Long]("rows") == base.count() && m.getAs[Long]("bad_qty") == 0L)
+    assert(n == base.count(), "filter dropped nothing (no non-positive quantities)")
+  }
 }
