@@ -1112,6 +1112,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // --- beyond-reference: ANSI-safe dirty-data ingestion ---------------
+    // try_cast/try_divide: malformed values become null instead of
+    // failing the job (Spark 4 runs ANSI mode by default, where a single
+    // bad row would kill a 100 TB ingest; the reference relied on the
+    // permissive 3.x casts).
+    "q_try_cast" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").as("prio_num"),
+        expr("try_cast(o_orderpriority AS INT)").as("junk_num"),
+        expr("try_divide(o_totalprice, try_cast(split(o_orderpriority, '-')[0] AS INT) - 1)").as("per_unit"),
+      )
+    }),
+
+    // --- beyond-reference: running distinct count (window rewrite) -----
+    // No engine supports COUNT(DISTINCT) OVER a running frame; the
+    // standard rewrite marks each key's first occurrence with row_number
+    // and running-sums the flags — pure window algebra, shuffle-once.
+    "q_window_countd" -> ((s, dir) => {
+      val firstSeen = Window.partitionBy("o_custkey", "o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("first_flag",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("first_flag")).over(running).as("distinct_prios_so_far"),
+        )
+    }),
+
+    // --- beyond-reference: percent-of-total (ratio_to_report) ----------
+    // Share = row / partition total, with the total from an exact decimal
+    // window sum → one IEEE division per row (engine-stable).
+    "q_pct_of_total" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_extendedprice") /
+            sum(col("l_extendedprice").cast("decimal(24,6)")).over(w).cast("double"))
+            .as("price_share"),
+        )
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -1806,6 +1853,32 @@ object SparkEntry {
         |  coalesce(l.cluster, d.doc_id) = d.doc_id AS is_survivor
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
         |LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
+    "q_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+        |  TRY_CAST(o_orderpriority AS INT) AS junk_num,
+        |  o_totalprice / nullif(TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) - 1, 0) AS per_unit
+        |FROM orders""".stripMargin,
+
+    "q_window_countd" ->
+      """WITH flagged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_flag
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(sum(first_flag) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_prios_so_far
+        |FROM flagged""".stripMargin,
+
+    "q_pct_of_total" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  l_extendedprice / CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6)))
+        |    OVER (PARTITION BY l_returnflag) AS DOUBLE) AS price_share
+        |FROM lineitem""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n,
