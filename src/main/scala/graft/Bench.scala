@@ -47,13 +47,26 @@ object Bench {
     // queries × full double precision). Render per-query seconds at 3
     // decimals, dropping to 2 if the line would still overflow, and print
     // after spark.stop() so no shutdown logging can follow it.
-    def render(fmt: String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+    // "0.40" -> "0.4", "1.00" -> "1.0" (keep one decimal so it stays a
+    // JSON double), saving ~0.5 chars/query.
+    def trim0(s: String): String = {
+      var e = s.length
+      while (e > 0 && s.charAt(e - 1) == '0' && s.charAt(e - 2) != '.') e -= 1
+      s.substring(0, e)
+    }
+    def render(fmt: String, rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(fmt.format(v)) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val line3 = render("%.3f")
-    val line = if (line3.length <= 1900) line3 else render("%.2f")
+    // Cascade until the line fits with ~wiggle room: full 3-decimal map →
+    // full 2-decimal → slowest-60 2-decimal (totals stay complete either
+    // way; only per-query detail is shed, slowest-first retained).
+    val line = Seq(
+      () => render("%.3f", results),
+      () => render("%.2f", results),
+      () => render("%.2f", results.sortBy(-_._2).take(60).sortBy(_._1)),
+    ).view.map(_()).find(_.length <= 1950).getOrElse(render("%.2f", Seq.empty))
     spark.stop()
     println(line)
   }
