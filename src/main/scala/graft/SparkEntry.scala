@@ -1156,16 +1156,19 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: percent-of-total (ratio_to_report) ----------
-    // Share = row / partition total, with the total from an exact decimal
-    // window sum → one IEEE division per row (engine-stable).
+    // Share = row / group total → one IEEE division per row. NOT a
+    // whole-partition window: `sum() OVER (PARTITION BY flag)` on a
+    // 3-value key collapses parallelism to 3 tasks and spills the whole
+    // fact table through them. The agg+broadcast-join-back formulation is
+    // result-identical, map-side combines, and scales with the input.
     "q_pct_of_total" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag")
-      t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      val totals = li.groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast("decimal(24,6)")).cast("double").as("_tot"))
+      li.join(broadcast(totals), Seq("l_returnflag"))
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          (col("l_extendedprice") /
-            sum(col("l_extendedprice").cast("decimal(24,6)")).over(w).cast("double"))
-            .as("price_share"),
+          (col("l_extendedprice") / col("_tot")).as("price_share"),
         )
     }),
 
