@@ -1172,6 +1172,39 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: sequence packing (token-budget batches) -----
+    // Assign docs to fixed-token-budget training batches in a stable
+    // order (doc_id within lang): batch = floor(tokens-before-me /
+    // budget) via a running window sum — deterministic, resumable, and
+    // one shuffle per language partition.
+    "q_pack_batches" -> ((s, dir) => {
+      val budget = 2000L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens")
+            .cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("batch_id"))
+    }),
+
+    // --- beyond-reference: intra-doc repetition score (quality filter) --
+    // Gopher-style repetition signal: fraction of word 3-grams that are
+    // repeats of an earlier one in the SAME doc — high values flag
+    // boilerplate/spam. distinct/total as an exact integer ratio.
+    "q_rep_ngrams" -> ((s, dir) => {
+      val sh = TextAnalysis.wordShingles(col("text"), 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(sh).as("n_grams"),
+          size(array_distinct(sh)).as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+            .as("rep_score"))
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -1900,6 +1933,34 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 250000.0)
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_pack_batches" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id
+        |FROM c""".stripMargin,
+
+    "q_rep_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS rep_score
+        |FROM g WHERE len(grams) > 0""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
