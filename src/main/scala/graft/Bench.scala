@@ -66,7 +66,7 @@ object Bench {
       () => render("%.3f", results),
       () => render("%.2f", results),
       () => render("%.2f", results.sortBy(-_._2).take(60).sortBy(_._1)),
-    ).view.map(_()).find(_.length <= 1950).getOrElse(render("%.2f", Seq.empty))
+    ).view.map(_()).find(_.length <= 1985).getOrElse(render("%.2f", Seq.empty))
     spark.stop()
     println(line)
   }
