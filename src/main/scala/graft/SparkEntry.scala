@@ -1205,6 +1205,16 @@ object SparkEntry {
             .as("rep_score"))
     }),
 
+    // --- beyond-reference: one-pass data profiling ----------------------
+    // Per-column null/distinct/min/max in a single aggregation job
+    // (core.Profile). acctbal is pinned to decimal(12,2) first: the
+    // profile stringifies min/max, and double→string formatting is
+    // engine-specific while decimal→string is not.
+    "q_profile" -> ((s, dir) => {
+      graft.core.Profile.profile(
+        t(s, dir, "customer").withColumn("c_acctbal", col("c_acctbal").cast("decimal(12,2)")))
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -1961,6 +1971,21 @@ object SparkEntry {
         |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
         |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS rep_score
         |FROM g WHERE len(grams) > 0""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'c_custkey' AS column_name, count(*) AS n,
+        |  count(*) - count(c_custkey) AS nulls, count(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s, CAST(max(c_custkey) AS VARCHAR) AS max_s
+        |FROM customer
+        |UNION ALL SELECT 'c_name', count(*), count(*) - count(c_name), count(DISTINCT c_name),
+        |  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey), count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |UNION ALL SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal), count(DISTINCT c_acctbal),
+        |  CAST(CAST(min(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR),
+        |  CAST(CAST(max(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR) FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
