@@ -1215,6 +1215,26 @@ object SparkEntry {
         t(s, dir, "customer").withColumn("c_acctbal", col("c_acctbal").cast("decimal(12,2)")))
     }),
 
+    // --- beyond-reference: gaps-and-islands (SCD-2 interval build) ------
+    // Collapse consecutive equal attribute values per key into validity
+    // intervals via the row_number-difference trick: rn(key) − rn(key,
+    // value) is constant within a run — pure window algebra, one shuffle,
+    // the building block of slowly-changing-dimension histories.
+    "q_islands" -> ((s, dir) => {
+      val byKey = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byKeyVal = Window.partitionBy("o_custkey", "o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("grp", row_number().over(byKey) - row_number().over(byKeyVal))
+        .groupBy("o_custkey", "o_orderpriority", "grp")
+        .agg(
+          min(col("o_orderdate").cast("date")).as("valid_from"),
+          max(col("o_orderdate").cast("date")).as("valid_to"),
+          count(lit(1)).as("n_orders"),
+        )
+        .drop("grp")
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -1986,6 +2006,19 @@ object SparkEntry {
         |  CAST(CAST(max(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR) FROM customer
         |UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment),
         |  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer""".stripMargin,
+
+    "q_islands" ->
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) -
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders)
+        |SELECT o_custkey, o_orderpriority,
+        |  CAST(min(o_orderdate) AS DATE) AS valid_from,
+        |  CAST(max(o_orderdate) AS DATE) AS valid_to,
+        |  count(*) AS n_orders
+        |FROM g GROUP BY o_custkey, o_orderpriority, grp""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
