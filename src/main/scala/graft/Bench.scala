@@ -54,19 +54,23 @@ object Bench {
       while (e > 0 && s.charAt(e - 1) == '0' && s.charAt(e - 2) != '.') e -= 1
       s.substring(0, e)
     }
+    val sfName = new java.io.File(sfDir).getName // basename: tail-window chars are precious
     def render(fmt: String, rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(fmt.format(v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // Cascade until the line fits with ~wiggle room: full 3-decimal map →
-    // full 2-decimal → slowest-60 2-decimal (totals stay complete either
-    // way; only per-query detail is shed, slowest-first retained).
-    val line = Seq(
+    // full 2-decimal → the largest slowest-N subset that fits (totals
+    // stay complete either way; only per-query detail is shed,
+    // slowest-first retained).
+    val bySlowest = results.sortBy(-_._2)
+    val line = (Seq(
       () => render("%.3f", results),
       () => render("%.2f", results),
-      () => render("%.2f", results.sortBy(-_._2).take(60).sortBy(_._1)),
-    ).view.map(_()).find(_.length <= 1985).getOrElse(render("%.2f", Seq.empty))
+    ) ++ (results.size - 5) .to(5) .by(-5) .map { n =>
+      () => render("%.2f", bySlowest.take(n).sortBy(_._1))
+    }).view.map(_()).find(_.length <= 1985).getOrElse(render("%.2f", Seq.empty))
     spark.stop()
     println(line)
   }
