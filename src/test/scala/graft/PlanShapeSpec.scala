@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"bloom pre-filter kept $kept of ${fact.count()} — no reduction")
   }
 
+  test("q_islands: both windows and the final agg ride ONE exchange") {
+    // hashpartitioning(o_custkey) co-locates the finer (o_custkey,
+    // o_orderpriority) window partitions too — Catalyst reuses it instead
+    // of re-shuffling between the two Window operators.
+    val p = plan("q_islands")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"expected a single hash exchange under both windows:\n$p")
+  }
+
   test("q_collect_nested: two-level nesting runs on ONE shuffle (partition-once)") {
     val p = plan("q_collect_nested")
     assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
