@@ -35,6 +35,12 @@ object Sampling {
     * property per-run random splits lack, and leakage-free by key).
     */
   def stratifiedSplit(key: Column, cuts: Seq[(String, String)], rest: String): Column = {
+    require(cuts.nonEmpty, "at least one cut")
+    require(cuts.forall(_._2.matches("[0-9a-f]{2}")),
+      s"cut bounds must be 2 lowercase hex chars, got ${cuts.map(_._2)}")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cut bounds must be strictly ascending, got ${cuts.map(_._2)} — a non-ascending " +
+        "when-chain silently shadows later labels")
     val bucket = substring(md5(key.cast("string")), 1, 2)
     cuts.foldRight(lit(rest)) { case ((label, hi), els) =>
       when(bucket < lit(hi), lit(label)).otherwise(els)

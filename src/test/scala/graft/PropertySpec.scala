@@ -105,6 +105,36 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("trailingWindowJoin equals the naive non-equi join for random windows") {
+    import org.apache.spark.sql.functions._
+    val paramGen = for {
+      lookback <- Gen.choose(0, 10)
+      band <- Gen.choose(1, 8)
+    } yield (lookback, band)
+    val days = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_shipdate").cast("date").as("d")).distinct().limit(200)
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderdate").cast("date").as("od")).limit(3000)
+    samples(paramGen, 4, 7000L).foreach { case (lookback, band) =>
+      val banded = graft.core.RangeJoin
+        .trailingWindowJoin(days, "d", ords, "od", lookback, band)
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      val naive = days.join(ords, col("od").between(date_sub(col("d"), lookback), col("d")))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+      assert(banded.collect().toSet == naive.collect().toSet,
+        s"lookback=$lookback band=$band")
+    }
+  }
+
+  test("stratifiedSplit rejects malformed cut tables") {
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit($"x", Seq("a" -> "e6", "b" -> "cc"), "r")) // not ascending
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit($"x", Seq("a" -> "CC"), "r")) // uppercase hex
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit($"x", Seq.empty, "r"))
+  }
+
   test("bestRowPerKey equals window top-1 under a total order on random data") {
     val rowGen = for {
       k <- Gen.choose(0, 5)
