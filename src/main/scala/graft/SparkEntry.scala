@@ -1235,6 +1235,42 @@ object SparkEntry {
         .drop("grp")
     }),
 
+    // --- beyond-reference: per-dimension embedding statistics -----------
+    // Feature-scaler "fit" at corpus scale: mean/sd per embedding
+    // dimension. Values are quantized to decimal(12,6) per row — a
+    // double→decimal cast can never tie (no binary fraction ends in an
+    // exact decimal 5), so the quantization is engine-identical — then
+    // the q_zscore integer-decimal recipe applies.
+    "q_embed_dimstats" -> ((s, dir) => {
+      val qi = (col("v").cast("double").cast("decimal(12,6)") * lit(1000000))
+        .cast("decimal(18,0)")
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("int").as("dim"), qi.as("qi"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qi")).cast("double").as("sx"),
+          sum(col("qi") * col("qi")).cast("double").as("sxx"))
+        .select(col("dim"), col("n"),
+          (col("sx") / lit(1000000.0) / col("n")).as("mean_v"),
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1)))) / lit(1000000.0)).as("sd_v"))
+    }),
+
+    // --- beyond-reference: INCREMENTAL dedup (new batch vs corpus) ------
+    // Daily-ingest shape: find near-dups of the NEW docs (odd ids)
+    // against themselves and the standing corpus (even ids) without ever
+    // re-pairing the old corpus — see NearDup.incrementalCandidates.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newBatch = docs.filter(col("doc_id") % 2 === 1)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      NearDup.jaccardVerify(
+        NearDup.incrementalCandidates(newBatch, corpus, "doc_id", "text",
+          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+        docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -2019,6 +2055,38 @@ object SparkEntry {
         |  CAST(max(o_orderdate) AS DATE) AS valid_to,
         |  count(*) AS n_orders
         |FROM g GROUP BY o_custkey, o_orderpriority, grp""".stripMargin,
+
+    "q_embed_dimstats" ->
+      """WITH e AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) * 1000000
+        |      AS DECIMAL(18,0)) AS qi
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT dim, count(*) AS n, CAST(sum(qi) AS DOUBLE) AS sx,
+        |    CAST(sum(qi * qi) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY dim)
+        |SELECT dim, n, sx / 1000000.0 / n AS mean_v,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000000.0 AS sd_v
+        |FROM s""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [] END AS sh FROM docs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        |  AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (

@@ -103,6 +103,65 @@ object NearDup {
       .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
   }
 
+  /** Candidate pairs for an INCREMENTAL corpus update: pairs over
+    * newDocs ∪ oldDocs where at least one side is new — old×old pairs
+    * are never emitted (they were found when the old corpus was built,
+    * and re-finding them would redo the whole corpus's work every
+    * batch). Same LSH construction and first-collision-band dedup as
+    * [[minhashCandidates]]; buckets whose members are all old are
+    * dropped before pairing, so a daily batch pays for its own bands
+    * plus only the colliding slice of the standing corpus. At 100 TB
+    * the old side's (band, bucket, id, sig) tuples are a precomputed
+    * partitioned index — the groupBy here co-locates new bands with it
+    * on the same shuffle key. Doc-id sets must be disjoint.
+    */
+  def incrementalCandidates(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 20,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sigOf(docs: DataFrame, isNew: Boolean) = docs
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
+      .select(
+        col(idCol),
+        graft.functions.GraftFunctions
+          .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
+          .as("sig"),
+        lit(isNew).as("is_new"),
+      )
+    val all = sigOf(newDocs, isNew = true).unionByName(sigOf(oldDocs, isNew = false))
+    val buckets = all
+      .select(col(idCol), col("sig"), col("is_new"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col(idCol), col("sig"), col("is_new"), col("b.band"), col("b.bucket"))
+    val sized = buckets
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col("sig"), col("is_new"))).as("ms"))
+      .filter(size(col("ms")) between (2, maxBucket))
+      // all-old buckets carry no incremental pair; drop before pairing.
+      // (Any bucket holding both members of a new-involving pair also
+      // holds the new member, so the first-collision-band check below
+      // still sees every colliding band of such a pair.)
+      .filter(exists(col("ms"), m => m("is_new")))
+    val earlier = when(col("band") === 0, lit(false)).otherwise(
+      exists(sequence(lit(0), col("band") - 1), j =>
+        forall(sequence(j * rowsPerBand, (j + 1) * rowsPerBand - 1), k =>
+          element_at(col("m.sig"), k + 1) === element_at(col("n.sig"), k + 1))))
+    sized
+      .select(col("band"), array_sort(col("ms")).as("ms"))
+      .select(col("band"), posexplode(col("ms")).as(Seq("pos", "m")), col("ms"))
+      .select(col("band"), col("m"), explode(slice(col("ms"), col("pos") + 2, size(col("ms")))).as("n"))
+      .filter(col("m.is_new") || col("n.is_new"))
+      .filter(!earlier)
+      .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
+  }
+
   /** Winnowing-fingerprint near-dup candidates: pairs of docs sharing at
     * least `minShared` winnow fingerprints (graft.functions.Winnow —
     * rolling-hash k-grams, window minima). Same bucket-join shape as

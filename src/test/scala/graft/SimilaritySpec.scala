@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(abc.size == 1 && xy.size == 1 && abc != xy)
   }
 
+  test("incrementalCandidates = full candidates restricted to new-involving pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val newB = docs.filter($"doc_id" % 2 === 1)
+    val oldB = docs.filter($"doc_id" % 2 === 0)
+    val inc = NearDup.incrementalCandidates(newB, oldB, "doc_id", "text",
+        shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet
+    val full = NearDup.minhashCandidates(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet[(Long, Long)]
+      .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    assert(inc == full,
+      s"incremental ${inc.size} pairs vs filtered-full ${full.size}")
+    // and strictly no old×old pair leaks through
+    assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
   test("lshTopK recall against brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)
