@@ -55,10 +55,14 @@ object Bench {
       s.substring(0, e)
     }
     val sfName = new java.io.File(sfDir).getName // basename: tail-window chars are precious
+    // Locale.ROOT: Scala's "%.3f".format uses the JVM default locale — a
+    // comma-decimal locale would emit 0,412 and corrupt the JSON.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def render(fmt: String, rs: Seq[(String, Double)]): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(fmt.format(v)) }
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(num(fmt, v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // Cascade until the line fits with ~wiggle room: full 3-decimal map →
     // full 2-decimal → the largest slowest-N subset that fits (totals

@@ -44,6 +44,10 @@ object RangeJoin {
       bandDays: Int,
   ): DataFrame = {
     require(lookbackDays >= 0 && bandDays > 0)
+    val reserved = Set("_ldn", "_rdn", "_band")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with RangeJoin internals: ${clash.mkString(",")}")
     // Integer day number since epoch: exact, no TZ arithmetic.
     def dayNum(c: Column): Column = datediff(c, to_date(lit("1970-01-01")))
     val l = left

@@ -73,34 +73,69 @@ object NearDup {
       )
     val buckets = sig
       .select(col(idCol), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col(idCol), col("sig"), col("b.band"), col("b.bucket"))
-    // Cap degenerate buckets to bound the pair blowup; the filter is a
-    // windowless groupBy so it map-side combines.
+      .select(struct(col(idCol).as("id"), col("sig")).as("member"), col("b.band"), col("b.bucket"))
+    firstBandPairs(buckets, rowsPerBand, maxBucket)
+      .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
+  }
+
+  /** Pair members within surviving buckets, emitting each pair EXACTLY
+    * once — at its first signature-equal band whose bucket survived the
+    * `maxBucket` cap.
+    *
+    * Pairing is successor-style (sort members, pair each with its
+    * followers): n·(n−1)/2 (a<b) pairs, no self-join, no n² filter.
+    *
+    * First-collision-band dedup: a true near-dup pair collides in MANY
+    * bands (an identical pair in ALL of them), so emitting per band and
+    * running a global distinct() shuffles ~bands× the unique pair count
+    * — measured as the dominant stage of the dedup pipeline. Instead a
+    * narrow signature-prefix check keeps each pair only in its first
+    * matching band: no duplicate row is ever shuffled.
+    *
+    * The cap interacts with that check: a pair whose EARLIEST equal band
+    * sat in a capped-away bucket was never emitted there, so suppressing
+    * it at later bands would drop it everywhere. The (rare, degenerate)
+    * capped bucket keys are folded in as a one-row broadcast array and
+    * the suppression only counts earlier bands whose bucket survived.
+    *
+    * @param buckets (member: struct with a `sig` field, band, bucket)
+    * @param bucketFilter extra predicate over the collected member array
+    * @return (band, m, n) — m/n are member structs, m.id < n.id
+    */
+  private def firstBandPairs(
+      buckets: DataFrame,
+      rowsPerBand: Int,
+      maxBucket: Int,
+      bucketFilter: Column => Column = _ => lit(true),
+  ): DataFrame = {
+    // One groupBy feeds both consumers below; the physical exchange is
+    // shared (ReusedExchange), so the bucket build runs once.
     val sized = buckets
       .groupBy("band", "bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col("sig"))).as("ms"))
+      .agg(collect_list(col("member")).as("ms"))
+    val kept = sized
       .filter(size(col("ms")) between (2, maxBucket))
-    // Pair within bucket without a self-join: sort members, explode with
-    // position, then pair each member only with its successors — exactly
-    // the n·(n−1)/2 (a<b) pairs instead of n² rows filtered afterwards.
-    //
-    // First-collision-band dedup: a true near-dup pair collides in MANY
-    // bands (an identical pair in ALL of them), so emitting per band and
-    // running a global distinct() shuffles ~bands× the unique pair count
-    // — measured as the dominant stage of the dedup pipeline. Instead,
-    // each pair is kept only in the FIRST band whose rows all match, via
-    // a narrow signature-prefix check: no duplicate rows are ever
-    // shuffled and the distinct() disappears.
-    val earlier = when(col("band") === 0, lit(false)).otherwise(
+      .filter(bucketFilter(col("ms")))
+    // Degenerate buckets beyond the cap: tiny set, one row, broadcast.
+    val capped = sized
+      .filter(size(col("ms")) > maxBucket)
+      .agg(collect_list(struct(col("band"), col("bucket"))).as("capped"))
+    // Bucket key of band j, recomputed from the signature — identical to
+    // [[lshBands]]' construction.
+    def bucketAt(j: Column): Column =
+      xxhash64(concat_ws("_", slice(col("m.sig"), j * rowsPerBand + 1, lit(rowsPerBand))))
+    val suppressedEarlier = when(col("band") === 0, lit(false)).otherwise(
       exists(sequence(lit(0), col("band") - 1), j =>
         forall(sequence(j * rowsPerBand, (j + 1) * rowsPerBand - 1), k =>
-          element_at(col("m.sig"), k + 1) === element_at(col("n.sig"), k + 1))))
-    sized
+          element_at(col("m.sig"), k + 1) === element_at(col("n.sig"), k + 1)) &&
+          !array_contains(col("capped"), struct(j.cast("int").as("band"), bucketAt(j).as("bucket")))))
+    kept
       .select(col("band"), array_sort(col("ms")).as("ms"))
       .select(col("band"), posexplode(col("ms")).as(Seq("pos", "m")), col("ms"))
       .select(col("band"), col("m"), explode(slice(col("ms"), col("pos") + 2, size(col("ms")))).as("n"))
-      .filter(!earlier)
-      .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
+      .crossJoin(broadcast(capped))
+      .filter(!suppressedEarlier)
+      .select(col("band"), col("m"), col("n"))
   }
 
   /** Candidate pairs for an INCREMENTAL corpus update: pairs over
@@ -137,28 +172,17 @@ object NearDup {
       )
     val all = sigOf(newDocs, isNew = true).unionByName(sigOf(oldDocs, isNew = false))
     val buckets = all
-      .select(col(idCol), col("sig"), col("is_new"),
+      .select(
+        struct(col(idCol).as("id"), col("sig"), col("is_new")).as("member"),
         explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col(idCol), col("sig"), col("is_new"), col("b.band"), col("b.bucket"))
-    val sized = buckets
-      .groupBy("band", "bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col("sig"), col("is_new"))).as("ms"))
-      .filter(size(col("ms")) between (2, maxBucket))
-      // all-old buckets carry no incremental pair; drop before pairing.
-      // (Any bucket holding both members of a new-involving pair also
-      // holds the new member, so the first-collision-band check below
-      // still sees every colliding band of such a pair.)
-      .filter(exists(col("ms"), m => m("is_new")))
-    val earlier = when(col("band") === 0, lit(false)).otherwise(
-      exists(sequence(lit(0), col("band") - 1), j =>
-        forall(sequence(j * rowsPerBand, (j + 1) * rowsPerBand - 1), k =>
-          element_at(col("m.sig"), k + 1) === element_at(col("n.sig"), k + 1))))
-    sized
-      .select(col("band"), array_sort(col("ms")).as("ms"))
-      .select(col("band"), posexplode(col("ms")).as(Seq("pos", "m")), col("ms"))
-      .select(col("band"), col("m"), explode(slice(col("ms"), col("pos") + 2, size(col("ms")))).as("n"))
+      .select(col("member"), col("b.band"), col("b.bucket"))
+    // All-old buckets carry no incremental pair; drop before pairing.
+    // (Any bucket holding both members of a new-involving pair also
+    // holds the new member, so the first-collision-band suppression in
+    // firstBandPairs still sees every colliding band of such a pair.)
+    firstBandPairs(buckets, rowsPerBand, maxBucket,
+        bucketFilter = ms => exists(ms, m => m("is_new")))
       .filter(col("m.is_new") || col("n.is_new"))
-      .filter(!earlier)
       .select(col("m.id").as(idCol + "_a"), col("n.id").as(idCol + "_b"))
   }
 
@@ -310,9 +334,12 @@ object NearDup {
       // job recompute per consumer — measured, see README). Unlike
       // persist(), localCheckpoint blocks are reclaimed by the
       // ContextCleaner once the result is unreferenced, so long-running
-      // sessions don't leak a cache entry per call.
+      // sessions don't leak a cache entry per call. eager=false keeps
+      // DataFrame CONSTRUCTION free of jobs (plan audits, tests building
+      // queries without running them); materialization happens on the
+      // caller's first action.
       val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var labels = both.select(col("src").as("id")).distinct().withColumn("label", col("id"))
       (1 to maxIter).foreach { i =>
         val prop = both
@@ -324,7 +351,7 @@ object NearDup {
         // compile time with it. Materializing the (tiny) label table every
         // few rounds keeps the plan bounded at ~2³ for the cost of one
         // small job per segment.
-        if (i % 3 == 0 && i < maxIter) labels = labels.localCheckpoint()
+        if (i % 3 == 0 && i < maxIter) labels = labels.localCheckpoint(eager = false)
       }
       labels
     } else {

@@ -109,14 +109,44 @@ class SimilaritySpec extends SparkTestBase {
     val got = NearDup.connectedComponents(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     // 5 nodes: a,b,c,x,y. The null-endpoint edge drops whole, so doc-z
-    // (no surviving edge) never enters the node set — and no null keys.
-    assert(got.size == 5 && !got.keySet.contains(null.asInstanceOf[Long]))
+    // (no surviving edge) never enters the node set.
+    assert(got.size == 5)
     // a,b,c share one label; x,y share another; the two labels differ.
     val hash = (s: String) => spark.range(1)
       .select(xxhash64(lit(s))).head().getLong(0)
     val abc = Seq("doc-a", "doc-b", "doc-c").map(s => got(hash(s))).distinct
     val xy = Seq("doc-x", "doc-y").map(s => got(hash(s))).distinct
     assert(abc.size == 1 && xy.size == 1 && abc != xy)
+  }
+
+  test("minhashCandidates under aggressive bucket capping = per-band+distinct reference") {
+    // Regression: the first-collision-band dedup must not suppress a pair
+    // whose earliest signature-equal band sat in a capped-away bucket —
+    // such a pair was never emitted there, so suppression at its first
+    // SURVIVING band would drop it everywhere. maxBucket=3 caps many
+    // buckets on the real corpus, exercising exactly that path.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (shingleLen, numHashes, bands, maxBucket) = (3, 12, 12, 3)
+    val got = NearDup.minhashCandidates(docs, "doc_id", "text",
+        shingleLen, numHashes, bands, maxBucket)
+      .as[(Long, Long)].collect().toSet
+    // Reference = the old formulation: emit per surviving band, distinct.
+    val sig = docs
+      .filter(size(graft.text.TextAnalysis.tokens($"text")) >= shingleLen)
+      .select($"doc_id",
+        graft.functions.GraftFunctions
+          .minhashShingles(graft.text.TextAnalysis.tokens($"text"), shingleLen, numHashes).as("sig"))
+    val want = sig
+      .select($"doc_id", explode(NearDup.lshBands($"sig", bands, numHashes / bands)).as("b"))
+      .groupBy($"b.band", $"b.bucket")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids").between(2, maxBucket))
+      .select(posexplode($"ids").as(Seq("pos", "a")), $"ids")
+      .select($"a", explode(slice($"ids", $"pos" + 2, size($"ids"))).as("b"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"got ${got.size} pairs, reference ${want.size}; " +
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
   test("incrementalCandidates = full candidates restricted to new-involving pairs") {
