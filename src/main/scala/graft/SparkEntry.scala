@@ -1127,9 +1127,11 @@ object SparkEntry {
       t(s, dir, "orders").select(
         col("o_orderkey"),
         prioNum.as("prio_num"),
-        // known-dirty column: regex-guarded cast, no per-row exceptions
-        when(col("o_orderpriority").rlike("^[+-]?\\d+$"), col("o_orderpriority").cast("int"))
-          .as("junk_num"),
+        // known-dirty column: regex-guarded cast, no per-row exceptions.
+        // trim first (TRY_CAST trims); ≤9 digits so the guarded ANSI cast
+        // itself can never overflow int32 and throw.
+        when(trim(col("o_orderpriority")).rlike("^[+-]?\\d{1,9}$"),
+          trim(col("o_orderpriority")).cast("int")).as("junk_num"),
         // guarded divide instead of try_divide: the prio=1 band would
         // throw-and-catch DIVIDE_BY_ZERO on every row
         when(prioNum - 1 =!= 0, col("o_totalprice") / (prioNum - 1)).as("per_unit"),
@@ -1237,10 +1239,12 @@ object SparkEntry {
 
     // --- beyond-reference: per-dimension embedding statistics -----------
     // Feature-scaler "fit" at corpus scale: mean/sd per embedding
-    // dimension. Values are quantized to decimal(12,6) per row — a
-    // double→decimal cast can never tie (no binary fraction ends in an
-    // exact decimal 5), so the quantization is engine-identical — then
-    // the q_zscore integer-decimal recipe applies.
+    // dimension. Values are quantized to decimal(12,6) per row; ties CAN
+    // occur (dyadic floats end in a decimal 5 — e.g. 1/128 = 0.0078125
+    // scales to 7812.5), but Spark's HALF_UP and DuckDB's half-away-from-
+    // zero agree on every tie, positive or negative, so the quantization
+    // is engine-identical; then the q_zscore integer-decimal recipe
+    // applies.
     "q_embed_dimstats" -> ((s, dir) => {
       val qi = (col("v").cast("double").cast("decimal(12,6)") * lit(1000000))
         .cast("decimal(18,0)")

@@ -28,6 +28,12 @@ object BloomJoin {
   /** Exact left-semi join with a Bloom pre-filter on the fact side.
     * Key columns must be integral (hashed as longs into the sketch).
     *
+    * EAGER at construction: `dim.stat.bloomFilter` is a driver-side
+    * action (one pass over dim), so building this DataFrame runs a job —
+    * inherent to the driver-held sketch; construct it when you mean it.
+    * The broadcast itself is ContextCleaner-reclaimed once the returned
+    * DataFrame is unreferenced (no unpersist bookkeeping needed).
+    *
     * @param expectedItems sizing for the sketch (dim-side distinct keys)
     * @param fpp           false-positive rate: shuffle waste, not error
     */

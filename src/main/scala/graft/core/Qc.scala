@@ -63,8 +63,10 @@ object Qc {
     * scan). Attach near the scan, run the normal write, then validate
     * with [[observedMetrics]].
     */
-  def observed(df: DataFrame, name: String, metrics: org.apache.spark.sql.Column*): DataFrame =
+  def observed(df: DataFrame, name: String, metrics: org.apache.spark.sql.Column*): DataFrame = {
+    require(metrics.nonEmpty, "observed needs at least one metric column")
     df.observe(name, metrics.head, metrics.tail: _*)
+  }
 
   /** Metrics recorded by [[observed]] for the LAST completed action that
     * ran this Dataset's own QueryExecution (collect/foreach/toLocalIterator;

@@ -172,6 +172,15 @@ object EventsStream {
                 case Some(s) if e.ts - s.lastNs > gapNs =>
                   out += CompletedSession(uid, s.startNs, s.lastNs, s.n)
                   cur = Some(SessionState(e.ts, e.ts, 1))
+                case Some(s) if s.startNs - e.ts > gapNs =>
+                  // Late event a full gap BEFORE the current session: a
+                  // separate (already over) session — emit it closed
+                  // rather than stretching the current one backwards
+                  // across a silence gap. (Approximation: two such
+                  // orphans within a gap of each other emit separately;
+                  // exact repair would need keeping closed sessions in
+                  // state until the watermark passes them.)
+                  out += CompletedSession(uid, e.ts, e.ts, 1)
                 case Some(s) =>
                   // min/max, not overwrite: a late (but within-watermark)
                   // event from a later micro-batch may precede state's
@@ -228,6 +237,10 @@ object EventsStream {
       payload: String,
   ): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    val reserved = Set("_dk", "_hist", "_eligible", payload)
+    val clash = stream.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"stream columns collide with asOfEnrich internals/payload: ${clash.mkString(",")}")
     val hist = dim
       .groupBy(col(dimKey).as("_dk"))
       .agg(sort_array(collect_list(struct(col(dimTimeNs).as("_vt"), col(payload)))).as("_hist"))

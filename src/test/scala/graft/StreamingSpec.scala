@@ -124,6 +124,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("completedSessions: a late event a full gap before the session is its own session") {
+    import org.apache.spark.sql.Row
+    val dir = tmpDir("stream_sessions_orphan")
+    def write(rows: Seq[(Long, Long, Long)]): Unit = {
+      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1500)
+    }
+    val min = 60L * 1000000000L
+    val base = 1704067200L * 1000000000L
+    // Batch 1: session at +40..+41min. Batch 2: LATE orphan at +0min —
+    // 40min before the session start, beyond the 30min gap: it must NOT
+    // stretch the session backwards across the silence.
+    write(Seq((1L, base + 40 * min, 7L), (2L, base + 41 * min, 7L)))
+    write(Seq((3L, base, 7L)))
+    // Batch 3: close the live session via the data-driven gap.
+    write(Seq((4L, base + 150 * min, 7L)))
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val sessions = EventsStream.completedSessions(stream)(spark)
+    val q = EventsStream.runToMemory(sessions.toDF(), "orphan_sessions")
+    try {
+      val got = spark.table("orphan_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, base, base, 1L)),
+        s"orphan late event must emit as its own closed session; got $got")
+      assert(got.contains((7L, base + 40 * min, base + 41 * min, 2L)),
+        s"main session must keep its true start; got $got")
+    } finally q.stop()
+  }
+
   test("conversions stream-stream join matches the batch inequality join") {
     val dir = tmpDir("stream_conv")
     val base = spark.read.schema(EventsStream.eventsSchema)

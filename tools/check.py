@@ -45,6 +45,14 @@ def main(sf_dir, out_dir):
         executed = set(json.load(open(f"{out_dir}/queries.json")))
     except Exception:
         executed = None
+    # A query that FAILED inside Verify writes no output directory at all
+    # — without this check it would be counted neither pass nor fail and
+    # the run would look green while silently losing coverage.
+    present = {os.path.basename(d.rstrip("/"))
+               for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted((executed or set()) - present):
+        print(f"FAIL {name}: executed but no output directory (Verify error?)")
+        n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle:
