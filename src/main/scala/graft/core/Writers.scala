@@ -47,6 +47,28 @@ object Writers {
     df.write.mode("overwrite").option("compression", "gzip").json(outDir)
 
   /** K2: format-dispatched writer (reference `BrainCRISPR.py:310-317`). */
+  /** Size-targeted parquet write — the small-files compaction step every
+    * long-lived 100 TB table needs: thousands of kilobyte-sized files
+    * wreck scan planning (file listing, footer reads, task-per-file) and
+    * downstream shuffle fan-in. Partition count comes from Catalyst's
+    * optimized-plan size statistics, so no extra pass over the data; a
+    * round-robin repartition levels the output files.
+    *
+    * At true scale prefer the declarative knob
+    * (`spark.sql.files.maxRecordsPerFile` / AQE coalescing) when it
+    * fits; this helper is for explicit re-compaction of an existing
+    * fragmented table.
+    *
+    * @return the partition (≈ file) count chosen
+    */
+  def writeCompacted(df: DataFrame, path: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((bytes + targetBytes - 1) / targetBytes).min(10000).max(1).toInt
+    df.repartition(parts).write.mode("overwrite").parquet(path)
+    parts
+  }
+
   def writeByExtension(df: DataFrame, path: String): Unit = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)

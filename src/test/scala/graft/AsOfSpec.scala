@@ -136,6 +136,21 @@ class AsOfSpec extends SparkTestBase {
     assert(joined.filter($"half_split" =!= $"split").isEmpty)
   }
 
+  test("Writers.writeCompacted sizes the output file count from plan stats") {
+    val dir = tmpDir("compacted")
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    // Huge target -> exactly one file; tiny target -> several.
+    val one = Writers.writeCompacted(df, s"$dir/one", targetBytes = 10L << 30)
+    assert(one == 1)
+    val onDisk = new java.io.File(s"$dir/one").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(onDisk == 1, s"expected a single parquet file, got $onDisk")
+    // plan-stat sizeInBytes is the COMPRESSED scan size (~128 KB here)
+    val many = Writers.writeCompacted(df, s"$dir/many", targetBytes = 16L << 10)
+    assert(many > 1, s"tiny target should fan out, got $many partitions")
+    // round-trip integrity
+    assert(spark.read.parquet(s"$dir/many").count() == df.count())
+  }
+
   test("Writers.writeByExtension dispatches parquet/json/tsv (K2, K5)") {
     val dir = tmpDir("k2sink")
     val df = Seq(("g1", 1), ("g2", 2)).toDF("gene", "n")
