@@ -114,6 +114,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize a binary image column to a target "resolution": the stub
+    * scales the payload to ceil(len · target / max(dim)) bytes —
+    * deterministic integer arithmetic standing in for a real resampler.
+    * Same per-partition codec lifecycle as [[withImageMeta]]; a real
+    * codec swaps in at the marked point and everything downstream
+    * (schema, partitioning, batch shape) is unchanged.
+    */
+  def withResized(
+      df: DataFrame,
+      binaryCol: String,
+      targetDim: Int,
+      outCol: String = "resized",
+  ): DataFrame = {
+    require(targetDim > 0)
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val codec = StubCodec // real resampler initializes here, once per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out = if (bytes == null) null else {
+          val (w, h, _, _) = codec.imageMeta(bytes)
+          val maxDim = math.max(w, h)
+          if (maxDim <= targetDim) bytes
+          else {
+            val n = math.max(1, ((bytes.length.toLong * targetDim + maxDim - 1) / maxDim).toInt)
+            java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
+          }
+        }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Explode a video binary column into sampled frame rows
     * (one row per frame, frame index + frame bytes).
     */

@@ -25,6 +25,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.values.forall(_.length == 16))
   }
 
+  test("withResized scales payloads toward the target dim, idempotent when small") {
+    val out = Multimodal.withResized(media, "content", targetDim = 128)
+      .select($"media_id", length($"content").as("orig"), length($"resized").as("res"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (orig, res) = (r.getAs[Int]("orig"), r.getAs[Int]("res"))
+      assert(res <= orig, s"resize must never grow the payload ($orig -> $res)")
+      assert(res > 0)
+    }
+    // determinism: same input -> byte-identical output
+    val a = Multimodal.withResized(media, "content", 128).select($"resized").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val b = Multimodal.withResized(media, "content", 128).select($"resized").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("explodeFrames yields frame rows with indices") {
     val out = Multimodal.explodeFrames(media, "content", framesPerVideo = 4)
     assert(out.count() == 80)
