@@ -1120,8 +1120,10 @@ object SparkEntry {
     // throw-and-catch a JVM exception PER BAD ROW — fine when bad rows
     // are rare, ruinous on a known-dirty column (every junk_num row
     // fails → 2.5× query cost). For those, guard the cast with a cheap
-    // regex/zero check so no exception path ever fires; results are
-    // identical.
+    // regex/zero check so no exception path ever fires. The guard IS
+    // the accepted-input spec (trimmed, ≤9 digits — deliberately
+    // narrower than TRY_CAST, which also takes 10-digit ints, '5.0',
+    // '1e3'); the oracle mirrors the same regex.
     "q_try_cast" -> ((s, dir) => {
       val prioNum = expr("try_cast(split(o_orderpriority, '-')[0] AS INT)") // rare-failure path: try_cast
       t(s, dir, "orders").select(
@@ -1973,7 +1975,8 @@ object SparkEntry {
     "q_try_cast" ->
       """SELECT o_orderkey,
         |  TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
-        |  TRY_CAST(o_orderpriority AS INT) AS junk_num,
+        |  CASE WHEN regexp_matches(trim(o_orderpriority), '^[+-]?\d{1,9}$')
+        |       THEN CAST(trim(o_orderpriority) AS INT) END AS junk_num,
         |  o_totalprice / nullif(TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) - 1, 0) AS per_unit
         |FROM orders""".stripMargin,
 

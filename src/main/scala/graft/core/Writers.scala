@@ -47,12 +47,27 @@ object Writers {
     df.write.mode("overwrite").option("compression", "gzip").json(outDir)
 
   /** K2: format-dispatched writer (reference `BrainCRISPR.py:310-317`). */
+  def writeByExtension(df: DataFrame, path: String): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)
+    else if (lower.contains(".json")) writeJsonGzSingle(df, path)
+    else if (lower.endsWith(".tsv"))
+      df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+    else df.write.mode("overwrite").parquet(path)
+  }
+
   /** Size-targeted parquet write — the small-files compaction step every
     * long-lived 100 TB table needs: thousands of kilobyte-sized files
     * wreck scan planning (file listing, footer reads, task-per-file) and
     * downstream shuffle fan-in. Partition count comes from Catalyst's
     * optimized-plan size statistics, so no extra pass over the data; a
     * round-robin repartition levels the output files.
+    *
+    * Without CBO the statistics are only trustworthy for scan-rooted
+    * plans: joins multiply child sizes and stat-less leaves default to
+    * Long.MaxValue. Estimates beyond `statSanityBytes` (default 1 PB)
+    * are treated as junk and fall back to the session's default
+    * parallelism rather than fanning out to the clamp.
     *
     * At true scale prefer the declarative knob
     * (`spark.sql.files.maxRecordsPerFile` / AQE coalescing) when it
@@ -61,20 +76,18 @@ object Writers {
     *
     * @return the partition (≈ file) count chosen
     */
-  def writeCompacted(df: DataFrame, path: String, targetBytes: Long = 128L << 20): Int = {
+  def writeCompacted(
+      df: DataFrame,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      statSanityBytes: BigInt = BigInt(1L) << 50,
+  ): Int = {
     require(targetBytes > 0)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((bytes + targetBytes - 1) / targetBytes).min(10000).max(1).toInt
+    val parts =
+      if (bytes > statSanityBytes) df.sparkSession.sparkContext.defaultParallelism
+      else ((bytes + targetBytes - 1) / targetBytes).min(10000).max(1).toInt
     df.repartition(parts).write.mode("overwrite").parquet(path)
     parts
-  }
-
-  def writeByExtension(df: DataFrame, path: String): Unit = {
-    val lower = path.toLowerCase
-    if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)
-    else if (lower.contains(".json")) writeJsonGzSingle(df, path)
-    else if (lower.endsWith(".tsv"))
-      df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
-    else df.write.mode("overwrite").parquet(path)
   }
 }

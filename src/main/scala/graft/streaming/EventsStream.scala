@@ -165,44 +165,43 @@ object EventsStream {
             state.remove()
             Iterator.single(CompletedSession(uid, s.startNs, s.lastNs, s.n))
           } else {
-            val out = scala.collection.mutable.ListBuffer.empty[CompletedSession]
-            var cur = state.getOption
+            // Interval-merge sessionization: sessionize the batch's
+            // events standalone, merge the resulting intervals with the
+            // state's open session, close everything but the last.
+            // Handles forward gaps, late events that chain a session
+            // backwards, and late orphans merging with EACH OTHER — a
+            // naive per-event fold mis-splits when a batch carries both
+            // a far-late event and its bridge. (Remaining approximation,
+            // inherent to emit-on-close: a closed-and-emitted session
+            // cannot absorb an even-later bridge from a FUTURE batch.)
+            val batchIvs = scala.collection.mutable.ListBuffer.empty[SessionState]
             batch.toSeq.sortBy(_.ts).foreach { e =>
-              cur match {
-                case Some(s) if e.ts - s.lastNs > gapNs =>
-                  out += CompletedSession(uid, s.startNs, s.lastNs, s.n)
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-                case Some(s) if s.startNs - e.ts > gapNs =>
-                  // Late event a full gap BEFORE the current session: a
-                  // separate (already over) session — emit it closed
-                  // rather than stretching the current one backwards
-                  // across a silence gap. (Approximation: two such
-                  // orphans within a gap of each other emit separately;
-                  // exact repair would need keeping closed sessions in
-                  // state until the watermark passes them.)
-                  out += CompletedSession(uid, e.ts, e.ts, 1)
-                case Some(s) =>
-                  // min/max, not overwrite: a late (but within-watermark)
-                  // event from a later micro-batch may precede state's
-                  // lastNs; regressing lastNs to it would shrink the
-                  // session end and make the next on-time event falsely
-                  // exceed the gap.
-                  cur = Some(SessionState(math.min(s.startNs, e.ts), math.max(s.lastNs, e.ts), s.n + 1))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1))
+              batchIvs.lastOption match {
+                case Some(s) if e.ts - s.lastNs <= gapNs =>
+                  batchIvs(batchIvs.length - 1) =
+                    SessionState(s.startNs, math.max(s.lastNs, e.ts), s.n + 1)
+                case _ => batchIvs += SessionState(e.ts, e.ts, 1)
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // Close the session once the watermark passes last-event +
-              // gap — clamped above the current watermark: with bursty
-              // sources the watermark can already be past the target
-              // (e.g. out-of-order file backfill), and Spark rejects
-              // timeouts at or below it.
-              val target = s.lastNs / 1000000L + gapNs / 1000000L
-              state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
+            val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
+            (state.getOption.toSeq ++ batchIvs).sortBy(_.startNs).foreach { s =>
+              merged.lastOption match {
+                case Some(p) if s.startNs - p.lastNs <= gapNs =>
+                  merged(merged.length - 1) = SessionState(
+                    math.min(p.startNs, s.startNs), math.max(p.lastNs, s.lastNs), p.n + s.n)
+                case _ => merged += s
+              }
             }
-            out.iterator
+            val cur = merged.last
+            state.update(cur)
+            // Close the session once the watermark passes last-event +
+            // gap — clamped above the current watermark: with bursty
+            // sources the watermark can already be past the target
+            // (e.g. out-of-order file backfill), and Spark rejects
+            // timeouts at or below it.
+            val target = cur.lastNs / 1000000L + gapNs / 1000000L
+            state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs + 1))
+            merged.init.map(s => CompletedSession(uid, s.startNs, s.lastNs, s.n)).iterator
           }
       }
   }

@@ -46,11 +46,13 @@ def main(sf_dir, out_dir):
     except Exception:
         executed = None
     # A query that FAILED inside Verify writes no output directory at all
-    # — without this check it would be counted neither pass nor fail and
-    # the run would look green while silently losing coverage.
+    # — without this check a rows-only query would be counted neither
+    # pass nor fail and the run would look green while silently losing
+    # coverage. Oracle-backed queries are excluded: the oracle loop below
+    # already reports their missing output (no double-count).
     present = {os.path.basename(d.rstrip("/"))
                for d in glob.glob(f"{out_dir}/*/")}
-    for name in sorted((executed or set()) - present):
+    for name in sorted((executed or set()) - present - set(oracle)):
         print(f"FAIL {name}: executed but no output directory (Verify error?)")
         n_fail += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
