@@ -1277,6 +1277,48 @@ object SparkEntry {
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
     }),
 
+    // --- beyond-reference: corpus boilerplate n-grams (C4-style) --------
+    // Word 5-grams appearing in ≥ 5 distinct docs are boilerplate
+    // (headers, disclaimers, spam templates); per-doc boilerplate
+    // fraction is the removal signal. Exact integer ratio — no libm.
+    "q_boilerplate" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          TextAnalysis.wordShingles(col("text"), 5))).as("gram"))
+      val hot = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 5)
+      grams
+        .join(hot.select("gram"), Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+        .join(
+          grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          col("n_grams"),
+          (coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("boiler_frac"))
+    }),
+
+    // --- beyond-reference: SHARDED sequence packing ---------------------
+    // q_pack_batches' window partitions by language alone — correct, but
+    // a 5-language corpus caps the packing at 5 tasks. Sharding the
+    // window key by a doc-id bucket restores parallelism; batch ids are
+    // then unique per (lang, shard), the usual contract when packing is
+    // distributed. Same determinism: stable order within every shard.
+    "q_pack_sharded" -> ((s, dir) => {
+      val budget = 2000L
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), pmod(col("doc_id"), lit(8)).as("shard"),
+          graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens")
+            .cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("batch_id"))
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -2094,6 +2136,41 @@ object SparkEntry {
         |  AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [] END) AS gram
+        |    FROM toks)),
+        |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+        |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |boiler AS (
+        |  SELECT doc_id, count(*) AS n_boiler
+        |  FROM grams WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id)
+        |SELECT p.doc_id, coalesce(b.n_boiler, 0) AS n_boiler, p.n_grams,
+        |  CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS boiler_frac
+        |FROM per_doc p LEFT JOIN boiler b USING (doc_id)""".stripMargin,
+
+    "q_pack_sharded" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |         ELSE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id
+        |FROM c""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
