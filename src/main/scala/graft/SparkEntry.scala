@@ -29,6 +29,26 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(24,6)")).cast("double")
 
+  /** Shared builder for the sequence-packing queries (q_pack_batches /
+    * q_pack_sharded): one definition of the token convention, budget,
+    * and batch arithmetic, so the variants cannot drift.
+    */
+  private def packQuery(s: SparkSession, dir: String, shards: Option[Int]): DataFrame = {
+    val budget = 2000L
+    val partCols = col("lang") +: shards.map(_ => col("shard")).toSeq
+    val w = Window.partitionBy(partCols: _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cols = Seq(col("doc_id"), col("lang")) ++
+      shards.map(n => pmod(col("doc_id"), lit(n)).cast("long").as("shard")).toSeq :+
+      graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens")
+        .cast("long").as("n_tokens")
+    t(s, dir, "documents")
+      .select(cols: _*)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id", floor((col("cum") - col("n_tokens")) / budget))
+      .drop("cum")
+  }
+
   // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
@@ -1131,8 +1151,9 @@ object SparkEntry {
         prioNum.as("prio_num"),
         // known-dirty column: regex-guarded cast, no per-row exceptions.
         // trim first (TRY_CAST trims); ≤9 digits so the guarded ANSI cast
-        // itself can never overflow int32 and throw.
-        when(trim(col("o_orderpriority")).rlike("^[+-]?\\d{1,9}$"),
+        // itself can never overflow int32 and throw. \z, not $: Java's $
+        // also matches before a trailing newline, RE2's (DuckDB) does not.
+        when(trim(col("o_orderpriority")).rlike("^[+-]?\\d{1,9}\\z"),
           trim(col("o_orderpriority")).cast("int")).as("junk_num"),
         // guarded divide instead of try_divide: the prio=1 band would
         // throw-and-catch DIVIDE_BY_ZERO on every row
@@ -1180,19 +1201,9 @@ object SparkEntry {
     // Assign docs to fixed-token-budget training batches in a stable
     // order (doc_id within lang): batch = floor(tokens-before-me /
     // budget) via a running window sum — deterministic, resumable, and
-    // one shuffle per language partition.
-    "q_pack_batches" -> ((s, dir) => {
-      val budget = 2000L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens")
-            .cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / budget).as("batch_id"))
-    }),
+    // one shuffle per language partition. (Shared builder with
+    // q_pack_sharded so the two variants cannot drift.)
+    "q_pack_batches" -> ((s, dir) => packQuery(s, dir, shards = None)),
 
     // --- beyond-reference: intra-doc repetition score (quality filter) --
     // Gopher-style repetition signal: fraction of word 3-grams that are
@@ -1278,26 +1289,28 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: corpus boilerplate n-grams (C4-style) --------
-    // Word 5-grams appearing in ≥ 5 distinct docs are boilerplate
-    // (headers, disclaimers, spam templates); per-doc boilerplate
-    // fraction is the removal signal. Exact integer ratio — no libm.
+    // Word 5-grams appearing in ≥ 3 distinct docs are boilerplate
+    // (headers, disclaimers, spam templates — threshold sized so the
+    // synthetic corpus actually HAS hot grams; a higher cut would leave
+    // the signal path untested); per-doc boilerplate fraction is the
+    // removal signal. Exact integer ratio — no libm. Grams computed
+    // once: hot-set membership arrives as a flag join, and one groupBy
+    // yields both counts (no triple shingle pass, no right-join repair).
     "q_boilerplate" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
           TextAnalysis.wordShingles(col("text"), 5))).as("gram"))
       val hot = grams.groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("ndocs"))
-        .filter(col("ndocs") >= 5)
+        .filter(col("ndocs") >= 3)
+        .select(col("gram"), lit(1L).as("is_hot"))
       grams
-        .join(hot.select("gram"), Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-        .join(
-          grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
-          Seq("doc_id"), "right")
-        .select(col("doc_id"), coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-          col("n_grams"),
-          (coalesce(col("n_boiler"), lit(0L)).cast("double") /
-            col("n_grams").cast("double")).as("boiler_frac"))
+        .join(hot, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_hot"), lit(0L))).as("n_boiler"))
+        .select(col("doc_id"), col("n_boiler"), col("n_grams"),
+          (col("n_boiler").cast("double") / col("n_grams").cast("double")).as("boiler_frac"))
     }),
 
     // --- beyond-reference: SHARDED sequence packing ---------------------
@@ -1306,18 +1319,7 @@ object SparkEntry {
     // window key by a doc-id bucket restores parallelism; batch ids are
     // then unique per (lang, shard), the usual contract when packing is
     // distributed. Same determinism: stable order within every shard.
-    "q_pack_sharded" -> ((s, dir) => {
-      val budget = 2000L
-      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), pmod(col("doc_id"), lit(8)).as("shard"),
-          graft.functions.GraftFunctions.textStats(col("text")).getField("n_tokens")
-            .cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / budget).as("batch_id"))
-    }),
+    "q_pack_sharded" -> ((s, dir) => packQuery(s, dir, shards = Some(8))),
 
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
@@ -2147,14 +2149,13 @@ object SparkEntry {
         |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
         |      ELSE [] END) AS gram
         |    FROM toks)),
-        |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
-        |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-        |boiler AS (
-        |  SELECT doc_id, count(*) AS n_boiler
-        |  FROM grams WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id)
-        |SELECT p.doc_id, coalesce(b.n_boiler, 0) AS n_boiler, p.n_grams,
-        |  CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS boiler_frac
-        |FROM per_doc p LEFT JOIN boiler b USING (doc_id)""".stripMargin,
+        |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM hot) THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS boiler_frac
+        |FROM grams GROUP BY doc_id""".stripMargin,
 
     "q_pack_sharded" ->
       """WITH tk AS (

@@ -70,15 +70,16 @@ object Multimodal {
     }
   }
 
-  /** Attach decoded image metadata to a binary column.
-    *
-    * mapPartitions so a real codec initializes once per partition (the
-    * expensive part with JNI decoders) and processes rows in a streaming
-    * batch — the Scala analogue of the mapInPandas iterator-of-batches
-    * shape. Schema is declared up front; no inference.
+  /** Shared mapPartitions scaffold: append ONE column derived from a
+    * binary column. The per-partition codec lifecycle lives here, once:
+    * a real decoder initializes per partition (the expensive part with
+    * JNI codecs) and streams the rows — the Scala analogue of the
+    * mapInPandas iterator-of-batches shape. Schema declared up front;
+    * null bytes → null output.
     */
-  def withImageMeta(df: DataFrame, binaryCol: String, outCol: String = "image_meta"): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ StructField(outCol, imageMetaSchema, nullable = true))
+  private def withBinaryDerived(df: DataFrame, binaryCol: String, outField: StructField)(
+      f: (StubCodec.type, Array[Byte]) => Any): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ outField)
     val binIdx = df.schema.fieldIndex(binaryCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
@@ -86,40 +87,32 @@ object Multimodal {
       val codec = StubCodec
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val meta = if (bytes == null) null else {
-          val (w, h, c, f) = codec.imageMeta(bytes)
-          Row(w, h, c, f)
-        }
-        Row.fromSeq(r.toSeq :+ meta)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else f(codec, bytes)))
       }
     }(enc)
   }
+
+  /** Attach decoded image metadata to a binary column. */
+  def withImageMeta(df: DataFrame, binaryCol: String, outCol: String = "image_meta"): DataFrame =
+    withBinaryDerived(df, binaryCol, StructField(outCol, imageMetaSchema, nullable = true)) {
+      (codec, bytes) =>
+        val (w, h, c, f) = codec.imageMeta(bytes)
+        Row(w, h, c, f)
+    }
 
   /** Attach a deterministic feature vector (embedding stand-in) to a
     * binary column. Output column is `array<float>` ready for the
     * graft.similarity ANN operators.
     */
-  def withFeatures(df: DataFrame, binaryCol: String, dim: Int = 64, outCol: String = "features"): DataFrame = {
-    val outSchema = StructType(
-      df.schema.fields :+ StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
-    val binIdx = df.schema.fieldIndex(binaryCol)
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      val codec = StubCodec
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val feats = if (bytes == null) null else codec.featurize(bytes, dim)
-        Row.fromSeq(r.toSeq :+ feats)
-      }
-    }(enc)
-  }
+  def withFeatures(df: DataFrame, binaryCol: String, dim: Int = 64, outCol: String = "features"): DataFrame =
+    withBinaryDerived(df, binaryCol,
+      StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true)) {
+      (codec, bytes) => codec.featurize(bytes, dim)
+    }
 
   /** Resize a binary image column to a target "resolution": the stub
     * scales the payload to ceil(len · target / max(dim)) bytes —
     * deterministic integer arithmetic standing in for a real resampler.
-    * Same per-partition codec lifecycle as [[withImageMeta]]; a real
-    * codec swaps in at the marked point and everything downstream
-    * (schema, partitioning, batch shape) is unchanged.
     */
   def withResized(
       df: DataFrame,
@@ -128,25 +121,16 @@ object Multimodal {
       outCol: String = "resized",
   ): DataFrame = {
     require(targetDim > 0)
-    val outSchema = StructType(df.schema.fields :+ StructField(outCol, BinaryType, nullable = true))
-    val binIdx = df.schema.fieldIndex(binaryCol)
-    val enc = RowEncoder.encoderFor(outSchema)
-    df.mapPartitions { rows =>
-      val codec = StubCodec // real resampler initializes here, once per partition
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val out = if (bytes == null) null else {
-          val (w, h, _, _) = codec.imageMeta(bytes)
-          val maxDim = math.max(w, h)
-          if (maxDim <= targetDim) bytes
-          else {
-            val n = math.max(1, ((bytes.length.toLong * targetDim + maxDim - 1) / maxDim).toInt)
-            java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
-          }
+    withBinaryDerived(df, binaryCol, StructField(outCol, BinaryType, nullable = true)) {
+      (codec, bytes) =>
+        val (w, h, _, _) = codec.imageMeta(bytes)
+        val maxDim = math.max(w, h)
+        if (maxDim <= targetDim) bytes
+        else {
+          val n = math.max(1, ((bytes.length.toLong * targetDim + maxDim - 1) / maxDim).toInt)
+          java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
         }
-        Row.fromSeq(r.toSeq :+ out)
-      }
-    }(enc)
+    }
   }
 
   /** Explode a video binary column into sampled frame rows

@@ -155,6 +155,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("completedSessions: one batch with a far-late event AND its bridge merges into the session") {
+    import org.apache.spark.sql.Row
+    val dir = tmpDir("stream_sessions_bridge")
+    def write(rows: Seq[(Long, Long, Long)]): Unit = {
+      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1500)
+    }
+    val min = 60L * 1000000000L
+    val base = 1704067200L * 1000000000L
+    // State session at [+40, +41]. One late batch carries +0 AND +15:
+    // +0 alone is an orphan (40 > gap before the session), but +15
+    // bridges it (0→15 ≤ 30, 15→40 ≤ 30) — interval-merge must yield
+    // ONE session [0, 41] n=4, where a per-event fold would mis-emit
+    // (0,0,1) as an orphan before seeing the bridge.
+    write(Seq((1L, base + 40 * min, 7L), (2L, base + 41 * min, 7L)))
+    write(Seq((3L, base, 7L), (4L, base + 15 * min, 7L)))
+    write(Seq((5L, base + 150 * min, 7L)))
+    val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    val sessions = EventsStream.completedSessions(stream)(spark)
+    val q = EventsStream.runToMemory(sessions.toDF(), "bridge_sessions")
+    try {
+      val got = spark.table("bridge_sessions")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((7L, base, base + 41 * min, 4L)),
+        s"bridged late events must merge into one session; got $got")
+      assert(!got.exists(s => s._2 == base && s._4 == 1L),
+        s"no single-event orphan must be emitted for the bridged event; got $got")
+    } finally q.stop()
+  }
+
   test("conversions stream-stream join matches the batch inequality join") {
     val dir = tmpDir("stream_conv")
     val base = spark.read.schema(EventsStream.eventsSchema)
