@@ -1321,6 +1321,22 @@ object SparkEntry {
     // distributed. Same determinism: stable order within every shard.
     "q_pack_sharded" -> ((s, dir) => packQuery(s, dir, shards = Some(8))),
 
+    // --- beyond-reference: RANGE window frame (trailing calendar week) -
+    // Value-based frame, not row-based: every order sums the SAME
+    // customer's orders whose date falls within the prior 6 days —
+    // rows-frames can't express this when days are missing or repeated.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("date").cast("timestamp").cast("long"))
+        .rangeBetween(-6L * 86400, 0)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("day"),
+        sum(col("o_totalprice").cast("decimal(24,6)")).over(w).cast("double").as("trail7d_spend"),
+        count(lit(1)).over(w).as("trail7d_orders"),
+      )
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -2172,6 +2188,14 @@ object SparkEntry {
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS batch_id
         |FROM c""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE) AS trail7d_spend,
+        |  count(*) OVER w AS trail7d_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
