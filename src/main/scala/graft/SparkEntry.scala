@@ -1337,6 +1337,36 @@ object SparkEntry {
       )
     }),
 
+    // --- beyond-reference: forward-fill imputation ----------------------
+    // last_value(... IGNORE NULLS) over a running frame: carry the most
+    // recent observed value forward — the standard time-series/feature
+    // imputation. Here: each order carries the last finished ('F')
+    // order's price for its customer.
+    "q_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        last(when(col("o_orderstatus") === "F", col("o_totalprice")), ignoreNulls = true)
+          .over(w).as("last_f_price"),
+      )
+    }),
+
+    // --- beyond-reference: per-group mode (most frequent value) --------
+    // Mode with a deterministic tiebreak (smallest value wins): count per
+    // (group, value), keep-best by (count desc, value asc) — the same
+    // partial-aggregate shape as q_argmax_dedup, no full sort.
+    "q_mode" -> ((s, dir) => {
+      val counted = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("l_quantity"))
+      counted
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+    }),
+
     // --- beyond-reference: winsorize (outlier clipping at quartiles) ---
     // Per-group p25/p75 from exact quarter percentiles (bit-stable across
     // engines for integral inputs), broadcast back, clip with
@@ -2196,6 +2226,21 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
         |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_forward_fill" ->
+      """SELECT o_orderkey, o_custkey,
+        |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f_price
+        |FROM orders""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1""".stripMargin,
 
     "q_winsorize" ->
       """WITH b AS (
