@@ -34,6 +34,11 @@ object BloomJoin {
     * The broadcast itself is ContextCleaner-reclaimed once the returned
     * DataFrame is unreferenced (no unpersist bookkeeping needed).
     *
+    * dim is evaluated TWICE — once by the sketch action and again as the
+    * semi-join build side. When dim is itself an expensive pipeline (not
+    * a table scan), `persist()`/`localCheckpoint()` it around this call,
+    * or the upstream work runs twice.
+    *
     * @param expectedItems sizing for the sketch (dim-side distinct keys)
     * @param fpp           false-positive rate: shuffle waste, not error
     */

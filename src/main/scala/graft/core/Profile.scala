@@ -24,22 +24,32 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
-    val aggs = names.flatMap { c =>
+    // Source columns are resolved as exact (backtick-quoted, inner
+    // backticks doubled) names, and the melt is built with the Column
+    // API (explode over structs), so no column name is ever spliced into
+    // SQL text — names containing quotes, backticks, or dots profile fine.
+    val aggs = names.zipWithIndex.flatMap { case (c, i) =>
+      val src = df(s"`${c.replace("`", "``")}`")
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"),
+        sum(when(src.isNull, 1L).otherwise(0L)).as(s"__p${i}_nulls"),
+        countDistinct(src).as(s"__p${i}_distinct"),
+        min(src).cast("string").as(s"__p${i}_min"),
+        max(src).cast("string").as(s"__p${i}_max"),
       )
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = names
-      .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    one.selectExpr(
-      "__n",
-      s"stack(${names.length}, $stackArgs) AS (column_name, nulls, n_distinct, min_s, max_s)")
-      .select(col("column_name"), col("__n").as("n"),
-        col("nulls"), col("n_distinct"), col("min_s"), col("max_s"))
+    val rows = names.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"__p${i}_nulls").as("nulls"),
+        col(s"__p${i}_distinct").as("n_distinct"),
+        col(s"__p${i}_min").as("min_s"),
+        col(s"__p${i}_max").as("max_s"),
+      )
+    }
+    one
+      .select(col("__n"), explode(array(rows: _*)).as("r"))
+      .select(col("r.column_name"), col("__n").as("n"),
+        col("r.nulls"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
   }
 }

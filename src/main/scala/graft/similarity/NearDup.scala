@@ -290,17 +290,23 @@ object NearDup {
     * non-increasing, so the sum strictly decreases until fixpoint
     * (decimal accumulator — id sums can exceed long for hash-derived ids).
     */
-  /** Node-id normalization for the label domain: numeric ids cast to
-    * long (lossless for integral types; ANSI mode throws rather than
-    * silently nulling on overflow), everything else (string/UUID/binary
-    * ids) hashed to a stable 64-bit label via xxhash64 — a raw
-    * cast("long") would null every string id and the null-keyed joins
-    * would silently degenerate to an empty propagation. Hashed labels
-    * live in hash space, not id space; callers needing original ids
-    * join the result back on the hashed column.
+  /** Node-id normalization for the label domain: INTEGRAL numeric ids
+    * cast to long (lossless; ANSI mode throws rather than silently
+    * nulling on overflow), everything else (string/UUID/binary ids, and
+    * fractional/decimal ids — where cast("long") would TRUNCATE 1.2 and
+    * 1.7 onto the same node and merge unrelated components) hashed to a
+    * stable 64-bit label via xxhash64 — a raw cast("long") would null
+    * every string id and the null-keyed joins would silently degenerate
+    * to an empty propagation. Hashed labels live in hash space, not id
+    * space; callers needing original ids join the result back on the
+    * hashed column. Caveat: xxhash64 is a 64-bit hash — at billions of
+    * distinct non-integral ids, birthday collisions (~n²/2⁶⁵) can merge
+    * two unrelated nodes; use integral ids where that risk matters.
     */
   private def nodeId(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
-    case _: org.apache.spark.sql.types.NumericType => c.cast("long")
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      c.cast("long")
     case _ => when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(c))
   }
 

@@ -136,6 +136,17 @@ object EventsStream {
 
   case class SessionEvent(user_id: Long, ts: Long, event_time: java.sql.Timestamp)
   case class SessionState(startNs: Long, lastNs: Long, n: Long)
+
+  /** One closed session per (user, interval). OVERLAP CONTRACT: because
+    * early orphan intervals are emitted as soon as a batch closes them,
+    * a later in-watermark batch carrying a bridge event can produce a
+    * SECOND session for the same user whose [start,end] overlaps (and
+    * subsumes) an earlier emission. Downstream consumers must reconcile
+    * per user with last-write-wins on overlapping intervals — e.g. keep
+    * only sessions not contained in a later session's span, or re-merge
+    * intervals per user in the sink. Sessions that never receive a
+    * bridge are emitted exactly once.
+    */
   case class CompletedSession(user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Long)
 
   /** Completed-session emission via flatMapGroupsWithState: a session is

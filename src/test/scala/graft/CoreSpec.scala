@@ -122,6 +122,19 @@ class CoreSpec extends SparkTestBase {
     assert(out == Seq(("v1", "t1"), ("v2", "t2"), ("v3", "t1")))
   }
 
+  test("Profile.profile survives hostile column names (quotes, backticks, dots)") {
+    // The melt is built with the Column API, never by splicing names into
+    // SQL text — names that would break a selectExpr/stack profile fine.
+    val df = Seq((1, "x", 2.0), (2, "y", 2.0), (2, null, 3.0))
+      .toDF("it's", "back`tick", "dot.ted")
+    val out = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("it's", "back`tick", "dot.ted"))
+    assert(out("it's") == ((3L, 0L, 2L)))       // n, nulls, distinct
+    assert(out("back`tick") == ((3L, 1L, 2L)))
+    assert(out("dot.ted") == ((3L, 0L, 2L)))
+  }
+
   test("OntologyMap.addEfoMapping null-safe joins on both keys (J5/F9)") {
     val evidence = Seq(
       ("asthma", "MONDO:1", "g1"), ("asthma", null, "g2"), (null, null, "g3"),

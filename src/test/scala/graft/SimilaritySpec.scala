@@ -119,6 +119,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(abc.size == 1 && xy.size == 1 && abc != xy)
   }
 
+  test("connectedComponents: fractional ids are hashed, not truncated onto the same node") {
+    // cast("long") would map 1.2 and 1.7 to node 1 and silently merge the
+    // two (unconnected) components; hashing keeps them apart.
+    val edges = Seq((1.2, 2.5), (1.7, 3.5)).toDF("a", "b")
+    val got = NearDup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 4, "four distinct fractional ids must stay four nodes")
+    val hash = (d: Double) => spark.range(1)
+      .select(xxhash64(lit(d))).head().getLong(0)
+    assert(got(hash(1.2)) == got(hash(2.5)))
+    assert(got(hash(1.7)) == got(hash(3.5)))
+    assert(got(hash(1.2)) != got(hash(1.7)))
+  }
+
   test("minhashCandidates under aggressive bucket capping = per-band+distinct reference") {
     // Regression: the first-collision-band dedup must not suppress a pair
     // whose earliest signature-equal band sat in a capped-away bucket —

@@ -42,7 +42,10 @@ def main(sf_dir, out_dir):
     import glob
     import os
     try:
-        executed = set(json.load(open(f"{out_dir}/queries.json")))
+        # An empty manifest is treated like a missing one: otherwise every
+        # rows-only output would be SKIPped and the run could look green
+        # with zero rows-only coverage.
+        executed = set(json.load(open(f"{out_dir}/queries.json"))) or None
     except Exception:
         executed = None
     # A query that FAILED inside Verify writes no output directory at all
