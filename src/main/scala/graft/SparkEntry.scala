@@ -438,8 +438,12 @@ object SparkEntry {
       // astronomically unlucky misses diverge; (b) maxIter ≥ component
       // min-eccentricity. A regenerated corpus could in principle break
       // (a) without a code change.
+      // Adaptive CC: the verified pair list is tiny relative to the corpus
+      // (256 edges at sf0.1), so this routes to the driver union-find;
+      // past ~2M edges it falls back to distributed propagation. Same
+      // labels either way (min doc_id per component).
       if (sys.env.contains("SPARK_GRAFT_NOCC")) pairs else NearDup
-        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 6, fixedIterations = true)
+        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b", maxIter = 6)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
 
@@ -1111,7 +1115,7 @@ object SparkEntry {
           shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
       val labels = NearDup
-        .connectedComponents(pairs, "doc_id_a", "doc_id_b", maxIter = 6, fixedIterations = true)
+        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b", maxIter = 6)
       docs.join(labels, docs("doc_id") === labels("id"), "left")
         .select(
           col("doc_id"),
@@ -1297,9 +1301,15 @@ object SparkEntry {
     // once: hot-set membership arrives as a flag join, and one groupBy
     // yields both counts (no triple shingle pass, no right-join repair).
     "q_boilerplate" -> ((s, dir) => {
+      // grams feeds two consumers (hot-set agg + the flag join); the lazy
+      // checkpoint runs the shingle+explode pass once instead of twice.
+      // Hot membership stays a JOIN (not collect_list per gram): a mega-
+      // hot boilerplate gram in millions of docs would make a per-gram
+      // doc-list aggregation a skew bomb at corpus scale.
       val grams = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(
           TextAnalysis.wordShingles(col("text"), 5))).as("gram"))
+        .localCheckpoint(false)
       val hot = grams.groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("ndocs"))
         .filter(col("ndocs") >= 3)

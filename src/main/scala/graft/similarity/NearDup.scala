@@ -321,6 +321,13 @@ object NearDup {
     * anything; left in, null==null join semantics would silently drop the
     * propagation instead).
     */
+  private def symEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges
+      .select(
+        nodeId(edges(aCol), edges.schema(aCol).dataType).as("src"),
+        nodeId(edges(bCol), edges.schema(bCol).dataType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
@@ -328,11 +335,7 @@ object NearDup {
       maxIter: Int = 25,
       fixedIterations: Boolean = false,
   ): DataFrame = {
-    val sym = edges
-      .select(
-        nodeId(edges(aCol), edges.schema(aCol).dataType).as("src"),
-        nodeId(edges(bCol), edges.schema(bCol).dataType).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val sym = symEdges(edges, aCol, bCol)
     if (fixedIterations) {
       // Materialize the edge list once and truncate its lineage: the
       // candidate+verify pipeline feeding it is expensive and appears
@@ -388,6 +391,62 @@ object NearDup {
     }
   }
 
+  /** [[connectedComponents]] with an ADAPTIVE execution strategy: count
+    * the (normalized, null-dropped) edges first, and when they fit the
+    * driver comfortably, label them with an in-memory union-find instead
+    * of iterative propagation — the same threshold logic Spark applies
+    * when it broadcasts a small join side. The verified near-dup edge
+    * list is typically a sliver of the corpus (dup pairs, not docs), so
+    * even 100 TB corpora often land in the fast path; past the threshold
+    * this delegates to the distributed propagation unchanged.
+    * Result-identical in both paths: every node labeled with the min
+    * node id (hash-space id for non-integral keys) of its component.
+    *
+    * EAGER: counting the edge list runs a job at construction (the edge
+    * subtree is localCheckpointed first, so the candidate pipeline above
+    * it runs exactly once and is reused by whichever path executes). Use
+    * [[connectedComponents]] where construction must stay job-free.
+    *
+    * @param driverEdgeThreshold max edges for the driver path (16 B/edge;
+    *   the default ~2M edges collects ≈32 MB)
+    */
+  def connectedComponentsAdaptive(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25,
+      driverEdgeThreshold: Long = 2000000L,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = symEdges(edges, aCol, bCol).localCheckpoint(eager = false)
+    if (sym.count() <= driverEdgeThreshold) {
+      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // Union-find with path halving; roots resolved to per-component min.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      // Attaching the larger root under the smaller makes every root the
+      // min of its component already; find() is enough.
+      val labeled = nodes.map(n => (n, find(n))).toSeq
+      import spark.implicits._
+      labeled.toDF("id", "label")
+    } else {
+      connectedComponents(sym, "src", "dst", maxIter, fixedIterations = false)
+    }
+  }
+
   /** Exact word-shingle Jaccard similarity between candidate pairs:
     * joins the docs back in (broadcast if small) and computes
     * |A∩B| / |A∪B| with array set algebra — no UDF.
@@ -400,17 +459,26 @@ object NearDup {
       shingleLen: Int = 3,
       minJaccard: Double = 0.8,
   ): DataFrame = {
-    // Note: restricting `docs` to candidate members via a semi-join before
-    // shingling is result-identical and looks cheaper, but measured SLOWER
-    // here — the id-list union re-reads the candidate pipeline and adds
-    // two shuffle stages, outweighing the saved shingle passes at these
-    // corpus sizes. Callers with a cheap/cached candidate set and a huge
-    // corpus should pre-filter `docs` themselves.
-    val sh = docs.select(
+    // Shingle ONLY candidate members: the candidate pairs are a sliver of
+    // the corpus (that is the whole point of LSH), so the exact-Jaccard
+    // pass semi-join-reduces `docs` to ids that appear in a pair before
+    // tokenizing — at 100 TB this is the difference between two full
+    // corpus shingle passes and two passes over the candidate slice. The
+    // candidate subtree is lazily localCheckpointed because it feeds
+    // THREE consumers below (member-id list + both pair-join branches);
+    // un-checkpointed, each consumer would re-run the whole LSH pipeline
+    // inside one job. (Result-identical either way — the pair joins are
+    // inner on candidate ids.) AQE picks broadcast for the member/pair
+    // joins at runtime from the materialized sizes.
+    val cands = candidates.localCheckpoint(eager = false)
+    val members = cands
+      .select(explode(array(col(idCol + "_a"), col(idCol + "_b"))).as(idCol))
+      .distinct()
+    val sh = docs.join(members, Seq(idCol), "left_semi").select(
       col(idCol),
       array_distinct(TextAnalysis.wordShingles(col(textCol), shingleLen)).as("sh"),
     )
-    candidates
+    cands
       .join(sh.withColumnRenamed(idCol, idCol + "_a").withColumnRenamed("sh", "sh_a"), Seq(idCol + "_a"))
       .join(sh.withColumnRenamed(idCol, idCol + "_b").withColumnRenamed("sh", "sh_b"), Seq(idCol + "_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
