@@ -1417,6 +1417,169 @@ object SparkEntry {
           ((col("l_quantity") - col("mean_qty")) / col("sd_qty")).as("z_qty"),
         )
     }),
+
+    // --- beyond-reference: benchmark decontamination ---------------------
+    // The training-corpus hygiene step: flag training docs sharing word
+    // 5-grams with a held-out benchmark/eval set, so eval questions do
+    // not leak into the training data. Shape is a gram-keyed left join
+    // (train grams × distinct benchmark grams) — never doc×doc; at
+    // 100 TB the benchmark gram set is small and broadcasts.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame) = df.select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.wordShingles(col("text"), 5))).as("gram"))
+      val benchGrams = grams(docs.filter(col("doc_id") % 10 === 0))
+        .select("gram").distinct().withColumn("hit", lit(1L))
+      grams(docs.filter(col("doc_id") % 10 =!= 0))
+        .join(broadcast(benchGrams), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+    }),
+
+    // --- beyond-reference: co-occurrence pairs (market-basket) ----------
+    // Part pairs appearing together in ≥ 2 orders. Pairing happens INSIDE
+    // each order (successor pairs over the sorted basket) — output is
+    // bounded by Σ basket², never the corpus-wide O(n²) a self-join
+    // builds; the oracle self-join is only viable because DuckDB runs at
+    // toy scale.
+    "q_cooccur" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "part_a")), col("ps"))
+        .select(col("part_a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+    }),
+
+    // --- beyond-reference: cohort retention matrix ----------------------
+    // Classic activation analytics: cohort = month of a user's first
+    // event; count distinct users active per (cohort, activity month).
+    // Months derive from integer nanos via integer division only (a
+    // double division of epoch-nanos would lose precision past 2^53).
+    "q_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM").as("month"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min(col("month")).as("cohort_month"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy("cohort_month", "month")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // --- beyond-reference: CDC snapshot diff ----------------------------
+    // Two keyed snapshots → added / removed / changed rows via one full
+    // outer join on the key — the change-capture primitive when the
+    // source has no log. Unchanged rows are dropped before they ever
+    // leave the join.
+    "q_cdc_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val old = base.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val neu = base.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("status",
+          when(col("new_price").isNull, "removed")
+            .when(col("old_price").isNull, "added")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+    }),
+
+    // --- beyond-reference: interval → bucket coverage (in-transit/week) -
+    // Each line occupies a bounded time interval (ship → ship+transit,
+    // transit derived deterministically, ≤ 4 weeks); coverage per week
+    // comes from EXPLODING each interval into its few week buckets and
+    // aggregating — the same banding trick as core.RangeJoin, and the
+    // scale-safe alternative to a non-equi interval join (no nested
+    // loop, fan-out bounded by interval/bucket width). Integer day/week
+    // arithmetic only — engine-portable, no timezone or rounding traps.
+    "q_interval_transit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          expr("datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01')").as("d0"),
+          (pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(28)) + 1).cast("int").as("transit"),
+        )
+        .select(explode(sequence(expr("d0 div 7"), expr("(d0 + transit) div 7"))).as("week"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_in_transit"))
+        .select(
+          col("week").cast("long").as("week"),
+          date_add(lit("1995-01-01").cast("date"), (col("week") * 7).cast("int")).as("week_start"),
+          col("n_in_transit"),
+        )
+    }),
+
+    // --- beyond-reference: per-group least-squares regression -----------
+    // Group-wise OLS of extendedprice on quantity from exact decimal
+    // moment sums (q_corr_manual's determinism recipe: integer-scaled
+    // decimals → a fixed tree of IEEE double ops). One partial-agg
+    // shuffle; no second pass over the data.
+    "q_regress_slope" -> ((s, dir) => {
+      val d12 = (c: Column) => c.cast("decimal(12,3)")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(d12(col("l_quantity"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sx"),
+          (sum(d12(col("l_extendedprice"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sy"),
+          (sum(d12(col("l_quantity")) * d12(col("l_extendedprice"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("sxy"),
+          (sum(d12(col("l_quantity")) * d12(col("l_quantity"))) * lit(1000000)).cast("decimal(38,0)").cast("double").as("sxx"),
+        )
+        .withColumn("slope",
+          (col("n") * (col("sxy") / lit(1.0e6)) - (col("sx") / lit(1.0e3)) * (col("sy") / lit(1.0e3))) /
+            (col("n") * (col("sxx") / lit(1.0e6)) - (col("sx") / lit(1.0e3)) * (col("sx") / lit(1.0e3))))
+        .withColumn("intercept",
+          ((col("sy") / lit(1.0e3)) - col("slope") * (col("sx") / lit(1.0e3))) / col("n"))
+        .select("l_returnflag", "n", "slope", "intercept")
+    }),
+
+    // --- beyond-reference: deterministic take-N per stratum -------------
+    // "3 examples per class" without Dataset.sample's partition-dependent
+    // randomness: order each stratum by md5(key) (content-derived,
+    // engine-portable) and keep row_number ≤ N. Stable across runs,
+    // repartitioning, and corpus growth for retained keys.
+    "q_stratified_take" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("lang", "doc_id", "rk")
+    }),
+
+    // --- beyond-reference: vocabulary build + dictionary encoding -------
+    // The tokenizer-adjacent step: rank terms by document frequency into
+    // a dense vocab (top 50), broadcast it, and encode each doc as its
+    // sorted in-vocab id set + OOV count. The global rank runs over the
+    // tiny aggregated term table, never the corpus; the encode side is a
+    // broadcast join keyed on term.
+    "q_vocab_encode" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      val vocab = toks.groupBy("tok")
+        .agg(count(lit(1)).as("df"))
+        .withColumn("vid", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+        .filter(col("vid") <= 50)
+        .select("tok", "vid")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(when(col("vid").isNotNull, 1)).as("n_in_vocab"),
+          count(when(col("vid").isNull, 1)).as("n_oov"),
+          array_join(transform(sort_array(collect_list(col("vid"))), _.cast("string")), ",")
+            .as("vocab_ids"),
+        )
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2273,6 +2436,108 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, l.l_returnflag,
         |  (l_quantity - mean_qty) / sd_qty AS z_qty
         |FROM lineitem l JOIN m USING (l_returnflag)""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [] END) AS gram
+        |    FROM toks)),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM grams WHERE doc_id % 10 <> 0 GROUP BY doc_id""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m') AS month
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(month) AS cohort_month FROM ev GROUP BY 1)
+        |SELECT cohort_month, month, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohort USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_cdc_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM orders WHERE o_orderkey % 7 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey, old_price, new_price,
+        |    CASE WHEN new_price IS NULL THEN 'removed'
+        |         WHEN old_price IS NULL THEN 'added'
+        |         WHEN old_price <> new_price THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey)
+        |SELECT * FROM d WHERE status <> 'unchanged'""".stripMargin,
+
+    "q_interval_transit" ->
+      """WITH iv AS (
+        |  SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d0,
+        |    (l_orderkey * 7 + l_linenumber) % 28 + 1 AS transit
+        |  FROM lineitem),
+        |wk AS (SELECT unnest(range(d0 // 7, (d0 + transit) // 7 + 1)) AS week FROM iv)
+        |SELECT week, DATE '1995-01-01' + CAST(week * 7 AS INTEGER) AS week_start,
+        |  count(*) AS n_in_transit
+        |FROM wk GROUP BY 1, 2""".stripMargin,
+
+    "q_regress_slope" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3)) * CAST(l_extendedprice AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3)) * CAST(l_quantity AS DECIMAL(12,3))) * 1000000 AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |sl AS (
+        |  SELECT l_returnflag, n,
+        |    (n * (sxy / 1.0e6) - (sx / 1.0e3) * (sy / 1.0e3)) /
+        |      (n * (sxx / 1.0e6) - (sx / 1.0e3) * (sx / 1.0e3)) AS slope,
+        |    sx, sy
+        |  FROM m)
+        |SELECT l_returnflag, n, slope,
+        |  ((sy / 1.0e3) - slope * (sx / 1.0e3)) / n AS intercept
+        |FROM sl""".stripMargin,
+
+    "q_stratified_take" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |    FROM documents)),
+        |vocab AS (
+        |  SELECT tok, vid FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS vid
+        |    FROM toks GROUP BY tok)
+        |  WHERE vid <= 50)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+        |  CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  array_to_string(list_sort(list(vid) FILTER (WHERE vid IS NOT NULL)), ',') AS vocab_ids
+        |FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */
