@@ -1580,6 +1580,79 @@ object SparkEntry {
             .as("vocab_ids"),
         )
     }),
+
+    // --- beyond-reference: exponential moving average (sequential fold) -
+    // EMA is inherently order-sequential — no window frame expresses it.
+    // Per-key it folds INSIDE a collected array (aggregate HOF over the
+    // sorted per-customer order history): one shuffle, fold is a narrow
+    // codegen'd expression, per-key state never leaves its row. Exact
+    // cross-engine because both engines run the identical IEEE op tree
+    // (left fold of acc/2 + x/2 over identically-sorted doubles).
+    "q_ema" -> ((s, dir) => {
+      val arr = sort_array(collect_list(struct(
+        col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))))
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), arr.as("hist"))
+        .withColumn("prices", transform(col("hist"), x => x.getField("o_totalprice")))
+        .withColumn("ema",
+          aggregate(
+            slice(col("prices"), lit(2), greatest(size(col("prices")) - 1, lit(0))),
+            get(col("prices"), lit(0)),
+            (acc, x) => acc / lit(2) + x / lit(2)))
+        .select("o_custkey", "n_orders", "ema")
+    }),
+
+    // --- beyond-reference: bigram language-model scoring ----------------
+    // Model-based text quality: train bigram transition counts on 90% of
+    // the corpus, score EVERY doc by its weakest transition (min p) and
+    // its unseen-bigram count. min over identical one-division doubles is
+    // order-independent — engine-exact without log-space math. The model
+    // is a grams-keyed join, never doc×doc; at scale the model table is
+    // the aggregation output, naturally small.
+    "q_bigram_lm" -> ((s, dir) => {
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), 2)).as("bg"))
+      val train = bi.filter(col("doc_id") % 10 =!= 9)
+      val bgCount = train.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      val pfxCount = train
+        .select(substring_index(col("bg"), " ", 1).as("pfx"))
+        .groupBy("pfx").agg(count(lit(1)).as("c_pfx"))
+      val model = bgCount
+        .withColumn("pfx", substring_index(col("bg"), " ", 1))
+        .join(pfxCount, Seq("pfx"))
+        .select(col("bg"), (col("c_bg").cast("double") / col("c_pfx").cast("double")).as("p"))
+      bi.join(model, Seq("bg"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          count(when(col("p").isNull, 1)).as("n_oov"),
+          min(col("p")).as("min_p"),
+        )
+    }),
+
+    // --- beyond-reference: PII scrubbing rulebook ------------------------
+    // Redact emails, phone numbers, and account names with an ORDERED
+    // regex fold (Cleanup.regexRules — same fold as the reference's
+    // PanelApp rulebook) and count each class for the compliance audit.
+    // The corpus here is synthesized deterministically from customer so
+    // the rules have real matches. One narrow codegen'd projection.
+    "q_pii_scrub" -> ((s, dir) => {
+      val raw = concat(
+        lit("reach "), col("c_name"),
+        lit(" at "), lower(regexp_replace(col("c_name"), "#", "")), lit("@corp.example or +1-555-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("contact"))
+        .withColumn("n_email", size(regexp_extract_all(col("contact"), lit("[a-z0-9]+@[a-z.]+"), lit(0))).cast("long"))
+        .withColumn("n_phone", size(regexp_extract_all(col("contact"), lit("\\+1-[0-9]{3}-[0-9]{4}"), lit(0))).cast("long"))
+        .withColumn("n_name", size(regexp_extract_all(col("contact"), lit("Customer#[0-9]+"), lit(0))).cast("long"))
+        .withColumn("scrubbed", Cleanup.regexRules(col("contact"), Seq(
+          "[a-z0-9]+@[a-z.]+" -> "<EMAIL>",
+          "\\+1-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+          "Customer#[0-9]+" -> "<NAME>")))
+        .drop("contact")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2538,6 +2611,51 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  array_to_string(list_sort(list(vid) FILTER (WHERE vid IS NOT NULL)), ',') AS vocab_ids
         |FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin,
+
+    "q_ema" ->
+      """SELECT o_custkey, n_orders,
+        |  list_reduce(CAST(prices AS DOUBLE[]), (acc, x) -> acc / 2 + x / 2) AS ema
+        |FROM (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices
+        |  FROM orders GROUP BY 1)""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [] END) AS bg
+        |  FROM toks),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bi WHERE doc_id % 10 <> 9 GROUP BY 1),
+        |pfx AS (SELECT split_part(bg, ' ', 1) AS pfx, count(*) AS c_pfx
+        |  FROM bi WHERE doc_id % 10 <> 9 GROUP BY 1),
+        |model AS (
+        |  SELECT bg, CAST(c_bg AS DOUBLE) / CAST(c_pfx AS DOUBLE) AS p
+        |  FROM bgc JOIN pfx ON split_part(bgc.bg, ' ', 1) = pfx.pfx)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  min(p) AS min_p
+        |FROM bi LEFT JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    'reach ' || c_name || ' at ' || lower(replace(c_name, '#', '')) ||
+        |      '@corp.example or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  len(regexp_extract_all(contact, '[a-z0-9]+@[a-z.]+')) AS n_email,
+        |  len(regexp_extract_all(contact, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  len(regexp_extract_all(contact, 'Customer#[0-9]+')) AS n_name,
+        |  regexp_replace(regexp_replace(regexp_replace(contact,
+        |    '[a-z0-9]+@[a-z.]+', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
+        |FROM c""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */
