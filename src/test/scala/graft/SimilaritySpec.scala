@@ -119,6 +119,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(abc.size == 1 && xy.size == 1 && abc != xy)
   }
 
+  test("connectedComponentsAdaptive: union-find path = propagation path = plain CC") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val ref = NearDup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val fast = NearDup.connectedComponentsAdaptive(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+    // threshold 0 forces the distributed fallback — same labels.
+    val dist = NearDup.connectedComponentsAdaptive(edges, "a", "b", driverEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == ref)
+  }
+
   test("connectedComponents: fractional ids are hashed, not truncated onto the same node") {
     // cast("long") would map 1.2 and 1.7 to node 1 and silently merge the
     // two (unconnected) components; hashing keeps them apart.
