@@ -39,7 +39,7 @@ object Scratch {
         maxIter = 6, fixedIterations = true))
     }
     time("full clusters (cc adaptive)") {
-      noop(NearDup.connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b", maxIter = 6))
+      noop(NearDup.connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b"))
     }
     println("[scratch] pairs rows = " + pairs.count())
     spark.stop()

@@ -427,23 +427,19 @@ object SparkEntry {
         NearDup.minhashCandidates(docs, "doc_id", "text",
           shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
-      // Fixed 6 rounds as one lazy plan (headroom over the measured ≤ 4
-      // diameter — extra rounds on a converged graph are cheap no-ops in
-      // the same plan); the convergent mode exists for unknown shapes.
-      // Oracle-equality assumptions, both data-dependent: (a) 12 bands ×
-      // 1 row MinHash-LSH surfaces every pair the oracle's exact
-      // all-pairs Jaccard finds — at ≥ 0.5 similarity a pair collides in
-      // ≥ 1 of 12 single-hash bands with prob 1−(1−0.5)¹² ≈ 0.9998, and
-      // the jaccardVerify step removes any false positives, so only
-      // astronomically unlucky misses diverge; (b) maxIter ≥ component
-      // min-eccentricity. A regenerated corpus could in principle break
-      // (a) without a code change.
+      // Oracle-equality assumption (data-dependent): 12 bands × 1 row
+      // MinHash-LSH surfaces every pair the oracle's exact all-pairs
+      // Jaccard finds — at ≥ 0.5 similarity a pair collides in ≥ 1 of 12
+      // single-hash bands with prob 1−(1−0.5)¹² ≈ 0.9998, and the
+      // jaccardVerify step removes any false positives, so only
+      // astronomically unlucky misses diverge. A regenerated corpus could
+      // in principle break this without a code change.
       // Adaptive CC: the verified pair list is tiny relative to the corpus
-      // (256 edges at sf0.1), so this routes to the driver union-find;
-      // past ~2M edges it falls back to distributed propagation. Same
-      // labels either way (min doc_id per component).
+      // (256 edges at sf0.1), so this routes to the driver union-find
+      // (exact); past ~2M edges it falls back to convergent distributed
+      // propagation. Min doc_id per component either way.
       if (sys.env.contains("SPARK_GRAFT_NOCC")) pairs else NearDup
-        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b", maxIter = 6)
+        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b")
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
 
@@ -1115,7 +1111,7 @@ object SparkEntry {
           shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
       val labels = NearDup
-        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b", maxIter = 6)
+        .connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b")
       docs.join(labels, docs("doc_id") === labels("id"), "left")
         .select(
           col("doc_id"),
@@ -1445,10 +1441,12 @@ object SparkEntry {
     // builds; the oracle self-join is only viable because DuckDB runs at
     // toy scale.
     "q_cooccur" -> ((s, dir) => {
+      // collect_set dedups repeated parts inside the basket during the
+      // aggregation itself — one shuffle on l_orderkey, not a distinct
+      // shuffle on (order, part) followed by a second on order.
       val baskets = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       baskets
         .select(posexplode(col("ps")).as(Seq("pos", "part_a")), col("ps"))
         .select(col("part_a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("part_b"))
@@ -1564,8 +1562,11 @@ object SparkEntry {
     // tiny aggregated term table, never the corpus; the encode side is a
     // broadcast join keyed on term.
     "q_vocab_encode" -> ((s, dir) => {
+      // toks feeds the vocab build AND the encode join — checkpointed so
+      // the tokenize+explode pass runs once, not twice.
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        .localCheckpoint(false)
       val vocab = toks.groupBy("tok")
         .agg(count(lit(1)).as("df"))
         .withColumn("vid", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
@@ -1579,6 +1580,9 @@ object SparkEntry {
           array_join(transform(sort_array(collect_list(col("vid"))), _.cast("string")), ",")
             .as("vocab_ids"),
         )
+        // All-OOV docs: Spark's empty collect_list would render "", the
+        // oracle's FILTERed list() renders NULL — pin NULL on both sides.
+        .withColumn("vocab_ids", when(col("n_in_vocab") > 0, col("vocab_ids")))
     }),
 
     // --- beyond-reference: exponential moving average (sequential fold) -
@@ -1611,8 +1615,11 @@ object SparkEntry {
     // is a grams-keyed join, never doc×doc; at scale the model table is
     // the aggregation output, naturally small.
     "q_bigram_lm" -> ((s, dir) => {
+      // bi feeds three consumers (bigram counts, prefix counts, scoring
+      // join) — checkpointed so the shingle pass runs once, not thrice.
       val bi = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), 2)).as("bg"))
+        .localCheckpoint(false)
       val train = bi.filter(col("doc_id") % 10 =!= 9)
       val bgCount = train.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       val pfxCount = train

@@ -398,30 +398,35 @@ object NearDup {
     * when it broadcasts a small join side. The verified near-dup edge
     * list is typically a sliver of the corpus (dup pairs, not docs), so
     * even 100 TB corpora often land in the fast path; past the threshold
-    * this delegates to the distributed propagation unchanged.
-    * Result-identical in both paths: every node labeled with the min
-    * node id (hash-space id for non-integral keys) of its component.
+    * this delegates to CONVERGENT distributed propagation (fixpoint-
+    * checked, up to 25 rounds — not a caller-supplied fixed round count,
+    * so crossing the threshold cannot silently under-converge a deep
+    * graph). Both paths label every node with the min node id
+    * (hash-space id for non-integral keys) of its component.
     *
     * EAGER: counting the edge list runs a job at construction (the edge
     * subtree is localCheckpointed first, so the candidate pipeline above
     * it runs exactly once and is reused by whichever path executes). Use
     * [[connectedComponents]] where construction must stay job-free.
     *
-    * @param driverEdgeThreshold max edges for the driver path (16 B/edge;
-    *   the default ~2M edges collects ≈32 MB)
+    * @param driverEdgeThreshold max edges for the driver path. Honest
+    *   driver cost: collect() materializes ~130 B per edge as Row objects
+    *   plus the union-find and label maps — the 2M default needs roughly
+    *   0.5 GB of transient driver heap. Size down for small drivers.
     */
   def connectedComponentsAdaptive(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25,
       driverEdgeThreshold: Long = 2000000L,
   ): DataFrame = {
     val spark = edges.sparkSession
     val sym = symEdges(edges, aCol, bCol).localCheckpoint(eager = false)
     if (sym.count() <= driverEdgeThreshold) {
-      val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      // Union-find with path halving; roots resolved to per-component min.
+      val rows = sym.collect()
+      // Union-find with path halving; attaching the larger root under the
+      // smaller keeps every root the min of its component, so find() alone
+      // resolves the final labels.
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x0: Long): Long = {
         var x = x0
@@ -432,18 +437,19 @@ object NearDup {
         }
         x
       }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-      // Attaching the larger root under the smaller makes every root the
-      // min of its component already; find() is enough.
-      val labeled = nodes.map(n => (n, find(n))).toSeq
+      val labels = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        labels(a) = find(a); labels(b) = find(b)
+      }
       import spark.implicits._
-      labeled.toDF("id", "label")
+      labels.toSeq.toDF("id", "label")
     } else {
-      connectedComponents(sym, "src", "dst", maxIter, fixedIterations = false)
+      connectedComponents(sym, "src", "dst", maxIter = 25, fixedIterations = false)
     }
   }
 
