@@ -1638,6 +1638,47 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: overlapping document chunking ----------------
+    // The context-window prep step: split each doc into fixed-size token
+    // windows with stride overlap (window 16, stride 12 here — sized so
+    // the synthetic docs actually produce several chunks). One narrow
+    // explode per doc, fan-out bounded by len/stride; no shuffle until a
+    // downstream consumer asks for one.
+    "q_chunk_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+      docs
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(12))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / 12).cast("long").as("chunk_id"),
+          size(slice(col("t"), col("start") + 1, lit(16))).as("n_tokens"),
+          concat_ws(" ", slice(col("t"), col("start") + 1, lit(16))).as("chunk_text"),
+        )
+    }),
+
+    // --- beyond-reference: mergeable sketch aggregation (rows-only) -----
+    // The incremental-pipeline primitive: per-month HLL sketches of
+    // distinct order keys union into the per-flag total WITHOUT rescanning
+    // history — yesterday's corpus sketch + today's batch sketch = the
+    // updated total. Rows-only (DataSketches binaries are engine-
+    // specific); AsOfSpec asserts the merged estimate tracks the direct
+    // single-pass sketch within the sketches' standard error.
+    "q_sketch_merge" -> ((s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      monthly
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_orders"),
+        )
+    }),
+
     // --- beyond-reference: PII scrubbing rulebook ------------------------
     // Redact emails, phone numbers, and account names with an ORDERED
     // regex fold (Cleanup.regexRules — same fold as the reference's
@@ -2646,6 +2687,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  min(p) AS min_p
         |FROM bi LEFT JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 12)) AS start
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id, start // 12 AS chunk_id,
+        |  CAST(len(t[start + 1:start + 16]) AS INTEGER) AS n_tokens,
+        |  array_to_string(t[start + 1:start + 16], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH c AS (
