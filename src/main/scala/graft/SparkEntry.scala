@@ -1679,6 +1679,33 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: skyline (Pareto front) ------------------------
+    // Non-dominated (cheapest price, largest size) parts, computed in the
+    // standard distributed two-phase shape: local skylines per price
+    // bucket (parallel windows; dominance inside a bucket implies global
+    // dominance, so nothing a local pass drops could have survived), then
+    // the exact global skyline over the few survivors. Over DISTINCT
+    // (price, size) points the running-max-of-size trick is exact: a
+    // point is dominated iff an earlier point in (price asc, size desc)
+    // order has size ≥ its own.
+    "q_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+        .distinct()
+      def skyline(df: DataFrame, partCols: Seq[String]): DataFrame = {
+        val base = Window.orderBy(col("price").asc, col("size").desc)
+        val w = (if (partCols.isEmpty) base else Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("price").asc, col("size").desc))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("mx", max(col("size")).over(w))
+          .filter(col("mx").isNull || col("mx") < col("size"))
+          .drop("mx")
+      }
+      val local = skyline(pts.withColumn("bucket", floor(col("price") / 1000.0)), Seq("bucket"))
+        .drop("bucket")
+      skyline(local, Nil)
+    }),
+
     // --- beyond-reference: PII scrubbing rulebook ------------------------
     // Redact emails, phone numbers, and account names with an ORDERED
     // regex fold (Cleanup.regexRules — same fold as the reference's
@@ -2699,6 +2726,14 @@ object SparkEntry {
         |  CAST(len(t[start + 1:start + 16]) AS INTEGER) AS n_tokens,
         |  array_to_string(t[start + 1:start + 16], ' ') AS chunk_text
         |FROM starts""".stripMargin,
+
+    "q_skyline" ->
+      """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+        |m AS (
+        |  SELECT price, size, max(size) OVER (ORDER BY price ASC, size DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM pts)
+        |SELECT price, size FROM m WHERE mx IS NULL OR mx < size""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH c AS (
