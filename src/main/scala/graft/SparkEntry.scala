@@ -1679,6 +1679,48 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: ordered event funnel (view→click→purchase) ---
+    // Sequence detection per user as a HOF state machine: one shuffle
+    // collects each user's time-sorted events, then a codegen'd fold
+    // walks the sequence tracking the first view, the first click after
+    // it, and the first purchase after that. Equivalent to the oracle's
+    // three chained min-aggregations but in ONE pass (the three-CTE form
+    // rescans and reshuffles events per step). Per-user state is one
+    // small struct; the collected array is bounded by per-user activity
+    // (the usual sessionization caveat at 100 TB — window the input
+    // first when users can be unbounded).
+    "q_funnel_events" -> ((s, dir) => {
+      def f(st: Column, field: String) = st.getField(field)
+      val folded = aggregate(
+        col("seq"),
+        struct(lit(null).cast("long").as("t1"), lit(null).cast("long").as("t2"),
+          lit(null).cast("long").as("t3")),
+        (st, e) => {
+          val ts = e.getField("ts"); val et = e.getField("event_type")
+          when(f(st, "t1").isNull && et === "view",
+            struct(ts.as("t1"), f(st, "t2").as("t2"), f(st, "t3").as("t3")))
+            .when(f(st, "t1").isNotNull && f(st, "t2").isNull && et === "click" && ts > f(st, "t1"),
+              struct(f(st, "t1").as("t1"), ts.as("t2"), f(st, "t3").as("t3")))
+            .when(f(st, "t2").isNotNull && f(st, "t3").isNull && et === "purchase" && ts > f(st, "t2"),
+              struct(f(st, "t1").as("t1"), f(st, "t2").as("t2"), ts.as("t3")))
+            .otherwise(st)
+        })
+      // Microsecond timestamps throughout: DuckDB timestamps are µs-
+      // precision, so nano-space comparisons would diverge at ties.
+      t(s, dir, "events")
+        .select(expr("ts div 1000").as("ts"), col("event_type"), col("user_id"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("seq"))
+        .withColumn("st", folded)
+        .select(
+          col("user_id"),
+          (when(col("st.t1").isNotNull, 1).otherwise(0) +
+            when(col("st.t2").isNotNull, 1).otherwise(0) +
+            when(col("st.t3").isNotNull, 1).otherwise(0)).as("step_reached"),
+          col("st.t1").as("view_ts"), col("st.t2").as("click_ts"), col("st.t3").as("purchase_ts"),
+        )
+    }),
+
     // --- beyond-reference: skyline (Pareto front) ------------------------
     // Non-dominated (cheapest price, largest size) parts, computed in the
     // standard distributed two-phase shape: local skylines per price
@@ -2726,6 +2768,21 @@ object SparkEntry {
         |  CAST(len(t[start + 1:start + 16]) AS INTEGER) AS n_tokens,
         |  array_to_string(t[start + 1:start + 16], ' ') AS chunk_text
         |FROM starts""".stripMargin,
+
+    "q_funnel_events" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
+        |v AS (SELECT user_id, min(tsn) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tsn) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND tsn > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(tsn) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS step_reached,
+        |  t1 AS view_ts, t2 AS click_ts, t3 AS purchase_ts
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
