@@ -1735,9 +1735,10 @@ object SparkEntry {
         .select(col("p_retailprice").as("price"), col("p_size").as("size"))
         .distinct()
       def skyline(df: DataFrame, partCols: Seq[String]): DataFrame = {
-        val base = Window.orderBy(col("price").asc, col("size").desc)
-        val w = (if (partCols.isEmpty) base else Window.partitionBy(partCols.map(col): _*)
-          .orderBy(col("price").asc, col("size").desc))
+        // Empty partCols → unpartitioned window; one ordering spec for
+        // both phases so dominance semantics cannot drift between them.
+        val w = Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("price").asc, col("size").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         df.withColumn("mx", max(col("size")).over(w))
           .filter(col("mx").isNull || col("mx") < col("size"))
