@@ -135,4 +135,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!schemaLine.contains("l_shipdate") && !schemaLine.contains("l_partkey"),
       s"scan must not read unused columns:\n$schemaLine")
   }
+
+  test("q_funnel_events: the whole funnel rides ONE exchange (user_id)") {
+    val p = plan("q_funnel_events")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"state-machine fold = one shuffle, vs three for the chained-min form:\n$p")
+  }
+
+  test("q_chunk_overlap: chunking is a narrow pipeline — zero exchanges") {
+    val p = plan("q_chunk_overlap")
+    assert(countOccurrences(p, "Exchange") == 0,
+      s"chunk explosion must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected an explode Generate node:\n$p")
+  }
+
+  test("q_decontaminate: benchmark gram set joins as a broadcast, never SMJ") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge on the gram join:\n$p")
+  }
+
+  test("q_skyline: local phase is bucket-parallel before the global window") {
+    val p = plan("q_skyline")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"local skylines must partition by price bucket:\n$p")
+    assert(countOccurrences(p, "Window") >= 2,
+      s"expected local + global Window phases:\n$p")
+  }
 }
