@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Readers, Reshape, Stats, Union}
-import graft.similarity.{Ann, NearDup}
+import graft.graph.PageRank
+import graft.similarity.{Ann, KMeans, NearDup}
 import graft.text.TextAnalysis
 
 /** Driver contract — one named query per implemented operator family from
@@ -1771,6 +1772,209 @@ object SparkEntry {
           "Customer#[0-9]+" -> "<NAME>")))
         .drop("contact")
     }),
+
+    // --- beyond-reference: URL/domain extraction -------------------------
+    // Web-corpus domain accounting: pull every http(s) hostname out of the
+    // text (URLs synthesized onto the docs so the extraction has real
+    // matches, then the raw text scanned too) and count references and
+    // referencing docs per domain. Narrow codegen'd extract+explode, one
+    // small agg shuffle on the host key.
+    "q_url_extract" -> ((s, dir) => {
+      val synth = concat(
+        lit("mirror https://"), col("source"), lit(".example.org/d/"), col("doc_id"),
+        lit(" cdn http://cdn-"), col("lang"), lit(".example.net/a/"), col("doc_id"),
+        lit(" "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.urlHosts(synth)).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_refs"), countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // --- beyond-reference: normalization-collapsed dedup accounting ------
+    // The "fuzzy-exact" dedup pass (case/punctuation/whitespace folded
+    // before hashing — Dolma-style): per language, how many distinct docs
+    // survive raw hashing vs normalized hashing. The md5 signatures keep
+    // the comparison portable; the count-distinct pair rides one agg.
+    "q_norm_dedup" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_raw_distinct"),
+          countDistinct(md5(norm)).as("n_norm_distinct"),
+        )
+    }),
+
+    // --- beyond-reference: two-proportion A/B z-test ---------------------
+    // Experiment readout over the events stream: variant = user parity,
+    // conversion = a high-value purchase (plain "any purchase" converts
+    // every synthetic user — p_pool=1 makes the pooled SE exactly 0 and
+    // ANSI division throws). One groupBy to the per-user bit, one
+    // global conditional agg to the 2×2 table, then the pooled z-score as
+    // a single fixed-order IEEE expression (divisions and sqrt are
+    // correctly rounded, so the oracle's identical op tree is bit-equal).
+    "q_ab_ztest" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0, 1)
+          .otherwise(0)).as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val d = (c: Column) => c.cast("double")
+      users
+        .agg(
+          count(when(col("variant") === 0, 1)).as("n_a"),
+          count(when(col("variant") === 0 && col("conv") === 1, 1)).as("c_a"),
+          count(when(col("variant") === 1, 1)).as("n_b"),
+          count(when(col("variant") === 1 && col("conv") === 1, 1)).as("c_b"),
+        )
+        .withColumn("p_a", d(col("c_a")) / d(col("n_a")))
+        .withColumn("p_b", d(col("c_b")) / d(col("n_b")))
+        .withColumn("p_pool", d(col("c_a") + col("c_b")) / d(col("n_a") + col("n_b")))
+        .withColumn("z",
+          (col("p_a") - col("p_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
+    }),
+
+    // --- beyond-reference: exact rolling median --------------------------
+    // Robust trailing statistic (the running-mean outlier-sensitivity
+    // fix): lower median of the last 5 order totals per customer. The
+    // frame collects ≤5 values, sorts, and PICKS an element — no
+    // interpolation, so the result is an actual input double and
+    // bit-equal in any engine (DuckDB's quantile_disc picks the same
+    // element). Frame-bounded collect keeps per-row state O(frame).
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("win", array_sort(collect_list(col("o_totalprice")).over(w)))
+        .withColumn("med5", get(col("win"), ((size(col("win")) + 1) / 2).cast("int") - 1))
+        .drop("win")
+    }),
+
+    // --- beyond-reference: marketing attribution -------------------------
+    // First-touch / last-touch credit per converting user, folded from ONE
+    // shuffle: sort each user's events once, then the first purchase, the
+    // first event, and the last pre-purchase touch are all array lookups
+    // on the sorted sequence (the three-CTE oracle rescans events per
+    // step). get() is null on empty/missing — users whose first event is
+    // the purchase credit a null last touch, kept as its own row.
+    "q_attribution" -> ((s, dir) => {
+      val seqd = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+      val pts = element_at(
+        filter(col("seq"), x => x.getField("event_type") === "purchase"), 1).getField("ts")
+      seqd
+        .withColumn("pts", pts)
+        .filter(col("pts").isNotNull)
+        .withColumn("pre",
+          filter(col("seq"), x =>
+            x.getField("ts") < col("pts") && x.getField("event_type") =!= "purchase"))
+        .select(
+          get(col("seq"), lit(0)).getField("event_type").as("first_touch"),
+          get(col("pre"), size(col("pre")) - 1).getField("event_type").as("last_touch"),
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // --- beyond-reference: equal-frequency binning -----------------------
+    // Length-balanced batch construction: exact quartile boundaries of
+    // n_chars (quarter fractions — interpolation exact in binary on
+    // integer inputs, SURVEY §7.3) broadcast back over the table, then
+    // per-bin occupancy. The boundary row is a one-row broadcast, the
+    // binning a codegen'd projection: two scans, zero wide shuffles.
+    "q_quantile_bin" -> ((s, dir) => {
+      val q = t(s, dir, "documents").agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1"),
+        percentile(col("n_chars"), lit(0.5)).as("q2"),
+        percentile(col("n_chars"), lit(0.75)).as("q3"))
+      t(s, dir, "documents")
+        .join(broadcast(q))
+        .withColumn("bin",
+          when(col("n_chars") <= col("q1"), 0)
+            .when(col("n_chars") <= col("q2"), 1)
+            .when(col("n_chars") <= col("q3"), 2)
+            .otherwise(3))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+        )
+    }),
+
+    // --- beyond-reference: MAD robust outlier flags ----------------------
+    // Median-absolute-deviation outlier rate per language (the robust
+    // z-score: immune to the very outliers it hunts). Medians at the .5
+    // fraction interpolate halves — exact in binary on integer n_chars
+    // and the integer-grid deviations, so both engines agree bitwise.
+    // The deviation subtree feeds two consumers (MAD agg + final agg) —
+    // checkpointed so the scan+join runs once.
+    "q_mad_outliers" -> ((s, dir) => {
+      val med = t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val dev = t(s, dir, "documents")
+        .join(broadcast(med), Seq("lang"))
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+        .localCheckpoint(false)
+      val mad = dev.groupBy("lang").agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev
+        .join(broadcast(mad), Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"),
+        )
+    }),
+
+    // --- beyond-reference: k-means semantic clustering (rows-only) -------
+    // The semantic-sharding / SemDeDup primitive: Lloyd k-means over the
+    // embedding table (KMeans.lloyd — data never collected, model
+    // broadcast per round), read out as per-cluster occupancy and
+    // cohesion. Rows-only: an iterated fit isn't SQL; SimilaritySpec
+    // pins determinism, separation recovery, and assignment optimality.
+    "q_semantic_cluster" -> ((s, dir) => {
+      KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 4)
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(sum(col("sim").cast("decimal(24,12)")).cast("double") / count(lit(1)), 6).as("avg_sim"),
+          min(col("id")).as("min_vec"),
+          max(col("id")).as("max_vec"),
+        )
+    }),
+
+    // --- beyond-reference: PageRank centrality (rows-only) ---------------
+    // Power iteration over the part co-purchase graph (edges = q_cooccur's
+    // basket pairs, both directions). One shuffle per round, decimal mass
+    // accumulation, checkpoint cadence capping plan growth — GraphSpec
+    // pins the fixpoint algebra on hand graphs. Rows-only: 8 chained
+    // self-joins aren't a sane oracle; invariants live in the spec.
+    "q_pagerank" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      PageRank.run(edges, iters = 8)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2809,6 +3013,90 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    "q_url_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(
+        |      'mirror https://' || source || '.example.org/d/' || doc_id ||
+        |      ' cdn http://cdn-' || lang || '.example.net/a/' || doc_id || ' ' || text),
+        |      'https?://([a-z0-9.-]+)', 1)) AS host
+        |  FROM documents)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q_norm_dedup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT)
+        |    AS n_norm_distinct
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90.0 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT
+        |    CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 END) AS BIGINT) AS c_a,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 END) AS BIGINT) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool,
+        |  (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM t""".stripMargin,
+
+    "q_rolling_median" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  quantile_disc(o_totalprice, 0.5) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+        |FROM orders""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |p AS (SELECT user_id, min(ts) AS pts FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |fr AS (SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch
+        |  FROM e),
+        |lt AS (SELECT DISTINCT e.user_id,
+        |  last_value(event_type) OVER (PARTITION BY e.user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_touch
+        |  FROM e JOIN p USING (user_id) WHERE ts < pts AND event_type <> 'purchase')
+        |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p JOIN fr USING (user_id) LEFT JOIN lt USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_quantile_bin" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |  quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents)
+        |SELECT CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+        |  WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents, q GROUP BY 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        |dev AS (SELECT d.lang, abs(n_chars - med) AS dev, med
+        |  FROM documents d JOIN med USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(med) AS med, max(mad) AS mad,
+        |  CAST(count(CASE WHEN dev > 3.0 * mad THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (lang) GROUP BY 1""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

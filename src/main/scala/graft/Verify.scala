@@ -18,12 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional subset (comma-separated names) for fast local iteration on
+    // new queries; the oracle json and manifest are filtered to match so
+    // tools/check.py stays consistent on partial dumps.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selQueries = only.fold(SparkEntry.queries)(names => SparkEntry.queries.filter(kv => names(kv._1)))
+    val selOracles = only.fold(SparkEntry.oracleSql)(names => SparkEntry.oracleSql.filter(kv => names(kv._1)))
     // 4 queries in flight: the Spark scheduler is thread-safe and most
     // queries leave local[32] under-utilized (small shuffles, driver-side
     // planning); ~2× faster wall-clock than the sequential loop without
     // memory pressure. Each query writes to its own directory.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = selQueries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -47,13 +54,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selOracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of executed queries so checkers can distinguish real
     // rows-only outputs from stray directories (checkpoints, leftovers).
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selQueries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

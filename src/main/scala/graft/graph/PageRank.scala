@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by power iteration — the graph-centrality
+  * counterpart to [[graft.similarity.NearDup]]'s connected components
+  * (same iterate-as-lazy-plan discipline, same checkpoint cadence).
+  *
+  * Scale shape: each iteration is ONE shuffle — contributions join ranks
+  * to edges on `src` (the edge table, annotated with out-degree, is
+  * checkpointed once and re-read every round) and aggregate on `dst` with
+  * map-side partial sums. Rank mass is accumulated in DECIMAL, so results
+  * are partitioning-independent and bit-reproducible; the damping blend
+  * happens once per node per round in double.
+  *
+  * Plan growth is linear in iterations; `checkpointEvery` caps compile
+  * cost the same way NearDup's propagation loop does. No driver-side
+  * graph state at any size — the driver only tracks the loop counter.
+  */
+object PageRank {
+
+  /** Ranks after `iters` rounds of r ← (1−d) + d·Σ_in r/deg.
+    *
+    * Node set = the distinct `src` endpoints; callers with undirected
+    * graphs emit both edge directions (which also makes dangling-mass
+    * redistribution a non-issue: every node has out-degree ≥ 1). Nodes
+    * with no in-edges settle at the (1−d) floor. Uniform start rank 1.0
+    * keeps total mass = |V| at every round (the standard N-normalized
+    * formulation).
+    */
+  def run(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 3,
+  ): DataFrame = {
+    require(iters >= 0 && damping >= 0 && damping < 1, s"bad pagerank config iters=$iters d=$damping")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(false)
+    val nodes = deg.select(col("src").as("node")).localCheckpoint(false)
+
+    var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    for (i <- 1 to iters) {
+      val inMass = e
+        .join(rank, e("src") === rank("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).cast("decimal(28,12)").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+      rank = nodes
+        .join(inMass, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"),
+        )
+      if (i % checkpointEvery == 0) rank = rank.localCheckpoint(false)
+    }
+    rank
+  }
+}

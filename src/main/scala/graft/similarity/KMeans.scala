@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.cosineSim
+
+/** Lloyd's k-means over an embedding column — the offline centroid-fitting
+  * step [[Ann.ivfTopK]]'s scaladoc defers to, and the clustering primitive
+  * behind semantic dedup / semantic sharding of a training corpus
+  * (cluster-then-dedup-within-cluster, SemDeDup-style).
+  *
+  * Spark-first shape (the same dataflow Spark MLlib's KMeans uses):
+  *  - the DATA never leaves the cluster — each iteration is one broadcast
+  *    of k×dim centroid literals into a codegen'd projection (cosineSim
+  *    kernel per centroid, argmax via struct array_max) followed by ONE
+  *    map-side-combining groupBy;
+  *  - the MODEL (k×dim doubles, a few KB) collects to the driver each
+  *    iteration — the same "small side lives on the driver" decision as a
+  *    broadcast join. No per-row driver loops anywhere.
+  *  - per-dimension sums are `dim` independent decimal SUM aggregates in
+  *    one agg (map-side partials; the shuffle carries k rows per map
+  *    partition), NOT a posexplode — exploding n×dim rows would shuffle
+  *    64× the data for the same answer.
+  *
+  * Determinism: init = first k vectors by id (callers wanting kmeans++
+  * seed from a hash-sample — `Sampling.hashSample` — and fit on that);
+  * decimal accumulation makes centroid updates partitioning-independent,
+  * so the whole fit is bit-reproducible run to run.
+  *
+  * Similarity metric is cosine (matching the ANN operators); centroids are
+  * dimension means, which for cosine assignment behaves as spherical
+  * k-means up to centroid norm (argmax cosine is norm-invariant in the
+  * query vector but not the centroid — documented trade for keeping the
+  * update a plain mean).
+  */
+object KMeans {
+
+  /** Fitted assignment of every vector: (id, v, cluster, sim to its
+    * centroid).
+    *
+    * @param dim   vector dimensionality (static — builds `dim` aggregates)
+    * @param iters Lloyd iterations; each is one Spark job (assignment +
+    *              centroid agg). Empty clusters keep their previous
+    *              centroid (standard Lloyd degenerate-case handling).
+    */
+  def lloyd(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      iters: Int,
+  ): DataFrame = {
+    require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans config k=$k iters=$iters dim=$dim")
+    // Consumed iters+1 times (one agg per iteration + the final
+    // assignment) — checkpoint so the scan/cast runs once.
+    val v = vecs
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .localCheckpoint(false)
+
+    var cents: Array[Array[Double]] =
+      v.orderBy(col("id")).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+    require(cents.length > 0, "kmeans: empty input")
+
+    val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1).cast("decimal(28,12)")).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val updated = assign(v, cents)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach { r =>
+        val c = r.getAs[Int]("cluster")
+        val n = r.getAs[Long]("n").toDouble
+        next(c) = Array.tabulate(dim)(i => r.getAs[java.math.BigDecimal](s"s$i").doubleValue / n)
+      }
+      cents = next
+    }
+    assign(v, cents)
+  }
+
+  /** One codegen'd projection: per centroid a cosineSim kernel call, argmax
+    * by (sim, then smaller cluster id) via struct ordering — ties cannot
+    * flap between runs.
+    */
+  private def assign(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        cosineSim(col("v"), array(c.map(lit(_)): _*)).as("sim"),
+        lit(-i).as("negc"),
+      )
+    }
+    v.select(
+      col("id"),
+      col("v"),
+      array_max(array(scored: _*)).as("best"),
+    ).select(
+      col("id"),
+      col("v"),
+      (-col("best.negc")).as("cluster"),
+      col("best.sim").as("sim"),
+    )
+  }
+}

@@ -61,6 +61,14 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Hostnames of http(s) URLs in `text` — the domain-accounting step of a
+    * web-corpus pipeline (per-domain quotas, blocklists, provenance
+    * stats). Pattern is deliberately RE2-compatible (plain classes and a
+    * single capture group), so a DuckDB/Trino oracle runs it verbatim.
+    */
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(lower(text), lit("https?://([a-z0-9.-]+)"), lit(1))
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),

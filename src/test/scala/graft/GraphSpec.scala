@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+/** PageRank invariants on hand graphs — the rows-only q_pagerank query's
+  * correctness anchor (no SQL oracle can express the iteration).
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def undirected(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("star graph converges to the analytic fixpoint, hub above leaves") {
+    // hub 0 <-> leaves 1,2,3. Fixpoint of r_h = 0.15 + 0.85·3·r_l,
+    // r_l = 0.15 + 0.85·r_h/3  →  r_h = 0.5325/0.2775, r_l from r_h.
+    // Convergence is |λ|=d=0.85 per round (bipartite star oscillates):
+    // 0.85^60 ≈ 6e-5 residual — the tolerance below, with headroom.
+    val ranks = PageRank.run(undirected((0L, 1L), (0L, 2L), (0L, 3L)), iters = 60)
+      .as[(Long, Double)].collect().toMap
+    val rh = 0.5325 / 0.2775
+    val rl = 0.15 + 0.85 * rh / 3
+    assert(math.abs(ranks(0L) - rh) < 2e-4, s"hub ${ranks(0L)} != $rh")
+    Seq(1L, 2L, 3L).foreach(l => assert(math.abs(ranks(l) - rl) < 2e-4))
+    assert(ranks(0L) > ranks(1L))
+    // symmetric leaves get EXACTLY equal ranks (decimal accumulation)
+    assert(ranks(1L) == ranks(2L) && ranks(2L) == ranks(3L))
+  }
+
+  test("mass conservation and bit-deterministic reruns on a path graph") {
+    val edges = undirected((1L, 2L), (2L, 3L))
+    val a = PageRank.run(edges, iters = 5).as[(Long, Double)].collect().toMap
+    val b = PageRank.run(edges, iters = 5).as[(Long, Double)].collect().toMap
+    assert(a == b, "rerun diverged — accumulation not partition-independent")
+    assert(math.abs(a.values.sum - 3.0) < 1e-9, s"mass leaked: ${a.values.sum}")
+    assert(a(2L) > a(1L) && a(1L) == a(3L), s"middle node must dominate: $a")
+  }
+
+  test("isolated-direction node keeps the damping floor") {
+    // 1 -> 2 only: node 1 has no in-edges, so it settles at 1-d = 0.15.
+    // (Node 2 is not in the src set — documented contract.)
+    val ranks = PageRank.run(Seq((1L, 2L)).toDF("src", "dst"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(ranks.keySet == Set(1L))
+    assert(math.abs(ranks(1L) - 0.15) < 1e-12)
+  }
+}

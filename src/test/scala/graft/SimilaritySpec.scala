@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.similarity.{Ann, NearDup}
+import graft.similarity.{Ann, KMeans, NearDup}
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -206,5 +206,43 @@ class SimilaritySpec extends SparkTestBase {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+
+  // Two tight blobs around orthogonal directions with deterministic
+  // per-vector jitter — k-means must recover the split exactly.
+  private def blobs = {
+    def vec(axis: Int, i: Int): Seq[Double] =
+      Seq.tabulate(4)(d => (if (d == axis) 10.0 else 0.0) + 0.1 * ((i + d) % 3))
+    val rows = (0 until 6).map(i => (i.toLong, vec(0, i))) ++
+      (6 until 12).map(i => (i.toLong, vec(1, i)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans lloyd recovers separated blobs and is deterministic") {
+    def fit() = KMeans.lloyd(blobs, "vec_id", "embedding", k = 2, dim = 4, iters = 3)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    val m = fit()
+    val c0 = (0L until 6L).map(m).toSet
+    val c1 = (6L until 12L).map(m).toSet
+    assert(c0.size == 1 && c1.size == 1 && c0 != c1,
+      s"blobs not separated: $m")
+    assert(fit() == m, "rerun diverged — fit not deterministic")
+  }
+
+  test("kmeans assignment is a fixpoint once converged") {
+    val a = KMeans.lloyd(blobs, "vec_id", "embedding", k = 2, dim = 4, iters = 2)
+      .select("id", "cluster", "sim").as[(Long, Int, Double)].collect().toSet
+    val b = KMeans.lloyd(blobs, "vec_id", "embedding", k = 2, dim = 4, iters = 5)
+      .select("id", "cluster", "sim").as[(Long, Int, Double)].collect().toSet
+    assert(a == b, "extra iterations moved a converged assignment")
+  }
+
+  test("kmeans keeps every vector and clusters within bounds on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = KMeans.lloyd(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 2)
+    assert(out.count() == emb.count())
+    val cs = out.select("cluster").distinct().as[Int].collect()
+    assert(cs.forall(c => c >= 0 && c < 8))
+    assert(out.agg(min($"sim")).head().getDouble(0) >= -1.0000001)
   }
 }

@@ -96,4 +96,13 @@ class TextSpec extends SparkTestBase {
     assert(r.getAs[Double]("mean_token_len") > 0)
     assert(r.getAs[Int]("n_chars") > 0)
   }
+
+  test("urlHosts pulls every http(s) hostname, case-folded, in order") {
+    val hosts = Seq("See HTTPS://A.Example.COM/x and http://b.example.net, nothing else.")
+      .toDF("t").select(TextAnalysis.urlHosts($"t")).as[Seq[String]].head()
+    assert(hosts == Seq("a.example.com", "b.example.net"), hosts.toString)
+    val none = Seq("no links here").toDF("t")
+      .select(TextAnalysis.urlHosts($"t")).as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
 }
