@@ -1960,6 +1960,10 @@ object SparkEntry {
     // accumulation, checkpoint cadence capping plan growth — GraphSpec
     // pins the fixpoint algebra on hand graphs. Rows-only: 8 chained
     // self-joins aren't a sane oracle; invariants live in the spec.
+    // runAdaptive: the n>=2 filter leaves a few-thousand-edge graph at
+    // bench scale, which iterates on the driver (bit-identically) instead
+    // of paying 8 distributed rounds of scheduler latency; a 100 TB
+    // basket graph exceeds the threshold and takes the distributed path.
     "q_pagerank" -> ((s, dir) => {
       val baskets = t(s, dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1972,7 +1976,7 @@ object SparkEntry {
         .filter(col("n") >= 2)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      PageRank.run(edges, iters = 8)
+      PageRank.runAdaptive(edges, iters = 8)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
     }),
   )

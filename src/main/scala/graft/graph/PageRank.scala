@@ -58,4 +58,49 @@ object PageRank {
     }
     rank
   }
+
+  /** [[run]] with the adaptive small-graph escape hatch — the same
+    * decision NearDup.connectedComponentsAdaptive makes: a graph under
+    * `maxDriverEdges` (long pairs; 2M ≈ 32 MB) iterates on the driver in
+    * microseconds instead of paying `iters` distributed rounds of
+    * scheduler latency, exactly like a broadcast join collects a small
+    * side. Bigger graphs take the distributed path unchanged.
+    *
+    * Both paths are BIT-IDENTICAL: contributions are quantized to
+    * decimal(28,12) (HALF_UP, matching Spark's double→decimal cast),
+    * summed exactly (order-free), and blended in the same double op
+    * order — PageRankAdaptiveSpec asserts equality, not approximation.
+    * The edge subtree is lazily checkpointed so the sizing count and the
+    * chosen path share one materialization.
+    *
+    * Long node ids only (the cast is ANSI — non-numeric ids throw rather
+    * than corrupt); graphs with string ids hash them first or use [[run]].
+    */
+  def runAdaptive(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      maxDriverEdges: Long = 2_000_000L,
+  ): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint(false)
+    if (e.count() > maxDriverEdges) return run(e, iters, damping)
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = deg.keys.toArray.sorted
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val mass = collection.mutable.Map.empty[Long, java.math.BigDecimal]
+      es.foreach { case (s, d) =>
+        val contrib = java.math.BigDecimal.valueOf(rank(s) / deg(s))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        mass.updateWith(d)(prev => Some(prev.fold(contrib)(_.add(contrib))))
+      }
+      rank = nodes.map { n =>
+        n -> ((1.0 - damping) + damping * mass.get(n).fold(0.0)(_.doubleValue))
+      }.toMap
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+  }
 }

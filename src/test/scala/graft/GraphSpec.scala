@@ -37,6 +37,15 @@ class GraphSpec extends SparkTestBase {
     assert(a(2L) > a(1L) && a(1L) == a(3L), s"middle node must dominate: $a")
   }
 
+  test("adaptive driver path is bit-identical to distributed propagation") {
+    val edges = undirected((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 4L))
+    val driver = PageRank.runAdaptive(edges, iters = 7)
+      .as[(Long, Double)].collect().toMap
+    val dist = PageRank.runAdaptive(edges, iters = 7, maxDriverEdges = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(driver == dist, s"paths diverge:\n driver=$driver\n dist=$dist")
+  }
+
   test("isolated-direction node keeps the damping floor") {
     // 1 -> 2 only: node 1 has no in-edges, so it settles at 1-d = 0.15.
     // (Node 2 is not in the src set — documented contract.)
