@@ -162,4 +162,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countOccurrences(p, "Window") >= 2,
       s"expected local + global Window phases:\n$p")
   }
+
+  test("q_quantile_bin: boundary row broadcasts — the table never wide-shuffles") {
+    val p = plan("q_quantile_bin")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row quartile frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge against a 1-row side:\n$p")
+  }
+
+  test("q_mad_outliers: both statistic tables broadcast back over the docs") {
+    val p = plan("q_mad_outliers")
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"med and mad are per-lang LUTs — both joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge on tiny stat tables:\n$p")
+  }
+
+  test("q_rolling_median: one exchange feeds the frame window") {
+    val p = plan("q_rolling_median")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"frame-bounded median = one shuffle on the partition key:\n$p")
+  }
+
+  test("q_attribution: first/last/purchase lookups ride ONE exchange (user_id)") {
+    val p = plan("q_attribution")
+    // one shuffle collects per-user sequences + one small agg exchange on
+    // the (first_touch, last_touch) readout — never three event rescans.
+    assert(countOccurrences(p, ") Scan parquet") == 1,
+      s"events must be scanned once, vs three times in the CTE form:\n$p")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") <= 2,
+      s"sequence fold + readout agg only:\n$p")
+  }
 }
