@@ -1773,6 +1773,26 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: ordered group concatenation (LISTAGG) ---------
+    // Time-ordered sequence building (the "events → training sequence"
+    // collapse): per customer, order priorities concatenated in
+    // (date, key) order. Deterministic by construction — the sort key is
+    // total — where a bare string_agg/collect_list would be
+    // partition-order-dependent. One shuffle, struct-sorted in the agg.
+    "q_listagg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(
+                col("o_orderdate"), col("o_orderkey"), col("o_orderpriority")))),
+              x => x.getField("o_orderpriority")),
+            ",").as("priority_seq"),
+        )
+    }),
+
     // --- beyond-reference: URL/domain extraction -------------------------
     // Web-corpus domain accounting: pull every http(s) hostname out of the
     // text (URLs synthesized onto the docs so the extraction has real
@@ -3017,6 +3037,11 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey) AS priority_seq
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_url_extract" ->
       """WITH h AS (

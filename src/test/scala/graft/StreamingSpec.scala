@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.EventsStream
+import graft.streaming.{DocsStream, EventsStream}
 
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
@@ -263,6 +263,60 @@ class StreamingSpec extends SparkTestBase {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap
       assert(latest == batch, "stateful totals diverge from batch")
+    } finally q.stop()
+  }
+
+  private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ingest_time", org.apache.spark.sql.types.TimestampType),
+  ))
+
+  test("DocsStream.enriched: text kernels under streaming match the batch path") {
+    val dir = tmpDir("stream_docs_enrich")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+      .select($"doc_id", $"text", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_time"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(DocsStream.enriched(stream), "docs_enriched")
+    try {
+      val streamed = spark.table("docs_enriched")
+        .select("doc_id", "n_tokens", "lang_id", "fp")
+        .as[(Long, Int, String, String)].collect().toSet
+      val batch = DocsStream.enriched(spark.read.schema(docsSchema).parquet(dir))
+        .select("doc_id", "n_tokens", "lang_id", "fp")
+        .as[(Long, Int, String, String)].collect().toSet
+      assert(streamed == batch, "streaming kernel output diverges from batch")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("DocsStream.dedupedDocs drops cosmetic re-crawls across micro-batches") {
+    val dir = tmpDir("stream_docs_dedup")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val first = Seq(
+      (1L, "The quick brown fox", t0),
+      (2L, "totally different content", t0),
+    ).toDF("doc_id", "text", "ingest_time")
+    // Second delivery: same pages re-crawled with cosmetic whitespace and
+    // case changes (same normalized fingerprint), plus one genuinely new.
+    val second = Seq(
+      (3L, "the  QUICK   brown fox ", t0),
+      (4L, "brand new page", t0),
+    ).toDF("doc_id", "text", "ingest_time")
+    first.coalesce(1).write.mode("overwrite").parquet(dir)
+    second.coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(DocsStream.dedupedDocs(stream), "docs_deduped")
+    try {
+      val kept = spark.table("docs_deduped").select("fp").as[String].collect()
+      assert(kept.length == kept.distinct.length, "same fingerprint emitted twice")
+      // 1 and 3 collapse to one fingerprint; 2 and 4 are unique → 3 rows.
+      assert(kept.length == 3, s"expected 3 surviving docs, got ${kept.length}")
     } finally q.stop()
   }
 }
