@@ -89,6 +89,13 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — the other columnar lake format warehouses standardize on
+    * (predicate pushdown and column pruning work exactly as for parquet;
+    * SourcesSpec asserts a round-trip).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S8: format auto-detect by extension (reference `read_path`,
     * `common/evidence.py:230-285`). Directories default to parquet unless
     * they contain JSON parts.
@@ -96,6 +103,7 @@ object Readers {
   def readPath(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase.stripSuffix(".gz").stripSuffix(".bz2")
     if (lower.endsWith(".parquet")) parquet(spark, path)
+    else if (lower.endsWith(".orc")) orc(spark, path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       json(spark, path)
     else if (lower.endsWith(".tsv") || lower.endsWith(".tab")) tsv(spark, path, inferSchema = true)

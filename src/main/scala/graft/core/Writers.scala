@@ -50,6 +50,7 @@ object Writers {
   def writeByExtension(df: DataFrame, path: String): Unit = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)
+    else if (lower.endsWith(".orc")) df.write.mode("overwrite").orc(path)
     else if (lower.contains(".json")) writeJsonGzSingle(df, path)
     else if (lower.endsWith(".tsv"))
       df.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)

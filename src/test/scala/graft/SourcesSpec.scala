@@ -110,4 +110,16 @@ class SourcesSpec extends SparkTestBase {
     assert(m.getAs[Long]("rows") == base.count() && m.getAs[Long]("bad_qty") == 0L)
     assert(n == base.count(), "filter dropped nothing (no non-positive quantities)")
   }
+
+  test("ORC round-trip with predicate pushdown and writeByExtension dispatch") {
+    val out = tmpDir("orc_roundtrip") + "/nation.orc"
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    graft.core.Writers.writeByExtension(nation, out)
+    val back = graft.core.Readers.readPath(spark, out)
+    assert(back.collect().toSet == nation.collect().toSet, "ORC round-trip lost rows")
+    val p = back.filter($"n_nationkey" > 10).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]"),
+      s"ORC scan must push the predicate:\n$p")
+  }
 }
