@@ -1773,6 +1773,28 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: event transition paths (Markov edges) ---------
+    // The product-analytics "user journey" collapse (sankey/Markov-chain
+    // input): consecutive-event transitions per user, counted per
+    // (from, to) pair. Same ONE-shuffle sorted-sequence shape as
+    // q_funnel_events/q_attribution — the oracle's lead() window
+    // re-sorts events instead; here transitions fall out of the already
+    // sorted array as a narrow pairwise transform.
+    "q_event_paths" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(explode(when(size(col("seq")) >= 2,
+          transform(sequence(lit(1), size(col("seq")) - 1), i =>
+            struct(
+              element_at(col("seq"), i).getField("event_type").as("from_type"),
+              element_at(col("seq"), i + 1).getField("event_type").as("to_type"))))
+          .otherwise(array())).as("tr"))
+        .groupBy(col("tr.from_type").as("from_type"), col("tr.to_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // --- beyond-reference: ordered group concatenation (LISTAGG) ---------
     // Time-ordered sequence building (the "events → training sequence"
     // collapse): per customer, order priorities concatenated in
@@ -3037,6 +3059,14 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |t AS (SELECT user_id, event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_listagg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

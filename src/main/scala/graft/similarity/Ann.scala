@@ -66,12 +66,15 @@ object Ann {
     * distribution (centroids live where vectors are) where hyperplane LSH
     * is oblivious.
     *
-    * Centroids here are a deterministic sample (first nList corpus
-    * vectors by id) — at 100 TB one would run a few Lloyd iterations on a
-    * sample offline and broadcast the result; the assignment/probe
-    * dataflow is identical and is what this operator demonstrates. The
-    * cell assignment is one broadcast-join pass over the corpus (no
-    * shuffle of the vectors themselves beyond the cell key).
+    * Default centroids are a deterministic sample (first nList corpus
+    * vectors by id); pass `kmeansIters > 0` to fit them with
+    * [[KMeans.centroids]] instead — the offline Lloyd step a production
+    * IVF runs (on a `Sampling.hashSample` of a 100 TB corpus), then
+    * broadcasts. Either way the assignment/probe dataflow is identical:
+    * one broadcast-join pass over the corpus, no shuffle of the vectors
+    * themselves beyond the cell key. The top-k-per-query exactness
+    * invariant (full probe ≡ brute force) holds for ANY centroid set —
+    * centroid quality only moves the recall/cost curve at partial probe.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -81,10 +84,23 @@ object Ann {
       k: Int,
       nList: Int = 16,
       nProbe: Int = 4,
+      kmeansIters: Int = 0,
   ): DataFrame = {
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nList)
-        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf =
+      if (kmeansIters > 0) {
+        // Fitted double centroids cast to the corpus's float element type
+        // so the cosineSim kernel sees matching array types.
+        KMeans.centroids(corpus, idCol, vecCol, nList, dimOf(corpus, vecCol), kmeansIters)
+          .zipWithIndex
+          .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
+          .toDF("cid", "cvec")
+      } else {
+        corpus.orderBy(col(idCol)).limit(nList)
+          .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      }
+    val centroids = broadcast(centDf)
     def nearestCells(df: DataFrame, id: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
       df.join(centroids, lit(true))
@@ -109,6 +125,13 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
   }
+
+  /** Vector dimensionality from the first row (driver peek — one tiny
+    * job; callers fitting repeatedly should pass corpus dims statically
+    * via [[KMeans.centroids]] directly).
+    */
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Deterministic pseudo-random hyperplane: component j of plane p is a
     * zero-mean value derived from xxhash64(p, j). Built as an array literal

@@ -51,13 +51,32 @@ object KMeans {
       dim: Int,
       iters: Int,
   ): DataFrame = {
-    require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans config k=$k iters=$iters dim=$dim")
-    // Consumed iters+1 times (one agg per iteration + the final
-    // assignment) — checkpoint so the scan/cast runs once.
-    val v = vecs
+    val v = prepared(vecs, idCol, vecCol)
+    assign(v, fitOn(v, k, dim, iters))
+  }
+
+  /** Just the fitted centroid matrix (k×dim) — the offline artifact
+    * [[Ann.ivfTopK]] consumes as its cell centroids. Same Lloyd loop as
+    * [[lloyd]], without the final assignment pass.
+    */
+  def centroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      iters: Int,
+  ): Array[Array[Double]] =
+    fitOn(prepared(vecs, idCol, vecCol), k, dim, iters)
+
+  /** Checkpoint once: the fit consumes the cast vectors iters+1 times. */
+  private def prepared(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs
       .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
       .localCheckpoint(false)
 
+  private def fitOn(v: DataFrame, k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans config k=$k iters=$iters dim=$dim")
     var cents: Array[Array[Double]] =
       v.orderBy(col("id")).limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
@@ -77,7 +96,7 @@ object KMeans {
       }
       cents = next
     }
-    assign(v, cents)
+    cents
   }
 
   /** One codegen'd projection: per centroid a cosineSim kernel call, argmax

@@ -237,6 +237,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b, "extra iterations moved a converged assignment")
   }
 
+  test("ivfTopK with fitted centroids: full probe stays exactly brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // Exactness is centroid-independent when every cell is probed —
+    // fitted centroids only move the recall/cost curve at partial probe.
+    val fittedFull = Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 3,
+      nList = 8, nProbe = 8, kmeansIters = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(fittedFull == exact, "full-probe fitted IVF diverged from brute force")
+  }
+
   test("kmeans keeps every vector and clusters within bounds on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = KMeans.lloyd(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 2)
