@@ -1773,6 +1773,61 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: chi-square contingency cells ------------------
+    // Independence test input (priority × status): observed counts plus
+    // expected = rowTot·colTot/n and the per-cell (o−e)²/e term. The
+    // marginals are tiny aggregates broadcast back over the 15-cell
+    // table (the statistic-broadcast shape again). Expected/term are each
+    // ONE fixed IEEE expression from exact integer counts — bit-stable —
+    // while the global Σ is left to the caller: a float sum's order
+    // isn't deterministic, per-cell terms are.
+    "q_chisq_cells" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_obs"))
+      val rowTot = cells.groupBy("o_orderpriority").agg(sum(col("n_obs")).as("row_tot"))
+      val colTot = cells.groupBy("o_orderstatus").agg(sum(col("n_obs")).as("col_tot"))
+      val nTot = cells.agg(sum(col("n_obs")).as("n_tot"))
+      val e = (col("row_tot") * col("col_tot")).cast("double") / col("n_tot").cast("double")
+      cells
+        .join(broadcast(rowTot), Seq("o_orderpriority"))
+        .join(broadcast(colTot), Seq("o_orderstatus"))
+        .join(broadcast(nTot))
+        .withColumn("expected", e)
+        .withColumn("chi2_term",
+          (col("n_obs").cast("double") - col("expected")) *
+            (col("n_obs").cast("double") - col("expected")) / col("expected"))
+        .select("o_orderpriority", "o_orderstatus", "n_obs", "expected", "chi2_term")
+    }),
+
+    // --- beyond-reference: top-decile concentration ----------------------
+    // Revenue concentration (the "whales" readout): share of total spend
+    // held by the top 10% of customers. Per-customer spend is an exact
+    // decimal aggregate; the global rank runs over the AGGREGATED table
+    // (one row per customer — the window's single partition holds the
+    // small side, not the fact table; same decision as q_pct_of_total).
+    // One decimal/decimal division at the very end → engine-stable.
+    "q_topk_share" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(24,6)")).as("spend"))
+      val n = spend.agg(
+        count(lit(1)).as("n_cust"), sum(col("spend")).as("total_spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      spend
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(n))
+        .filter(col("rn") <= ceil(col("n_cust") / 10.0))
+        .agg(
+          count(lit(1)).as("n_top"),
+          max(col("n_cust")).as("n_cust"),
+          // Cast each side to double BEFORE dividing: decimal/decimal
+          // result-scale rules differ across engines, one IEEE division
+          // of two exactly-converted decimals does not.
+          (sum(col("spend")).cast("double") / max(col("total_spend")).cast("double")).as("top_share"),
+        )
+    }),
+
     // --- beyond-reference: event transition paths (Markov edges) ---------
     // The product-analytics "user journey" collapse (sankey/Markov-chain
     // input): consecutive-event transitions per user, counted per
@@ -3059,6 +3114,29 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    "q_chisq_cells" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_obs FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, sum(n_obs) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT o_orderstatus, sum(n_obs) AS col_tot FROM cells GROUP BY 1),
+        |nt AS (SELECT sum(n_obs) AS n_tot FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, n_obs,
+        |  CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS expected,
+        |  (CAST(n_obs AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+        |  (CAST(n_obs AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) /
+        |  (CAST(row_tot * col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS chi2_term
+        |FROM cells JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus), nt""".stripMargin,
+
+    "q_topk_share" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(24,6))) AS spend FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust, sum(spend) AS total_spend FROM spend),
+        |r AS (SELECT o_custkey, spend,
+        |  row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn FROM spend)
+        |SELECT CAST(count(*) AS BIGINT) AS n_top, max(n_cust) AS n_cust,
+        |  CAST(sum(spend) AS DOUBLE) / CAST(max(total_spend) AS DOUBLE) AS top_share
+        |FROM r, tot WHERE rn <= ceil(n_cust / 10.0)""".stripMargin,
 
     "q_event_paths" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
