@@ -150,4 +150,45 @@ class PropertySpec extends SparkTestBase {
       assert(viaAgg.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaAgg).isEmpty)
     }
   }
+
+  test("frame lower-median (q_rolling_median shape) agrees with a driver reference") {
+    // The exact pick-an-element median over a trailing 5-row frame,
+    // re-computed independently with a plain Scala sliding window.
+    val rowGen = for {
+      k <- Gen.choose(0, 3); v <- Gen.choose(0, 1000)
+    } yield (k.toLong, v.toDouble)
+    samples(Gen.listOfN(40, rowGen), 5, 7000L).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        .toDF("k", "ord", "v")
+      val w = Window.partitionBy($"k").orderBy($"ord").rowsBetween(-4, Window.currentRow)
+      val got = df
+        .withColumn("win", array_sort(collect_list($"v").over(w)))
+        .withColumn("med", get($"win", ((size($"win") + 1) / 2).cast("int") - 1))
+        .select($"k", $"ord", $"med").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        .groupBy(_._1).flatMap { case (k, g) =>
+          val sortedByOrd = g.sortBy(_._2)
+          sortedByOrd.indices.map { i =>
+            val frame = sortedByOrd.slice(math.max(0, i - 4), i + 1).map(_._3).sorted
+            (k, sortedByOrd(i)._2) -> frame((frame.size + 1) / 2 - 1)
+          }
+        }
+      assert(got == want)
+    }
+  }
+
+  test("kmeans sims stay in cosine bounds and reruns are bit-identical on random inputs") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1.0, 1.0))
+    samples(Gen.listOfN(10, vecGen), 3, 8000L).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "emb")
+      val out = graft.similarity.KMeans.lloyd(df, "vec_id", "emb", k = 3, dim = 4, iters = 3)
+        .select("id", "cluster", "sim").as[(Long, Int, Double)].collect()
+      // sims are cosine values — bounded, and deterministic across reruns
+      assert(out.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+      val rerun = graft.similarity.KMeans.lloyd(df, "vec_id", "emb", k = 3, dim = 4, iters = 3)
+        .select("id", "cluster", "sim").as[(Long, Int, Double)].collect()
+      assert(out.toSet == rerun.toSet)
+    }
+  }
 }
