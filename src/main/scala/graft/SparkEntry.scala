@@ -1773,6 +1773,17 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: BPE merge training (rows-only) ----------------
+    // Tokenizer-vocabulary learning (Sennrich et al. 2016): the corpus
+    // collapses once to the bounded (word, freq) table, then each round
+    // explodes adjacent symbol pairs, counts them weighted by word
+    // frequency, collects the ONE argmax row, and applies the greedy
+    // merge via an HOF fold — no UDF, no driver-side corpus. Rows-only:
+    // an iterated argmax isn't SQL; TextSpec pins the canonical merge
+    // sequence on a hand corpus.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 8)),
+
     // --- beyond-reference: chi-square contingency cells ------------------
     // Independence test input (priority × status): observed counts plus
     // expected = rowTot·colTot/n and the per-cell (o−e)²/e term. The

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training — the tokenizer-vocabulary step of
+  * an LLM data pipeline, as distributed dataflow.
+  *
+  * Classic BPE (Sennrich et al. 2016, ACL — public algorithm): start
+  * from characters, repeatedly merge the most frequent adjacent symbol
+  * pair. The Spark-first decomposition:
+  *
+  *  - the corpus collapses ONCE to the (word, freq) vocabulary — the
+  *    bounded side (vocab size, not corpus size), which is what every
+  *    round iterates over; a 100 TB corpus pays one tokenize+count
+  *    shuffle total.
+  *  - each round is: adjacent-pair explode → weighted count → argmax
+  *    (ONE row collects — the same tiny-model-to-driver move as
+  *    KMeans) → greedy left-to-right merge applied per word by a fold
+  *    over the symbol array (HOF — no UDF). The word table is lazily
+  *    checkpointed per round to cap plan growth (the CC discipline).
+  *
+  * Deterministic: ties in pair frequency break lexicographically, so
+  * the learned merge list is reproducible across runs and partitionings.
+  */
+object Bpe {
+
+  /** The learned merge table: (rank, left, right, pair_count), rank 0 =
+    * first merge. `nMerges` rounds; stops early if no pair repeats.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Corpus → bounded word-frequency table, symbols start as characters.
+    var words = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(false)
+
+    val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var continue = nMerges > 0
+    while (continue) {
+      val top = pairCounts(words).filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      top.headOption match {
+        case Some(r) =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          learned += ((rank, a, b, n))
+          words = words
+            .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+            .localCheckpoint(false)
+          rank += 1
+          continue = rank < nMerges
+        case None => continue = false
+      }
+    }
+    learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Adjacent symbol pairs weighted by word frequency. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("a"), element_at(col("syms"), i + 1).as("b"))))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Greedy left-to-right merge of adjacent (a,b) → a+b, the standard
+    * BPE scan (so "aaa" under (a,a) merges once, leaving [aa, a]),
+    * expressed as an aggregate fold with (accumulated, pending) state.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"), lit(null).cast("string").as("prev")),
+      (st, x) => {
+        val acc = st.getField("acc")
+        val prev = st.getField("prev")
+        when(prev.isNull, struct(acc.as("acc"), x.as("prev")))
+          .when(prev === lit(a) && x === lit(b),
+            struct(concat(acc, array(lit(a + b))).as("acc"), lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(acc, array(prev)).as("acc"), x.as("prev")))
+      },
+      st =>
+        when(st.getField("prev").isNull, st.getField("acc"))
+          .otherwise(concat(st.getField("acc"), array(st.getField("prev")))),
+    )
+}

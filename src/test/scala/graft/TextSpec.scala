@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 
 class TextSpec extends SparkTestBase {
   import spark.implicits._
@@ -95,6 +95,27 @@ class TextSpec extends SparkTestBase {
     val r = out.filter($"n_tokens" > 0).head()
     assert(r.getAs[Double]("mean_token_len") > 0)
     assert(r.getAs[Int]("n_chars") > 0)
+  }
+
+  test("BPE learns the canonical merge sequence on a hand corpus") {
+    // "low" ×3, "lower" ×1, "lowest" ×1 → (l,o) and (o,w) both count 5;
+    // lexicographic tiebreak picks (l,o), then (lo,w) at 5, then (low,e)
+    // at 2 — the classic worked example.
+    val docs = Seq("low low low", "lower lowest").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 3)
+      .orderBy("merge_rank")
+      .select("left", "right", "pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    assert(merges == Seq(("l", "o", 5L), ("lo", "w", 5L), ("low", "e", 2L)), merges.toString)
+  }
+
+  test("BPE greedy merge scan handles overlapping pairs left-to-right") {
+    val out = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(Bpe.mergePair($"syms", "a", "a")).as[Seq[String]].head()
+    assert(out == Seq("aa", "a"), out.toString)
+    val stops = Bpe.learnMerges(Seq("xy xy").toDF("text"), "text", nMerges = 10)
+      .count()
+    assert(stops == 1, s"must stop when no pair repeats, learned $stops")
   }
 
   test("urlHosts pulls every http(s) hostname, case-folded, in order") {
