@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Cleanup, Dedup, Readers, Reshape, Stats, Union}
+import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Stats, Union}
 import graft.graph.PageRank
 import graft.similarity.{Ann, KMeans, NearDup}
-import graft.text.TextAnalysis
+import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
   * SURVEY.md §2, each with a DuckDB-runnable oracle in [[SparkEntry.oracleSql]].
@@ -1289,6 +1289,16 @@ object SparkEntry {
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
     }),
 
+    // --- beyond-reference: cross-document exact substring dedup ---------
+    // The suffix-array training-data op (Lee et al. 2022) as gram-anchored
+    // span assembly: 40-char windows shared by ≥2 distinct docs, merged
+    // into maximal per-doc spans ≥60 chars — the verbatim text a dedup
+    // pass would cut even when the documents as a whole are distinct.
+    // Shuffles key on gram then doc_id, never doc×doc; see SubstringDedup.
+    "q_substring_dedup" -> ((s, dir) =>
+      SubstringDedup.sharedSpans(t(s, dir, "documents"), "doc_id", "text",
+        gramLen = 40, minSpan = 60)),
+
     // --- beyond-reference: corpus boilerplate n-grams (C4-style) --------
     // Word 5-grams appearing in ≥ 3 distinct docs are boilerplate
     // (headers, disclaimers, spam templates — threshold sized so the
@@ -1559,20 +1569,28 @@ object SparkEntry {
     // --- beyond-reference: vocabulary build + dictionary encoding -------
     // The tokenizer-adjacent step: rank terms by document frequency into
     // a dense vocab (top 50), broadcast it, and encode each doc as its
-    // sorted in-vocab id set + OOV count. The global rank runs over the
-    // tiny aggregated term table, never the corpus; the encode side is a
-    // broadcast join keyed on term.
+    // sorted in-vocab id set + OOV count. The top-50 cut is a distributed
+    // TakeOrderedAndProject — NOT a global window, which would drag the
+    // whole distinct-token table (tens of millions of rows at 100 TB)
+    // through one task; ranks are then assigned window-free by
+    // position-in-sorted-array over the already-bounded 50 rows.
     "q_vocab_encode" -> ((s, dir) => {
       // toks feeds the vocab build AND the encode join — checkpointed so
       // the tokenize+explode pass runs once, not twice.
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
         .localCheckpoint(false)
-      val vocab = toks.groupBy("tok")
+      val top50 = toks.groupBy("tok")
         .agg(count(lit(1)).as("df"))
-        .withColumn("vid", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
-        .filter(col("vid") <= 50)
-        .select("tok", "vid")
+        .orderBy(col("df").desc, col("tok"))
+        .limit(50)
+      // vid = 1-based rank by (df desc, tok): sort the 50 survivors inside
+      // one collect_list (negated df makes the ascending array sort equal
+      // the desired descending order) and posexplode the positions.
+      val vocab = top50
+        .agg(sort_array(collect_list(struct((-col("df")).as("ndf"), col("tok")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("p", "e")))
+        .select(col("e.tok").as("tok"), (col("p") + 1).cast("int").as("vid"))
       toks.join(broadcast(vocab), Seq("tok"), "left")
         .groupBy("doc_id")
         .agg(
@@ -1814,19 +1832,21 @@ object SparkEntry {
     // --- beyond-reference: top-decile concentration ----------------------
     // Revenue concentration (the "whales" readout): share of total spend
     // held by the top 10% of customers. Per-customer spend is an exact
-    // decimal aggregate; the global rank runs over the AGGREGATED table
-    // (one row per customer — the window's single partition holds the
-    // small side, not the fact table; same decision as q_pct_of_total).
-    // One decimal/decimal division at the very end → engine-stable.
+    // decimal aggregate; the global rank uses Rank.rowNumberDesc — the
+    // bucketed two-phase rank — because the customer dimension grows
+    // linearly with the corpus: a bare Window.orderBy would pull hundreds
+    // of millions of aggregate rows through ONE task at 100 TB. One
+    // decimal/decimal division at the very end → engine-stable.
     "q_topk_share" -> ((s, dir) => {
+      // spend feeds three consumers (totals, rank splits, rank pass) —
+      // checkpointed so the orders scan+agg runs once.
       val spend = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(24,6)")).as("spend"))
+        .localCheckpoint(false)
       val n = spend.agg(
         count(lit(1)).as("n_cust"), sum(col("spend")).as("total_spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      spend
-        .withColumn("rn", row_number().over(w))
+      Rank.rowNumberDesc(spend, "spend", Seq("o_custkey"), out = "rn")
         .join(broadcast(n))
         .filter(col("rn") <= ceil(col("n_cust") / 10.0))
         .agg(
@@ -2864,6 +2884,26 @@ object SparkEntry {
         |  AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, greatest(length(text) - 39, 0))) AS t(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER w + 40 THEN 1 ELSE 0 END AS brk
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM flagged)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+        |  max(pos) + 40 - min(pos) AS span_len, count(*) AS n_grams
+        |FROM grp GROUP BY doc_id, g
+        |HAVING span_len >= 60""".stripMargin,
 
     "q_boilerplate" ->
       """WITH toks AS (

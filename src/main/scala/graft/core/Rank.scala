@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking without a single-partition window.
+  *
+  * `row_number().over(Window.orderBy(...))` forces the ENTIRE input through
+  * one task — fine on a 15k-row aggregate, fatal on the same aggregate at
+  * 100× (Spark itself warns "Moving all data to a single partition").
+  * [[rowNumberDesc]] produces the identical exact rank with the classic
+  * bucketed two-phase plan:
+  *
+  *   1. approximate range splits of the primary sort column (one
+  *      `percentile_approx` pass, B-1 split points, broadcast);
+  *   2. monotone bucket assignment — bucket id depends ONLY on the primary
+  *      value, so (a) rows compare across buckets exactly as the desired
+  *      total order, and (b) ties always land in the same bucket where the
+  *      tiebreak columns order them;
+  *   3. per-bucket `row_number` (partitioned window — parallel);
+  *   4. bucket offsets via a triangular self-join over the ≤B-row count
+  *      table (window-free), broadcast back: rank = offset + local rank.
+  *
+  * Exactness does NOT depend on the split quality: any monotone bucketing
+  * yields the same final rank; split skew only affects parallelism. Nulls in
+  * the primary column are not supported (callers rank aggregates).
+  */
+object Rank {
+
+  /** Exact global `row_number` by (`primaryCol` DESC, `tieCols` ASC),
+    * written to long column `out`. Scales: the only shuffles are the
+    * bucket window and the tiny count aggregation.
+    */
+  def rowNumberDesc(
+      df: DataFrame,
+      primaryCol: String,
+      tieCols: Seq[String],
+      out: String = "rn",
+      nBuckets: Int = 32,
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val fractions = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    val splits = df.agg(
+      percentile_approx(col(primaryCol), array(fractions: _*), lit(1000)).as("__splits"))
+    // DESC bucketing: bucket = |{splits >= v}| — the largest values get
+    // bucket 0. Equal values share a bucket by construction.
+    val bucketed = df
+      .crossJoin(broadcast(splits))
+      .withColumn("__bkt", size(filter(col("__splits"), s => s >= col(primaryCol))))
+      .drop("__splits")
+    val w = Window
+      .partitionBy(col("__bkt"))
+      .orderBy(col(primaryCol).desc +: tieCols.map(col(_).asc): _*)
+    val local = bucketed.withColumn("__lrn", row_number().over(w))
+    val counts = local.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    // Prefix sums over ≤nBuckets rows: a triangular join, not a window.
+    val offsets = counts
+      .as("a")
+      .join(counts.select(col("__bkt").as("__pb"), col("__cnt").as("__pc")),
+        col("__pb") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("__pc")), lit(0L)).as("__off"))
+    local
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
+      .drop("__bkt", "__lrn", "__off")
+  }
+}

@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * bytes stay columnar in parquet, are never collected to the driver, and
   * partition like any other column.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) needs native libraries that are NOT in this container, so
-  * the decode kernels below are clearly-marked DETERMINISTIC STUBS. The
-  * Spark-side plumbing — schemas, per-partition decoder lifecycle,
-  * mapPartitions batch shape, column contracts — is real and tested; swap
-  * `StubCodec` for a real one (javacv/libvips JNI) without touching the
-  * dataflow.
+  * IMAGE metadata decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/GIF/BMP
+  * headers with the JDK's own `javax.imageio` — no native dependencies.
+  * Audio resample and video frame extraction DO need native libraries that
+  * are not in this container, so those kernels remain clearly-marked
+  * DETERMINISTIC STUBS ([[StubCodec]]). The Spark-side plumbing — schemas,
+  * per-partition decoder lifecycle, mapPartitions batch shape, column
+  * contracts — is identical either way; codecs swap via [[ImageCodec]]
+  * without touching the dataflow.
   */
 object Multimodal {
 
@@ -30,18 +31,58 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
   ))
 
+  /** Pluggable image decoder: None = bytes are not a decodable image
+    * (surfaces as a null metadata struct, never an executor crash).
+    */
+  trait ImageCodec extends Serializable {
+    def imageMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)]
+  }
+
+  /** Real image decode on the JDK's `javax.imageio` — header-only reads
+    * (width/height/type come from the stream metadata, pixels are never
+    * materialized), so cost per image is IO + a few hundred bytes of
+    * parsing regardless of resolution. Registered readers cover
+    * PNG/JPEG/GIF/BMP/TIFF out of the box.
+    */
+  object ImageIoCodec extends ImageCodec {
+    def imageMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      // No tmp-file cache inside executors.
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val types = r.getImageTypes(0)
+            val channels = if (types.hasNext) types.next().getNumComponents else 3
+            Some((r.getWidth(0), r.getHeight(0), channels,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } finally r.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None // corrupt/truncated image
+      } finally if (iis != null) iis.close()
+    }
+  }
+
   /** ============ STUB CODEC ============
     * Deterministic fake decoder: derives plausible metadata and features
-    * from a hash of the bytes. Replace with a real codec for production;
-    * everything downstream is agnostic to the swap.
+    * from a hash of the bytes. The image-metadata member exists so the
+    * text-bytes test tables (not real images) exercise the full dataflow;
+    * audio/video members stand in for codecs that need native libraries.
     */
-  object StubCodec {
-    def imageMeta(bytes: Array[Byte]): (Int, Int, Int, String) = {
+  object StubCodec extends ImageCodec {
+    def imageMeta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
       val h = java.util.Arrays.hashCode(bytes)
       val w = 64 + math.abs(h % 1024)
       val ht = 64 + math.abs((h / 7) % 1024)
       val c = if (h % 5 == 0) 1 else 3
-      (w, ht, c, if (h % 2 == 0) "jpeg" else "png")
+      Some((w, ht, c, if (h % 2 == 0) "jpeg" else "png"))
     }
 
     /** Fake embedding: `dim` floats derived deterministically from bytes. */
@@ -78,26 +119,35 @@ object Multimodal {
     * null bytes → null output.
     */
   private def withBinaryDerived(df: DataFrame, binaryCol: String, outField: StructField)(
-      f: (StubCodec.type, Array[Byte]) => Any): DataFrame = {
+      f: Array[Byte] => Any): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ outField)
     val binIdx = df.schema.fieldIndex(binaryCol)
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // Real codec: initialize native decoder here, once per partition.
-      val codec = StubCodec
+      // A native codec would initialize here, once per partition; the
+      // closure `f` captures its codec object (Serializable by contract).
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else f(codec, bytes)))
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else f(bytes)))
       }
     }(enc)
   }
 
-  /** Attach decoded image metadata to a binary column. */
-  def withImageMeta(df: DataFrame, binaryCol: String, outCol: String = "image_meta"): DataFrame =
+  /** Attach decoded image metadata to a binary column. Pass
+    * [[ImageIoCodec]] for real PNG/JPEG decode; the default [[StubCodec]]
+    * serves the text-bytes test tables. Undecodable bytes → null struct.
+    */
+  def withImageMeta(
+      df: DataFrame,
+      binaryCol: String,
+      outCol: String = "image_meta",
+      codec: ImageCodec = StubCodec,
+  ): DataFrame =
     withBinaryDerived(df, binaryCol, StructField(outCol, imageMetaSchema, nullable = true)) {
-      (codec, bytes) =>
-        val (w, h, c, f) = codec.imageMeta(bytes)
-        Row(w, h, c, f)
+      bytes =>
+        codec.imageMeta(bytes)
+          .map { case (w, h, c, f) => Row(w, h, c, f) }
+          .orNull
     }
 
   /** Attach a deterministic feature vector (embedding stand-in) to a
@@ -107,7 +157,7 @@ object Multimodal {
   def withFeatures(df: DataFrame, binaryCol: String, dim: Int = 64, outCol: String = "features"): DataFrame =
     withBinaryDerived(df, binaryCol,
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true)) {
-      (codec, bytes) => codec.featurize(bytes, dim)
+      bytes => StubCodec.featurize(bytes, dim)
     }
 
   /** Resize a binary image column to a target "resolution": the stub
@@ -122,8 +172,8 @@ object Multimodal {
   ): DataFrame = {
     require(targetDim > 0)
     withBinaryDerived(df, binaryCol, StructField(outCol, BinaryType, nullable = true)) {
-      (codec, bytes) =>
-        val (w, h, _, _) = codec.imageMeta(bytes)
+      bytes =>
+        val (w, h, _, _) = StubCodec.imageMeta(bytes).get // stub is total
         val maxDim = math.max(w, h)
         if (maxDim <= targetDim) bytes
         else {

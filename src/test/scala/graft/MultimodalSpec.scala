@@ -16,6 +16,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(Set("jpeg", "png").contains(r.getString(2)))
   }
 
+  test("ImageIoCodec decodes REAL PNG and JPEG bytes through the same dataflow") {
+    def imageBytes(fmt: String, w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val gray = java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val assets = Seq(
+      (1L, imageBytes("png", 17, 9, rgb)),
+      (2L, imageBytes("jpg", 32, 24, rgb)),
+      (3L, imageBytes("png", 5, 5, gray)),
+      (4L, "definitely not an image".getBytes("UTF-8")),
+    ).toDF("media_id", "content")
+    val metas = Multimodal
+      .withImageMeta(assets, "content", codec = Multimodal.ImageIoCodec)
+      .select($"media_id", $"image_meta.width", $"image_meta.height",
+        $"image_meta.channels", $"image_meta.format")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))))
+      .toMap
+    assert(metas(1L).contains((17, 9, 3, "png")))
+    assert(metas(2L).exists { case (w, h, c, f) => w == 32 && h == 24 && c == 3 && f.startsWith("jp") })
+    assert(metas(3L).contains((5, 5, 1, "png")))
+    assert(metas(4L).isEmpty, "non-image bytes must yield a null struct, not a crash")
+  }
+
   test("withFeatures produces array<float> ready for ANN, deterministic") {
     val a = Multimodal.withFeatures(media, "content", dim = 16)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap

@@ -183,6 +183,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"frame-bounded median = one shuffle on the partition key:\n$p")
   }
 
+  test("q_vocab_encode: top-50 is a distributed TakeOrderedAndProject, not a global window") {
+    val p = plan("q_vocab_encode")
+    assert(!p.contains("Window"),
+      s"the df-rank must not window the distinct-token table:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_topk_share: every window is partitioned — no single-partition rank") {
+    // Rank.rowNumberDesc buckets by approx-percentile splits; the only
+    // Window operators left must carry a partitionSpec (the __bkt key).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: WindowExec => Seq(w)
+    }.flatten
+    val df = SparkEntry.queries("q_topk_share")(spark, sf)
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the bucketed rank window to survive planning")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      s"found an unpartitioned Window:\n${ws.map(_.partitionSpec).mkString("\n")}")
+  }
+
+  test("q_substring_dedup: gram-keyed joins only — never a pair/theta join") {
+    val p = plan("q_substring_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span assembly must stay gram/doc keyed:\n$p")
+  }
+
   test("q_attribution: first/last/purchase lookups ride ONE exchange (user_id)") {
     val p = plan("q_attribution")
     // one shuffle collects per-user sequences + one small agg exchange on

@@ -1,0 +1,81 @@
+package graft
+
+import graft.text.SubstringDedup
+
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Unique filler so nothing outside the planted span can collide:
+  // seeded random streams — a cyclic pattern (e.g. i mod 26) would make
+  // every filler a shifted copy of every other and collide everywhere.
+  private def filler(seed: Char, n: Int): String =
+    new scala.util.Random(seed.toLong).alphanumeric.take(n).mkString
+
+  private val shared = "THE-PLANTED-VERBATIM-SPAN-0123456789-XYZ" // 40 chars
+
+  test("sharedSpans finds a planted cross-doc span at its exact offsets") {
+    val pa = filler('q', 25)
+    val pb = filler('j', 60)
+    val docs = Seq(
+      (1L, pa + shared + filler('m', 30)),
+      (2L, pb + shared + filler('r', 15)),
+      (3L, filler('z', 120)), // no overlap with anything
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 12)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // Grams fully inside the shared span match; boundary grams differ
+    // (different neighbours) → span == exactly the planted region.
+    assert(spans.toSeq == Seq(
+      (1L, 26L, 65L, 40L, 33L),  // |pa|+1 .. |pa|+40
+      (2L, 61L, 100L, 40L, 33L),
+    ))
+  }
+
+  test("shared substrings shorter than gramLen are invisible") {
+    val docs = Seq(
+      (1L, filler('a', 50) + "tiny-dup" + filler('b', 50)),
+      (2L, filler('c', 50) + "tiny-dup" + filler('d', 50)),
+    ).toDF("doc_id", "text")
+    assert(SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 12, minSpan = 12)
+      .isEmpty)
+  }
+
+  test("identical documents collapse to one whole-doc span each") {
+    val t = filler('e', 30) + shared
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 12)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.length == 2 &&
+      spans.forall { case (_, s, e, len, _) => s == 1 && e == t.length && len == t.length })
+  }
+
+  test("stride > 1 anchors stride-ALIGNED copies (the documented recall caveat)") {
+    // Prefix lengths 33 and 48 are both ≡ 0 (mod 3): the two copies are
+    // stride-aligned, so sampled anchors select the same grams in both.
+    // Misaligned copies are exactly the case stride sampling may miss —
+    // SubstringDedup's scaladoc points to winnow anchors for that.
+    val docs = Seq(
+      (1L, filler('g', 33) + shared + filler('h', 21)),
+      (2L, filler('k', 48) + shared + filler('n', 9)),
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 12, stride = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // Sampled anchors may trim the ends by < gramLen+stride, but both docs
+    // must still report a span inside the planted region.
+    assert(spans.map(_._1).toSet == Set(1L, 2L))
+    val byDoc = spans.groupBy(_._1)
+    for ((doc, start) <- Seq(1L -> 34L, 2L -> 49L); s = byDoc(doc)) {
+      assert(s.length == 1)
+      assert(s.head._2 >= start && s.head._3 <= start + 39 && s.head._4 >= 12)
+    }
+  }
+
+  test("documents shorter than gramLen produce no grams (and no crash)") {
+    val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+    assert(SubstringDedup.sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 8).isEmpty)
+  }
+}
