@@ -720,6 +720,10 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: IVF ANN (rows-only check) ------------------
+    // kmeansIters > 0: the registry exercises the production path
+    // end-to-end — KMeans-FITTED cell centroids (offline Lloyd step),
+    // not the default deterministic sample. Recall@k vs brute force at
+    // this exact config is pinned in SimilaritySpec.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.ivfTopK(
@@ -730,6 +734,7 @@ object SparkEntry {
         k = 5,
         nList = 16,
         nProbe = 4,
+        kmeansIters = 3,
       )
     }),
 
@@ -1924,8 +1929,7 @@ object SparkEntry {
     // survive raw hashing vs normalized hashing. The md5 signatures keep
     // the comparison portable; the count-distinct pair rides one agg.
     "q_norm_dedup" -> ((s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      val norm = TextAnalysis.normalizeForDedup(col("text"))
       t(s, dir, "documents")
         .groupBy("lang")
         .agg(
@@ -2086,8 +2090,9 @@ object SparkEntry {
     // Power iteration over the part co-purchase graph (edges = q_cooccur's
     // basket pairs, both directions). One shuffle per round, decimal mass
     // accumulation, checkpoint cadence capping plan growth — GraphSpec
-    // pins the fixpoint algebra on hand graphs. Rows-only: 8 chained
-    // self-joins aren't a sane oracle; invariants live in the spec.
+    // pins the fixpoint algebra on hand graphs; the DuckDB oracle runs the
+    // same 8 rounds as a recursive CTE (identical decimal(28,12) contrib
+    // quantization → hash-exact, not approximate).
     // runAdaptive: the n>=2 filter leaves a few-thousand-edge graph at
     // bench scale, which iterates on the driver (bit-identically) instead
     // of paying 8 distributed rounds of scheduler latency; a 100 TB
@@ -2114,6 +2119,41 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Power iteration as a recursive CTE: the working table is one
+    // iteration's (node, rank) frontier; contributions quantize through
+    // the SAME decimal(28,12) as the Spark path, so the comparison is
+    // hash-exact. (1.0 - 0.85) is written as the expression, not a
+    // literal, so both engines derive the identical IEEE double.
+    "q_pagerank" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (SELECT a, b FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM deg),
+        |pr AS (
+        |  SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it FROM nodes
+        |  UNION ALL
+        |  SELECT n.node,
+        |         (1.0 - 0.85) + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
+        |         i.nit
+        |  FROM nodes n
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(CAST(p.rank / d.deg AS DECIMAL(28,12))) AS mass
+        |    FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) m ON m.node = n.node
+        |  WHERE i.nit <= 8)
+        |SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE it = 8""".stripMargin,
+
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,

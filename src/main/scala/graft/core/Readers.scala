@@ -104,6 +104,8 @@ object Readers {
     val lower = path.toLowerCase.stripSuffix(".gz").stripSuffix(".bz2")
     if (lower.endsWith(".parquet")) parquet(spark, path)
     else if (lower.endsWith(".orc")) orc(spark, path)
+    else if (lower.endsWith(".xlsx"))
+      Xlsx.read(spark, path, Xlsx.sheetNames(path).head)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       json(spark, path)
     else if (lower.endsWith(".tsv") || lower.endsWith(".tab")) tsv(spark, path, inferSchema = true)
@@ -138,16 +140,25 @@ object Readers {
     // leading-line order.
     val headerLines = spark.read.textFile(path).take(headerRows).toList
     val cells = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+    val names = multiHeaderNames(cells)
+    val schema = StructType(names.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    csvSkipRows(spark, path, skipRows = headerRows, schema = schema, sep = sep, header = false)
+  }
+
+  /** The multiindex flattening shared by [[csvMultiHeader]] and
+    * [[Xlsx.read]]: each header row forward-fills horizontally (merged-
+    * cell semantics), a column's name is the '_'-join of its distinct
+    * non-empty parts, unnamed columns become `_cI`.
+    */
+  private[core] def multiHeaderNames(cells: List[Seq[String]]): Seq[String] = {
     val width = cells.map(_.length).max
     val filled = cells.map { row =>
       row.padTo(width, "").scanLeft("") { (prev, c) => if (c.trim.isEmpty) prev else c.trim }.drop(1)
     }
-    val names = (0 until width).map { i =>
+    (0 until width).map { i =>
       val parts = filled.map(_(i)).filter(_.nonEmpty).distinct
       if (parts.isEmpty) s"_c$i" else parts.mkString("_")
     }
-    val schema = StructType(names.map(n => org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
-    csvSkipRows(spark, path, skipRows = headerRows, schema = schema, sep = sep, header = false)
   }
 
   /** S13: local curated collection → DataFrame (reference literal maps,

@@ -35,12 +35,17 @@ object PageRank {
       damping: Double = 0.85,
       checkpointEvery: Int = 3,
   ): DataFrame = {
-    require(iters >= 0 && damping >= 0 && damping < 1, s"bad pagerank config iters=$iters d=$damping")
+    require(iters >= 0 && damping >= 0 && damping < 1 && checkpointEvery > 0,
+      s"bad pagerank config iters=$iters d=$damping checkpointEvery=$checkpointEvery")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(false)
     val nodes = deg.select(col("src").as("node")).localCheckpoint(false)
 
     var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    // Lineage cap: checkpoint every N rounds, EAGERLY, then release the
+    // previous round's checkpoint blocks — otherwise executor storage
+    // grows O(iters/checkpointEvery × |V|) over a long run.
+    var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val inMass = e
         .join(rank, e("src") === rank("node"))
@@ -54,7 +59,11 @@ object PageRank {
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"),
         )
-      if (i % checkpointEvery == 0) rank = rank.localCheckpoint(false)
+      if (i % checkpointEvery == 0) {
+        rank = rank.localCheckpoint() // eager: owns its blocks before the old ones go
+        prevCkpt.foreach(_.unpersist())
+        prevCkpt = Some(rank)
+      }
     }
     rank
   }

@@ -90,12 +90,17 @@ object Ann {
     import spark.implicits._
     val centDf =
       if (kmeansIters > 0) {
-        // Fitted double centroids cast to the corpus's float element type
-        // so the cosineSim kernel sees matching array types.
+        // Fitted double centroids cast to the CORPUS's element type (read
+        // from its schema — float or double), so the cosineSim kernel sees
+        // matching array types without silently narrowing a double corpus.
+        val elem = corpus.schema(vecCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
         KMeans.centroids(corpus, idCol, vecCol, nList, dimOf(corpus, vecCol), kmeansIters)
           .zipWithIndex
-          .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toSeq
+          .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
           .toDF("cid", "cvec")
+          .select(col("cid"), col("cvec")
+            .cast(org.apache.spark.sql.types.ArrayType(elem, containsNull = false)).as("cvec"))
       } else {
         corpus.orderBy(col(idCol)).limit(nList)
           .select(col(idCol).as("cid"), col(vecCol).as("cvec"))

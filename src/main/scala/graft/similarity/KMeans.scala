@@ -102,11 +102,18 @@ object KMeans {
   /** One codegen'd projection: per centroid a cosineSim kernel call, argmax
     * by (sim, then smaller cluster id) via struct ordering — ties cannot
     * flap between runs.
+    *
+    * NaN guard: the kernel already defines zero-norm inputs as sim 0.0,
+    * but a NaN ELEMENT in a vector propagates to a NaN sim, and NaN sorts
+    * greater than every double in Spark's struct ordering — argmax would
+    * silently dump every such row into one centroid. nanvl pins it below
+    * the cosine floor (−1) instead, making bad input visible as its own
+    * deterministic worst-sim assignment.
     */
   private def assign(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
-        cosineSim(col("v"), array(c.map(lit(_)): _*)).as("sim"),
+        nanvl(cosineSim(col("v"), array(c.map(lit(_)): _*)), lit(-2.0)).as("sim"),
         lit(-i).as("negc"),
       )
     }

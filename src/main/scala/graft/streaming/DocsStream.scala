@@ -37,12 +37,13 @@ object DocsStream {
       .drop("stats")
   }
 
-  /** Streaming fuzzy-exact dedup: drop any document whose
-    * whitespace/case-normalized fingerprint was already seen within the
+  /** Streaming fuzzy-exact dedup: drop any document whose normalized
+    * (case/punctuation/whitespace) fingerprint was already seen within the
     * watermark horizon — re-crawled pages with cosmetic edits never
     * reach the corpus. State is one fingerprint per surviving doc and
     * expires with the watermark (bounded on an infinite feed); the
-    * within-horizon semantics match the batch `q_norm_dedup` collapse.
+    * within-horizon semantics match the batch `q_norm_dedup` collapse
+    * exactly — both hash TextAnalysis.normalizeForDedup, one definition.
     *
     * `eventTimeCol` is the ingest timestamp the watermark rides on.
     */
@@ -53,7 +54,7 @@ object DocsStream {
       textCol: String = "text",
   ): DataFrame =
     docs
-      .withColumn("fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .withColumn("fp", TextAnalysis.fingerprintNormMd5(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 }

@@ -41,6 +41,9 @@ object Bpe {
       .localCheckpoint(false)
 
     val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // Each round replaces the words checkpoint; release the previous
+    // round's blocks or executor storage grows O(nMerges × vocab).
+    var prevCkpt = words
     var rank = 0
     var continue = nMerges > 0
     while (continue) {
@@ -53,7 +56,9 @@ object Bpe {
           learned += ((rank, a, b, n))
           words = words
             .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
-            .localCheckpoint(false)
+            .localCheckpoint() // eager: owns its blocks before the old ones go
+          prevCkpt.unpersist()
+          prevCkpt = words
           rank += 1
           continue = rank < nMerges
         case None => continue = false

@@ -61,6 +61,16 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** The stronger dedup normalization (case + punctuation + whitespace) —
+    * ONE definition shared by the batch collapse (q_norm_dedup) and the
+    * streaming dedup (DocsStream.dedupedDocs) so the two paths cannot
+    * drift: a punctuation-only re-crawl collapses in both.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  def fingerprintNormMd5(text: Column): Column = md5(normalizeForDedup(text))
+
   /** Hostnames of http(s) URLs in `text` — the domain-accounting step of a
     * web-corpus pipeline (per-domain quotas, blocklists, provenance
     * stats). Pattern is deliberately RE2-compatible (plain classes and a

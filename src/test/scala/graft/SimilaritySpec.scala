@@ -250,6 +250,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(fittedFull == exact, "full-probe fitted IVF diverged from brute force")
   }
 
+  test("ivfTopK fitted-centroid recall@k vs brute force at the registry config") {
+    // The exact q_ann_ivf configuration (nList=16, nProbe=4, kmeansIters=3)
+    // — pins the recall/cost point the registry query ships at, so a
+    // centroid-fitting regression shows up here, not as silent recall loss.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val fitted = Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+      nList = 16, nProbe = 4, kmeansIters = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect fitted).size.toDouble / exact.size
+    assert(recall >= 0.5, s"fitted IVF recall@5 too low at nProbe=4/16: $recall")
+    // Determinism: the fit collects no RNG — same data, same recall set.
+    val rerun = Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 5,
+      nList = 16, nProbe = 4, kmeansIters = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rerun == fitted, "fitted IVF rerun diverged")
+  }
+
   test("kmeans keeps every vector and clusters within bounds on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = KMeans.lloyd(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 2)

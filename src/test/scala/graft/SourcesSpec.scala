@@ -111,6 +111,91 @@ class SourcesSpec extends SparkTestBase {
     assert(n == base.count(), "filter dropped nothing (no non-positive quantities)")
   }
 
+  // A genuine .xlsx built from its OOXML parts (ECMA-376: zip + XML) —
+  // structurally what Excel/openpyxl write, covering shared strings
+  // (incl. a rich-text multi-run cell), inline strings, booleans,
+  // numbers, and omitted (gap) cells.
+  private def writeXlsxFixture(path: String): Unit = {
+    def sheetXml(rows: String): String =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>$rows</sheetData></worksheet>""".stripMargin
+    // Header (2 rows, B1/C2-style merged-cell blanks) + 3 data rows.
+    // Shared strings: 0=id 1=metrics 2=name 3=p 4=BRCA1 5=TP53(rich, two runs)
+    val probes = sheetXml(
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="B2" t="s"><v>2</v></c><c r="C2" t="s"><v>3</v></c><c r="D2" t="str"><v>beta</v></c></row>
+        |<row r="3"><c r="A3"><v>1</v></c><c r="B3" t="s"><v>4</v></c><c r="C3"><v>0.5</v></c><c r="D3"><v>-1.25</v></c></row>
+        |<row r="4"><c r="A4"><v>2</v></c><c r="B4" t="s"><v>5</v></c><c r="D4" t="b"><v>1</v></c></row>
+        |<row r="5"><c r="A5"><v>3</v></c><c r="B5" t="inlineStr"><is><t>EGFR</t></is></c><c r="C5"><v>0.01</v></c></row>""".stripMargin)
+    val notes = sheetXml("""<row r="1"><c r="A1" t="inlineStr"><is><t>note</t></is></c></row>""")
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="6" uniqueCount="6">
+        |<si><t>id</t></si><si><t>metrics</t></si><si><t>name</t></si><si><t>p</t></si>
+        |<si><t>BRCA1</t></si><si><r><t>TP</t></r><r><t>53</t></r></si></sst>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="probes" sheetId="1" r:id="rId1"/>
+        |<sheet name="notes" sheetId="2" r:id="rId2"/></sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |</Types>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try Seq(
+      "[Content_Types].xml" -> contentTypes,
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> probes,
+      "xl/worksheets/sheet2.xml" -> notes,
+    ).foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
+  test("Xlsx reads multi-sheet, multi-row-header Excel directly (S10, real xlsx)") {
+    val path = tmpDir("xlsx_fixture") + "/probes.xlsx"
+    writeXlsxFixture(path)
+    assert(graft.core.Xlsx.sheetNames(path) == Seq("probes", "notes"))
+    val df = graft.core.Xlsx.read(spark, path, "probes", headerRows = 2)
+    // Same ffill+join contract as csvMultiHeader: A spans down, C1 spans right.
+    assert(df.columns.toSeq == Seq("id", "id_name", "metrics_p", "metrics_beta"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("1", "BRCA1", "0.5", "-1.25"),
+      ("2", "TP53", null, "TRUE"),   // rich-text si; C4 omitted → null; boolean
+      ("3", "EGFR", "0.01", null),   // inline string; D5 omitted → null
+    ))
+  }
+
+  test("Xlsx and csvMultiHeader agree on the header contract (same table both ways)") {
+    val dir = tmpDir("xlsx_vs_csv")
+    val xlsxPath = s"$dir/t.xlsx"
+    writeXlsxFixture(xlsxPath)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,,metrics,\n,name,p,beta\n1,BRCA1,0.5,-1.25\n")
+    val viaCsv = Readers.csvMultiHeader(spark, s"$dir/t.csv", headerRows = 2)
+    val viaXlsx = graft.core.Xlsx.read(spark, xlsxPath, "probes", headerRows = 2)
+    assert(viaCsv.columns.toSeq == viaXlsx.columns.toSeq)
+    assert(viaCsv.collect().head.toSeq == viaXlsx.collect().head.toSeq)
+    // readPath dispatches on the extension like every other format.
+    assert(Readers.readPath(spark, xlsxPath).columns.nonEmpty)
+  }
+
   test("ORC round-trip with predicate pushdown and writeByExtension dispatch") {
     val out = tmpDir("orc_roundtrip") + "/nation.orc"
     val nation = spark.read.parquet(s"$sf/nation.parquet")
