@@ -26,14 +26,18 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => }
     }
-    // Two timed executions per query, min reported: steady-state cost with
-    // GC/JIT noise removed (each execution runs the FULL plan via noop).
+    // THREE timed executions per query, min reported: steady-state cost
+    // with GC/JIT noise removed (each execution runs the FULL plan via
+    // noop). Raised from two in round 5 after round-4 showed 2–8× swings
+    // on textually-unchanged trivial queries (q_json_extract 0.33→2.69 s):
+    // with two samples a single GC/container hiccup lands in the min half
+    // the time; three samples make the min robust to one bad execution.
     // Optional local profiling filter (unset in driver runs → all queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.similarity.NearDup
+
+/** Dedup-pipeline scaling harness (not driver-run): replicates the sf0.1
+  * documents corpus N× and times the full q_dedup_clusters pipeline
+  * (MinHash-LSH candidates → exact Jaccard verify → connected components)
+  * at each N — the "would this hold at sf1?" measurement BENCH.md records.
+  *
+  * Replicas are made DISJOINT in shingle space (every token of replica k>0
+  * is prefixed `xk`), so each replica keeps the original's internal
+  * near-dup structure while adding no cross-replica duplicates: bucket
+  * occupancy stays constant and the honest expectation is linear total
+  * time. Replicating without the salt would instead turn every planted
+  * pair into an N-clique — a quadratic candidate bomb that measures the
+  * corpus change, not the engine.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
+  * [replica counts, default 1 2 5 10 — 10× sf0.1 = the sf1 document count]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // one materialization feeds every replica build
+
+    def replica(k: Int): DataFrame =
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"x$k"), t))).as("text"))
+
+    reps.foreach { n =>
+      val docs = (0 until n).map(replica).reduce(_.union(_)).localCheckpoint()
+      val nDocs = docs.count()
+      val t0 = System.nanoTime()
+      val pairs = NearDup.jaccardVerify(
+        NearDup.minhashCandidates(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+        docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+      val clusters = NearDup.connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b")
+      val nClusters = clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nPairs = pairs.count()
+      println(f"""{"replicas":$n,"docs":$nDocs,"pairs":$nPairs,"clustered_docs":$nClusters,"sec":$sec%.2f}""")
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -1304,6 +1304,16 @@ object SparkEntry {
       SubstringDedup.sharedSpans(t(s, dir, "documents"), "doc_id", "text",
         gramLen = 40, minSpan = 60)),
 
+    // The removal half of the same operator: splice every non-canonical
+    // copy of each shared span out of its document and account for the
+    // cut (scrubbed text surfaces as length + md5 — scalar, hashable).
+    "q_substring_scrub" -> ((s, dir) =>
+      SubstringDedup.removeShared(t(s, dir, "documents"), "doc_id", "text",
+        gramLen = 40, minSpan = 60)
+        .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+          length(col("text_clean")).cast("long").as("out_len"),
+          md5(col("text_clean")).as("out_md5"))),
+
     // --- beyond-reference: corpus boilerplate n-grams (C4-style) --------
     // Word 5-grams appearing in ≥ 3 distinct docs are boilerplate
     // (headers, disclaimers, spam templates — threshold sized so the
@@ -2570,6 +2580,29 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 5""".stripMargin,
 
+    // Generated, not hand-written: the random-hyperplane components are
+    // deterministic dyadic rationals computed by Ann.hyperplaneValues —
+    // embedding the SAME doubles as list literals makes the bucket bits,
+    // probes, and scores engine-identical (Double.toString round-trips).
+    "q_ann_lsh" -> {
+      val bucketExpr = (0 until 8).map { p =>
+        val plane = Ann.hyperplaneValues(p, 64).map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_cosine_similarity(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n   + ")
+      val probes = "[bucket" + (0 until 8).map(i => s", xor(bucket, ${1L << i})").mkString + "]"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT vec_id, v,
+         |   $bucketExpr AS bucket FROM e),
+         |qb AS (SELECT vec_id AS qid, v AS qv, unnest($probes) AS bucket
+         |       FROM cb WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT DISTINCT q.qid, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+         |  FROM qb q JOIN cb c USING (bucket) WHERE c.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM ranked WHERE rn <= 5""".stripMargin
+    },
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
@@ -2944,6 +2977,54 @@ object SparkEntry {
         |  max(pos) + 40 - min(pos) AS span_len, count(*) AS n_grams
         |FROM grp GROUP BY doc_id, g
         |HAVING span_len >= 60""".stripMargin,
+
+    "q_substring_scrub" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos, substr(text, i, 40) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, greatest(length(text) - 39, 0))) AS t(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER w + 40 THEN 1 ELSE 0 END AS brk
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end,
+        |    max(pos) + 40 - min(pos) AS span_len
+        |  FROM grp GROUP BY doc_id, g HAVING span_len >= 60),
+        |stext AS (
+        |  SELECT s.*, substr(d.text, CAST(span_start AS INT), CAST(span_len AS INT)) AS span_text
+        |  FROM spans s JOIN documents d USING (doc_id)),
+        |cuts AS (
+        |  SELECT doc_id, span_start, span_end, span_len FROM (
+        |    SELECT *,
+        |      row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_start) AS occ,
+        |      count(*) OVER (PARTITION BY span_text) AS n_occ
+        |    FROM stext)
+        |  WHERE occ > 1 AND n_occ > 1),
+        |segf AS (
+        |  SELECT doc_id, span_start, span_end, span_len,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_from
+        |  FROM cuts),
+        |agg AS (
+        |  SELECT s.doc_id, count(*) AS n_cuts,
+        |    CAST(sum(span_len) AS BIGINT) AS chars_removed,
+        |    string_agg(substr(d.text, CAST(seg_from AS INT), CAST(span_start - seg_from AS INT)), ''
+        |      ORDER BY span_start)
+        |      || substr(d.text, CAST(max(span_end) + 1 AS INT), length(d.text)) AS text_clean
+        |  FROM segf s JOIN documents d USING (doc_id)
+        |  GROUP BY s.doc_id, d.text)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_cuts, 0) AS n_cuts,
+        |  coalesce(a.chars_removed, 0) AS chars_removed,
+        |  length(coalesce(a.text_clean, d.text)) AS out_len,
+        |  md5(coalesce(a.text_clean, d.text)) AS out_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_boilerplate" ->
       """WITH toks AS (

@@ -138,15 +138,21 @@ object Ann {
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
-  /** Deterministic pseudo-random hyperplane: component j of plane p is a
-    * zero-mean value derived from xxhash64(p, j). Built as an array literal
+  /** Deterministic pseudo-random hyperplane components, exposed so the
+    * DuckDB oracle for q_ann_lsh can embed the IDENTICAL literals (the
+    * values are dyadic rationals — float-exact in both engines).
+    */
+  private[graft] def hyperplaneValues(planeId: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      // Map a 24-bit hash slice to [-1, 1) deterministically.
+      ((scala.util.hashing.MurmurHash3.productHash((planeId, j)).toLong & 0xffffffL).toDouble / 0x800000L) - 1.0
+    }
+
+  /** Deterministic pseudo-random hyperplane: built as an array literal
     * column per plane — no data shuffle, pure projection.
     */
   private def hyperplane(planeId: Int, dim: Int): Column =
-    array((0 until dim).map { j =>
-      // Map a 64-bit hash to [-1, 1) deterministically.
-      lit(((scala.util.hashing.MurmurHash3.productHash((planeId, j)).toLong & 0xffffffL).toDouble / 0x800000L) - 1.0)
-    }: _*)
+    array(hyperplaneValues(planeId, dim).map(lit(_)): _*)
 
   /** Sign-pattern bucket id from `nPlanes` hyperplanes (random projection
     * LSH for cosine similarity).

@@ -74,6 +74,55 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("minDocs=3 (two-pass countDistinct path) ignores spans shared by only two docs") {
+    // No 10-char gram in common between the two planted strings — a
+    // shared prefix would (correctly) bridge them into one longer span.
+    val three = "SHARED-BY-THREE-DOCUMENTS-EXACTLY-HERE!!"
+    val two = "zqvxw+ONLY=TWO@DOCS#CARRY$THIS%SUBSTRING"
+    val docs = Seq(
+      (1L, filler('a', 20) + three + filler('b', 20)),
+      (2L, filler('c', 20) + three + filler('d', 20)),
+      (3L, filler('e', 20) + three + two + filler('f', 20)),
+      (4L, filler('g', 20) + two + filler('h', 20)),
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 10, minSpan = 20, minDocs = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.map(_._1).toSet == Set(1L, 2L, 3L), s"got ${spans.toSeq}")
+    // Doc 3's span must cover only the three-way region, not the two-way tail.
+    val d3 = spans.find(_._1 == 3L).get
+    assert(d3._2 == 21 && d3._3 == 20 + three.length)
+  }
+
+  test("removeShared cuts the non-canonical copy, keeps the first, leaves others alone") {
+    val pa = filler('q', 25)
+    val pb = filler('j', 60)
+    val sb = filler('r', 15)
+    val docs = Seq(
+      (1L, pa + shared + filler('m', 30)),  // canonical (min doc_id) — kept
+      (2L, pb + shared + sb),               // copy — spliced out
+      (3L, filler('z', 120)),               // untouched
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .removeShared(docs, "doc_id", "text", gramLen = 8, minSpan = 12)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == pa + shared + filler('m', 30) && out(0)._3 == 0)
+    assert(out(1)._2 == pb + sb, "copy must be spliced out, neighbours joined")
+    assert(out(1)._3 == 1 && out(1)._4 == shared.length)
+    assert(out(2)._2 == filler('z', 120) && out(2)._3 == 0)
+  }
+
+  test("removeShared on identical docs empties all but the first") {
+    val t = filler('e', 30) + shared
+    val docs = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .removeShared(docs, "doc_id", "text", gramLen = 8, minSpan = 12)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == t)
+    assert(out(1)._2 == "" && out(1)._4 == t.length)
+    assert(out(2)._2 == "" && out(2)._4 == t.length)
+  }
+
   test("documents shorter than gramLen produce no grams (and no crash)") {
     val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
     assert(SubstringDedup.sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 8).isEmpty)
