@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. slide a fixed-length character window over every document
   *      (`gramLen`, stride `stride`) — a narrow Generate, no shuffle;
-  *   2. find grams occurring in ≥ `minDocs` DISTINCT documents — one
-  *      hash aggregation keyed on the gram;
-  *   3. keep each document's positions covered by a shared gram — a
-  *      semi-join back on the gram key (same key → AQE-coalesced exchange);
+  *   2+3. keep each document's positions covered by a gram occurring in
+  *      ≥ `minDocs` DISTINCT documents — for minDocs = 2 a single
+  *      gram-partitioned min≠max window (the gram stream shuffles ONCE);
+  *      for higher thresholds a countDistinct aggregate + semi-join;
   *   4. merge overlapping/adjacent gram intervals into maximal spans with
   *      the gaps-and-islands pattern INSIDE each document (window
   *      partitioned by doc — parallel), keep spans ≥ `minSpan` chars.
@@ -113,7 +113,11 @@ object SubstringDedup {
     * The splice is relational, not procedural: per-doc cut intervals are
     * disjoint by construction (islands), so the retained text is the
     * ordered concat of the between-cut segments — a lag window + one
-    * per-doc aggregation, both partitioned by doc.
+    * per-doc aggregation, both partitioned by doc. The ownership window
+    * keys on the span text itself (exact, oracle-checkable); the spans
+    * table holds only the duplicated regions — tiny next to the corpus —
+    * so the wide key is affordable; a 100 TB run would key the window on
+    * xxhash64(span_text) and carry the text only to tie-break collisions.
     */
   def removeShared(
       docs: DataFrame,
