@@ -1806,14 +1806,15 @@ object SparkEntry {
         .drop("contact")
     }),
 
-    // --- beyond-reference: BPE merge training (rows-only) ----------------
+    // --- beyond-reference: BPE merge training --------------------------
     // Tokenizer-vocabulary learning (Sennrich et al. 2016): the corpus
     // collapses once to the bounded (word, freq) table, then each round
     // explodes adjacent symbol pairs, counts them weighted by word
     // frequency, collects the ONE argmax row, and applies the greedy
-    // merge via an HOF fold — no UDF, no driver-side corpus. Rows-only:
-    // an iterated argmax isn't SQL; TextSpec pins the canonical merge
-    // sequence on a hand corpus.
+    // merge via an HOF fold — no UDF, no driver-side corpus. Oracled:
+    // the 8 rounds unroll into materialized DuckDB CTEs (greedy merge =
+    // bracketed replace()); TextSpec additionally pins the canonical
+    // merge sequence on a hand corpus.
     "q_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 8)),
 
@@ -2079,12 +2080,14 @@ object SparkEntry {
         )
     }),
 
-    // --- beyond-reference: k-means semantic clustering (rows-only) -------
+    // --- beyond-reference: k-means semantic clustering -------------------
     // The semantic-sharding / SemDeDup primitive: Lloyd k-means over the
     // embedding table (KMeans.lloyd — data never collected, model
     // broadcast per round), read out as per-cluster occupancy and
-    // cohesion. Rows-only: an iterated fit isn't SQL; SimilaritySpec
-    // pins determinism, separation recovery, and assignment optimality.
+    // cohesion. Oracled: the 4 Lloyd rounds unroll into materialized
+    // DuckDB CTEs with the same decimal(28,12) centroid accumulation;
+    // SimilaritySpec additionally pins determinism, separation recovery,
+    // and assignment optimality.
     "q_semantic_cluster" -> ((s, dir) => {
       KMeans.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 4)
         .groupBy("cluster")
@@ -2128,7 +2131,104 @@ object SparkEntry {
   // Oracles (DuckDB SQL over the same parquet tables)
   // ---------------------------------------------------------------------
 
+  /** Generated DuckDB CTE chain for `iters` Lloyd k-means rounds over the
+    * embeddings table: `e` (vec_id, v double[]), `c0` (first-k-by-id
+    * init) … `c\$iters` (fitted centroids). Mirrors KMeans.fitOn exactly:
+    * (sim DESC, cid) argmax assignment, per-dimension DECIMAL(28,12)
+    * sums cast to double then divided, empty clusters inheriting the
+    * previous round's centroid. MATERIALIZED stops DuckDB's CTE inlining
+    * from re-expanding the chain exponentially.
+    */
+  private def lloydCtes(k: Int, iters: Int, dim: Int): String = {
+    def round(t: Int): String =
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, c${t - 1} c)
+         |  WHERE rn = 1),
+         |s$t AS MATERIALIZED (
+         |  SELECT cid, i AS dim,
+         |    CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |  FROM a$t, unnest(range(1, ${dim + 1})) AS t(i)
+         |  GROUP BY cid, i),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         |  FROM c${t - 1} c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS cv FROM s$t GROUP BY cid) n USING (cid))""".stripMargin
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Generated DuckDB CTE chain replicating the winnowing kernel
+    * (functions.Winnow) bit-exactly: the Java rolling hash is the
+    * polynomial Σ ord(cⱼ)·B^(k-1-j) under WRAPPING 64-bit arithmetic, so
+    * each position's hash is a HUGEINT dot product against precomputed
+    * wrapped powers of B, reduced mod 2^64 and re-centred to two's
+    * complement; the winnow selection is a (w-1)-preceding sliding ROWS
+    * min per document. Produces CTEs `nt`, `hs`, and `mn`
+    * (doc_id, pos, mh) for positions ≥ w. Assumes every document yields
+    * ≥ w grams (true of the test corpus; the kernel's shorter-doc branch
+    * shrinks the window instead).
+    */
+  private def winnowCtes(k: Int, w: Int): String = {
+    val B = 1000003L
+    val pows = Iterator.iterate(1L)(_ * B).take(k).toSeq // Long × wraps like the kernel
+    val terms = (0 until k).map { j =>
+      val pu = java.lang.Long.toUnsignedString(pows(k - 1 - j))
+      s"CAST(ord(substr(s, CAST(i AS INT) + $j, 1)) AS HUGEINT) * $pu"
+    }.mkString("\n        + ")
+    s"""nt AS MATERIALIZED (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+       |  FROM documents),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+       |              ELSE m END AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, i AS pos,
+       |      ($terms) % 18446744073709551616 AS m
+       |    FROM nt, unnest(generate_series(1, greatest(length(s) - ${k - 1}, 0))) AS t(i))),
+       |mn AS MATERIALIZED (
+       |  SELECT doc_id, pos, mh FROM (
+       |    SELECT doc_id, pos,
+       |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mh
+       |    FROM hs)
+       |  WHERE pos >= $w)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // Generated: the winnow fingerprint SET per document is the distinct
+    // sliding-window minima — order-insensitive readouts (count + min)
+    // need no deque replication.
+    "q_winnow" -> {
+      s"""WITH ${winnowCtes(k = 8, w = 4)}
+         |SELECT d.doc_id, coalesce(f.n_fps, 0) AS n_fps, f.fp_min
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, count(DISTINCT mh) AS n_fps, min(mh) AS fp_min
+         |  FROM mn GROUP BY doc_id) f USING (doc_id)""".stripMargin
+    },
+
+    // Generated: same kernel at the candidate config (k=16, w=8); the
+    // banded successor-pair emission collapses relationally to a
+    // fp-keyed self-join + HAVING, with the [2, maxBucket] selectivity
+    // band applied per fingerprint.
+    "q_winnow_neardup" -> {
+      s"""WITH ${winnowCtes(k = 16, w = 8)},
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, mh AS fp FROM mn),
+         |ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 20)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |WHERE a.fp IN (SELECT fp FROM ok)
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 10""".stripMargin
+    },
     // Power iteration as a recursive CTE: the working table is one
     // iteration's (node, rank) frontier; contributions quantize through
     // the SAME decimal(28,12) as the Spark path, so the comparison is
@@ -2579,6 +2679,106 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 5""".stripMargin,
+
+    // Generated, not hand-written: eight unrolled BPE merge rounds. The
+    // greedy left-to-right merge scan is expressed as string replace()
+    // over a BRACKETED symbol encoding (chr(30) sym chr(31) per symbol):
+    // replace consumes matches leftmost-first without overlap — exactly
+    // the Bpe.mergePair fold — and the brackets make a match mid-symbol
+    // impossible. Pair counts, the >= 2 floor, and the (n DESC, a, b)
+    // argmax mirror Bpe.learnMerges; an early-stopped round yields an
+    // empty mk CTE and contributes no row, like the Scala loop break.
+    "q_bpe_merges" -> {
+      val so = "chr(30)"
+      val sc = "chr(31)"
+      def round(k: Int): String =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+           |         CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq,
+           |          string_split(substr(symstr, 2, length(symstr) - 2), $sc || $so) AS s
+           |        FROM w${k - 1}),
+           |       unnest(range(1, len(s))) AS t(i)
+           |  GROUP BY a, b HAVING n >= 2),
+           |m$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT freq,
+           |    CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN symstr
+           |         ELSE replace(symstr,
+           |           $so || (SELECT a FROM m$k) || $sc || $so || (SELECT b FROM m$k) || $sc,
+           |           $so || (SELECT a FROM m$k) || (SELECT b FROM m$k) || $sc)
+           |    END AS symstr
+           |  FROM w${k - 1})""".stripMargin
+      val rounds = (1 to 8).map(round).mkString(",\n")
+      val readout = (1 to 8).map(k =>
+        s"""SELECT ${k - 1} AS merge_rank, a AS "left", b AS "right", n AS pair_count FROM m$k""")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |    list_aggregate(list_transform(range(1, length(w) + 1),
+         |      i -> $so || substr(w, CAST(i AS INT), 1) || $sc), 'string_agg', '') AS symstr
+         |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '')) AS w
+         |        FROM documents)
+         |  GROUP BY w),
+         |$rounds
+         |$readout""".stripMargin
+    },
+
+    // Generated, not hand-written: four unrolled Lloyd rounds. Assignment
+    // is the (sim DESC, cid) argmax per vector; the centroid update sums
+    // through DECIMAL(28,12) exactly like KMeans.fitOn, so the per-round
+    // model is engine-identical (the only FP risk is an argmax between
+    // two centroids within ~1e-15 cosine — a measure-zero tie on this
+    // data, and the gate re-checks the same corpus every round). Empty
+    // clusters inherit the previous centroid via the left join, matching
+    // the Scala loop's degenerate-case handling.
+    "q_semantic_cluster" -> {
+      s"""WITH ${lloydCtes(k = 8, iters = 4, dim = 64)},
+         |a5 AS MATERIALIZED (
+         |  SELECT vec_id, cid, sim FROM (
+         |    SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, c4 c)
+         |  WHERE rn = 1)
+         |SELECT cid AS cluster, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(sim AS DECIMAL(24,12))) AS DOUBLE) / count(*), 6) AS avg_sim,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM a5 GROUP BY cid""".stripMargin
+    },
+
+    // Generated: the SAME Lloyd rounds fit the 16 IVF cell centroids
+    // (kmeansIters = 3), which are then rounded through FLOAT — exactly
+    // the corpus-element-type cast Ann.ivfTopK applies — before the
+    // assignment / probe / score / top-k dataflow. Full fitted-IVF
+    // pipeline, engine-exact.
+    "q_ann_ivf" -> {
+      s"""WITH ${lloydCtes(k = 16, iters = 3, dim = 64)},
+         |cf AS MATERIALIZED (
+         |  SELECT cid, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+         |  FROM c3),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, cf c)
+         |  WHERE rn = 1),
+         |probed AS MATERIALIZED (
+         |  SELECT vec_id AS qid, v AS qv, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, cf c WHERE e.vec_id < 8)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT DISTINCT q.qid, a.vec_id, list_cosine_similarity(q.qv, a.v) AS sim
+         |  FROM probed q JOIN assigned a USING (cid) WHERE a.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM ranked WHERE rn <= 5""".stripMargin
+    },
 
     // Generated, not hand-written: the random-hyperplane components are
     // deterministic dyadic rationals computed by Ann.hyperplaneValues —
