@@ -2232,8 +2232,10 @@ object SparkEntry {
     // Power iteration as a recursive CTE: the working table is one
     // iteration's (node, rank) frontier; contributions quantize through
     // the SAME decimal(28,12) as the Spark path, so the comparison is
-    // hash-exact. (1.0 - 0.85) is written as the expression, not a
-    // literal, so both engines derive the identical IEEE double.
+    // hash-exact. The teleport base is forced to DOUBLE subtraction —
+    // bare (1.0 - 0.85) would evaluate in DuckDB's DECIMAL arithmetic,
+    // whose 0.15 cast to double is one ulp below Spark's
+    // lit(1.0 - 0.85) = 0.15000000000000002.
     "q_pagerank" ->
       """WITH RECURSIVE
         |baskets AS (
@@ -2253,7 +2255,7 @@ object SparkEntry {
         |  SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it FROM nodes
         |  UNION ALL
         |  SELECT n.node,
-        |         (1.0 - 0.85) + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
         |         i.nit
         |  FROM nodes n
         |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i

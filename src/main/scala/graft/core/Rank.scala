@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * Exactness does NOT depend on the split quality: any monotone bucketing
   * yields the same final rank; split skew only affects parallelism. Nulls in
-  * the primary column are not supported (callers rank aggregates).
+  * the primary column are not supported (callers rank aggregates) — enforced
+  * in-plan with `raise_error`, so misuse fails loudly instead of silently
+  * interleaving null rows mid-order.
   */
 object Rank {
 
@@ -45,9 +47,15 @@ object Rank {
       percentile_approx(col(primaryCol), array(fractions: _*), lit(1000)).as("__splits"))
     // DESC bucketing: bucket = |{splits >= v}| — the largest values get
     // bucket 0. Equal values share a bucket by construction.
+    // A null primary would drop every split in the filter (3-valued
+    // comparison) and land in bucket 0, producing ranks that match no
+    // window semantics — fail in-plan instead of an extra validation pass.
     val bucketed = df
       .crossJoin(broadcast(splits))
-      .withColumn("__bkt", size(filter(col("__splits"), s => s >= col(primaryCol))))
+      .withColumn("__bkt",
+        when(col(primaryCol).isNull, raise_error(
+          lit(s"Rank.rowNumberDesc: null in primary column '$primaryCol' is not supported")))
+          .otherwise(size(filter(col("__splits"), s => s >= col(primaryCol)))))
       .drop("__splits")
     val w = Window
       .partitionBy(col("__bkt"))

@@ -122,6 +122,9 @@ object Xlsx {
 
   /** xl/sharedStrings.xml: one entry per <si>, concatenating its <t> runs
     * (rich-text strings split one logical cell across several runs).
+    * Runs inside <rPh> blocks are phonetic hints (furigana), not cell
+    * text — skipped, or annotated workbooks would read base+phonetic
+    * concatenated.
     */
   private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
     if (zip.getEntry("xl/sharedStrings.xml") == null) return IndexedSeq.empty
@@ -129,10 +132,13 @@ object Xlsx {
       val out = IndexedSeq.newBuilder[String]
       val sb = new StringBuilder
       var inT = false
+      var inRPh = false
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" => sb.clear()
-          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = true
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" => inRPh = true
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" => inRPh = false
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" && !inRPh => inT = true
           case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" => inT = false
           case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" => out += sb.toString
@@ -144,7 +150,10 @@ object Xlsx {
   }
 
   /** Worksheet XML → ragged grid. Cell addresses (r="B3") place values;
-    * gaps (Excel omits empty cells entirely) become "".
+    * gaps (Excel omits empty cells entirely) become "". ECMA-376 makes
+    * the address attribute OPTIONAL — streaming writers omit it — so an
+    * address-less cell falls back to sequential placement (one past the
+    * previous cell in the row).
     */
   private def parseSheet(
       zip: ZipFile,
@@ -154,6 +163,7 @@ object Xlsx {
     val rows = Seq.newBuilder[Array[String]]
     var cells: scala.collection.mutable.ArrayBuffer[(Int, String)] = null
     var cellCol = -1
+    var nextCol = 0
     var cellType = ""
     var inV = false
     var inIsT = false
@@ -166,15 +176,18 @@ object Xlsx {
         case _ => raw // n (default), str, inlineStr all carry their text
       }
       cells += ((cellCol, v))
+      nextCol = cellCol + 1
       cellCol = -1
     }
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => cells = scala.collection.mutable.ArrayBuffer.empty
+            case "row" =>
+              cells = scala.collection.mutable.ArrayBuffer.empty
+              nextCol = 0
             case "c" =>
-              cellCol = colIndex(attr(r, "r"))
+              cellCol = Option(attrOrNull(r, "r")).map(colIndex).getOrElse(nextCol)
               cellType = Option(attrOrNull(r, "t")).getOrElse("")
               sb.clear()
             case "v" => inV = true

@@ -160,25 +160,32 @@ object Multimodal {
       bytes => StubCodec.featurize(bytes, dim)
     }
 
-  /** Resize a binary image column to a target "resolution": the stub
-    * scales the payload to ceil(len · target / max(dim)) bytes —
-    * deterministic integer arithmetic standing in for a real resampler.
+  /** Resize a binary image column to a target "resolution": the payload
+    * is scaled to ceil(len · target / max(dim)) bytes — deterministic
+    * integer arithmetic standing in for a real resampler. Dimensions come
+    * from the SAME pluggable codec as [[withImageMeta]] (pass
+    * [[ImageIoCodec]] for real images); undecodable bytes → null output,
+    * never a fabricated resize.
     */
   def withResized(
       df: DataFrame,
       binaryCol: String,
       targetDim: Int,
       outCol: String = "resized",
+      codec: ImageCodec = StubCodec,
   ): DataFrame = {
     require(targetDim > 0)
     withBinaryDerived(df, binaryCol, StructField(outCol, BinaryType, nullable = true)) {
       bytes =>
-        val (w, h, _, _) = StubCodec.imageMeta(bytes).get // stub is total
-        val maxDim = math.max(w, h)
-        if (maxDim <= targetDim) bytes
-        else {
-          val n = math.max(1, ((bytes.length.toLong * targetDim + maxDim - 1) / maxDim).toInt)
-          java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
+        codec.imageMeta(bytes) match {
+          case None => null
+          case Some((w, h, _, _)) =>
+            val maxDim = math.max(w, h)
+            if (maxDim <= targetDim) bytes
+            else {
+              val n = math.max(1, ((bytes.length.toLong * targetDim + maxDim - 1) / maxDim).toInt)
+              java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
+            }
         }
     }
   }

@@ -70,6 +70,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("withResized uses the pluggable codec: real dims via ImageIoCodec, null when undecodable") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val big = png(512, 256)
+    val small = png(16, 16)
+    val assets = Seq(
+      (1L, big),
+      (2L, small),
+      (3L, "not an image".getBytes("UTF-8")),
+    ).toDF("media_id", "content")
+    val out = Multimodal.withResized(assets, "content", targetDim = 128, codec = Multimodal.ImageIoCodec)
+      .select("media_id", "resized").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]](1))).toMap
+    // 512x256 scaled by 128/512: payload shrinks to ~1/4
+    assert(out(1L).exists(b => b.length == math.max(1, (big.length.toLong * 128 + 511) / 512).toInt))
+    assert(out(2L).exists(_.sameElements(small)), "already within target: passthrough")
+    assert(out(3L).isEmpty, "undecodable bytes -> null, never a hash-faked resize")
+  }
+
   test("explodeFrames yields frame rows with indices") {
     val out = Multimodal.explodeFrames(media, "content", framesPerVideo = 4)
     assert(out.count() == 80)

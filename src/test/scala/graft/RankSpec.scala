@@ -27,4 +27,18 @@ class RankSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().sortBy(_._3)
     assert(got.toSeq == Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L)))
   }
+
+  test("rowNumberDesc fails loudly on a null primary value (documented unsupported)") {
+    // A null primary would drop every split in the bucket filter and
+    // silently interleave mid-order; the in-plan raise_error guard turns
+    // that misuse into an exception instead of wrong ranks.
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      Rank.rowNumberDesc(df, "v", Seq("id")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null in primary column")))
+  }
 }

@@ -182,6 +182,54 @@ class SourcesSpec extends SparkTestBase {
     ))
   }
 
+  test("Xlsx handles address-less cells (sequential placement) and skips rPh phonetic runs") {
+    // ECMA-376 makes the cell address attribute `r` OPTIONAL; streaming
+    // writers omit it. Mixed form: row 2 has no addresses at all, row 3
+    // anchors C3 then continues sequentially (D). Shared string 1 carries
+    // an <rPh> furigana block that must NOT leak into the cell text.
+    val dir = tmpDir("xlsx_noaddr")
+    val path = s"$dir/na.xlsx"
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c t="s"><v>0</v></c><c><v>7</v></c></row>
+        |<row><c t="s"><v>1</v></c><c t="inlineStr"><is><t>x</t></is></c></row>
+        |<row r="3"><c r="C3"><v>9</v></c><c><v>10</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t>plain</t></si>
+        |<si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si></sst>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    try Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet,
+    ).foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    val rows = graft.core.Xlsx.sheetRows(path, "s")
+    assert(rows == Seq(
+      Seq("plain", "7", "", ""),
+      Seq("東京", "x", "", ""), // rPh run skipped: NOT 東京トウキョウ
+      Seq("", "", "9", "10"),   // C3 anchors col 2; next cell flows to col 3
+    ))
+  }
+
   test("Xlsx and csvMultiHeader agree on the header contract (same table both ways)") {
     val dir = tmpDir("xlsx_vs_csv")
     val xlsxPath = s"$dir/t.xlsx"
