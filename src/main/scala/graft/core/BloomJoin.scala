@@ -52,13 +52,13 @@ object BloomJoin {
   ): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    // java.lang.Long parameter: keeps null keys flowing to the UDF (a
-    // primitive Long would make Spark null-skip and default to false —
-    // which is also what we want, but explicitly).
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    // Codegen'd Catalyst probe (graft.functions.BloomMightContain), not a
+    // UDF: the pre-shuffle filter inlines into the fact scan's
+    // whole-stage-generated code instead of breaking the stage around
+    // closure dispatch. Null keys probe false.
     val d = dim.select(col(dimKey).as("__bk")).where(col("__bk").isNotNull)
     fact
-      .filter(might(col(factKey)))
+      .filter(graft.functions.GraftFunctions.bloomMightContain(col(factKey).cast("long"), bc))
       .join(d, col(factKey) === col("__bk"), "left_semi")
   }
 }

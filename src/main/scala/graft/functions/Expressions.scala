@@ -1,9 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Custom Catalyst expressions — SURVEY.md §4 named exactly two candidates
   * (erf for the Stouffer p-value, `encore_parser.py:256-264`; Gini) and the
@@ -455,6 +459,38 @@ case class HpaClassify(child: Expression, low: Double) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HpaImpl.classify($c, $low)")
   override protected def withNewChildInternal(newChild: Expression): HpaClassify =
+    copy(child = newChild)
+}
+
+/** bloom_might_contain(key): membership probe of a driver-built Bloom
+  * sketch against a LONG key. Exists so [[graft.core.BloomJoin]]'s
+  * pre-shuffle fact filter stays inside whole-stage codegen — the
+  * Scala-UDF formulation broke the fact scan's stage (closure dispatch +
+  * boxing on the hot path the probe is supposed to cheapen). The
+  * generated code carries the Broadcast HANDLE in the task binary (bytes),
+  * not the sketch; `.value()` resolves once per executor. Null keys probe
+  * false — a null never equi-matches the downstream semi join anyway.
+  */
+case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
+    extends UnaryExpression with Predicate {
+  override def prettyName: String = "graft_bloom_might_contain"
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && filter.value.mightContainLong(v.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("bloomBc", filter, classOf[Broadcast[_]].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |final boolean ${ev.value} = !${c.isNull} &&
+        |  ((org.apache.spark.util.sketch.BloomFilter) $bc.value()).mightContainLong(${c.value});
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
 

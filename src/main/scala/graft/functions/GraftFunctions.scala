@@ -43,6 +43,15 @@ object GraftFunctions {
   def hpaClassify(values: Column, low: Double): Column =
     GraftShim.toColumn(HpaClassify(GraftShim.toExpression(values), low))
 
+  /** Codegen'd Bloom-sketch membership probe over a long key column
+    * (null → false). The sketch travels by Broadcast handle, not value.
+    */
+  def bloomMightContain(
+      key: Column,
+      sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+  ): Column =
+    GraftShim.toColumn(BloomMightContain(GraftShim.toExpression(key), sketch))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.

@@ -50,10 +50,20 @@ class PlanShapeSpec extends SparkTestBase {
     // The Bloom stage alone must cut the fact side hard (selective dim):
     val bf = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
     val bc = spark.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    val kept = fact.filter(might(col("l_orderkey"))).count()
+    val probed = fact.filter(
+      graft.functions.GraftFunctions.bloomMightContain(col("l_orderkey").cast("long"), bc))
+    val kept = probed.count()
     assert(kept < fact.count() / 2,
       s"bloom pre-filter kept $kept of ${fact.count()} — no reduction")
+    // The probe is a codegen'd Catalyst expression, not a UDF: the filter
+    // must sit INSIDE a WholeStageCodegen stage (starred in the simple
+    // plan), so the pre-shuffle cut doesn't break the scan's stage.
+    val simple = probed.queryExecution.executedPlan.toString
+    val filterLine = simple.linesIterator
+      .find(_.contains("graft_bloom_might_contain"))
+      .getOrElse(fail(s"no bloom probe filter in plan:\n$simple"))
+    assert(filterLine.trim.startsWith("*") && !simple.contains("BatchEvalPython"),
+      s"bloom probe filter not whole-stage-codegen'd:\n$simple")
   }
 
   test("q_islands: both windows and the final agg ride ONE exchange") {
