@@ -494,6 +494,96 @@ case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
     copy(child = newChild)
 }
 
+object ImageMetaImpl {
+  /** Decode image-header metadata through a pluggable codec; null when
+    * the bytes aren't a decodable image. Static entry point so generated
+    * code calls it directly.
+    */
+  def compute(
+      codec: graft.multimodal.Multimodal.ImageCodec,
+      bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    codec.imageMeta(bytes) match {
+      case Some((w, h, c, f)) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          w, h, c, org.apache.spark.unsafe.types.UTF8String.fromString(f)))
+      case None => null
+    }
+}
+
+/** image_meta(bytes) → struct<width,height,channels,format> via a
+  * STATELESS image codec (header-only decode — [[graft.multimodal
+  * .Multimodal.ImageIoCodec]] for real PNG/JPEG). A Catalyst expression,
+  * so the projection stays inside whole-stage codegen instead of breaking
+  * the stage around a Deserialize/SerializeFromObject pair the way the
+  * mapPartitions scaffold does; that scaffold remains for codecs with
+  * per-partition lifecycle (JNI handles, native buffers).
+  */
+case class ImageMeta(child: Expression, codec: graft.multimodal.Multimodal.ImageCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = graft.multimodal.Multimodal.imageMetaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_meta"
+  override def nullSafeEval(v: Any): Any =
+    ImageMetaImpl.compute(codec, v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef = ctx.addReferenceObj("imageCodec", codec,
+      classOf[graft.multimodal.Multimodal.ImageCodec].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.ImageMetaImpl.compute($codecRef, $c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object AudioMetaImpl {
+  /** Decode audio-header metadata through a pluggable codec; null when
+    * the bytes aren't decodable audio. duration_sec derives from
+    * frames/sample_rate, null when the container leaves frames
+    * unspecified (javax.sound NOT_SPECIFIED = -1).
+    */
+  def compute(
+      codec: graft.multimodal.Multimodal.AudioCodec,
+      bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    codec.audioMeta(bytes) match {
+      case Some((sr, ch, bits, frames, fmt)) =>
+        val dur: Any =
+          if (frames >= 0 && sr > 0) java.lang.Double.valueOf(frames.toDouble / sr) else null
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          sr, ch, bits, frames, dur, org.apache.spark.unsafe.types.UTF8String.fromString(fmt)))
+      case None => null
+    }
+}
+
+/** audio_meta(bytes) → struct<sample_rate,channels,bits_per_sample,
+  * frames,duration_sec,format> via a stateless audio codec (header-only —
+  * [[graft.multimodal.Multimodal.JavaSoundCodec]] for real WAV/AIFF/AU).
+  * Same design as [[ImageMeta]]: a projection inside whole-stage codegen.
+  */
+case class AudioMeta(child: Expression, codec: graft.multimodal.Multimodal.AudioCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = graft.multimodal.Multimodal.audioMetaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audio_meta"
+  override def nullSafeEval(v: Any): Any =
+    AudioMetaImpl.compute(codec, v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef = ctx.addReferenceObj("audioCodec", codec,
+      classOf[graft.multimodal.Multimodal.AudioCodec].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.AudioMetaImpl.compute($codecRef, $c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
 object CosineImpl {
   /** Cosine similarity of two equal-length numeric vectors. `aFloat` /
     * `bFloat` select each side's element accessor (the two sides may have

@@ -43,6 +43,18 @@ object GraftFunctions {
   def hpaClassify(values: Column, low: Double): Column =
     GraftShim.toColumn(HpaClassify(GraftShim.toExpression(values), low))
 
+  /** Image-header metadata struct from a binary column through a
+    * stateless codec; null struct for undecodable bytes.
+    */
+  def imageMeta(bytes: Column, codec: graft.multimodal.Multimodal.ImageCodec): Column =
+    GraftShim.toColumn(ImageMeta(GraftShim.toExpression(bytes), codec))
+
+  /** Audio-header metadata struct from a binary column through a
+    * stateless codec; null struct for undecodable bytes.
+    */
+  def audioMeta(bytes: Column, codec: graft.multimodal.Multimodal.AudioCodec): Column =
+    GraftShim.toColumn(AudioMeta(GraftShim.toExpression(bytes), codec))
+
   /** Codegen'd Bloom-sketch membership probe over a long key column
     * (null → false). The sketch travels by Broadcast handle, not value.
     */

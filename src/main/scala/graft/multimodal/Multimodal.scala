@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE metadata decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/GIF/BMP
   * headers with the JDK's own `javax.imageio` — no native dependencies.
-  * Audio resample and video frame extraction DO need native libraries that
-  * are not in this container, so those kernels remain clearly-marked
-  * DETERMINISTIC STUBS ([[StubCodec]]). The Spark-side plumbing — schemas,
-  * per-partition decoder lifecycle, mapPartitions batch shape, column
-  * contracts — is identical either way; codecs swap via [[ImageCodec]]
-  * without touching the dataflow.
+  * AUDIO metadata decode is REAL the same way: [[JavaSoundCodec]] reads
+  * WAV/AIFF/AU headers with `javax.sound.sampled` (sample rate, channels,
+  * bit depth, frame count — header-only, samples never materialized).
+  * Audio RESAMPLING and video frame extraction DO need native libraries
+  * that are not in this container, so those kernels remain clearly-marked
+  * DETERMINISTIC STUBS ([[StubCodec]], [[StubAudioCodec]]). The
+  * Spark-side plumbing — schemas, decoder lifecycle, batch shape, column
+  * contracts — is identical either way; codecs swap via [[ImageCodec]] /
+  * [[AudioCodec]] without touching the dataflow.
   */
 object Multimodal {
 
@@ -67,6 +70,63 @@ object Multimodal {
       } catch {
         case scala.util.control.NonFatal(_) => None // corrupt/truncated image
       } finally if (iis != null) iis.close()
+    }
+  }
+
+  /** Metadata contract for decoded audio. `duration_sec` is null when the
+    * container doesn't declare a frame count (streaming captures).
+    */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = true),
+    StructField("format", StringType, nullable = false),
+  ))
+
+  /** Pluggable audio decoder: (sample_rate, channels, bits_per_sample,
+    * frames, format); None = bytes are not decodable audio.
+    */
+  trait AudioCodec extends Serializable {
+    def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)]
+  }
+
+  /** Real audio header decode on the JDK's `javax.sound.sampled` —
+    * WAV/AIFF/AU containers, header-only (the file readers parse the
+    * RIFF/FORM chunk headers; sample data is never read), so cost per
+    * asset is independent of its length. Compressed formats (mp3, ogg)
+    * need native/third-party decoders and surface as None.
+    */
+  object JavaSoundCodec extends AudioCodec {
+    def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        // ByteArrayInputStream supports mark/reset, which the format
+        // detection loop requires.
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          aff.getFrameLength.toLong, aff.getType.getExtension))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_) => None // truncated/corrupt header
+      }
+    }
+  }
+
+  /** Deterministic fake audio decoder (hash-derived plausible metadata) —
+    * lets the text-bytes test tables exercise the audio dataflow.
+    */
+  object StubAudioCodec extends AudioCodec {
+    def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val sr = rates(math.abs(h % rates.length))
+      val ch = 1 + math.abs((h / 5) % 2)
+      val frames = (1000L + math.abs((h / 11) % 100000)).toLong
+      Some((sr, ch, 16, frames, if (h % 2 == 0) "wav" else "aif"))
     }
   }
 
@@ -136,8 +196,40 @@ object Multimodal {
   /** Attach decoded image metadata to a binary column. Pass
     * [[ImageIoCodec]] for real PNG/JPEG decode; the default [[StubCodec]]
     * serves the text-bytes test tables. Undecodable bytes → null struct.
+    *
+    * Rides the codegen'd [[graft.functions.ImageMeta]] expression — both
+    * codecs here are stateless per call, so a plain projection keeps the
+    * stage whole (no Deserialize/SerializeFromObject re-encoding). Codecs
+    * that DO need per-partition lifecycle go through
+    * [[withImageMetaPartitioned]].
     */
   def withImageMeta(
+      df: DataFrame,
+      binaryCol: String,
+      outCol: String = "image_meta",
+      codec: ImageCodec = StubCodec,
+  ): DataFrame =
+    df.withColumn(outCol, graft.functions.GraftFunctions.imageMeta(col(binaryCol), codec))
+
+  /** Attach decoded audio metadata to a binary column. Pass
+    * [[JavaSoundCodec]] for real WAV/AIFF/AU header decode; the default
+    * [[StubAudioCodec]] serves the text-bytes test tables. Undecodable
+    * bytes → null struct. Codegen'd projection, like [[withImageMeta]].
+    */
+  def withAudioMeta(
+      df: DataFrame,
+      binaryCol: String,
+      outCol: String = "audio_meta",
+      codec: AudioCodec = StubAudioCodec,
+  ): DataFrame =
+    df.withColumn(outCol, graft.functions.GraftFunctions.audioMeta(col(binaryCol), codec))
+
+  /** The mapPartitions variant of [[withImageMeta]]: identical output,
+    * but the codec initializes once per partition — the shape a JNI/
+    * native decoder needs (handle setup, reusable buffers). Spec-pinned
+    * equivalent to the expression path.
+    */
+  def withImageMetaPartitioned(
       df: DataFrame,
       binaryCol: String,
       outCol: String = "image_meta",

@@ -45,6 +45,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(metas(4L).isEmpty, "non-image bytes must yield a null struct, not a crash")
   }
 
+  test("withImageMeta is a codegen'd projection, equivalent to the mapPartitions path") {
+    // Stateless codecs ride the ImageMeta Catalyst expression: the plan
+    // must NOT re-encode rows around the decode (no object-boundary pair).
+    val viaExpr = Multimodal.withImageMeta(media, "content")
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("DeserializeToObject"),
+      s"image-meta projection broke whole-stage codegen:\n$plan")
+    assert(plan.contains("graft_image_meta"))
+    // Byte-identical results vs the per-partition-lifecycle scaffold.
+    val exprRows = viaExpr.select("media_id", "image_meta.*").collect().map(_.toSeq).toSet
+    val mpRows = Multimodal.withImageMetaPartitioned(media, "content")
+      .select("media_id", "image_meta.*").collect().map(_.toSeq).toSet
+    assert(exprRows == mpRows)
+  }
+
+  test("JavaSoundCodec decodes REAL WAV and AIFF headers; stub serves text bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def audioBytes(tpe: AudioFileFormat.Type, rate: Float, bits: Int, ch: Int,
+        frames: Int, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, true, bigEndian)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, audioBytes(AudioFileFormat.Type.WAVE, 8000f, 16, 1, 4000, bigEndian = false)),
+      (2L, audioBytes(AudioFileFormat.Type.AIFF, 44100f, 16, 2, 44100, bigEndian = true)),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+    ).toDF("media_id", "content")
+    val out = Multimodal
+      .withAudioMeta(assets, "content", codec = Multimodal.JavaSoundCodec)
+    assert(out.schema("audio_meta").dataType == Multimodal.audioMetaSchema)
+    val metas = out
+      .select($"media_id", $"audio_meta.sample_rate", $"audio_meta.channels",
+        $"audio_meta.bits_per_sample", $"audio_meta.frames", $"audio_meta.duration_sec",
+        $"audio_meta.format")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5), r.getString(6)))))
+      .toMap
+    assert(metas(1L).contains((8000, 1, 16, 4000L, 0.5, "wav")))
+    assert(metas(2L).contains((44100, 2, 16, 44100L, 1.0, "aif")))
+    assert(metas(3L).isEmpty, "non-audio bytes must yield a null struct, not a crash")
+    // Codegen'd projection, like images: no object re-encoding boundary.
+    // (Asserted on the parquet-backed table — a local relation would be
+    // constant-folded by ConvertToLocalRelation before reaching here.)
+    val plan = Multimodal.withAudioMeta(media, "content", codec = Multimodal.JavaSoundCodec)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") && plan.contains("graft_audio_meta"), plan)
+  }
+
+  test("withAudioMeta stub path is deterministic over arbitrary bytes") {
+    val a = Multimodal.withAudioMeta(media, "content")
+      .select($"media_id", $"audio_meta.sample_rate", $"audio_meta.frames")
+      .collect().map(_.toSeq)
+    val b = Multimodal.withAudioMeta(media, "content")
+      .select($"media_id", $"audio_meta.sample_rate", $"audio_meta.frames")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty && a.forall(r => Set(8000, 16000, 22050, 44100, 48000).contains(r(1).asInstanceOf[Int])))
+  }
+
   test("withFeatures produces array<float> ready for ANN, deterministic") {
     val a = Multimodal.withFeatures(media, "content", dim = 16)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
