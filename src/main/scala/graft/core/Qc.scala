@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Runtime data-QC assertions — the reference's test strategy (SURVEY.md
@@ -77,6 +77,103 @@ object Qc {
     */
   def observedMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] =
     df.queryExecution.observedMetrics
+
+  // ---------------- evidence-contract validation (reference §5.1) ------
+  // The reference validates every evidence file against a versioned JSON
+  // Schema before accepting it (`Snakefile:110,130,154` runs
+  // opentargets_validator over each output). The Spark-native equivalent
+  // is a declarative per-row contract compiled to violation predicates —
+  // counted either in one aggregate pass (validateEvidence) or for free
+  // during the output write itself via Dataset.observe
+  // (writeJsonGzSingle's contract parameter).
+
+  /** Declarative output contract. All field names are dot paths, so
+    * nested struct members validate like top-level columns.
+    *
+    * @param required        must be non-null on every row
+    * @param enums           when present, value must be one of the listed
+    * @param patterns        when present, value must match the regex
+    * @param nonEmptyArrays  when present, array must have ≥1 element
+    * @param elementRequired (arrayField, memberField): every element of
+    *                        the array must carry a non-null member — the
+    *                        nested-shape check JSON Schema does with
+    *                        items.required
+    */
+  final case class EvidenceContract(
+      required: Seq[String] = Nil,
+      enums: Map[String, Seq[String]] = Map.empty,
+      patterns: Map[String, String] = Map.empty,
+      nonEmptyArrays: Seq[String] = Nil,
+      elementRequired: Seq[(String, String)] = Nil,
+  ) {
+    def isEmpty: Boolean =
+      required.isEmpty && enums.isEmpty && patterns.isEmpty &&
+        nonEmptyArrays.isEmpty && elementRequired.isEmpty
+  }
+
+  /** Compile a contract to (rule label, row-violates predicate) pairs.
+    * A path that doesn't exist at all fails analysis — loudly, like a
+    * schema mismatch should. Presence rules ignore nulls (that's what
+    * `required` is for), mirroring JSON Schema's required-vs-type split.
+    */
+  def contractViolations(c: EvidenceContract): Seq[(String, Column)] = {
+    val req = c.required.map(p => s"required:$p" -> col(p).isNull)
+    val en = c.enums.toSeq.map { case (p, allowed) =>
+      s"enum:$p" -> (col(p).isNotNull && !col(p).isin(allowed: _*))
+    }
+    val pat = c.patterns.toSeq.map { case (p, re) =>
+      s"pattern:$p" -> (col(p).isNotNull && !col(p).rlike(re))
+    }
+    val arr = c.nonEmptyArrays.map(p => s"nonEmptyArray:$p" -> (col(p).isNotNull && size(col(p)) === 0))
+    val el = c.elementRequired.map { case (p, m) =>
+      s"elementRequired:$p.$m" -> (col(p).isNotNull && exists(col(p), e => e.getField(m).isNull))
+    }
+    req ++ en ++ pat ++ arr ++ el
+  }
+
+  /** Validate in ONE aggregate job; returns per-rule violation counts and
+    * throws [[QcException]] naming every violated rule if any count > 0.
+    */
+  def validateEvidence(df: DataFrame, c: EvidenceContract): Map[String, Long] = {
+    val rules = contractViolations(c)
+    require(rules.nonEmpty, "empty contract")
+    val aggs = rules.map { case (label, pred) =>
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val counts = rules.zipWithIndex.map { case ((label, _), i) => label -> row.getLong(i) }.toMap
+    failOnViolations(counts)
+    counts
+  }
+
+  /** Attach the contract's violation counters as observed metrics: they
+    * accumulate DURING the caller's own action (e.g. the output write) —
+    * zero extra scans. Read them back per [[observedMetrics]]'s rules and
+    * hand the metric row to [[contractCounts]]/[[failOnViolations]].
+    */
+  def observedEvidence(
+      df: DataFrame,
+      c: EvidenceContract,
+      name: String = "evidence_contract",
+  ): DataFrame = {
+    val rules = contractViolations(c)
+    require(rules.nonEmpty, "empty contract")
+    val aggs = rules.map { case (label, pred) =>
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
+    }
+    observed(df, name, aggs: _*)
+  }
+
+  /** Violation counts from an observed-metrics row (all its columns are
+    * rule counters by construction in [[observedEvidence]]).
+    */
+  def contractCounts(metrics: Row): Map[String, Long] =
+    metrics.schema.fieldNames.map(f => f -> metrics.getAs[Long](f)).toMap
+
+  def failOnViolations(counts: Map[String, Long]): Unit = {
+    val bad = counts.toSeq.sortBy(_._1).collect { case (l, n) if n != 0 => s"$l=$n" }
+    if (bad.nonEmpty) throw QcException(s"evidence contract violations: ${bad.mkString(", ")}")
+  }
 
   /** Several boolean invariants in ONE job: each predicate is counted in a
     * single aggregate pass; returns violation counts keyed by label.

@@ -19,8 +19,49 @@ object Writers {
 
   /** K1: single-file gzipped JSON-lines sink (reference
     * `common/evidence.py:66-80`). Only for outputs known to be small.
+    *
+    * Pass a `contract` to validate the output against the reference's
+    * JSON-Schema-style rules (§5 mechanism 1, `Snakefile:110`): the
+    * violation counters ride `Dataset.observe`, accumulating DURING the
+    * write itself — no second scan — and are read back through a
+    * QueryExecutionListener once the write's execution completes. Like
+    * the reference's file-then-validate flow, a violation throws AFTER
+    * the bytes land; the exception names every violated rule.
     */
-  def writeJsonGzSingle(df: DataFrame, outFile: String): Unit = {
+  def writeJsonGzSingle(
+      df: DataFrame,
+      outFile: String,
+      contract: Option[Qc.EvidenceContract] = None,
+  ): Unit = contract match {
+    case None => writeJsonGzSingleRaw(df, outFile)
+    case Some(c) =>
+      val spark = df.sparkSession
+      val metricName = "evidence_contract"
+      val observed = Qc.observedEvidence(df, c, metricName)
+      val captured = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get(metricName).foreach(captured.compareAndSet(null, _))
+        override def onFailure(
+            funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        writeJsonGzSingleRaw(observed, outFile)
+        // Listener dispatch is asynchronous; drain before reading.
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      } finally spark.listenerManager.unregister(listener)
+      val metrics = Option(captured.get).getOrElse(throw new IllegalStateException(
+        "evidence-contract metrics were not observed during the write"))
+      Qc.failOnViolations(Qc.contractCounts(metrics))
+  }
+
+  private def writeJsonGzSingleRaw(df: DataFrame, outFile: String): Unit = {
     val tmp = outFile + "_tmp"
     df.coalesce(1)
       .write

@@ -21,6 +21,16 @@ object GraftShim {
   def toExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Block until every queued listener event (including
+    * QueryExecutionListener dispatches, which ride the shared
+    * LiveListenerBus) has been delivered — lets a writer read
+    * listener-captured observed metrics immediately after its write
+    * action returns. `waitUntilEmpty` is private[spark]; this shim is
+    * the sanctioned crossing point.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a custom expression under a SQL function name, so
     * `spark.sql("SELECT graft_erf(x) ...")` works alongside the Column API.
     */

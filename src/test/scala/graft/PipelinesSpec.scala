@@ -22,6 +22,24 @@ class PipelinesSpec extends SparkTestBase {
     assert(back.columns.contains("targetFromSourceId"))
   }
 
+  test("evidence contract validates a full parser pipeline output at the K1 sink") {
+    val dir = tmpDir("pipe_contract")
+    val raw = Seq(("SLC12A4/SLC12A6", "Neuro", "d"), ("BRD4", "Oncology", "e"))
+      .toDF("Gene", "Therapeutic Area", "Description")
+    val ev = Pipelines.byName("tep").run(spark, Map("raw" -> raw))
+    val contract = graft.core.Qc.EvidenceContract(
+      required = Seq("targetFromSourceId", "url", "therapeuticArea"),
+      patterns = Map("url" -> "^https://www\\.thesgc\\.org/tep/[a-z0-9]+$"))
+    graft.core.Writers.writeJsonGzSingle(ev, s"$dir/tep.json.gz", Some(contract))
+    assert(spark.read.json(s"$dir/tep.json.gz").count() == 3)
+    // A gene symbol with an illegal URL character violates the pattern rule.
+    val bad = Seq(("AB CD", "X", "y")).toDF("Gene", "Therapeutic Area", "Description")
+    val ex = intercept[graft.core.Qc.QcException](
+      graft.core.Writers.writeJsonGzSingle(
+        Pipelines.byName("tep").run(spark, Map("raw" -> bad)), s"$dir/bad.json.gz", Some(contract)))
+    assert(ex.getMessage.contains("pattern:url=1"))
+  }
+
   test("EvidenceSink lands gzip JSON-lines evidence from a stream with QC hook") {
     def fresh(name: String): String = {
       val d = new java.io.File(tmpDir(name))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.SparkFiles
 import org.apache.spark.sql.functions._
-import graft.core.{Qc, Readers, Xml}
+import graft.core.{Qc, Readers, Writers, Xml}
 
 class SourcesSpec extends SparkTestBase {
   import spark.implicits._
@@ -109,6 +109,48 @@ class SourcesSpec extends SparkTestBase {
     val m = Qc.observedMetrics(observed)("qc")
     assert(m.getAs[Long]("rows") == base.count() && m.getAs[Long]("bad_qty") == 0L)
     assert(n == base.count(), "filter dropped nothing (no non-positive quantities)")
+  }
+
+  test("Qc.validateEvidence: per-rule violation counts, nested shapes, planted bad rows") {
+    val df = Seq(
+      ("ENSG1", "clingen", Seq("HP:1"), "1e-8", Seq(("d1", "EFO:1"))),
+      ("ENSG2", "gene_burden", Seq("HP:2"), "2.5e-5", Seq(("d2", "EFO:2"))),
+      (null: String, "clingen", Seq("HP:3"), "1e-2", Seq(("d3", "EFO:3"))),   // required
+      ("ENSG3", "bogus_source", Seq[String](), "xx", Seq(("d4", null: String))), // enum+array+pattern+element
+    ).toDF("targetFromSourceId", "datasourceId", "phenotypes", "pValue", "diseases")
+      .withColumn("diseases", $"diseases".cast("array<struct<label:string,id:string>>"))
+    val contract = Qc.EvidenceContract(
+      required = Seq("targetFromSourceId", "datasourceId"),
+      enums = Map("datasourceId" -> Seq("clingen", "gene_burden")),
+      patterns = Map("pValue" -> "^[0-9.]+e-?[0-9]+$"),
+      nonEmptyArrays = Seq("phenotypes"),
+      elementRequired = Seq(("diseases", "id")))
+    val ex = intercept[Qc.QcException](Qc.validateEvidence(df, contract))
+    for (rule <- Seq("required:targetFromSourceId=1", "enum:datasourceId=1",
+        "pattern:pValue=1", "nonEmptyArray:phenotypes=1", "elementRequired:diseases.id=1"))
+      assert(ex.getMessage.contains(rule), s"missing $rule in: ${ex.getMessage}")
+    // The clean subset passes and reports all-zero counts.
+    val clean = df.filter($"targetFromSourceId".isNotNull &&
+      $"datasourceId".isin("clingen", "gene_burden") && size($"phenotypes") > 0 &&
+      $"pValue".rlike("^[0-9.]+e-?[0-9]+$") && !exists($"diseases", e => e.getField("id").isNull))
+    assert(Qc.validateEvidence(clean, contract).values.forall(_ == 0L))
+  }
+
+  test("writeJsonGzSingle validates the evidence contract DURING the write (observe, no rescan)") {
+    val dir = tmpDir("contract_sink")
+    val good = Seq(("ENSG1", "clingen", 0.5), ("ENSG2", "clingen", 0.7))
+      .toDF("targetFromSourceId", "datasourceId", "score")
+    val contract = Qc.EvidenceContract(
+      required = Seq("targetFromSourceId"),
+      enums = Map("datasourceId" -> Seq("clingen")))
+    Writers.writeJsonGzSingle(good, s"$dir/good.json.gz", Some(contract))
+    assert(spark.read.json(s"$dir/good.json.gz").count() == 2)
+    val planted = good.unionByName(
+      Seq((null: String, "not_clingen", 0.1)).toDF("targetFromSourceId", "datasourceId", "score"))
+    val ex = intercept[Qc.QcException](
+      Writers.writeJsonGzSingle(planted, s"$dir/bad.json.gz", Some(contract)))
+    assert(ex.getMessage.contains("required:targetFromSourceId=1") &&
+      ex.getMessage.contains("enum:datasourceId=1"))
   }
 
   // A genuine .xlsx built from its OOXML parts (ECMA-376: zip + XML) —
