@@ -60,6 +60,30 @@ object ScaleBench {
       println(f"""{"replicas":$n,"docs":$nDocs,"pairs":$nPairs,"clustered_docs":$nClusters,"sec":$sec%.2f}""")
       docs.unpersist()
     }
+
+    // Substring-dedup gram-stream economics: the stride-1 exhaustive
+    // configuration vs the winnow-anchored scale path, on the same
+    // corpus. `grams` counts the rows entering the shared-gram shuffle —
+    // the quantity that multiplies against 100 TB.
+    {
+      import graft.text.SubstringDedup
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val strideGrams = SubstringDedup.gramStream(base, "doc_id", "text", 24, 1).count()
+      val winnowGrams = SubstringDedup.winnowAnchorStream(base, "doc_id", "text", 24, 16).count()
+      val (nStride, tStride) = timed(
+        SubstringDedup.sharedSpans(base, "doc_id", "text", gramLen = 24, minSpan = 60).count())
+      val (nWinnow, tWinnow) = timed(
+        SubstringDedup.sharedSpansWinnowed(base, "doc_id", "text",
+          gramLen = 24, window = 16, minSpan = 60).count())
+      println(f"""{"op":"substring_dedup","stride1_grams":$strideGrams,"winnow_grams":$winnowGrams,""" +
+        f""""gram_reduction":${strideGrams.toDouble / winnowGrams}%.1f,""" +
+        f""""stride1_spans":$nStride,"winnow_spans":$nWinnow,""" +
+        f""""stride1_sec":$tStride%.2f,"winnow_sec":$tWinnow%.2f}""")
+    }
     spark.stop()
   }
 }

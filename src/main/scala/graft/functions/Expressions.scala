@@ -234,6 +234,70 @@ object WinnowImpl {
   }
 }
 
+object WinnowAnchorsImpl {
+  /** Winnowing SELECTED POSITIONS (1-based k-gram start offsets) instead
+    * of fingerprint hashes — the content-defined anchor set for
+    * [[graft.text.SubstringDedup.sharedSpansWinnowed]]. Same rolling
+    * hash + monotone deque as [[WinnowImpl]]; emits each selected
+    * window-minimum's position once. Output is ascending (the deque head
+    * index never moves backward as the window slides).
+    *
+    * The positions — not the hashes — are the product: the caller reads
+    * the k-gram TEXT back at each anchor, so downstream equality checks
+    * stay exact and the rolling hash never leaves this kernel (hash
+    * collisions can only co-select harmless extra anchors).
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val B = 1000003L
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    val win = math.min(w, n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && hs(deque.peekLast) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - win) deque.pollFirst()
+      if (i >= win - 1) {
+        val p = deque.peekFirst + 1L // 1-based
+        if (out.isEmpty || out.last.asInstanceOf[Long] != p) out += p
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** winnow_anchors(text, k, w) → array<long>: ascending 1-based positions
+  * of the winnowing-selected k-grams ([] when shorter than k).
+  */
+case class WinnowAnchors(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_anchors"
+  override def nullSafeEval(v: Any): Any =
+    WinnowAnchorsImpl.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.WinnowAnchorsImpl.compute($c, $k, $w);")
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
 /** winnow(text, k, w) → array<long>: winnowing fingerprint set of a
   * string ([] when shorter than k; null only for null input).
   */

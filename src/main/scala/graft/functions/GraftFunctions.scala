@@ -31,6 +31,12 @@ object GraftFunctions {
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftShim.toColumn(Winnow(GraftShim.toExpression(text), k, w))
 
+  /** Winnowing-selected k-gram positions (1-based, ascending) — the
+    * content-defined anchors for alignment-independent substring dedup.
+    */
+  def winnowAnchors(text: Column, k: Int, w: Int): Column =
+    GraftShim.toColumn(WinnowAnchors(GraftShim.toExpression(text), k, w))
+
   /** One-pass text statistics (token/char counts, stopword hits, lang). */
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))

@@ -12,26 +12,32 @@ import org.apache.spark.sql.functions._
   * A suffix array is a single-machine index; the distributed equivalent that
   * Catalyst can plan is gram-anchored span assembly:
   *
-  *   1. slide a fixed-length character window over every document
-  *      (`gramLen`, stride `stride`) — a narrow Generate, no shuffle;
-  *   2+3. keep each document's positions covered by a gram occurring in
-  *      ≥ `minDocs` DISTINCT documents — for minDocs = 2 a single
-  *      gram-partitioned min≠max window (the gram stream shuffles ONCE);
-  *      for higher thresholds a countDistinct aggregate + semi-join;
-  *   4. merge overlapping/adjacent gram intervals into maximal spans with
-  *      the gaps-and-islands pattern INSIDE each document (window
+  *   1. anchor positions in every document — either EVERY position
+  *      ([[gramStream]], stride 1: exhaustive, recall 1, ~gramLen× corpus
+  *      amplification) or the winnowing-selected subset
+  *      ([[winnowAnchorStream]]: ~2/(window+1) of positions, alignment-
+  *      independent, the 100 TB configuration);
+  *   2. shared-gram detection ([[sharedHits]]): ONE aggregation keyed on
+  *      the gram text with MAP-SIDE partial combine — a hot gram collapses
+  *      to a single (min, max, count) state per map partition, so no
+  *      reduce task ever sees a gram's full occurrence list — then the
+  *      position stream semi-joins the shared set. Ultra-hot shared grams
+  *      (corpus boilerplate: license headers, whitespace runs) route
+  *      through a BROADCAST semi-join and never enter the shuffled join;
+  *      every remaining key has < hotGramOcc occurrences, well inside
+  *      AQE's rebalancing envelope. (The previous formulation — min≠max
+  *      over Window.partitionBy(gram) — shuffled the same bytes but
+  *      funneled each gram's whole occurrence list through one window
+  *      task: a skew bomb on boilerplate-heavy corpora, since window
+  *      operators have no partial aggregation.)
+  *   3. merge overlapping/adjacent anchor intervals into maximal spans
+  *      with the gaps-and-islands pattern INSIDE each document (window
   *      partitioned by doc — parallel), keep spans ≥ `minSpan` chars.
   *
-  * Every shuffle is keyed on gram or doc_id — never doc×doc, never a global
-  * sort. At 100 TB the stride-1 gram stream is a ~gramLen× amplification of
-  * the corpus; the scale knobs are (a) `stride` > 1 — cheap, but a shared
-  * span is only caught when both documents anchor the SAME gram, i.e. the
-  * copies are stride-aligned, so recall < 1 on arbitrary offsets — or
-  * (b) content-defined anchors (the winnowing kernel, graft.functions
-  * `WinnowFingerprints`), which select identical positions inside identical
-  * text regardless of alignment: winnow-anchor, then span-verify exactly as
-  * here. The oracled registry query keeps stride = 1 (exhaustive, recall 1)
-  * so the DuckDB n-gram self-join formulation is exactly equivalent.
+  * Every shuffle is keyed on gram or doc_id — never doc×doc, never a
+  * global sort. The gram stream itself is generated (not shuffled) up to
+  * three times — stats pass, hot branch, cold branch — a narrow recompute
+  * that trades CPU for never materializing the ~gramLen× stream.
   *
   * Grams are grouped by their literal text, not a hash: cross-engine
   * oracle exactness, and no collision caveat. A 100 TB run would key on
@@ -44,6 +50,10 @@ object SubstringDedup {
     * span_len, n_grams), 1-based inclusive character positions. A span is
     * the union of overlapping `gramLen`-char windows each of which appears
     * verbatim in at least `minDocs` distinct documents.
+    *
+    * @param hotGramOcc occurrence threshold above which a shared gram is
+    *                   routed through the broadcast hot set (boilerplate
+    *                   handling; exactness is routing-independent)
     */
   def sharedSpans(
       docs: DataFrame,
@@ -53,40 +63,97 @@ object SubstringDedup {
       minSpan: Int = 60,
       minDocs: Int = 2,
       stride: Int = 1,
+      hotGramOcc: Int = 4096,
   ): DataFrame = {
     require(gramLen >= 2 && stride >= 1 && minSpan >= gramLen,
       s"need gramLen>=2, stride>=1, minSpan>=gramLen; got ($gramLen, $stride, $minSpan)")
     val grams = gramStream(docs, idCol, textCol, gramLen, stride)
-    // Shared-gram detection. minDocs == 2 (the operator's natural setting)
-    // has a one-pass plan: "≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
-    // over a gram-partitioned window — the gram stream (the corpus ×
-    // gramLen amplification, the expensive thing here) is generated and
-    // shuffled ONCE, vs twice for the aggregate + semi-join shape. min/max
-    // window frames are O(1) state per row — no per-gram set, no skew bomb
-    // on a mega-hot gram. Higher thresholds take the two-pass exact-
-    // countDistinct path.
-    val hits =
-      if (minDocs == 2) {
-        val byGram = Window.partitionBy("gram")
-        grams
-          .withColumn("multi", min(col("doc_id")).over(byGram) =!= max(col("doc_id")).over(byGram))
-          .filter(col("multi"))
-          .select("doc_id", "pos")
-      } else {
-        val shared = grams
-          .groupBy("gram")
-          .agg(countDistinct(col("doc_id")).as("nd"))
+    val hits = sharedHits(grams, minDocs, hotGramOcc)
+    assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen)
+  }
+
+  /** The winnow-anchored scale configuration: identical span-assembly
+    * machinery, but positions come from content-defined anchors
+    * (winnowing — Schleimer, Wilkerson, Aiken, SIGMOD'03) instead of
+    * every offset. Two documents sharing any substring of length ≥
+    * `gramLen + window − 1` select at least one IDENTICAL anchor inside
+    * it (the winnowing guarantee), regardless of where the copy sits in
+    * either document — the alignment-independence `stride > 1` lacks —
+    * while anchoring only ~2/(window+1) of positions: a ~(window/2)×
+    * reduction of the gram stream, the difference between a ~40× and a
+    * ~2× corpus amplification at 100 TB.
+    *
+    * Trade: reported span extents are CONSERVATIVE — [first shared
+    * anchor, last shared anchor + gramLen − 1] ⊆ the true shared span
+    * (edges can be missed by up to ~window−1 chars each side), and two
+    * shared spans separated by < gramLen + window chars of unshared text
+    * may merge. Detection is still exact: anchors compare by their
+    * literal gram text (the rolling hash never leaves the kernel), so a
+    * reported span is always genuinely shared gram-by-gram. Use
+    * stride-1 [[sharedSpans]] when exact extents matter more than cost.
+    */
+  def sharedSpansWinnowed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 24,
+      window: Int = 16,
+      minSpan: Int = 60,
+      minDocs: Int = 2,
+      hotGramOcc: Int = 4096,
+  ): DataFrame = {
+    require(gramLen >= 2 && window >= 2 && minSpan >= gramLen,
+      s"need gramLen>=2, window>=2, minSpan>=gramLen; got ($gramLen, $window, $minSpan)")
+    val anchors = winnowAnchorStream(docs, idCol, textCol, gramLen, window)
+    val hits = sharedHits(anchors, minDocs, hotGramOcc)
+    // Inside one contiguous shared region consecutive selected anchors
+    // are at most `window` apart (each window of `window` k-grams selects
+    // one), so a break is only declared past gramLen + window.
+    assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen + window)
+  }
+
+  /** Shared-gram detection: positions of grams occurring in ≥ `minDocs`
+    * distinct documents. One map-side-combining aggregation builds
+    * per-gram (min doc, max doc, occurrences[, distinct docs]); the
+    * position stream then semi-joins the shared set, with ultra-hot
+    * grams (≥ hotGramOcc occurrences) carried by a broadcast semi-join
+    * so no shuffled join key exceeds hotGramOcc rows.
+    */
+  private def sharedHits(grams: DataFrame, minDocs: Int, hotGramOcc: Int): DataFrame = {
+    require(minDocs >= 2 && hotGramOcc >= 2,
+      s"need minDocs>=2, hotGramOcc>=2; got ($minDocs, $hotGramOcc)")
+    // minDocs == 2 (the operator's natural setting) needs only min≠max —
+    // O(1) agg state; higher thresholds pay the exact countDistinct.
+    val base = grams.groupBy("gram")
+    val stats =
+      if (minDocs == 2)
+        base.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            count(lit(1)).as("occ"))
+          .filter(col("mn") =!= col("mx"))
+      else
+        base.agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
           .filter(col("nd") >= minDocs)
-          .select("gram")
-        grams.join(shared, Seq("gram"), "left_semi").select("doc_id", "pos")
-      }
-    // Gaps-and-islands over each doc's hit positions: a new span starts
-    // where the previous gram's window [p, p+gramLen-1] no longer touches
-    // this one (pos > prev + gramLen). Per-doc window — parallel.
+    val hot = stats.filter(col("occ") >= hotGramOcc).select("gram")
+    val cold = stats.filter(col("occ") < hotGramOcc).select("gram")
+    grams.join(broadcast(hot), Seq("gram"), "left_semi")
+      .unionByName(grams.join(cold, Seq("gram"), "left_semi"))
+      .select("doc_id", "pos")
+  }
+
+  /** Gaps-and-islands over each doc's hit positions: a new span starts
+    * where the previous anchor's window no longer reaches this one
+    * (pos > prev + gapTolerance). Per-doc window — parallel.
+    */
+  private def assembleSpans(
+      hits: DataFrame,
+      gramLen: Int,
+      minSpan: Int,
+      gapTolerance: Int,
+  ): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("brk",
-        when(col("pos") > lag(col("pos"), 1).over(byDoc) + gramLen, 1).otherwise(0))
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + gapTolerance, 1).otherwise(0))
       .withColumn("grp", sum(col("brk")).over(byDoc))
       .groupBy("doc_id", "grp")
       .agg(
@@ -126,9 +193,11 @@ object SubstringDedup {
       gramLen: Int = 40,
       minSpan: Int = 60,
       stride: Int = 1,
+      hotGramOcc: Int = 4096,
   ): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val spans = sharedSpans(d, "doc_id", "text", gramLen, minSpan, minDocs = 2, stride = stride)
+    val spans = sharedSpans(d, "doc_id", "text", gramLen, minSpan, minDocs = 2,
+        stride = stride, hotGramOcc = hotGramOcc)
       .join(d, Seq("doc_id"))
       .withColumn("span_text", col("text").substr(col("span_start").cast("int"), col("span_len").cast("int")))
     val owner = Window.partitionBy("span_text").orderBy(col("doc_id"), col("span_start"))
@@ -191,5 +260,27 @@ object SubstringDedup {
       explode(transform(starts, i =>
         struct(i.as("pos"), text.substr(i.cast("int"), lit(gramLen)).as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+  }
+
+  /** Content-defined anchor positions + their gram text: (doc_id, pos,
+    * gram), 1-based. The winnowing kernel selects the positions; the
+    * gram TEXT is read back with substr so downstream equality is exact
+    * (the rolling hash never leaves the kernel). Pure projection +
+    * Generate — no shuffle, codegen'd.
+    */
+  def winnowAnchorStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int,
+      window: Int,
+  ): DataFrame = {
+    val text = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      text.as("__t"),
+      explode(graft.functions.GraftFunctions.winnowAnchors(text, gramLen, window)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        col("__t").substr(col("pos").cast("int"), lit(gramLen)).as("gram"))
   }
 }

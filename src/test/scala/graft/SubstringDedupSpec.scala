@@ -94,6 +94,68 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(d3._2 == 21 && d3._3 == 20 + three.length)
   }
 
+  test("winnow anchors find UNALIGNED copies that strided grams miss") {
+    // Prefix lengths 13 and 10 differ mod 4, so the two copies of the
+    // planted span are NOT stride-4-aligned: every stride-4 gram of one
+    // copy starts at a different in-span offset than every gram of the
+    // other, no gram text matches, and the strided path finds nothing.
+    // Winnowing selects positions from the CONTENT, so identical text
+    // regions anchor identical grams wherever the copies sit.
+    val span = shared + "-AND-THEN-THE-SPAN-KEEPS-GOING-FOR-A-WHILE-LONGER-" + shared // 131 chars
+    val docs = Seq(
+      (1L, filler('u', 13) + span + filler('v', 40)),
+      (2L, filler('w', 10) + span + filler('y', 40)),
+    ).toDF("doc_id", "text")
+    val strided = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 24, minSpan = 60, stride = 4)
+    assert(strided.isEmpty, "stride-4 must miss the misaligned copies (the documented caveat)")
+    val winnowed = SubstringDedup
+      .sharedSpansWinnowed(docs, "doc_id", "text", gramLen = 24, window = 16, minSpan = 60)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(winnowed.map(_._1).toSeq == Seq(1L, 2L), s"winnow must find both copies: ${winnowed.toSeq}")
+    // Conservative extents: reported span ⊆ planted region, and long
+    // enough that most of the region was recovered.
+    for ((doc, start) <- Seq(1L -> 14L, 2L -> 11L); s = winnowed.find(_._1 == doc).get) {
+      assert(s._2 >= start && s._3 <= start + span.length - 1,
+        s"span ${s} outside planted region [$start, ${start + span.length - 1}]")
+      assert(s._4 >= 60, s"recovered span too short: ${s._4}")
+    }
+  }
+
+  test("winnowed detection is exact: disjoint corpora report nothing") {
+    val docs = Seq(
+      (1L, filler('a', 300)),
+      (2L, filler('b', 300)),
+      (3L, filler('c', 300)),
+    ).toDF("doc_id", "text")
+    assert(SubstringDedup
+      .sharedSpansWinnowed(docs, "doc_id", "text", gramLen = 24, window = 16, minSpan = 60)
+      .isEmpty)
+  }
+
+  test("hot-gram routing is result-invariant (skew guard changes the plan, not the answer)") {
+    // A boilerplate-heavy corpus: the same license-ish header in every
+    // doc (an ultra-hot gram source) plus one genuine two-doc span.
+    val header = "ALL-RIGHTS-RESERVED-BOILERPLATE-HEADER-v1.0-APPLIES-TO-THIS-FILE "
+    val docs = (1L to 12L).map { i =>
+      val body =
+        if (i <= 2) shared + filler(('a' + i).toChar, 60)
+        else filler(('a' + i).toChar, 100)
+      (i, header + body)
+    }.toDF("doc_id", "text")
+    // hotGramOcc=2 routes ~every shared gram through the broadcast path;
+    // a huge threshold routes everything through the shuffled join.
+    val viaHot = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 12, hotGramOcc = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaCold = SubstringDedup
+      .sharedSpans(docs, "doc_id", "text", gramLen = 8, minSpan = 12, hotGramOcc = 1 << 30)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaHot == viaCold && viaHot.nonEmpty)
+    // Every doc carries the header span; docs 1-2 also share `shared`.
+    assert(viaHot.count(_._1 <= 2) >= 2)
+  }
+
   test("removeShared cuts the non-canonical copy, keeps the first, leaves others alone") {
     val pa = filler('q', 25)
     val pb = filler('j', 60)
