@@ -821,15 +821,31 @@ object SparkEntry {
     // HLL++ cardinality and t-digest-style quantiles: the sub-linear path
     // when exact distinct/percentile is too expensive at 100 TB. Sketches
     // are partition-mergeable, so these stay one-pass map-combine aggs.
-    // Rows-only (sketch internals differ per engine); SketchSpec bounds
-    // the error against exact answers.
+    // Oracled by CONTRACT: the raw estimates are engine-specific (no
+    // DuckDB bit-match exists), so the query emits the exact answers
+    // (hash-comparable) plus booleans asserting each sketch landed inside
+    // its documented error envelope — the DuckDB row expects TRUE, so a
+    // sketch that drifts out of contract FAILS the gate. The envelopes:
+    // HLL rsd 0.02 → 3·rsd = 6%; percentile_approx(acc=1000) → rank
+    // error ≤ n/1000, far inside the exact [p45, p55] window. Both
+    // deterministic (sketches are data-deterministic, not randomized).
     "q_approx_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("amed"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"),
           count(lit(1)).as("n"),
+        )
+        .select(
+          col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("hll") - col("exact_orders")) <= col("exact_orders") * lit(0.06))
+            .as("hll_within_3rsd"),
+          col("amed").cast("double").between(col("p45"), col("p55"))
+            .as("median_in_rank_window"),
         )
     }),
 
@@ -1693,23 +1709,34 @@ object SparkEntry {
         )
     }),
 
-    // --- beyond-reference: mergeable sketch aggregation (rows-only) -----
+    // --- beyond-reference: mergeable sketch aggregation ----------------
     // The incremental-pipeline primitive: per-month HLL sketches of
     // distinct order keys union into the per-flag total WITHOUT rescanning
     // history — yesterday's corpus sketch + today's batch sketch = the
-    // updated total. Rows-only (DataSketches binaries are engine-
-    // specific); AsOfSpec asserts the merged estimate tracks the direct
-    // single-pass sketch within the sketches' standard error.
+    // updated total. Oracled by CONTRACT like q_approx_stats: exact
+    // per-flag distinct counts + month counts hash-compare against
+    // DuckDB, and the merged estimate must sit within 3·rsd (lgK=12 →
+    // rsd ≈ 1.6%, bound 5%) of exact or the boolean flips and the gate
+    // fails. AsOfSpec additionally asserts merged ≈ direct single-pass.
     "q_sketch_merge" -> ((s, dir) => {
       val monthly = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"),
           date_format(col("l_shipdate"), "yyyy-MM").as("month"))
         .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
-      monthly
+      val merged = monthly
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n_months"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct_orders"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        )
+      val exact = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct_orders"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n_months"), col("exact_distinct_orders"),
+          (abs(col("est") - col("exact_distinct_orders"))
+            <= col("exact_distinct_orders") * lit(0.05)).as("merged_within_3rsd"),
         )
     }),
 
@@ -2278,6 +2305,24 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // Contract oracles for the sketch queries: exact columns hash-compare;
+    // the booleans assert the (deterministic) sketches landed inside their
+    // error envelopes — DuckDB expects TRUE, so sketch drift fails the gate.
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(*) AS n,
+        |  TRUE AS hll_within_3rsd,
+        |  TRUE AS median_in_rank_window
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_sketch_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y-%m')) AS n_months,
+        |  count(DISTINCT l_orderkey) AS exact_distinct_orders,
+        |  TRUE AS merged_within_3rsd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_filter_compound" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
