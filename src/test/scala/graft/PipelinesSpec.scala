@@ -40,6 +40,62 @@ class PipelinesSpec extends SparkTestBase {
     assert(ex.getMessage.contains("pattern:url=1"))
   }
 
+  test("AZ / Genebass / CVDI pipelines land inside the reference's hard count windows") {
+    import graft.core.Qc
+    // The reference asserts its output volumes as hard QC gates
+    // (BASELINE.md: AzGeneBurden.py:126-132 28-30k, GenebassGeneBurden
+    // .py:64-68 8-10k, CvdiGeneBurden.py:66-73 1.5-1.6k). Deterministic
+    // fixtures shaped like the real inputs — a known significant slice
+    // under each filter, plus edge rows (zero p-values, unparseable CI
+    // text) — drive each full parser to an output inside its window.
+
+    // AZ PheWAS: 29,000 sub-cutoff rows + 20 zero-p rows that the global
+    // min/2 repair pulls under the cutoff -> 29,020 expected.
+    val azRaw = spark.range(0, 200000).select(
+      concat(lit("ENSG"), format_string("%06d", $"id" % 20000)).as("Gene"),
+      concat(lit("trait"), ($"id" % 500).cast("string")).as("diseaseFromSource"),
+      when($"id" % 2 === 0, "Quantitative").otherwise("Binary").as("Type"),
+      (($"id" % 100) / lit(50.0) - 1.0).as("beta"),
+      exp(($"id" % 100) / lit(100.0)).as("oddsRatio"),
+      when($"id" >= 199980, lit(0.0))
+        .when($"id" < 29000, lit(1e-9) * (($"id" % 97) + 1))
+        .otherwise(lit(1e-4) + ($"id" % 1000) * lit(1e-7)).as("pValue"))
+    val azLut = Seq(("trait0", "EFO:0000001"), ("trait1", "EFO:0000002"))
+      .toDF("diseaseFromSource", "diseaseFromSourceMappedId")
+    val az = graft.parsers.GeneBurdenParser.azBranch(azRaw, azLut)
+    assert(Qc.assertCountBetween(az, 28000, 30000, "AZ evidence") == 29020L)
+
+    // Genebass: 9,100 rows under the 6.7e-7 cutoff.
+    val gbRaw = spark.range(0, 120000).select(
+      concat(lit("ENSG"), format_string("%06d", $"id" % 15000)).as("gene_id"),
+      concat(lit("phenotype "), ($"id" % 800).cast("string")).as("description"),
+      when($"id" < 9100, lit(1e-8) * (($"id" % 50) + 1))
+        .otherwise(lit(1e-3) + ($"id" % 100) * lit(1e-6)).as("Pvalue_Burden"),
+      (($"id" % 60) / lit(30.0) - 1.0).as("BETA_Burden"),
+      lit(0.01).as("SE_Burden"))
+    val gb = graft.parsers.GenebassParser(gbRaw)
+    assert(Qc.assertCountBetween(gb, 8000, 10000, "Genebass evidence") == 9100L)
+
+    // CVDI: per-mask FDR cutoffs ride a pCutoff column; 1,550 rows pass,
+    // a third of them with unparseable CI text (nulls, not crashes).
+    val cvdiRaw = spark.range(0, 30000).select(
+      concat(lit("GENE"), ($"id" % 3000).cast("string")).as("gene"),
+      concat(lit("pheno"), ($"id" % 200).cast("string")).as("phenotype"),
+      when($"id" % 2 === 0, "LOF").otherwise("missense").as("mask"),
+      when($"id" % 3 === 0, lit("NA")).otherwise(lit("1.25 (1.10-1.42)")).as("orCi"),
+      when($"id" < 1550, lit(1e-7) * (($"id" % 30) + 1))
+        .otherwise(lit(0.5)).as("pValue"),
+      when($"id" % 2 === 0, lit(5e-6)).otherwise(lit(4e-6)).as("pCutoff"))
+    val cvdiLut = Seq(("pheno0", "EFO:0000100")).toDF("diseaseFromSource", "diseaseFromSourceMappedId")
+    val cvdi = graft.parsers.CvdiGeneBurdenParser(cvdiRaw, cvdiLut)
+    assert(Qc.assertCountBetween(cvdi, 1500, 1600, "CVDI evidence") == 1550L)
+
+    // The gate is a real gate: an out-of-window output throws.
+    val ex = intercept[Qc.QcException](
+      Qc.assertCountBetween(gb.limit(100), 8000, 10000, "Genebass evidence"))
+    assert(ex.getMessage.contains("outside expected"))
+  }
+
   test("EvidenceSink lands gzip JSON-lines evidence from a stream with QC hook") {
     def fresh(name: String): String = {
       val d = new java.io.File(tmpDir(name))
