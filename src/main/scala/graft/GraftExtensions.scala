@@ -55,6 +55,10 @@ object GraftExtensions {
     "graft_word_shingles" -> (es => WordShingles(es(0), constInt(es(1), "shingle length"))),
     "graft_winnow" ->
       (es => Winnow(es(0), constInt(es(1), "k-gram length"), constInt(es(2), "window size"))),
+    "graft_winnow_anchors" ->
+      (es => WinnowAnchors(es(0), constInt(es(1), "k-gram length"), constInt(es(2), "window size"))),
+    "graft_image_meta" -> (es => ImageMeta(es.head, graft.multimodal.Multimodal.ImageIoCodec)),
+    "graft_audio_meta" -> (es => AudioMeta(es.head, graft.multimodal.Multimodal.JavaSoundCodec)),
     // SQL numeric array literals arrive as array<decimal> — cast to the
     // kernel's array<double> input type.
     "graft_gini" -> (es => Gini(Cast(es.head, ArrayType(DoubleType)))),

@@ -20,6 +20,9 @@ class ExtensionsSpec extends SparkTestBase {
         |  graft_minhash_shingles(array('a','b','c','d'), 2, 4) AS mh,
         |  graft_word_shingles(array('a','b','c'), 2) AS ws,
         |  size(graft_winnow('abcdefghijklmnop', 8, 4)) AS nw,
+        |  graft_winnow_anchors('abcdefghijklmnop', 8, 4) AS wa,
+        |  graft_image_meta(CAST('junk' AS BINARY)) AS im,
+        |  graft_audio_meta(CAST('junk' AS BINARY)) AS am,
         |  graft_gini(array(1.0, 1.0, 1.0)) AS g,
         |  graft_hpa_classify(array(10.0, 1.0, 1.0), 1.0).specificity AS spec,
         |  graft_text_stats('the quick brown fox').n_tokens AS nt
@@ -30,6 +33,11 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](r.fieldIndex("mh")).length == 4)
     assert(r.getSeq[String](r.fieldIndex("ws")) == Seq("a b", "b c"))
     assert(r.getAs[Int]("nw") > 0)
+    val wa = r.getSeq[Long](r.fieldIndex("wa"))
+    assert(wa.nonEmpty && wa == wa.sorted && wa.forall(p => p >= 1 && p <= 9),
+      "winnow anchors: ascending 1-based k-gram starts")
+    assert(r.isNullAt(r.fieldIndex("im")) && r.isNullAt(r.fieldIndex("am")),
+      "undecodable bytes => null metadata structs via the real codecs")
     assert(math.abs(r.getAs[Double]("g")) < 1e-12, "equal values => gini 0")
     assert(r.getAs[String]("spec") == "Tissue enriched")
     assert(r.getAs[Int]("nt") == 4)

@@ -66,6 +66,20 @@ class PlanShapeSpec extends SparkTestBase {
       s"bloom probe filter not whole-stage-codegen'd:\n$simple")
   }
 
+  test("q_substring_dedup: shared-gram detection is partial-aggregated, never windowed on gram") {
+    // The r5 formulation (min/max OVER (PARTITION BY gram)) had no
+    // map-side partial aggregation: a hot boilerplate gram funneled its
+    // entire occurrence list through ONE window task. The r6 plan must
+    // detect sharing via HashAggregate pairs (partial_min/partial_max
+    // collapse each gram to one state row per map partition) and window
+    // only per-doc for the islands assembly.
+    val p = plan("q_substring_dedup")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"expected map-side partial min/max aggregation in:\n$p")
+    assert(!p.contains("windowspecdefinition(gram"),
+      s"gram-partitioned window (the skew bomb) is back:\n$p")
+  }
+
   test("q_islands: both windows and the final agg ride ONE exchange") {
     // hashpartitioning(o_custkey) co-locates the finer (o_custkey,
     // o_orderpriority) window partitions too — Catalyst reuses it instead
