@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Qc
 
 /** Streaming → evidence-contract bridge: append each micro-batch as
   * gzipped JSON-lines parts under one output directory (the parallel
@@ -14,12 +15,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EvidenceSink {
 
+  /** @param contract optional [[Qc.EvidenceContract]]: each micro-batch is
+    *                  validated BEFORE it lands (one aggregate pass over
+    *                  the batch — batches are small by construction, and a
+    *                  violating batch must not reach the directory, unlike
+    *                  the batch sink's file-then-validate flow). A
+    *                  violation fails the streaming query with every rule
+    *                  named; the checkpoint replays the batch after a fix.
+    */
   def start(
       evidence: DataFrame,
       outDir: String,
       checkpointDir: String,
       qc: DataFrame => Unit = _ => (),
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      contract: Option[Qc.EvidenceContract] = None,
   ): StreamingQuery =
     evidence.writeStream
       .outputMode("append")
@@ -27,6 +37,7 @@ object EvidenceSink {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         qc(batch)
+        contract.foreach(c => Qc.validateEvidence(batch, c))
         batch.write
           .mode("append")
           .option("compression", "gzip")

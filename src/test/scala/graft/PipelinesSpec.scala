@@ -122,4 +122,51 @@ class PipelinesSpec extends SparkTestBase {
       assert(gz >= 1, "expected gzipped part files")
     } finally q.stop()
   }
+
+  test("EvidenceSink validates the contract per micro-batch BEFORE the batch lands") {
+    def fresh(name: String): String = {
+      val d = new java.io.File(tmpDir(name))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d); d.mkdirs(); d.getAbsolutePath
+    }
+    val srcDir = fresh("csink_src")
+    val contract = graft.core.Qc.EvidenceContract(
+      required = Seq("event_type"),
+      enums = Map("event_type" -> Seq("view", "click", "purchase", "signup", "error")))
+    val base = spark.read.schema(EventsStream.eventsSchema).parquet(s"$sf/events.parquet").limit(100)
+
+    // Good batches stream through and land.
+    base.write.mode("overwrite").parquet(srcDir)
+    val okOut = fresh("csink_ok_out")
+    val q1 = EvidenceSink.start(
+      EventsStream.readEvents(spark, srcDir, maxFilesPerTrigger = 1)
+        .select(col("event_id"), col("event_type")),
+      okOut, fresh("csink_ok_ck"), contract = Some(contract))
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.json(okOut).count() == 100)
+    } finally q1.stop()
+
+    // A batch violating the enum fails the QUERY (nothing silently lands).
+    val badSrc = fresh("csink_bad_src")
+    base.withColumn("event_type",
+        when(col("event_id") % 10 === 0, lit("corrupt")).otherwise(col("event_type")))
+      .write.mode("overwrite").parquet(badSrc)
+    val badOut = fresh("csink_bad_out")
+    val q2 = EvidenceSink.start(
+      EventsStream.readEvents(spark, badSrc, maxFilesPerTrigger = 1)
+        .select(col("event_id"), col("event_type")),
+      badOut, fresh("csink_bad_ck"), contract = Some(contract))
+    try {
+      val ex = intercept[Exception](q2.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("enum:event_type")), s"got: ${messages(ex)}")
+      val landed = Option(new java.io.File(badOut).listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".json.gz"))
+      assert(landed == 0, "violating batch must not land")
+    } finally q2.stop()
+  }
 }
