@@ -112,6 +112,61 @@ object SubstringDedup {
     assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen + window)
   }
 
+  /** The corpus half of INCREMENTAL substring dedup: winnow-anchor the
+    * corpus ONCE into a (gram, doc_id, pos) index table, stored like any
+    * other table. At 100 TB the index is written bucketed on `gram`
+    * (`core/Layout`), so each arriving batch joins against it without
+    * ever reshuffling the corpus — the anchor analogue of
+    * [[graft.similarity.NearDup.incrementalCandidates]]'s signature
+    * store.
+    */
+  def buildAnchorIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 24,
+      window: Int = 16,
+  ): DataFrame = winnowAnchorStream(docs, idCol, textCol, gramLen, window)
+
+  /** Shared spans of a NEW document batch against (a) the stored corpus
+    * anchor index and (b) the batch itself — never corpus × corpus. Only
+    * the new batch is anchored; the corpus contributes its precomputed
+    * index. Span extents follow [[sharedSpansWinnowed]]'s conservative
+    * contract. The index side of the gram semi-join is pruned with a
+    * broadcast of the (small) new batch's distinct grams before any
+    * shuffle, so per-batch cost scales with the BATCH, not the corpus —
+    * with a gram-bucketed index even that shuffle disappears.
+    */
+  def incrementalSharedSpans(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      anchorIndex: DataFrame,
+      gramLen: Int = 24,
+      window: Int = 16,
+      minSpan: Int = 60,
+      hotGramOcc: Int = 4096,
+  ): DataFrame = {
+    require(gramLen >= 2 && window >= 2 && minSpan >= gramLen,
+      s"need gramLen>=2, window>=2, minSpan>=gramLen; got ($gramLen, $window, $minSpan)")
+    val newAnchors = winnowAnchorStream(newDocs, idCol, textCol, gramLen, window)
+    // Corpus-shared: new positions whose gram exists anywhere in the
+    // index. The index is cut down by the new batch's gram set FIRST
+    // (broadcast semi-join — the batch is the small side by design), so
+    // the corpus-scale table never shuffles on account of one batch.
+    val batchGrams = newAnchors.select("gram").distinct()
+    val indexGrams = anchorIndex
+      .join(broadcast(batchGrams), Seq("gram"), "left_semi")
+      .select("gram").distinct()
+    val crossHits = newAnchors
+      .join(indexGrams, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    // Batch-internal sharing: the ordinary detection over the new batch.
+    val withinHits = sharedHits(newAnchors, minDocs = 2, hotGramOcc = hotGramOcc)
+    val hits = crossHits.unionByName(withinHits).dropDuplicates("doc_id", "pos")
+    assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen + window)
+  }
+
   /** Shared-gram detection: positions of grams occurring in ≥ `minDocs`
     * distinct documents. One map-side-combining aggregation builds
     * per-gram (min doc, max doc, occurrences[, distinct docs]); the

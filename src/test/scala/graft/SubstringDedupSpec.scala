@@ -156,6 +156,36 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(viaHot.count(_._1 <= 2) >= 2)
   }
 
+  test("incremental dedup: new batch vs stored anchor index, plus within-batch sharing") {
+    val span = shared + "-AND-THEN-THE-SPAN-KEEPS-GOING-FOR-A-WHILE-LONGER-" + shared
+    val corpus = Seq(
+      (1L, filler('a', 40) + span + filler('b', 40)),
+      (2L, filler('c', 250)),
+    ).toDF("doc_id", "text")
+    val index = SubstringDedup.buildAnchorIndex(corpus, "doc_id", "text", gramLen = 24, window = 16)
+    // Long enough that the conservative winnow extents (edges trimmed up
+    // to window−1 anchor positions) still clear minSpan=60.
+    val batchSpan = "A-FRESH-DUPLICATE-THAT-ONLY-THE-NEW-BATCH-CARRIES-TWICE-OVER-9876543210" +
+      "-AND-ITS-SECOND-HALF-KEEPS-GOING-WITH-MORE-UNIQUE-MATERIAL-abcdefghij"
+    val batch = Seq(
+      (10L, filler('d', 17) + span + filler('e', 30)),        // duplicates CORPUS text (unaligned)
+      (11L, filler('f', 260)),                                // clean
+      (12L, filler('g', 21) + batchSpan + filler('h', 30)),   // within-batch pair…
+      (13L, filler('k', 34) + batchSpan + filler('n', 30)),   // …misaligned vs doc 12
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .incrementalSharedSpans(batch, "doc_id", "text", index,
+        gramLen = 24, window = 16, minSpan = 60)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // Only NEW docs are reported (the corpus is the reference, not the
+    // subject), and only the duplicated ones.
+    assert(spans.map(_._1).toSet == Set(10L, 12L, 13L), s"got ${spans.toSeq}")
+    val d10 = spans.find(_._1 == 10L).get
+    assert(d10._2 >= 18 && d10._3 <= 17 + span.length && d10._4 >= 60)
+    for (doc <- Seq(12L, 13L); s = spans.find(_._1 == doc).get)
+      assert(s._4 >= 60 && s._4 <= batchSpan.length)
+  }
+
   test("removeShared cuts the non-canonical copy, keeps the first, leaves others alone") {
     val pa = filler('q', 25)
     val pb = filler('j', 60)
