@@ -251,8 +251,59 @@ object SubstringDedup {
       hotGramOcc: Int = 4096,
   ): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val spans = sharedSpans(d, "doc_id", "text", gramLen, minSpan, minDocs = 2,
-        stride = stride, hotGramOcc = hotGramOcc)
+    spliceNonCanonical(d, sharedSpans(d, "doc_id", "text", gramLen, minSpan,
+      minDocs = 2, stride = stride, hotGramOcc = hotGramOcc))
+  }
+
+  /** The removal half at scale: a two-stage funnel (the same
+    * candidates→verify shape as LSH near-dup). Stage 1 runs the cheap
+    * winnow-anchored detection with the span threshold loosened to the
+    * detection floor (`winnowGramLen` — every shared substring ≥
+    * winnowGramLen + window − 1 chars is caught regardless of
+    * alignment) purely to FLAG documents that carry shared text; stage 2
+    * runs the exact stride-1 removal on that (typically tiny) subset
+    * only. Unflagged documents pass through untouched with n_cuts = 0.
+    *
+    * Splicing NEEDS the exact stage: winnow extents differ per copy near
+    * region edges (boundary-straddling windows select different anchors
+    * in different neighbourhoods), so they can never key the exact-text
+    * ownership group — a winnow-extent splice would find no co-owners
+    * and cut nothing. The funnel keeps stride-1's exactness while paying
+    * its ~gramLen× amplification only on documents already known to
+    * duplicate something: output ≡ [[removeShared]] whenever stage 1's
+    * floor (winnowGramLen + window − 1 ≤ minSpan) holds, at a fraction
+    * of the cost on low-duplication corpora.
+    */
+  def removeSharedFunneled(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramLen: Int = 40,
+      minSpan: Int = 60,
+      winnowGramLen: Int = 24,
+      window: Int = 16,
+      hotGramOcc: Int = 4096,
+  ): DataFrame = {
+    require(winnowGramLen + window - 1 <= minSpan,
+      s"stage-1 floor winnowGramLen+window-1=${winnowGramLen + window - 1} must be <= minSpan=$minSpan")
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val flagged = sharedSpansWinnowed(d, "doc_id", "text", winnowGramLen, window,
+        minSpan = winnowGramLen, minDocs = 2, hotGramOcc = hotGramOcc)
+      .select("doc_id").distinct()
+    val cleaned = removeShared(d.join(flagged, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", gramLen, minSpan, stride = 1, hotGramOcc = hotGramOcc)
+    d.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("text_clean"),
+        lit(0L).as("n_cuts"), lit(0L).as("chars_removed"))
+      .unionByName(cleaned)
+  }
+
+  /** Ownership + splice shared by both removal configurations: group
+    * spans by exact text, keep the (min doc_id, min span_start) copy,
+    * cut every other copy out of its document.
+    */
+  private def spliceNonCanonical(d: DataFrame, rawSpans: DataFrame): DataFrame = {
+    val spans = rawSpans
       .join(d, Seq("doc_id"))
       .withColumn("span_text", col("text").substr(col("span_start").cast("int"), col("span_len").cast("int")))
     val owner = Window.partitionBy("span_text").orderBy(col("doc_id"), col("span_start"))

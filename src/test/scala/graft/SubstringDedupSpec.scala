@@ -204,6 +204,32 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(2)._2 == filler('z', 120) && out(2)._3 == 0)
   }
 
+  test("removeSharedFunneled == removeShared, with UNALIGNED copies and clean bulk") {
+    val span = shared + "-AND-THEN-THE-SPAN-KEEPS-GOING-FOR-A-WHILE-LONGER-" + shared
+    // Copies at offsets 25 and 60 (≠ mod anything small) + a clean
+    // majority the funnel's stage 2 never has to gram-amplify.
+    val docs = Seq(
+      (1L, filler('q', 25) + span + filler('m', 40)),
+      (2L, filler('j', 60) + span + filler('r', 40)),
+      (3L, filler('z', 300)),
+      (4L, filler('y', 280)),
+      (5L, filler('x', 260)),
+    ).toDF("doc_id", "text")
+    val funneled = SubstringDedup
+      .removeSharedFunneled(docs, "doc_id", "text", gramLen = 24, minSpan = 60,
+        winnowGramLen = 24, window = 16)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val exact = SubstringDedup
+      .removeShared(docs, "doc_id", "text", gramLen = 24, minSpan = 60)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(funneled.toSeq == exact.toSeq,
+      "funnel must reproduce the exact removal (stage 1 only prunes docs)")
+    // And the removal itself did its job: doc 1 canonical kept, doc 2 spliced.
+    assert(funneled(0)._3 == 0 && funneled(1)._3 == 1)
+    assert(funneled(1)._2 == filler('j', 60) + filler('r', 40))
+    assert(funneled.drop(2).forall(r => r._3 == 0 && r._4 == 0))
+  }
+
   test("removeShared on identical docs empties all but the first") {
     val t = filler('e', 30) + shared
     val docs = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
