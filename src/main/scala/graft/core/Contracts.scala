@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   *
   * The reference validates serialized JSON after the fact; here the same
   * contract is enforced on the DataFrame schema BEFORE the write — plan
-  * metadata only, no data pass.
+  * metadata only, no data pass. The VALUE half of the validation
+  * (required fields, enums, patterns, nested-member shapes, counted per
+  * row) is [[Qc.EvidenceContract]] / [[Qc.validateEvidence]].
   */
 object Contracts {
 

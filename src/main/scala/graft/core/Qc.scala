@@ -81,10 +81,12 @@ object Qc {
   // ---------------- evidence-contract validation (reference §5.1) ------
   // The reference validates every evidence file against a versioned JSON
   // Schema before accepting it (`Snakefile:110,130,154` runs
-  // opentargets_validator over each output). The Spark-native equivalent
-  // is a declarative per-row contract compiled to violation predicates —
-  // counted either in one aggregate pass (validateEvidence) or for free
-  // during the output write itself via Dataset.observe
+  // opentargets_validator over each output). That splits into two
+  // Spark-native halves: [[Contracts.assertConforms]] checks the SCHEMA
+  // shape from plan metadata (no data pass); the rules here check the
+  // VALUES — required/enums/patterns/array shapes as per-row violation
+  // predicates, counted either in one aggregate pass (validateEvidence)
+  // or for free during the output write itself via Dataset.observe
   // (writeJsonGzSingle's contract parameter).
 
   /** Declarative output contract. All field names are dot paths, so
