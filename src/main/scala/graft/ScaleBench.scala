@@ -83,6 +83,20 @@ object ScaleBench {
         f""""gram_reduction":${strideGrams.toDouble / winnowGrams}%.1f,""" +
         f""""stride1_spans":$nStride,"winnow_spans":$nWinnow,""" +
         f""""stride1_sec":$tStride%.2f,"winnow_sec":$tWinnow%.2f}""")
+      // Removal funnel: how many docs stage 1 flags (= the subset that
+      // pays stride-1 amplification) and end-to-end cost vs exact-everywhere.
+      val (nExact, tExact) = timed(
+        SubstringDedup.removeShared(base, "doc_id", "text", gramLen = 40, minSpan = 60)
+          .filter(col("n_cuts") > 0).count())
+      val (nFun, tFun) = timed(
+        SubstringDedup.removeSharedFunneled(base, "doc_id", "text", gramLen = 40, minSpan = 60)
+          .filter(col("n_cuts") > 0).count())
+      val flagged = SubstringDedup.sharedSpansWinnowed(base, "doc_id", "text",
+        gramLen = 24, window = 16, minSpan = 24).select("doc_id").distinct().count()
+      val total = base.count()
+      println(f"""{"op":"substring_removal","docs":$total,"flagged":$flagged,""" +
+        f""""cut_docs_exact":$nExact,"cut_docs_funnel":$nFun,""" +
+        f""""exact_sec":$tExact%.2f,"funnel_sec":$tFun%.2f}""")
     }
     spark.stop()
   }

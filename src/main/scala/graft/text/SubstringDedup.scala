@@ -270,9 +270,18 @@ object SubstringDedup {
     * ownership group — a winnow-extent splice would find no co-owners
     * and cut nothing. The funnel keeps stride-1's exactness while paying
     * its ~gramLen× amplification only on documents already known to
-    * duplicate something: output ≡ [[removeShared]] whenever stage 1's
-    * floor (winnowGramLen + window − 1 ≤ minSpan) holds, at a fraction
-    * of the cost on low-duplication corpora.
+    * duplicate something.
+    *
+    * Equivalence argument (enforced): stage 1 catches every shared
+    * substring ≥ winnowGramLen + window − 1 chars; stage 2's atoms are
+    * gramLen-char shared grams. With winnowGramLen + window − 1 ≤
+    * gramLen, ANY document contributing a shared gram to any island is
+    * itself flagged, so the subset contains every participant of every
+    * span and subset detection ≡ full-corpus detection (spans, islands,
+    * ownership, splice — all identical). A looser floor would let a doc
+    * share a gram while escaping the flag, silently changing island
+    * extents and ownership in the subset (observed: 204 vs 207 cut docs
+    * at sf0.1 before this constraint).
     */
   def removeSharedFunneled(
       docs: DataFrame,
@@ -284,8 +293,9 @@ object SubstringDedup {
       window: Int = 16,
       hotGramOcc: Int = 4096,
   ): DataFrame = {
-    require(winnowGramLen + window - 1 <= minSpan,
-      s"stage-1 floor winnowGramLen+window-1=${winnowGramLen + window - 1} must be <= minSpan=$minSpan")
+    require(winnowGramLen + window - 1 <= gramLen,
+      s"stage-1 floor winnowGramLen+window-1=${winnowGramLen + window - 1} must be <= gramLen=$gramLen " +
+        "(otherwise a doc can share a gram yet escape the flag, breaking subset equivalence)")
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val flagged = sharedSpansWinnowed(d, "doc_id", "text", winnowGramLen, window,
         minSpan = winnowGramLen, minDocs = 2, hotGramOcc = hotGramOcc)

@@ -216,11 +216,11 @@ class SubstringDedupSpec extends SparkTestBase {
       (5L, filler('x', 260)),
     ).toDF("doc_id", "text")
     val funneled = SubstringDedup
-      .removeSharedFunneled(docs, "doc_id", "text", gramLen = 24, minSpan = 60,
+      .removeSharedFunneled(docs, "doc_id", "text", gramLen = 40, minSpan = 60,
         winnowGramLen = 24, window = 16)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     val exact = SubstringDedup
-      .removeShared(docs, "doc_id", "text", gramLen = 24, minSpan = 60)
+      .removeShared(docs, "doc_id", "text", gramLen = 40, minSpan = 60)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(funneled.toSeq == exact.toSeq,
       "funnel must reproduce the exact removal (stage 1 only prunes docs)")
