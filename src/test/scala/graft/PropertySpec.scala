@@ -191,4 +191,44 @@ class PropertySpec extends SparkTestBase {
       assert(out.toSet == rerun.toSet)
     }
   }
+
+  test("substring-dedup invariants hold on low-alphabet random corpora") {
+    import graft.text.SubstringDedup
+    // A 3-letter alphabet forces dense natural repeats — periodic runs,
+    // overlapping islands, doc-boundary spans — the shapes planted
+    // fixtures never cover. Checked per corpus:
+    //   1. splice arithmetic: len(clean) = len(text) − chars_removed,
+    //      and n_cuts = 0 ⟺ chars_removed = 0 with text unchanged;
+    //   2. funnel ≡ exact removal (the subset-equivalence constraint);
+    //   3. hot-gram routing invariance on sharedSpans.
+    val corpusGen = for {
+      n <- Gen.choose(3, 7)
+      docs <- Gen.listOfN(n, Gen.choose(30, 160).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(corpusGen, 5, 7700L).zipWithIndex.foreach { case (corpus, i) =>
+      val docs = corpus.toDF("doc_id", "text")
+      val exact = SubstringDedup
+        .removeShared(docs, "doc_id", "text", gramLen = 12, minSpan = 14)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      val orig = corpus.toMap
+      exact.foreach { case (id, clean, nCuts, removed) =>
+        assert(clean.length == orig(id).length - removed, s"case $i doc $id: length arithmetic")
+        assert((nCuts == 0) == (removed == 0L), s"case $i doc $id: cut accounting")
+        if (nCuts == 0) assert(clean == orig(id), s"case $i doc $id: untouched doc changed")
+      }
+      val funneled = SubstringDedup
+        .removeSharedFunneled(docs, "doc_id", "text", gramLen = 12, minSpan = 14,
+          winnowGramLen = 8, window = 5)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      assert(funneled.toSeq == exact.toSeq, s"case $i: funnel diverged from exact removal")
+      val viaHot = SubstringDedup
+        .sharedSpans(docs, "doc_id", "text", gramLen = 12, minSpan = 14, hotGramOcc = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val viaCold = SubstringDedup
+        .sharedSpans(docs, "doc_id", "text", gramLen = 12, minSpan = 14, hotGramOcc = 1 << 30)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(viaHot == viaCold, s"case $i: hot routing changed the answer")
+    }
+  }
 }
