@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.MakeScale [replicas=10] [outDir=target/sf1]
   */
 object MakeScale {
+
+  /** Key offset separating replicas — the single definition every
+    * replication harness (this and [[ScaleBench]]) shifts by, so the
+    * disjointness property cannot drift between them.
+    */
+  val KeyOffset: Long = 10_000_000L
+
+  /** Salt every whitespace token with a replica tag: replica k keeps the
+    * original's internal duplication structure while sharing no shingle,
+    * gram, or token with any other replica.
+    */
+  def saltTokens(text: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(split(text, "\\s+"), t => concat(lit(s"x$k"), t)))
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 10
     val out = if (args.length > 1) args(1) else "target/sf1"
@@ -34,11 +48,10 @@ object MakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val OFF = 10_000_000L
     def rep(table: String, keyShift: Seq[String], build: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val replicas = (0 until n).map { k =>
-        val shifted = keyShift.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(k * OFF)))
+        val shifted = keyShift.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(k * KeyOffset)))
         build(shifted, k)
       }
       replicas.reduce(_.union(_)).write.mode("overwrite").parquet(s"$out/$table.parquet")
@@ -57,8 +70,7 @@ object MakeScale {
     rep("documents", Seq("doc_id"), (d, k) =>
       if (k == 0) d
       else d
-        .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), "\\s+"), t => concat(lit(s"x$k"), t))))
+        .withColumn("text", saltTokens(col("text"), k))
         .withColumn("n_chars", length(col("text")).cast("long")))
     rep("embeddings", Seq("vec_id"), (d, k) =>
       if (k == 0) d

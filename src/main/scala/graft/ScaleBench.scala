@@ -41,9 +41,8 @@ object ScaleBench {
     def replica(k: Int): DataFrame =
       if (k == 0) base
       else base.select(
-        (col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), "\\s+"),
-          t => concat(lit(s"x$k"), t))).as("text"))
+        (col("doc_id") + lit(k * MakeScale.KeyOffset)).as("doc_id"),
+        MakeScale.saltTokens(col("text"), k).as("text"))
 
     reps.foreach { n =>
       val docs = (0 until n).map(replica).reduce(_.union(_)).localCheckpoint()

@@ -133,17 +133,25 @@ object Qc {
     req ++ en ++ pat ++ arr ++ el
   }
 
+  /** One aggregate column per rule, counting violating rows (coalesce:
+    * an empty DataFrame has zero violations, not null). Shared by the
+    * one-pass and observe paths so the two gates can never drift.
+    */
+  private def contractAggs(c: EvidenceContract): Seq[Column] = {
+    val rules = contractViolations(c)
+    require(rules.nonEmpty, "empty contract")
+    rules.map { case (label, pred) =>
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
+    }
+  }
+
   /** Validate in ONE aggregate job; returns per-rule violation counts and
     * throws [[QcException]] naming every violated rule if any count > 0.
     */
   def validateEvidence(df: DataFrame, c: EvidenceContract): Map[String, Long] = {
-    val rules = contractViolations(c)
-    require(rules.nonEmpty, "empty contract")
-    val aggs = rules.map { case (label, pred) =>
-      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
-    }
+    val aggs = contractAggs(c)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val counts = rules.zipWithIndex.map { case ((label, _), i) => label -> row.getLong(i) }.toMap
+    val counts = contractCounts(row)
     failOnViolations(counts)
     counts
   }
@@ -157,14 +165,8 @@ object Qc {
       df: DataFrame,
       c: EvidenceContract,
       name: String = "evidence_contract",
-  ): DataFrame = {
-    val rules = contractViolations(c)
-    require(rules.nonEmpty, "empty contract")
-    val aggs = rules.map { case (label, pred) =>
-      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(label)
-    }
-    observed(df, name, aggs: _*)
-  }
+  ): DataFrame =
+    observed(df, name, contractAggs(c): _*)
 
   /** Violation counts from an observed-metrics row (all its columns are
     * rule counters by construction in [[observedEvidence]]).

@@ -36,7 +36,11 @@ object Writers {
     case None => writeJsonGzSingleRaw(df, outFile)
     case Some(c) =>
       val spark = df.sparkSession
-      val metricName = "evidence_contract"
+      // Unique per call: the listener is session-global, so two
+      // concurrent contract writes sharing one metric name would capture
+      // each other's counter rows — a violating output could be silently
+      // accepted against the clean write's all-zero metrics.
+      val metricName = s"evidence_contract_${java.util.UUID.randomUUID()}"
       val observed = Qc.observedEvidence(df, c, metricName)
       val captured = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
       val listener = new org.apache.spark.sql.util.QueryExecutionListener {

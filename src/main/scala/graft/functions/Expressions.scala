@@ -246,10 +246,18 @@ object WinnowAnchorsImpl {
     * the k-gram TEXT back at each anchor, so downstream equality checks
     * stay exact and the rolling hash never leaves this kernel (hash
     * collisions can only co-select harmless extra anchors).
+    *
+    * Positions are CODE-POINT indices, not UTF-16 code units: the
+    * consumer is Spark's `substr`, which counts code points. Hashing
+    * over the code-point array keeps a supplementary character (emoji,
+    * astral CJK) one position wide, so anchors land where substr reads —
+    * charAt-based indexing would shift every anchor after the first
+    * surrogate pair and silently break winnowed detection on exactly the
+    * web-scale corpora this operator targets.
     */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length - k + 1
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val B = 1000003L
     var pow = 1L
@@ -258,11 +266,11 @@ object WinnowAnchorsImpl {
     val hs = new Array[Long](n)
     var h = 0L
     i = 0
-    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    while (i < k) { h = h * B + cps(i); i += 1 }
     hs(0) = h
     i = 1
     while (i < n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      h = (h - cps(i - 1) * pow) * B + cps(i + k - 1)
       hs(i) = h
       i += 1
     }
@@ -537,6 +545,16 @@ case class HpaClassify(child: Expression, low: Double) extends UnaryExpression {
   */
 case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
     extends UnaryExpression with Predicate {
+  // A non-long key must fail ANALYSIS loudly: the generated code would
+  // otherwise silently widen an int (or fail to compile on a string,
+  // then CCE in interpreted eval after the codegen fallback). The
+  // GraftFunctions façade casts integral keys explicitly.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom probe key must be BIGINT, got ${child.dataType.simpleString}")
   override def prettyName: String = "graft_bloom_might_contain"
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {

@@ -61,14 +61,16 @@ object GraftFunctions {
   def audioMeta(bytes: Column, codec: graft.multimodal.Multimodal.AudioCodec): Column =
     GraftShim.toColumn(AudioMeta(GraftShim.toExpression(bytes), codec))
 
-  /** Codegen'd Bloom-sketch membership probe over a long key column
+  /** Codegen'd Bloom-sketch membership probe over an integral key column
     * (null → false). The sketch travels by Broadcast handle, not value.
+    * The key is cast to long here; the expression itself rejects
+    * non-long children at analysis.
     */
   def bloomMightContain(
       key: Column,
       sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
   ): Column =
-    GraftShim.toColumn(BloomMightContain(GraftShim.toExpression(key), sketch))
+    GraftShim.toColumn(BloomMightContain(GraftShim.toExpression(key.cast("long")), sketch))
 
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for

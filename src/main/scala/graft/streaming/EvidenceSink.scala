@@ -36,12 +36,17 @@ object EvidenceSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        qc(batch)
-        contract.foreach(c => Qc.validateEvidence(batch, c))
-        batch.write
-          .mode("append")
-          .option("compression", "gzip")
-          .json(outDir)
+        // Validation is its own action; persist so the micro-batch source
+        // is processed once per trigger, not once per action.
+        val pinned = if (contract.isDefined) batch.persist() else batch
+        try {
+          qc(pinned)
+          contract.foreach(c => Qc.validateEvidence(pinned, c))
+          pinned.write
+            .mode("append")
+            .option("compression", "gzip")
+            .json(outDir)
+        } finally if (contract.isDefined) pinned.unpersist()
       }
       .start()
 }

@@ -122,6 +122,27 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("winnow anchors survive supplementary characters (code-point positions, not UTF-16)") {
+    // An astral emoji is ONE position for Spark's substr but TWO UTF-16
+    // code units; charAt-based anchoring would shift every anchor after
+    // it and the two copies' gram texts would never match.
+    val span = shared + "-AND-THEN-THE-SPAN-KEEPS-GOING-FOR-A-WHILE-LONGER-" + shared
+    val emoji = new String(Character.toChars(0x1F600)) // 😀 (surrogate pair)
+    val docs = Seq(
+      (1L, emoji * 3 + filler('u', 10) + span + filler('v', 40)),
+      (2L, filler('w', 11) + span + filler('y', 40)),
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup
+      .sharedSpansWinnowed(docs, "doc_id", "text", gramLen = 24, window = 16, minSpan = 60)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.map(_._1).toSet == Set(1L, 2L),
+      s"emoji prefix must not break winnowed detection: ${spans.toSeq}")
+    // Doc 1's span sits after 3 emoji (3 code points) + 10 filler chars.
+    val d1 = spans.find(_._1 == 1L).get
+    assert(d1._2 >= 14 && d1._3 <= 13 + span.length,
+      s"span ${d1} outside code-point region [14, ${13 + span.length}]")
+  }
+
   test("winnowed detection is exact: disjoint corpora report nothing") {
     val docs = Seq(
       (1L, filler('a', 300)),
