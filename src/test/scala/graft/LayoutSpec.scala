@@ -82,4 +82,36 @@ class LayoutSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("gram-bucketed anchor index: incremental substring dedup skips the index-side shuffle") {
+    import graft.text.SubstringDedup
+    // The 100 TB shape SubstringDedup.buildAnchorIndex documents: the
+    // corpus anchor index is stored bucketed on gram, so each batch's
+    // index-side distinct aggregation rides the bucket layout instead of
+    // re-shuffling corpus-scale data per batch.
+    def filler(seed: Char, n: Int): String =
+      new scala.util.Random(seed.toLong).alphanumeric.take(n).mkString
+    val span = "THE-PLANTED-VERBATIM-SPAN-0123456789-XYZ" * 3
+    val corpus = Seq(
+      (1L, filler('a', 40) + span + filler('b', 40)),
+      (2L, filler('c', 250)),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, filler('d', 17) + span + filler('e', 30)),
+      (11L, filler('f', 200)),
+    ).toDF("doc_id", "text")
+    val index = SubstringDedup.buildAnchorIndex(corpus, "doc_id", "text", gramLen = 24, window = 16)
+    try {
+      Layout.writeBucketed(index, "b_anchor_idx", Seq("gram"), 8)
+      val viaBucketed = SubstringDedup.incrementalSharedSpans(
+        batch, "doc_id", "text", spark.table("b_anchor_idx"), gramLen = 24, window = 16, minSpan = 60)
+      val viaPlain = SubstringDedup.incrementalSharedSpans(
+        batch, "doc_id", "text", index, gramLen = 24, window = 16, minSpan = 60)
+      val a = viaBucketed.as[(Long, Long, Long, Long, Long)].collect().toSet
+      val b = viaPlain.as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(a == b && a.map(_._1) == Set(10L), s"layout must not change the answer: $a vs $b")
+      val (sB, sP) = (countShuffles(viaBucketed), countShuffles(viaPlain))
+      assert(sB < sP, s"bucketed index should drop the index-side exchange ($sB vs $sP)")
+    } finally spark.sql("DROP TABLE IF EXISTS b_anchor_idx")
+  }
 }
