@@ -389,6 +389,38 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: Gopher-style repetition signals -------------
+    // Intra-document repetition filters (Rae et al. 2021 "Gopher"
+    // MassiveText rules, reused by RefinedWeb/FineWeb): the char share of
+    // the single most frequent word 2-gram and the duplicate fraction of
+    // word 5-grams. Shingles from the codegen'd WordShingles kernel;
+    // each signal is one explode + doc-keyed aggregation — no cross-doc
+    // shuffle, a map-side pipeline at corpus scale. Ratios are single
+    // divisions of exact integers (bit-stable across engines); the top
+    // 2-gram tie-breaks on (count, gram) descending via max(struct).
+    "q_repetition" -> ((s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          graft.functions.GraftFunctions.wordShingles(toks, 2).as("g2"),
+          graft.functions.GraftFunctions.wordShingles(toks, 5).as("g5"))
+      val top2 = docs.select(col("doc_id"), col("n_chars"), explode(col("g2")).as("g"))
+        .groupBy("doc_id", "n_chars", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n_chars")
+        .agg(max(struct(col("cnt"), col("g"))).as("top"))
+        .select(col("doc_id"), col("top.g").as("top2_gram"),
+          ((col("top.cnt") * length(col("top.g"))).cast("double")
+            / col("n_chars").cast("double")).as("top2_share"))
+      val dup5 = docs.select(col("doc_id"), explode(col("g5")).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n5"), countDistinct(col("g")).as("d5"))
+        .select(col("doc_id"),
+          ((col("n5") - col("d5")).cast("double") / col("n5").cast("double")).as("dup5_frac"))
+      docs.select("doc_id")
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+    }),
+
     // --- beyond-reference: language ID (stopword heuristic) -----------
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2507,6 +2539,36 @@ object SparkEntry {
         |    THEN round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
         |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS DOUBLE) / len(toks), 4) END AS stopword_ratio
         |FROM base""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, n_chars, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |top2 AS (
+        |  SELECT doc_id, g AS top2_gram,
+        |    CAST(cnt * length(g) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top2_share
+        |  FROM (SELECT doc_id, n_chars, g, count(*) AS cnt,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g DESC) AS rn
+        |        FROM g2 GROUP BY doc_id, n_chars, g)
+        |  WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+        |  FROM base, unnest(range(1, len(toks) - 3)) AS r(i)
+        |  WHERE len(toks) >= 5),
+        |dup5 AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) - count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup5_frac
+        |  FROM g5 GROUP BY doc_id)
+        |SELECT b.doc_id, t.top2_gram, t.top2_share, d.dup5_frac
+        |FROM base b
+        |LEFT JOIN top2 t USING (doc_id)
+        |LEFT JOIN dup5 d USING (doc_id)""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (
