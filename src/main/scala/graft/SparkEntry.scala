@@ -1842,27 +1842,31 @@ object SparkEntry {
     // standard distributed two-phase shape: local skylines per price
     // bucket (parallel windows; dominance inside a bucket implies global
     // dominance, so nothing a local pass drops could have survived), then
-    // the exact global skyline over the few survivors. Over DISTINCT
-    // (price, size) points the running-max-of-size trick is exact: a
-    // point is dominated iff an earlier point in (price asc, size desc)
-    // order has size ≥ its own.
+    // the exact global skyline over the few survivors as a BROADCAST
+    // anti-join dominance check — the r5 shape ran the global phase as an
+    // unpartitioned running-max window, i.e. the exact single-partition
+    // funnel this engine bans everywhere else. Over DISTINCT (price, size)
+    // points, p survives iff no point q has price ≤ p.price AND size ≥
+    // p.size with at least one strict; the survivor set is small (a union
+    // of per-bucket skylines), so it broadcasts and the check streams.
     "q_skyline" -> ((s, dir) => {
       val pts = t(s, dir, "part")
         .select(col("p_retailprice").as("price"), col("p_size").as("size"))
         .distinct()
-      def skyline(df: DataFrame, partCols: Seq[String]): DataFrame = {
-        // Empty partCols → unpartitioned window; one ordering spec for
-        // both phases so dominance semantics cannot drift between them.
-        val w = Window.partitionBy(partCols.map(col): _*)
-          .orderBy(col("price").asc, col("size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        df.withColumn("mx", max(col("size")).over(w))
-          .filter(col("mx").isNull || col("mx") < col("size"))
-          .drop("mx")
-      }
-      val local = skyline(pts.withColumn("bucket", floor(col("price") / 1000.0)), Seq("bucket"))
-        .drop("bucket")
-      skyline(local, Nil)
+      // Local phase: running-max-of-size per price bucket (exact within a
+      // bucket over distinct points: dominated iff an earlier point in
+      // (price asc, size desc) order has size ≥ its own).
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("price").asc, col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = pts.withColumn("bucket", floor(col("price") / 1000.0))
+        .withColumn("mx", max(col("size")).over(w))
+        .filter(col("mx").isNull || col("mx") < col("size"))
+        .drop("mx", "bucket")
+      val dom = local.select(col("price").as("dp"), col("size").as("dsz"))
+      local.join(broadcast(dom),
+        col("dp") <= col("price") && col("dsz") >= col("size") &&
+          (col("dp") < col("price") || col("dsz") > col("size")), "left_anti")
     }),
 
     // --- beyond-reference: PII scrubbing rulebook ------------------------

@@ -179,12 +179,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"no sort-merge on the gram join:\n$p")
   }
 
-  test("q_skyline: local phase is bucket-parallel before the global window") {
+  test("q_skyline: bucket-parallel local phase, broadcast anti-join global phase") {
     val p = plan("q_skyline")
     assert(p.contains("hashpartitioning(bucket"),
       s"local skylines must partition by price bucket:\n$p")
-    assert(countOccurrences(p, "Window") >= 2,
-      s"expected local + global Window phases:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // The local-skyline subtree appears on BOTH join sides (probe +
+    // broadcast build; the identical Exchange is deduped by ReuseExchange
+    // at runtime) — what matters is every Window carries the bucket key.
+    val lws = SparkEntry.queries("q_skyline")(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(lws.nonEmpty && lws.forall(_.partitionSpec.nonEmpty),
+      s"every skyline Window must be bucket-partitioned — the global phase is a join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"global dominance check must broadcast the survivor set:\n$p")
+  }
+
+  test("registry-wide: no query plans an unpartitioned Window") {
+    // The single-partition window is this engine's canonical scale-killer
+    // (VERDICT r4/r5); guard the WHOLE registry so a new query cannot
+    // reintroduce one. Logical plans only — nothing executes.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(s"$name (${bad.size})") else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
   }
 
   test("q_quantile_bin: boundary row broadcasts — the table never wide-shuffles") {
