@@ -1892,6 +1892,39 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: URL canonicalization ------------------------
+    // Web-corpus hygiene: the same page arrives under scheme/host case
+    // variants, default ports, tracking params, fragments, and shuffled
+    // query order; grouping by the raw string splits it. Urls.canonicalize
+    // is a pure codegen'd projection (regex + array HOFs, no UDF), so
+    // URL-keyed dedup costs one shuffle on the canonical key. The messy
+    // URLs are synthesized deterministically from customer (same pattern
+    // as q_pii_scrub) so every rule has real matches, and the oracle
+    // re-derives both the synthesis and the canonicalization in SQL.
+    "q_url_canon" -> ((s, dir) => {
+      val k = col("c_custkey")
+      def m(n: Int): Column = pmod(k, lit(n))
+      val hostCore = concat(lit("shop"), m(50).cast("string"), lit(".example.com"))
+      val url = concat(
+        when(m(2) === 0, lit("http")).otherwise(lit("https")), lit("://"),
+        when(m(3) === 0, concat(lit("WWW."), upper(hostCore))).otherwise(hostCore),
+        when(m(5) === 0, when(m(2) === 0, lit(":80")).otherwise(lit(":443")))
+          .when(m(7) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), m(100).cast("string"),
+        when(m(4) === 0, lit("/")).otherwise(lit("")),
+        when(m(6) === 0, concat(lit("?utm_source=mail&b="), m(4).cast("string"), lit("&a=1")))
+          .when(m(6) === 1, concat(lit("?b="), m(4).cast("string"), lit("&a=1&fbclid=XYZ")))
+          .when(m(6) === 2, concat(lit("?a=1&b="), m(4).cast("string")))
+          .otherwise(lit("")),
+        when(m(8) === 0, lit("#sec-2")).otherwise(lit("")))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), url.as("url"))
+        .select(
+          col("c_custkey"),
+          graft.text.Urls.canonicalizeUrl(col("url")).as("canon"),
+          graft.text.Urls.canonicalHost(col("url")).as("host"))
+    }),
+
     // --- beyond-reference: BPE merge training --------------------------
     // Tokenizer-vocabulary learning (Sennrich et al. 2016): the corpus
     // collapses once to the bounded (word, freq) table, then each round
@@ -3622,6 +3655,50 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    // Re-derives the deterministic URL synthesis AND every canonicalization
+    // rule in SQL (lowercase scheme/host, www + default-port strip,
+    // trailing-slash collapse, fragment drop, tracking-param filter +
+    // param sort). list_sort/string_split mirror array_sort/split —
+    // ASCII params, so bytewise string order agrees across engines.
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    (CASE WHEN c_custkey % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN c_custkey % 3 = 0
+        |          THEN 'WWW.' || upper('shop' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com')
+        |          ELSE 'shop' || CAST(c_custkey % 50 AS VARCHAR) || '.example.com' END) ||
+        |    (CASE WHEN c_custkey % 5 = 0 THEN (CASE WHEN c_custkey % 2 = 0 THEN ':80' ELSE ':443' END)
+        |          WHEN c_custkey % 7 = 0 THEN ':8080' ELSE '' END) ||
+        |    '/p/' || CAST(c_custkey % 100 AS VARCHAR) ||
+        |    (CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN c_custkey % 6 = 0 THEN '?utm_source=mail&b=' || CAST(c_custkey % 4 AS VARCHAR) || '&a=1'
+        |          WHEN c_custkey % 6 = 1 THEN '?b=' || CAST(c_custkey % 4 AS VARCHAR) || '&a=1&fbclid=XYZ'
+        |          WHEN c_custkey % 6 = 2 THEN '?a=1&b=' || CAST(c_custkey % 4 AS VARCHAR)
+        |          ELSE '' END) ||
+        |    (CASE WHEN c_custkey % 8 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey, url,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+        |      '^www\.', '') AS host,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS port,
+        |    regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid|ref)='))), '&') AS q
+        |  FROM u)
+        |SELECT c_custkey,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |       ELSE scheme || '://' || host ||
+        |         (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |                    AND NOT (scheme = 'https' AND port = '443')
+        |               THEN ':' || port ELSE '' END) ||
+        |         path ||
+        |         (CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canon,
+        |  host
+        |FROM p""".stripMargin,
 
     "q_chisq_cells" ->
       """WITH cells AS (SELECT o_orderpriority, o_orderstatus,

@@ -118,6 +118,29 @@ class TextSpec extends SparkTestBase {
     assert(stops == 1, s"must stop when no pair repeats, learned $stops")
   }
 
+  test("canonicalizeUrl: case, www, default ports, slashes, fragments, tracking params, order") {
+    val cases = Seq(
+      // scheme+host case-fold, www strip, http default port, trailing slash
+      "HTTP://WWW.Example.com:80/a/" -> "http://example.com/a",
+      // https default port stripped, non-default kept
+      "https://example.com:443/a" -> "https://example.com/a",
+      "https://example.com:8443/a" -> "https://example.com:8443/a",
+      // fragment dropped; tracking params out; survivors sorted
+      "http://example.com/a?utm_source=x&b=2&a=1#frag" -> "http://example.com/a?a=1&b=2",
+      "http://example.com/a?fbclid=Z&gclid=Y&ref=hn" -> "http://example.com/a",
+      // bare slash path collapses; query alone survives
+      "http://example.com/?b=1" -> "http://example.com?b=1",
+      // utm prefix must not over-match a real param
+      "http://example.com/a?utmx=1" -> "http://example.com/a?utmx=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.Urls.canonicalizeUrl($"url")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.toString)
+    // Malformed input routes to NULL, never a bogus group key.
+    val bad = Seq("not a url", "mailto:x@y.z").toDF("url")
+      .select(graft.text.Urls.canonicalizeUrl($"url")).collect()
+    assert(bad.forall(_.isNullAt(0)), bad.mkString(","))
+  }
+
   test("urlHosts pulls every http(s) hostname, case-folded, in order") {
     val hosts = Seq("See HTTPS://A.Example.COM/x and http://b.example.net, nothing else.")
       .toDF("t").select(TextAnalysis.urlHosts($"t")).as[Seq[String]].head()
