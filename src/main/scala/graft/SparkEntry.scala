@@ -30,6 +30,26 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(24,6)")).cast("double")
 
+  /** Deterministic multi-line corpus for the line-dedup queries: the flat
+    * token stream becomes two 8-token content lines, with boilerplate
+    * lines injected by doc_id arithmetic ("subscribe…" in every 3rd doc,
+    * "all rights reserved" in every 2nd) so the threshold rule has real
+    * cross-document matches. Empty slices filter out, so short docs
+    * degrade gracefully. The DuckDB oracle re-derives this synthesis.
+    */
+  private def synthLineDocs(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lines = filter(array(
+      array_join(slice(toks, 1, 8), " "),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("subscribe to our newsletter today")).otherwise(lit("")),
+      array_join(slice(toks, 9, 8), " "),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("all rights reserved")).otherwise(lit(""))
+    ), x => x =!= "")
+    docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
   /** Shared builder for the sequence-packing queries (q_pack_batches /
     * q_pack_sharded): one definition of the token convention, budget,
     * and batch arithmetic, so the variants cannot drift.
@@ -1892,6 +1912,24 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: line-level corpus dedup (RefinedWeb/C4) -----
+    // Whole-line boilerplate removal with reassembly: lines in >= 3
+    // distinct docs drop everywhere except the earliest occurrence
+    // (LineDedup scaladoc has the full scale argument — line-keyed, no
+    // gram explosion). The corpus has no newlines, so multi-line docs are
+    // synthesized deterministically: two 8-token content slices plus
+    // boilerplate lines injected by doc_id arithmetic, replicated by the
+    // oracle.
+    "q_line_dedup" -> ((s, dir) =>
+      graft.text.LineDedup.dedupLines(
+        synthLineDocs(t(s, dir, "documents")), "doc_id", "text", minDocs = 3)),
+
+    // The audit side of the same operator: the shared-line table a
+    // pipeline persists next to the scrubbed corpus.
+    "q_line_shared" -> ((s, dir) =>
+      graft.text.LineDedup.sharedLines(
+        synthLineDocs(t(s, dir, "documents")), "doc_id", "text", minDocs = 3)),
+
     // --- beyond-reference: URL canonicalization ------------------------
     // Web-corpus hygiene: the same page arrives under scheme/host case
     // variants, default ports, tracking params, fragments, and shuffled
@@ -2321,6 +2359,29 @@ object SparkEntry {
        |    FROM hs)
        |  WHERE pos >= $w)""".stripMargin
   }
+
+  /** Shared CTE chain for the two line-dedup oracles: line synthesis →
+    * 0-based line explode → threshold table (f) → owner line (f2) → keep
+    * flags (k). Mirrors synthLineDocs + LineDedup exactly.
+    */
+  private val lineDedupCtes: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |syn AS (SELECT doc_id,
+      |  list_filter([
+      |    array_to_string(toks[1:8], ' '),
+      |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' ELSE '' END,
+      |    array_to_string(toks[9:16], ' '),
+      |    CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved' ELSE '' END
+      |  ], x -> x <> '') AS lines FROM d),
+      |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, lines[CAST(i AS INT) + 1] AS line
+      |      FROM syn, unnest(range(0, len(lines))) AS t(i)),
+      |f AS (SELECT line, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS o_doc
+      |      FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+      |f2 AS (SELECT f.line, f.ndocs, f.o_doc, min(l.line_no) AS o_line
+      |       FROM f JOIN l ON l.line = f.line AND l.doc_id = f.o_doc GROUP BY 1, 2, 3),
+      |k AS (SELECT l.doc_id, l.line_no, l.line,
+      |        (f2.line IS NULL OR (l.doc_id = f2.o_doc AND l.line_no = f2.o_line)) AS keep
+      |      FROM l LEFT JOIN f2 ON l.line = f2.line)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Generated: the winnow fingerprint SET per document is the distinct
@@ -3655,6 +3716,25 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    // Line-dedup oracle: replicate the line synthesis (1-based DuckDB list
+    // slices ≡ Spark 1-based slice()), 0-based line numbers (≡ posexplode),
+    // the >=3-distinct-docs threshold, the (min doc, then min line_no)
+    // owner, and filtered ordered reassembly. sum/count cast to BIGINT to
+    // match the Spark long columns.
+    "q_line_dedup" ->
+      s"""$lineDedupCtes
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list(line ORDER BY line_no) FILTER (WHERE keep), chr(10)), '') AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_line_shared" ->
+      s"""$lineDedupCtes
+         |SELECT f2.line, CAST(f2.ndocs AS BIGINT) AS ndocs,
+         |  f2.o_doc AS owner_doc, f2.o_line AS owner_line
+         |FROM f2""".stripMargin,
 
     // Re-derives the deterministic URL synthesis AND every canonicalization
     // rule in SQL (lowercase scheme/host, www + default-port strip,

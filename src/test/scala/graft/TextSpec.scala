@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.{Bpe, TextAnalysis}
+import graft.text.{Bpe, LineDedup, TextAnalysis}
 
 class TextSpec extends SparkTestBase {
   import spark.implicits._
@@ -116,6 +116,26 @@ class TextSpec extends SparkTestBase {
     val stops = Bpe.learnMerges(Seq("xy xy").toDF("text"), "text", nMerges = 10)
       .count()
     assert(stops == 1, s"must stop when no pair repeats, learned $stops")
+  }
+
+  test("LineDedup: threshold, earliest-owner keep, order-preserving reassembly") {
+    val docs = Seq(
+      (1L, "keep me\nboiler plate\nunique one"),
+      (2L, "boiler plate\nother text"),
+      (3L, "boiler plate"),          // loses its only line -> empty doc
+      (4L, "boiler plate appears once here")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "keep me\nboiler plate\nunique one", 3L, 0L), // owner: doc 1, line 1
+      (2L, "other text", 2L, 1L),
+      (3L, "", 1L, 1L),                                  // doc survives, text empties
+      (4L, "boiler plate appears once here", 1L, 0L)), out.toString)
+    val shared = LineDedup.sharedLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(shared == Seq(("boiler plate", 3L, 1L, 1L)), shared.toString)
   }
 
   test("canonicalizeUrl: case, www, default ports, slashes, fragments, tracking params, order") {
