@@ -1912,6 +1912,22 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: n-gram LM perplexity scoring (CCNet) --------
+    // Train add-k bigram statistics on the md5-sampled half of the corpus
+    // (deterministic slice, Sampling convention), score EVERY doc against
+    // the model by joins — the model is two count tables plus a 1-row
+    // vocab scalar, never driver state. Exact columns (counts, oov, mean
+    // add-k probability) hash against DuckDB; perplexity goes through the
+    // decimal(28,12)-per-term / decimal(18,3)-final quantization that
+    // absorbs cross-engine libm ulps (NgramLm scaladoc).
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val trainSlice = docs.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      val model = graft.text.NgramLm.train(trainSlice, "doc_id", "text")
+      graft.text.NgramLm.score(docs, "doc_id", "text", model)
+    }),
+
     // --- beyond-reference: line-level corpus dedup (RefinedWeb/C4) -----
     // Whole-line boilerplate removal with reassembly: lines in >= 3
     // distinct docs drop everywhere except the earliest occurrence
@@ -3716,6 +3732,38 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    // LM-scoring oracle: replicate training slice, bigram/context/vocab
+    // counts, and the add-k probability with every operand FORCED to
+    // DOUBLE (DuckDB decimal literals would otherwise run the division in
+    // DECIMAL arithmetic — the q_pagerank ulp trap). Same decimal
+    // quantization ladder as the Spark side.
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tr AS (SELECT * FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |trev AS (SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+        |         FROM tr, unnest(range(1, len(toks))) AS t(i)),
+        |bc AS (SELECT bg, count(*) AS c FROM trev GROUP BY bg),
+        |cw AS (SELECT string_split(bg, ' ')[1] AS w, count(*) AS ctx FROM trev GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(toks) AS tok FROM tr)),
+        |ev AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+        |       FROM d, unnest(range(1, len(toks))) AS t(i)),
+        |sc AS (SELECT e.doc_id,
+        |         (CAST(coalesce(bc.c, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |           (CAST(coalesce(cw.ctx, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(vv.V AS DOUBLE)) AS p,
+        |         CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END AS oov
+        |       FROM ev e LEFT JOIN bc USING (bg)
+        |         LEFT JOIN cw ON cw.w = string_split(e.bg, ' ')[1], vv),
+        |per AS (SELECT doc_id, count(*) AS nb, CAST(sum(oov) AS BIGINT) AS noov,
+        |          CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sump,
+        |          CAST(sum(CAST(-ln(p) AS DECIMAL(28,12))) AS DOUBLE) AS snll
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.nb, 0) AS n_bigrams,
+        |  coalesce(per.noov, 0) AS n_oov,
+        |  per.sump / per.nb AS mean_p,
+        |  CAST(CAST(exp(per.snll / per.nb) AS DECIMAL(18,3)) AS DOUBLE) AS ppl
+        |FROM d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // Line-dedup oracle: replicate the line synthesis (1-based DuckDB list
     // slices ≡ Spark 1-based slice()), 0-based line numbers (≡ posexplode),

@@ -118,6 +118,26 @@ class TextSpec extends SparkTestBase {
     assert(stops == 1, s"must stop when no pair repeats, learned $stops")
   }
 
+  test("NgramLm: add-k bigram math, OOV counting, short-doc rows (golden)") {
+    import graft.text.NgramLm
+    // Train counts: "a b"x2, "b a"x1, "a c"x1; ctx: a->3, b->1; V=3; k=0.5.
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLm.train(train, "doc_id", "text")
+    val docs = Seq((10L, "a b"), (11L, "a d"), (12L, "x")).toDF("doc_id", "text")
+    val out = NgramLm.score(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_oov", "mean_p", "ppl")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    // "a b": P=(2+.5)/(3+1.5)=5/9 -> ppl=1/P=1.8. "a d" unseen: P=.5/4.5=1/9 -> ppl=9.
+    assert(out(0)._1 == 10L && out(0)._2 == 1L && out(0)._3 == 0L)
+    assert(math.abs(out(0)._4.get - 5.0 / 9.0) < 1e-9, out(0).toString)
+    assert(out(0)._5.get == 1.8, out(0).toString)
+    assert(out(1) == ((11L, 1L, 1L, out(1)._4, Some(9.0))) &&
+      math.abs(out(1)._4.get - 1.0 / 9.0) < 1e-9, out(1).toString)
+    // Single-token doc keeps its row: zero events, NULL scores.
+    assert(out(2) == ((12L, 0L, 0L, None, None)), out(2).toString)
+  }
+
   test("LineDedup: threshold, earliest-owner keep, order-preserving reassembly") {
     val docs = Seq(
       (1L, "keep me\nboiler plate\nunique one"),
