@@ -1912,6 +1912,21 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: domain-mix weighted sampling ----------------
+    // Pile/Dolma-style source reweighting: each source keeps k/256 of its
+    // docs by md5 bucket — deterministic, growth-stable, nested under
+    // tightening, and a pure scan-side filter (no join, no shuffle; a
+    // 100 TB remix is one pass). Emits the kept rows with their bucket so
+    // the oracle checks membership row by row.
+    "q_domain_mix" -> ((s, dir) =>
+      graft.core.Sampling.weightedMix(
+        t(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        Seq("src0" -> 256, "src1" -> 128, "src2" -> 64, "src3" -> 192),
+        defaultKeep = 32)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))),
+
     // --- beyond-reference: n-gram LM perplexity scoring (CCNet) --------
     // Train add-k bigram statistics on the md5-sampled half of the corpus
     // (deterministic slice, Sampling convention), score EVERY doc against
@@ -3732,6 +3747,16 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE CASE source
+        |  WHEN 'src0' THEN TRUE
+        |  WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+        |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |  WHEN 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' END""".stripMargin,
 
     // LM-scoring oracle: replicate training slice, bigram/context/vocab
     // counts, and the add-k probability with every operand FORCED to

@@ -47,6 +47,35 @@ object Sampling {
     }
   }
 
+  /** Per-group mixture sampling (Pile/Dolma-style source reweighting):
+    * each group keeps `keep`/256 of its rows, decided by the first two
+    * hex chars of `md5(key)` — so membership is a pure function of the
+    * row key, reproducible across engines, runs, and incremental loads,
+    * and UNCORRELATED across different mixes of the same corpus only if
+    * their keys differ (same key ⇒ nested samples, which is exactly the
+    * property you want when tightening a mix: the 25 % cut is a subset
+    * of the 50 % cut). `keep = 256` keeps everything; unknown groups
+    * fall back to `defaultKeep`. The filter is a codegen'd when-chain
+    * over the (small, literal) weight table — no join, no shuffle: a
+    * 100 TB remix is a single scan.
+    */
+  def weightedMix(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      keeps: Seq[(String, Int)],
+      defaultKeep: Int): DataFrame = {
+    require((defaultKeep +: keeps.map(_._2)).forall(k => k >= 0 && k <= 256),
+      s"keep counts must be in [0,256], got ${keeps.map(_._2)} / $defaultKeep")
+    val bucket = substring(md5(key.cast("string")), 1, 2)
+    def cond(k: Int): Column =
+      if (k >= 256) lit(true) else bucket < lit(f"$k%02x")
+    val keep = keeps.foldRight(cond(defaultKeep)) { case ((g, k), els) =>
+      when(group === g, cond(k)).otherwise(els)
+    }
+    df.filter(keep)
+  }
+
   /** Finer-grained variant: first 4 hex chars → 65536 buckets, keep
     * buckets `[0, keep)` — fraction keep/65536.
     */

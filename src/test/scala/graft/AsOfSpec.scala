@@ -148,6 +148,25 @@ class AsOfSpec extends SparkTestBase {
     assert(fine.exceptAll(s1).isEmpty && s1.exceptAll(fine).isEmpty)
   }
 
+  test("Sampling.weightedMix: per-group fractions, nesting, default fallback") {
+    import graft.core.Sampling
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val keeps = Seq("src0" -> 256, "src1" -> 128, "src2" -> 64)
+    val out = Sampling.weightedMix(df, $"doc_id", $"source", keeps, defaultKeep = 32)
+    val by = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val in = df.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by("src0") == in("src0"), "keep=256 must keep every row")
+    assert(by.getOrElse("src1", 0L) < in("src1") &&
+      by.getOrElse("src2", 0L) <= by.getOrElse("src1", 0L))
+    // Unknown groups use the default (32/256 = 1/8): strictly sampled.
+    assert(by.getOrElse("src7", 0L) < in("src7"))
+    // Nesting: tightening a group's keep produces a SUBSET (same key ->
+    // same bucket), the property per-run random sampling lacks.
+    val tighter = Sampling.weightedMix(df, $"doc_id", $"source",
+      Seq("src0" -> 64, "src1" -> 64, "src2" -> 64), defaultKeep = 16)
+    assert(tighter.exceptAll(out).isEmpty, "tighter mix must nest inside the looser one")
+  }
+
   test("Sampling.stratifiedSplit: total cover, growth-stable, ~80/10/10") {
     import graft.core.Sampling
     val cuts = Seq("train" -> "cc", "val" -> "e6")
