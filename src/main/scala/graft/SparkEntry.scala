@@ -2287,6 +2287,32 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: semantic dedup (SemDeDup, Abbas et al. 2023) --
+    // Cluster-then-dedup-within-cluster: fitted k-means assigns every
+    // embedding to a cell, then pairwise cosine runs ONLY inside each
+    // cell — Σc² work instead of n², the whole point of the method (and
+    // production additionally caps cell size, the NearDup bucket-cap
+    // pattern). A vector attaches to the smallest earlier id in its cell
+    // with sim >= tau (greedy pruning, deterministic); survivors keep
+    // NULL attachment. Oracle: the SAME Lloyd rounds as q_semantic_cluster
+    // via lloydCtes, then the pair join in SQL.
+    "q_semdedup" -> ((s, dir) => {
+      val assigned = KMeans
+        .lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 4)
+        .select(col("id").as("vec_id"), col("v"), col("cluster"))
+        .localCheckpoint(false) // two consumers: pair join (both sides) + final left join
+      val b = assigned.select(col("cluster"), col("vec_id").as("other_id"), col("v").as("ov"))
+      val dup = assigned.join(b, Seq("cluster"))
+        .filter(col("other_id") < col("vec_id") &&
+          graft.functions.GraftFunctions.cosineSim(col("v"), col("ov")) >= 0.35)
+        .groupBy("cluster", "vec_id")
+        .agg(count(lit(1)).as("n_near"), min(col("other_id")).as("attached_to"))
+      assigned.join(dup, Seq("cluster", "vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("attached_to"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          col("attached_to").isNull.as("keep"))
+    }),
+
     // --- beyond-reference: PageRank centrality (rows-only) ---------------
     // Power iteration over the part co-purchase graph (edges = q_cooccur's
     // basket pairs, both directions). One shuffle per round, decimal mass
@@ -3007,6 +3033,31 @@ object SparkEntry {
          |  round(CAST(sum(CAST(sim AS DECIMAL(24,12))) AS DOUBLE) / count(*), 6) AS avg_sim,
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
          |FROM a5 GROUP BY cid""".stripMargin
+    },
+
+    // Generated: same Lloyd rounds + assignment as q_semantic_cluster,
+    // then the within-cell pair join. Greedy attach = min earlier id
+    // above tau; keep = no such partner.
+    "q_semdedup" -> {
+      s"""WITH ${lloydCtes(k = 8, iters = 4, dim = 64)},
+         |a5 AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, c4 c)
+         |  WHERE rn = 1),
+         |av AS MATERIALIZED (
+         |  SELECT a5.vec_id, a5.cid, e.v FROM a5 JOIN e USING (vec_id)),
+         |dup AS (
+         |  SELECT a.cid, a.vec_id, count(*) AS n_near, min(b.vec_id) AS attached_to
+         |  FROM av a JOIN av b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |    AND list_cosine_similarity(a.v, b.v) >= 0.35
+         |  GROUP BY a.cid, a.vec_id)
+         |SELECT av.vec_id, av.cid AS cluster, dup.attached_to,
+         |  CAST(coalesce(dup.n_near, 0) AS BIGINT) AS n_near,
+         |  dup.attached_to IS NULL AS keep
+         |FROM av LEFT JOIN dup ON av.cid = dup.cid AND av.vec_id = dup.vec_id""".stripMargin
     },
 
     // Generated: the SAME Lloyd rounds fit the 16 IVF cell centroids

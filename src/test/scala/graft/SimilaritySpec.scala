@@ -270,6 +270,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(rerun == fitted, "fitted IVF rerun diverged")
   }
 
+  test("q_semdedup: survivors are pairwise sub-threshold within every cluster") {
+    // The greedy attach rule implies a strong invariant: if two kept
+    // vectors shared a cluster at sim >= tau, the larger id would have
+    // attached to the smaller — so the kept set must be an independent
+    // set at tau inside each cell. Also pin flag consistency.
+    val out = SparkEntry.queries("q_semdedup")(spark, sf).cache()
+    val bad = out.filter(($"keep" && $"n_near" > 0) || (!$"keep" && $"attached_to".isNull))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    assert(out.filter(!$"keep").count() > 0, "fixture must produce some duplicates")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val kept = out.filter($"keep").select($"vec_id", $"cluster").join(emb, "vec_id")
+    val pairs = kept.as("a").join(kept.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      .filter(graft.functions.GraftFunctions.cosineSim($"a.v", $"b.v") >= 0.35)
+    assert(pairs.isEmpty, s"kept set not independent at tau: ${pairs.count()} pairs")
+    out.unpersist()
+  }
+
   test("kmeans keeps every vector and clusters within bounds on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = KMeans.lloyd(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 2)
