@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Same architecture here — a streaming StAX parse on the driver feeding
   * `createDataFrame` — because the reference's XML inputs are single
-  * smallish files (tens of MB). For sharded 100 TB XML one would register
-  * a DataSource V2 with per-file tasks; out of scope while no input needs
-  * it (the parse below is already streaming/O(1)-memory per record).
+  * smallish files (tens of MB). For sharded 100 TB XML use the DataSource
+  * V2 twin, `graft.sources.XmlDirectorySource` (`format("graft-xml")`):
+  * identical record semantics, one executor-side partition per file,
+  * pushed-down column pruning. XmlSourceSpec pins the two readers equal.
   */
 object Xml {
 

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.Xml
+
+/** DataSource V2 sharded-XML source: per-file partitions, driver-reader
+  * parity, inference, and pushed-down column pruning.
+  */
+class XmlSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeShards(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      Files.writeString(
+        Paths.get(dir, f"part-$i%03d.xml"),
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<Feed>
+           |  <Item id="a$i">
+           |    <Code>${100 + i}</Code>
+           |    <Name lang="en">Item $i &amp; co</Name>
+           |    <Extra><Symbol>S$i</Symbol></Extra>
+           |  </Item>
+           |  <Item id="b$i">
+           |    <Code>${200 + i}</Code>
+           |    <Name>Other $i</Name>
+           |  </Item>
+           |</Feed>
+           |""".stripMargin)
+    }
+
+  test("graft-xml: one partition per shard, rows = union of driver reads") {
+    val dir = tmpDir("xmlshards")
+    writeShards(dir, 5)
+    val df = spark.read.format("graft-xml")
+      .option("recordTag", "Item")
+      .option("fields", "Code,Name,Symbol")
+      .load(dir)
+    assert(df.rdd.getNumPartitions == 5, "expected one input partition per file")
+    val union = (0 until 5)
+      .map(i => Xml.readRecords(spark, f"$dir/part-$i%03d.xml", "Item", Seq("Code", "Name", "Symbol")))
+      .reduce(_ unionAll _)
+    assert(df.count() == 10)
+    assert(df.exceptAll(union).isEmpty && union.exceptAll(df).isEmpty,
+      "DSv2 rows must equal the driver-side reader's union")
+    // First-descendant + trim semantics carry over (nested Symbol).
+    assert(df.filter($"Code" === "100").head().getAs[String]("Symbol") == "S0")
+    assert(df.filter($"Code" === "200").head().getAs[String]("Symbol") == null)
+  }
+
+  test("graft-xml: schema inference reads the first record's child names") {
+    val dir = tmpDir("xmlinfer")
+    writeShards(dir, 2)
+    val df = spark.read.format("graft-xml").option("recordTag", "Item").load(dir)
+    // First record of part-000: Code, Name, Extra (document order).
+    assert(df.schema.fieldNames.toSeq == Seq("Code", "Name", "Extra"))
+    assert(df.count() == 4)
+  }
+
+  test("graft-xml: column pruning reaches the reader, count(*) survives zero columns") {
+    val dir = tmpDir("xmlprune")
+    writeShards(dir, 3)
+    val df = spark.read.format("graft-xml")
+      .option("recordTag", "Item")
+      .option("fields", "Code,Name,Symbol")
+      .load(dir)
+    val pruned = df.select("Code")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-xml[Code]"),
+      s"pruned scan description must show only Code:\n$plan")
+    assert(pruned.as[String].collect().sorted.head == "100")
+    assert(df.count() == 6) // zero-column pruning still counts records
+  }
+}
