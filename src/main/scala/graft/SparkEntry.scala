@@ -1912,6 +1912,21 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: DSIR importance weights ---------------------
+    // Domain-tilted resampling (Xie et al. 2023): weight every doc by the
+    // mean unigram log-likelihood ratio between a TARGET slice (here the
+    // English sub-corpus) and the RAW corpus, both add-k smoothed over
+    // the raw vocabulary. Two count tables + two 1-row totals, joined on
+    // the token key — the same no-driver-state shape as q_lm_score.
+    "q_dsir_weight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      graft.text.NgramLm.importanceWeights(
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        target = docs.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+        raw = docs.select(col("doc_id"), col("text")))
+    }),
+
     // --- beyond-reference: domain-mix weighted sampling ----------------
     // Pile/Dolma-style source reweighting: each source keeps k/256 of its
     // docs by md5 bucket — deterministic, growth-stable, nested under
@@ -3798,6 +3813,28 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    // DSIR oracle: same double-forcing discipline as q_lm_score; the raw
+    // vocabulary (rv) is the shared smoothing support for BOTH sides.
+    "q_dsir_weight" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |tc AS (SELECT tok, count(*) AS tc FROM (SELECT unnest(toks) AS tok FROM d WHERE lang = 'en') GROUP BY tok),
+        |rc AS (SELECT tok, count(*) AS rc FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |ttot AS (SELECT CAST(sum(tc) AS BIGINT) AS tn FROM tc),
+        |rtot AS (SELECT CAST(sum(rc) AS BIGINT) AS rn, count(*) AS rv FROM rc),
+        |ev AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |sc AS (SELECT e.doc_id,
+        |    ln((CAST(coalesce(tc.tc, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(ttot.tn AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(rtot.rv AS DOUBLE)))
+        |  - ln((CAST(coalesce(rc.rc, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |       (CAST(rtot.rn AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(rtot.rv AS DOUBLE))) AS lr
+        |  FROM ev e LEFT JOIN tc USING (tok) LEFT JOIN rc USING (tok), ttot, rtot),
+        |per AS (SELECT doc_id, count(*) AS nt,
+        |          CAST(sum(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) AS slr
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.nt, 0) AS n_tokens,
+        |  CAST(CAST(per.slr / per.nt AS DECIMAL(18,6)) AS DOUBLE) AS weight
+        |FROM d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "q_domain_mix" ->
       """SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket

@@ -69,6 +69,60 @@ object NgramLm {
     * decimal(18,3)-quantized. Documents with < 2 tokens keep their row
     * with n_bigrams = 0 and NULL scores.
     */
+  /** DSIR-style importance weights (Xie et al. 2023): score every doc by
+    * how much more likely its unigrams are under a TARGET distribution
+    * than under the RAW corpus distribution,
+    * `w(doc) = Σ_tok [ln p_target(tok) − ln p_raw(tok)] / n_tokens`.
+    * Both distributions are add-k over the shared raw vocabulary, so the
+    * two model tables join on the token key exactly like [[score]]'s
+    * bigram join — no driver state, one scan of each slice. High-weight
+    * docs resemble the target domain; resampling by `exp(weight)` (or
+    * top-quantile selection on the weight itself) tilts the corpus
+    * toward it. Per-term log-ratios are decimal(28,12)-quantized before
+    * the exact sum and the mean decimal(18,3)-final, same cross-engine
+    * discipline as [[score]]'s perplexity.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      raw: DataFrame,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"add-k smoothing needs k > 0, got $k")
+    def counts(slice: DataFrame, c: String): DataFrame = slice
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(c))
+    def totals(cnt: DataFrame, c: String, n: String, v: String): DataFrame =
+      cnt.agg(sum(col(c)).as(n), count(lit(1)).as(v))
+    val tc = counts(target, "tc")
+    val rc = counts(raw, "rc")
+    // Shared smoothing support: the raw vocab (the scorable universe).
+    val tTot = totals(tc, "tc", "tn", "tv")
+    val rTot = totals(rc, "rc", "rn", "rv")
+    val lr =
+      log((coalesce(col("tc"), lit(0L)).cast("double") + lit(k)) /
+        (col("tn").cast("double") + lit(k) * col("rv").cast("double"))) -
+      log((coalesce(col("rc"), lit(0L)).cast("double") + lit(k)) /
+        (col("rn").cast("double") + lit(k) * col("rv").cast("double")))
+    val scored = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .join(tc, Seq("tok"), "left")
+      .join(rc, Seq("tok"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .withColumn("lr", lr)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("lr").cast("decimal(28,12)")).cast("double").as("sum_lr"))
+      .select(col(idCol), col("n_tokens"),
+        (col("sum_lr") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double").as("weight"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens"))
+  }
+
   def score(
       docs: DataFrame,
       idCol: String,

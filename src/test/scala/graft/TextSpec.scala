@@ -138,6 +138,16 @@ class TextSpec extends SparkTestBase {
     assert(out(2) == ((12L, 0L, 0L, None, None)), out(2).toString)
   }
 
+  test("DSIR weights tilt toward the target domain on the real corpus") {
+    val out = SparkEntry.queries("q_dsir_weight")(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"lang"), "doc_id")
+    val by = out.filter($"weight".isNotNull)
+      .groupBy($"lang" === "en").agg(avg($"weight")).as[(Boolean, Double)].collect().toMap
+    assert(by(true) > by(false),
+      s"target-domain (en) docs must average a higher importance weight: $by")
+    assert(by(true) > 0, s"en docs should score positive against the mixed raw corpus: $by")
+  }
+
   test("LineDedup: threshold, earliest-owner keep, order-preserving reassembly") {
     val docs = Seq(
       (1L, "keep me\nboiler plate\nunique one"),
