@@ -1912,6 +1912,28 @@ object SparkEntry {
         .drop("contact")
     }),
 
+    // --- beyond-reference: canonical-URL keep-best dedup ---------------
+    // Composition of Urls.canonicalizeUrl with the aggregation-path
+    // keep-best (Dedup.bestRowPerKey: shuffles pre-combined partials,
+    // never whole-row windows): the fetch-dedup step of a crawl pipeline
+    // — same page under case/www/slash/tracking variants keeps the
+    // longest copy (ties: max doc id). The oracle constructs the expected
+    // CANONICAL form directly from the synthesis arithmetic, so any drift
+    // in the Spark-side canonicalization rules breaks the hash.
+    "q_url_dedup" -> ((s, dir) => {
+      val k = col("doc_id")
+      def m(n: Int): Column = pmod(k, lit(n))
+      val url = concat(
+        lit("https://"),
+        when(m(3) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("site"), m(30).cast("string"), lit(".example.org/art/"), m(40).cast("string"),
+        when(m(4) === 0, lit("/")).otherwise(lit("")),
+        when(m(5) === 0, lit("?utm_source=feed")).otherwise(lit("")))
+      val withCanon = t(s, dir, "documents")
+        .select(k, graft.text.Urls.canonicalizeUrl(url).as("canon"), col("n_chars"))
+      graft.core.Dedup.bestRowPerKey(withCanon, Seq("canon"), Seq("n_chars"))
+    }),
+
     // --- beyond-reference: DSIR importance weights ---------------------
     // Domain-tilted resampling (Xie et al. 2023): weight every doc by the
     // mean unigram log-likelihood ratio between a TARGET slice (here the
@@ -3813,6 +3835,24 @@ object SparkEntry {
         |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    'Customer#[0-9]+', '<NAME>', 'g') AS scrubbed
         |FROM c""".stripMargin,
+
+    // The oracle derives each row's canonical URL straight from the
+    // synthesis arithmetic (lowercased www-less host, slash collapsed,
+    // tracking param gone) — an independent statement of what
+    // canonicalizeUrl must produce — then takes the keep-best row with
+    // plain window semantics (max n_chars, ties to max doc_id, matching
+    // bestRowPerKey's struct-max ordering).
+    "q_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 30 AS VARCHAR) || '.example.org/art/' ||
+        |      CAST(doc_id % 40 AS VARCHAR) AS canon,
+        |    n_chars
+        |  FROM documents),
+        |r AS (SELECT doc_id, canon, n_chars,
+        |  row_number() OVER (PARTITION BY canon ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM c)
+        |SELECT doc_id, canon, n_chars FROM r WHERE rn = 1""".stripMargin,
 
     // DSIR oracle: same double-forcing discipline as q_lm_score; the raw
     // vocabulary (rv) is the shared smoothing support for BOTH sides.
