@@ -59,6 +59,7 @@ object GraftExtensions {
       (es => WinnowAnchors(es(0), constInt(es(1), "k-gram length"), constInt(es(2), "window size"))),
     "graft_image_meta" -> (es => ImageMeta(es.head, graft.multimodal.Multimodal.ImageIoCodec)),
     "graft_audio_meta" -> (es => AudioMeta(es.head, graft.multimodal.Multimodal.JavaSoundCodec)),
+    "graft_video_meta" -> (es => VideoMeta(es.head, graft.multimodal.Multimodal.Mp4Codec)),
     // SQL numeric array literals arrive as array<decimal> — cast to the
     // kernel's array<double> input type.
     "graft_gini" -> (es => Gini(Cast(es.head, ArrayType(DoubleType)))),

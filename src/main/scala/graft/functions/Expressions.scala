@@ -666,6 +666,50 @@ case class AudioMeta(child: Expression, codec: graft.multimodal.Multimodal.Audio
     copy(child = newChild)
 }
 
+object VideoMetaImpl {
+  /** Decode video-container metadata through a pluggable codec; null when
+    * the bytes aren't a decodable container. duration_sec derives from
+    * duration/timescale, null when the header declares no timescale.
+    */
+  def compute(
+      codec: graft.multimodal.Multimodal.VideoCodec,
+      bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    codec.videoMeta(bytes) match {
+      case Some((w, h, duration, timescale, brand)) =>
+        val dur: Any =
+          if (timescale > 0) java.lang.Double.valueOf(duration.toDouble / timescale) else null
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          w, h, dur, timescale, org.apache.spark.unsafe.types.UTF8String.fromString(brand)))
+      case None => null
+    }
+}
+
+/** video_meta(bytes) → struct<width,height,duration_sec,timescale,brand>
+  * via a stateless video codec (header-only —
+  * [[graft.multimodal.Multimodal.Mp4Codec]] for real ISO BMFF).
+  * Same design as [[ImageMeta]]: a projection inside whole-stage codegen.
+  */
+case class VideoMeta(child: Expression, codec: graft.multimodal.Multimodal.VideoCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = graft.multimodal.Multimodal.videoMetaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_video_meta"
+  override def nullSafeEval(v: Any): Any =
+    VideoMetaImpl.compute(codec, v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codecRef = ctx.addReferenceObj("videoCodec", codec,
+      classOf[graft.multimodal.Multimodal.VideoCodec].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.VideoMetaImpl.compute($codecRef, $c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+}
+
 object CosineImpl {
   /** Cosine similarity of two equal-length numeric vectors. `aFloat` /
     * `bFloat` select each side's element accessor (the two sides may have

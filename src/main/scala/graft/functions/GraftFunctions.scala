@@ -61,6 +61,12 @@ object GraftFunctions {
   def audioMeta(bytes: Column, codec: graft.multimodal.Multimodal.AudioCodec): Column =
     GraftShim.toColumn(AudioMeta(GraftShim.toExpression(bytes), codec))
 
+  /** Video-container metadata struct from a binary column through a
+    * stateless codec; null struct for undecodable bytes.
+    */
+  def videoMeta(bytes: Column, codec: graft.multimodal.Multimodal.VideoCodec): Column =
+    GraftShim.toColumn(VideoMeta(GraftShim.toExpression(bytes), codec))
+
   /** Codegen'd Bloom-sketch membership probe over an integral key column
     * (null → false). The sketch travels by Broadcast handle, not value.
     * The key is cast to long here; the expression itself rejects

@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   * AUDIO metadata decode is REAL the same way: [[JavaSoundCodec]] reads
   * WAV/AIFF/AU headers with `javax.sound.sampled` (sample rate, channels,
   * bit depth, frame count — header-only, samples never materialized).
-  * Audio RESAMPLING and video frame extraction DO need native libraries
-  * that are not in this container, so those kernels remain clearly-marked
-  * DETERMINISTIC STUBS ([[StubCodec]], [[StubAudioCodec]]). The
-  * Spark-side plumbing — schemas, decoder lifecycle, batch shape, column
-  * contracts — is identical either way; codecs swap via [[ImageCodec]] /
-  * [[AudioCodec]] without touching the dataflow.
+  * VIDEO metadata decode is REAL too: [[Mp4Codec]] walks ISO BMFF
+  * (MP4/MOV) boxes in pure JDK (brand, timescale, duration, video-track
+  * dimensions — mdat skipped by size). Audio RESAMPLING and video FRAME
+  * DECODE do need native libraries that are not in this container, so
+  * those kernels remain clearly-marked DETERMINISTIC STUBS ([[StubCodec]],
+  * [[StubAudioCodec]], [[StubVideoCodec]]). The Spark-side plumbing —
+  * schemas, decoder lifecycle, batch shape, column contracts — is
+  * identical either way; codecs swap via [[ImageCodec]] / [[AudioCodec]] /
+  * [[VideoCodec]] without touching the dataflow.
   */
 object Multimodal {
 
@@ -130,6 +133,116 @@ object Multimodal {
     }
   }
 
+  /** Metadata contract for decoded video containers. `duration_sec` is
+    * null when the header declares no timescale.
+    */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = true),
+    StructField("timescale", LongType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+  ))
+
+  /** Pluggable video decoder: (width, height, duration ticks, timescale,
+    * major brand); None = bytes are not a decodable container.
+    */
+  trait VideoCodec extends Serializable {
+    def videoMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Long, String)]
+  }
+
+  /** Real video metadata decode — a pure-JDK ISO BMFF (MP4/MOV) box walk:
+    * `ftyp` gives the major brand, `moov/mvhd` the timescale + duration,
+    * and the first `moov/trak/tkhd` with nonzero dimensions the video
+    * track's width × height (16.16 fixed point). Header-only like
+    * [[ImageIoCodec]]/[[JavaSoundCodec]]: only box headers and two small
+    * leaf boxes are read — `mdat` (the actual media) is skipped by its
+    * declared size, so cost is independent of asset length. FRAME
+    * DECODE still needs native codecs and stays stubbed; the metadata no
+    * longer does.
+    */
+  object Mp4Codec extends VideoCodec {
+    private val FtypTag = 0x66747970 // 'ftyp'
+    private val MoovTag = 0x6d6f6f76 // 'moov'
+    private val MvhdTag = 0x6d766864 // 'mvhd'
+    private val TrakTag = 0x7472616b // 'trak'
+    private val TkhdTag = 0x746b6864 // 'tkhd'
+
+    def videoMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Long, String)] = {
+      if (bytes == null || bytes.length < 16) return None
+      try walk(java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN))
+      catch { case scala.util.control.NonFatal(_) => None } // truncated/corrupt
+    }
+
+    /** Iterate sibling boxes in [from, to); returns (tag, payloadFrom,
+      * payloadTo) triples lazily via a callback fold.
+      */
+    private def boxes(b: java.nio.ByteBuffer, lo: Int, hi: Int): Iterator[(Int, Int, Int)] =
+      new Iterator[(Int, Int, Int)] {
+        private var pos = lo
+        def hasNext: Boolean = pos + 8 <= hi
+        def next(): (Int, Int, Int) = {
+          val size32 = b.getInt(pos).toLong & 0xffffffffL
+          val tag = b.getInt(pos + 4)
+          val (size, hdr) =
+            if (size32 == 1) (b.getLong(pos + 8), 16) // 64-bit largesize
+            else if (size32 == 0) ((hi - pos).toLong, 8) // box runs to end
+            else (size32, 8)
+          if (size < hdr || pos + size > hi) throw new IllegalArgumentException("bad box size")
+          val r = (tag, pos + hdr, pos + size.toInt)
+          pos += size.toInt
+          r
+        }
+      }
+
+    private def walk(b: java.nio.ByteBuffer): Option[(Int, Int, Long, Long, String)] = {
+      var brand: String = null
+      var moov: (Int, Int) = null
+      boxes(b, 0, b.limit()).foreach {
+        case (FtypTag, f, t) if t - f >= 4 =>
+          brand = new String(Array(b.get(f), b.get(f + 1), b.get(f + 2), b.get(f + 3)),
+            java.nio.charset.StandardCharsets.US_ASCII).trim
+        case (MoovTag, f, t) => moov = (f, t)
+        case _ =>
+      }
+      if (brand == null || moov == null) return None
+      var timescale = 0L
+      var duration = 0L
+      var w = 0
+      var h = 0
+      boxes(b, moov._1, moov._2).foreach {
+        case (MvhdTag, f, _) =>
+          val v = b.get(f) & 0xff
+          if (v == 1) { timescale = b.getInt(f + 20).toLong & 0xffffffffL; duration = b.getLong(f + 24) }
+          else { timescale = b.getInt(f + 12).toLong & 0xffffffffL; duration = b.getInt(f + 16).toLong & 0xffffffffL }
+        case (TrakTag, f, t) if w == 0 =>
+          boxes(b, f, t).foreach {
+            case (TkhdTag, tf, tt) =>
+              val v = b.get(tf) & 0xff
+              // width/height are the LAST 8 payload bytes (16.16 fixed).
+              val tw = b.getInt(tt - 8) >>> 16
+              val th = b.getInt(tt - 4) >>> 16
+              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+            case _ =>
+          }
+        case _ =>
+      }
+      if (w > 0 && h > 0) Some((w, h, duration, timescale, brand)) else None
+    }
+  }
+
+  /** Deterministic fake video decoder (hash-derived plausible metadata) —
+    * lets the text-bytes test tables exercise the video dataflow.
+    */
+  object StubVideoCodec extends VideoCodec {
+    def videoMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Long, String)] = {
+      val hsh = java.util.Arrays.hashCode(bytes)
+      val w = 160 + math.abs(hsh % 8) * 160
+      val h = 120 + math.abs((hsh / 7) % 8) * 120
+      Some((w, h, 1000L + math.abs((hsh / 11) % 100000), 600L, "stub"))
+    }
+  }
+
   /** ============ STUB CODEC ============
     * Deterministic fake decoder: derives plausible metadata and features
     * from a hash of the bytes. The image-metadata member exists so the
@@ -223,6 +336,19 @@ object Multimodal {
       codec: AudioCodec = StubAudioCodec,
   ): DataFrame =
     df.withColumn(outCol, graft.functions.GraftFunctions.audioMeta(col(binaryCol), codec))
+
+  /** Attach decoded video metadata to a binary column. Pass [[Mp4Codec]]
+    * for real MP4/MOV box-walk decode; the default [[StubVideoCodec]]
+    * serves the text-bytes test tables. Undecodable bytes → null struct.
+    * Codegen'd projection, like [[withImageMeta]].
+    */
+  def withVideoMeta(
+      df: DataFrame,
+      binaryCol: String,
+      outCol: String = "video_meta",
+      codec: VideoCodec = StubVideoCodec,
+  ): DataFrame =
+    df.withColumn(outCol, graft.functions.GraftFunctions.videoMeta(col(binaryCol), codec))
 
   /** The mapPartitions variant of [[withImageMeta]]: identical output,
     * but the codec initializes once per partition — the shape a JNI/

@@ -98,6 +98,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") && plan.contains("graft_audio_meta"), plan)
   }
 
+  test("Mp4Codec decodes a REAL ISO BMFF header; audio track skipped; text bytes null") {
+    // Hand-assembled minimal MP4: ftyp(isom) + moov(mvhd + audio trak +
+    // video trak) + mdat. The codec must take the brand from ftyp,
+    // timescale/duration from mvhd, dimensions from the FIRST trak with
+    // nonzero width/height (the audio trak has 0x0), and skip mdat
+    // entirely (its "frames" here are garbage bytes).
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def fullBoxPayload(size: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(size)
+      fill(b)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    // mvhd v0: v+flags, ctime, mtime, timescale=600, duration=1200, then
+    // rate/volume/reserved/matrix/predefined/next_track (zeros).
+    val mvhd = box("mvhd", fullBoxPayload(100) { b =>
+      b.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+    })
+    // tkhd v0: v+flags, ctime, mtime, track_id, reserved, duration,
+    // reserved(8), layer/alt/volume/reserved, matrix(36), width, height
+    // (16.16 fixed at the payload tail).
+    def tkhd(w: Int, h: Int, trackId: Int) = box("tkhd", fullBoxPayload(84) { b =>
+      b.putInt(0).putInt(0).putInt(0).putInt(trackId)
+      b.position(76)
+      b.putInt(w << 16).putInt(h << 16)
+    })
+    val audioTrak = box("trak", tkhd(0, 0, 1))
+    val videoTrak = box("trak", tkhd(320, 240, 2))
+    val moov = box("moov", mvhd ++ audioTrak ++ videoTrak)
+    val mdat = box("mdat", Array.fill[Byte](256)(0x5a))
+    val mp4 = ftyp ++ moov ++ mdat
+    assert(Multimodal.Mp4Codec.videoMeta(mp4).contains((320, 240, 1200L, 600L, "isom")))
+    val assets = Seq((1L, mp4), (2L, "definitely not video".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.withVideoMeta(assets, "content", codec = Multimodal.Mp4Codec)
+    assert(out.schema("video_meta").dataType == Multimodal.videoMetaSchema)
+    val r1 = out.filter($"media_id" === 1L)
+      .select($"video_meta.width", $"video_meta.height", $"video_meta.duration_sec",
+        $"video_meta.timescale", $"video_meta.brand").head()
+    assert((r1.getInt(0), r1.getInt(1), r1.getDouble(2), r1.getLong(3), r1.getString(4)) ==
+      ((320, 240, 2.0, 600L, "isom")))
+    assert(out.filter($"media_id" === 2L).select($"video_meta").head().isNullAt(0),
+      "non-video bytes must yield a null struct, not a crash")
+    // Truncated container: parses as corrupt, never throws.
+    assert(Multimodal.Mp4Codec.videoMeta(mp4.take(40)).isEmpty)
+  }
+
   test("withAudioMeta stub path is deterministic over arbitrary bytes") {
     val a = Multimodal.withAudioMeta(media, "content")
       .select($"media_id", $"audio_meta.sample_rate", $"audio_meta.frames")
