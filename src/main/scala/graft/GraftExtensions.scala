@@ -66,5 +66,6 @@ object GraftExtensions {
     "graft_hpa_classify" ->
       (es => HpaClassify(Cast(es(0), ArrayType(DoubleType)), constDouble(es(1), "low cutoff"))),
     "graft_text_stats" -> (es => TextStats(es.head)),
+    "graft_char_entropy" -> (es => CharEntropy(es.head)),
   )
 }

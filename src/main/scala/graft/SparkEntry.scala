@@ -155,6 +155,34 @@ object SparkEntry {
         .select("s_suppkey", "s_name")
     }),
 
+    // --- full outer: unmatched rows survive on BOTH sides -------------
+    // Finished orders vs the per-order aggregate of near-full-quantity
+    // lines: 'O'/'P' orders appear only on the aggregate side, finished
+    // orders without a qualifying line only on the orders side. Shuffle
+    // on the join key only; the aggregate side is partially combined
+    // map-side before the exchange.
+    "q_join_full" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+      val big = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_big"), dsum(col("l_extendedprice")).as("big_price"))
+      ord
+        .join(big, ord("o_orderkey") === big("l_orderkey"), "full_outer")
+        .select(
+          coalesce(ord("o_orderkey"), big("l_orderkey")).as("orderkey"),
+          when(ord("o_orderkey").isNotNull && big("l_orderkey").isNotNull, "both")
+            .when(ord("o_orderkey").isNotNull, "order_only")
+            .otherwise("lines_only")
+            .as("side"),
+          col("o_totalprice"),
+          col("n_big"),
+          col("big_price"),
+        )
+    }),
+
     // --- J5: null-safe equality join (the ontology-map join shape) ----
     "q_join_nullsafe" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -406,6 +434,25 @@ object SparkEntry {
             round(col("s.n_chars_no_ws").cast("double") / col("s.n_tokens"), 4)).as("mean_token_len"),
           when(col("s.n_tokens") > 0,
             round(col("s.h_en").cast("double") / col("s.n_tokens"), 4)).as("stopword_ratio"),
+        )
+    }),
+
+    // --- beyond-reference: char-distribution entropy quality signal ---
+    // One-pass codegen'd kernel (CharEntropy): per-code-point Shannon
+    // entropy in nats — near-zero flags repeated-filler docs, ~4+ on
+    // ASCII flags random bytes. Scan-side projection, zero shuffles;
+    // determinism contract in CharEntropyImpl (per-term decimal(28,12)
+    // quantization ≡ the DuckDB oracle's CAST, order-free exact sum).
+    "q_char_entropy" -> ((s, dir) => {
+      val ce = graft.functions.GraftFunctions.charEntropy(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ce.as("ce"))
+        .select(
+          col("doc_id"),
+          col("ce.n_chars").as("n_chars"),
+          col("ce.n_distinct").as("n_distinct"),
+          col("ce.ent_nats").as("ent_nats"),
+          (col("ce.ent_nats") < 2.0).as("low_entropy"),
         )
     }),
 
@@ -2600,6 +2647,21 @@ object SparkEntry {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)""".stripMargin,
 
+    "q_join_full" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |), big AS (
+        |  SELECT l_orderkey, count(*) AS n_big,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS big_price
+        |  FROM lineitem WHERE l_quantity >= 48 GROUP BY l_orderkey
+        |)
+        |SELECT coalesce(o_orderkey, l_orderkey) AS orderkey,
+        |  CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'both'
+        |       WHEN o_orderkey IS NOT NULL THEN 'order_only'
+        |       ELSE 'lines_only' END AS side,
+        |  o_totalprice, n_big, big_price
+        |FROM ord FULL JOIN big ON o_orderkey = l_orderkey""".stripMargin,
+
     "q_join_nullsafe" ->
       """WITH cust AS (
         |  SELECT c_custkey, CASE WHEN c_nationkey % 7 <> 0 THEN c_nationkey END AS nk FROM customer
@@ -2731,6 +2793,21 @@ object SparkEntry {
         |    THEN round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
         |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS DOUBLE) / len(toks), 4) END AS stopword_ratio
         |FROM base""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        |), spread AS (
+        |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+        |)
+        |SELECT doc_id,
+        |  CAST(max(n) AS INT) AS n_chars,
+        |  CAST(count(*) AS INT) AS n_distinct,
+        |  CAST(-sum(CAST((c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE) AS ent_nats,
+        |  CAST(-sum(CAST((c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE) < 2.0 AS low_entropy
+        |FROM spread GROUP BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH base AS (

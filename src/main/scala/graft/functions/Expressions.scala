@@ -471,6 +471,80 @@ case class TextStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object CharEntropyImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Shannon entropy of the per-code-point distribution of `text`, in
+    * nats, plus the code-point count and distinct-alphabet size — the
+    * classic gibberish/binary-blob quality signal (near-zero entropy =
+    * repeated filler; > ~4.3 nats on ASCII text = random bytes).
+    *
+    * Oracle-parity arithmetic (README determinism rules): each term
+    * p·ln p is quantized exactly the way Spark's `Cast` quantizes a
+    * double to decimal(28,12) — `BigDecimal(Double.toString(v))`
+    * rounded HALF_UP — then summed exactly, so the DuckDB oracle's
+    * `sum(CAST(p*ln(p) AS DECIMAL(28,12)))` reproduces the sum
+    * independent of accumulation order. The p = c/n form keeps every
+    * term in [−1/e, 0], where a 1-ulp libm `ln` divergence cannot move
+    * the 12-decimal rounding (the c·ln c form reaches ~N·ln N, where it
+    * can).
+    */
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Integer] = null
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Integer]()
+        other.merge(cp, 1, (a, b) => a + b)
+      }
+    }
+    if (n == 0) // entropy of nothing: (0, 0, 0.0) keeps the struct
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0.0)) // non-null (defineCodeGen assumes it)
+    val nD = n.toDouble
+    var distinct = 0
+    var sum = java.math.BigDecimal.ZERO
+    def add(c: Int): Unit = {
+      distinct += 1
+      val p = c.toDouble / nD
+      val term = p * Math.log(p)
+      sum = sum.add(
+        new java.math.BigDecimal(java.lang.Double.toString(term))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    var cp = 0
+    while (cp < 128) { if (ascii(cp) > 0) add(ascii(cp)); cp += 1 }
+    if (other != null) other.values().forEach(c => add(c))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, sum.negate().doubleValue()))
+  }
+}
+
+/** char_entropy(text) → struct<n_chars, n_distinct, ent_nats> in one
+  * pass; (0, 0, 0.0) on empty input. See [[CharEntropyImpl.compute]]
+  * for the cross-engine determinism contract.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("ent_nats", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_char_entropy"
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyImpl.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 object GiniImpl {
   /** Gini coefficient, one pass after sort (reference
     * `baseline_expression/metrics.py:15-28`): Σ(2i−n−1)·xᵢ / (n·Σx) on

@@ -41,6 +41,12 @@ object GraftFunctions {
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))
 
+  /** One-pass per-code-point Shannon entropy → struct<n_chars,
+    * n_distinct, ent_nats>; (0,0,0.0) on empty input.
+    */
+  def charEntropy(text: Column): Column =
+    GraftShim.toColumn(CharEntropy(GraftShim.toExpression(text)))
+
   /** One-pass Gini; input must be array<double>. */
   def gini(values: Column): Column =
     GraftShim.toColumn(Gini(GraftShim.toExpression(values)))

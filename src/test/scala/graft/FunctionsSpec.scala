@@ -67,4 +67,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(shared > 16, s"expected most minhashes shared, got $shared/32")
     assert(shared < 32)
   }
+
+  test("charEntropy: uniform alphabet -> ln k, constant -> 0, empty -> zeros, code points") {
+    val df = Seq(
+      ("uniform4", "abcd" * 25),       // 4 equiprobable chars -> ln 4
+      ("constant", "aaaaaaaa"),        // one char -> 0 entropy
+      ("empty", ""),
+      ("coin", "abababab"),            // 2 equiprobable -> ln 2
+      ("astral", "😀😀ab"), // U+1F600 x2 + a + b: 4 code points
+    ).toDF("k", "s").select($"k", GraftFunctions.charEntropy($"s").as("ce"))
+    val m = df.select($"k", $"ce.n_chars", $"ce.n_distinct", $"ce.ent_nats")
+      .as[(String, Int, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("uniform4")._1 == 100 && m("uniform4")._2 == 4)
+    assert(math.abs(m("uniform4")._3 - math.log(4.0)) < 1e-9)
+    assert(m("constant") == ((8, 1, 0.0)))
+    assert(m("empty") == ((0, 0, 0.0)))
+    assert(math.abs(m("coin")._3 - math.log(2.0)) < 1e-9)
+    // surrogate pair counted as ONE code point; distribution {2/4, 1/4, 1/4}
+    assert(m("astral")._1 == 4 && m("astral")._2 == 3)
+    val h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(math.abs(m("astral")._3 - h) < 1e-9)
+  }
+
+  test("charEntropy through SQL registration") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT graft_char_entropy('abab').ent_nats AS e").head().getDouble(0)
+    assert(math.abs(r - math.log(2.0)) < 1e-9)
+  }
 }

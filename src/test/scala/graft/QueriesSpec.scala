@@ -11,6 +11,13 @@ class QueriesSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("q_join_full keeps unmatched rows from BOTH sides") {
+    val sides = SparkEntry.queries("q_join_full")(spark, sf)
+      .groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("both", "order_only", "lines_only"), s"got $sides")
+  }
+
   test("all queries execute and return rows at sf0.001 (except known-empty)") {
     val mayBeEmpty = Set("q_join_anti") // every sf0.001 customer has orders
     SparkEntry.queries.foreach { case (name, fn) =>
