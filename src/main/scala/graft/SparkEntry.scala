@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KMeans, NearDup}
+import graft.similarity.{Ann, KMeans, NearDup, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -804,6 +804,19 @@ object SparkEntry {
       survivors
         .join(keepers, Seq("fp", "doc_id"), "left_semi")
         .select("doc_id", "lang_pred", "n_tokens")
+    }),
+
+    // --- beyond-reference: lexical kNN via inverted index -------------
+    // Embedding-free top-k similar docs: TF-IDF cosine over word
+    // 3-gram shingles, postings self-join bounded by the df cap (see
+    // SparseSim scaladoc for the shuffle/fan-out budget). Every
+    // cross-row double sum is decimal(28,12)-quantized → DuckDB oracle
+    // is hash-exact.
+    "q_sparse_topk" -> ((s, dir) => {
+      val p = SparseSim.postings(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        shingleLen = 3, dfCap = 100)
+      SparseSim.topKNeighbors(p, k = 5)
     }),
 
     // --- beyond-reference: brute-force cosine top-k ANN ---------------
@@ -3071,6 +3084,39 @@ object SparkEntry {
         |SELECT s.doc_id, s.lang_pred, s.n_tokens
         |FROM survivors s
         |WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.fp = s.fp AND k.doc_id = s.doc_id)""".stripMargin,
+
+    "q_sparse_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |terms AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM tf JOIN dfx USING (term), nd
+        |  WHERE df <= 100 AND df < n_docs),
+        |norms AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM w GROUP BY doc_id),
+        |p AS (SELECT doc_id, term, w / norm AS u FROM w JOIN norms USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |    CAST(sum(CAST(a.u * b.u AS DECIMAL(28,12))) AS DOUBLE) AS cos
+        |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |sym AS (
+        |  SELECT doc_a, doc_b, n_shared, cos FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, n_shared, cos FROM pairs)
+        |SELECT doc_a, doc_b, n_shared, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
+        |  FROM sym)
+        |WHERE rn <= 5""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (

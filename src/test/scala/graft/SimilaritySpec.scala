@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.similarity.{Ann, KMeans, NearDup}
+import graft.similarity.{Ann, KMeans, NearDup, SparseSim}
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -296,5 +296,28 @@ class SimilaritySpec extends SparkTestBase {
     val cs = out.select("cluster").distinct().as[Int].collect()
     assert(cs.forall(c => c >= 0 && c < 8))
     assert(out.agg(min($"sim")).head().getDouble(0) >= -1.0000001)
+  }
+
+  test("sparse lexical kNN: near-dups rank first, df-cap drops ubiquitous shingles, disjoint docs never pair") {
+    // Every doc shares the "common common common" shingle — with dfCap=3
+    // (< 4 docs) it leaves the vector space, so d4 (only that shingle)
+    // has NO postings and pairs with nobody.
+    val docs = Seq(
+      (1L, "common common common alpha beta gamma delta epsilon"),
+      (2L, "common common common alpha beta gamma delta zeta"), // near-dup of 1
+      (3L, "common common common totally different words here now"),
+      (4L, "common common common"),
+    ).toDF("doc_id", "text")
+    val p = SparseSim.postings(docs, "doc_id", "text", shingleLen = 3, dfCap = 3)
+    assert(p.filter($"doc_id" === 4L).count() == 0, "capped-out doc must have no postings")
+    // L2 norms are 1 within fp error
+    val norms = p.groupBy("doc_id").agg(sum($"u" * $"u").as("n2")).as[(Long, Double)].collect()
+    norms.foreach { case (_, n2) => assert(math.abs(n2 - 1.0) < 1e-9) }
+    val knn = SparseSim.topKNeighbors(p, k = 2)
+      .select("doc_a", "doc_b", "rn").as[(Long, Long, Int)].collect()
+    val first = knn.filter(_._3 == 1).map(r => r._1 -> r._2).toMap
+    assert(first(1L) == 2L && first(2L) == 1L, s"near-dups must be rank-1 of each other: $first")
+    assert(!knn.exists(r => r._1 == 3L || r._2 == 3L), "doc 3 shares no in-space shingle with 1/2")
+    assert(!knn.exists(r => r._1 == 4L || r._2 == 4L))
   }
 }
