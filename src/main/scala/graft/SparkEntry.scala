@@ -456,6 +456,26 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: DEFLATE-compressibility quality signal -----
+    // CCNet/Dolma-style gzip-compressibility filter (boilerplate and
+    // filler compress far better than natural text; random bytes don't
+    // compress). The deflate byte count depends on the JDK's zlib, so
+    // the oracle is the contract form: exact n_bytes hash-compare plus
+    // per-row envelope booleans DuckDB expects TRUE (the q_approx_stats
+    // pattern); golden relative ordering is pinned in FunctionsSpec.
+    "q_compress_ratio" -> ((s, dir) => {
+      val ds = graft.functions.GraftFunctions.deflateStats(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ds.as("ds"))
+        .select(
+          col("doc_id"),
+          col("ds.n_bytes").as("n_bytes"),
+          (col("ds.ratio") > 0.0 && col("ds.ratio") <= 1.1).as("ratio_in_envelope"),
+          (col("ds.deflate_bytes") < col("ds.n_bytes") || col("ds.n_bytes") < lit(64))
+            .as("compresses_when_sizable"),
+        )
+    }),
+
     // --- beyond-reference: Gopher-style repetition signals -------------
     // Intra-document repetition filters (Rae et al. 2021 "Gopher"
     // MassiveText rules, reused by RefinedWeb/FineWeb): the char share of
@@ -2806,6 +2826,11 @@ object SparkEntry {
         |    THEN round(CAST(len(list_filter(list_transform(toks, x -> lower(x)),
         |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS DOUBLE) / len(toks), 4) END AS stopword_ratio
         |FROM base""".stripMargin,
+
+    "q_compress_ratio" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+        |  TRUE AS ratio_in_envelope, TRUE AS compresses_when_sizable
+        |FROM documents""".stripMargin,
 
     "q_char_entropy" ->
       """WITH chars AS (

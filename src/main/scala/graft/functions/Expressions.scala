@@ -545,6 +545,61 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object DeflateStatsImpl {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One Deflater per executor thread, reset per row — constructing a
+    * native zlib stream per call costs more than the deflate of a small
+    * document. reset() restores a deterministic initial state, so reuse
+    * cannot change output.
+    */
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true) // raw deflate, no zlib header
+  }
+
+  /** DEFLATE-compressibility of the UTF-8 bytes: the classic
+    * templated/repetitive-text signal (highly compressible = boilerplate
+    * or filler; near-incompressible = random bytes). ratio =
+    * deflate_bytes / n_bytes; (0, 0, 0.0) on empty input.
+    *
+    * Exact deflate output depends on the JDK's bundled zlib, so the
+    * ratio is NOT cross-engine oracle-able; the registered query exposes
+    * envelope booleans instead (contract-oracle pattern) and
+    * FunctionsSpec pins relative ordering on golden inputs.
+    */
+  def compute(text: UTF8String): InternalRow = {
+    val in = text.getBytes
+    if (in.length == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0.0))
+    val d = local.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0
+    while (!d.finished()) out += d.deflate(buf)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](in.length, out, out.toDouble / in.length))
+  }
+}
+
+/** deflate_stats(text) → struct<n_bytes, deflate_bytes, ratio>. */
+case class DeflateStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("deflate_bytes", IntegerType, nullable = false),
+    StructField("ratio", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_deflate_stats"
+  override def nullSafeEval(v: Any): Any =
+    DeflateStatsImpl.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateStatsImpl.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateStats =
+    copy(child = newChild)
+}
+
 object GiniImpl {
   /** Gini coefficient, one pass after sort (reference
     * `baseline_expression/metrics.py:15-28`): Σ(2i−n−1)·xᵢ / (n·Σx) on

@@ -47,6 +47,10 @@ object GraftFunctions {
   def charEntropy(text: Column): Column =
     GraftShim.toColumn(CharEntropy(GraftShim.toExpression(text)))
 
+  /** DEFLATE compressibility → struct<n_bytes, deflate_bytes, ratio>. */
+  def deflateStats(text: Column): Column =
+    GraftShim.toColumn(DeflateStats(GraftShim.toExpression(text)))
+
   /** One-pass Gini; input must be array<double>. */
   def gini(values: Column): Column =
     GraftShim.toColumn(Gini(GraftShim.toExpression(values)))

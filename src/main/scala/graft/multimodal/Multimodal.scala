@@ -430,6 +430,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** Ingest a directory of raw media files, one row per file, via
+    * Spark's built-in `binaryFile` source — the production entry point
+    * for media corpora (elsewhere the documents table stands in).
+    * Rows arrive as (path, modificationTime, length, content) and
+    * compose directly with [[withImageMeta]]/[[withAudioMeta]]/
+    * [[withVideoMeta]].
+    *
+    * Scale notes: `glob` prunes at FILE-LISTING time (never opens
+    * non-matching files); many small files are packed into tasks up to
+    * `spark.sql.files.maxPartitionBytes`, so a 100M-file corpus
+    * parallelizes by byte volume, not file count; the source exposes a
+    * `length` column — push a `col("length") < limit` filter BEFORE any
+    * decode to keep pathological blobs out of executor memory.
+    */
+  def readBinaryDir(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*",
+      recursive: Boolean = true): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
+      .load(dir)
+
   /** Build a media table from the documents test table: text bytes stand
     * in for encoded media (the plumbing under test, not the codec).
     */

@@ -89,6 +89,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(m("astral")._3 - h) < 1e-9)
   }
 
+  test("deflateStats: repetitive << natural << random compressibility ordering") {
+    val rnd = new scala.util.Random(42)
+    val random = Array.fill(4000)((rnd.nextInt(94) + 33).toChar).mkString // printable noise
+    val natural = ("the quick brown fox jumps over the lazy dog while seventeen " +
+      "green bottles stand quietly on the wall near the old stone bridge ") * 30
+    val repetitive = "all work and no play makes jack a dull boy " * 90
+    val df = Seq(
+      ("random", random), ("natural", natural), ("repetitive", repetitive), ("empty", ""),
+    ).toDF("k", "s").select($"k", GraftFunctions.deflateStats($"s").as("d"))
+    val m = df.select($"k", $"d.n_bytes", $"d.deflate_bytes", $"d.ratio")
+      .as[(String, Int, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("empty") == ((0, 0, 0.0)))
+    assert(m("random")._1 == 4000)
+    assert(m("repetitive")._3 < m("natural")._3, "boilerplate must compress better than prose")
+    assert(m("natural")._3 < m("random")._3, "prose must compress better than noise")
+    assert(m("repetitive")._3 < 0.05, s"90x-repeated line should collapse, got ${m("repetitive")._3}")
+    assert(m("random")._3 > 0.8 && m("random")._3 <= 1.1)
+    // determinism across re-evaluation (thread-local Deflater reset contract)
+    val again = df.select($"d.deflate_bytes").as[Int].collect().sorted.toSeq
+    assert(again == m.values.map(_._2).toSeq.sorted)
+  }
+
   test("charEntropy through SQL registration") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("SELECT graft_char_entropy('abab').ent_nats AS e").head().getDouble(0)

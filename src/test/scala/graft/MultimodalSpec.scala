@@ -215,4 +215,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx == Seq(0, 1, 2, 3))
     assert(out.schema("frame").dataType.typeName == "binary")
   }
+
+  test("readBinaryDir ingests real files: glob prunes, recursion descends, metadata decodes") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media").toString
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def wav(rate: Float, frames: Int): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](frames * fmt.getFrameSize)), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    Files.write(Paths.get(dir, "a.png"), png(17, 9))
+    Files.write(Paths.get(dir, "b.png"), png(5, 5))
+    Files.createDirectory(Paths.get(dir, "sub"))
+    Files.write(Paths.get(dir, "sub", "c.wav"), wav(8000f, 4000))
+    Files.write(Paths.get(dir, "decoy.txt"), "not media".getBytes("UTF-8"))
+
+    val pngs = Multimodal.readBinaryDir(spark, dir, glob = "*.png")
+    assert(pngs.count() == 2, "glob must prune at listing time")
+    val dims = Multimodal.withImageMeta(pngs, "content", codec = Multimodal.ImageIoCodec)
+      .select($"image_meta.width", $"image_meta.height").as[(Int, Int)].collect().toSet
+    assert(dims == Set((17, 9), (5, 5)))
+
+    val wavs = Multimodal.readBinaryDir(spark, dir, glob = "*.wav") // sub/ via recursion
+    val au = Multimodal.withAudioMeta(wavs, "content", codec = Multimodal.JavaSoundCodec)
+      .select($"audio_meta.sample_rate", $"audio_meta.duration_sec").as[(Int, Double)].collect()
+    assert(au.toSeq == Seq((8000, 0.5)))
+
+    val all = Multimodal.readBinaryDir(spark, dir)
+    assert(all.count() == 4)
+    // length column is real file size, usable as a pre-decode guard
+    val bySize = all.select("length").as[Long].collect()
+    assert(bySize.forall(_ > 0))
+    val nonRec = Multimodal.readBinaryDir(spark, dir, recursive = false)
+    assert(nonRec.count() == 3, "recursive=false must skip sub/")
+  }
 }
