@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.similarity.NearDup
+import graft.similarity.SparseSim
 
 /** Ad-hoc stage profiler for perf work — not part of the library surface. */
 object Scratch {
@@ -28,20 +28,14 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val cands = NearDup.minhashCandidates(docs, "doc_id", "text",
-      shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000)
-    time("candidates only") { noop(cands) }
-    val pairs = NearDup.jaccardVerify(cands, docs, "doc_id", "text",
-      shingleLen = 3, minJaccard = 0.5)
-    time("candidates+verify") { noop(pairs) }
-    time("full clusters (cc fixed)") {
-      noop(NearDup.connectedComponents(pairs, "doc_id_a", "doc_id_b",
-        maxIter = 6, fixedIterations = true))
+    time("postings only") {
+      noop(SparseSim.postings(docs, "doc_id", "text", 3, 100))
     }
-    time("full clusters (cc adaptive)") {
-      noop(NearDup.connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b"))
+    time("full topk") {
+      noop(SparseSim.topKNeighbors(SparseSim.postings(docs, "doc_id", "text", 3, 100), 5))
     }
-    println("[scratch] pairs rows = " + pairs.count())
+    val pr = SparseSim.topKNeighbors(SparseSim.postings(docs, "doc_id", "text", 3, 100), 5)
+    println("[scratch] knn rows = " + pr.count())
     spark.stop()
   }
 }

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * encoder is available (the lexical complement of `Ann`'s dense path).
   *
   * Scale shape (the reason this is an inverted index and not doc×doc):
-  *  - the postings self-join shuffles once on the shingle; per-term
-  *    fan-out is bounded by `dfCap`² because ultra-common shingles are
-  *    excluded from the vector space entirely (they carry ~zero IDF
-  *    signal and would alone produce O(df²) candidate pairs — the same
-  *    hot-set cut as `q_boilerplate`);
+  *  - pair generation shuffles the postings ONCE on the shingle and
+  *    emits each a<b pair from the grouped posting list (successor
+  *    slice — no self-join); per-term fan-out is bounded by `dfCap`²
+  *    because ultra-common shingles are excluded from the vector space
+  *    entirely (they carry ~zero IDF signal and would alone produce
+  *    O(df²) candidate pairs — the same hot-set cut as `q_boilerplate`);
   *  - pair partial products combine map-side into the (doc_a, doc_b)
   *    aggregation, so the second shuffle carries one row per candidate
   *    pair, not one per shared term;
@@ -45,12 +46,14 @@ object SparseSim {
       col(idCol).as("doc_id"),
       explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
     // tf feeds BOTH the df aggregation and the weight join; w feeds BOTH
-    // the norm aggregation and the postings join; the returned postings
-    // feed both sides of the kNN self-join. Each is lazily
+    // the norm aggregation and the postings join. Each is lazily
     // localCheckpointed (the NearDup discipline) — otherwise every
     // consumer re-expands the full tokenize→tf lineage and the corpus
     // is re-scanned per consumer (observed: 48 parquet scans in the
-    // un-checkpointed q_sparse_topk plan).
+    // un-checkpointed q_sparse_topk plan). The returned postings are
+    // NOT checkpointed: topKNeighbors consumes them exactly once
+    // (successor-pair emission, no self-join); callers that fan out
+    // should checkpoint at their own multi-consumer point.
     val tf = terms
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -71,7 +74,6 @@ object SparseSim {
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")).as("norm"))
     w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
-      .localCheckpoint(eager = false)
   }
 
   /** k-nearest-neighbor graph from an inverted index: cosine for every
@@ -81,15 +83,23 @@ object SparseSim {
     * cos, rn)`.
     */
   def topKNeighbors(postings: DataFrame, k: Int = 5): DataFrame = {
-    val a = postings.select(col("doc_id").as("doc_a"), col("term"), col("u").as("ua"))
-    val b = postings.select(col("doc_id").as("doc_b"), col("term"), col("u").as("ub"))
-    val pairs = a
-      .join(b, Seq("term"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // Successor-pair emission (the NearDup bucket pattern): ONE shuffle
+    // groups each term's posting list, then every a<b pair falls out of
+    // posexplode + a successor slice — codegen'd Generates, no
+    // self-join, no second exchange of the postings, and each unordered
+    // pair is produced exactly once. List width is bounded by the
+    // postings' dfCap, so per-row fan-out is ≤ cap(cap−1)/2.
+    val pairs = postings
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("u"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(array_sort(col("ps")).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(
         count(lit(1)).as("n_shared"),
-        sum((col("ua") * col("ub")).cast("decimal(28,12)")).cast("double").as("cos"))
+        sum((col("a.u") * col("b.u")).cast("decimal(28,12)")).cast("double").as("cos"))
     val sym = pairs.unionByName(
       pairs.select(
         col("doc_b").as("doc_a"),

@@ -37,6 +37,38 @@ object DocsStream {
       .drop("stats")
   }
 
+  /** Stateless quality gate: the Gopher/CCNet-style drop rules over the
+    * one-pass kernels — token floor (TextStats), char-distribution
+    * entropy floor (CharEntropy: near-zero = repeated filler), and a
+    * DEFLATE-compressibility band (DeflateStats: far-left = boilerplate
+    * that compresses to nothing, ≥1 = binary noise). A pure codegen'd
+    * projection+filter per micro-batch — no state, no shuffle — and the
+    * SAME expressions the batch queries use (q_text_quality,
+    * q_char_entropy, q_compress_ratio), so stream ≡ batch by
+    * construction (pinned in StreamingSpec anyway). Surviving rows keep
+    * the three signals as columns for downstream routing.
+    */
+  def qualityGated(
+      docs: DataFrame,
+      textCol: String = "text",
+      minTokens: Int = 10,
+      minEntropyNats: Double = 1.5,
+      deflateBand: (Double, Double) = (0.05, 1.0),
+  ): DataFrame = {
+    val st = graft.functions.GraftFunctions.textStats(col(textCol))
+    val ce = graft.functions.GraftFunctions.charEntropy(col(textCol))
+    val ds = graft.functions.GraftFunctions.deflateStats(col(textCol))
+    docs
+      .withColumn("n_tokens", st.getField("n_tokens"))
+      .withColumn("ent_nats", ce.getField("ent_nats"))
+      .withColumn("deflate_ratio", ds.getField("ratio"))
+      .filter(
+        col("n_tokens") >= minTokens &&
+          col("ent_nats") >= minEntropyNats &&
+          col("deflate_ratio") > deflateBand._1 &&
+          col("deflate_ratio") < deflateBand._2)
+  }
+
   /** Streaming fuzzy-exact dedup: drop any document whose normalized
     * (case/punctuation/whitespace) fingerprint was already seen within the
     * watermark horizon — re-crawled pages with cosmetic edits never

@@ -293,6 +293,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocsStream.qualityGated drops filler/noise under streaming, identical to batch") {
+    val dir = tmpDir("stream_docs_gate")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val prose = "the quick brown fox jumps over the lazy dog near the old stone bridge every day"
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(600)((rnd.nextInt(94) + 33).toChar).mkString // incompressible
+    val docs = Seq(
+      (1L, prose, t0),                       // keeps: tokens, entropy, band all pass
+      (2L, "spam spam spam " * 200, t0),    // 3000 B of filler: deflate ratio ~0.01, below band
+      (3L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", t0), // entropy ~0 and 1 token
+      (4L, "too short", t0),                 // token floor
+      (5L, noise, t0),                       // incompressible: ratio ≥ 1 (and 1 token)
+    ).toDF("doc_id", "text", "ingest_time")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(DocsStream.qualityGated(stream), "docs_gated")
+    try {
+      val streamed = spark.table("docs_gated").select("doc_id").as[Long].collect().toSet
+      val batch = DocsStream.qualityGated(spark.read.schema(docsSchema).parquet(dir))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "streaming gate diverges from batch")
+      assert(streamed == Set(1L), s"only the prose doc should survive, got $streamed")
+    } finally q.stop()
+  }
+
   test("DocsStream.dedupedDocs drops cosmetic re-crawls across micro-batches") {
     val dir = tmpDir("stream_docs_dedup")
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
