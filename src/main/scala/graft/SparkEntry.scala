@@ -470,7 +470,12 @@ object SparkEntry {
         .select(
           col("doc_id"),
           col("ds.n_bytes").as("n_bytes"),
-          (col("ds.ratio") > 0.0 && col("ds.ratio") <= 1.1).as("ratio_in_envelope"),
+          // Small docs get the same escape as compresses_when_sizable:
+          // deflate's ~5-byte block overhead pushes tiny inputs past the
+          // 1.1 ceiling, and an empty doc has ratio 0.0 — both are
+          // fine, not envelope violations.
+          (col("ds.n_bytes") < lit(64) ||
+            (col("ds.ratio") > 0.0 && col("ds.ratio") <= 1.1)).as("ratio_in_envelope"),
           (col("ds.deflate_bytes") < col("ds.n_bytes") || col("ds.n_bytes") < lit(64))
             .as("compresses_when_sizable"),
         )
@@ -486,11 +491,16 @@ object SparkEntry {
     // divisions of exact integers (bit-stable across engines); the top
     // 2-gram tie-breaks on (count, gram) descending via max(struct).
     "q_repetition" -> ((s, dir) => {
-      val toks = split(col("text"), "\\s+")
+      // TextAnalysis.tokens, not a raw split: leading whitespace must not
+      // mint an empty token (the oracle trims + filters). Checkpointed —
+      // three consumers (top2, dup5, the id spine) would otherwise each
+      // re-run the scan + both shingle kernels.
+      val toks = graft.text.TextAnalysis.tokens(col("text"))
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).as("n_chars"),
           graft.functions.GraftFunctions.wordShingles(toks, 2).as("g2"),
           graft.functions.GraftFunctions.wordShingles(toks, 5).as("g5"))
+        .localCheckpoint(eager = false)
       val top2 = docs.select(col("doc_id"), col("n_chars"), explode(col("g2")).as("g"))
         .groupBy("doc_id", "n_chars", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id", "n_chars")
@@ -593,7 +603,9 @@ object SparkEntry {
           col("vec_id_a"), col("vec_id_b"),
           graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b")).as("sim"),
         )
-        .filter(col("sim") >= 0.35)
+        // Quantized threshold decision (see q_semdedup): a pair an ulp
+        // from tau must not flip membership between engines.
+        .filter(col("sim").cast("decimal(28,12)") >= lit(new java.math.BigDecimal("0.35")))
         .select(col("vec_id_a"), col("vec_id_b"), round(col("sim"), 6).as("sim"))
     }),
 
@@ -2419,9 +2431,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("v"), col("cluster"))
         .localCheckpoint(false) // two consumers: pair join (both sides) + final left join
       val b = assigned.select(col("cluster"), col("vec_id").as("other_id"), col("v").as("ov"))
+      // The tau decision is quantized (decimal(28,12) vs a DECIMAL
+      // literal) so Spark's sequential dot product and DuckDB's
+      // list_cosine_similarity can't flip a pair that lands within an
+      // ulp of the threshold — the same cross-engine discipline as every
+      // other cross-row double in the registry.
       val dup = assigned.join(b, Seq("cluster"))
         .filter(col("other_id") < col("vec_id") &&
-          graft.functions.GraftFunctions.cosineSim(col("v"), col("ov")) >= 0.35)
+          graft.functions.GraftFunctions.cosineSim(col("v"), col("ov"))
+            .cast("decimal(28,12)") >= lit(new java.math.BigDecimal("0.35")))
         .groupBy("cluster", "vec_id")
         .agg(count(lit(1)).as("n_near"), min(col("other_id")).as("attached_to"))
       assigned.join(dup, Seq("cluster", "vec_id"), "left")
@@ -2550,7 +2568,8 @@ object SparkEntry {
       |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no, lines[CAST(i AS INT) + 1] AS line
       |      FROM syn, unnest(range(0, len(lines))) AS t(i)),
       |f AS (SELECT line, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS o_doc
-      |      FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+      |      FROM l WHERE trim(line) <> ''  -- blank lines exempt, as in LineDedup
+      |      GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
       |f2 AS (SELECT f.line, f.ndocs, f.o_doc, min(l.line_no) AS o_line
       |       FROM f JOIN l ON l.line = f.line AND l.doc_id = f.o_doc GROUP BY 1, 2, 3),
       |k AS (SELECT l.doc_id, l.line_no, l.line,
@@ -2828,7 +2847,7 @@ object SparkEntry {
         |FROM base""".stripMargin,
 
     "q_compress_ratio" ->
-      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
         |  TRUE AS ratio_in_envelope, TRUE AS compresses_when_sizable
         |FROM documents""".stripMargin,
 
@@ -2936,7 +2955,7 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+        |WHERE CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,12)) >= 0.35""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE docs AS (
@@ -3237,7 +3256,7 @@ object SparkEntry {
          |dup AS (
          |  SELECT a.cid, a.vec_id, count(*) AS n_near, min(b.vec_id) AS attached_to
          |  FROM av a JOIN av b ON a.cid = b.cid AND b.vec_id < a.vec_id
-         |    AND list_cosine_similarity(a.v, b.v) >= 0.35
+         |    AND CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,12)) >= 0.35
          |  GROUP BY a.cid, a.vec_id)
          |SELECT av.vec_id, av.cid AS cluster, dup.attached_to,
          |  CAST(coalesce(dup.n_near, 0) AS BIGINT) AS n_near,
@@ -4005,7 +4024,8 @@ object SparkEntry {
     // DSIR oracle: same double-forcing discipline as q_lm_score; the raw
     // vocabulary (rv) is the shared smoothing support for BOTH sides.
     "q_dsir_weight" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      """WITH d AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |tc AS (SELECT tok, count(*) AS tc FROM (SELECT unnest(toks) AS tok FROM d WHERE lang = 'en') GROUP BY tok),
         |rc AS (SELECT tok, count(*) AS rc FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
         |ttot AS (SELECT CAST(sum(tc) AS BIGINT) AS tn FROM tc),
@@ -4040,7 +4060,8 @@ object SparkEntry {
     // DECIMAL arithmetic — the q_pagerank ulp trap). Same decimal
     // quantization ladder as the Spark side.
     "q_lm_score" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
         |tr AS (SELECT * FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
         |trev AS (SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
         |         FROM tr, unnest(range(1, len(toks))) AS t(i)),

@@ -18,7 +18,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object Xml {
 
   /** Extract one row per `recordTag` element: each requested field is the
-    * text of the first descendant element with that local name. All
+    * DIRECT text of the first descendant element with that local name —
+    * text up to the element's first child, ElementTree `.text` semantics
+    * (the reference reads `elem.find(name).text`). Capture therefore ends
+    * at ANY child element start, not just requested ones, which keeps the
+    * value independent of which other fields were requested — the DSv2
+    * twin relies on that invariance for pushed-down column pruning. All
     * columns are strings (cast downstream, same as the reference).
     */
   def readRecords(
@@ -45,9 +50,18 @@ object Xml {
             if (name == recordTag) {
               inRecord = true
               current = scala.collection.mutable.Map.empty
-            } else if (inRecord && fields.contains(name) && !current.contains(name)) {
-              capture = name
-              sb.clear()
+            } else if (inRecord) {
+              // A child element ends the enclosing capture (.text rule):
+              // commit what we have so the value never depends on whether
+              // the child itself was requested.
+              if (capture != null) {
+                current.put(capture, sb.toString.trim)
+                capture = null
+              }
+              if (fields.contains(name) && !current.contains(name)) {
+                capture = name
+                sb.clear()
+              }
             }
           case XMLStreamConstants.CHARACTERS if capture != null =>
             sb.append(reader.getText)

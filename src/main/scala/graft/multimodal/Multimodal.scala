@@ -210,19 +210,30 @@ object Multimodal {
       var duration = 0L
       var w = 0
       var h = 0
+      // Payload-size guards everywhere: a truncated mvhd/tkhd must fall
+      // through to None, not read bytes belonging to a sibling box (the
+      // catch only traps overruns past the buffer, not underruns into
+      // valid earlier bytes). Width/height live at FIXED version-dependent
+      // offsets (ISO 14496-12 §8.3.2) — reading "the last 8 payload
+      // bytes" is equivalent only when the box size is exactly right.
       boxes(b, moov._1, moov._2).foreach {
-        case (MvhdTag, f, _) =>
+        case (MvhdTag, f, t) if t - f >= 4 =>
           val v = b.get(f) & 0xff
-          if (v == 1) { timescale = b.getInt(f + 20).toLong & 0xffffffffL; duration = b.getLong(f + 24) }
-          else { timescale = b.getInt(f + 12).toLong & 0xffffffffL; duration = b.getInt(f + 16).toLong & 0xffffffffL }
+          if (v == 1 && t - f >= 32) {
+            timescale = b.getInt(f + 20).toLong & 0xffffffffL; duration = b.getLong(f + 24)
+          } else if (v == 0 && t - f >= 20) {
+            timescale = b.getInt(f + 12).toLong & 0xffffffffL; duration = b.getInt(f + 16).toLong & 0xffffffffL
+          }
         case (TrakTag, f, t) if w == 0 =>
           boxes(b, f, t).foreach {
-            case (TkhdTag, tf, tt) =>
+            case (TkhdTag, tf, tt) if tt - tf >= 4 =>
               val v = b.get(tf) & 0xff
-              // width/height are the LAST 8 payload bytes (16.16 fixed).
-              val tw = b.getInt(tt - 8) >>> 16
-              val th = b.getInt(tt - 4) >>> 16
-              if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+              val (wo, need) = if (v == 1) (88, 96) else (76, 84)
+              if (tt - tf >= need) {
+                val tw = b.getInt(tf + wo) >>> 16
+                val th = b.getInt(tf + wo + 4) >>> 16
+                if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+              }
             case _ =>
           }
         case _ =>

@@ -41,7 +41,11 @@ object SparseSim {
       textCol: String,
       shingleLen: Int = 3,
       dfCap: Int = 100): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    // Canonical tokenizer (trim + filter empties) — a raw split("\\s+")
+    // keeps a leading "" token on text with leading whitespace, which
+    // would silently change the shingle set vs the oracle's
+    // list_filter(string_split_regex(trim(text),'\s+'), x <> '').
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
     val terms = docs.select(
       col(idCol).as("doc_id"),
       explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))

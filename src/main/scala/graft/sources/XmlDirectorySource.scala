@@ -34,14 +34,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   *
   * Semantics match `Xml.readRecords` exactly (one row per `recordTag`
-  * element; each field = trimmed text of the FIRST descendant with that
-  * local name; all columns string): XmlSourceSpec pins multi-file reads
-  * to the union of per-file driver reads. Schema inference reads only
-  * the first record of the lexicographically first file. Column pruning
-  * is pushed down: a 2-column projection captures 2 fields per record,
-  * not the full schema. Paths resolve through the Hadoop FileSystem API,
-  * so the same code reads file:// locally and HDFS/object stores on a
-  * real cluster.
+  * element; each field = trimmed DIRECT text of the FIRST descendant
+  * with that local name — text before its first child, ElementTree
+  * `.text` semantics; all columns string): XmlSourceSpec pins multi-file
+  * reads to the union of per-file driver reads, including a nested-field
+  * case under pruning. Schema inference reads only the first record of
+  * the lexicographically first file. Column pruning is pushed down: a
+  * 2-column projection captures 2 fields per record, not the full
+  * schema — and because capture ends at ANY child element (not just
+  * requested ones), pruning never changes a surviving column's value.
+  * Paths resolve through the session's Hadoop configuration (shipped to
+  * executors via SerializableConfiguration), so `spark.hadoop.fs.*`
+  * settings — S3 credentials, fs.defaultFS — apply the same as for
+  * built-in sources.
   */
 class XmlDirectorySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-xml"
@@ -57,6 +62,15 @@ class XmlDirectorySource extends TableProvider with DataSourceRegister {
 }
 
 object XmlDirectorySource {
+  /** Driver-side Hadoop conf: the active session's (so `spark.hadoop.*`
+    * options — object-store credentials, fs.defaultFS — apply), falling
+    * back to defaults only outside a session (unit construction).
+    */
+  private[sources] def driverHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   private[sources] def recordTag(options: CaseInsensitiveStringMap): String = {
     val tag = options.get("recordTag")
     require(tag != null && tag.nonEmpty, "graft-xml requires option 'recordTag'")
@@ -71,7 +85,7 @@ object XmlDirectorySource {
     val raw = options.get("path")
     require(raw != null && raw.nonEmpty, "graft-xml requires a load path")
     val p = new Path(raw)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(driverHadoopConf())
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
       fs.listStatus(p).toSeq
@@ -96,7 +110,7 @@ object XmlDirectorySource {
     val first = listShards(options).headOption.getOrElse(
       throw new IllegalArgumentException("graft-xml: no .xml files to infer a schema from"))
     val p = new Path(first)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(driverHadoopConf()).open(p)
     try {
       val reader = XmlPartitionReader.newReader(in)
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -155,15 +169,23 @@ private[sources] class XmlScanBuilder(full: StructType, options: CaseInsensitive
   override def planInputPartitions(): Array[InputPartition] =
     XmlDirectorySource.listShards(options).map(XmlShard(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XmlReaderFactory(XmlDirectorySource.recordTag(options), pruned.fieldNames.toSeq)
+    // Capture the session Hadoop conf HERE (driver side) and ship it in
+    // the factory — executors have no active session to read it from.
+    new XmlReaderFactory(
+      XmlDirectorySource.recordTag(options),
+      pruned.fieldNames.toSeq,
+      new org.apache.spark.util.SerializableConfiguration(XmlDirectorySource.driverHadoopConf()))
 }
 
 private[sources] case class XmlShard(path: String) extends InputPartition
 
-private[sources] class XmlReaderFactory(recordTag: String, fields: Seq[String])
+private[sources] class XmlReaderFactory(
+    recordTag: String,
+    fields: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XmlPartitionReader(partition.asInstanceOf[XmlShard].path, recordTag, fields)
+    new XmlPartitionReader(partition.asInstanceOf[XmlShard].path, recordTag, fields, conf.value)
 }
 
 private[sources] object XmlPartitionReader {
@@ -181,11 +203,15 @@ private[sources] object XmlPartitionReader {
   * per task is one record, independent of shard size. Field semantics
   * mirror `core.Xml.readRecords` (first descendant wins, text trimmed).
   */
-private[sources] class XmlPartitionReader(path: String, recordTag: String, fields: Seq[String])
+private[sources] class XmlPartitionReader(
+    path: String,
+    recordTag: String,
+    fields: Seq[String],
+    hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(hadoopConf).open(p)
   }
   private val reader = XmlPartitionReader.newReader(in)
   private val idx = fields.zipWithIndex.toMap
@@ -203,9 +229,20 @@ private[sources] class XmlPartitionReader(path: String, recordTag: String, field
           if (name == recordTag && !inRecord) {
             inRecord = true
             current = scala.collection.mutable.Map.empty
-          } else if (inRecord && idx.contains(name) && !current.contains(name)) {
-            capture = name
-            sb.clear()
+          } else if (inRecord) {
+            // Any child element ends the enclosing capture (ElementTree
+            // `.text` rule, mirrored in core.Xml.readRecords). Committing
+            // here — not only at requested-field starts — is what makes a
+            // pruned read return byte-identical values to a full read when
+            // one requested field nests inside another.
+            if (capture != null) {
+              current.put(capture, sb.toString.trim)
+              capture = null
+            }
+            if (idx.contains(name) && !current.contains(name)) {
+              capture = name
+              sb.clear()
+            }
           }
         case XMLStreamConstants.CHARACTERS if capture != null =>
           sb.append(reader.getText)

@@ -53,7 +53,12 @@ object LineDedup {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("line_no", "line")))
+    // Blank/whitespace-only lines are exempt: paragraph separators and
+    // trailing newlines occur in essentially every document, and treating
+    // "" as boilerplate would strip paragraph structure corpus-wide
+    // (RefinedWeb/C4 line dedup only targets non-trivial repeated lines).
     val shared = lines
+      .filter(trim(col("line")) =!= "")
       .groupBy("line")
       .agg(
         countDistinct(col(idCol)).as("ndocs"),
@@ -94,6 +99,7 @@ object LineDedup {
     docs
       .select(col(idCol), posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as(Seq("line_no", "line")))
+      .filter(trim(col("line")) =!= "") // blank lines exempt (see dedupLines)
       .groupBy("line")
       .agg(
         countDistinct(col(idCol)).as("ndocs"),

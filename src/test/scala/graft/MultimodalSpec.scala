@@ -147,6 +147,11 @@ class MultimodalSpec extends SparkTestBase {
       "non-video bytes must yield a null struct, not a crash")
     // Truncated container: parses as corrupt, never throws.
     assert(Multimodal.Mp4Codec.videoMeta(mp4.take(40)).isEmpty)
+    // Undersized tkhd (4-byte payload): must yield None, not read the
+    // preceding sibling's bytes as 16.16 dimensions.
+    val shortTkhd = box("tkhd", fullBoxPayload(4)(_.putInt(0)))
+    assert(Multimodal.Mp4Codec.videoMeta(
+      ftyp ++ box("moov", mvhd ++ box("trak", shortTkhd)) ++ mdat).isEmpty)
   }
 
   test("withAudioMeta stub path is deterministic over arbitrary bytes") {

@@ -168,6 +168,24 @@ class TextSpec extends SparkTestBase {
     assert(shared == Seq(("boiler plate", 3L, 1L, 1L)), shared.toString)
   }
 
+  test("LineDedup: blank lines are exempt — paragraph structure survives") {
+    // "\n\n" paragraph breaks and trailing newlines put the empty line in
+    // every doc; it must never count as boilerplate.
+    val docs = Seq(
+      (1L, "para one\n\npara two\n"),
+      (2L, "intro\n\nbody\n"),
+      (3L, "alpha\n\nomega\n")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_dropped")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "para one\n\npara two\n", 0L),
+      (2L, "intro\n\nbody\n", 0L),
+      (3L, "alpha\n\nomega\n", 0L)), out.toString)
+    assert(LineDedup.sharedLines(docs, "doc_id", "text", minDocs = 2).isEmpty)
+  }
+
   test("canonicalizeUrl: case, www, default ports, slashes, fragments, tracking params, order") {
     val cases = Seq(
       // scheme+host case-fold, www strip, http default port, trailing slash

@@ -48,6 +48,33 @@ class XmlSourceSpec extends SparkTestBase {
     assert(df.filter($"Code" === "200").head().getAs[String]("Symbol") == null)
   }
 
+  test("graft-xml: nested requested fields — pruning never changes a surviving value") {
+    val dir = tmpDir("xmlnested")
+    // Name's text is interrupted by a nested, REQUESTED Symbol element:
+    // ElementTree `.text` semantics keep "Item 1" (text before the first
+    // child) whether or not Symbol survives pruning.
+    Files.writeString(
+      Paths.get(dir, "part-000.xml"),
+      """<?xml version="1.0"?>
+        |<Feed>
+        |  <Item><Name>Item 1 <Symbol>S0</Symbol> tail</Name><Code>7</Code></Item>
+        |</Feed>
+        |""".stripMargin)
+    val df = spark.read.format("graft-xml")
+      .option("recordTag", "Item")
+      .option("fields", "Name,Symbol,Code")
+      .load(dir)
+    val full = df.collect().head
+    assert(full.getAs[String]("Name") == "Item 1")
+    assert(full.getAs[String]("Symbol") == "S0")
+    val prunedName = df.select("Name").as[String].collect().head
+    assert(prunedName == full.getAs[String]("Name"),
+      "pruning Symbol out must not change Name's captured value")
+    // Driver reader agrees on the same rule.
+    val drv = Xml.readRecords(spark, s"$dir/part-000.xml", "Item", Seq("Name", "Symbol", "Code")).collect().head
+    assert(drv.getAs[String]("Name") == "Item 1" && drv.getAs[String]("Symbol") == "S0")
+  }
+
   test("graft-xml: schema inference reads the first record's child names") {
     val dir = tmpDir("xmlinfer")
     writeShards(dir, 2)
