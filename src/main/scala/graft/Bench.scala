@@ -41,7 +41,15 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop this execution's localCheckpoint blocks (outside the timed
+        // window). Each rep builds fresh DataFrames, so a prior rep's
+        // blocks are pure dead weight — left alone they accumulate across
+        // 3 reps x every checkpointed query and squeeze the unified
+        // memory pool until unrelated queries spill (observed:
+        // q_stouffer_p 0.7 s alone, 7.2 s late in the full suite).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
       }
       name -> times.min
     }
