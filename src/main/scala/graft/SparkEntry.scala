@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KMeans, NearDup, SparseSim}
+import graft.similarity.{Ann, KMeans, NearDup, SemDeDup, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -2417,36 +2417,24 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: semantic dedup (SemDeDup, Abbas et al. 2023) --
-    // Cluster-then-dedup-within-cluster: fitted k-means assigns every
-    // embedding to a cell, then pairwise cosine runs ONLY inside each
-    // cell — Σc² work instead of n², the whole point of the method (and
-    // production additionally caps cell size, the NearDup bucket-cap
-    // pattern). A vector attaches to the smallest earlier id in its cell
-    // with sim >= tau (greedy pruning, deterministic); survivors keep
+    // Cluster-then-dedup-within-cluster via SemDeDup.dedupAuto: fitted
+    // k-means assigns every embedding to a cell, then pairwise cosine runs
+    // ONLY inside each (cluster, subcell) — Σc² work with cᵢ ≤ maxCell
+    // enforced in code (deterministic sub-sharding of oversized cells, the
+    // NearDup bucket-cap pattern), and k derived from the corpus size
+    // (SemDeDup.kForCorpus) so cells stay constant-sized as n grows. At
+    // every oracle scale (n ≤ 8·4096) the derived k is the minK floor of 8
+    // and no cell exceeds the cap, so the plan is bit-identical to the
+    // uncapped k=8 oracle below; at sf1 the ScaleBench row runs k=13 —
+    // the envelope working, not documented. A vector attaches to the
+    // smallest earlier id in its cell with sim >= tau (greedy pruning,
+    // deterministic, decimal(28,12)-quantized threshold); survivors keep
     // NULL attachment. Oracle: the SAME Lloyd rounds as q_semantic_cluster
     // via lloydCtes, then the pair join in SQL.
-    "q_semdedup" -> ((s, dir) => {
-      val assigned = KMeans
-        .lloyd(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, dim = 64, iters = 4)
-        .select(col("id").as("vec_id"), col("v"), col("cluster"))
-        .localCheckpoint(false) // two consumers: pair join (both sides) + final left join
-      val b = assigned.select(col("cluster"), col("vec_id").as("other_id"), col("v").as("ov"))
-      // The tau decision is quantized (decimal(28,12) vs a DECIMAL
-      // literal) so Spark's sequential dot product and DuckDB's
-      // list_cosine_similarity can't flip a pair that lands within an
-      // ulp of the threshold — the same cross-engine discipline as every
-      // other cross-row double in the registry.
-      val dup = assigned.join(b, Seq("cluster"))
-        .filter(col("other_id") < col("vec_id") &&
-          graft.functions.GraftFunctions.cosineSim(col("v"), col("ov"))
-            .cast("decimal(28,12)") >= lit(new java.math.BigDecimal("0.35")))
-        .groupBy("cluster", "vec_id")
-        .agg(count(lit(1)).as("n_near"), min(col("other_id")).as("attached_to"))
-      assigned.join(dup, Seq("cluster", "vec_id"), "left")
-        .select(col("vec_id"), col("cluster"), col("attached_to"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"),
-          col("attached_to").isNull.as("keep"))
-    }),
+    "q_semdedup" -> ((s, dir) =>
+      SemDeDup.dedupAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, tau = new java.math.BigDecimal("0.35"), iters = 4,
+        targetCell = 4096L, minK = 8, maxCell = 4096)),
 
     // --- beyond-reference: PageRank centrality (rows-only) ---------------
     // Power iteration over the part co-purchase graph (edges = q_cooccur's

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.similarity.{Ann, KMeans, NearDup, SparseSim}
+import graft.similarity.{Ann, KMeans, NearDup, SemDeDup, SparseSim}
 
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
@@ -287,6 +287,77 @@ class SimilaritySpec extends SparkTestBase {
       .filter(graft.functions.GraftFunctions.cosineSim($"a.v", $"b.v") >= 0.35)
     assert(pairs.isEmpty, s"kept set not independent at tau: ${pairs.count()} pairs")
     out.unpersist()
+  }
+
+  test("SemDeDup.kForCorpus: k grows with n, floored at minK") {
+    assert(SemDeDup.kForCorpus(500) == 8, "bench-scale corpus must sit on the minK floor")
+    assert(SemDeDup.kForCorpus(8 * 4096) == 8, "envelope edge still on the floor")
+    assert(SemDeDup.kForCorpus(8 * 4096 + 1) == 9, "one past the edge must grow k")
+    assert(SemDeDup.kForCorpus(50000) == 13, "the sf1 ScaleBench configuration")
+    assert(SemDeDup.kForCorpus(1L << 40, targetCell = 1L << 20) == (1 << 20),
+      "100 TB-ish corpus: k = n/targetCell exactly")
+  }
+
+  test("SemDeDup cap is invariant when no cell exceeds it (registry config)") {
+    // The capped plan joins on (cluster, subcell); with every nsub = 1 the
+    // subcell is identically 0 and results must be BIT-identical to an
+    // uncapped cluster-only pair join — the invariance that keeps
+    // q_semdedup hash-exact against its uncapped k=8 DuckDB oracle.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val tau = new java.math.BigDecimal("0.35")
+    val capped = SemDeDup.dedup(emb, "vec_id", "embedding", dim = 64, tau = tau,
+      k = 8, iters = 4, maxCell = 4096)
+      .as[(Long, Int, Option[Long], Long, Boolean)].collect().toSet
+    // Uncapped reference: the r6 registry formulation, inline.
+    val assigned = KMeans.lloyd(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 4)
+      .select($"id".as("vec_id"), $"v", $"cluster").localCheckpoint(false)
+    val b = assigned.select($"cluster", $"vec_id".as("other_id"), $"v".as("ov"))
+    val dup = assigned.join(b, Seq("cluster"))
+      .filter($"other_id" < $"vec_id" &&
+        graft.functions.GraftFunctions.cosineSim($"v", $"ov")
+          .cast("decimal(28,12)") >= lit(tau))
+      .groupBy("cluster", "vec_id")
+      .agg(count(lit(1)).as("n_near"), min($"other_id").as("attached_to"))
+    val uncapped = assigned.join(dup, Seq("cluster", "vec_id"), "left")
+      .select($"vec_id", $"cluster", $"attached_to",
+        coalesce($"n_near", lit(0L)).as("n_near"), $"attached_to".isNull.as("keep"))
+      .as[(Long, Int, Option[Long], Long, Boolean)].collect().toSet
+    assert(capped == uncapped, "non-binding cap changed the answer")
+    // And the registry config genuinely does not bind at this scale.
+    val stats = SemDeDup.cellStats(emb, "vec_id", "embedding", dim = 64, k = 8,
+      iters = 4, maxCell = 4096)
+    assert(stats.filter($"capped").isEmpty, "a cell exceeded the cap at bench scale")
+  }
+
+  test("SemDeDup cap bounds a planted oversized cell") {
+    // 40 near-identical vectors collapse onto one centroid — the exact
+    // degenerate shape (boilerplate corpus) the envelope exists for.
+    // With maxCell=8 the cell hash-splits into 5 subcells; comparisons
+    // run within subcells only, so no vector can see all 39 earlier
+    // neighbors it would see uncapped.
+    def vec(axis: Int, i: Int): Seq[Double] =
+      Seq.tabulate(4)(d => (if (d == axis) 10.0 else 0.0) + 0.01 * ((i + d) % 7))
+    val rows = (0 until 40).map(i => (i.toLong, vec(0, i))) ++
+      (40 until 44).map(i => (i.toLong, vec(1, i)))
+    val docs = rows.toDF("vec_id", "embedding")
+    val tau = new java.math.BigDecimal("0.35")
+    def run(maxCell: Int) =
+      SemDeDup.dedup(docs, "vec_id", "embedding", dim = 4, tau = tau,
+        k = 2, iters = 2, maxCell = maxCell)
+        .as[(Long, Int, Option[Long], Long, Boolean)].collect()
+    val capped = run(8)
+    val uncapped = run(1000)
+    assert(uncapped.map(_._4).max == 39L, "uncapped big cell must see every earlier neighbor")
+    assert(capped.map(_._4).max < 39L, "cap did not bound the within-cell fan-in")
+    // Capping only LOSES comparisons: the kept set can only grow.
+    val keptCapped = capped.filter(_._5).map(_._1).toSet
+    val keptUncapped = uncapped.filter(_._5).map(_._1).toSet
+    assert(keptUncapped.subsetOf(keptCapped), "cap must never attach a pair the uncapped run kept apart")
+    assert(capped.toSet == run(8).toSet, "capped run not deterministic")
+    // cellStats reports the envelope binding: the 40-cell splits 5 ways.
+    val stats = SemDeDup.cellStats(docs, "vec_id", "embedding", dim = 4, k = 2,
+      iters = 2, maxCell = 8).as[(Int, Long, Long, Boolean)].collect()
+    assert(stats.exists(s => s._2 == 40L && s._3 == 5L && s._4), s"stats: ${stats.mkString(",")}")
   }
 
   test("kmeans keeps every vector and clusters within bounds on real embeddings") {
