@@ -97,6 +97,40 @@ object ScaleBench {
         f""""cut_docs_exact":$nExact,"cut_docs_funnel":$nFun,""" +
         f""""exact_sec":$tExact%.2f,"funnel_sec":$tFun%.2f}""")
     }
+
+    // SemDeDup envelope at scale: the k-scaling rule (SemDeDup.kForCorpus)
+    // WORKING, not documented — 1× sf0.1 embeddings sit on the minK floor
+    // (k=8, matching the oracle config), the 10× sf1 replica derives k=13,
+    // holding expected cell size ~constant as n grows; the maxCell hash-
+    // split stands behind it for skewed corpora. `capped_cells` counts
+    // cells past the cap (expected 0 on jittered replicas); near-linear
+    // `sec` growth is the Σc² ≪ n² claim measured.
+    {
+      import graft.similarity.SemDeDup
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
+      def embReplica(k: Int): DataFrame =
+        if (k == 0) embBase
+        else embBase
+          .withColumn("vec_id", col("vec_id") + lit(k * MakeScale.KeyOffset))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, i) => (x + sin(col("vec_id") * (i + 1) * lit(k)) * lit(0.01f)).cast("float")))
+      Seq(1, 10).foreach { n =>
+        val emb = (0 until n).map(embReplica).reduce(_.union(_)).localCheckpoint()
+        val nVec = emb.count()
+        val k = SemDeDup.kForCorpus(nVec)
+        val t0 = System.nanoTime()
+        val out = SemDeDup.dedupAuto(emb, "vec_id", "embedding", dim = 64,
+          tau = new java.math.BigDecimal("0.35")).localCheckpoint()
+        val row = out.agg(
+          count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cappedCells = out.groupBy("cluster").count().filter(col("count") > 4096).count()
+        println(f"""{"op":"semdedup","replicas":$n,"vecs":$nVec,"k":$k,""" +
+          f""""kept":${row.getAs[Long]("kept")},"capped_cells":$cappedCells,"sec":$sec%.2f}""")
+        emb.unpersist()
+      }
+    }
     spark.stop()
   }
 }

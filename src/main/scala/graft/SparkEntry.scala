@@ -851,6 +851,25 @@ object SparkEntry {
       SparseSim.topKNeighbors(p, k = 5)
     }),
 
+    // --- beyond-reference: INCREMENTAL lexical kNN --------------------
+    // The daily-batch path: 90% of the corpus is the standing postings
+    // index (frozen TF-IDF model carried as df/n_docs columns), the
+    // doc_id%10==0 slice arrives as a new batch and is scored against
+    // index ∪ batch WITHOUT ever pairing corpus×corpus — the SparseSim
+    // analogue of q_dedup_incremental. The batch's distinct terms prune
+    // the index via broadcast semi-join before any shuffle; a term-
+    // bucketed index additionally drops the index-side exchange
+    // (LayoutSpec pin). Oracle mirrors the frozen-model weighting in SQL.
+    "q_sparse_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val index = SparseSim.buildPostingsIndex(
+        corpus, idCol = "doc_id", textCol = "text", shingleLen = 3, dfCap = 100)
+      SparseSim.incrementalNeighbors(
+        batch, idCol = "doc_id", textCol = "text", index, shingleLen = 3, k = 5)
+    }),
+
     // --- beyond-reference: brute-force cosine top-k ANN ---------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3148,6 +3167,59 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_shared, cos, rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
         |  FROM sym)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Frozen-model incremental scoring: the corpus half builds the exact
+    // q_sparse_topk weighting (df/n_docs over the CORPUS only); the batch
+    // half re-weights its tf in that model (terms absent from the index
+    // drop out — no IDF exists for them), then pairs batch × (corpus ∪
+    // batch) excluding self. Same decimal(28,12) per-product quantization
+    // → hash-exact.
+    "q_sparse_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |cterms AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3 AND doc_id % 10 <> 0),
+        |ctf AS (SELECT doc_id, term, count(*) AS tf FROM cterms GROUP BY doc_id, term),
+        |cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+        |cnd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 10 <> 0),
+        |cw AS (
+        |  SELECT doc_id, term, df, n_docs,
+        |    tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM ctf JOIN cdf USING (term), cnd
+        |  WHERE df <= 100 AND df < n_docs),
+        |cnorms AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM cw GROUP BY doc_id),
+        |cp AS (SELECT doc_id, term, w / norm AS u FROM cw JOIN cnorms USING (doc_id)),
+        |model AS (SELECT DISTINCT term, df, n_docs FROM cw),
+        |bterms AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3 AND doc_id % 10 = 0),
+        |btf AS (SELECT doc_id, term, count(*) AS tf FROM bterms GROUP BY doc_id, term),
+        |bw AS (
+        |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM btf JOIN model USING (term)),
+        |bnorms AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM bw GROUP BY doc_id),
+        |bp AS (SELECT doc_id, term, w / norm AS u FROM bw JOIN bnorms USING (doc_id)),
+        |all_p AS (
+        |  SELECT doc_id, term, u FROM cp
+        |  UNION ALL
+        |  SELECT doc_id, term, u FROM bp),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |    CAST(sum(CAST(a.u * b.u AS DECIMAL(28,12))) AS DOUBLE) AS cos
+        |  FROM bp a JOIN all_p b ON a.term = b.term AND b.doc_id <> a.doc_id
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, n_shared, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
+        |  FROM pairs)
         |WHERE rn <= 5""".stripMargin,
 
     "q_ann_topk" ->

@@ -40,15 +40,39 @@ object SparseSim {
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      dfCap: Int = 100): DataFrame = {
+      dfCap: Int = 100): DataFrame =
+    weighted(docs, idCol, textCol, shingleLen, dfCap)
+      .select(col("doc_id"), col("term"), col("u"))
+
+  /** The corpus half of INCREMENTAL lexical kNN: postings plus the frozen
+    * IDF model carried as data — `(doc_id, term, u, df, n_docs)`, where
+    * df/n_docs are the corpus-wide term stats the weights were computed
+    * in. At 100 TB the index is written bucketed on `term`
+    * (`core/Layout`), so each arriving batch joins against it without
+    * reshuffling the corpus — the postings analogue of
+    * [[graft.text.SubstringDedup.buildAnchorIndex]]'s anchor store and
+    * [[NearDup.incrementalCandidates]]'s signature store. df is constant
+    * per term (parquet dictionary-encodes it away), and carrying it makes
+    * batch weighting a pure join — no per-batch corpus aggregation.
+    */
+  def buildPostingsIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      dfCap: Int = 100): DataFrame =
+    weighted(docs, idCol, textCol, shingleLen, dfCap)
+
+  private def weighted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      dfCap: Int): DataFrame = {
     // Canonical tokenizer (trim + filter empties) — a raw split("\\s+")
     // keeps a leading "" token on text with leading whitespace, which
     // would silently change the shingle set vs the oracle's
     // list_filter(string_split_regex(trim(text),'\s+'), x <> '').
-    val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val terms = docs.select(
-      col(idCol).as("doc_id"),
-      explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
     // tf feeds BOTH the df aggregation and the weight join; w feeds BOTH
     // the norm aggregation and the postings join. Each is lazily
     // localCheckpointed (the NearDup discipline) — otherwise every
@@ -58,9 +82,7 @@ object SparseSim {
     // NOT checkpointed: topKNeighbors consumes them exactly once
     // (successor-pair emission, no self-join); callers that fan out
     // should checkpoint at their own multi-consumer point.
-    val tf = terms
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCol, shingleLen)
       .localCheckpoint(eager = false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -77,7 +99,121 @@ object SparseSim {
       .groupBy("doc_id")
       .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")).as("norm"))
     w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"),
+        col("df"), col("n_docs"))
+  }
+
+  /** Per-doc term frequencies `(doc_id, term, tf)` — the shared front of
+    * both the batch build and the incremental batch weighting.
+    */
+  private def termFreqs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    docs.select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** New-batch postings in a FROZEN model: each new doc is weighted with
+    * the index's df/n_docs (model-as-data, the [[graft.text.NgramLm]]
+    * discipline — scoring a batch must not silently refit the corpus
+    * statistics). Terms absent from the index leave the vector space:
+    * they carry no corpus-matching signal (no indexed doc has them) and
+    * the frozen model has no IDF for them. Norms are over the doc's
+    * model terms only, decimal-quantized exactly as [[postings]].
+    *
+    * Correct against a pruned OR unpruned index: pruning by term keeps
+    * every (df, n_docs) row of the terms that can match, so the model
+    * join sees identical stats either way.
+    */
+  def postingsInModel(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleLen: Int = 3): DataFrame =
+    postingsFromTf(termFreqs(newDocs, idCol, textCol, shingleLen), index)
+
+  private def postingsFromTf(tf: DataFrame, index: DataFrame): DataFrame = {
+    val model = index.select("term", "df", "n_docs").distinct()
+    val w = tf
+      .join(model, Seq("term"))
+      .withColumn(
+        "w",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .localCheckpoint(eager = false) // two consumers: norm agg + postings join
+    val norms = w
+      .groupBy("doc_id")
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")).as("norm"))
+    w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
+  }
+
+  /** Top-k neighbors of a NEW document batch against (a) the stored
+    * postings index and (b) the batch itself — never corpus × corpus
+    * (the standing corpus's internal pairs were found when the index was
+    * built; re-finding them would redo the whole corpus's work every
+    * batch — the [[NearDup.incrementalCandidates]] rule). Doc-id sets
+    * must be disjoint.
+    *
+    * Scale shape: the index side is cut down by a broadcast of the
+    * (small) batch's distinct terms BEFORE any shuffle, so per-batch
+    * cost scales with the batch — ≤ |batch terms| · dfCap pruned
+    * postings, df having been capped at build time. With a term-bucketed
+    * index (`core/Layout.writeBucketed`) the index-side exchange of the
+    * scoring join disappears entirely (LayoutSpec pins the exchange
+    * count). Cross and batch-internal partial products union into ONE
+    * map-side-combining (doc_a, doc_b) aggregation, then the bounded
+    * per-doc top-k window — the [[topKNeighbors]] tail unchanged.
+    *
+    * Output matches [[topKNeighbors]]: `(doc_a, doc_b, n_shared, cos,
+    * rn)` with doc_a ∈ newDocs; cosines are decimal-quantized per term
+    * product, so a batch scored incrementally returns BIT-identical rows
+    * to the same docs scored by the full machinery in the same model
+    * (SimilaritySpec pins this).
+    */
+  def incrementalNeighbors(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleLen: Int = 3,
+      k: Int = 5): DataFrame = {
+    val newTf = termFreqs(newDocs, idCol, textCol, shingleLen)
+      .localCheckpoint(eager = false) // two consumers: term set + model weighting
+    val batchTerms = newTf.select("term").distinct()
+    // Index pruned to the batch's term set — broadcast semi-join, the
+    // corpus-scale table never shuffles on account of one batch. The
+    // index IS read twice (model distinct + scoring join) — deliberately
+    // NOT checkpointed: materializing would capture batch-local
+    // partitioning and discard the stored bucket layout, re-introducing
+    // the index-side exchange a term-bucketed index exists to remove
+    // (LayoutSpec pins the exchange count). Both reads are cut by the
+    // broadcast semi before any shuffle.
+    val idx = index.join(broadcast(batchTerms), Seq("term"), "left_semi")
+    val newP = postingsFromTf(newTf, idx)
+      .localCheckpoint(eager = false) // two consumers: cross a-side + internal both sides
+    val a = newP.select(col("term"), col("doc_id").as("doc_a"), col("u").as("ua"))
+    val cross = a.join(
+      idx.select(col("term"), col("doc_id").as("doc_b"), col("u").as("ub")),
+      Seq("term"))
+    val internal = a.join(
+        newP.select(col("term"), col("doc_id").as("doc_b"), col("u").as("ub")),
+        Seq("term"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val cand = cross.unionByName(internal)
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum((col("ua") * col("ub")).cast("decimal(28,12)")).cast("double").as("cos"))
+    val win = Window.partitionBy("doc_a").orderBy(col("cos").desc, col("doc_b").asc)
+    cand.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
   }
 
   /** k-nearest-neighbor graph from an inverted index: cosine for every

@@ -114,4 +114,38 @@ class LayoutSpec extends SparkTestBase {
       assert(sB < sP, s"bucketed index should drop the index-side exchange ($sB vs $sP)")
     } finally spark.sql("DROP TABLE IF EXISTS b_anchor_idx")
   }
+
+  test("term-bucketed postings index: incremental lexical kNN skips the index-side shuffle") {
+    import graft.similarity.SparseSim
+    // The 100 TB shape SparseSim.buildPostingsIndex documents: postings
+    // stored bucketed on term, so a batch's scoring join reads the
+    // corpus side in place instead of re-shuffling it per batch. Force
+    // SMJ (disable broadcast) so the pin is about the bucket layout.
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i shared common tokens here w${i % 4}"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "shared common tokens here w1 plus fresh material"),
+      (101L, "shared common tokens here w2 and more words"),
+    ).toDF("doc_id", "text")
+    val index = SparseSim.buildPostingsIndex(corpus, "doc_id", "text", shingleLen = 3, dfCap = 100)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(index, "b_postings_idx", Seq("term"), 8)
+      val viaBucketed = SparseSim.incrementalNeighbors(
+        batch, "doc_id", "text", spark.table("b_postings_idx"), shingleLen = 3, k = 5)
+      val viaPlain = SparseSim.incrementalNeighbors(
+        batch, "doc_id", "text", index, shingleLen = 3, k = 5)
+      val a = viaBucketed.as[(Long, Long, Long, Double, Int)].collect().toSet
+      val b = viaPlain.as[(Long, Long, Long, Double, Int)].collect().toSet
+      assert(a == b && a.nonEmpty && a.map(_._1).subsetOf(Set(100L, 101L)),
+        s"layout must not change the answer: $a vs $b")
+      val (sB, sP) = (countShuffles(viaBucketed), countShuffles(viaPlain))
+      assert(sB < sP, s"bucketed index should drop the index-side exchange ($sB vs $sP)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_postings_idx")
+    }
+  }
 }

@@ -289,6 +289,43 @@ class SimilaritySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("SparseSim incremental: batch vs index ≡ the full machinery in the same frozen model") {
+    // Corpus with internal structure + a batch holding a near-dup of a
+    // corpus doc, a batch-internal near-dup pair, and a doc of entirely
+    // unseen terms. The pin: incrementalNeighbors must return, for the
+    // new docs, EXACTLY the rows the batch machinery (successor-pair
+    // topKNeighbors) produces over the same frozen-model postings —
+    // bit-identical cosines (both paths decimal-quantize per term
+    // product), identical ranks.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different corpus content sits right here friends"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta kappa"), // near-dup of 1/2
+      (11L, "completely different corpus content sits right here indeed"), // near-dup of 3
+      (12L, "completely different corpus content sits right here too"), // near-dup of 3 AND 11
+      (13L, "wholly novel vocabulary never indexed anywhere at all"), // unseen terms only
+    ).toDF("doc_id", "text")
+    val index = SparseSim.buildPostingsIndex(corpus, "doc_id", "text", shingleLen = 3, dfCap = 100)
+      .localCheckpoint()
+    val inc = SparseSim.incrementalNeighbors(batch, "doc_id", "text", index, shingleLen = 3, k = 5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val newIds = Set(10L, 11L, 12L, 13L)
+    assert(inc.map(_._1).subsetOf(newIds), "incremental must never emit corpus-side rows")
+    assert(!inc.exists(r => r._1 == 13L || r._2 == 13L), "unseen-term doc must pair with nobody")
+    assert(inc.exists(r => r._1 == 10L && r._2 <= 2L), "cross batch×corpus pair missing")
+    assert(inc.exists(r => r._1 == 11L && r._2 == 12L), "batch-internal pair missing")
+    // Reference: the same frozen model driven through the batch path.
+    val frozen = index.select($"doc_id", $"term", $"u")
+      .unionByName(SparseSim.postingsInModel(batch, "doc_id", "text", index, shingleLen = 3))
+    val ref = SparseSim.topKNeighbors(frozen, k = 5)
+      .filter($"doc_a".isin(newIds.toSeq: _*))
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(inc == ref, s"incremental diverged from batch-in-model:\n inc=$inc\n ref=$ref")
+  }
+
   test("SemDeDup.kForCorpus: k grows with n, floored at minK") {
     assert(SemDeDup.kForCorpus(500) == 8, "bench-scale corpus must sit on the minK floor")
     assert(SemDeDup.kForCorpus(8 * 4096) == 8, "envelope edge still on the floor")
