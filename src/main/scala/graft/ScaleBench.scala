@@ -99,12 +99,13 @@ object ScaleBench {
     }
 
     // SemDeDup envelope at scale: the k-scaling rule (SemDeDup.kForCorpus)
-    // WORKING, not documented — 1× sf0.1 embeddings sit on the minK floor
-    // (k=8, matching the oracle config), the 10× sf1 replica derives k=13,
-    // holding expected cell size ~constant as n grows; the maxCell hash-
-    // split stands behind it for skewed corpora. `capped_cells` counts
-    // cells past the cap (expected 0 on jittered replicas); near-linear
-    // `sec` growth is the Σc² ≪ n² claim measured.
+    // WORKING, not documented — 1× and 10× sf0.1 embeddings sit on the
+    // minK floor (k=8, matching the oracle config; 2k/20k vecs are both
+    // under the 8·4096 envelope edge), while the 20× replica (40k vecs)
+    // derives k=10, holding expected cell size ~constant as n grows; the
+    // maxCell hash-split stands behind it for skewed corpora.
+    // `capped_cells` counts cells past the cap; near-linear `sec` growth
+    // is the Σc² ≪ n² claim measured.
     {
       import graft.similarity.SemDeDup
       val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet").localCheckpoint()
@@ -114,7 +115,7 @@ object ScaleBench {
           .withColumn("vec_id", col("vec_id") + lit(k * MakeScale.KeyOffset))
           .withColumn("embedding", transform(col("embedding"),
             (x, i) => (x + sin(col("vec_id") * (i + 1) * lit(k)) * lit(0.01f)).cast("float")))
-      Seq(1, 10).foreach { n =>
+      Seq(1, 10, 20).foreach { n =>
         val emb = (0 until n).map(embReplica).reduce(_.union(_)).localCheckpoint()
         val nVec = emb.count()
         val k = SemDeDup.kForCorpus(nVec)

@@ -93,6 +93,12 @@ object Multimodal {
     */
   trait AudioCodec extends Serializable {
     def audioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)]
+
+    /** Re-encode the asset at `targetRate` Hz (canonical 16-bit signed
+      * PCM WAV out — the ML-ingest normal form); None = bytes are not
+      * resampleable audio.
+      */
+    def resample(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]]
   }
 
   /** Real audio header decode on the JDK's `javax.sound.sampled` —
@@ -117,6 +123,48 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => None // truncated/corrupt header
       }
     }
+
+    /** REAL pure-JVM resample: the JDK's sample-rate-conversion provider
+      * (`AudioSystem.getAudioInputStream(targetFormat, src)`) converts
+      * uncompressed WAV/AIFF/AU PCM to 16-bit signed little-endian PCM at
+      * `targetRate` (channel count preserved), re-containered as WAV.
+      * Deterministic — same bytes in, same bytes out. Compressed codecs
+      * (mp3/ogg) still need native decoders and surface as None — the one
+      * remaining documented stub slice, along with video frames. Unlike
+      * [[audioMeta]] this reads the full sample stream (it must), so cost
+      * is linear in asset length — push a `length` filter before the
+      * decode, per [[Multimodal.readBinaryDir]]'s scale notes.
+      */
+    def resample(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+      import javax.sound.sampled._
+      if (bytes == null || bytes.isEmpty || targetRate <= 0) return None
+      try {
+        val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED &&
+            f.getEncoding != AudioFormat.Encoding.PCM_UNSIGNED) None // compressed: stub territory
+          else {
+            val dst = new AudioFormat(targetRate.toFloat, 16, f.getChannels, true, false)
+            if (!AudioSystem.isConversionSupported(dst, f)) None
+            else {
+              val data = AudioSystem.getAudioInputStream(dst, src).readAllBytes()
+              // WAVE writing needs a declared frame count; the converted
+              // stream reports AudioSystem.NOT_SPECIFIED, so re-wrap.
+              val frames = data.length / dst.getFrameSize
+              val out = new java.io.ByteArrayOutputStream(data.length + 44)
+              AudioSystem.write(
+                new AudioInputStream(new java.io.ByteArrayInputStream(data), dst, frames),
+                AudioFileFormat.Type.WAVE, out)
+              Some(out.toByteArray)
+            }
+          }
+        } finally src.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_) => None // truncated/corrupt payload
+      }
+    }
   }
 
   /** Deterministic fake audio decoder (hash-derived plausible metadata) —
@@ -131,6 +179,19 @@ object Multimodal {
       val frames = (1000L + math.abs((h / 11) % 100000)).toLong
       Some((sr, ch, 16, frames, if (h % 2 == 0) "wav" else "aif"))
     }
+
+    /** Fake resample mirroring [[Multimodal.withResized]]'s stand-in
+      * style: the payload is scaled by the rate ratio against the fake
+      * metadata's rate — deterministic byte arithmetic, real dataflow.
+      */
+    def resample(bytes: Array[Byte], targetRate: Int): Option[Array[Byte]] =
+      audioMeta(bytes).map { case (sr, _, _, _, _) =>
+        if (targetRate >= sr) bytes
+        else {
+          val n = math.max(1, ((bytes.length.toLong * targetRate + sr - 1) / sr).toInt)
+          java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
+        }
+      }
   }
 
   /** Metadata contract for decoded video containers. `duration_sec` is
@@ -416,6 +477,28 @@ object Multimodal {
               java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
             }
         }
+    }
+  }
+
+  /** Resample an audio binary column to `targetRate` Hz. Pass
+    * [[JavaSoundCodec]] for the REAL pure-JVM PCM conversion (WAV/AIFF/AU
+    * → 16-bit PCM WAV at the target rate); the default [[StubAudioCodec]]
+    * serves the text-bytes test tables. Undecodable bytes → null output,
+    * never fabricated audio. Runs on the [[withBinaryDerived]]
+    * mapPartitions scaffold — resampling streams the full payload
+    * (unlike the header-only metadata expressions), the shape where
+    * per-partition codec lifecycle and batch iteration matter.
+    */
+  def withResampledAudio(
+      df: DataFrame,
+      binaryCol: String,
+      targetRate: Int,
+      outCol: String = "resampled",
+      codec: AudioCodec = StubAudioCodec,
+  ): DataFrame = {
+    require(targetRate > 0)
+    withBinaryDerived(df, binaryCol, StructField(outCol, BinaryType, nullable = true)) {
+      bytes => codec.resample(bytes, targetRate).orNull
     }
   }
 

@@ -48,7 +48,7 @@ object SemDeDup {
     * floored at `minK`. Constant expected cell size as n grows is the
     * whole point of SemDeDup's Σc² ≪ n² claim — a fixed k makes cells
     * O(n/k) and the within-cell join quadratic again at 100 TB.
-    * kForCorpus(500)=8=kForCorpus(32768); kForCorpus(50_000)=13 — the sf1
+    * kForCorpus(500)=8=kForCorpus(32768); kForCorpus(40_000)=10 — the 20×
     * ScaleBench row exercises the rule, not just documents it.
     */
   def kForCorpus(n: Long, targetCell: Long = 4096L, minK: Int = 8): Int = {

@@ -98,6 +98,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(!plan.contains("SerializeFromObject") && plan.contains("graft_audio_meta"), plan)
   }
 
+  test("JavaSoundCodec resamples a REAL WAV 44.1k->16k: frame counts, format, determinism") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // A real 0.1 s 440 Hz sine at 44.1 kHz mono 16-bit — not silence, so
+    // a broken converter can't pass by accident.
+    def sineWav(rate: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * 2)
+      (0 until frames).foreach { i =>
+        val s = (math.sin(2 * math.Pi * 440 * i / rate) * 10000).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = (s >> 8).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong), AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val src = sineWav(44100, 4410)
+    val assets = Seq(
+      (1L, src),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+    ).toDF("media_id", "content")
+    val out = Multimodal.withResampledAudio(
+        assets, "content", targetRate = 16000, codec = Multimodal.JavaSoundCodec)
+      .select($"media_id", $"resampled").as[(Long, Array[Byte])].collect().toMap
+    assert(out(2L) == null, "non-audio bytes must resample to null, not crash")
+    val meta = Multimodal.JavaSoundCodec.audioMeta(out(1L))
+    assert(meta.isDefined, "resampled output must itself be decodable WAV")
+    val (sr, ch, bits, frames, _) = meta.get
+    assert(sr == 16000 && ch == 1 && bits == 16, s"got ($sr, $ch, $bits)")
+    // 4410 frames at 44.1k → 1600 at 16k (the provider may emit ±1 edge
+    // frame from interpolation windup).
+    assert(math.abs(frames - 1600L) <= 2, s"expected ~1600 frames, got $frames")
+    // Deterministic: the conversion collects no RNG and no wall clock.
+    val rerun = Multimodal.withResampledAudio(
+        assets, "content", targetRate = 16000, codec = Multimodal.JavaSoundCodec)
+      .select($"media_id", $"resampled").as[(Long, Array[Byte])].collect().toMap
+    assert(java.util.Arrays.equals(out(1L), rerun(1L)), "resample not deterministic")
+    // Same-rate input passes through decodable and at full length.
+    val same = Multimodal.JavaSoundCodec.resample(src, 44100)
+    assert(same.exists(b => Multimodal.JavaSoundCodec.audioMeta(b).exists(_._4 == 4410L)))
+  }
+
   test("Mp4Codec decodes a REAL ISO BMFF header; audio track skipped; text bytes null") {
     // Hand-assembled minimal MP4: ftyp(isom) + moov(mvhd + audio trak +
     // video trak) + mdat. The codec must take the brand from ftyp,

@@ -330,7 +330,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(SemDeDup.kForCorpus(500) == 8, "bench-scale corpus must sit on the minK floor")
     assert(SemDeDup.kForCorpus(8 * 4096) == 8, "envelope edge still on the floor")
     assert(SemDeDup.kForCorpus(8 * 4096 + 1) == 9, "one past the edge must grow k")
-    assert(SemDeDup.kForCorpus(50000) == 13, "the sf1 ScaleBench configuration")
+    assert(SemDeDup.kForCorpus(40000) == 10, "the 20x ScaleBench row's configuration")
     assert(SemDeDup.kForCorpus(1L << 40, targetCell = 1L << 20) == (1 << 20),
       "100 TB-ish corpus: k = n/targetCell exactly")
   }
