@@ -19,13 +19,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state measurement: absorb JVM/codegen/FileIndex warmup with
-    // one untimed trivial pass before the timed loop.
+    // one untimed trivial pass before the timed loop. The warmup's wall
+    // time is ALSO the run's load indicator (emitted as "warmup" in the
+    // JSON line): it is fixed work, so run-to-run swings in it measure
+    // container/CPU contention, letting a reader separate machine noise
+    // from real per-query regressions when comparing rounds (BENCH.md
+    // "Reading the numbers").
+    val warmupT0 = System.nanoTime()
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => }
     }
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
     // THREE timed executions per query, min reported: steady-state cost
     // with GC/JIT noise removed (each execution runs the FULL plan via
     // noop). Raised from two in round 5 after round-4 showed 2–8× swings
@@ -34,6 +41,11 @@ object Bench {
     // the time; three samples make the min robust to one bad execution.
     // Optional local profiling filter (unset in driver runs → all queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Caches present BEFORE the timed loop belong to the caller (Bench is
+    // a main today, but the session is shared state) — rep cleanup below
+    // unpersists only blocks the rep itself created.
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    var spreadSum = 0.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -48,9 +60,15 @@ object Bench {
         // 3 reps x every checkpointed query and squeeze the unified
         // memory pool until unrelated queries spill (observed:
         // q_stouffer_p 0.7 s alone, 7.2 s late in the full suite).
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+        }
         dt
       }
+      // Per-query max-min across the 3 reps, summed suite-wide: the
+      // second load indicator — large "spread" = noisy run, trust the
+      // mins less when comparing across rounds.
+      spreadSum += times.max - times.min
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -74,7 +92,7 @@ object Bench {
     def render(fmt: String, rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(num(fmt, v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfName","warmup":${num("%.2f", warmupSec)},"spread":${num("%.2f", spreadSum)}}"""
     }
     // Cascade until the line fits with ~wiggle room: full 3-decimal map →
     // full 2-decimal → the largest slowest-N subset that fits (totals

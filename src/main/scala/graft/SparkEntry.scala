@@ -2858,6 +2858,11 @@ object SparkEntry {
         |  TRUE AS ratio_in_envelope, TRUE AS compresses_when_sizable
         |FROM documents""".stripMargin,
 
+    // Empty/whitespace-free docs yield no unnest rows, so the per-doc
+    // entropy LEFT JOINs back onto documents with coalesce-to-zero —
+    // the Spark kernel emits (0, 0, 0.0) for them, never drops the row.
+    // (Corpus is ASCII; for combining/astral chars DuckDB string_split
+    // and per-code-point counting could diverge — contract is BMP-safe.)
     "q_char_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
@@ -2865,13 +2870,19 @@ object SparkEntry {
         |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
         |), spread AS (
         |  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+        |), ent AS (
+        |  SELECT doc_id,
+        |    CAST(max(n) AS INT) AS n_chars,
+        |    CAST(count(*) AS INT) AS n_distinct,
+        |    CAST(-sum(CAST((c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE) AS ent_nats
+        |  FROM spread GROUP BY doc_id
         |)
-        |SELECT doc_id,
-        |  CAST(max(n) AS INT) AS n_chars,
-        |  CAST(count(*) AS INT) AS n_distinct,
-        |  CAST(-sum(CAST((c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE) AS ent_nats,
-        |  CAST(-sum(CAST((c / n) * ln(c / n) AS DECIMAL(28,12))) AS DOUBLE) < 2.0 AS low_entropy
-        |FROM spread GROUP BY doc_id""".stripMargin,
+        |SELECT d.doc_id,
+        |  coalesce(e.n_chars, 0) AS n_chars,
+        |  coalesce(e.n_distinct, 0) AS n_distinct,
+        |  coalesce(e.ent_nats, 0.0) AS ent_nats,
+        |  coalesce(e.ent_nats, 0.0) < 2.0 AS low_entropy
+        |FROM documents d LEFT JOIN ent e USING (doc_id)""".stripMargin,
 
     "q_repetition" ->
       """WITH base AS (

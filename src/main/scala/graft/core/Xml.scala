@@ -40,6 +40,7 @@ object Xml {
     try {
       val reader = factory.createXMLStreamReader(in)
       var inRecord = false
+      var nest = 0 // recordTag elements nested INSIDE the open record
       var current: scala.collection.mutable.Map[String, String] = null
       var capture: String = null
       val sb = new StringBuilder
@@ -47,10 +48,17 @@ object Xml {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             val name = reader.getLocalName
-            if (name == recordTag) {
+            if (name == recordTag && !inRecord) {
               inRecord = true
+              nest = 0
               current = scala.collection.mutable.Map.empty
             } else if (inRecord) {
+              // A nested recordTag is a CHILD of the open record, not a
+              // new record — outermost-record semantics, tracked by depth
+              // so the record closes at its own matching end tag. The
+              // DSv2 twin (XmlDirectorySource) applies the same rule;
+              // XmlSourceSpec pins the two equal on nested input.
+              if (name == recordTag) nest += 1
               // A child element ends the enclosing capture (.text rule):
               // commit what we have so the value never depends on whether
               // the child itself was requested.
@@ -72,8 +80,11 @@ object Xml {
               capture = null
             }
             if (name == recordTag && inRecord) {
-              rows += Row.fromSeq(fields.map(f => current.get(f).orNull))
-              inRecord = false
+              if (nest > 0) nest -= 1
+              else {
+                rows += Row.fromSeq(fields.map(f => current.get(f).orNull))
+                inRecord = false
+              }
             }
           case _ =>
         }

@@ -548,14 +548,33 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 object DeflateStatsImpl {
   import org.apache.spark.unsafe.types.UTF8String
 
-  /** One Deflater per executor thread, reset per row — constructing a
-    * native zlib stream per call costs more than the deflate of a small
-    * document. reset() restores a deterministic initial state, so reuse
-    * cannot change output.
+  /** One Deflater per (executor thread, task), reset per row —
+    * constructing a native zlib stream per call costs more than the
+    * deflate of a small document. reset() restores a deterministic
+    * initial state, so reuse cannot change output.
+    *
+    * Lifecycle: the native zlib stream is released eagerly via a
+    * task-completion listener registered at first use inside a task
+    * (end() + ThreadLocal removal — re-created per task, amortized over
+    * the task's rows). Outside a task (driver-side eval: constant
+    * folding, unit tests) there is no completion hook, so that one
+    * stream per thread lives until GC — Deflater's JDK Cleaner releases
+    * the native memory then; bounded by driver thread count.
     */
-  private val local = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6, true) // raw deflate, no zlib header
+  private val local = new ThreadLocal[java.util.zip.Deflater]()
+
+  private def deflater(): java.util.zip.Deflater = {
+    var d = local.get()
+    if (d == null) {
+      d = new java.util.zip.Deflater(6, true) // raw deflate, no zlib header
+      local.set(d)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        d.end()
+        local.remove()
+      }
+    }
+    d
   }
 
   /** DEFLATE-compressibility of the UTF-8 bytes: the classic
@@ -573,7 +592,7 @@ object DeflateStatsImpl {
     if (in.length == 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](0, 0, 0.0))
-    val d = local.get()
+    val d = deflater()
     d.reset()
     d.setInput(in)
     d.finish()

@@ -77,21 +77,32 @@ object XmlDirectorySource {
     tag
   }
 
-  /** The shard list: `path` (or `paths` via load()) may be a directory —
-    * every regular `*.xml` child, sorted for deterministic partition
-    * order — or a single file.
+  /** The shard list: each root from `path` (single-arg load) or `paths`
+    * (multi-arg load(dir1, dir2, ...) — Spark encodes them as a JSON
+    * array option) may be a directory — every regular `*.xml` child,
+    * sorted for deterministic partition order — or a single file. Roots
+    * keep the caller's order; children sort within each root.
     */
   private[sources] def listShards(options: CaseInsensitiveStringMap): Seq[String] = {
-    val raw = options.get("path")
-    require(raw != null && raw.nonEmpty, "graft-xml requires a load path")
-    val p = new Path(raw)
-    val fs = p.getFileSystem(driverHadoopConf())
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".xml"))
-        .map(_.getPath.toString).sorted
-    else Seq(p.toString)
+    val roots: Seq[String] = Option(options.get("paths")).filter(_.nonEmpty) match {
+      case Some(js) =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(js, classOf[Array[String]]).toSeq
+      case None =>
+        val raw = options.get("path")
+        require(raw != null && raw.nonEmpty, "graft-xml requires a load path")
+        Seq(raw)
+    }
+    roots.flatMap { root =>
+      val p = new Path(root)
+      val fs = p.getFileSystem(driverHadoopConf())
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".xml"))
+          .map(_.getPath.toString).sorted
+      else Seq(p.toString)
+    }
   }
 
   private[sources] def schemaFor(options: CaseInsensitiveStringMap): StructType = {
@@ -141,7 +152,8 @@ object XmlDirectorySource {
 
 private[sources] class XmlTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-xml:${options.get("path")}"
+  override def name(): String =
+    s"graft-xml:${Option(options.get("path")).getOrElse(options.get("paths"))}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -222,14 +234,20 @@ private[sources] class XmlPartitionReader(
     var capture: String = null
     val sb = new StringBuilder
     var inRecord = false
+    var nest = 0 // recordTag elements nested INSIDE the open record
     while (reader.hasNext) {
       reader.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           val name = reader.getLocalName
           if (name == recordTag && !inRecord) {
             inRecord = true
+            nest = 0
             current = scala.collection.mutable.Map.empty
           } else if (inRecord) {
+            // A nested recordTag is a CHILD of the open record, not a new
+            // record — outermost-record semantics, same depth rule as
+            // core.Xml.readRecords (XmlSourceSpec pins the parity).
+            if (name == recordTag) nest += 1
             // Any child element ends the enclosing capture (ElementTree
             // `.text` rule, mirrored in core.Xml.readRecords). Committing
             // here — not only at requested-field starts — is what makes a
@@ -253,9 +271,12 @@ private[sources] class XmlPartitionReader(
             capture = null
           }
           if (name == recordTag && inRecord) {
-            row = InternalRow.fromSeq(fields.map(f =>
-              current.get(f).map(UTF8String.fromString).orNull))
-            return true
+            if (nest > 0) nest -= 1
+            else {
+              row = InternalRow.fromSeq(fields.map(f =>
+                current.get(f).map(UTF8String.fromString).orNull))
+              return true
+            }
           }
         case _ =>
       }

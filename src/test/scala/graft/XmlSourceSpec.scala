@@ -75,6 +75,49 @@ class XmlSourceSpec extends SparkTestBase {
     assert(drv.getAs[String]("Name") == "Item 1" && drv.getAs[String]("Symbol") == "S0")
   }
 
+  test("graft-xml: nested recordTag elements are children, both readers agree") {
+    val dir = tmpDir("xmlnestrec")
+    // The outer Item CONTAINS an Item — outermost-record semantics: one
+    // record, the nested Item is a child whose fields don't leak (Code
+    // stays 1, the first descendant), and the record closes at the OUTER
+    // </Item>, so Tail (after the nested element) is still captured.
+    Files.writeString(
+      Paths.get(dir, "part-000.xml"),
+      """<?xml version="1.0"?>
+        |<Feed>
+        |  <Item><Code>1</Code><Item><Code>99</Code></Item><Tail>t1</Tail></Item>
+        |  <Item><Code>2</Code><Tail>t2</Tail></Item>
+        |</Feed>
+        |""".stripMargin)
+    val dsv2 = spark.read.format("graft-xml")
+      .option("recordTag", "Item")
+      .option("fields", "Code,Tail")
+      .load(dir)
+      .collect().map(r => (r.getAs[String]("Code"), r.getAs[String]("Tail"))).sorted.toSeq
+    assert(dsv2 == Seq(("1", "t1"), ("2", "t2")), s"got $dsv2")
+    val drv = Xml.readRecords(spark, s"$dir/part-000.xml", "Item", Seq("Code", "Tail"))
+      .collect().map(r => (r.getAs[String]("Code"), r.getAs[String]("Tail"))).sorted.toSeq
+    assert(drv == dsv2, "driver reader must match the DSv2 reader on nested records")
+  }
+
+  test("graft-xml: multi-path load unions shard lists in caller order") {
+    val dir1 = tmpDir("xmlmulti1")
+    val dir2 = tmpDir("xmlmulti2")
+    writeShards(dir1, 2)
+    Files.writeString(
+      Paths.get(dir2, "solo.xml"),
+      """<?xml version="1.0"?>
+        |<Feed><Item><Code>900</Code><Name>Solo</Name></Item></Feed>
+        |""".stripMargin)
+    val df = spark.read.format("graft-xml")
+      .option("recordTag", "Item")
+      .option("fields", "Code,Name")
+      .load(dir1, dir2)
+    assert(df.rdd.getNumPartitions == 3, "2 shards + 1 shard across the two roots")
+    assert(df.count() == 5)
+    assert(df.filter($"Code" === "900").head().getAs[String]("Name") == "Solo")
+  }
+
   test("graft-xml: schema inference reads the first record's child names") {
     val dir = tmpDir("xmlinfer")
     writeShards(dir, 2)
