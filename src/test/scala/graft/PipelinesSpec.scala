@@ -40,17 +40,11 @@ class PipelinesSpec extends SparkTestBase {
     assert(ex.getMessage.contains("pattern:url=1"))
   }
 
-  test("AZ / Genebass / CVDI pipelines land inside the reference's hard count windows") {
-    import graft.core.Qc
-    // The reference asserts its output volumes as hard QC gates
-    // (BASELINE.md: AzGeneBurden.py:126-132 28-30k, GenebassGeneBurden
-    // .py:64-68 8-10k, CvdiGeneBurden.py:66-73 1.5-1.6k). Deterministic
-    // fixtures shaped like the real inputs — a known significant slice
-    // under each filter, plus edge rows (zero p-values, unparseable CI
-    // text) — drive each full parser to an output inside its window.
-
-    // AZ PheWAS: 29,000 sub-cutoff rows + 20 zero-p rows that the global
-    // min/2 repair pulls under the cutoff -> 29,020 expected.
+  // Deterministic fixtures shaped like the real gene-burden inputs —
+  // a known significant slice under each filter, plus edge rows (zero
+  // p-values, unparseable CI text). Shared by the count-window and
+  // evidence-contract tests below.
+  private def azFixture = {
     val azRaw = spark.range(0, 200000).select(
       concat(lit("ENSG"), format_string("%06d", $"id" % 20000)).as("Gene"),
       concat(lit("trait"), ($"id" % 500).cast("string")).as("diseaseFromSource"),
@@ -62,22 +56,19 @@ class PipelinesSpec extends SparkTestBase {
         .otherwise(lit(1e-4) + ($"id" % 1000) * lit(1e-7)).as("pValue"))
     val azLut = Seq(("trait0", "EFO:0000001"), ("trait1", "EFO:0000002"))
       .toDF("diseaseFromSource", "diseaseFromSourceMappedId")
-    val az = graft.parsers.GeneBurdenParser.azBranch(azRaw, azLut)
-    assert(Qc.assertCountBetween(az, 28000, 30000, "AZ evidence") == 29020L)
+    (azRaw, azLut)
+  }
 
-    // Genebass: 9,100 rows under the 6.7e-7 cutoff.
-    val gbRaw = spark.range(0, 120000).select(
+  private def genebassFixture =
+    spark.range(0, 120000).select(
       concat(lit("ENSG"), format_string("%06d", $"id" % 15000)).as("gene_id"),
       concat(lit("phenotype "), ($"id" % 800).cast("string")).as("description"),
       when($"id" < 9100, lit(1e-8) * (($"id" % 50) + 1))
         .otherwise(lit(1e-3) + ($"id" % 100) * lit(1e-6)).as("Pvalue_Burden"),
       (($"id" % 60) / lit(30.0) - 1.0).as("BETA_Burden"),
       lit(0.01).as("SE_Burden"))
-    val gb = graft.parsers.GenebassParser(gbRaw)
-    assert(Qc.assertCountBetween(gb, 8000, 10000, "Genebass evidence") == 9100L)
 
-    // CVDI: per-mask FDR cutoffs ride a pCutoff column; 1,550 rows pass,
-    // a third of them with unparseable CI text (nulls, not crashes).
+  private def cvdiFixture = {
     val cvdiRaw = spark.range(0, 30000).select(
       concat(lit("GENE"), ($"id" % 3000).cast("string")).as("gene"),
       concat(lit("pheno"), ($"id" % 200).cast("string")).as("phenotype"),
@@ -87,6 +78,28 @@ class PipelinesSpec extends SparkTestBase {
         .otherwise(lit(0.5)).as("pValue"),
       when($"id" % 2 === 0, lit(5e-6)).otherwise(lit(4e-6)).as("pCutoff"))
     val cvdiLut = Seq(("pheno0", "EFO:0000100")).toDF("diseaseFromSource", "diseaseFromSourceMappedId")
+    (cvdiRaw, cvdiLut)
+  }
+
+  test("AZ / Genebass / CVDI pipelines land inside the reference's hard count windows") {
+    import graft.core.Qc
+    // The reference asserts its output volumes as hard QC gates
+    // (BASELINE.md: AzGeneBurden.py:126-132 28-30k, GenebassGeneBurden
+    // .py:64-68 8-10k, CvdiGeneBurden.py:66-73 1.5-1.6k).
+
+    // AZ PheWAS: 29,000 sub-cutoff rows + 20 zero-p rows that the global
+    // min/2 repair pulls under the cutoff -> 29,020 expected.
+    val (azRaw, azLut) = azFixture
+    val az = graft.parsers.GeneBurdenParser.azBranch(azRaw, azLut)
+    assert(Qc.assertCountBetween(az, 28000, 30000, "AZ evidence") == 29020L)
+
+    // Genebass: 9,100 rows under the 6.7e-7 cutoff.
+    val gb = graft.parsers.GenebassParser(genebassFixture)
+    assert(Qc.assertCountBetween(gb, 8000, 10000, "Genebass evidence") == 9100L)
+
+    // CVDI: per-mask FDR cutoffs ride a pCutoff column; 1,550 rows pass,
+    // a third of them with unparseable CI text (nulls, not crashes).
+    val (cvdiRaw, cvdiLut) = cvdiFixture
     val cvdi = graft.parsers.CvdiGeneBurdenParser(cvdiRaw, cvdiLut)
     assert(Qc.assertCountBetween(cvdi, 1500, 1600, "CVDI evidence") == 1550L)
 
@@ -94,6 +107,56 @@ class PipelinesSpec extends SparkTestBase {
     val ex = intercept[Qc.QcException](
       Qc.assertCountBetween(gb.limit(100), 8000, 10000, "Genebass evidence"))
     assert(ex.getMessage.contains("outside expected"))
+  }
+
+  test("evidence contracts hold on the three full gene-burden parser outputs") {
+    import graft.core.Qc
+    // The reference validates every evidence file against a JSON Schema
+    // before accepting it (Snakefile:110,130,154). Same gate here, on
+    // REAL parser output (not planted rows): required fields + enum'd
+    // datasource/datatype/project + ID-shape patterns, one aggregate
+    // pass per output via Qc.validateEvidence.
+    val burdenCore = Qc.EvidenceContract(
+      required = Seq("datasourceId", "datatypeId", "projectId", "targetFromSourceId",
+        "diseaseFromSource", "resourceScore", "pValueExponent", "pValueMantissa"),
+      enums = Map(
+        "datasourceId" -> Seq("gene_burden"),
+        "datatypeId" -> Seq("genetic_association")))
+
+    val (azRaw, azLut) = azFixture
+    val az = graft.parsers.GeneBurdenParser.azBranch(azRaw, azLut)
+    val azCounts = Qc.validateEvidence(az, burdenCore.copy(
+      enums = burdenCore.enums + ("projectId" -> Seq("AstraZeneca PheWAS Portal")),
+      patterns = Map(
+        "targetFromSourceId" -> "^ENSG\\d{6}$",
+        "diseaseFromSourceMappedId" -> "^EFO:\\d{7}$")))
+    assert(azCounts.values.forall(_ == 0L) && azCounts.size == 13,
+      s"8 required + 3 enum + 2 pattern rules, all zero: $azCounts")
+
+    val gb = graft.parsers.GenebassParser(genebassFixture)
+    Qc.validateEvidence(gb, burdenCore.copy(
+      required = burdenCore.required ++
+        Seq("beta", "betaConfidenceIntervalLower", "betaConfidenceIntervalUpper"),
+      enums = burdenCore.enums + ("projectId" -> Seq("Genebass")),
+      patterns = Map("targetFromSourceId" -> "^ENSG\\d{6}$")))
+
+    val (cvdiRaw, cvdiLut) = cvdiFixture
+    val cvdi = graft.parsers.CvdiGeneBurdenParser(cvdiRaw, cvdiLut)
+    // oddsRatio / CI columns stay OUT of required: a third of the
+    // fixture's orCi cells are unparseable "NA" by design and must
+    // surface as nulls, not violations.
+    Qc.validateEvidence(cvdi, burdenCore.copy(
+      enums = burdenCore.enums + ("projectId" -> Seq("CVDI Human Disease Portal")),
+      patterns = Map("targetFromSourceId" -> "^GENE\\d+$")))
+
+    // The gate bites on real output: a malformed EFO id entering through
+    // the trait LUT violates the mapped-id pattern after the full parse.
+    val badLut = Seq(("trait0", "EFO_0000001x"))
+      .toDF("diseaseFromSource", "diseaseFromSourceMappedId")
+    val ex = intercept[Qc.QcException](Qc.validateEvidence(
+      graft.parsers.GeneBurdenParser.azBranch(azRaw, badLut),
+      Qc.EvidenceContract(patterns = Map("diseaseFromSourceMappedId" -> "^EFO:\\d{7}$"))))
+    assert(ex.getMessage.contains("pattern:diseaseFromSourceMappedId"))
   }
 
   test("EvidenceSink lands gzip JSON-lines evidence from a stream with QC hook") {
