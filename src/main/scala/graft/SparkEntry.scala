@@ -30,6 +30,17 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(24,6)")).cast("double")
 
+  /** Event-time normalization: the testdata's parquet TIMESTAMP(µs)
+    * columns read as TIMESTAMP_NTZ; the engine's event-time convention
+    * is integer epoch longs (integer gap arithmetic, no interval types
+    * in window frames, and exact cross-engine comparison — DuckDB's
+    * epoch_us/epoch_ns of a naive timestamp is the same integer). The
+    * NTZ→LTZ cast inside unix_micros is a no-op on the stored value
+    * because every session runs spark.sql.session.timeZone=UTC.
+    */
+  private def tsUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+  private def tsNs(c: Column): Column = tsUs(c) * 1000
+
   /** Deterministic multi-line corpus for the line-dedup queries: the flat
     * token stream becomes two 8-token content lines, with boilerplate
     * lines injected by doc_id arithmetic ("subscribe…" in every 3rd doc,
@@ -846,8 +857,9 @@ object SparkEntry {
     // --- batch sessionization: lag + cumulative gap-count windows -----
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gapNs = 30L * 60 * 1000000000L // 30 min in nanos (ts read as long)
+      val gapNs = 30L * 60 * 1000000000L // 30 min in nanos (ts as epoch-ns long)
       t(s, dir, "events")
+        .withColumn("ts", tsNs(col("ts")))
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
@@ -1103,11 +1115,12 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: as-of join (core.AsOf union+window) ---------
-    // Latest order at or before each event's timestamp, per user. events.ts
-    // is nanos-as-long (TESTDATA); orderdate is scaled to nanos to share
-    // the time axis.
+    // Latest order at or before each event's timestamp, per user. Both
+    // time axes normalize to epoch-ns longs (tsNs) so the as-of
+    // comparison is integer, matching DuckDB epoch_ns.
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
       val ord = t(s, dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(max("o_orderkey").as("asof_orderkey")) // unique (key,time): deterministic match
@@ -1717,7 +1730,7 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"),
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM").as("month"))
+          date_format(timestamp_micros(tsUs(col("ts"))), "yyyy-MM").as("month"))
         .distinct()
       val cohort = ev.groupBy("user_id").agg(min(col("month")).as("cohort_month"))
       ev.join(cohort, Seq("user_id"))
@@ -1990,7 +2003,7 @@ object SparkEntry {
       // Microsecond timestamps throughout: DuckDB timestamps are µs-
       // precision, so nano-space comparisons would diverge at ties.
       t(s, dir, "events")
-        .select(expr("ts div 1000").as("ts"), col("event_type"), col("user_id"))
+        .select(tsUs(col("ts")).as("ts"), col("event_type"), col("user_id"))
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("seq"))
         .withColumn("st", folded)
@@ -2255,7 +2268,7 @@ object SparkEntry {
     // sorted array as a narrow pairwise transform.
     "q_event_paths" -> ((s, dir) => {
       t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"), col("event_type"))
+        .select(col("user_id"), tsUs(col("ts")).as("ts"), col("event_id"), col("event_type"))
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
         .select(explode(when(size(col("seq")) >= 2,
@@ -2379,7 +2392,7 @@ object SparkEntry {
     // the purchase credit a null last touch, kept as its own row.
     "q_attribution" -> ((s, dir) => {
       val seqd = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"), col("event_type"))
+        .select(col("user_id"), tsUs(col("ts")).as("ts"), col("event_id"), col("event_type"))
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
       val pts = element_at(

@@ -84,4 +84,40 @@ object Sampling {
     if (keep == 65536) df
     else df.filter(substring(md5(key.cast("string")), 1, 4) < lit(f"$keep%04x"))
   }
+
+  /** Deterministic weighted sampling without replacement, `k` rows per
+    * group (Efraimidis–Spirakis A-ES with the exponential-race key):
+    * each row draws `u ∈ (0,1)` FROM ITS OWN KEY BYTES (first 8 hex
+    * chars of md5 → uniform 32-bit integer, +0.5 to dodge the endpoints)
+    * and races with clock `e = −ln(u)/w`; the `k` smallest `e` per group
+    * win. P(row wins) increases with `w` exactly as weighted sampling
+    * without replacement requires, yet membership is a pure function of
+    * (key, weight): stable across partitioning, engines, runs, and —
+    * the property `Dataset.sample` and rand()-keyed A-ES both lack —
+    * across incremental loads, so yesterday's sampled rows stay sampled
+    * today and only genuinely new rows compete for the remaining slots.
+    *
+    * Scale shape: one shuffle on the group key into a rank window whose
+    * `rn <= k` filter Spark rewrites to WindowGroupLimit — per-partition
+    * top-k heaps BEFORE the exchange, so the shuffle carries at most
+    * k rows per (map partition × group), not the corpus. The exponential
+    * key is a codegen'd scalar chain (md5 → conv → one ln, one divide);
+    * ln/div on identical inputs are identical IEEE doubles in DuckDB
+    * (the q_sparse_topk idf precedent), and the race key itself is NOT
+    * emitted — output is the winning rows plus `rn`.
+    */
+  def weightedSample(
+      df: DataFrame,
+      group: Column,
+      weight: Column,
+      key: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val e = -log(u) / weight.cast("double")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(e.asc, key.asc)
+    df.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+  }
 }

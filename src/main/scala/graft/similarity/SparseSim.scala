@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,5 +248,89 @@ object SparseSim {
         col("cos")))
     val win = Window.partitionBy("doc_a").orderBy(col("cos").desc, col("doc_b").asc)
     sym.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+  }
+
+  /** BM25 retrieval: score every corpus document against a (small) query
+    * set through the same inverted-postings machinery as [[topKNeighbors]],
+    * with Okapi BM25 term weighting instead of TF-IDF cosine — the
+    * ranking function retrieval-style decontamination and seed-document
+    * expansion actually use (a raw cosine over-rewards long documents;
+    * BM25's `b`-controlled length normalization is the standard fix).
+    *
+    * Per matched term `t` of query `q` in document `d`:
+    * {{{ idf(t) * tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl(d)/avgdl)) }}}
+    * with the Robertson–Sparck-Jones smoothed idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` — strictly positive, so a
+    * corpus-wide term degrades to near-zero signal instead of flipping
+    * the ranking sign. Query-side tf is ignored (binary query model):
+    * queries here are documents, and repeating a word in a seed doc
+    * should not multiply its retrieval weight.
+    *
+    * Scale shape: the postings build is one shuffle (tf groupBy) plus
+    * broadcast scalars for (N, avgdl); `dfCap` cuts hot terms out of the
+    * vector space exactly as in [[postings]], bounding per-term fan-out.
+    * The query term set is broadcast into the scoring join — the corpus
+    * postings NEVER shuffle on account of the query batch — and the
+    * (q_id, doc_b) aggregation combines map-side, so the one shuffle
+    * after the scan carries one row per (query, candidate) pair. Per-term
+    * scores are decimal(28,12)-quantized before the exact sum (README
+    * determinism rules), so the DuckDB oracle is hash-exact.
+    *
+    * Output: `(q_id, doc_b, n_shared, score, rn)`, `rn <= k` per query,
+    * ties broken by ascending `doc_b`; self-matches excluded.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isQuery: Column,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      dfCap: Int = 100): DataFrame = {
+    val base = docs
+      .select(
+        col(idCol).as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("toks"),
+        isQuery.as("is_query"))
+      .select(col("doc_id"), explode(col("toks")).as("term"),
+        size(col("toks")).as("dl"), col("is_query"))
+      .groupBy("doc_id", "term", "dl", "is_query")
+      .agg(count(lit(1)).as("tf"))
+      // Three consumers (df agg, corpus stats, postings/query split) —
+      // the SparseSim localCheckpoint discipline: without it each
+      // consumer re-expands tokenize→explode→groupBy from the scan.
+      .localCheckpoint(eager = false)
+    // Corpus stats as in-plan broadcast scalars (no collect). avgdl is
+    // over ALL docs including zero-token ones, which have no tf rows —
+    // so it is derived from the doc table itself, not from base.
+    val dls = docs.select(
+      col(idCol).as("doc_id"),
+      size(graft.text.TextAnalysis.tokens(col(textCol))).as("dl"))
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = base.groupBy("term").agg(count(lit(1)).as("df"))
+    val post = base
+      .join(dfs.filter(col("df") <= dfCap), Seq("term"))
+      .crossJoin(broadcast(stats))
+    val qterms = base.filter(col("is_query")).select(col("doc_id").as("q_id"), col("term"))
+    val perTerm = post
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = perTerm
+      .groupBy(col("q_id"), col("doc_id").as("doc_b"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
+    val win = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_b").asc)
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
   }
 }

@@ -16,19 +16,24 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema as read with nanosAsLong (ts: long nanos). */
+  /** events.parquet schema: ts is parquet TIMESTAMP(µs), naive →
+    * TIMESTAMP_NTZ on read.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** Normalize the nanos-long ts into a proper timestamp column. */
+  /** Watermark/window columns must be TIMESTAMP (LTZ); with the UTC
+    * session timezone every engine session runs, the NTZ→LTZ cast is a
+    * value-preserving relabel of the stored micros.
+    */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", col("ts").cast("timestamp"))
 
   /** File-source stream over a directory of events parquet. */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
@@ -164,7 +169,10 @@ object EventsStream {
   )(implicit spark: SparkSession): Dataset[CompletedSession] = {
     import spark.implicits._
     events
-      .select(col("user_id"), col("ts"), col("event_time"))
+      // SessionState's gap arithmetic is integer epoch-nanos (the engine
+      // event-time convention); derive it from the watermark column.
+      .select(col("user_id"), (unix_micros(col("event_time")) * 1000).as("ts"),
+        col("event_time"))
       .withWatermark("event_time", watermark)
       .as[SessionEvent]
       .groupByKey(_.user_id)

@@ -55,7 +55,8 @@ class AsOfSpec extends SparkTestBase {
   }
 
   test("AsOf.asOfJoin matches the naive range-join + top-1 formulation on testdata") {
-    val ev = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id", $"ts")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"user_id", (unix_micros($"ts".cast("timestamp")) * 1000).as("ts"))
     val ord = spark.read.parquet(s"$sf/orders.parquet")
       .groupBy("o_custkey", "o_orderdate")
       .agg(max("o_orderkey").as("ok"))

@@ -28,9 +28,20 @@ abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  /** Scratch dir inside the repo target (never outside /root/repo). */
+  /** Scratch dir inside the repo target (never outside /root/repo).
+    * Always starts EMPTY: append-mode writers (the streaming specs'
+    * micro-batch files) must not see files left by a previous sbt run —
+    * stale parts change results, and a schema change would otherwise
+    * poison every later run (observed with the ts long→TIMESTAMP_NTZ
+    * testdata migration).
+    */
   def tmpDir(name: String): String = {
     val p = java.nio.file.Paths.get("target", "testtmp", name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
     java.nio.file.Files.createDirectories(p)
     p.toAbsolutePath.toString
   }

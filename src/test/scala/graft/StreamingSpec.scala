@@ -6,6 +6,15 @@ import graft.streaming.{DocsStream, EventsStream}
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Synthesized event times are epoch-nanos longs (the engine's event-
+    * time convention); the events schema stores TIMESTAMP_NTZ, whose
+    * external row type is LocalDateTime. UTC keeps the value identical.
+    */
+  private def ntz(ns: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L),
+      java.time.ZoneOffset.UTC)
+
   test("windowedCounts over streamed events matches batch computation") {
     val dir = tmpDir("stream_in")
     // Stage the events parquet as the stream source directory.
@@ -63,7 +72,7 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.types._
     val dir = tmpDir("stream_sessions")
     def write(part: String, rows: Seq[(Long, Long, Long)]): Unit = {
-      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      val data = rows.map { case (id, ts, uid) => Row(id, ntz(ts), uid, "click", 1.0, "{}") }
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
         .coalesce(1).write.mode("append").parquet(dir)
     }
@@ -95,7 +104,7 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.Row
     val dir = tmpDir("stream_sessions_late")
     def write(rows: Seq[(Long, Long, Long)]): Unit = {
-      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      val data = rows.map { case (id, ts, uid) => Row(id, ntz(ts), uid, "click", 1.0, "{}") }
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
         .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(1500) // distinct mtimes -> deterministic micro-batch order
@@ -128,7 +137,7 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.Row
     val dir = tmpDir("stream_sessions_orphan")
     def write(rows: Seq[(Long, Long, Long)]): Unit = {
-      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      val data = rows.map { case (id, ts, uid) => Row(id, ntz(ts), uid, "click", 1.0, "{}") }
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
         .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(1500)
@@ -159,7 +168,7 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.Row
     val dir = tmpDir("stream_sessions_bridge")
     def write(rows: Seq[(Long, Long, Long)]): Unit = {
-      val data = rows.map { case (id, ts, uid) => Row(id, ts, uid, "click", 1.0, "{}") }
+      val data = rows.map { case (id, ts, uid) => Row(id, ntz(ts), uid, "click", 1.0, "{}") }
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), EventsStream.eventsSchema)
         .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(1500)
@@ -221,21 +230,25 @@ class StreamingSpec extends SparkTestBase {
     // Time-versioned dimension: per user, versions at the min event ts and
     // +30 min, so some events precede version 1 (null), some straddle.
     val min30 = 30L * 60 * 1000000000L
+    // Time axes as epoch-ns longs on both sides (asOfEnrich compares the
+    // raw columns; NTZ ts converts via the UTC session timezone).
+    val tsn = (unix_micros($"ts".cast("timestamp")) * 1000).as("tsn")
     val dim = base.groupBy($"user_id".as("k"))
-      .agg(org.apache.spark.sql.functions.min($"ts").as("t0"))
+      .agg(org.apache.spark.sql.functions.min(unix_micros($"ts".cast("timestamp")) * 1000).as("t0"))
       .select($"k", explode(array(
         struct($"t0".as("vt"), concat(lit("v1-"), $"k").as("tier")),
         struct(($"t0" + min30).as("vt"), concat(lit("v2-"), $"k").as("tier")))).as("v"))
       .select($"k", $"v.vt", $"v.tier")
     val stream = EventsStream.readEvents(spark, dir, maxFilesPerTrigger = 1)
-    val enriched = EventsStream.asOfEnrich(stream, dim, "user_id", "ts", "k", "vt", "tier")
+      .withColumn("tsn", unix_micros($"event_time") * 1000)
+    val enriched = EventsStream.asOfEnrich(stream, dim, "user_id", "tsn", "k", "vt", "tier")
       .select("event_id", "tier")
     val q = EventsStream.runToMemory(enriched, "asof_enrich")
     try {
       val got = spark.table("asof_enrich")
         .as[(Long, Option[String])].collect().toMap
       val want = graft.core.AsOf.asOfJoin(
-          base.select("event_id", "user_id", "ts"), dim, "user_id", "ts", "k", "vt", Seq("tier"))
+          base.select($"event_id", $"user_id", tsn), dim, "user_id", "tsn", "k", "vt", Seq("tier"))
         .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
       assert(got.size == want.size && got == want,
         s"stream enrich diverges from batch as-of (${got.size} vs ${want.size})")
