@@ -925,6 +925,54 @@ object SparkEntry {
         batch, idCol = "doc_id", textCol = "text", index, shingleLen = 3, k = 5)
     }),
 
+    // --- beyond-reference: BM25 retrieval over the inverted index ------
+    // Okapi BM25 top-k: the ranking function retrieval-style
+    // decontamination and seed expansion actually use (length-normalized,
+    // saturating tf — a raw cosine over-rewards long docs). Query terms
+    // broadcast into the postings; corpus never shuffles for the query
+    // batch (SparseSim.bm25TopK scaladoc for the full shuffle budget).
+    "q_bm25_topk" -> ((s, dir) => {
+      SparseSim.bm25TopK(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        isQuery = col("doc_id") % 17 === 0, k = 5)
+    }),
+
+    // --- beyond-reference: deterministic weighted sampling (A-ES) ------
+    // Efraimidis–Spirakis exponential-race keys drawn from content
+    // hashes: P(keep) grows with n_chars, yet membership is a pure
+    // function of doc_id — stable across engines, partitionings, and
+    // incremental loads (core.Sampling.weightedSample scaladoc). k per
+    // lang; the race key is not emitted.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.core.Sampling.weightedSample(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        group = col("lang"), weight = col("n_chars"), key = col("doc_id"),
+        k = 10)
+    }),
+
+    // --- beyond-reference: z-order (Morton) clustering cells -----------
+    // The multi-dim data-layout lever: sorting by the interleaved
+    // (custkey, day) bits makes every consecutive run a tight rectangle
+    // in BOTH dimensions, so parquet min/max footers prune point/range
+    // predicates on either one (Layout.zValue2/zOrderWrite; LayoutSpec
+    // quantifies the pruning win vs a single-dim sort). The query emits
+    // per-cell occupancy + bounding boxes — the skippability evidence
+    // itself — via one partial-agg shuffle over codegen'd bit math.
+    "q_zorder_cells" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("day"))
+        .withColumn("cell",
+          shiftright(graft.core.Layout.zValue2(col("o_custkey"), col("day")), 18))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min("day").as("min_day"), max("day").as("max_day"))
+    }),
+
     // --- beyond-reference: brute-force cosine top-k ANN ---------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3280,6 +3328,77 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
         |  FROM pairs)
         |WHERE rn <= 5""".stripMargin,
+
+    // Okapi BM25 (k1=1.2, b=0.75) with the smoothed always-positive idf;
+    // query-side tf binary; per-term contributions decimal(28,12)-
+    // quantized before the exact sum (engine parity rules). Terms are
+    // word BIGRAMS (the SparseSim vector space — unigram df over this
+    // small-vocabulary corpus exceeds dfCap everywhere); dl is the
+    // shingle count, avgdl counts every doc (sub-2-token docs as 0).
+    "q_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term, count(*) AS tf
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COALESCE(GREATEST(len(toks) - 1, 0), 0) AS dl FROM base),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |post AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfx.df, stats.n_docs, stats.avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term), stats
+        |  WHERE dfx.df <= 100),
+        |qterms AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 17 = 0),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id AS doc_b, count(*) AS n_shared,
+        |    CAST(sum(CAST(
+        |      ln(1 + (p.n_docs - p.df + 0.5) / (p.df + 0.5)) *
+        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / p.avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM qterms q JOIN post p USING (term)
+        |  WHERE p.doc_id <> q.q_id
+        |  GROUP BY q.q_id, p.doc_id)
+        |SELECT q_id, doc_b, n_shared, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // A-ES exponential race: u from the first 8 md5 hex chars of the key
+    // (exact integer, +0.5 dodges ln(0)), e = -ln(u)/w. (v+0.5)/2^32 and
+    // the ln/divide are identical IEEE doubles in both engines (the
+    // q_sparse_topk idf precedent); the race key is not emitted.
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS ek
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY ek ASC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |WHERE rn <= 10""".stripMargin,
+
+    // Morton interleave via the same magic-mask ladder as Layout.zValue2
+    // (pure BIGINT bit ops — both engines compute the identical value);
+    // cells are zval >> 18, so each output row is one 512x512 rectangle
+    // of (custkey, day) space with its occupancy and bounding box.
+    "q_zorder_cells" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |b AS (SELECT *, o_custkey & 65535 AS xb, day & 65535 AS yb FROM d),
+        |s1 AS (SELECT *, ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
+        |s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+        |s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+        |s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+        |z AS (SELECT o_custkey, day, (x4 | (y4 << 1)) AS zval FROM s4)
+        |SELECT zval >> 18 AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        |  min(day) AS min_day, max(day) AS max_day
+        |FROM z GROUP BY cell""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (

@@ -120,7 +120,13 @@ object Layout {
     *
     * Caller maps raw dims into 16-bit range first (bucket ids, day
     * numbers, coarse quantiles); values wider than 16 bits alias by
-    * masking, so pre-bucket rather than truncate.
+    * masking, so pre-bucket rather than truncate. The dims must also be
+    * scaled to COMPARABLE magnitude: interleaving an 8-bit column with a
+    * 12-bit one puts the wide column's bits alone in the z prefix and the
+    * layout degenerates to a single-dim sort of the wide column
+    * (LayoutSpec demonstrates both the failure and the scaled fix) —
+    * Delta/Iceberg z-order normalizes via range-bucketing for the same
+    * reason.
     */
   def zValue2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))

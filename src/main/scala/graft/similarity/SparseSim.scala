@@ -284,37 +284,46 @@ object SparseSim {
       idCol: String,
       textCol: String,
       isQuery: Column,
+      shingleLen: Int = 2,
       k: Int = 5,
       k1: Double = 1.2,
       b: Double = 0.75,
       dfCap: Int = 100): DataFrame = {
+    // Terms are word shingleLen-grams (the SparseSim vector space, not
+    // bare unigrams): unigram df over a small-vocabulary corpus puts
+    // every term above dfCap and empties the index; shingles keep df in
+    // the discriminative range. dl is the doc's shingle count — the
+    // length BM25 normalizes by must count the same units tf does.
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
     val base = docs
       .select(
         col(idCol).as("doc_id"),
-        graft.text.TextAnalysis.tokens(col(textCol)).as("toks"),
+        graft.functions.GraftFunctions.wordShingles(toks, shingleLen).as("terms"),
         isQuery.as("is_query"))
-      .select(col("doc_id"), explode(col("toks")).as("term"),
-        size(col("toks")).as("dl"), col("is_query"))
+      // greatest(…, 0): size() of a null array is -1; the oracle's
+      // COALESCE(GREATEST(len-…, 0), 0) must see the same 0.
+      .select(col("doc_id"), col("terms"),
+        greatest(size(col("terms")), lit(0)).as("dl"), col("is_query"))
+      // Two consumers (corpus stats + tf) — the SparseSim localCheckpoint
+      // discipline: each consumer would otherwise re-tokenize the scan.
+      .localCheckpoint(eager = false)
+    val tf = base
+      .select(col("doc_id"), explode(col("terms")).as("term"),
+        col("dl"), col("is_query"))
       .groupBy("doc_id", "term", "dl", "is_query")
       .agg(count(lit(1)).as("tf"))
-      // Three consumers (df agg, corpus stats, postings/query split) —
-      // the SparseSim localCheckpoint discipline: without it each
-      // consumer re-expands tokenize→explode→groupBy from the scan.
+      // Three consumers: df agg, postings, query term set.
       .localCheckpoint(eager = false)
     // Corpus stats as in-plan broadcast scalars (no collect). avgdl is
-    // over ALL docs including zero-token ones, which have no tf rows —
-    // so it is derived from the doc table itself, not from base.
-    val dls = docs.select(
-      col(idCol).as("doc_id"),
-      size(graft.text.TextAnalysis.tokens(col(textCol))).as("dl"))
-    val stats = dls.agg(
+    // over ALL docs — including sub-shingleLen ones with no tf rows.
+    val stats = base.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = base.groupBy("term").agg(count(lit(1)).as("df"))
-    val post = base
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val post = tf
       .join(dfs.filter(col("df") <= dfCap), Seq("term"))
       .crossJoin(broadcast(stats))
-    val qterms = base.filter(col("is_query")).select(col("doc_id").as("q_id"), col("term"))
+    val qterms = tf.filter(col("is_query")).select(col("doc_id").as("q_id"), col("term"))
     val perTerm = post
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))

@@ -186,6 +186,34 @@ class AsOfSpec extends SparkTestBase {
     assert(joined.filter($"half_split" =!= $"split").isEmpty)
   }
 
+  test("Sampling.weightedSample: exact A-ES membership, partition-independent") {
+    import graft.core.Sampling
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", $"doc_id", $"n_chars")
+    val out = Sampling.weightedSample(df, $"lang", $"n_chars", $"doc_id", k = 5)
+      .select($"lang", $"doc_id", $"rn").as[(String, Long, Int)].collect().toSet
+    // Driver-side reference: the identical md5-hex race, independently
+    // implemented (MessageDigest + parseLong vs Spark md5/conv/substring).
+    def ek(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      -math.log((java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0) / w
+    }
+    val want = df.as[(String, Long, Long)].collect().groupBy(_._1).toSeq.flatMap {
+      case (lang, rs) =>
+        rs.sortBy(r => (ek(r._2, r._3), r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (lang, r._2, i + 1) }.toSeq
+    }.toSet
+    assert(out == want, "engine sample must equal the reference race exactly")
+    // Membership is a pure function of the key bytes — repartitioning
+    // must not move it (the property Dataset.sample lacks).
+    val out2 = Sampling
+      .weightedSample(df.repartition(13), $"lang", $"n_chars", $"doc_id", k = 5)
+      .select($"lang", $"doc_id", $"rn").as[(String, Long, Int)].collect().toSet
+    assert(out2 == out)
+  }
+
   test("Writers.writeCompacted sizes the output file count from plan stats") {
     val dir = tmpDir("compacted")
     val df = spark.read.parquet(s"$sf/lineitem.parquet")

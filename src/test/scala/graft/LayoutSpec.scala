@@ -148,4 +148,60 @@ class LayoutSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_postings_idx")
     }
   }
+
+  test("zValue2 matches a bit-by-bit reference Morton interleave") {
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (1499L, 2404L), (12345L, 54321L), (70000L, 3L)) // 70000 aliases mod 2^16
+    val got = pairs.toDF("x", "y")
+      .select(Layout.zValue2($"x", $"y")).as[Long].collect().toSeq
+    assert(got == pairs.map { case (x, y) => morton(x & 0xFFFF, y & 0xFFFF) })
+  }
+
+  test("zOrderWrite: files prune on BOTH dims; single-dim sort and unscaled z do not") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet").select(
+      $"o_custkey",
+      datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("day"))
+    // ck is ~8-bit at this sf, day ~12-bit: scale ck into day's range so
+    // the interleave sees comparable magnitudes (zValue2 scaladoc).
+    val scaled = orders.withColumn("ck16", $"o_custkey" * 16)
+    val zdir = tmpDir("layout_zorder")
+    val ddir = tmpDir("layout_daysorted")
+    Layout.zOrderWrite(scaled, zdir, "ck16", "day", numFiles = 8)
+    orders.repartitionByRange(8, $"day").sortWithinPartitions("day")
+      .write.mode("overwrite").parquet(ddir)
+    // Per-FILE min/max spans — exactly what parquet footer skipping sees.
+    def spans(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("o_custkey").as("cklo"), max("o_custkey").as("ckhi"),
+          min("day").as("dlo"), max("day").as("dhi"))
+        .select($"cklo", $"ckhi", $"dlo", $"dhi")
+        .as[(Long, Long, Long, Long)].collect()
+    def hits(s: Array[(Long, Long, Long, Long)], ck: Long, day: Long): (Int, Int) =
+      (s.count(f => f._1 <= ck && ck <= f._2), s.count(f => f._3 <= day && day <= f._4))
+    val zs = spans(zdir)
+    val ds = spans(ddir)
+    assert(zs.length == 8 && ds.length == 8)
+    val (zCk, zDay) = hits(zs, 75L, 1200L)
+    val (dCk, dDay) = hits(ds, 75L, 1200L)
+    // Day-sorted layout: day prunes hard but EVERY file spans the full
+    // custkey range. Z-order trades a little day tightness for pruning
+    // on both dimensions (the √-law: ~2^(b/2) cells per dim at 2^b files).
+    assert(dCk == 8, s"single-dim sort must not prune the other dim, got $dCk")
+    assert(dDay <= 2, s"day-sorted layout must prune day hard, got $dDay")
+    assert(zCk <= 6 && zDay <= 6,
+      s"z-order must prune BOTH dims ($zCk ck hits, $zDay day hits of 8)")
+    // The degenerate case the scaladoc warns about: unscaled 8-bit ck
+    // interleaved with 12-bit day — day's high bits own the z prefix and
+    // custkey pruning vanishes.
+    val udir = tmpDir("layout_zorder_unscaled")
+    Layout.zOrderWrite(orders, udir, "o_custkey", "day", numFiles = 8)
+    val (uCk, _) = hits(spans(udir), 75L, 1200L)
+    assert(uCk == 8, s"unscaled unequal-width z-order degenerates, got $uCk")
+  }
 }

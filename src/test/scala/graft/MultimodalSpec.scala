@@ -307,4 +307,64 @@ class MultimodalSpec extends SparkTestBase {
     val nonRec = Multimodal.readBinaryDir(spark, dir, recursive = false)
     assert(nonRec.count() == 3, "recursive=false must skip sub/")
   }
+
+  test("AviMjpegCodec: REAL frame extraction from an MJPEG AVI; frames decode via ImageIO") {
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 32, 24); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // Minimal RIFF AVI: 'RIFF' size 'AVI ' + LIST(movi) of '00dc' JPEG
+    // chunks, word-aligned — the container shape AviMjpegCodec walks.
+    def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      def u32(v: Int): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(v); b.array()
+      }
+      def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write(cc("movi"))
+      frames.foreach { f =>
+        movi.write(cc("00dc")); movi.write(u32(f.length)); movi.write(f)
+        if ((f.length & 1) == 1) movi.write(0) // pad to word boundary
+      }
+      val m = movi.toByteArray
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write(cc("AVI "))
+      inner.write(cc("LIST")); inner.write(u32(m.length)); inner.write(m)
+      val i = inner.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(cc("RIFF")); out.write(u32(i.length)); out.write(i)
+      out.toByteArray
+    }
+    val frames = Seq(jpeg(0xFF0000), jpeg(0x00FF00), jpeg(0x0000FF), jpeg(0xFFFFFF))
+    val avi = mjpegAvi(frames)
+    assert(Multimodal.AviMjpegCodec.frameCount(avi) == 4)
+    // Extracted payloads are byte-identical to the encoded JPEGs.
+    assert(Multimodal.AviMjpegCodec.sampleFrames(avi, 4).map(_.toSeq) == frames.map(_.toSeq))
+    // Sampling 2 of 4 picks evenly spaced frames 0 and 2.
+    assert(Multimodal.AviMjpegCodec.sampleFrames(avi, 2).map(_.toSeq) ==
+      Seq(frames(0).toSeq, frames(2).toSeq))
+    // Through the Spark explode with the real codec: one row per frame,
+    // and EVERY frame is a decodable standalone JPEG.
+    val rows = Multimodal
+      .explodeFrames(Seq((1L, avi)).toDF("id", "content"), "content", 4,
+        Multimodal.AviMjpegCodec)
+      .select("frame_idx", "frame").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+    // Non-AVI bytes → no frames; truncated container stops cleanly at
+    // the last complete frame instead of throwing.
+    assert(Multimodal.AviMjpegCodec.sampleFrames("not an avi".getBytes, 3).isEmpty)
+    assert(Multimodal.AviMjpegCodec
+      .sampleFrames(java.util.Arrays.copyOf(avi, avi.length - 5), 9).length == 3)
+  }
 }

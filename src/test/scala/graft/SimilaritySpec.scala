@@ -428,4 +428,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(!knn.exists(r => r._1 == 3L || r._2 == 3L), "doc 3 shares no in-space shingle with 1/2")
     assert(!knn.exists(r => r._1 == 4L || r._2 == 4L))
   }
+
+  test("bm25TopK matches a driver-side reference BM25 on testdata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = SparseSim.bm25TopK(docs, "doc_id", "text",
+        isQuery = col("doc_id") % 7 === 0, shingleLen = 2, k = 3)
+      .select($"q_id", $"doc_b", $"n_shared", $"score", $"rn")
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    // Independent reference: scala collections + BigDecimal HALF_UP at
+    // scale 12 (the engine's decimal(28,12) per-term quantization).
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val shing = raw.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toVector
+    }.toMap
+    val tf = shing.map { case (id, s) =>
+      id -> s.groupBy(identity).map { case (k2, v) => k2 -> v.length }
+    }
+    val dl = shing.map { case (id, s) => id -> s.length }
+    val nDocs = raw.length
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k2, v) => k2 -> v.size }.filter(_._2 <= 100)
+    val (k1, b) = (1.2, 0.75)
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val want = raw.map(_._1).filter(_ % 7 == 0).flatMap { q =>
+      val cand = raw.map(_._1).filter(_ != q).flatMap { d =>
+        val shared = tf(q).keySet.intersect(tf(d).keySet).filter(dfm.contains)
+        if (shared.isEmpty) None
+        else {
+          val score = shared.toSeq.map { t =>
+            val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+            q12(idf * (tf(d)(t) * (k1 + 1.0)) /
+              (tf(d)(t) + k1 * ((1.0 - b) + b * dl(d) / avgdl)))
+          }.sum.toDouble
+          Some((q, d, shared.size.toLong, score))
+        }
+      }
+      cand.sortBy(c => (-c._4, c._2)).take(3).zipWithIndex
+        .map { case (c, i) => (c._1, c._2, c._3, c._4, i + 1) }
+    }.toSet
+    assert(got == want, "engine BM25 must equal the reference bit-for-bit")
+    assert(got.nonEmpty && got.groupBy(_._1).size > 3, "several query docs expected")
+  }
 }
