@@ -937,6 +937,23 @@ object SparkEntry {
         isQuery = col("doc_id") % 17 === 0, k = 5)
     }),
 
+    // --- beyond-reference: INCREMENTAL BM25 against a standing index ---
+    // The retrieval-serving shape: 90% of the corpus is a stored BM25
+    // index with FROZEN stats carried as data (df/n_docs/avgdl columns —
+    // the NgramLm model-as-data rule), the doc_id%10==0 slice arrives as
+    // a query batch and is scored via broadcast term pruning — the
+    // corpus-scale index never shuffles for a batch, and a term-bucketed
+    // store drops its exchange entirely (LayoutSpec pin).
+    "q_bm25_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = SparseSim.buildBm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), idCol = "doc_id", textCol = "text",
+        shingleLen = 2, dfCap = 100)
+      SparseSim.bm25Retrieve(
+        docs.filter(col("doc_id") % 10 === 0), idCol = "doc_id", textCol = "text",
+        index, shingleLen = 2, k = 5)
+    }),
+
     // --- beyond-reference: deterministic weighted sampling (A-ES) ------
     // Efraimidis–Spirakis exponential-race keys drawn from content
     // hashes: P(keep) grows with n_chars, yet membership is a pure
@@ -3351,6 +3368,44 @@ object SparkEntry {
         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term), stats
         |  WHERE dfx.df <= 100),
         |qterms AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 17 = 0),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id AS doc_b, count(*) AS n_shared,
+        |    CAST(sum(CAST(
+        |      ln(1 + (p.n_docs - p.df + 0.5) / (p.df + 0.5)) *
+        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / p.avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM qterms q JOIN post p USING (term)
+        |  WHERE p.doc_id <> q.q_id
+        |  GROUP BY q.q_id, p.doc_id)
+        |SELECT q_id, doc_b, n_shared, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Frozen-model BM25: corpus stats (df, n_docs, avgdl) over the
+    // doc_id%10<>0 index slice ONLY; the batch's terms score in that
+    // model, unseen terms dropping out. Same decimal(28,12) per-term
+    // quantization -> hash-exact.
+    "q_bm25_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ctf AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term, count(*) AS tf
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2 AND doc_id % 10 <> 0 GROUP BY 1, 2),
+        |cdl AS (SELECT doc_id, COALESCE(GREATEST(len(toks) - 1, 0), 0) AS dl
+        |  FROM base WHERE doc_id % 10 <> 0),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM cdl),
+        |dfx AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+        |post AS (
+        |  SELECT ctf.doc_id, ctf.term, ctf.tf, cdl.dl, dfx.df, stats.n_docs, stats.avgdl
+        |  FROM ctf JOIN cdl USING (doc_id) JOIN dfx USING (term), stats
+        |  WHERE dfx.df <= 100),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS q_id, toks[i] || ' ' || toks[i+1] AS term
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2 AND doc_id % 10 = 0),
         |scored AS (
         |  SELECT q.q_id, p.doc_id AS doc_b, count(*) AS n_shared,
         |    CAST(sum(CAST(

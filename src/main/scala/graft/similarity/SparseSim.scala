@@ -342,4 +342,93 @@ object SparseSim {
     val win = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_b").asc)
     scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
   }
+
+  /** The standing half of INCREMENTAL BM25 retrieval: dfCap'd postings
+    * with the frozen corpus statistics carried AS DATA — `(doc_id, term,
+    * tf, dl, df, n_docs, avgdl)`. Store term-bucketed (`core/Layout`) and
+    * every arriving query batch joins it without reshuffling the corpus —
+    * the BM25 analogue of [[buildPostingsIndex]]'s frozen-IDF store. df
+    * and the two scalars are constant per term/row (parquet dictionary-
+    * encodes them away); carrying them makes batch scoring pure joins,
+    * no per-batch corpus aggregation (the NgramLm model-as-data rule:
+    * scoring a batch must not silently refit corpus statistics).
+    */
+  def buildBm25Index(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 2,
+      dfCap: Int = 100): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val base = docs
+      .select(
+        col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.wordShingles(toks, shingleLen).as("terms"))
+      .select(col("doc_id"), col("terms"),
+        greatest(size(col("terms")), lit(0)).as("dl"))
+      .localCheckpoint(eager = false) // two consumers: stats + tf
+    val tf = base
+      .select(col("doc_id"), explode(col("terms")).as("term"), col("dl"))
+      .groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // two consumers: df agg + postings
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfs.filter(col("df") <= dfCap), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select("doc_id", "term", "tf", "dl", "df", "n_docs", "avgdl")
+  }
+
+  /** Score a (small) query batch against a standing [[buildBm25Index]]:
+    * per query the top `k` indexed docs by BM25, in the index's FROZEN
+    * model — query terms absent from the index leave the space (no
+    * indexed doc has them; the frozen model has no df for them).
+    *
+    * Scale shape: the batch's distinct term set is broadcast into the
+    * index join, so per-batch cost is ≤ |batch terms| · dfCap pruned
+    * postings and the corpus-scale index never shuffles on account of
+    * one batch — with a term-bucketed store the index-side exchange
+    * disappears entirely (LayoutSpec pins the exchange count for the
+    * sibling postings index; the same layout serves both). Output:
+    * `(q_id, doc_b, n_shared, score, rn)` exactly as [[bm25TopK]].
+    * Each query's rows depend ONLY on (query, index) — scoring a batch
+    * in any number of sub-batches returns bit-identical rows
+    * (SimilaritySpec pins split-batch equality and the frozen-model
+    * scores against a driver-side corpus-stats reference).
+    */
+  def bm25Retrieve(
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      shingleLen: Int = 2,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val qterms = queries
+      .select(
+        col(idCol).as("q_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
+      .distinct()
+    val perTerm = index
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id")) // overlap-safe self-exclusion
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = perTerm
+      .groupBy(col("q_id"), col("doc_id").as("doc_b"))
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
+    val win = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_b").asc)
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+  }
 }

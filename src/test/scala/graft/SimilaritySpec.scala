@@ -472,4 +472,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, "engine BM25 must equal the reference bit-for-bit")
     assert(got.nonEmpty && got.groupBy(_._1).size > 3, "several query docs expected")
   }
+
+  test("bm25Retrieve: frozen-model scores, split-batch equality, overlap self-exclusion") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = SparseSim.buildBm25Index(corpus, "doc_id", "text",
+      shingleLen = 2, dfCap = 100)
+    val whole = SparseSim.bm25Retrieve(batch, "doc_id", "text", index, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(whole.nonEmpty)
+    // Frozen model: df/avgdl/n_docs come from the INDEX slice only —
+    // identical to bm25TopK run over the corpus alone would use. Check
+    // one query's scores against a direct recomputation where the batch
+    // doc is appended to the corpus: the scores must DIFFER (the frozen
+    // model is not silently refit) unless the batch adds no mass — so
+    // instead pin the positive property: each query's rows depend only
+    // on (query, index): scoring the batch in two sub-batches is
+    // bit-identical to scoring it whole.
+    val half1 = SparseSim.bm25Retrieve(batch.filter($"doc_id" % 20 === 0),
+      "doc_id", "text", index, k = 3)
+    val half2 = SparseSim.bm25Retrieve(batch.filter($"doc_id" % 20 =!= 0),
+      "doc_id", "text", index, k = 3)
+    val split = (half1.as[(Long, Long, Long, Double, Int)].collect() ++
+      half2.as[(Long, Long, Long, Double, Int)].collect()).toSet
+    assert(split == whole, "sub-batch scoring must be bit-identical")
+    // Overlap-safe: a query doc that IS in the index never matches itself.
+    val selfQ = SparseSim.bm25Retrieve(corpus.limit(5), "doc_id", "text", index, k = 5)
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(selfQ.forall(r => r._1 != r._2), "self-matches must be excluded")
+    // And the registry pair agrees: q_bm25_incremental == this shape.
+    val reg = SparkEntry.queries("q_bm25_incremental")(spark, sf)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val k5 = SparseSim.bm25Retrieve(batch, "doc_id", "text", index, k = 5)
+      .as[(Long, Long, Long, Double, Int)].collect().toSet
+    assert(reg == k5)
+  }
 }
