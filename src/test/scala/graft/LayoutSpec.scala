@@ -149,6 +149,40 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("term-bucketed BM25 index: batch retrieval skips the index-side shuffle") {
+    import graft.similarity.SparseSim
+    // Same layout as the postings-index pin above, through the BM25
+    // store: buildBm25Index bucketed on term, bm25Retrieve's scoring
+    // join reads the corpus side in place. Broadcast disabled so the
+    // pin is about the bucket layout, not the small-side broadcast.
+    val corpus = (1 to 20).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i shared common tokens here w${i % 4}"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "shared common tokens here w1 plus fresh material"),
+      (101L, "shared common tokens here w2 and more words"),
+    ).toDF("doc_id", "text")
+    val index = SparseSim.buildBm25Index(corpus, "doc_id", "text", shingleLen = 2, dfCap = 100)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(index, "b_bm25_idx", Seq("term"), 8)
+      val viaBucketed = SparseSim.bm25Retrieve(
+        batch, "doc_id", "text", spark.table("b_bm25_idx"), shingleLen = 2, k = 5)
+      val viaPlain = SparseSim.bm25Retrieve(
+        batch, "doc_id", "text", index, shingleLen = 2, k = 5)
+      val a = viaBucketed.as[(Long, Long, Long, Double, Int)].collect().toSet
+      val b = viaPlain.as[(Long, Long, Long, Double, Int)].collect().toSet
+      assert(a == b && a.nonEmpty && a.map(_._1).subsetOf(Set(100L, 101L)),
+        s"layout must not change the answer: $a vs $b")
+      val (sB, sP) = (countShuffles(viaBucketed), countShuffles(viaPlain))
+      assert(sB < sP, s"bucketed index should drop the index-side exchange ($sB vs $sP)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_bm25_idx")
+    }
+  }
+
   test("zValue2 matches a bit-by-bit reference Morton interleave") {
     def morton(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L) { (z, i) =>
