@@ -937,6 +937,33 @@ object SparkEntry {
         isQuery = col("doc_id") % 17 === 0, k = 5)
     }),
 
+    // --- beyond-reference: Count-Min heavy hitters -----------------------
+    // Frequent-term detection with a mergeable fixed-memory sketch: one
+    // pass builds the CMS (partial sketches merge across partitions —
+    // the 100 TB shape: no term-keyed shuffle needed to ESTIMATE), the
+    // codegen'd CmsEstimate probe rides the exact aggregate used by the
+    // oracle. Contract columns (q_approx_stats pattern): CMS never
+    // undercounts, and overcounts at most eps*N at fixed seed — DuckDB
+    // expects both booleans TRUE, so sketch drift fails the gate.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .localCheckpoint(eager = false) // two consumers: sketch + exact agg
+      val eps = 0.001
+      val cms = terms.stat.countMinSketch("term", eps, 0.99, 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val threshold = math.ceil(0.005 * cms.totalCount()).toLong
+      terms.groupBy("term")
+        .agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= threshold)
+        .withColumn("est", graft.functions.GraftFunctions.cmsEstimate(col("term"), bc))
+        .select(
+          col("term"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("cms_no_undercount"),
+          (col("est") <= col("n_exact") + lit(slack)).as("cms_within_eps"))
+    }),
+
     // --- beyond-reference: INCREMENTAL BM25 against a standing index ---
     // The retrieval-serving shape: 90% of the corpus is a stored BM25
     // index with FROZEN stats carried as data (df/n_docs/avgdl columns —
@@ -3381,6 +3408,20 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    // Heavy hitters: the exact counts + threshold are the oracle-checked
+    // half; the CMS's guarantees (never undercounts; overcounts <= eps*N
+    // at the fixed seed) arrive as contract booleans DuckDB expects TRUE.
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS cms_no_undercount, TRUE AS cms_within_eps
+        |FROM toks, tot
+        |GROUP BY term, tot.n
+        |HAVING count(*) >= ceil(0.005 * tot.n)""".stripMargin,
 
     // Frozen-model BM25: corpus stats (df, n_docs, avgdl) over the
     // doc_id%10<>0 index slice ONLY; the batch's terms score in that

@@ -724,6 +724,50 @@ case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
     copy(child = newChild)
 }
 
+/** cms_estimate(term) → estimated occurrence count of `term` in a
+  * broadcast Count-Min sketch (`df.stat.countMinSketch` — mergeable
+  * partial sketches, one pass, fixed memory). Codegen'd like
+  * [[BloomMightContain]]: the probe inlines into whole-stage codegen, so
+  * a CMS-gated filter or estimate column costs a hash-and-min per row,
+  * not a closure dispatch. CMS guarantees estimate ≥ true count always,
+  * and ≤ true + ε·N with probability 1−δ — `q_heavy_hitters` turns both
+  * into oracle-checked contract booleans. Null terms → null estimate.
+  */
+case class CmsEstimate(
+    child: Expression,
+    sketch: Broadcast[org.apache.spark.util.sketch.CountMinSketch])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms probe term must be STRING, got ${child.dataType.simpleString}")
+  override def prettyName: String = "graft_cms_estimate"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else sketch.value.estimateCount(v.toString)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("cmsBc", sketch, classOf[Broadcast[_]].getName)
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      |${c.code}
+      |boolean ${ev.isNull} = ${c.isNull};
+      |long ${ev.value} = -1L;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = ((org.apache.spark.util.sketch.CountMinSketch) $bc.value())
+      |    .estimateCount(${c.value}.toString());
+      |}
+      """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
 object ImageMetaImpl {
   /** Decode image-header metadata through a pluggable codec; null when
     * the bytes aren't a decodable image. Static entry point so generated

@@ -88,6 +88,13 @@ object GraftFunctions {
   ): Column =
     GraftShim.toColumn(BloomMightContain(GraftShim.toExpression(key.cast("long")), sketch))
 
+  /** Count-Min estimate probe (codegen'd; see [[CmsEstimate]]). */
+  def cmsEstimate(
+      term: Column,
+      sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch],
+  ): Column =
+    GraftShim.toColumn(CmsEstimate(GraftShim.toExpression(term), sketch))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.

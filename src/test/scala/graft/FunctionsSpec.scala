@@ -116,4 +116,30 @@ class FunctionsSpec extends SparkTestBase {
     val r = spark.sql("SELECT graft_char_entropy('abab').ent_nats AS e").head().getDouble(0)
     assert(math.abs(r - math.log(2.0)) < 1e-9)
   }
+
+  test("CmsEstimate: never undercounts, bounded overcount, null terms, type guard") {
+    import spark.implicits._
+    val counts = Map("alpha" -> 100, "beta" -> 10, "gamma" -> 1)
+    val terms = counts.toSeq.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val df = terms.toDF("t")
+    val cms = df.stat.countMinSketch("t", 0.01, 0.99, 7)
+    val bc = spark.sparkContext.broadcast(cms)
+    val out = Seq(Option("alpha"), Option("beta"), Option("gamma"), Option.empty[String])
+      .toDF("t")
+      .select($"t", GraftFunctions.cmsEstimate($"t", bc).as("est"))
+      .collect().map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val n = terms.size
+    counts.foreach { case (t, exact) =>
+      val est = out(Some(t)).get
+      assert(est >= exact, s"$t: CMS must never undercount ($est < $exact)")
+      assert(est <= exact + math.ceil(0.01 * n).toLong + 1, s"$t: overcount out of bound ($est)")
+    }
+    assert(out(None).isEmpty, "null term must estimate null")
+    // Non-string probe fails analysis loudly (the Bloom guard pattern).
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("k").select(GraftFunctions.cmsEstimate($"k", bc)).collect()
+    }
+    assert(err.getMessage.contains("STRING"))
+  }
 }

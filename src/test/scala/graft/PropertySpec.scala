@@ -231,4 +231,53 @@ class PropertySpec extends SparkTestBase {
       assert(viaHot == viaCold, s"case $i: hot routing changed the answer")
     }
   }
+
+  test("zValue2 is a bijection on random 16-bit pairs (deinterleave recovers both dims)") {
+    val pairGen = for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y)
+    val pairs = samples(pairGen, 40, 7000L).distinct
+    def unspread(z: Long): Long = { // inverse magic-mask ladder (even bits)
+      var x = z & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0x0000FFFFL
+    }
+    val got = pairs.toDF("x", "y")
+      .select($"x", $"y", graft.core.Layout.zValue2($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(unspread(z) == x && unspread(z >> 1) == y, s"($x,$y) -> $z not invertible")
+    }
+    // Distinct inputs -> distinct z (bijectivity on the sampled set).
+    assert(got.map(_._3).distinct.length == pairs.length)
+  }
+
+  test("weightedSample equals the reference A-ES race on random weighted corpora") {
+    val rowGen = for {
+      n <- Gen.choose(6, 40)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 100000L)
+        g <- Gen.oneOf("a", "b", "c")
+        w <- Gen.choose(1L, 5000L)
+      } yield (g, id, w))
+    } yield rows.distinctBy(_._2) // unique keys: the race key derives from id
+    def ek(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      -math.log((java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0) / w
+    }
+    samples(rowGen, 6, 8000L).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "id", "w")
+      val got = Sampling.weightedSample(df, $"g", $"w", $"id", k = 3)
+        .select($"g", $"id", $"rn").as[(String, Long, Int)].collect().toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (ek(r._2, r._3), r._2)).take(3).zipWithIndex
+          .map { case (r, j) => (g, r._2, j + 1) }
+      }.toSet
+      assert(got == want, s"case $i: rows=$rows")
+    }
+  }
 }
