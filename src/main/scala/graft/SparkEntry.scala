@@ -1048,6 +1048,30 @@ object SparkEntry {
       )
     }),
 
+    // --- beyond-reference: product-quantization ANN (rows-only check) --
+    // The memory-bounded 100 TB embedding-scan path: 8 subspace
+    // codebooks fitted offline (KMeans per subspace), vectors encoded to
+    // 8 centroid ids (32x compression), queries scan the compressed
+    // codes via per-query distance LUTs (ADC), exact re-rank on the
+    // shortlist only. Recall vs brute force at this exact config is
+    // pinned in SimilaritySpec (rows-only here: the fit's argmin over
+    // fitted float centroids is not DuckDB-expressible at sane size —
+    // same documented status as q_ann_lsh).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 2)
+      Ann.pqTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id",
+        vecCol = "embedding",
+        codebooks = books,
+        k = 5,
+        rerank = 32,
+      )
+    }),
+
     // --- beyond-reference: LSH-bucketed ANN (rows-only check) ---------
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

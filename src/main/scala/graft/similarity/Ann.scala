@@ -197,4 +197,127 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
   }
+
+  // ---- Product quantization (PQ) — the memory-bounded ANN scale path ----
+
+  /** L2-normalize to unit length (zero vectors pass through): PQ fits and
+    * scans run on NORMALIZED vectors so squared-L2 ADC distance is
+    * 2−2·cos — monotone with the cosine ranking every other Ann path
+    * uses. Output: (id, v: array<double>).
+    */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("raw"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("raw"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .select(col("id"),
+        when(col("nrm") === 0.0, col("raw"))
+          .otherwise(transform(col("raw"), x => x / col("nrm"))).as("v"))
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Fit PQ codebooks: the vector space splits into `m` subspaces of
+    * dim/m dims, each clustered independently with [[KMeans.centroids]]
+    * (`ksub` centroids per subspace). Result: m × ksub × (dim/m) — a few
+    * KB held on the driver and shipped as literal arrays, the
+    * offline-model-then-broadcast discipline of [[ivfTopK]]'s fitted
+    * centroids. At 100 TB the fit runs on a `Sampling.hashSample` slice;
+    * the codebook is corpus-size-independent.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+  ): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val normed = normalized(corpus, idCol, vecCol).localCheckpoint(eager = false)
+    (0 until m).map { s =>
+      KMeans.centroids(
+        normed.select(col("id"), slice(col("v"), s * dsub + 1, dsub).as("v")),
+        "id", "v", ksub, dsub, iters)
+    }.toArray
+  }
+
+  /** Encode each vector as `m` small centroid ids (argmin squared-L2 per
+    * subspace, ties to the lower id) — 64 floats become 8 bytes at the
+    * default config, the 32× compression that lets a 100 TB embedding
+    * corpus sit scannable in memory. Output: (idCol, codes: array<int>).
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("v"), s * dsub + 1, dsub)
+      val cents = array(codebooks(s).map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      element_at(
+        array_sort(zip_with(cents, sequence(lit(0), lit(codebooks(s).length - 1)),
+          (c, i) => struct(l2sq(sub, c).as("d"), i.as("cid")))),
+        1).getField("cid")
+    }
+    normalized(corpus, idCol, vecCol)
+      .select(col("id").as(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** PQ ANN with asymmetric-distance (ADC) scan + exact re-rank: each
+    * query precomputes one m × ksub lookup table of subspace distances
+    * to the codebooks, a compressed-domain scan sums m table entries per
+    * candidate (never touching the original vectors), the best `rerank`
+    * candidates per query are re-scored exactly, and the top `k` emerge.
+    *
+    * Scale shape: queries (with their LUTs) broadcast into the codes
+    * scan — the corpus side is the 32×-compressed codes table, never
+    * shuffled; both rank filters compile to WindowGroupLimit; only the
+    * `rerank`-sized shortlist rejoins the full vectors. Recall is tuned
+    * by (m, ksub, rerank), pinned vs brute force in SimilaritySpec.
+    * Output matches [[ivfTopK]]: (qid, idCol, sim, rn).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      rerank: Int = 32,
+  ): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    val lut = array((0 until m).map { s =>
+      val qsub = slice(col("v"), s * dsub + 1, dsub)
+      val cents = array(codebooks(s).map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      transform(cents, c => l2sq(qsub, c))
+    }.toIndexedSeq: _*)
+    val q = normalized(queries, idCol, vecCol)
+      .select(col("id").as("qid"), lut.as("lut"))
+    val adc = codes
+      .join(broadcast(q), col(idCol) =!= col("qid"))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"), col("lut"), (code, row) => element_at(row, code + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col(idCol))
+    val shortlist = adc
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("qid"), col(idCol))
+    val rescored = shortlist
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), Seq("qid"))
+      .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
+    rescored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
+  }
 }

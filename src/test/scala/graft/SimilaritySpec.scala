@@ -66,6 +66,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(r1 > 0.1, s"single-probe recall suspiciously low: $r1")
   }
 
+  test("pqTopK: recall vs brute force, rerank-to-exhaustive equality, 32x code compression") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    val n = emb.count().toInt
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    // Codes: m small ids per vector — the 32x compression (64 floats -> 8 ids).
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", books)
+    val c0 = codes.head().getSeq[Int](1)
+    assert(c0.length == 8 && c0.forall(c => c >= 0 && c < 16))
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(rerank: Int): Double = {
+      val got = Ann.pqTopK(q, emb, "vec_id", "embedding", books, k = 3, rerank = rerank)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // Reranking the ENTIRE corpus is exhaustive exact search — recall 1
+    // for ANY codebook quality (the ivfTopK full-probe invariant).
+    assert(recallAt(n) == 1.0, "full rerank must equal brute force")
+    val r32 = recallAt(32)
+    assert(r32 > 0.3, s"ADC shortlist recall suspiciously low: $r32")
+    // Deterministic end to end: refit + rescore is bit-identical.
+    val books2 = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    val a = Ann.pqTopK(q, emb, "vec_id", "embedding", books, k = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val b = Ann.pqTopK(q, emb, "vec_id", "embedding", books2, k = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a == b, "PQ pipeline must be deterministic across refits")
+  }
+
   test("cosineSim kernel matches the zip_with/aggregate HOF formulation on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
     val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
