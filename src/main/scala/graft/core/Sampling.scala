@@ -105,6 +105,12 @@ object Sampling {
     * ln/div on identical inputs are identical IEEE doubles in DuckDB
     * (the q_sparse_topk idf precedent), and the race key itself is NOT
     * emitted — output is the winning rows plus `rn`.
+    *
+    * PRECONDITION: `key` must be unique within each group — it seeds
+    * the race AND breaks ties, so duplicate keys draw identical (e, key)
+    * sort tuples and which duplicate wins becomes partition-order-
+    * dependent, voiding every stability guarantee above. Content ids
+    * (doc_id, url hash) satisfy this by construction.
     */
   def weightedSample(
       df: DataFrame,

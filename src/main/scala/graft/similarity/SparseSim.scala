@@ -288,60 +288,13 @@ object SparseSim {
       k: Int = 5,
       k1: Double = 1.2,
       b: Double = 0.75,
-      dfCap: Int = 100): DataFrame = {
-    // Terms are word shingleLen-grams (the SparseSim vector space, not
-    // bare unigrams): unigram df over a small-vocabulary corpus puts
-    // every term above dfCap and empties the index; shingles keep df in
-    // the discriminative range. dl is the doc's shingle count — the
-    // length BM25 normalizes by must count the same units tf does.
-    val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val base = docs
-      .select(
-        col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(toks, shingleLen).as("terms"),
-        isQuery.as("is_query"))
-      // greatest(…, 0): size() of a null array is -1; the oracle's
-      // COALESCE(GREATEST(len-…, 0), 0) must see the same 0.
-      .select(col("doc_id"), col("terms"),
-        greatest(size(col("terms")), lit(0)).as("dl"), col("is_query"))
-      // Two consumers (corpus stats + tf) — the SparseSim localCheckpoint
-      // discipline: each consumer would otherwise re-tokenize the scan.
-      .localCheckpoint(eager = false)
-    val tf = base
-      .select(col("doc_id"), explode(col("terms")).as("term"),
-        col("dl"), col("is_query"))
-      .groupBy("doc_id", "term", "dl", "is_query")
-      .agg(count(lit(1)).as("tf"))
-      // Three consumers: df agg, postings, query term set.
-      .localCheckpoint(eager = false)
-    // Corpus stats as in-plan broadcast scalars (no collect). avgdl is
-    // over ALL docs — including sub-shingleLen ones with no tf rows.
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val post = tf
-      .join(dfs.filter(col("df") <= dfCap), Seq("term"))
-      .crossJoin(broadcast(stats))
-    val qterms = tf.filter(col("is_query")).select(col("doc_id").as("q_id"), col("term"))
-    val perTerm = post
-      .join(broadcast(qterms), Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .withColumn(
-        "idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn(
-        "contrib",
-        col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val scored = perTerm
-      .groupBy(col("q_id"), col("doc_id").as("doc_b"))
-      .agg(
-        count(lit(1)).as("n_shared"),
-        sum(col("contrib").cast("decimal(28,12)")).cast("double").as("score"))
-    val win = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_b").asc)
-    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
-  }
+      dfCap: Int = 100): DataFrame =
+    // One definition of the BM25 machinery (build + score) — the
+    // self-retrieval entry is literally the incremental pair composed,
+    // so the one-shot and standing-index paths cannot drift.
+    bm25Retrieve(docs.filter(isQuery), idCol, textCol,
+      buildBm25Index(docs, idCol, textCol, shingleLen, dfCap),
+      shingleLen, k, k1, b)
 
   /** The standing half of INCREMENTAL BM25 retrieval: dfCap'd postings
     * with the frozen corpus statistics carried AS DATA — `(doc_id, term,
@@ -359,6 +312,13 @@ object SparseSim {
       textCol: String,
       shingleLen: Int = 2,
       dfCap: Int = 100): DataFrame = {
+    // Terms are word shingleLen-grams (the SparseSim vector space, not
+    // bare unigrams): unigram df over a small-vocabulary corpus puts
+    // every term above dfCap and empties the index; shingles keep df in
+    // the discriminative range. dl is the doc's SHINGLE count — the
+    // length BM25 normalizes by must count the same units tf does.
+    // greatest(…, 0): size() of a null array is -1; the oracle's
+    // COALESCE(GREATEST(len-…, 0), 0) must see the same 0.
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
     val base = docs
       .select(

@@ -102,12 +102,13 @@ class Parsers2Spec extends SparkTestBase {
   test("sessionCounts groups activity bursts per user (session_window)") {
     val dir = tmpDir("stream_sess")
     // Two bursts for user 1 separated by > 30 min, one burst for user 2.
-    def ns(min: Long) = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L + min * 60L * 1000000000L
+    // ts must be written as the schema's TIMESTAMP_NTZ, not a long.
+    def ntz(min: Long) = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min)
     val rows = Seq(
-      (1L, ns(0), 1L, "click", 1.0, "{}"),
-      (2L, ns(5), 1L, "click", 2.0, "{}"),
-      (3L, ns(60), 1L, "view", 3.0, "{}"),
-      (4L, ns(2), 2L, "click", 4.0, "{}"),
+      (1L, ntz(0), 1L, "click", 1.0, "{}"),
+      (2L, ntz(5), 1L, "click", 2.0, "{}"),
+      (3L, ntz(60), 1L, "view", 3.0, "{}"),
+      (4L, ntz(2), 2L, "click", 4.0, "{}"),
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     rows.write.mode("overwrite").parquet(dir)
     val stream = EventsStream.readEvents(spark, dir)
@@ -116,7 +117,7 @@ class Parsers2Spec extends SparkTestBase {
     try {
       // Append mode only emits sessions the watermark has closed; push a
       // far-future event in a second micro-batch to advance it.
-      Seq((99L, ns(600), 99L, "flush", 0.0, "{}"))
+      Seq((99L, ntz(600), 99L, "flush", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir)
       q.processAllAvailable()

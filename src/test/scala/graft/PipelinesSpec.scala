@@ -160,13 +160,8 @@ class PipelinesSpec extends SparkTestBase {
   }
 
   test("EvidenceSink lands gzip JSON-lines evidence from a stream with QC hook") {
-    def fresh(name: String): String = {
-      val d = new java.io.File(tmpDir(name))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(d); d.mkdirs(); d.getAbsolutePath
-    }
+    // tmpDir itself wipes and recreates the directory.
+    def fresh(name: String): String = tmpDir(name)
     val srcDir = fresh("esink_src")
     val outDir = fresh("esink_out")
     val ckDir = fresh("esink_ck")
@@ -187,13 +182,8 @@ class PipelinesSpec extends SparkTestBase {
   }
 
   test("EvidenceSink validates the contract per micro-batch BEFORE the batch lands") {
-    def fresh(name: String): String = {
-      val d = new java.io.File(tmpDir(name))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(d); d.mkdirs(); d.getAbsolutePath
-    }
+    // tmpDir itself wipes and recreates the directory.
+    def fresh(name: String): String = tmpDir(name)
     val srcDir = fresh("csink_src")
     val contract = graft.core.Qc.EvidenceContract(
       required = Seq("event_type"),

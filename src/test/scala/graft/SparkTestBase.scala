@@ -39,8 +39,11 @@ abstract class SparkTestBase extends AnyFunSuite {
     val p = java.nio.file.Paths.get("target", "testtmp", name)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      // Files.walk holds directory streams open until closed — collect
+      // first so the fd is released before the deletes run.
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toList
+      }.foreach(java.nio.file.Files.delete)
     }
     java.nio.file.Files.createDirectories(p)
     p.toAbsolutePath.toString
