@@ -2659,6 +2659,98 @@ object SparkEntry {
     * previous round's centroid. MATERIALIZED stops DuckDB's CTE inlining
     * from re-expanding the chain exponentially.
     */
+  /** Generated DuckDB oracle for q_ann_pq — the FULL product-quantization
+    * pipeline in SQL: normalize (list_reduce sequential fold ≡ the Spark
+    * HOF aggregate's op order), per-subspace unrolled Lloyd (the
+    * [[lloydCtes]] shape: cosine assignment with lower-cid ties, decimal
+    * centroid means, empty cells keep their centroid), L2² argmin encode,
+    * per-query LUT assembly, ADC fold in subspace order, top-`rerank`
+    * shortlist, exact cosine re-rank. Every cross-engine float chain is
+    * either an identical-order fold (list_reduce vs aggregate — DuckDB's
+    * left fold starts x1 where Spark starts 0.0+x1, identical in IEEE) or
+    * the established list_cosine_similarity ≡ CosineSimilarity pairing,
+    * so the final rows hash exactly.
+    */
+  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, iters: Int, rerank: Int, k: Int): String = {
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
+        s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
+    def subLloyd(s: Int): String = {
+      val (lo, hi) = (s * dsub + 1, s * dsub + dsub)
+      val init = s"""es$s AS MATERIALIZED (
+        |  SELECT vec_id, (vn)[$lo:$hi] AS v FROM en),
+        |c${s}_0 AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM (SELECT vec_id, v FROM es$s ORDER BY vec_id LIMIT $ksub))""".stripMargin
+      val rounds = (1 to iters).map { t =>
+        s"""a${s}_$t AS MATERIALIZED (
+          |  SELECT vec_id, v, cid FROM (
+          |    SELECT e.vec_id, e.v, c.cid,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          |    FROM es$s e, c${s}_${t - 1} c)
+          |  WHERE rn = 1),
+          |s${s}_$t AS MATERIALIZED (
+          |  SELECT cid, i AS dim,
+          |    CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+          |  FROM a${s}_$t, unnest(range(1, ${dsub + 1})) AS t(i)
+          |  GROUP BY cid, i),
+          |c${s}_$t AS MATERIALIZED (
+          |  SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+          |  FROM c${s}_${t - 1} c LEFT JOIN (
+          |    SELECT cid, list(m ORDER BY dim) AS cv FROM s${s}_$t GROUP BY cid) n USING (cid))""".stripMargin
+      }
+      (init +: rounds).mkString(",\n")
+    }
+    val codeCtes = (0 until m).map { s =>
+      s"""code$s AS MATERIALIZED (
+        |  SELECT vec_id, cid AS code FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "c.cv")} ASC, c.cid) AS rn
+        |    FROM es$s e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val centsUnion = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, cv FROM c${s}_$iters").mkString(" UNION ALL ")
+    s"""WITH en AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS vn
+      |  FROM (
+      |    SELECT vec_id, v, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))),
+      |${(0 until m).map(subLloyd).mkString(",\n")},
+      |$codeCtes,
+      |codes AS MATERIALIZED (
+      |  SELECT code0.vec_id, [${(0 until m).map(s => s"code$s.code").mkString(", ")}] AS codes
+      |  FROM code0 ${(1 until m).map(s => s"JOIN code$s USING (vec_id)").mkString(" ")}),
+      |cents AS MATERIALIZED ($centsUnion),
+      |qd AS MATERIALIZED (
+      |  SELECT q.vec_id AS qid, c.s, c.cid,
+      |    ${l2(s"(q.vn)[c.s * $dsub + 1 : c.s * $dsub + $dsub]", "c.cv")} AS d
+      |  FROM en q, cents c WHERE q.vec_id < 8),
+      |qlut AS MATERIALIZED (
+      |  SELECT qid, list(row ORDER BY s) AS lut FROM (
+      |    SELECT qid, s, list(d ORDER BY cid) AS row FROM qd GROUP BY qid, s)
+      |  GROUP BY qid),
+      |adc AS (
+      |  SELECT l.qid, k.vec_id,
+      |    list_reduce(list_transform(range(1, ${m + 1}),
+      |      s -> (l.lut)[CAST(s AS INT)][CAST((k.codes)[CAST(s AS INT)] AS INT) + 1]), (x, y) -> x + y) AS adc
+      |  FROM codes k, qlut l WHERE k.vec_id <> l.qid),
+      |short AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS arn
+      |    FROM adc) WHERE arn <= $rerank),
+      |rescored AS (
+      |  SELECT s.qid, s.vec_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+      |  FROM short s
+      |  JOIN embeddings q ON q.vec_id = s.qid
+      |  JOIN embeddings c ON c.vec_id = s.vec_id)
+      |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM rescored) WHERE rn <= $k""".stripMargin
+  }
+
   private def lloydCtes(k: Int, iters: Int, dim: Int): String = {
     def round(t: Int): String =
       s"""a$t AS MATERIALIZED (
@@ -3676,6 +3768,11 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM scored)
          |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM ranked WHERE rn <= 5""".stripMargin
     },
+
+    // Generated: the full PQ pipeline unrolled (8 subspace Lloyd fits,
+    // encode, ADC, rerank) — see pqOracleSql. Matches the registry
+    // config exactly: m=8, ksub=16, dsub=8, iters=2, rerank=32, k=5.
+    "q_ann_pq" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2, rerank = 32, k = 5),
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
