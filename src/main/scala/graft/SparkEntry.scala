@@ -1048,15 +1048,15 @@ object SparkEntry {
       )
     }),
 
-    // --- beyond-reference: product-quantization ANN (rows-only check) --
+    // --- beyond-reference: product-quantization ANN (ORACLED) ----------
     // The memory-bounded 100 TB embedding-scan path: 8 subspace
     // codebooks fitted offline (KMeans per subspace), vectors encoded to
     // 8 centroid ids (32x compression), queries scan the compressed
     // codes via per-query distance LUTs (ADC), exact re-rank on the
-    // shortlist only. Recall vs brute force at this exact config is
-    // pinned in SimilaritySpec (rows-only here: the fit's argmin over
-    // fitted float centroids is not DuckDB-expressible at sane size —
-    // same documented status as q_ann_lsh).
+    // shortlist only. HASH-EXACT against the generated pqOracleSql
+    // DuckDB oracle (the full pipeline unrolled in SQL; its m/ksub/
+    // iters/rerank/k MUST mirror this config); recall vs brute force is
+    // additionally pinned in SimilaritySpec.
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,

@@ -142,4 +142,23 @@ class FunctionsSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("STRING"))
   }
+
+  test("CMS partial sketches merge losslessly (the 100 TB shard-then-union shape)") {
+    import spark.implicits._
+    // Two disjoint shards (a month-sliced corpus) sketched independently
+    // with the SAME (eps, confidence, seed) merge into a sketch whose
+    // estimates are IDENTICAL to sketching the union in one pass — CMS
+    // cells add, so shard-parallel builds lose nothing.
+    val termsA = Seq.fill(40)("alpha") ++ Seq.fill(7)("beta")
+    val termsB = Seq.fill(60)("alpha") ++ Seq.fill(3)("gamma")
+    def sk(ts: Seq[String]) = ts.toDF("t").stat.countMinSketch("t", 0.01, 0.99, 7)
+    val merged = sk(termsA)
+    merged.mergeInPlace(sk(termsB))
+    val whole = sk(termsA ++ termsB)
+    Seq("alpha", "beta", "gamma", "absent").foreach { t =>
+      assert(merged.estimateCount(t) == whole.estimateCount(t),
+        s"$t: merged sketch must equal the one-pass sketch")
+    }
+    assert(merged.totalCount() == whole.totalCount())
+  }
 }
