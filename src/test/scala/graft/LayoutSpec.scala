@@ -240,4 +240,30 @@ class LayoutSpec extends SparkTestBase {
     val (uCk, _) = hits(spans(udir), 75L, 1200L)
     assert(uCk == 8, s"unscaled unequal-width z-order degenerates, got $uCk")
   }
+
+  test("zOrderWriteRanked prunes a long-tailed dim where raw interleave degenerates") {
+    // 90% of x mass in [0, 100), tail out to ~60k; y uniform 16-bit.
+    // Raw interleave: typical x has ~7 significant bits vs y's 16, so
+    // y's bits own the z prefix and x pruning vanishes. Rank-bucketing
+    // gives the dense region ~90% of the equal-POPULATION buckets, so
+    // the interleave sees balanced dims again.
+    val data = (0 until 4000).map { i =>
+      val x = if (i % 10 == 0) (i.toLong * 37) % 60000L else (i.toLong * 13) % 100L
+      (i.toLong, x, (i.toLong * 101) % 60000L)
+    }
+    val df = data.toDF("id", "x", "y")
+    val rdir = tmpDir("layout_zranked")
+    val udir = tmpDir("layout_zraw")
+    Layout.zOrderWriteRanked(df, rdir, "x", "y", numFiles = 8, buckets = 64)
+    Layout.zOrderWrite(df, udir, "x", "y", numFiles = 8)
+    def xHits(dir: String, v: Long): Int = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect()
+      .count { case (lo, hi) => lo <= v && v <= hi }
+    val raw = xHits(udir, 50L)
+    val ranked = xHits(rdir, 50L)
+    assert(raw == 8, s"raw interleave of a long-tailed dim must degenerate, got $raw")
+    assert(ranked < raw, s"rank-bucketed z-order must prune the dense region ($ranked vs $raw)")
+  }
 }
