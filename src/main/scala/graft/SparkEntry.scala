@@ -937,6 +937,50 @@ object SparkEntry {
         isQuery = col("doc_id") % 17 === 0, k = 5)
     }),
 
+    // --- beyond-reference: HLL set-operation estimates -------------------
+    // Audience overlap WITHOUT a join: per-cohort HLL sketches of
+    // distinct users estimate |A∩B| by inclusion-exclusion
+    // |A|+|B|−|A∪B| — at 100 TB three mergeable sketch scans replace a
+    // user-keyed join+distinct, and the cohort sketches are reusable
+    // against ANY other cohort. Contract oracle (q_sketch_merge
+    // pattern): exact cohort sizes + exact overlap hash-compare; the IE
+    // estimate must land within 5% of the UNION size (compounded error
+    // of three ≈1.6%-rsd estimates scales with |A∪B|, not the overlap).
+    "q_sketch_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // Cohorts with genuinely partial overlap at every SF: big-ticket
+      // purchasers vs users who hit a high-severity error.
+      val inA = col("event_type") === "purchase" && col("value") > 100
+      val inB = col("event_type") === "error" && col("value") > 100
+      val ska = ev.filter(inA).agg(hll_sketch_agg(col("user_id")).as("ska"))
+      val skb = ev.filter(inB).agg(hll_sketch_agg(col("user_id")).as("skb"))
+      val ests = ska.crossJoin(skb).select(
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_u"))
+      if (java.lang.Boolean.getBoolean("graft.bench.approxOnly")) {
+        ests.select(
+          round(col("est_a"), 0).cast("long").as("approx_a"),
+          round(col("est_b"), 0).cast("long").as("approx_b"),
+          round(col("est_a") + col("est_b") - col("est_u"), 0).cast("long")
+            .as("approx_both"))
+      } else {
+        val exact = ev.filter(inA || inB)
+          .groupBy("user_id")
+          .agg(
+            max(when(inA, 1L).otherwise(0L)).as("v"),
+            max(when(inB, 1L).otherwise(0L)).as("p"))
+          .agg(
+            sum(col("v")).as("n_a"),
+            sum(col("p")).as("n_b"),
+            sum(col("v") * col("p")).as("n_both"))
+        exact.crossJoin(ests).select(
+          col("n_a"), col("n_b"), col("n_both"),
+          (abs(col("est_a") + col("est_b") - col("est_u") - col("n_both"))
+            <= col("est_u") * lit(0.05)).as("ie_within_bound"))
+      }
+    }),
+
     // --- beyond-reference: Count-Min heavy hitters -----------------------
     // Frequent-term detection with a mergeable fixed-memory sketch: one
     // pass builds the CMS (partial sketches merge across partitions —
@@ -3524,6 +3568,23 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    // IE-overlap contract: exact cohort/overlap counts hash-compare; the
+    // inclusion-exclusion estimate's 5%-of-union envelope arrives as a
+    // boolean DuckDB expects TRUE (deterministic at fixed data).
+    "q_sketch_intersect" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'error' AND value > 100 THEN 1 ELSE 0 END) AS p
+        |  FROM events
+        |  WHERE (event_type = 'purchase' OR event_type = 'error') AND value > 100
+        |  GROUP BY user_id)
+        |SELECT CAST(sum(v) AS BIGINT) AS n_a,
+        |  CAST(sum(p) AS BIGINT) AS n_b,
+        |  CAST(sum(v * p) AS BIGINT) AS n_both,
+        |  TRUE AS ie_within_bound
+        |FROM f""".stripMargin,
 
     // Heavy hitters: the exact counts + threshold are the oracle-checked
     // half; the CMS's guarantees (never undercounts; overcounts <= eps*N
