@@ -69,6 +69,37 @@ object DocsStream {
           col("deflate_ratio") < deflateBand._2)
   }
 
+  /** Stateless boilerplate gate from an OFFLINE-built Count-Min sketch:
+    * the sketch is fitted batch-side on the standing corpus's term
+    * stream (frozen model-as-data, the NgramLm rule — the stream must
+    * not refit corpus statistics per micro-batch), broadcast once, and
+    * probed per arriving document through the codegen'd
+    * [[graft.functions.CmsEstimate]] expression. A document whose
+    * FREQUENT-term share exceeds `maxHotFrac` (its terms estimate ≥
+    * `hotCount` in the corpus) is boilerplate/template-heavy and drops.
+    * Zero state, zero shuffle: the gate is a scan-side projection, so
+    * the stream keeps its source partitioning at any rate — and the
+    * sketch stays a few KB no matter how large the fitted corpus was
+    * (the property an exact hot-term TABLE broadcast loses at 100 TB
+    * vocabularies).
+    */
+  def cmsGated(
+      docs: DataFrame,
+      sketch: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch],
+      hotCount: Long,
+      maxHotFrac: Double = 0.5,
+      textCol: String = "text",
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hot = filter(toks,
+      t => graft.functions.GraftFunctions.cmsEstimate(t, sketch) >= hotCount)
+    docs
+      .withColumn("hot_frac",
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(hot).cast("double") / size(toks).cast("double")))
+      .filter(col("hot_frac") <= maxHotFrac)
+  }
+
   /** Streaming fuzzy-exact dedup: drop any document whose normalized
     * (case/punctuation/whitespace) fingerprint was already seen within the
     * watermark horizon — re-crawled pages with cosmetic edits never

@@ -333,6 +333,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocsStream.cmsGated: offline CMS boilerplate gate, stream identical to batch") {
+    val dir = tmpDir("stream_docs_cms")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // Standing corpus: "subscribe"/"newsletter"/"copyright" are hot
+    // (appear in many docs), content words are rare.
+    val corpusTerms = (1 to 120).flatMap(i =>
+      Seq("subscribe", "newsletter", "copyright", s"content$i", s"word$i"))
+    val cms = corpusTerms.toDF("t").stat.countMinSketch("t", 0.01, 0.99, 11)
+    val bc = spark.sparkContext.broadcast(cms)
+    val docs = Seq(
+      (1L, "fresh content about word7 and content9 plus subscribe once", t0), // 1/9 hot
+      (2L, "subscribe newsletter copyright subscribe newsletter copyright", t0), // all hot
+      (3L, "entirely novel tokens nobody indexed before today anywhere", t0), // 0 hot
+    ).toDF("doc_id", "text", "ingest_time")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(
+      DocsStream.cmsGated(stream, bc, hotCount = 100L, maxHotFrac = 0.5), "docs_cms")
+    try {
+      val streamed = spark.table("docs_cms").select("doc_id").as[Long].collect().toSet
+      val batch = DocsStream
+        .cmsGated(spark.read.schema(docsSchema).parquet(dir), bc, 100L, 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "streaming CMS gate diverges from batch")
+      assert(streamed == Set(1L, 3L), s"boilerplate doc must drop, got $streamed")
+    } finally q.stop()
+  }
+
   test("DocsStream.dedupedDocs drops cosmetic re-crawls across micro-batches") {
     val dir = tmpDir("stream_docs_dedup")
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
