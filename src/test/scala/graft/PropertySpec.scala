@@ -232,6 +232,49 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("bm25TopK equals a driver reference on random low-vocab corpora (short/empty/dup docs)") {
+    val docGen = for {
+      n <- Gen.choose(6, 25)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.frequency(1 -> Gen.const(0), 1 -> Gen.const(1), 6 -> Gen.choose(2, 12))
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    samples(docGen, 5, 9000L).zipWithIndex.foreach { case (docs, case_i) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.similarity.SparseSim
+        .bm25TopK(df, "doc_id", "text", col("doc_id") % 3 === 0, shingleLen = 2, k = 3, dfCap = 100)
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+      // Reference (bigram shingles, binary query model, corpus-wide stats).
+      val shing = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty)
+          .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toVector
+      }.toMap
+      val tf = shing.map { case (id, s2) => id -> s2.groupBy(identity).map { case (k2, v) => k2 -> v.length } }
+      val dl = shing.map { case (id, s2) => id -> s2.length }
+      val nDocs = docs.length
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (k2, v) => k2 -> v.size }.filter(_._2 <= 100)
+      val want = docs.map(_._1).filter(_ % 3 == 0).flatMap { q =>
+        val cand = docs.map(_._1).filter(_ != q).flatMap { d =>
+          val shared = tf(q).keySet.intersect(tf(d).keySet).filter(dfm.contains)
+          if (shared.isEmpty) None
+          else Some((q, d, shared.size.toLong,
+            shared.toSeq.map { t =>
+              val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+              q12(idf * (tf(d)(t) * 2.2) / (tf(d)(t) + 1.2 * (0.25 + 0.75 * dl(d) / avgdl)))
+            }.sum.toDouble))
+        }
+        cand.sortBy(c => (-c._4, c._2)).take(3).zipWithIndex
+          .map { case (c, i) => (c._1, c._2, c._3, c._4, i + 1) }
+      }.toSet
+      assert(got == want, s"case $case_i: docs=$docs")
+    }
+  }
+
   test("zValue2 is a bijection on random 16-bit pairs (deinterleave recovers both dims)") {
     val pairGen = for {
       x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
