@@ -589,14 +589,22 @@ object SparkEntry {
       NearDup.jaccardVerify(cands, docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
     }),
 
-    // --- beyond-reference: SimHash near-dup (rows-only check) ---------
+    // --- beyond-reference: SimHash near-dup (CONTRACT oracle) ---------
+    // Row set = exact-Jaccard ≥ 0.7 pairs (DuckDB all-pairs reproducible;
+    // LSH recall ≈ 1 at 12 single-hash bands); the xxhash64 SimHash
+    // fingerprint — inexpressible in SQL — is certified by the
+    // hamming ≤ 28 envelope boolean the oracle expects TRUE (≥ 6σ;
+    // NearDup.simhashContract scaladoc). Kernel bit-semantics remain
+    // golden-tested in FunctionsSpec.
     "q_neardup_simhash" -> ((s, dir) => {
-      NearDup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text", maxDist = 8)
+      NearDup.simhashContract(t(s, dir, "documents"), "doc_id", "text")
     }),
 
-    // --- beyond-reference: MinHash-LSH candidates (rows-only check) ---
+    // --- beyond-reference: MinHash near-dup (CONTRACT oracle) ---------
+    // Same contract pattern: exact-Jaccard ≥ 0.8 row set, MinHash
+    // estimate certified by |est − jaccard| ≤ 0.4 (≥ 4.8σ at k=12).
     "q_neardup_minhash" -> ((s, dir) => {
-      NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      NearDup.minhashContract(t(s, dir, "documents"), "doc_id", "text")
     }),
 
     // --- beyond-reference: near-dup CLUSTERS (pairs → components) -----
@@ -829,16 +837,28 @@ object SparkEntry {
         )
     }),
 
-    // --- erf-based two-sided p from z (custom Expression; rows-only:
-    //     DuckDB has no erf — golden-tested in ErfSpec instead) --------
+    // --- erf-based two-sided p from z (CONTRACT oracle) ---------------
+    // DuckDB has no erf, and commons-math3's continued-fraction erfc
+    // cannot be replicated bit-exactly in SQL — so the oracle-matched
+    // column is `p_approx`, the Abramowitz–Stegun 7.1.26 rational
+    // polynomial evaluated as IDENTICAL plain arithmetic in both engines
+    // (Stats.erfcAS7126), and the high-precision Erfc KERNEL is certified
+    // by `p_ok` = |kernel − approx| ≤ 3e-7 (A&S publishes ≤ 1.5e-7 vs
+    // true erfc; commons-math adds ~1e-15) — a mathematical identity in
+    // z, so no data regeneration can flip it. Kernel precision beyond
+    // the envelope stays golden-tested in FunctionsSpec.
     "q_stouffer_p" -> ((s, dir) => {
       val z = (col("l_quantity") - lit(25.5)) / lit(14.4)
+      val zc = Stats.stoufferZ(col("sum_z"), col("n"))
+      val x = abs(zc) / sqrt(lit(2.0))
       t(s, dir, "lineitem")
         .groupBy("l_suppkey")
         .agg(sum(z.cast("decimal(38,18)")).cast("double").as("sum_z"), count(lit(1)).as("n"))
         .select(
           col("l_suppkey"),
-          round(Stats.twoSidedPFromZ(Stats.stoufferZ(col("sum_z"), col("n"))), 6).as("p_two_sided"),
+          round(zc, 6).as("z_combined"),
+          round(Stats.erfcAS7126(x), 6).as("p_approx"),
+          (abs(Stats.twoSidedPFromZ(zc) - Stats.erfcAS7126(x)) <= lit(3e-7)).as("p_ok"),
         )
     }),
 
@@ -3254,6 +3274,53 @@ object SparkEntry {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
 
+    // MinHash contract: the exact-Jaccard row set is all-pairs
+    // reproducible; the xxhash64 MinHash estimate arrives as an envelope
+    // boolean DuckDB expects TRUE (NearDup.minhashContract scaladoc).
+    "q_neardup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard,
+        |  TRUE AS mh_within_envelope
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    // SimHash contract: same all-pairs row set at >= 0.7; the 64-bit
+    // fingerprint is certified by the hamming <= 28 envelope boolean.
+    "q_neardup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard,
+        |  TRUE AS sh_within_envelope
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
     "q_join_right" ->
       """SELECT s_suppkey, s_name, count(l_orderkey) AS n_big_lines
         |FROM (SELECT * FROM lineitem WHERE l_quantity >= 48) li
@@ -3389,6 +3456,25 @@ object SparkEntry {
         |  round(CAST(sum(CAST((l_quantity - 25.5) / 14.4 AS DECIMAL(38,18))) AS DOUBLE)
         |        / sqrt(count(*)), 6) AS z_combined
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    // Stouffer-p contract: z and the A&S 7.1.26 rational polynomial are
+    // IDENTICAL plain-arithmetic chains in both engines (hash-exact); the
+    // commons-math Erfc kernel is certified by p_ok = TRUE.
+    "q_stouffer_p" ->
+      """WITH g AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST((l_quantity - 25.5) / 14.4 AS DECIMAL(38,18))) AS DOUBLE)
+        |      / sqrt(count(*)) AS zc
+        |  FROM lineitem GROUP BY l_suppkey),
+        |f AS (
+        |  SELECT l_suppkey, zc, abs(zc) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(zc) / sqrt(2.0))) AS tt
+        |  FROM g)
+        |SELECT l_suppkey, round(zc, 6) AS z_combined,
+        |  round(tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741 +
+        |    tt * (-1.453152027 + tt * 1.061405429)))) * exp(-(x * x)), 6) AS p_approx,
+        |  TRUE AS p_ok
+        |FROM f""".stripMargin,
 
     "q_date_diff" ->
       """SELECT l_orderkey, l_linenumber,

@@ -63,6 +63,25 @@ object Stats {
   def twoSidedPFromZ(z: Column): Column =
     erfc(abs(z) / sqrt(lit(2.0)))
 
+  /** Abramowitz–Stegun 7.1.26 rational-polynomial erfc(x), valid for
+    * x ≥ 0 with published absolute error ≤ 1.5e-7 (Handbook of
+    * Mathematical Functions, eq. 7.1.26). Built from plain column
+    * arithmetic (one Horner chain + exp) so a SQL oracle can evaluate the
+    * IDENTICAL expression: the contract query `q_stouffer_p` emits this
+    * value as its oracle-matched `p_approx` column and certifies the
+    * high-precision [[twoSidedPFromZ]] kernel against it with a
+    * `|kernel − approx| ≤ tol` boolean (the q_heavy_hitters
+    * exact-plus-envelope pattern). The cross-engine float chain is safe:
+    * +,−,×,÷ are IEEE-identical given identical order, and an ulp-level
+    * exp() difference only matters within ~1e-16 of a round(…,6)
+    * boundary.
+    */
+  def erfcAS7126(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    t * (lit(0.254829592) + t * (lit(-0.284496736) + t * (lit(1.421413741) +
+      t * (lit(-1.453152027) + t * lit(1.061405429))))) * exp(-(x * x))
+  }
+
   /** Bonferroni α = baseAlpha / nTests (reference
     * `common/evidence.py:349-358`).
     */

@@ -453,6 +453,99 @@ object NearDup {
     }
   }
 
+  /** CONTRACT variant of the MinHash pipeline, closing the oracle gap the
+    * raw candidate query cannot (signatures are xxhash64-derived; no SQL
+    * engine recomputes them): the ROW SET is the exact-Jaccard-verified
+    * near-dup pairs at a recall≈1 LSH configuration — which an oracle
+    * reproduces as all-pairs exact Jaccard (at 12 single-hash bands a
+    * J ≥ 0.8 pair escapes every band with prob (1−J)¹² ≤ 4e-9) — and the
+    * MinHash ESTIMATE ships as an envelope boolean the oracle expects
+    * TRUE: |est − jaccard| ≤ envelope, est = matching signature fraction.
+    * E[est] is exactly the set Jaccard (MinHash is multiset-insensitive:
+    * min over a multiset = min over its support), so at k=12 hashes the
+    * default 0.4 envelope is a ≥ 4.8σ binomial bound — P(flip) ≤ 3e-4
+    * per pair even at J = 0.8, diminishing fast for the near-identical
+    * pairs a dup corpus actually holds. The exact `jaccard` column keeps
+    * an envelope flip on regenerated data diagnosable as estimator
+    * drift, not row-set drift.
+    *
+    * Scale shape: identical to [[minhashCandidates]] + [[jaccardVerify]]
+    * (LSH bucketing, successor pairs, candidate-slice-only shingling);
+    * the signature re-join touches only verified-pair members.
+    */
+  def minhashContract(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 12,
+      maxBucket: Int = 10000,
+      minJaccard: Double = 0.8,
+      envelope: Double = 0.4,
+  ): DataFrame = {
+    val verified = jaccardVerify(
+      minhashCandidates(docs, idCol, textCol, shingleLen, numHashes, bands, maxBucket),
+      docs, idCol, textCol, shingleLen, minJaccard,
+    ).localCheckpoint(eager = false) // two consumers: member ids + pair join
+    val members = verified
+      .select(explode(array(col(idCol + "_a"), col(idCol + "_b"))).as(idCol))
+      .distinct()
+    val sigs = docs
+      .join(members, Seq(idCol), "left_semi")
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
+      .select(
+        col(idCol),
+        graft.functions.GraftFunctions
+          .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
+          .as("sig"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+    verified
+      .join(sigs.withColumnRenamed(idCol, idCol + "_a").withColumnRenamed("sig", "sig_a"), Seq(idCol + "_a"))
+      .join(sigs.withColumnRenamed(idCol, idCol + "_b").withColumnRenamed("sig", "sig_b"), Seq(idCol + "_b"))
+      .select(
+        col(idCol + "_a"), col(idCol + "_b"), col("jaccard"),
+        (abs(est - col("jaccard")) <= envelope).as("mh_within_envelope"))
+  }
+
+  /** CONTRACT variant of SimHash (same design as [[minhashContract]]):
+    * oracle-reproducible row set (exact-Jaccard near-dup pairs at a
+    * recall≈1 LSH config), with the xxhash64-derived 64-bit fingerprint
+    * certified through an envelope boolean — Hamming distance ≤
+    * `maxHamming` for every verified pair. Theory: E[hamming] =
+    * 64·θ/π where cos θ is the token-frequency cosine (Charikar'02);
+    * a shingle-Jaccard ≥ 0.7 pair has token cosine ≳ 0.9 → E[hamming]
+    * ≲ 9 with σ ≈ 2.8, so the default 28 sits ≥ 6σ out. The verified
+    * `jaccard` column keeps any envelope flip diagnosable.
+    */
+  def simhashContract(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 12,
+      maxBucket: Int = 10000,
+      minJaccard: Double = 0.7,
+      maxHamming: Int = 28,
+  ): DataFrame = {
+    val verified = jaccardVerify(
+      minhashCandidates(docs, idCol, textCol, shingleLen, numHashes, bands, maxBucket),
+      docs, idCol, textCol, shingleLen, minJaccard,
+    ).localCheckpoint(eager = false)
+    val members = verified
+      .select(explode(array(col(idCol + "_a"), col(idCol + "_b"))).as(idCol))
+      .distinct()
+    val fp = simhashes(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol)
+    verified
+      .join(fp.withColumnRenamed(idCol, idCol + "_a").withColumnRenamed("simhash", "sh_a"), Seq(idCol + "_a"))
+      .join(fp.withColumnRenamed(idCol, idCol + "_b").withColumnRenamed("simhash", "sh_b"), Seq(idCol + "_b"))
+      .select(
+        col(idCol + "_a"), col(idCol + "_b"), col("jaccard"),
+        (bit_count(col("sh_a") bitwiseXOR col("sh_b")) <= maxHamming).as("sh_within_envelope"))
+  }
+
   /** Exact word-shingle Jaccard similarity between candidate pairs:
     * joins the docs back in (broadcast if small) and computes
     * |A∩B| / |A∪B| with array set algebra — no UDF.
