@@ -964,8 +964,9 @@ object SparkEntry {
     // user-keyed join+distinct, and the cohort sketches are reusable
     // against ANY other cohort. Contract oracle (q_sketch_merge
     // pattern): exact cohort sizes + exact overlap hash-compare; the IE
-    // estimate must land within 5% of the UNION size (compounded error
-    // of three ≈1.6%-rsd estimates scales with |A∪B|, not the overlap).
+    // estimate must land within 10% of the UNION size (compounded error
+    // of three ≈1.6%-rsd estimates scales with |A∪B|, not the overlap;
+    // envelope kept 2× the expected compound for regeneration safety).
     "q_sketch_intersect" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       // Cohorts with genuinely partial overlap at every SF: big-ticket
@@ -994,10 +995,15 @@ object SparkEntry {
             sum(col("v")).as("n_a"),
             sum(col("p")).as("n_b"),
             sum(col("v") * col("p")).as("n_both"))
+        // 10%-of-union envelope, deliberately 2× the ~5% three-sketch
+        // compound rsd: the bound is probabilistic and the driver
+        // regenerates testdata per round, so a tail draw could flip a
+        // tight envelope with no code defect (same reasoning as
+        // q_heavy_hitters' 2× slack).
         exact.crossJoin(ests).select(
           col("n_a"), col("n_b"), col("n_both"),
           (abs(col("est_a") + col("est_b") - col("est_u") - col("n_both"))
-            <= col("est_u") * lit(0.05)).as("ie_within_bound"))
+            <= col("est_u") * lit(0.10)).as("ie_within_bound"))
       }
     }),
 
@@ -1016,7 +1022,14 @@ object SparkEntry {
       val eps = 0.001
       val cms = terms.stat.countMinSketch("term", eps, 0.99, 42)
       val bc = s.sparkContext.broadcast(cms)
-      val slack = math.ceil(eps * cms.totalCount()).toLong
+      // 2× the eps·N guarantee, deliberately: the 1× bound holds per
+      // query only with prob 1−δ (δ=0.01), so across ~dozens of heavy
+      // terms AND per-round testdata regeneration a legitimate
+      // exceedance would flip the gate without any code defect; at 2×
+      // the per-term failure odds drop ~2^-depth further (Markov per
+      // row, min over depth rows) — drift-proof while still certifying
+      // the sketch is a real eps-grade CMS.
+      val slack = 2 * math.ceil(eps * cms.totalCount()).toLong
       val threshold = math.ceil(0.005 * cms.totalCount()).toLong
       terms.groupBy("term")
         .agg(count(lit(1)).as("n_exact"))
@@ -1070,7 +1083,12 @@ object SparkEntry {
       t(s, dir, "orders")
         .select(
           col("o_custkey"),
-          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          // Base at/below the data minimum (TPC-H orderdates span
+          // 1992-1998): days stay non-negative and inside zValue2's
+          // 16-bit range, so no value aliases through the mask and the
+          // emitted min/max rectangles are the tightness evidence they
+          // claim to be.
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
             .cast("long").as("day"))
         .withColumn("cell",
           shiftright(graft.core.Layout.zValue2(col("o_custkey"), col("day")), 18))
@@ -1131,6 +1149,33 @@ object SparkEntry {
         idCol = "vec_id",
         vecCol = "embedding",
         codebooks = books,
+        k = 5,
+        rerank = 32,
+      )
+    }),
+
+    // --- beyond-reference: STANDING PQ index (incremental ANN) --------
+    // The frozen-model serving shape that completes the incremental
+    // retrieval family: codebooks fit ONCE on the base load
+    // (vec_id % 4 != 0), the % 4 == 0 slice arrives later and is
+    // encoded in the FROZEN books (Ann.appendToPqIndex — no refit, no
+    // touch of stored codes), queries ADC-scan the standing store.
+    // Oracle: the same generated PQ pipeline with the Lloyd fit
+    // restricted to the base slice (fitWhere) and encode/ADC over the
+    // union — hash-exact. Split-append ≡ one-shot is pinned in
+    // SimilaritySpec.
+    "q_ann_pq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Ann.buildPqIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      val idx2 = Ann.appendToPqIndex(idx, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      Ann.pqRetrieve(
+        queries = emb.filter(col("vec_id") < 8),
+        idCol = "vec_id",
+        vecCol = "embedding",
+        index = idx2,
+        vectors = emb,
         k = 5,
         rerank = 32,
       )
@@ -2735,13 +2780,22 @@ object SparkEntry {
     * the established list_cosine_similarity ≡ CosineSimilarity pairing,
     * so the final rows hash exactly.
     */
-  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, iters: Int, rerank: Int, k: Int): String = {
+  /** @param fitWhere SQL predicate selecting the codebook-FIT slice of
+    *   the corpus (the standing-index scenario fits on the base load
+    *   only; later appends encode in the frozen books). Default: fit on
+    *   everything — the one-shot q_ann_pq shape. Encode/ADC always run
+    *   over the full corpus (`ea` CTEs).
+    */
+  private def pqOracleSql(m: Int, ksub: Int, dsub: Int, iters: Int, rerank: Int, k: Int,
+      fitWhere: String = "TRUE"): String = {
     def l2(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
         s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
     def subLloyd(s: Int): String = {
       val (lo, hi) = (s * dsub + 1, s * dsub + dsub)
       val init = s"""es$s AS MATERIALIZED (
+        |  SELECT vec_id, (vn)[$lo:$hi] AS v FROM en WHERE $fitWhere),
+        |ea$s AS MATERIALIZED (
         |  SELECT vec_id, (vn)[$lo:$hi] AS v FROM en),
         |c${s}_0 AS MATERIALIZED (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -2771,7 +2825,7 @@ object SparkEntry {
         |  SELECT vec_id, cid AS code FROM (
         |    SELECT e.vec_id, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "c.cv")} ASC, c.cid) AS rn
-        |    FROM es$s e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
+        |    FROM ea$s e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val centsUnion = (0 until m)
       .map(s => s"SELECT $s AS s, cid, cv FROM c${s}_$iters").mkString(" UNION ALL ")
@@ -3746,7 +3800,7 @@ object SparkEntry {
     "q_zorder_cells" ->
       """WITH d AS (
         |  SELECT o_custkey,
-        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
         |  FROM orders),
         |b AS (SELECT *, o_custkey & 65535 AS xb, day & 65535 AS yb FROM d),
         |s1 AS (SELECT *, ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
@@ -3920,6 +3974,11 @@ object SparkEntry {
     // encode, ADC, rerank) — see pqOracleSql. Matches the registry
     // config exactly: m=8, ksub=16, dsub=8, iters=2, rerank=32, k=5.
     "q_ann_pq" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2, rerank = 32, k = 5),
+
+    // Standing-index variant: Lloyd fit restricted to the base slice,
+    // encode/ADC over the full corpus — the frozen-books append scenario.
+    "q_ann_pq_incremental" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2,
+      rerank = 32, k = 5, fitWhere = "vec_id % 4 <> 0"),
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -166,29 +166,84 @@ object Layout {
     * share a bucket deterministically (`<` comparisons against fixed
     * literals).
     */
-  def rankBucket(df: DataFrame, dim: String, buckets: Int): org.apache.spark.sql.Column = {
+  def rankBucket(df: DataFrame, dim: String, buckets: Int): org.apache.spark.sql.Column =
+    rankBuckets(df, Seq(dim), buckets).head
+
+  /** [[rankBucket]] for SEVERAL dimensions in ONE fitting pass:
+    * `approxQuantile`'s multi-column overload runs a single driver job
+    * over `df` for all dims together, where per-dim calls would each
+    * full-scan — at 100 TB the difference between one and `dims.size`
+    * stats passes over the table being laid out.
+    */
+  def rankBuckets(df: DataFrame, dims: Seq[String], buckets: Int): Seq[org.apache.spark.sql.Column] = {
     require(buckets >= 2 && buckets <= 65536, s"buckets must be in [2, 65536], got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = df.stat.approxQuantile(dim, probs, 0.001).distinct.sorted
-    cuts.zipWithIndex.foldRight(lit(cuts.length): org.apache.spark.sql.Column) {
-      case ((cut, i), els) => when(col(dim) < lit(cut), lit(i)).otherwise(els)
+    val allCuts = df.stat.approxQuantile(dims.toArray, probs, 0.001)
+    dims.zip(allCuts.toSeq).map { case (dim, raw) =>
+      val cuts = raw.distinct.sorted
+      cuts.zipWithIndex.foldRight(lit(cuts.length): org.apache.spark.sql.Column) {
+        case ((cut, i), els) => when(col(dim) < lit(cut), lit(i)).otherwise(els)
+      }
     }
   }
 
-  /** [[zOrderWrite]] with both dims rank-normalized via [[rankBucket]]:
-    * the skew-robust default for arbitrary numeric dimensions.
+  /** Bit-spread of the low 16 bits of `c` to every THIRD bit position
+    * (Morton-3D ladder — the standard 21-bit magic masks, which contain
+    * the 16-bit case): bit i lands at position 3i.
     */
+  private def spread16x3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1f00000000ffffL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1f0000ff0000ffL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100f00f00f00f00fL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10c30c30c30c30c3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Z-order value for 1–3 dimensions (bit i of dim d at position
+    * n·i+d): the [[zValue2]] preconditions — 16-bit range, comparable
+    * magnitudes — apply to every dim; use [[rankBuckets]] to establish
+    * both. Dimensions beyond 3 are deliberately unsupported: 4×16 bits
+    * overflows a long's sign-safe range, and past ~3 dims interleaving
+    * dilutes each dim's prefix locality so much that min/max pruning
+    * decays toward a plain hash layout — prefer partitioning on the
+    * extra dims instead (the Delta/Iceberg guidance).
+    */
+  def zValueN(dims: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = dims match {
+    case Seq(x) => x.cast("long").bitwiseAND(lit(0xFFFFL))
+    case Seq(x, y) => zValue2(x, y)
+    case Seq(x, y, z) =>
+      spread16x3(x.cast("long"))
+        .bitwiseOR(shiftleft(spread16x3(y.cast("long")), 1))
+        .bitwiseOR(shiftleft(spread16x3(z.cast("long")), 2))
+    case _ => throw new IllegalArgumentException(
+      s"zValueN supports 1-3 dims, got ${dims.size} (partition on the extra dims instead)")
+  }
+
+  /** [[zOrderWrite]] with every dim rank-normalized via [[rankBuckets]]
+    * (ONE quantile-fitting pass for all dims): the skew-robust default
+    * for arbitrary numeric dimensions, 2 or 3 of them.
+    */
+  def zOrderWriteRanked(
+      df: DataFrame,
+      path: String,
+      dims: Seq[String],
+      numFiles: Int,
+      buckets: Int = 256,
+  ): Unit =
+    df.withColumn("__z", zValueN(rankBuckets(df, dims, buckets)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Two-dim convenience overload (source-compatible with the r8 API). */
   def zOrderWriteRanked(
       df: DataFrame,
       path: String,
       x: String,
       y: String,
       numFiles: Int,
-      buckets: Int = 256,
-  ): Unit =
-    df.withColumn("__z", zValue2(rankBucket(df, x, buckets), rankBucket(df, y, buckets)))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      buckets: Int,
+  ): Unit = zOrderWriteRanked(df, path, Seq(x, y), numFiles, buckets)
 }

@@ -111,6 +111,13 @@ object Sampling {
     * sort tuples and which duplicate wins becomes partition-order-
     * dependent, voiding every stability guarantee above. Content ids
     * (doc_id, url hash) satisfy this by construction.
+    *
+    * Rows with a NULL key or a null/zero/negative weight are EXCLUDED
+    * from the race (standard A-ES semantics: weight ≤ 0 means "never
+    * sample"). Left in, w=0 would mint +Inf race keys, w<0 would invert
+    * the race, and a null key's null sort key would order differently
+    * across engines (Spark NULLS FIRST vs DuckDB NULLS LAST), silently
+    * breaking the documented cross-engine stability.
     */
   def weightedSample(
       df: DataFrame,
@@ -124,6 +131,7 @@ object Sampling {
     val e = -log(u) / weight.cast("double")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(e.asc, key.asc)
-    df.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+    df.filter(key.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
   }
 }

@@ -288,10 +288,28 @@ object Ann {
       codebooks: Array[Array[Array[Double]]],
       k: Int,
       rerank: Int = 32,
+  ): DataFrame =
+    adcScan(queries, pqEncode(corpus, idCol, vecCol, codebooks), codebooks,
+      corpus, idCol, vecCol, k, rerank)
+
+  /** ADC scan + exact re-rank against an ALREADY-ENCODED codes table —
+    * the shared core of [[pqTopK]] (one-shot) and [[pqRetrieve]]
+    * (standing index). `vectors` supplies the raw embeddings for the
+    * shortlist re-rank (keyed lookup of `rerank` ids per query — at
+    * 100 TB this is the only touch of the uncompressed store).
+    */
+  private def adcScan(
+      queries: DataFrame,
+      codes: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int,
   ): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
     val lut = array((0 until m).map { s =>
       val qsub = slice(col("v"), s * dsub + 1, dsub)
       val cents = array(codebooks(s).map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
@@ -311,7 +329,7 @@ object Ann {
       .filter(col("arn") <= rerank)
       .select(col("qid"), col(idCol))
     val rescored = shortlist
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))), Seq("qid"))
       .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol))
@@ -320,4 +338,95 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
   }
+
+  // ---- Standing PQ index (frozen codebooks + stored codes) -------------
+
+  /** A standing product-quantization index, the PQ member of the
+    * incremental-retrieval family ([[graft.similarity.SparseSim.buildBm25Index]]
+    * pattern): both halves are model-as-data DataFrames a pipeline
+    * parquets once and reuses per batch.
+    *
+    *  - `codebooks` (s, cid, cv: array<double>) — the FROZEN m × ksub
+    *    subspace centroids, a few KB;
+    *  - `codes` (idCol, codes: array<int>) — every indexed vector as m
+    *    small centroid ids, the 32×-compressed scannable store.
+    *
+    * Retrieval against the index never refits: arriving query batches
+    * compute ADC LUTs from the stored codebooks, and arriving corpus
+    * batches encode with [[appendToPqIndex]] — so scores are a pure
+    * function of (query, index) and scoring in any sub-batching is
+    * bit-identical (SimilaritySpec pins split-append ≡ one-shot).
+    */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame)
+
+  /** Fit codebooks on `corpus` (the offline step — at 100 TB, on a
+    * `Sampling.hashSample` slice) and encode it. The returned halves are
+    * plain DataFrames: write them out and the index is durable.
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+  ): PqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val cb = books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cv, cid) => (s, cid, cv.toSeq) }
+    }.toSeq.toDF("s", "cid", "cv")
+    PqIndex(cb, pqEncode(corpus, idCol, vecCol, books))
+  }
+
+  /** Stored codebooks back to the driver-side matrix the encode/LUT
+    * literals are built from. Bounded collect BY CONSTRUCTION: m × ksub
+    * rows (128 at the default config, ~8 KB) — the model half of a PQ
+    * index is corpus-size-independent, exactly like a broadcast join's
+    * build side.
+    */
+  def codebookArrays(codebooks: DataFrame): Array[Array[Array[Double]]] =
+    codebooks
+      .select(col("s").cast("int"), col("cid").cast("int"), col("cv"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }.toArray
+
+  /** Encode an arriving corpus batch with the index's FROZEN codebooks
+    * and append its codes — no refit, no touch of existing rows, so
+    * (old ∪ batch) codes ≡ one-shot encode of the union with the same
+    * books. Ids must be disjoint from the indexed set.
+    */
+  def appendToPqIndex(
+      index: PqIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+  ): PqIndex =
+    index.copy(codes = index.codes.unionByName(
+      pqEncode(batch, idCol, vecCol, codebookArrays(index.codebooks))))
+
+  /** Score a query batch against a standing [[PqIndex]]: per-query ADC
+    * LUTs from the STORED codebooks, compressed-domain scan of the
+    * stored codes (never re-encoded, never shuffled — queries broadcast
+    * in), exact re-rank of the shortlist against `vectors` (the raw
+    * embedding table; only `rerank` ids per query are looked up).
+    * Output matches [[pqTopK]]: (qid, idCol, sim, rn).
+    */
+  def pqRetrieve(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: PqIndex,
+      vectors: DataFrame,
+      k: Int,
+      rerank: Int = 32,
+  ): DataFrame =
+    adcScan(queries, index.codes, codebookArrays(index.codebooks),
+      vectors, idCol, vecCol, k, rerank)
 }

@@ -94,8 +94,13 @@ object DocsStream {
     val hot = filter(toks,
       t => graft.functions.GraftFunctions.cmsEstimate(t, sketch) >= hotCount)
     docs
+      // <= 0, not === 0: size(null array) is -1, so a null text must
+      // take the hot_frac-0 branch. Convention: null/empty docs PASS
+      // this gate (no terms = no boilerplate evidence) — rejecting
+      // degenerate docs is qualityGated's job (min-token floor), not a
+      // silent null-propagation side effect here.
       .withColumn("hot_frac",
-        when(size(toks) === 0, lit(0.0))
+        when(size(toks) <= 0, lit(0.0))
           .otherwise(size(hot).cast("double") / size(toks).cast("double")))
       .filter(col("hot_frac") <= maxHotFrac)
   }

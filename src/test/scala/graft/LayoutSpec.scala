@@ -266,4 +266,47 @@ class LayoutSpec extends SparkTestBase {
     assert(raw == 8, s"raw interleave of a long-tailed dim must degenerate, got $raw")
     assert(ranked < raw, s"rank-bucketed z-order must prune the dense region ($ranked vs $raw)")
   }
+
+  test("zValueN: 3-dim Morton matches bit reference; ranked 3-dim layout prunes on ALL dims") {
+    def morton3(x: Long, y: Long, z: Long): Long =
+      (0 until 16).foldLeft(0L) { (m, i) =>
+        m | (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val triples = Seq((0L, 0L, 0L), (1L, 2L, 4L), (65535L, 65535L, 65535L),
+      (1499L, 2404L, 999L), (70000L, 3L, 5L)) // 70000 aliases mod 2^16
+    val got = triples.toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq($"x", $"y", $"z"))).as[Long].collect().toSeq
+    assert(got == triples.map { case (x, y, z) => morton3(x & 0xFFFF, y & 0xFFFF, z & 0xFFFF) })
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq($"x", $"y", $"z", $"x"))
+    }
+    // 3-dim ranked layout: every dim prunes, where a 1-dim sort serves
+    // only its leading column. 16 files -> ~2^(4/3) cells per dim: the
+    // per-dim pruning is MILDER than 2-dim z-order (the interleave
+    // dilution the zValueN scaladoc describes) but must still beat the
+    // all-files baseline on every dimension.
+    // Independent dims (seeded RNG): modular functions of i correlate
+    // with each other and quietly let a 1-dim sort prune the others.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 6000).map { i =>
+      (i.toLong, rnd.nextInt(5000).toLong, rnd.nextInt(60000).toLong, rnd.nextInt(900).toLong)
+    }
+    val df3 = rows.toDF("id", "x", "y", "z")
+    val zdir = tmpDir("layout_z3")
+    val sdir = tmpDir("layout_z3_xsorted")
+    Layout.zOrderWriteRanked(df3, zdir, Seq("x", "y", "z"), numFiles = 16, buckets = 64)
+    df3.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sdir)
+    def hits(dir: String, dim: String, v: Long): Int = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(dim).as("lo"), max(dim).as("hi"))
+      .select($"lo", $"hi").as[(Long, Long)].collect()
+      .count { case (lo, hi) => lo <= v && v <= hi }
+    val (px, py, pz) = (hits(zdir, "x", 2500L), hits(zdir, "y", 30000L), hits(zdir, "z", 450L))
+    assert(px < 16 && py < 16 && pz < 16,
+      s"3-dim z-order must prune on every dim, got x=$px y=$py z=$pz of 16")
+    assert(hits(sdir, "y", 30000L) == 16 && hits(sdir, "z", 450L) == 16,
+      "x-sorted baseline must not prune the other dims")
+  }
 }

@@ -36,6 +36,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashContract/simhashContract: verified row set with envelope booleans TRUE") {
+    val mh = NearDup.minhashContract(mkDocs, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(mh.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"dup trio pairs (and nothing touching the unrelated doc 4) expected: ${mh.toSeq}")
+    assert(mh.forall(_._4), "minhash estimate must sit inside the envelope")
+    val sh = NearDup.simhashContract(mkDocs, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(sh.map(r => (r._1, r._2)).toSet.contains((1L, 2L)))
+    assert(sh.forall(_._4), "simhash hamming must sit inside the envelope")
+  }
+
   test("bruteForceTopK returns k best neighbors with self excluded") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = Ann.bruteForceTopK(emb.filter($"vec_id" < 3), emb, "vec_id", "embedding", k = 4)
@@ -97,6 +109,33 @@ class SimilaritySpec extends SparkTestBase {
     val b = Ann.pqTopK(q, emb, "vec_id", "embedding", books2, k = 3, rerank = 32)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(a == b, "PQ pipeline must be deterministic across refits")
+  }
+
+  test("standing PQ index: frozen-books append == one-shot encode; retrieve == pqTopK on base books") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val batch = emb.filter($"vec_id" % 4 === 0)
+    val q = emb.filter($"vec_id" < 8)
+    val idx = Ann.buildPqIndex(base, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2)
+    // Round-trip: the stored codebook DataFrame reconstructs the fitted matrix exactly.
+    val books = Ann.pqCodebooks(base, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2)
+    val stored = Ann.codebookArrays(idx.codebooks)
+    assert(stored.length == books.length &&
+      stored.flatten.map(_.toSeq).toSeq == books.flatten.map(_.toSeq).toSeq,
+      "codebooks must round-trip through the model-as-data store")
+    // Append in frozen books == encoding the union in one shot.
+    val appended = Ann.appendToPqIndex(idx, batch, "vec_id", "embedding")
+    val oneShot = Ann.pqEncode(emb, "vec_id", "embedding", books)
+    val aCodes = appended.codes.as[(Long, Seq[Int])].collect().toMap
+    val oCodes = oneShot.as[(Long, Seq[Int])].collect().toMap
+    assert(aCodes == oCodes, "split append must equal one-shot encode")
+    // Retrieval against the standing store == pqTopK with the base-fitted
+    // books over the full corpus (scores a pure function of query+index).
+    val viaIndex = Ann.pqRetrieve(q, "vec_id", "embedding", appended, emb, k = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Ann.pqTopK(q, emb, "vec_id", "embedding", books, k = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaIndex == direct, "standing-index retrieval must match direct PQ search")
   }
 
   test("cosineSim kernel matches the zip_with/aggregate HOF formulation on real embeddings") {
