@@ -2333,6 +2333,28 @@ object SparkEntry {
         raw = docs.select(col("doc_id"), col("text")))
     }),
 
+    // --- beyond-reference: quality-classifier scoring (model-as-data) --
+    // fastText-shape linear scorer over hashed n-gram features,
+    // distilling a keyword teacher (docs mentioning "spark" — the
+    // FineWeb-Edu/DCLM workflow: a cheap rule or LLM labels a slice, a
+    // linear hashed-ngram model generalizes it): log-count-ratio
+    // weights + max-margin threshold fit on the doc_id%3!=0 split,
+    // DECIMAL(18,6)-quantized into the stored model, held-out docs
+    // scored via a broadcast weight join + exact decimal sum
+    // (QualityModel scaladoc for the determinism contract). The oracle
+    // replicates fit, calibration, AND scoring in SQL — the whole
+    // pipeline hash-compares. (The synthetic corpus shares one
+    // vocabulary across langs, so a lang teacher would be unlearnable;
+    // the keyword teacher is, and TextSpec pins held-out separation.)
+    "q_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.QualityModel.fit(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        label = array_contains(TextAnalysis.tokens(col("text")), "spark"))
+      graft.text.QualityModel.score(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", model)
+    }),
+
     // --- beyond-reference: domain-mix weighted sampling ----------------
     // Pile/Dolma-style source reweighting: each source keeps k/256 of its
     // docs by md5 bucket — deterministic, growth-stable, nested under
@@ -4684,6 +4706,56 @@ object SparkEntry {
 
     // DSIR oracle: same double-forcing discipline as q_lm_score; the raw
     // vocabulary (rv) is the shared smoothing support for BOTH sides.
+    // Quality classifier: the full log-count-ratio fit + max-margin
+    // calibration + hashed-feature scoring in SQL. md5-prefix feature
+    // hashing and DECIMAL(18,6) model quantization make every
+    // cross-engine chain exact (ln ulps are absorbed at the 1e-6 grid);
+    // score sums and the pred comparison are pure decimal.
+    "q_quality_model" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_contains(toks, 'spark') AS y, toks FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents)),
+        |feats AS (
+        |  SELECT DISTINCT doc_id, y,
+        |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 4096 AS feature
+        |  FROM (SELECT doc_id, y, unnest(toks) AS term FROM base)),
+        |tr AS (SELECT * FROM feats WHERE doc_id % 3 <> 0),
+        |cnt AS (SELECT feature,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c_neg
+        |  FROM tr GROUP BY feature),
+        |tot AS (SELECT
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS t_pos,
+        |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS t_neg
+        |  FROM tr),
+        |w AS (SELECT feature,
+        |    CAST(ln(((c_pos + 0.5) / (c_neg + 0.5)) *
+        |            (CAST(t_neg AS DOUBLE) / t_pos)) AS DECIMAL(18,6)) AS w
+        |  FROM cnt, tot),
+        |pr AS (SELECT CAST(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 0.5) /
+        |                      (sum(CASE WHEN NOT y THEN 1 ELSE 0 END) + 0.5)) AS DECIMAL(18,6)) AS w0
+        |  FROM base WHERE doc_id % 3 <> 0),
+        |trs AS (SELECT tr.doc_id, sum(CAST(w.w AS DECIMAL(28,6))) AS s
+        |  FROM tr JOIN w USING (feature) GROUP BY tr.doc_id),
+        |cal AS (SELECT CAST(CAST(min(CASE WHEN y THEN sc END) +
+        |                         max(CASE WHEN NOT y THEN sc END) AS DOUBLE) * 0.5
+        |          AS DECIMAL(18,6)) AS tau
+        |  FROM (SELECT b.doc_id, b.y, COALESCE(trs.s, 0) + pr.w0 AS sc
+        |        FROM (SELECT doc_id, y FROM base WHERE doc_id % 3 <> 0) b
+        |        LEFT JOIN trs ON b.doc_id = trs.doc_id, pr)),
+        |te AS (SELECT doc_id, feature FROM feats WHERE doc_id % 3 = 0),
+        |sc AS (SELECT te.doc_id, count(*) AS n_feats,
+        |    sum(CAST(w.w AS DECIMAL(28,6))) AS s
+        |  FROM te JOIN w USING (feature) GROUP BY te.doc_id)
+        |SELECT b.doc_id,
+        |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  round(CAST(COALESCE(sc.s, 0) + pr.w0 AS DOUBLE), 6) AS score,
+        |  (COALESCE(sc.s, 0) + pr.w0) > cal.tau AS pred
+        |FROM (SELECT doc_id FROM base WHERE doc_id % 3 = 0) b
+        |LEFT JOIN sc ON b.doc_id = sc.doc_id, pr, cal""".stripMargin,
+
     "q_dsir_weight" ->
       """WITH d AS (SELECT doc_id, lang,
         |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),

@@ -217,4 +217,43 @@ class TextSpec extends SparkTestBase {
       .select(TextAnalysis.urlHosts($"t")).as[Seq[String]].head()
     assert(none.isEmpty)
   }
+
+  test("QualityModel: distills a keyword teacher; frozen model; featureless doc scores prior") {
+    import graft.text.QualityModel
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val teacher = array_contains(TextAnalysis.tokens($"text"), "spark")
+    val model = QualityModel.fit(
+      docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text", label = teacher)
+    val heldOut = docs.filter($"doc_id" % 3 === 0)
+    val scored = QualityModel.score(heldOut, "doc_id", "text", model)
+      .join(heldOut.select($"doc_id", teacher.as("y")), Seq("doc_id"))
+    val (right, total) = scored
+      .agg(sum(when($"pred" === $"y", 1L).otherwise(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    val (posMin, negMax) = scored
+      .agg(min(when($"y", $"score")), max(when(!$"y", $"score")))
+      .as[(Double, Double)].head()
+    // The hashed-linear model must recover the keyword rule on held-out
+    // docs: rank separation (every teacher-positive above every
+    // negative) plus high accuracy at the score>0 threshold.
+    assert(posMin > negMax,
+      s"teacher-positive scores must rank above negatives ($posMin vs $negMax)")
+    assert(total > 0 && right.toDouble / total > 0.85,
+      s"held-out accuracy ${right.toDouble / total} ($right/$total)")
+    // Frozen model: scoring a batch in two halves == one shot.
+    val half1 = QualityModel.score(heldOut.filter($"doc_id" % 2 === 0), "doc_id", "text", model)
+    val half2 = QualityModel.score(heldOut.filter($"doc_id" % 2 =!= 0), "doc_id", "text", model)
+    val split = half1.unionByName(half2).as[(Long, Long, Double, Boolean)].collect().toSet
+    val whole = QualityModel.score(heldOut, "doc_id", "text", model)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(split == whole, "split-batch scoring must be bit-identical")
+    // Featureless doc: one row, prior-only score, zero matched features.
+    val empty = Seq((999999L, "")).toDF("doc_id", "text")
+    val es = QualityModel.score(empty, "doc_id", "text", model)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val w0 = model.scalars.head().getDecimal(0).doubleValue()
+    assert(es.length == 1 && es.head._2 == 0L &&
+      math.abs(es.head._3 - (math.rint(w0 * 1e6) / 1e6)) < 1e-9,
+      s"featureless doc must score the bare prior, got ${es.toSeq} vs w0=$w0")
+  }
 }
