@@ -311,32 +311,72 @@ object SparseSim {
       idCol: String,
       textCol: String,
       shingleLen: Int = 2,
-      dfCap: Int = 100): DataFrame = {
-    // Terms are word shingleLen-grams (the SparseSim vector space, not
-    // bare unigrams): unigram df over a small-vocabulary corpus puts
-    // every term above dfCap and empties the index; shingles keep df in
-    // the discriminative range. dl is the doc's SHINGLE count — the
-    // length BM25 normalizes by must count the same units tf does.
-    // greatest(…, 0): size() of a null array is -1; the oracle's
-    // COALESCE(GREATEST(len-…, 0), 0) must see the same 0.
+      dfCap: Int = 100): DataFrame =
+    bm25IndexFrom(
+      bm25DocLengths(docs, idCol, textCol, shingleLen),
+      bm25RawPostings(docs, idCol, textCol, shingleLen),
+      dfCap)
+
+  /** The APPEND-ONLY raw halves of a BM25 store, split out so a standing
+    * index can be MAINTAINED under ingest (streaming/DocsStream
+    * .bm25IndexAppender): both are pure per-document functions — no
+    * corpus statistic touches them — so appending a batch's rows never
+    * rewrites existing rows, and corpus-global stats (df, n_docs, avgdl)
+    * derive at SNAPSHOT time from the accumulated store
+    * ([[bm25IndexFrom]]). Maintained-store ≡ batch-rebuild equality is
+    * pinned in StreamingSpec.
+    *
+    * [[bm25DocLengths]]: (doc_id, dl) for EVERY doc — zero-term docs
+    * must still count in n_docs/avgdl. dl is the doc's SHINGLE count
+    * (the length BM25 normalizes by must count the same units tf does);
+    * greatest(…, 0): size() of a null array is -1 and the oracle's
+    * COALESCE(GREATEST(len-…, 0), 0) must see the same 0.
+    */
+  def bm25DocLengths(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 2): DataFrame = {
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val base = docs
+    docs.select(
+      col(idCol).as("doc_id"),
+      greatest(size(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)), lit(0))
+        .as("dl"))
+  }
+
+  /** (doc_id, term, tf) — term rows only. Terms are word shingleLen-grams
+    * (the SparseSim vector space, not bare unigrams): unigram df over a
+    * small-vocabulary corpus puts every term above dfCap and empties the
+    * index; shingles keep df in the discriminative range.
+    */
+  def bm25RawPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 2): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    docs
       .select(
         col(idCol).as("doc_id"),
-        graft.functions.GraftFunctions.wordShingles(toks, shingleLen).as("terms"))
-      .select(col("doc_id"), col("terms"),
-        greatest(size(col("terms")), lit(0)).as("dl"))
-      .localCheckpoint(eager = false) // two consumers: stats + tf
-    val tf = base
-      .select(col("doc_id"), explode(col("terms")).as("term"), col("dl"))
-      .groupBy("doc_id", "term", "dl")
+        explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
+      .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // two consumers: df agg + postings
-    val stats = base.agg(
+  }
+
+  /** Snapshot a scoreable index out of the raw halves: derive df /
+    * n_docs / avgdl from the accumulated store and attach them as data
+    * columns — the [[buildBm25Index]] schema, byte-for-byte. Stats are
+    * derived, never stored, so the append path has nothing to go stale.
+    */
+  def bm25IndexFrom(docLengths: DataFrame, rawPostings: DataFrame, dfCap: Int = 100): DataFrame = {
+    val lengths = docLengths.localCheckpoint(eager = false) // two consumers: stats + join
+    val tf = rawPostings.localCheckpoint(eager = false) // two consumers: df agg + postings
+    val stats = lengths.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dfs.filter(col("df") <= dfCap), Seq("term"))
+      .join(lengths, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select("doc_id", "term", "tf", "dl", "df", "n_docs", "avgdl")
   }

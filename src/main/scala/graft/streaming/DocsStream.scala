@@ -105,6 +105,68 @@ object DocsStream {
       .filter(col("hot_frac") <= maxHotFrac)
   }
 
+  /** STANDING-INDEX MAINTENANCE under ingest: append each micro-batch's
+    * doc-LOCAL BM25 rows (lengths + raw postings,
+    * [[graft.similarity.SparseSim.bm25DocLengths]]/[[graft.similarity.SparseSim.bm25RawPostings]])
+    * to two parquet stores via foreachBatch. Corpus-global statistics
+    * are NOT stored — they derive at snapshot time
+    * (`SparseSim.bm25IndexFrom` over the accumulated files), so appends
+    * never rewrite existing rows, replayed batches are idempotent at
+    * the row level, and the maintained store is BIT-IDENTICAL to a
+    * batch rebuild over the same documents (StreamingSpec pin). This is
+    * the ingest half the frozen-model retrieval queries
+    * (q_bm25_incremental) assume exists.
+    *
+    * Scale shape: each micro-batch's work is a pure per-doc projection +
+    * one batch-local (doc,term) groupBy — cost scales with the BATCH,
+    * never the standing corpus; store the postings bucketed on `term`
+    * (core/Layout) and snapshot scoring keeps the index-side exchange
+    * elided (LayoutSpec).
+    */
+  def bm25IndexAppender(
+      docs: DataFrame,
+      lengthsPath: String,
+      postingsPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 2,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.similarity.SparseSim.bm25DocLengths(batch, idCol, textCol, shingleLen)
+          .write.mode("append").parquet(lengthsPath)
+        graft.similarity.SparseSim.bm25RawPostings(batch, idCol, textCol, shingleLen)
+          .write.mode("append").parquet(postingsPath)
+      }
+      .start()
+
+  /** Same maintenance discipline for the substring-dedup anchor index:
+    * [[graft.text.SubstringDedup.buildAnchorIndex]] rows are already
+    * pure per-document (gram, doc_id, pos) — no snapshot derivation
+    * needed; the appended store IS the index
+    * (`incrementalSharedSpans` consumes it directly).
+    */
+  def anchorIndexAppender(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramLen: Int = 24,
+      window: Int = 16,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.text.SubstringDedup.buildAnchorIndex(batch, idCol, textCol, gramLen, window)
+          .write.mode("append").parquet(indexPath)
+      }
+      .start()
+
   /** Streaming fuzzy-exact dedup: drop any document whose normalized
     * (case/punctuation/whitespace) fingerprint was already seen within the
     * watermark horizon — re-crawled pages with cosmetic edits never

@@ -388,4 +388,67 @@ class StreamingSpec extends SparkTestBase {
       assert(kept.length == 3, s"expected 3 surviving docs, got ${kept.length}")
     } finally q.stop()
   }
+
+  test("bm25IndexAppender: stream-maintained store == batch-built index; retrieval identical") {
+    import graft.similarity.SparseSim
+    val dir = tmpDir("stream_bm25_in")
+    val (lengths, postings, ckpt) =
+      (tmpDir("stream_bm25_len"), tmpDir("stream_bm25_post"), tmpDir("stream_bm25_ckpt"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 10 =!= 0).limit(120)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    // Three files -> three micro-batches of appends.
+    corpus.filter($"doc_id" % 3 === 0).coalesce(1).write.mode("overwrite").parquet(dir)
+    corpus.filter($"doc_id" % 3 === 1).coalesce(1).write.mode("append").parquet(dir)
+    corpus.filter($"doc_id" % 3 === 2).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.bm25IndexAppender(stream, lengths, postings, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val maintained = SparseSim.bm25IndexFrom(
+      spark.read.parquet(lengths), spark.read.parquet(postings))
+    val rebuilt = SparseSim.buildBm25Index(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Int, Long, Long, Double)].collect().toSet
+    assert(rows(maintained) == rows(rebuilt),
+      "stream-maintained BM25 store must equal a batch rebuild bit-for-bit")
+    // And retrieval against the maintained store matches the batch index.
+    val queries = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 10 === 0).limit(20).select($"doc_id", $"text")
+    def hits(idx: org.apache.spark.sql.DataFrame) =
+      SparseSim.bm25Retrieve(queries, "doc_id", "text", idx)
+        .as[(Long, Long, Long, Double, Int)].collect().toSet
+    val h = hits(maintained)
+    assert(h.nonEmpty && h == hits(rebuilt), "retrieval must not see the maintenance path")
+  }
+
+  test("anchorIndexAppender: stream-appended anchor index == batch buildAnchorIndex") {
+    import graft.text.SubstringDedup
+    val dir = tmpDir("stream_anchor_in")
+    val (idx, ckpt) = (tmpDir("stream_anchor_idx"), tmpDir("stream_anchor_ckpt"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    corpus.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("overwrite").parquet(dir)
+    corpus.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.anchorIndexAppender(stream, idx, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"pos".cast("long"), $"gram")
+      .as[(Long, Long, String)].collect().toSet
+    val maintained = rows(spark.read.parquet(idx))
+    val rebuilt = rows(SubstringDedup.buildAnchorIndex(corpus, "doc_id", "text"))
+    assert(maintained == rebuilt,
+      "stream-appended anchor index must equal the batch build row set")
+    assert(maintained.nonEmpty)
+  }
 }
