@@ -284,6 +284,63 @@ object Multimodal {
     }
   }
 
+  /** REAL animated-GIF frame extraction — the OTHER container a pure JDK
+    * decodes end to end (beside [[AviMjpegCodec]]'s MJPEG-AVI):
+    * `javax.imageio`'s GIF reader exposes every frame by index
+    * (`getNumImages`/`read(i)`), and each sampled frame is re-encoded
+    * lossless PNG so the emitted bytes are STANDALONE decodable images —
+    * the frames-are-images contract [[AviMjpegCodec]] set, composing
+    * directly with [[withImageMeta]]/[[withResized]] downstream.
+    *
+    * Honest limits: frames are the RAW per-frame rasters — GIF
+    * disposal/compositing (partial frames layered onto the previous
+    * canvas) is not applied, so for delta-encoded animations a sampled
+    * frame may be a sub-rectangle; full-frame GIFs (the common
+    * screen-capture/meme case, and everything ImageIO's own writer
+    * emits) round-trip exactly. Unlike the header-only metadata codecs,
+    * sampling decodes pixels for the n SAMPLED frames (unavoidable — PNG
+    * re-encode needs the raster); unsampled frames cost only LZW block
+    * skipping inside the reader.
+    */
+  object GifCodec extends FrameCodec {
+    private def withReader[A](bytes: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
+      if (bytes == null || bytes.length < 6) return None
+      val h = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (h != "GIF87a" && h != "GIF89a") return None
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache inside executors
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          // seekForwardOnly=false: sampled frame indices are random-access.
+          try { r.setInput(iis, false, true); Some(f(r)) } finally r.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None // corrupt/truncated GIF
+      } finally if (iis != null) iis.close()
+    }
+
+    def frameCount(bytes: Array[Byte]): Int =
+      withReader(bytes)(_.getNumImages(true)).getOrElse(0)
+
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      if (n <= 0) Seq.empty
+      else withReader(bytes) { r =>
+        val m = r.getNumImages(true)
+        val picked =
+          if (m <= n) 0 until m
+          else (0 until n).map(i => (m.toLong * i / n).toInt)
+        picked.map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(r.read(i), "png", bos)
+          bos.toByteArray
+        }
+      }.getOrElse(Seq.empty)
+  }
+
   /** Real video metadata decode — a pure-JDK ISO BMFF (MP4/MOV) box walk:
     * `ftyp` gives the major brand, `moov/mvhd` the timescale + duration,
     * and the first `moov/trak/tkhd` with nonzero dimensions the video

@@ -367,4 +367,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.AviMjpegCodec
       .sampleFrames(java.util.Arrays.copyOf(avi, avi.length - 5), 9).length == 3)
   }
+
+  test("GifCodec: REAL multi-frame GIF decode; sampled frames are standalone PNGs") {
+    // A genuine 5-frame animated GIF, written by ImageIO's own GIF writer.
+    def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0xFF00FF)
+    val gif = animatedGif(colors, 16, 12)
+    assert(Multimodal.GifCodec.frameCount(gif) == 5)
+    // Sampling 3 of 5 picks evenly spaced frames 0, 1, 3.
+    val three = Multimodal.GifCodec.sampleFrames(gif, 3)
+    assert(three.length == 3)
+    // Through the Spark explode: one row per frame, every frame a
+    // standalone PNG with the source dims and the EXACT source color
+    // (solid frames survive GIF palettization losslessly).
+    val rows = Multimodal
+      .explodeFrames(Seq((1L, gif)).toDF("id", "content"), "content", 5,
+        Multimodal.GifCodec)
+      .select("frame_idx", "frame").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+    rows.zip(colors).foreach { case (r, rgb) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+      assert((img.getRGB(8, 6) & 0xFFFFFF) == rgb,
+        f"frame color 0x${img.getRGB(8, 6) & 0xFFFFFF}%06x != 0x$rgb%06x")
+    }
+    // withImageMeta composes over the frame column: format png, real dims.
+    val meta = Multimodal.withImageMeta(
+      Multimodal.explodeFrames(Seq((1L, gif)).toDF("id", "content"), "content", 2,
+        Multimodal.GifCodec),
+      "frame", codec = Multimodal.ImageIoCodec)
+      .select("image_meta.width", "image_meta.height", "image_meta.format")
+      .as[(Int, Int, String)].collect().toSet
+    assert(meta == Set((16, 12, "png")), meta.toString)
+    // Non-GIF bytes and corrupt GIFs degrade to empty, never a throw.
+    assert(Multimodal.GifCodec.sampleFrames("GIF89a but not really".getBytes, 3).isEmpty)
+    assert(Multimodal.GifCodec.sampleFrames("plain text".getBytes, 3).isEmpty)
+    assert(Multimodal.GifCodec.frameCount(null) == 0)
+  }
 }
