@@ -957,6 +957,29 @@ object SparkEntry {
         isQuery = col("doc_id") % 17 === 0, k = 5)
     }),
 
+    // --- beyond-reference: HYBRID retrieval via reciprocal-rank fusion --
+    // The two lexical rankers this library ships — Okapi BM25 and
+    // TF-IDF-cosine kNN — fused per query with RRF (1/(60+rank), the
+    // calibration-free hybrid merge real retrieval stacks run between
+    // sparse and dense lists). Ranks are deterministic in both rankers
+    // (doc_b tie-break) and each contribution is decimal-quantized
+    // before the exact sum, so the fused ordering is hash-exact against
+    // the composed oracle (both retrieval pipelines + the fusion in one
+    // SQL statement).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").localCheckpoint(eager = false) // two retrievals
+      val bm = SparseSim.bm25TopK(
+        docs, idCol = "doc_id", textCol = "text",
+        isQuery = col("doc_id") % 17 === 0, k = 10)
+        .select(col("q_id"), col("doc_b"), col("rn"))
+      val lex = SparseSim.topKNeighbors(
+        SparseSim.postings(docs, idCol = "doc_id", textCol = "text", shingleLen = 3, dfCap = 100),
+        k = 10)
+        .filter(col("doc_a") % 17 === 0)
+        .select(col("doc_a").as("q_id"), col("doc_b"), col("rn"))
+      SparseSim.rrfFuse(Seq(bm, lex), k = 5)
+    }),
+
     // --- beyond-reference: HLL set-operation estimates -------------------
     // Audience overlap WITHOUT a join: per-cohort HLL sketches of
     // distinct users estimate |A∩B| by inclusion-exclusion
@@ -3729,6 +3752,82 @@ object SparkEntry {
         |SELECT q_id, doc_b, n_shared, score, rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
         |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // Hybrid RRF: both lexical retrieval pipelines (BM25 at k=10,
+    // TF-IDF-cosine kNN at k=10, s-/b-prefixed CTEs) composed with the
+    // 1/(60+rank) fusion; contributions CAST to DECIMAL(18,12) before
+    // the exact sum, mirroring rrfFuse.
+    "q_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sterms AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |stf AS (SELECT doc_id, term, count(*) AS tf FROM sterms GROUP BY doc_id, term),
+        |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+        |snd AS (SELECT count(*) AS n_docs FROM documents),
+        |sw AS (
+        |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM stf JOIN sdf USING (term), snd
+        |  WHERE df <= 100 AND df < n_docs),
+        |snorms AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM sw GROUP BY doc_id),
+        |sp AS (SELECT doc_id, term, w / norm AS u FROM sw JOIN snorms USING (doc_id)),
+        |spairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CAST(a.u * b.u AS DECIMAL(28,12))) AS DOUBLE) AS cos
+        |  FROM sp a JOIN sp b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |ssym AS (
+        |  SELECT doc_a, doc_b, cos FROM spairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, cos FROM spairs),
+        |lex AS (
+        |  SELECT doc_a AS q_id, doc_b, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
+        |    FROM ssym)
+        |  WHERE rn <= 10 AND doc_a % 17 = 0),
+        |btf AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term, count(*) AS tf
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2 GROUP BY 1, 2),
+        |bdl AS (SELECT doc_id, COALESCE(GREATEST(len(toks) - 1, 0), 0) AS dl FROM base),
+        |bstats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM bdl),
+        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+        |bpost AS (
+        |  SELECT btf.doc_id, btf.term, btf.tf, bdl.dl, bdf.df, bstats.n_docs, bstats.avgdl
+        |  FROM btf JOIN bdl USING (doc_id) JOIN bdf USING (term), bstats
+        |  WHERE bdf.df <= 100),
+        |bq AS (SELECT DISTINCT doc_id AS q_id, term FROM btf WHERE doc_id % 17 = 0),
+        |bscored AS (
+        |  SELECT q.q_id, p.doc_id AS doc_b,
+        |    CAST(sum(CAST(
+        |      ln(1 + (p.n_docs - p.df + 0.5) / (p.df + 0.5)) *
+        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / p.avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM bq q JOIN bpost p USING (term)
+        |  WHERE p.doc_id <> q.q_id
+        |  GROUP BY q.q_id, p.doc_id),
+        |bm AS (
+        |  SELECT q_id, doc_b, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
+        |    FROM bscored)
+        |  WHERE rn <= 10),
+        |u AS (
+        |  SELECT q_id, doc_b, CAST(CAST(1 AS DOUBLE) / (60 + rn) AS DECIMAL(18,12)) AS contrib FROM bm
+        |  UNION ALL
+        |  SELECT q_id, doc_b, CAST(CAST(1 AS DOUBLE) / (60 + rn) AS DECIMAL(18,12)) FROM lex),
+        |fused AS (
+        |  SELECT q_id, doc_b, count(*) AS n_lists, sum(contrib) AS rrfd
+        |  FROM u GROUP BY q_id, doc_b)
+        |SELECT q_id, doc_b, CAST(n_lists AS BIGINT) AS n_lists,
+        |  CAST(rrfd AS DOUBLE) AS rrf, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrfd DESC, doc_b ASC) AS rn
+        |  FROM fused)
         |WHERE rn <= 5""".stripMargin,
 
     // IE-overlap contract: exact cohort/overlap counts hash-compare; the

@@ -381,6 +381,37 @@ object SparseSim {
       .select("doc_id", "term", "tf", "dl", "df", "n_docs", "avgdl")
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine any
+    * number of ranked retrieval lists into one, scoring each (query,
+    * doc) as Σ over lists of `1/(c + rank)` — the standard hybrid-
+    * retrieval merge (lexical BM25 + a second ranker here; dense + sparse
+    * in an encoder stack) that needs NO score calibration between lists,
+    * only ranks. `c = 60` is the paper's constant.
+    *
+    * Inputs must share columns (q_id, doc_b, rn); a doc missing from a
+    * list simply contributes nothing (the RRF convention). Scale shape:
+    * the union is k·|lists| rows per query and the groupBy combines
+    * map-side — cost scales with the fused lists, never the corpus.
+    * Determinism: each contribution is decimal-quantized before the
+    * exact sum (README oracle-parity rules), ties break by doc_b.
+    * Output: (q_id, doc_b, n_lists, rrf, rn), top `k` per query.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 5, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.map(_.select(
+      col("q_id"), col("doc_b"),
+      (lit(1.0) / (lit(c) + col("rn"))).cast("decimal(18,12)").as("contrib")))
+    val scored = contribs.reduce(_.unionByName(_))
+      .groupBy("q_id", "doc_b")
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrfd"))
+    val win = Window.partitionBy("q_id").orderBy(col("rrfd").desc, col("doc_b").asc)
+    scored
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("doc_b"), col("n_lists"),
+        col("rrfd").cast("double").as("rrf"), col("rn"))
+  }
+
   /** Score a (small) query batch against a standing [[buildBm25Index]]:
     * per query the top `k` indexed docs by BM25, in the index's FROZEN
     * model — query terms absent from the index leave the space (no

@@ -138,6 +138,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIndex == direct, "standing-index retrieval must match direct PQ search")
   }
 
+  test("rrfFuse: consensus docs outrank single-list docs; rank monotone; exact arithmetic") {
+    // Query 1: doc 10 is rank-1 in BOTH lists, doc 20 rank-2 in one only,
+    // doc 30 rank-2/3 split. RRF must put the consensus doc first.
+    val listA = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 20L, 3)).toDF("q_id", "doc_b", "rn")
+    val listB = Seq((1L, 10L, 1), (1L, 30L, 3)).toDF("q_id", "doc_b", "rn")
+    val fused = SparseSim.rrfFuse(Seq(listA, listB), k = 5)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._5)
+    assert(fused.map(r => (r._2, r._3)).toSeq == Seq((10L, 2L), (30L, 2L), (20L, 1L)),
+      s"consensus-first ordering expected: ${fused.toSeq}")
+    // Exact RRF values at c=60 (quantized decimal arithmetic).
+    val top = fused.head
+    assert(math.abs(top._4 - (1.0 / 61 + 1.0 / 61)) < 1e-9)
+    // Fusing a list with itself doubles scores, never changes ranks.
+    val self = SparseSim.rrfFuse(Seq(listA, listA), k = 5)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(_._5)
+    assert(self.map(_._2).toSeq == Seq(10L, 30L, 20L))
+  }
+
   test("cosineSim kernel matches the zip_with/aggregate HOF formulation on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
     val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
