@@ -2773,6 +2773,25 @@ object SparkEntry {
         dim = 64, tau = new java.math.BigDecimal("0.35"), iters = 4,
         targetCell = 4096L, minK = 8, maxCell = 4096)),
 
+    // --- beyond-reference: INCREMENTAL semantic dedup (standing index) --
+    // The dense member of the incremental-dedup family: centroids fit
+    // ONCE on the base load (vec_id%4!=0), the base dedups into a kept
+    // store, and the %4==0 batch assigns to the FROZEN centroids and
+    // dedups against kept ∪ batch within cells — old×old never
+    // re-paired, removed base dups never re-enter (a new near-copy of a
+    // removed dup still dies via the kept survivor). Oracle: the same
+    // Lloyd rounds with the fit restricted to the base slice
+    // (lloydCtes(fitWhere)), base dedup, kept set, batch assignment, and
+    // the kept-eligible-at-any-id pair rule — hash-exact.
+    "q_semdedup_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tau = new java.math.BigDecimal("0.35")
+      val idx = SemDeDup.buildIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        dim = 64, tau = tau, k = 8, iters = 4)
+      SemDeDup.dedupIncrement(emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", idx, tau)
+    }),
+
     // --- beyond-reference: PageRank centrality (rows-only) ---------------
     // Power iteration over the part co-purchase graph (edges = q_cooccur's
     // basket pairs, both directions). One shuffle per round, decimal mass
@@ -2914,14 +2933,18 @@ object SparkEntry {
       |  FROM rescored) WHERE rn <= $k""".stripMargin
   }
 
-  private def lloydCtes(k: Int, iters: Int, dim: Int): String = {
+  /** @param fitWhere SQL predicate selecting the Lloyd-FIT slice (the
+    *   standing-index scenario fits centroids on the base load only);
+    *   the `e` CTE still exposes ALL vectors for downstream assignment.
+    */
+  private def lloydCtes(k: Int, iters: Int, dim: Int, fitWhere: String = "TRUE"): String = {
     def round(t: Int): String =
       s"""a$t AS MATERIALIZED (
          |  SELECT vec_id, v, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-         |    FROM e, c${t - 1} c)
+         |    FROM ef e, c${t - 1} c)
          |  WHERE rn = 1),
          |s$t AS MATERIALIZED (
          |  SELECT cid, i AS dim,
@@ -2934,9 +2957,11 @@ object SparkEntry {
          |    SELECT cid, list(m ORDER BY dim) AS cv FROM s$t GROUP BY cid) n USING (cid))""".stripMargin
     s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e WHERE $fitWhere),
        |c0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, v FROM ef ORDER BY vec_id LIMIT $k)),
        |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
   }
 
@@ -4034,6 +4059,55 @@ object SparkEntry {
          |  CAST(coalesce(dup.n_near, 0) AS BIGINT) AS n_near,
          |  dup.attached_to IS NULL AS keep
          |FROM av LEFT JOIN dup ON av.cid = dup.cid AND av.vec_id = dup.vec_id""".stripMargin
+    },
+
+    // Incremental SemDeDup: Lloyd fit restricted to the base slice,
+    // base dedup -> kept set, batch assigned in the frozen model, pair
+    // rule = kept at any id OR smaller-id batch member (the
+    // SemDeDup.dedupIncrement contract).
+    "q_semdedup_incremental" -> {
+      s"""WITH ${lloydCtes(k = 8, iters = 4, dim = 64, fitWhere = "vec_id % 4 <> 0")},
+         |ba AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM ef e, c4 c)
+         |  WHERE rn = 1),
+         |bav AS MATERIALIZED (
+         |  SELECT ba.vec_id, ba.cid, e.v FROM ba JOIN e USING (vec_id)),
+         |bdup AS (
+         |  SELECT a.cid, a.vec_id, min(b.vec_id) AS attached_to
+         |  FROM bav a JOIN bav b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |    AND CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,12)) >= 0.35
+         |  GROUP BY a.cid, a.vec_id),
+         |kept AS MATERIALIZED (
+         |  SELECT bav.vec_id, bav.cid, bav.v
+         |  FROM bav LEFT JOIN bdup ON bav.cid = bdup.cid AND bav.vec_id = bdup.vec_id
+         |  WHERE bdup.attached_to IS NULL),
+         |na AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0) e, c4 c)
+         |  WHERE rn = 1),
+         |nav AS MATERIALIZED (
+         |  SELECT na.vec_id, na.cid, e.v FROM na JOIN e USING (vec_id)),
+         |cand AS (
+         |  SELECT vec_id AS other_id, cid, v, FALSE AS other_new FROM kept
+         |  UNION ALL
+         |  SELECT vec_id, cid, v, TRUE FROM nav),
+         |dup AS (
+         |  SELECT a.cid, a.vec_id, count(*) AS n_near, min(b.other_id) AS attached_to
+         |  FROM nav a JOIN cand b ON a.cid = b.cid
+         |    AND (NOT b.other_new OR b.other_id < a.vec_id)
+         |    AND CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,12)) >= 0.35
+         |  GROUP BY a.cid, a.vec_id)
+         |SELECT nav.vec_id, nav.cid AS cluster, dup.attached_to,
+         |  CAST(coalesce(dup.n_near, 0) AS BIGINT) AS n_near,
+         |  dup.attached_to IS NULL AS keep
+         |FROM nav LEFT JOIN dup ON nav.cid = dup.cid AND nav.vec_id = dup.vec_id""".stripMargin
     },
 
     // Generated: the SAME Lloyd rounds fit the 16 IVF cell centroids

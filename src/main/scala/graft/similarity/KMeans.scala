@@ -99,6 +99,20 @@ object KMeans {
     cents
   }
 
+  /** Assignment against FROZEN centroids — the standing-index path
+    * (SemDeDup's incremental store, IVF serving): no fit, one
+    * broadcast-literal codegen'd projection over the batch. Same
+    * argmax / tie-break / NaN rules as the in-fit assignment, so a
+    * batch assigned incrementally lands exactly where a refit-free
+    * one-shot run would put it. Output: (id, v, cluster, sim).
+    */
+  def assignWith(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    assign(prepared(vecs, idCol, vecCol), cents)
+
   /** One codegen'd projection: per centroid a cosineSim kernel call, argmax
     * by (sim, then smaller cluster id) via struct ordering — ties cannot
     * flap between runs.

@@ -85,12 +85,24 @@ object SemDeDup {
       k: Int,
       iters: Int = 4,
       maxCell: Int = 4096,
+  ): DataFrame =
+    dedupAssigned(
+      KMeans
+        .lloyd(vecs, idCol, vecCol, k = k, dim = dim, iters = iters)
+        .select(col("id").as("vec_id"), col("v"), col("cluster"))
+        .localCheckpoint(false), // three consumers: cell sizes, pair join (both sides), final left join
+      tau, maxCell)
+
+  /** The within-cell half, shared by the one-shot [[dedup]] and the
+    * standing-index [[dedupIncrement]] path. `assigned` must be
+    * materialized by the caller (consumed three times).
+    */
+  private def dedupAssigned(
+      assigned: DataFrame,
+      tau: java.math.BigDecimal,
+      maxCell: Int,
   ): DataFrame = {
     require(maxCell > 1, s"maxCell must allow pairs, got $maxCell")
-    val assigned = KMeans
-      .lloyd(vecs, idCol, vecCol, k = k, dim = dim, iters = iters)
-      .select(col("id").as("vec_id"), col("v"), col("cluster"))
-      .localCheckpoint(false) // three consumers: cell sizes, pair join (both sides), final left join
     // Cell occupancy is k rows — broadcast, never a shuffle of the data
     // side. nsub = ceil(c / maxCell): 1 for every in-envelope cell.
     val shards = assigned
@@ -113,6 +125,132 @@ object SemDeDup {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         col("attached_to").isNull.as("keep"))
   }
+
+  // ---- Standing semantic-dedup index (frozen centroids + kept set) ----
+
+  /** The incremental-SemDeDup store, completing the dense member of the
+    * incremental-dedup family (the minhash signature store, the sparse/
+    * BM25 postings, the substring anchor index, the PQ codebooks):
+    *  - `centroids` (cid, cvec: array<double>) — the FROZEN cell model;
+    *  - `kept` (vec_id, v, cluster) — the retained corpus WITH its cell
+    *    assignment, i.e. exactly the deduped output a pipeline stores
+    *    anyway, plus one small key column.
+    * Arriving batches assign to the frozen centroids and dedup against
+    * kept ∪ batch within cells ([[dedupIncrement]]) — old × old is never
+    * re-paired, and removed duplicates never re-enter the comparison set
+    * (dedup semantics against the RETAINED corpus, which is what an
+    * accumulating training-data pipeline wants: a new near-copy of an
+    * already-removed duplicate still dies, via the kept survivor it
+    * duplicates).
+    */
+  final case class SemIndex(centroids: DataFrame, kept: DataFrame)
+
+  /** Stored centroids back to the literal matrix (bounded collect BY
+    * CONSTRUCTION: k rows — the model half is corpus-size-independent,
+    * the `Ann.codebookArrays` discipline).
+    */
+  def centroidArrays(centroids: DataFrame): Array[Array[Double]] =
+    centroids
+      .select(col("cid").cast("int"), col("cvec"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Fit centroids on `vecs`, dedup it, and store survivors + model. */
+  def buildIndex(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      tau: java.math.BigDecimal,
+      k: Int,
+      iters: Int = 4,
+      maxCell: Int = 4096,
+  ): SemIndex = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = KMeans.centroids(vecs, idCol, vecCol, k, dim, iters)
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec")
+    val assigned = KMeans.assignWith(vecs, idCol, vecCol, cents)
+      .select(col("id").as("vec_id"), col("v"), col("cluster"))
+      .localCheckpoint(eager = false)
+    val kept = assigned.join(
+      dedupAssigned(assigned, tau, maxCell).filter(col("keep")).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    SemIndex(centDf, kept)
+  }
+
+  /** Dedup an arriving batch against a standing [[SemIndex]]: assign the
+    * batch to the FROZEN centroids (no refit), then within each cell a
+    * batch vector attaches to the smallest id among {kept index members}
+    * ∪ {smaller-id batch members} with cosine ≥ tau — kept members are
+    * eligible at ANY id (attachment means "this new vector duplicates an
+    * existing retained one"), batch-internal pairs keep the one-shot
+    * smaller-id rule. Ids must be disjoint from the indexed set. The
+    * `maxCell` hash-split envelope applies to the cell's kept+batch
+    * occupancy exactly as in [[dedup]]. Output: one row per batch vector,
+    * [[dedup]]'s schema.
+    *
+    * Scale shape: one broadcast-literal assignment projection over the
+    * batch, one join keyed (cluster, subcell) against the kept store —
+    * store it partitioned by cluster and the index side never reshuffles
+    * for a batch. Old × old pairs are never formed.
+    */
+  def dedupIncrement(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: SemIndex,
+      tau: java.math.BigDecimal,
+      maxCell: Int = 4096,
+  ): DataFrame = {
+    require(maxCell > 1, s"maxCell must allow pairs, got $maxCell")
+    val bAssigned = KMeans.assignWith(batch, idCol, vecCol, centroidArrays(index.centroids))
+      .select(col("id").as("vec_id"), col("v"), col("cluster"))
+      .localCheckpoint(eager = false) // three consumers: occupancy, pair join, final left join
+    val others = index.kept
+      .select(col("vec_id").as("other_id"), col("v").as("ov"), col("cluster"), lit(false).as("other_new"))
+      .unionByName(bAssigned
+        .select(col("vec_id").as("other_id"), col("v").as("ov"), col("cluster"), lit(true).as("other_new")))
+      .localCheckpoint(eager = false) // two consumers: occupancy + pair join
+    val shards = others
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("c"))
+      .select(col("cluster"), ceil(col("c").cast("double") / lit(maxCell)).cast("long").as("nsub"))
+    val bSub = bAssigned
+      .join(broadcast(shards), Seq("cluster"))
+      .withColumn("subcell", pmod(xxhash64(col("vec_id")), col("nsub")))
+    val oSub = others
+      .join(broadcast(shards), Seq("cluster"))
+      .withColumn("subcell", pmod(xxhash64(col("other_id")), col("nsub")))
+    val dup = bSub
+      .join(oSub, Seq("cluster", "subcell"))
+      .filter((!col("other_new") || col("other_id") < col("vec_id")) &&
+        cosineSim(col("v"), col("ov")).cast("decimal(28,12)") >= lit(tau))
+      .groupBy("cluster", "vec_id")
+      .agg(count(lit(1)).as("n_near"), min(col("other_id")).as("attached_to"))
+    bAssigned
+      .join(dup, Seq("cluster", "vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("attached_to"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("attached_to").isNull.as("keep"))
+  }
+
+  /** Fold a processed batch into the standing index: survivors (per
+    * `result` = [[dedupIncrement]]'s output) join the kept store with
+    * their frozen-model assignment; centroids never refit.
+    */
+  def appendSurvivors(
+      index: SemIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      result: DataFrame,
+  ): SemIndex =
+    index.copy(kept = index.kept.unionByName(
+      KMeans.assignWith(batch, idCol, vecCol, centroidArrays(index.centroids))
+        .select(col("id").as("vec_id"), col("v"), col("cluster"))
+        .join(result.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")))
 
   /** Monitoring view of the envelope: per-cluster occupancy, shard count,
     * and whether the cap bound (nsub > 1). k rows — collect-safe.

@@ -138,6 +138,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIndex == direct, "standing-index retrieval must match direct PQ search")
   }
 
+  test("incremental SemDeDup: frozen-centroid assignment, kept-vs-batch pair rule, append") {
+    val tau = new java.math.BigDecimal("0.95")
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.99, 0.14, 0.0, 0.0)), // dup of 1 -> removed at build
+    ).toDF("vec_id", "embedding")
+    val idx = SemDeDup.buildIndex(base, "vec_id", "embedding", dim = 4, tau = tau, k = 2, iters = 2)
+    assert(idx.kept.select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+      "build must retain survivors only")
+    val batch = Seq(
+      (10L, Seq(0.995, 0.0999, 0.0, 0.0)), // near kept 1 -> attaches to 1
+      (12L, Seq(0.0, 0.1, 0.995, 0.0)),    // near nothing -> survives
+      (13L, Seq(0.99, 0.1, 0.0, 0.0)),     // near kept 1 AND batch 10 -> min id 1
+    ).toDF("vec_id", "embedding")
+    val res = SemDeDup.dedupIncrement(batch, "vec_id", "embedding", idx, tau)
+      .select("vec_id", "attached_to", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(res.keySet == Set(10L, 12L, 13L), "output covers the batch only (old x old never re-paired)")
+    assert(res(10L) == ((Some(1L), false)), s"batch near-dup of a kept vector must attach: $res")
+    assert(res(12L) == ((None, true)), s"novel batch vector must survive: $res")
+    assert(res(13L) == ((Some(1L), false)), "min id across kept and smaller batch candidates")
+    // Fold survivors in: the standing store grows by exactly the keepers.
+    val res2 = SemDeDup.dedupIncrement(batch, "vec_id", "embedding", idx, tau)
+    val idx2 = SemDeDup.appendSurvivors(idx, batch, "vec_id", "embedding", res2)
+    assert(idx2.kept.select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 12L))
+    // A later near-copy of the NEW survivor dies against the grown index.
+    val batch2 = Seq((20L, Seq(0.0, 0.1001, 0.995, 0.0))).toDF("vec_id", "embedding")
+    val r3 = SemDeDup.dedupIncrement(batch2, "vec_id", "embedding", idx2, tau)
+      .select("vec_id", "attached_to").as[(Long, Option[Long])].collect().toMap
+    assert(r3(20L).contains(12L), s"near-copy of an appended survivor must attach to it: $r3")
+  }
+
   test("rrfFuse: consensus docs outrank single-list docs; rank monotone; exact arithmetic") {
     // Query 1: doc 10 is rank-1 in BOTH lists, doc 20 rank-2 in one only,
     // doc 30 rank-2/3 split. RRF must put the consensus doc first.
