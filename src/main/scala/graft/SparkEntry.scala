@@ -2472,6 +2472,28 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", nMerges = 8)),
 
+    // --- beyond-reference: BPE APPLY (encode with a learned model) ------
+    // The tokenizer's other half: merges learned on the doc_id%3!=0
+    // split (the model), the held-out split segmented by replaying them
+    // in rank order — Bpe.encodeWords compiles the merge table into ONE
+    // chained fold projection (no join, no shuffle; the corpus never
+    // moves), sharing mergePair with training so apply cannot drift.
+    // Scalar readout per doc: word/subword counts + the first word's
+    // segmentation. Oracle: the q_bpe_merges bracketed-replace rounds
+    // with the fit slice restricted, then per-word replays in SQL.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.learnMerges(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", nMerges = 8)
+      graft.text.Bpe.encodeWords(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", merges)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(size(col("subwords"))).as("n_subwords"),
+          max(when(col("word_pos") === 0, array_join(col("subwords"), "|"))).as("first_seg"))
+    }),
+
     // --- beyond-reference: chi-square contingency cells ------------------
     // Independence test input (priority × status): observed counts plus
     // expected = rowTot·colTot/n and the per-cell (o−e)²/e term. The
@@ -4011,6 +4033,70 @@ object SparkEntry {
          |  GROUP BY w),
          |$rounds
          |$readout""".stripMargin
+    },
+
+    // BPE apply: the same 8 bracketed-replace merge rounds with the fit
+    // restricted to the train split, then every held-out word replayed
+    // through the learned merges (replace = the greedy leftmost scan).
+    "q_bpe_encode" -> {
+      val so = "chr(30)"
+      val sc = "chr(31)"
+      def round(k: Int): String =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+           |         CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq,
+           |          string_split(substr(symstr, 2, length(symstr) - 2), $sc || $so) AS s
+           |        FROM w${k - 1}),
+           |       unnest(range(1, len(s))) AS t(i)
+           |  GROUP BY a, b HAVING n >= 2),
+           |m$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT freq,
+           |    CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN symstr
+           |         ELSE replace(symstr,
+           |           $so || (SELECT a FROM m$k) || $sc || $so || (SELECT b FROM m$k) || $sc,
+           |           $so || (SELECT a FROM m$k) || (SELECT b FROM m$k) || $sc)
+           |    END AS symstr
+           |  FROM w${k - 1})""".stripMargin
+      def enc(k: Int): String =
+        s"""e$k AS MATERIALIZED (
+           |  SELECT doc_id, word_pos,
+           |    CASE WHEN (SELECT count(*) FROM m$k) = 0 THEN symstr
+           |         ELSE replace(symstr,
+           |           $so || (SELECT a FROM m$k) || $sc || $so || (SELECT b FROM m$k) || $sc,
+           |           $so || (SELECT a FROM m$k) || (SELECT b FROM m$k) || $sc)
+           |    END AS symstr
+           |  FROM e${k - 1})""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS freq,
+         |    list_aggregate(list_transform(range(1, length(w) + 1),
+         |      i -> $so || substr(w, CAST(i AS INT), 1) || $sc), 'string_agg', '') AS symstr
+         |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '')) AS w
+         |        FROM documents WHERE doc_id % 3 <> 0)
+         |  GROUP BY w),
+         |${(1 to 8).map(round).mkString(",\n")},
+         |tw AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS word_pos, toks[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         |        FROM documents WHERE doc_id % 3 = 0),
+         |       unnest(range(1, len(toks) + 1)) AS t(i)),
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, word_pos,
+         |    list_aggregate(list_transform(range(1, length(w) + 1),
+         |      i -> $so || substr(w, CAST(i AS INT), 1) || $sc), 'string_agg', '') AS symstr
+         |  FROM tw),
+         |${(1 to 8).map(enc).mkString(",\n")},
+         |seg AS (
+         |  SELECT doc_id, word_pos,
+         |    string_split(substr(symstr, 2, length(symstr) - 2), $sc || $so) AS s
+         |  FROM e8)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(s)) AS BIGINT) AS n_subwords,
+         |  max(CASE WHEN word_pos = 0 THEN array_to_string(s, '|') END) AS first_seg
+         |FROM seg GROUP BY doc_id""".stripMargin
     },
 
     // Generated, not hand-written: four unrolled Lloyd rounds. Assignment

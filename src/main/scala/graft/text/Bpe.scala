@@ -67,6 +67,33 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** The APPLY half of the tokenizer (model-as-data): segment text with
+    * an already-LEARNED merge table — the step that actually runs over
+    * 100 TB once a vocabulary is trained. Words tokenize to characters
+    * and replay the merges in rank order with the SAME greedy
+    * left-to-right scan as training ([[mergePair]] — one definition, so
+    * train and apply cannot drift). The merge table's rows collect to
+    * the driver (bounded BY CONSTRUCTION: nMerges rows — the model, not
+    * the corpus) and compile into one chained fold expression, so
+    * encoding is a pure scan-side projection: no join, no shuffle, the
+    * corpus never moves.
+    *
+    * Output: one row per (doc, word) — (idCol, word_pos, w, subwords).
+    */
+  def encodeWords(docs: DataFrame, idCol: String, textCol: String, merges: DataFrame): DataFrame = {
+    val ms = merges
+      .select(col("merge_rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val chars = transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))
+    val folded = ms.foldLeft(chars) { case (syms, (a, b)) => mergePair(syms, a, b) }
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("word_pos", "w")))
+      .select(col(idCol), col("word_pos"), col("w"), folded.as("subwords"))
+  }
+
   /** Adjacent symbol pairs weighted by word frequency. */
   private def pairCounts(words: DataFrame): DataFrame =
     words

@@ -118,6 +118,27 @@ class TextSpec extends SparkTestBase {
     assert(stops == 1, s"must stop when no pair repeats, learned $stops")
   }
 
+  test("BPE encodeWords replays learned merges; unseen words degrade to characters") {
+    // Model from the classic corpus: merges (l,o), (lo,w), (low,e).
+    val train = Seq("low low low", "lower lowest").toDF("text")
+    val merges = Bpe.learnMerges(train, "text", nMerges = 3)
+    val enc = Bpe.encodeWords(
+      Seq((1L, "Lowest low zap")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .orderBy("word_pos")
+      .select("w", "subwords").as[(String, Seq[String])].collect().toSeq
+    // lowest -> lowe|s|t (all three merges fire in rank order);
+    // low -> low; zap has no learned pairs -> characters.
+    assert(enc == Seq(
+      ("lowest", Seq("lowe", "s", "t")),
+      ("low", Seq("low")),
+      ("zap", Seq("z", "a", "p"))), enc.toString)
+    // Train/apply share the greedy scan: "aaa" under merge (a,a) is [aa, a].
+    val aa = Bpe.learnMerges(Seq("aa aa").toDF("text"), "text", nMerges = 1)
+    val tri = Bpe.encodeWords(Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", aa)
+      .select("subwords").as[Seq[String]].head()
+    assert(tri == Seq("aa", "a"), tri.toString)
+  }
+
   test("NgramLm: add-k bigram math, OOV counting, short-doc rows (golden)") {
     import graft.text.NgramLm
     // Train counts: "a b"x2, "b a"x1, "a c"x1; ctx: a->3, b->1; V=3; k=0.5.
