@@ -635,6 +635,34 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("cluster"))
     }),
 
+    // --- beyond-reference: dedup CLUSTERS under ingest ------------------
+    // Incremental components: the base corpus's clusters collapse to a
+    // standing (id, label) table — the sufficient state, stars per
+    // component — and the batch contributes only its verified
+    // batch-involving pairs (incrementalCandidates: old×old never
+    // re-paired). CC over labels ∪ new edges is bit-equal to a full
+    // recompute (star compression preserves connectivity; GraphSpec
+    // pins it), so the oracle is the SAME full-corpus recursive-CTE
+    // closure as q_dedup_clusters. Same recall≈1 LSH assumption,
+    // documented there.
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val baseLabels = NearDup.connectedComponentsAdaptive(
+        NearDup.jaccardVerify(
+          NearDup.minhashCandidates(base, "doc_id", "text",
+            shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+          base, "doc_id", "text", shingleLen = 3, minJaccard = 0.5),
+        "doc_id_a", "doc_id_b")
+      val newPairs = NearDup.jaccardVerify(
+        NearDup.incrementalCandidates(batch, base, "doc_id", "text",
+          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+        docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+      NearDup.incrementalComponents(baseLabels, newPairs, "doc_id_a", "doc_id_b")
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+    }),
+
     // --- J4: right outer join -----------------------------------------
     "q_join_right" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
@@ -3489,6 +3517,32 @@ object SparkEntry {
         |WHERE CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(28,12)) >= 0.35""".stripMargin,
 
     "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [] END AS sh FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        |SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s""".stripMargin,
+
+    // Incremental clusters: bit-equal to the full recompute (star
+    // compression), so the oracle IS the full-corpus closure.
+    "q_dedup_clusters_incremental" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),

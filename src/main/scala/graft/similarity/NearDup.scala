@@ -391,6 +391,36 @@ object NearDup {
     }
   }
 
+  /** INCREMENTAL connected components — the clusters-under-ingest step
+    * that completes the dedup story's standing state: fold a batch's new
+    * edges into a standing `(id, label)` assignment WITHOUT revisiting
+    * the historical edge set. Every existing component is already a star
+    * (each member points at its min-id label), so re-running CC over
+    * `labels-as-edges ∪ newEdges` touches |labels| + |newEdges| edges
+    * instead of the full pair history — and star compression preserves
+    * connectivity EXACTLY, so the result is bit-equal to a full
+    * recompute over (old ∪ new) edges, labels staying min-id-per-
+    * component (GraphSpec pins the equivalence on random graphs). Store
+    * the labels, drop the edges: the labels ARE the sufficient state.
+    *
+    * At 100 TB: the standing labels are one row per ever-paired doc (a
+    * sliver of the corpus), each batch adds its verified pairs from
+    * [[incrementalCandidates]], and the adaptive CC underneath routes
+    * through the driver union-find until the label table outgrows it.
+    */
+  def incrementalComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      aCol: String,
+      bCol: String,
+  ): DataFrame =
+    connectedComponentsAdaptive(
+      labels.select(col("id").as("__a"), col("label").as("__b"))
+        .unionByName(newEdges.select(
+          nodeId(newEdges(aCol), newEdges.schema(aCol).dataType).as("__a"),
+          nodeId(newEdges(bCol), newEdges.schema(bCol).dataType).as("__b"))),
+      "__a", "__b")
+
   /** [[connectedComponents]] with an ADAPTIVE execution strategy: count
     * the (normalized, null-dropped) edges first, and when they fit the
     * driver comfortably, label them with an in-memory union-find instead

@@ -54,4 +54,32 @@ class GraphSpec extends SparkTestBase {
     assert(ranks.keySet == Set(1L))
     assert(math.abs(ranks(1L) - 0.15) < 1e-12)
   }
+
+  test("incrementalComponents == full recompute on random edge splits (star sufficiency)") {
+    import graft.similarity.NearDup
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      val cut = rnd.nextInt(edges.length)
+      val (oldE, newE) = edges.splitAt(cut)
+      val full = NearDup.connectedComponentsAdaptive(
+        edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val inc =
+        if (oldE.isEmpty)
+          NearDup.connectedComponentsAdaptive(newE.toDF("a", "b"), "a", "b")
+            .as[(Long, Long)].collect().toMap
+        else if (newE.isEmpty)
+          NearDup.connectedComponentsAdaptive(oldE.toDF("a", "b"), "a", "b")
+            .as[(Long, Long)].collect().toMap
+        else {
+          val labels = NearDup.connectedComponentsAdaptive(oldE.toDF("a", "b"), "a", "b")
+          NearDup.incrementalComponents(labels, newE.toDF("a", "b"), "a", "b")
+            .as[(Long, Long)].collect().toMap
+        }
+      assert(inc == full, s"trial $trial: incremental fold must equal full recompute")
+    }
+  }
 }
