@@ -323,4 +323,75 @@ class PropertySpec extends SparkTestBase {
       assert(got == want, s"case $i: rows=$rows")
     }
   }
+
+  test("QualityModel fit+score equals a driver reference on random labeled corpora") {
+    import graft.text.QualityModel
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q6(x: Double): JBD = new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 4096L
+    }
+    val corpusGen = for {
+      n <- Gen.choose(8, 24)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.frequency(1 -> Gen.const(0), 6 -> Gen.choose(1, 10))
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(corpusGen, 6, 4400L).zipWithIndex.foreach { case (corpus, ci) =>
+      // Teacher: doc mentions "a". Skip draws whose TRAIN split lacks a class.
+      def yOf(t: String) = t.split("\\s+").filter(_.nonEmpty).contains("a")
+      val train = corpus.filter(_._1 % 3 != 0)
+      val test = corpus.filter(_._1 % 3 == 0)
+      val trainY = train.map(d => yOf(d._2))
+      if (test.nonEmpty && trainY.contains(true) && trainY.contains(false)) {
+        // ---- driver reference (same math, BigDecimal-exact) ----
+        def feats(t: String): Set[Long] =
+          t.split("\\s+").filter(_.nonEmpty).map(bucket).toSet
+        val trF = train.map { case (id, t) => (id, yOf(t), feats(t)) }
+        val cnt = collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+        trF.foreach { case (_, y, fs) =>
+          fs.foreach { f =>
+            val (p, ng) = cnt(f); cnt(f) = if (y) (p + 1, ng) else (p, ng + 1)
+          }
+        }
+        val tPos = trF.filter(_._2).map(_._3.size.toLong).sum
+        val tNeg = trF.filterNot(_._2).map(_._3.size.toLong).sum
+        val w = cnt.map { case (f, (p, ng)) =>
+          f -> q6(math.log(((p + 0.5) / (ng + 0.5)) * (tNeg.toDouble / tPos)))
+        }.toMap
+        val nPos = trF.count(_._2); val nNeg = trF.size - nPos
+        val w0 = q6(math.log((nPos + 0.5) / (nNeg + 0.5)))
+        def scoreOf(fs: Set[Long]): JBD =
+          fs.toSeq.flatMap(w.get).foldLeft(w0)(_.add(_))
+        val trScores = trF.map { case (_, y, fs) => (y, scoreOf(fs)) }
+        val tau = q6((trScores.filter(_._1).map(_._2).min(Ordering.by[JBD, JBD](identity))
+          .add(trScores.filterNot(_._1).map(_._2).max(Ordering.by[JBD, JBD](identity)))
+          ).doubleValue * 0.5)
+        val want = test.map { case (id, t) =>
+          val fs = feats(t)
+          val matched = fs.count(w.contains)
+          val sc = scoreOf(fs)
+          id -> ((matched.toLong, sc.doubleValue, sc.compareTo(tau) > 0))
+        }.toMap
+        // ---- Spark ----
+        val df = corpus.toDF("doc_id", "text")
+        val model = QualityModel.fit(df.filter($"doc_id" % 3 =!= 0), "doc_id", "text",
+          label = array_contains(graft.text.TextAnalysis.tokens($"text"), "a"))
+        val got = QualityModel.score(df.filter($"doc_id" % 3 === 0), "doc_id", "text", model)
+          .as[(Long, Long, Double, Boolean)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(got.keySet == want.keySet, s"case $ci row set")
+        want.foreach { case (id, (nf, sc, pred)) =>
+          val (gnf, gsc, gpred) = got(id)
+          assert(gnf == nf, s"case $ci doc $id n_feats: $gnf vs $nf")
+          assert(math.abs(gsc - sc) < 1e-9, s"case $ci doc $id score: $gsc vs $sc")
+          assert(gpred == pred, s"case $ci doc $id pred: $gpred vs $pred")
+        }
+      }
+    }
+  }
 }
