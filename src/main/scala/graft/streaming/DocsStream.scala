@@ -167,6 +167,55 @@ object DocsStream {
       }
       .start()
 
+  /** Streaming SEMANTIC dedup against a standing
+    * [[graft.similarity.SemDeDup.SemIndex]]: each micro-batch of
+    * (id, embedding) rows assigns to the FROZEN centroids, dedups
+    * against the kept store (`SemDeDup.dedupIncrement`), appends its
+    * decisions to `resultsPath`, and folds its SURVIVORS into
+    * `keptPath` — so later batches (and later near-copies) see them.
+    * The kept store is APPEND-ONLY (survivors only ever add), the
+    * centroid model never refits, and micro-batches run serially in
+    * foreachBatch, so consuming a corpus in any micro-batching yields
+    * the sequential-fold semantics StreamingSpec pins against the batch
+    * API. `centroids`/`keptSeed` come from an offline
+    * `SemDeDup.buildIndex` on the base load.
+    */
+  def semDedupAppender(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      keptPath: String,
+      resultsPath: String,
+      checkpointPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tau: java.math.BigDecimal = new java.math.BigDecimal("0.35"),
+      maxCell: Int = 4096,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.similarity.SemDeDup
+    docsStreamForeach(vecs, checkpointPath) { batch =>
+      val spark = batch.sparkSession
+      val idx = SemDeDup.SemIndex(centroids, spark.read.parquet(keptPath))
+      val res = SemDeDup.dedupIncrement(batch, idCol, vecCol, idx, tau, maxCell)
+        .localCheckpoint() // two consumers (results write + survivor join) + decisions must pre-date the kept append
+      res.write.mode("append").parquet(resultsPath)
+      // Survivors fold in with their frozen-model assignment — the
+      // append-only row set appendSurvivors would union in memory.
+      graft.similarity.KMeans
+        .assignWith(batch, idCol, vecCol, SemDeDup.centroidArrays(centroids))
+        .select(col("id").as("vec_id"), col("v"), col("cluster"))
+        .join(res.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+        .write.mode("append").parquet(keptPath)
+    }
+  }
+
+  private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
+      f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) => f(batch) }
+      .start()
+
   /** Streaming fuzzy-exact dedup: drop any document whose normalized
     * (case/punctuation/whitespace) fingerprint was already seen within the
     * watermark horizon — re-crawled pages with cosmetic edits never

@@ -426,6 +426,49 @@ class StreamingSpec extends SparkTestBase {
     assert(h.nonEmpty && h == hits(rebuilt), "retrieval must not see the maintenance path")
   }
 
+  test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
+    import graft.similarity.SemDeDup
+    val tau = new java.math.BigDecimal("0.35")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").localCheckpoint()
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val b1 = emb.filter($"vec_id" % 8 === 0).localCheckpoint()
+    val b2 = emb.filter($"vec_id" % 8 === 4).localCheckpoint()
+    val idx = SemDeDup.buildIndex(base, "vec_id", "embedding", dim = 64, tau = tau, k = 8, iters = 2)
+    val cents = idx.centroids.localCheckpoint()
+
+    // Seed the kept store, stage the two micro-batch files.
+    val (keptP, resP, ckP, inP) = (tmpDir("sem_kept"), tmpDir("sem_res"),
+      tmpDir("sem_ck"), tmpDir("sem_in"))
+    idx.kept.write.mode("overwrite").parquet(keptP)
+    b1.coalesce(1).write.mode("overwrite").parquet(inP)
+    Thread.sleep(1100) // distinct mod-times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(inP)
+
+    val stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.semDedupAppender(stream, cents, keptP, resP, ckP, tau = tau)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "attached_to", "n_near", "keep")
+        .as[(Long, Int, Option[Long], Long, Boolean)].collect().toSet
+    // Sequential batch-API fold in either file order (mod-time ordering
+    // is deterministic here, but the pin must not depend on it).
+    def fold(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      val r1 = SemDeDup.dedupIncrement(x, "vec_id", "embedding", idx, tau)
+      val i2 = SemDeDup.appendSurvivors(idx, x, "vec_id", "embedding", r1)
+      rows(r1) ++ rows(SemDeDup.dedupIncrement(y, "vec_id", "embedding", i2, tau))
+    }
+    val streamed = rows(spark.read.parquet(resP))
+    val fwd = fold(b1, b2)
+    assert(streamed == fwd || streamed == fold(b2, b1),
+      "streamed decisions must equal the sequential batch fold")
+    // The kept store grew by exactly the streamed survivors.
+    val keptIds = spark.read.parquet(keptP).select("vec_id").as[Long].collect().toSet
+    val baseKept = idx.kept.select("vec_id").as[Long].collect().toSet
+    val survivors = streamed.filter(_._5).map(_._1)
+    assert(keptIds == baseKept ++ survivors, "kept store must grow by the survivors only")
+  }
+
   test("anchorIndexAppender: stream-appended anchor index == batch buildAnchorIndex") {
     import graft.text.SubstringDedup
     val dir = tmpDir("stream_anchor_in")
