@@ -27,6 +27,10 @@ object GraftFunctions {
   def wordShingles(tokens: Column, n: Int): Column =
     GraftShim.toColumn(WordShingles(GraftShim.toExpression(tokens), n))
 
+  /** Greedy BPE segmentation of a word under a frozen merge list. */
+  def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column =
+    GraftShim.toColumn(BpeEncodeWord(GraftShim.toExpression(word), merges))
+
   /** Winnowing rolling-hash fingerprints (k-gram length, window size). */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftShim.toColumn(Winnow(GraftShim.toExpression(text), k, w))

@@ -137,6 +137,17 @@ class TextSpec extends SparkTestBase {
     val tri = Bpe.encodeWords(Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text", aa)
       .select("subwords").as[Seq[String]].head()
     assert(tri == Seq("aa", "a"), tri.toString)
+    // Kernel ≡ chained-fold spec on real testdata words.
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+    val realMerges = Bpe.learnMerges(docs, "text", nMerges = 6)
+    val viaKernel = Bpe.encodeWords(docs, "doc_id", "text", realMerges)
+      .select($"doc_id", $"word_pos", array_join($"subwords", "|"))
+      .as[(Long, Int, String)].collect().toSet
+    val viaHof = Bpe.encodeWordsHof(docs, "doc_id", "text", realMerges)
+      .select($"doc_id", $"word_pos", array_join($"subwords", "|"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaKernel == viaHof, "BpeEncodeWord kernel must equal the HOF spec")
+    assert(viaKernel.nonEmpty)
   }
 
   test("NgramLm: add-k bigram math, OOV counting, short-doc rows (golden)") {
