@@ -208,6 +208,33 @@ object DocsStream {
     }
   }
 
+  /** Retrieval SERVING from a query stream: each micro-batch of query
+    * documents scores against a standing FROZEN BM25 index
+    * ([[graft.similarity.SparseSim.bm25Retrieve]]) and appends its top-k
+    * to `outPath`. Because every query's result is a pure function of
+    * (query, index) — the frozen-model contract — micro-batching is
+    * invisible: stream-served rows are bit-identical to one batch call
+    * over the same queries (StreamingSpec pin). Stateless between
+    * batches; per-batch cost is the broadcast term-pruned join, the
+    * corpus-scale index never reshuffles (term-bucketed store drops its
+    * exchange entirely, LayoutSpec).
+    */
+  def bm25ServeStream(
+      queries: DataFrame,
+      index: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 2,
+      k: Int = 5,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStreamForeach(queries, checkpointPath) { batch =>
+      graft.similarity.SparseSim
+        .bm25Retrieve(batch, idCol, textCol, index, shingleLen, k)
+        .write.mode("append").parquet(outPath)
+    }
+
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

@@ -469,6 +469,33 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds == baseKept ++ survivors, "kept store must grow by the survivors only")
   }
 
+  test("bm25ServeStream: stream-served retrieval == one batch call (frozen-model invariance)") {
+    import graft.similarity.SparseSim
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val index = SparseSim.buildBm25Index(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text").localCheckpoint()
+    val queries = docs.filter($"doc_id" % 10 === 0).limit(40)
+      .select($"doc_id", $"text",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_time"))
+      .localCheckpoint()
+    val (inP, outP, ckP) = (tmpDir("bm25srv_in"), tmpDir("bm25srv_out"), tmpDir("bm25srv_ck"))
+    queries.filter($"doc_id" % 20 === 0).coalesce(1).write.mode("overwrite").parquet(inP)
+    queries.filter($"doc_id" % 20 === 10).coalesce(1).write.mode("append").parquet(inP)
+
+    val stream = spark.readStream.schema(docsSchema).option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.bm25ServeStream(stream, index, outP, ckP)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double, Int)].collect().toSet
+    val served = rows(spark.read.parquet(outP)
+      .select("q_id", "doc_b", "n_shared", "score", "rn"))
+    val batch = rows(SparseSim.bm25Retrieve(queries, "doc_id", "text", index)
+      .select("q_id", "doc_b", "n_shared", "score", "rn"))
+    assert(served.nonEmpty && served == batch,
+      "micro-batched serving must be bit-identical to one batch retrieval")
+  }
+
   test("anchorIndexAppender: stream-appended anchor index == batch buildAnchorIndex") {
     import graft.text.SubstringDedup
     val dir = tmpDir("stream_anchor_in")
