@@ -50,7 +50,7 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val pairs = NearDup.jaccardVerify(
         NearDup.minhashCandidates(docs, "doc_id", "text",
-          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+          shingleLen = 3, numHashes = 16, bands = 16, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
       val clusters = NearDup.connectedComponentsAdaptive(pairs, "doc_id_a", "doc_id_b")
       val nClusters = clusters.count()

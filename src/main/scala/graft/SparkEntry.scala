@@ -617,15 +617,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = NearDup.jaccardVerify(
         NearDup.minhashCandidates(docs, "doc_id", "text",
-          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+          shingleLen = 3, numHashes = 16, bands = 16, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
-      // Oracle-equality assumption (data-dependent): 12 bands × 1 row
-      // MinHash-LSH surfaces every pair the oracle's exact all-pairs
-      // Jaccard finds — at ≥ 0.5 similarity a pair collides in ≥ 1 of 12
-      // single-hash bands with prob 1−(1−0.5)¹² ≈ 0.9998, and the
-      // jaccardVerify step removes any false positives, so only
-      // astronomically unlucky misses diverge. A regenerated corpus could
-      // in principle break this without a code change.
+      // Oracle-equality assumption (data-dependent): 16 single-hash
+      // bands surface every pair the oracle's exact all-pairs Jaccard
+      // finds — a J = 0.5 pair (the worst case at this threshold)
+      // escapes all bands with prob 0.5¹⁶ ≈ 1.5e-5, and jaccardVerify
+      // removes any false positives. (Raised from 12 bands in r9: at 12
+      // the borderline-pair miss odds were ~2.4e-4 — a real flip risk
+      // across per-round testdata regeneration.)
       // Adaptive CC: the verified pair list is tiny relative to the corpus
       // (256 edges at sf0.1), so this routes to the driver union-find
       // (exact); past ~2M edges it falls back to convergent distributed
@@ -652,12 +652,12 @@ object SparkEntry {
       val baseLabels = NearDup.connectedComponentsAdaptive(
         NearDup.jaccardVerify(
           NearDup.minhashCandidates(base, "doc_id", "text",
-            shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+            shingleLen = 3, numHashes = 16, bands = 16, maxBucket = 10000),
           base, "doc_id", "text", shingleLen = 3, minJaccard = 0.5),
         "doc_id_a", "doc_id_b")
       val newPairs = NearDup.jaccardVerify(
         NearDup.incrementalCandidates(batch, base, "doc_id", "text",
-          shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+          shingleLen = 3, numHashes = 16, bands = 16, maxBucket = 10000),
         docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
       NearDup.incrementalComponents(baseLabels, newPairs, "doc_id_a", "doc_id_b")
         .select(col("id").as("doc_id"), col("label").as("cluster"))
