@@ -1643,6 +1643,25 @@ object SparkEntry {
         )
     }),
 
+    // --- beyond-reference: quality-aware dedup survivors ----------------
+    // Keep-BEST per near-dup cluster (longest doc wins, ties to the
+    // smaller id) — the survivor policy production dedup runs, vs
+    // q_dedup_survivors' keep-min-id. The argmax is one map-side-
+    // combining max(struct) per cluster, no corpus-wide window
+    // (NearDup.survivorsByQuality).
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .localCheckpoint(eager = false) // pairs + survivor join
+      val labels = NearDup.connectedComponentsAdaptive(
+        NearDup.jaccardVerify(
+          NearDup.minhashCandidates(docs, "doc_id", "text",
+            shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000),
+          docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8),
+        "doc_id_a", "doc_id_b")
+      NearDup.survivorsByQuality(docs, "doc_id", labels, quality = col("n_chars"))
+        .select("doc_id", "cluster", "survivor_id", "is_survivor")
+    }),
+
     // --- beyond-reference: Bloom-filter semi-join reduction ------------
     // Exact result (oracle = the PLAIN semi join): the Bloom pre-filter
     // only shrinks what reaches the shuffle — see core.BloomJoin.
@@ -3494,6 +3513,44 @@ object SparkEntry {
         |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
+
+    // Keep-best survivors: all-pairs closure at >= 0.8 on the %5 slice,
+    // singleton fallback to own id, argmax (n_chars DESC, doc_id ASC).
+    "q_dedup_best" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))
+        |    ELSE [] END AS sh FROM d0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |lab AS (SELECT s AS doc_id, min(t) AS cluster FROM reach GROUP BY s),
+        |cl AS (
+        |  SELECT d0.doc_id, d0.n_chars, COALESCE(lab.cluster, d0.doc_id) AS cluster
+        |  FROM d0 LEFT JOIN lab ON d0.doc_id = lab.doc_id),
+        |best AS (
+        |  SELECT cluster, doc_id AS survivor_id FROM (
+        |    SELECT cluster, doc_id,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM cl) WHERE rn = 1)
+        |SELECT cl.doc_id, cl.cluster, best.survivor_id,
+        |  cl.doc_id = best.survivor_id AS is_survivor
+        |FROM cl JOIN best USING (cluster)""".stripMargin,
 
     "q_join_right" ->
       """SELECT s_suppkey, s_name, count(l_orderkey) AS n_big_lines

@@ -576,6 +576,39 @@ object NearDup {
         (bit_count(col("sh_a") bitwiseXOR col("sh_b")) <= maxHamming).as("sh_within_envelope"))
   }
 
+  /** Quality-aware survivor selection over near-dup clusters: per
+    * cluster keep the member MAXIMIZING `quality` (ties → smaller id) —
+    * the keep-best policy production dedup actually runs (longest doc,
+    * highest classifier score, freshest crawl) instead of keep-min-id.
+    * `labels` is `connectedComponents*` output; docs absent from it are
+    * their own singleton cluster and survive.
+    *
+    * Scale shape: the per-cluster argmax is ONE partial-aggregating
+    * `max(struct)` (map-side combine; the shuffle carries one row per
+    * cluster per map partition) joined back on the cluster key — no
+    * unbounded window over the corpus, the `Dedup.bestRowPerKey`
+    * discipline. Output: docs' columns + (cluster, survivor_id,
+    * is_survivor).
+    */
+  def survivorsByQuality(
+      docs: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      quality: Column,
+  ): DataFrame = {
+    val withCluster = docs
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .drop("id", "label")
+    val best = withCluster
+      .groupBy("cluster")
+      .agg(max(struct(quality.as("q"), (-col(idCol)).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("survivor_id"))
+    withCluster
+      .join(best, Seq("cluster"))
+      .withColumn("is_survivor", col(idCol) === col("survivor_id"))
+  }
+
   /** Exact word-shingle Jaccard similarity between candidate pairs:
     * joins the docs back in (broadcast if small) and computes
     * |A∩B| / |A∪B| with array set algebra — no UDF.

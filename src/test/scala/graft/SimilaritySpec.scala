@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("survivorsByQuality keeps the best-quality member per cluster; singletons survive") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 99L), // cluster {1,2,3}: 2 wins (quality tie -> smaller id)
+      (9L, 5L),                        // unclustered singleton
+    ).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val out = NearDup.survivorsByQuality(docs, "doc_id", labels, $"quality")
+      .select("doc_id", "cluster", "survivor_id", "is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L) == ((2L, 1L, 2L, true)), s"highest quality, then smaller id: $out")
+    assert(!out(1L)._4 && !out(3L)._4)
+    assert(out(9L) == ((9L, 9L, 9L, true)), "singleton is its own survivor")
+  }
+
   test("minhashContract/simhashContract: verified row set with envelope booleans TRUE") {
     val mh = NearDup.minhashContract(mkDocs, "doc_id", "text")
       .as[(Long, Long, Double, Boolean)].collect()
