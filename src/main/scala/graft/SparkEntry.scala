@@ -2425,6 +2425,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", model)
     }),
 
+    // --- beyond-reference: TEMPERATURE source mixing --------------------
+    // rate_g ∝ n_g^(α−1) derived in-plan from the lang counts (α = 0.5
+    // flattens the skewed lang distribution: the 'en' majority keeps the
+    // smallest fraction), membership by the md5 64k-bucket primitive —
+    // deterministic, growth-stable, nested under lower α. Emits the
+    // per-row keep threshold so the oracle checks membership AND the
+    // derived rates row by row.
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.core.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        key = col("doc_id"), group = col("lang"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("__keep").as("keep"))),
+
     // --- beyond-reference: domain-mix weighted sampling ----------------
     // Pile/Dolma-style source reweighting: each source keeps k/256 of its
     // docs by md5 bucket — deterministic, growth-stable, nested under
@@ -4056,6 +4069,21 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+
+    // Temperature mix: pow/floor chains on identical integer inputs are
+    // engine-identical modulo a sub-ulp floor-boundary coincidence; the
+    // md5-bucket membership is the established exact primitive.
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT g, pow(CAST(n AS DOUBLE), -0.5) AS r FROM c),
+        |mx AS (SELECT max(r) AS rmax FROM r),
+        |k AS (SELECT g,
+        |    LEAST(65536, GREATEST(1, CAST(floor(r / rmax * 65536) AS INT))) AS keep
+        |  FROM r, mx)
+        |SELECT d.doc_id, d.lang, k.keep
+        |FROM documents d JOIN k ON d.lang = k.g
+        |WHERE k.keep >= 65536
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', k.keep)""".stripMargin,
 
     // A-ES exponential race: u from the first 8 md5 hex chars of the key
     // (exact integer, +0.5 dodges ln(0)), e = -ln(u)/w. (v+0.5)/2^32 and

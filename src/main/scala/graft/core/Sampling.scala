@@ -76,6 +76,44 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** TEMPERATURE-based group reweighting (the Pile/Dolma α-mix): keep
+    * rates derived IN-PLAN from the group sizes themselves — rate_g ∝
+    * n_g^(α−1), normalized so the most-downweighted... largest group
+    * anchors at its own rate's maximum (the biggest group keeps the
+    * smallest fraction at α < 1, flattening the source distribution; α=1
+    * keeps everything, α=0 equalizes expected per-group yields).
+    * Membership is the same md5-bucket primitive as [[weightedMix]] at
+    * 64k granularity — deterministic, growth-stable, nested under a
+    * lower α — but the rate TABLE is computed from the data (one tiny
+    * group-count aggregate broadcast back), not supplied: re-running on
+    * a grown corpus re-derives the rates, which is what a temperature
+    * mix means. `minKeep` floors every group at ≥ minKeep/65536 so rare
+    * groups never vanish. A 100 TB remix is one count aggregate + one
+    * scan.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      alpha: Double,
+      minKeep: Int = 1): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    require(minKeep >= 1 && minKeep <= 65536, s"minKeep in [1,65536], got $minKeep")
+    val rates = df
+      .groupBy(group.as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__r", pow(col("__n").cast("double"), lit(alpha - 1.0)))
+    val keeps = rates
+      .crossJoin(broadcast(rates.agg(max(col("__r")).as("__rmax"))))
+      .select(col("__g"),
+        least(lit(65536), greatest(lit(minKeep),
+          floor(col("__r") / col("__rmax") * 65536).cast("int"))).as("__keep"))
+    df.join(broadcast(keeps), group <=> col("__g"))
+      .filter(col("__keep") >= 65536 ||
+        substring(md5(key.cast("string")), 1, 4) < format_string("%04x", col("__keep")))
+      .drop("__g")
+  }
+
   /** Finer-grained variant: first 4 hex chars → 65536 buckets, keep
     * buckets `[0, keep)` — fraction keep/65536.
     */

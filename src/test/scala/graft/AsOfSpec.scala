@@ -214,6 +214,32 @@ class AsOfSpec extends SparkTestBase {
     assert(out2 == out)
   }
 
+  test("Sampling.temperatureMix: flattens skewed groups, nests under lower alpha, floors rare groups") {
+    import graft.core.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"lang")
+    def props(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val m = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+      val t = m.values.sum.toDouble
+      m.map { case (k, v) => k -> v / t }
+    }
+    val before = props(docs)
+    val mixed = Sampling.temperatureMix(docs, $"doc_id", $"lang", alpha = 0.5)
+    val after = props(mixed.select("doc_id", "lang"))
+    // alpha=0.5 must pull the majority class toward the rest.
+    val big = before.maxBy(_._2)._1
+    assert(after(big) < before(big), s"majority '$big' share must shrink: $before -> $after")
+    // alpha=1 keeps everything.
+    assert(Sampling.temperatureMix(docs, $"doc_id", $"lang", alpha = 1.0).count() == docs.count())
+    // Nesting: a harsher temperature's sample is a subset of a milder one's.
+    val ids = (df: org.apache.spark.sql.DataFrame) => df.select("doc_id").as[Long].collect().toSet
+    val harsh = ids(Sampling.temperatureMix(docs, $"doc_id", $"lang", alpha = 0.2))
+    assert(harsh.subsetOf(ids(mixed)), "lower alpha must nest inside higher alpha")
+    // minKeep floors every group's rate; no group vanishes even at alpha=0.
+    val flat = Sampling.temperatureMix(docs, $"doc_id", $"lang", alpha = 0.0, minKeep = 8192)
+    assert(flat.select("lang").distinct().count() == before.size,
+      "minKeep must keep every group represented")
+  }
+
   test("Writers.writeCompacted sizes the output file count from plan stats") {
     val dir = tmpDir("compacted")
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
