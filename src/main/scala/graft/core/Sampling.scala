@@ -78,10 +78,10 @@ object Sampling {
 
   /** TEMPERATURE-based group reweighting (the Pile/Dolma α-mix): keep
     * rates derived IN-PLAN from the group sizes themselves — rate_g ∝
-    * n_g^(α−1), normalized so the most-downweighted... largest group
-    * anchors at its own rate's maximum (the biggest group keeps the
-    * smallest fraction at α < 1, flattening the source distribution; α=1
-    * keeps everything, α=0 equalizes expected per-group yields).
+    * n_g^(α−1), normalized so the SMALLEST group keeps everything and
+    * the biggest keeps the smallest fraction at α < 1 (flattening the
+    * source distribution; α=1 keeps everything, α=0 equalizes expected
+    * per-group yields).
     * Membership is the same md5-bucket primitive as [[weightedMix]] at
     * 64k granularity — deterministic, growth-stable, nested under a
     * lower α — but the rate TABLE is computed from the data (one tiny
