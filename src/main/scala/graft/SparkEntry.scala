@@ -1181,6 +1181,29 @@ object SparkEntry {
       )
     }),
 
+    // --- beyond-reference: STANDING IVF index (incremental ANN) --------
+    // The IVF member of the standing-index family: cells fit ONCE on the
+    // base load (vec_id%4!=0), the %4==0 slice assigns in the FROZEN
+    // model (Ann.appendToIvfIndex — no refit), queries probe the
+    // standing cells. Oracle: the q_ann_ivf pipeline with the Lloyd fit
+    // restricted to the base slice (lloydCtes fitWhere) — assignment,
+    // probe, and scoring over the union are unchanged, hash-exact.
+    "q_ann_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Ann.buildIvfIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        nList = 16, iters = 3)
+      val idx2 = Ann.appendToIvfIndex(idx, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      Ann.ivfRetrieve(
+        queries = emb.filter(col("vec_id") < 8),
+        idCol = "vec_id",
+        vecCol = "embedding",
+        index = idx2,
+        k = 5,
+        nProbe = 4,
+      )
+    }),
+
     // --- beyond-reference: product-quantization ANN (ORACLED) ----------
     // The memory-bounded 100 TB embedding-scan path: 8 subspace
     // codebooks fitted offline (KMeans per subspace), vectors encoded to
@@ -4342,6 +4365,34 @@ object SparkEntry {
     // pipeline, engine-exact.
     "q_ann_ivf" -> {
       s"""WITH ${lloydCtes(k = 16, iters = 3, dim = 64)},
+         |cf AS MATERIALIZED (
+         |  SELECT cid, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+         |  FROM c3),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, cf c)
+         |  WHERE rn = 1),
+         |probed AS MATERIALIZED (
+         |  SELECT vec_id AS qid, v AS qv, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, cf c WHERE e.vec_id < 8)
+         |  WHERE rn <= 4),
+         |scored AS (
+         |  SELECT DISTINCT q.qid, a.vec_id, list_cosine_similarity(q.qv, a.v) AS sim
+         |  FROM probed q JOIN assigned a USING (cid) WHERE a.vec_id <> q.qid),
+         |ranked AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM scored)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM ranked WHERE rn <= 5""".stripMargin
+    },
+
+    // Standing-index IVF: same pipeline, Lloyd fit on the base slice only.
+    "q_ann_ivf_incremental" -> {
+      s"""WITH ${lloydCtes(k = 16, iters = 3, dim = 64, fitWhere = "vec_id % 4 <> 0")},
          |cf AS MATERIALIZED (
          |  SELECT cid, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
          |  FROM c3),

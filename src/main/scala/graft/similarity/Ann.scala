@@ -86,40 +86,64 @@ object Ann {
       nProbe: Int = 4,
       kmeansIters: Int = 0,
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centDf =
-      if (kmeansIters > 0) {
-        // Fitted double centroids cast to the CORPUS's element type (read
-        // from its schema — float or double), so the cosineSim kernel sees
-        // matching array types without silently narrowing a double corpus.
-        val elem = corpus.schema(vecCol).dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-        KMeans.centroids(corpus, idCol, vecCol, nList, dimOf(corpus, vecCol), kmeansIters)
-          .zipWithIndex
-          .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
-          .toDF("cid", "cvec")
-          .select(col("cid"), col("cvec")
-            .cast(org.apache.spark.sql.types.ArrayType(elem, containsNull = false)).as("cvec"))
-      } else {
+      if (kmeansIters > 0)
+        fittedCentroidsDf(corpus, idCol, vecCol, nList, kmeansIters)
+      else
         corpus.orderBy(col(idCol)).limit(nList)
           .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      }
-    val centroids = broadcast(centDf)
-    def nearestCells(df: DataFrame, id: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
-      df.join(centroids, lit(true))
-        .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-        .drop("cvec", "csim", "crn")
-    }
-    val assigned = nearestCells(corpus, idCol, 1) // corpus: 1 cell each
+    ivfScan(queries, IvfIndex(centDf,
+      nearestCells(corpus, idCol, vecCol, 1, centDf)), idCol, vecCol, k, nProbe)
+  }
+
+  /** Fitted double centroids cast to the CORPUS's element type (read
+    * from its schema — float or double), so the cosineSim kernel sees
+    * matching array types without silently narrowing a double corpus.
+    */
+  private def fittedCentroidsDf(
+      corpus: DataFrame, idCol: String, vecCol: String, nList: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val elem = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    KMeans.centroids(corpus, idCol, vecCol, nList, dimOf(corpus, vecCol), iters)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec")
+        .cast(org.apache.spark.sql.types.ArrayType(elem, containsNull = false)).as("cvec"))
+  }
+
+  /** Top-`n` nearest cells per row of `df` — the assignment/probe
+    * primitive shared by the one-shot and standing-index IVF paths.
+    */
+  private def nearestCells(
+      df: DataFrame, id: String, vecCol: String, n: Int, centDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
+    df.join(broadcast(centDf), lit(true))
+      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= n)
+      .drop("cvec", "csim", "crn")
+  }
+
+  /** The probe+score+top-k back half, against an ALREADY-ASSIGNED cell
+    * store — shared by [[ivfTopK]] and [[ivfRetrieve]] so the one-shot
+    * and standing-index paths cannot drift.
+    */
+  private def ivfScan(
+      queries: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+  ): DataFrame = {
     val probed = nearestCells(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")).withColumnRenamed("qvec", vecCol),
-      "qid", nProbe)
+      "qid", vecCol, nProbe, index.centroids)
       .withColumnRenamed(vecCol, "qvec")
-    val scored = assigned
+    val scored = index.cells
       .join(probed, Seq("cid"))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), cosineSim(col("qvec"), col(vecCol)).as("sim"))
@@ -130,6 +154,53 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
   }
+
+  // ---- Standing IVF index (frozen cells) -------------------------------
+
+  /** The IVF member of the standing-index family: `centroids` (cid,
+    * cvec) is the FROZEN cell model, `cells` (idCol, vecCol, cid) the
+    * corpus with its cell assignment — at 100 TB, the corpus table
+    * partitioned by `cid`, which is exactly how an inverted-file store
+    * lays out anyway. Arriving batches assign in the frozen model
+    * ([[appendToIvfIndex]] — no refit, no touch of stored rows), queries
+    * probe the standing cells ([[ivfRetrieve]]).
+    */
+  final case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** Fit centroids on `corpus` (offline; at 100 TB on a hashSample
+    * slice) and assign it. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nList: Int = 16,
+      iters: Int = 3,
+  ): IvfIndex = {
+    val centDf = fittedCentroidsDf(corpus, idCol, vecCol, nList, iters)
+    IvfIndex(centDf, nearestCells(corpus, idCol, vecCol, 1, centDf))
+  }
+
+  /** Assign an arriving batch in the FROZEN cell model and append —
+    * (old ∪ batch) cells ≡ a one-shot assignment of the union with the
+    * same centroids. Ids must be disjoint from the indexed set.
+    */
+  def appendToIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String, vecCol: String): IvfIndex =
+    index.copy(cells = index.cells.unionByName(
+      nearestCells(batch, idCol, vecCol, 1, index.centroids)))
+
+  /** Probe a query batch against the standing cells: per query the
+    * `nProbe` nearest FROZEN centroids, then exact cosine over those
+    * cells only — [[ivfTopK]]'s output, without the per-run fit
+    * (SimilaritySpec pins retrieve ≡ one-shot on the same data).
+    */
+  def ivfRetrieve(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      k: Int,
+      nProbe: Int = 4,
+  ): DataFrame = ivfScan(queries, index, idCol, vecCol, k, nProbe)
 
   /** Vector dimensionality from the first row (driver peek — one tiny
     * job; callers fitting repeatedly should pass corpus dims statically

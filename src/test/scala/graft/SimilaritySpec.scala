@@ -125,6 +125,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b, "PQ pipeline must be deterministic across refits")
   }
 
+  test("standing IVF index: frozen-cell append == one-shot assign; retrieve == ivfTopK; full probe exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    // Retrieve against an index built on the FULL corpus == one-shot
+    // fitted ivfTopK (shared scan core, same fit).
+    val idx = Ann.buildIvfIndex(emb, "vec_id", "embedding", nList = 16, iters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Ann.ivfRetrieve(q, "vec_id", "embedding", idx, k = 3, nProbe = 4)) ==
+      rows(Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 3, nList = 16, nProbe = 4, kmeansIters = 3)),
+      "standing-index retrieval must match one-shot fitted IVF")
+    // Frozen-model append == one-shot assignment of the union.
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val batch = emb.filter($"vec_id" % 4 === 0)
+    val bIdx = Ann.buildIvfIndex(base, "vec_id", "embedding", nList = 16, iters = 3)
+    val appended = Ann.appendToIvfIndex(bIdx, batch, "vec_id", "embedding")
+    val cellsOf = (c: org.apache.spark.sql.DataFrame) =>
+      c.select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val oneShot = Ann.appendToIvfIndex(Ann.IvfIndex(bIdx.centroids,
+      bIdx.cells.limit(0)), emb, "vec_id", "embedding")
+    assert(cellsOf(appended.cells) == cellsOf(oneShot.cells),
+      "split append must equal one-shot assignment in the same frozen cells")
+    // Probing ALL cells == brute force, for ANY centroid quality.
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val full = Ann.ivfRetrieve(q, "vec_id", "embedding", appended, k = 3, nProbe = 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full probe of the standing index must equal brute force")
+  }
+
   test("standing PQ index: frozen-books append == one-shot encode; retrieve == pqTopK on base books") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val base = emb.filter($"vec_id" % 4 =!= 0)
