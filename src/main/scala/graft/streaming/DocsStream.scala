@@ -208,6 +208,31 @@ object DocsStream {
     }
   }
 
+  /** Stateless ingest gate from an offline-DISTILLED quality classifier
+    * ([[graft.text.QualityModel]]): each micro-batch scores in the
+    * FROZEN model (broadcast weight join + decimal sum — the model never
+    * refits on stream data) and only docs the model accepts (score >
+    * fitted tau) land. The per-doc decision is a pure function of
+    * (doc, model), so micro-batching is invisible: gated output ≡ one
+    * batch score+filter over the same docs (StreamingSpec pin). This is
+    * the model-based stage that sits beside [[qualityGated]]'s hand
+    * rules and [[cmsGated]]'s frequency sketch in a real ingest stack.
+    */
+  def qualityModelGated(
+      docs: DataFrame,
+      model: graft.text.QualityModel.LinearTextModel,
+      outPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStreamForeach(docs, checkpointPath) { batch =>
+      val accepted = graft.text.QualityModel.score(batch, idCol, textCol, model)
+        .filter(col("pred")).select(idCol)
+      batch.join(accepted, Seq(idCol), "left_semi")
+        .write.mode("append").parquet(outPath)
+    }
+
   /** Retrieval SERVING from a query stream: each micro-batch of query
     * documents scores against a standing FROZEN BM25 index
     * ([[graft.similarity.SparseSim.bm25Retrieve]]) and appends its top-k

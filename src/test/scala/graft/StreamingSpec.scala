@@ -469,6 +469,36 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds == baseKept ++ survivors, "kept store must grow by the survivors only")
   }
 
+  test("qualityModelGated: distilled-classifier gate, stream == batch score+filter") {
+    import graft.text.QualityModel
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = QualityModel.fit(
+      docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text",
+      label = array_contains(graft.text.TextAnalysis.tokens($"text"), "spark"))
+    // Materialize the model: the streaming gate must not re-run the fit
+    // lineage per micro-batch.
+    val frozen = QualityModel.LinearTextModel(
+      model.weights.localCheckpoint(), model.scalars.localCheckpoint())
+    val held = docs.filter($"doc_id" % 3 === 0).limit(60)
+      .select($"doc_id", $"text",
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ingest_time"))
+      .localCheckpoint()
+    val (inP, outP, ckP) = (tmpDir("qmg_in"), tmpDir("qmg_out"), tmpDir("qmg_ck"))
+    held.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("overwrite").parquet(inP)
+    held.filter($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(inP)
+
+    val stream = spark.readStream.schema(docsSchema).option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.qualityModelGated(stream, frozen, outP, ckP)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    val batchKept = held.join(
+      QualityModel.score(held, "doc_id", "text", frozen).filter($"pred").select("doc_id"),
+      Seq("doc_id"), "left_semi").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batchKept, "gate decisions must not depend on micro-batching")
+    assert(streamed.nonEmpty && streamed.size < 60, "gate must actually separate")
+  }
+
   test("bm25ServeStream: stream-served retrieval == one batch call (frozen-model invariance)") {
     import graft.similarity.SparseSim
     val docs = spark.read.parquet(s"$sf/documents.parquet")
