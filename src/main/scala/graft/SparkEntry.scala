@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Stats, Union}
+import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
 import graft.similarity.{Ann, KMeans, NearDup, SemDeDup, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
@@ -1224,6 +1224,33 @@ object SparkEntry {
         vecCol = "embedding",
         codebooks = books,
         k = 5,
+        rerank = 32,
+      )
+    }),
+
+    // --- beyond-reference: IVF-PQ routed ANN (ORACLED) ------------------
+    // The composed FAISS shape: the IVF coarse quantizer routes each
+    // query to nProbe of nList cells and the PQ ADC scan covers ONLY
+    // those cells' codes — the whole-corpus compressed scan of q_ann_pq
+    // becomes partition pruning when the codes table is laid out by
+    // cell. Non-residual codes (same codes table as q_ann_pq), so
+    // nProbe = nList degenerates to exactly pqTopK (SimilaritySpec pin).
+    // HASH-EXACT oracle: pqOracleSql with the coarse-routing CTE block
+    // (full-dim Lloyd, FLOAT-narrowed centroids, candidate-set join).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 2)
+      Ann.ivfPqTopK(
+        queries = emb.filter(col("vec_id") < 8),
+        corpus = emb,
+        idCol = "vec_id",
+        vecCol = "embedding",
+        codebooks = books,
+        k = 5,
+        nList = 8,
+        nProbe = 3,
+        coarseIters = 3,
         rerank = 32,
       )
     }),
@@ -2923,6 +2950,91 @@ object SparkEntry {
       PageRank.runAdaptive(edges, iters = 8)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
     }),
+
+    // --- beyond-reference: two-sample Kolmogorov-Smirnov drift test ------
+    // Distribution-drift QC between data slices (the training-mix
+    // question "do even-numbered sources ship the same length profile as
+    // odd ones?"): per language, KS of n_chars between the two source
+    // halves. Stats.ksTest2 — one shuffle on the group key; the two
+    // cumulative ECDFs (RANGE frame: ties land inclusively on both
+    // sides) and the two sample totals ride the same window exchange;
+    // every float op is a correctly-rounded division/subtraction of
+    // exact integers, so the identical-tree oracle hashes exactly.
+    "q_ks_test" -> ((s, dir) =>
+      Stats.ksTest2(t(s, dir, "documents"),
+        group = col("lang"), value = col("n_chars"),
+        inSample1 = pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0)
+        .withColumnRenamed("g", "lang")
+        .withColumn("d", round(col("d"), 12))
+        .withColumn("ks_stat", round(col("ks_stat"), 12))
+        .withColumn("p_asym", round(col("p_asym"), 12))),
+
+    // --- beyond-reference: Mann-Whitney U rank-sum test ------------------
+    // The rank-based experiment readout beside q_ab_ztest's proportion z:
+    // per event type, does the A variant (even user_id) draw
+    // stochastically larger values than B? Half-integer average ranks
+    // accumulate as INTEGER 2·rank-sums (sum order cannot perturb them)
+    // and the tie term folds from the per-row ct²−1 identity, so the
+    // tie-corrected z is a fixed IEEE expression over exact integers.
+    "q_mannwhitney" -> ((s, dir) =>
+      Stats.mannWhitneyU(t(s, dir, "events"),
+        group = col("event_type"), value = col("value"),
+        inSample1 = pmod(col("user_id"), lit(2)) === 0)
+        .withColumnRenamed("g", "event_type")
+        .withColumn("u1", round(col("u1"), 6))
+        .withColumn("z", round(col("z"), 12))),
+
+    // --- beyond-reference: SCD2 interval construction --------------------
+    // Slowly-changing-dimension build from a change stream: each user's
+    // purchase "spend tier" (floor(value/25)) becomes half-open validity
+    // intervals — consecutive same-tier purchases collapse, the live
+    // interval carries valid_to null / is_current true. Scd.scd2 plans
+    // ONE exchange on user_id feeding lag + lead + row_number
+    // back-to-back (the filter between them preserves the sort), vs the
+    // naive self-join-on-next-change. Event-time as integer µs
+    // (engine convention), event_id the uniqueness tiebreak.
+    "q_scd2" -> ((s, dir) =>
+      Scd.scd2(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        key = col("user_id"),
+        attr = floor(col("value") / 25.0).cast("long"),
+        ts = tsUs(col("ts")),
+        tiebreak = col("event_id"))
+        .withColumnRenamed("k", "user_id")
+        .withColumnRenamed("attr", "tier")),
+
+    // --- beyond-reference: blocked entity resolution (record linkage) ----
+    // Fuzzy-match dirtied customer names back to the clean roster: a
+    // deterministic typo per name (key%3 picks dropped-char / doubled-
+    // char / transposition — the classic linkage error classes), then
+    // candidates = equi-join on the blocking key (last 4 digits, intact
+    // under all three typos), scored by the codegen'd JaroWinkler kernel
+    // (DuckDB-exact semantics, Expressions.scala), best match per dirty
+    // record via (sim desc, key) argmax. Scale shape: blocking turns the
+    // n² all-pairs into Σ block², with 10^4 key values keeping blocks
+    // O(n/10^4); the window's top-1 compiles to WindowGroupLimit.
+    "q_entity_match" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val dirty = c.select(
+        col("c_custkey").as("d_key"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(lit("C"), substring(col("c_name"), 3, 64)))
+          .when(pmod(col("c_custkey"), lit(3)) === 1,
+            concat(substring(col("c_name"), 1, 6), lit("m"), substring(col("c_name"), 7, 64)))
+          .otherwise(concat(lit("Cuts"), substring(col("c_name"), 5, 64)))
+          .as("d_name"))
+      val clean = c.select(col("c_custkey"), col("c_name"))
+      val w = Window.partitionBy(col("d_key")).orderBy(col("sim").desc, col("c_custkey"))
+      dirty
+        .withColumn("blk", right(col("d_name"), lit(4)))
+        .join(clean.withColumn("blk", right(col("c_name"), lit(4))), Seq("blk"))
+        .withColumn("sim", graft.functions.GraftFunctions.jaroWinkler(col("d_name"), col("c_name")))
+        .filter(col("sim") >= 0.85)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("d_key"), col("d_name"), col("c_custkey").as("matched_key"),
+          round(col("sim"), 6).as("sim"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -2954,9 +3066,16 @@ object SparkEntry {
     *   only; later appends encode in the frozen books). Default: fit on
     *   everything — the one-shot q_ann_pq shape. Encode/ADC always run
     *   over the full corpus (`ea` CTEs).
+    * @param coarse when Some((nList, nProbe, coarseIters)): the IVF-PQ
+    *   routed variant — an additional full-dim Lloyd chain (the
+    *   [[lloydCtes]] shape, RAW vectors, centroids narrowed through
+    *   FLOAT exactly like fittedCentroidsDf) assigns every vector to its
+    *   cell and every query to its nProbe cells, and the ADC scan joins
+    *   through the resulting (qid, vec_id) candidate set instead of the
+    *   full codes × queries cross.
     */
   private def pqOracleSql(m: Int, ksub: Int, dsub: Int, iters: Int, rerank: Int, k: Int,
-      fitWhere: String = "TRUE"): String = {
+      fitWhere: String = "TRUE", coarse: Option[(Int, Int, Int)] = None): String = {
     def l2(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, ${dsub + 1}), " +
         s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)])), (x, y) -> x + y)"
@@ -3018,11 +3137,15 @@ object SparkEntry {
       |  SELECT qid, list(row ORDER BY s) AS lut FROM (
       |    SELECT qid, s, list(d ORDER BY cid) AS row FROM qd GROUP BY qid, s)
       |  GROUP BY qid),
-      |adc AS (
+      |${coarse.fold("")(c => coarseRoutingCtes(c._1, c._2, c._3))}adc AS (
       |  SELECT l.qid, k.vec_id,
       |    list_reduce(list_transform(range(1, ${m + 1}),
       |      s -> (l.lut)[CAST(s AS INT)][CAST((k.codes)[CAST(s AS INT)] AS INT) + 1]), (x, y) -> x + y) AS adc
-      |  FROM codes k, qlut l WHERE k.vec_id <> l.qid),
+      |  FROM ${
+        if (coarse.isDefined)
+          "cand cd JOIN codes k ON k.vec_id = cd.vec_id JOIN qlut l ON l.qid = cd.qid"
+        else "codes k, qlut l WHERE k.vec_id <> l.qid"
+      }),
       |short AS (
       |  SELECT qid, vec_id FROM (
       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS arn
@@ -3037,6 +3160,35 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       |  FROM rescored) WHERE rn <= $k""".stripMargin
   }
+
+  /** The IVF-PQ routing block (q_ann_ivfpq): the full-dim coarse Lloyd
+    * chain ([[lloydCtes]] — RAW vectors, cosine assignment), centroids
+    * narrowed through FLOAT (`cf`) exactly as fittedCentroidsDf casts to
+    * the corpus element type, then cell assignment (top-1 per vector),
+    * query probes (top-nProbe), and the (qid, vec_id) candidate set the
+    * ADC scan is restricted to. Emitted as a comma-terminated CTE block.
+    */
+  private def coarseRoutingCtes(nList: Int, nProbe: Int, coarseIters: Int): String =
+    s"""${lloydCtes(k = nList, iters = coarseIters, dim = 64)},
+       |cf AS MATERIALIZED (
+       |  SELECT cid, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+       |  FROM c$coarseIters),
+       |cellassign AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cf c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e, cf c WHERE e.vec_id < 8) WHERE rn <= $nProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN cellassign a USING (cid)
+       |  WHERE a.vec_id <> p.qid),
+       |""".stripMargin
 
   /** @param fitWhere SQL predicate selecting the Lloyd-FIT slice (the
     *   standing-index scenario fits centroids on the base load only);
@@ -4446,6 +4598,11 @@ object SparkEntry {
     // config exactly: m=8, ksub=16, dsub=8, iters=2, rerank=32, k=5.
     "q_ann_pq" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2, rerank = 32, k = 5),
 
+    // IVF-PQ: the PQ pipeline with the coarse-routing candidate set
+    // (nList/nProbe/coarseIters mirror the Scala call exactly).
+    "q_ann_ivfpq" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2, rerank = 32, k = 5,
+      coarse = Some((8, 3, 3))),
+
     // Standing-index variant: Lloyd fit restricted to the base slice,
     // encode/ADC over the full corpus — the frozen-books append scenario.
     "q_ann_pq_incremental" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2,
@@ -5451,6 +5608,103 @@ object SparkEntry {
         |  max(med) AS med, max(mad) AS mad,
         |  CAST(count(CASE WHEN dev > 3.0 * mad THEN 1 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (lang) GROUP BY 1""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0 THEN 1 ELSE 0 END AS s1
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, s1,
+        |    sum(s1) OVER (PARTITION BY lang ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    sum(1 - s1) OVER (PARTITION BY lang ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+        |    sum(s1) OVER (PARTITION BY lang) AS n1,
+        |    sum(1 - s1) OVER (PARTITION BY lang) AS n2
+        |  FROM base),
+        |agg AS (
+        |  SELECT lang, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |    max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d
+        |  FROM cum WHERE n1 > 0 AND n2 > 0 GROUP BY 1),
+        |ks AS (
+        |  SELECT lang, n1, n2, d,
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d AS ks_stat
+        |  FROM agg)
+        |SELECT lang, n1, n2, round(d, 12) AS d, round(ks_stat, 12) AS ks_stat,
+        |  round(least(1.0, 2.0 * exp(-2.0 * ks_stat * ks_stat)), 12) AS p_asym
+        |FROM ks""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s1
+        |  FROM events),
+        |rk AS (
+        |  SELECT g, s1,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY v)
+        |      + count(*) OVER (PARTITION BY g, v) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY g, v) AS ct
+        |  FROM base),
+        |agg AS (
+        |  SELECT g AS event_type,
+        |    CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(1 - s1) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s1 = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2sum,
+        |    CAST(sum(ct * ct - 1) AS BIGINT) AS tiesum
+        |  FROM rk GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, n1, n2,
+        |    CAST(r2sum AS DOUBLE) / 2.0 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |    tiesum
+        |  FROM agg WHERE n1 > 0 AND n2 > 0)
+        |SELECT event_type, n1, n2, round(u1, 6) AS u1,
+        |  round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE)
+        |       - CAST(tiesum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 12) AS z
+        |FROM u""".stripMargin,
+
+    "q_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id AS k, CAST(floor(value / 25.0) AS BIGINT) AS attr,
+        |    epoch_us(ts) AS ts, event_id AS tb
+        |  FROM events WHERE event_type = 'purchase'),
+        |lg AS (
+        |  SELECT k, attr, ts, tb,
+        |    lag(attr) OVER w AS prev, lag(1) OVER w AS prev_seen
+        |  FROM p WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+        |ch AS (
+        |  SELECT k, attr, ts, tb FROM lg
+        |  WHERE prev_seen IS NULL OR attr IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT k, attr, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to,
+        |    CAST(row_number() OVER w2 AS INT) AS version
+        |  FROM ch WINDOW w2 AS (PARTITION BY k ORDER BY ts, tb))
+        |SELECT k AS user_id, attr AS tier, valid_from, valid_to, version,
+        |  valid_to IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    "q_entity_match" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |d AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'C' || substr(c_name, 3, 64)
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 6) || 'm' || substr(c_name, 7, 64)
+        |         ELSE 'Cuts' || substr(c_name, 5, 64) END AS d_name
+        |  FROM c),
+        |j AS (
+        |  SELECT d.d_key, d.d_name, c.c_custkey,
+        |    jaro_winkler_similarity(d.d_name, c.c_name) AS sim
+        |  FROM d JOIN c ON right(d.d_name, 4) = right(c.c_name, 4)
+        |  WHERE jaro_winkler_similarity(d.d_name, c.c_name) >= 0.85),
+        |r AS (
+        |  SELECT d_key, d_name, c_custkey, sim,
+        |    row_number() OVER (PARTITION BY d_key ORDER BY sim DESC, c_custkey) AS rn
+        |  FROM j)
+        |SELECT d_key, d_name, c_custkey AS matched_key, round(sim, 6) AS sim
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

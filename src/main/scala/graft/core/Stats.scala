@@ -166,4 +166,92 @@ object Stats {
   def minMaxScale(x: Column, xMin: Column, xMax: Column, lo: Double = 0.5, hi: Double = 1.0): Column =
     when(xMax =!= xMin, lit(lo) + (x - xMin) / (xMax - xMin) * lit(hi - lo))
       .otherwise(lit(lo))
+
+  /** Two-sample Kolmogorov-Smirnov test per group (beyond-reference:
+    * distribution-drift detection between data slices — the
+    * training-mix QC question "does source A's length/score distribution
+    * match source B's?").
+    *
+    * D = max over pooled observed points of |F1(x) − F2(x)|, with both
+    * ECDFs evaluated INCLUSIVE of ties via a RANGE frame (a ROWS frame
+    * would split tied values across the two samples and overstate D).
+    * One shuffle on `group`; the two cumulative counts and the two
+    * totals ride the same window exchange. Also emits the scaled
+    * statistic √(n1·n2∕(n1+n2))·D and the one-term asymptotic p-value
+    * 2·exp(−2·ks²) (clamped to 1) — every term is a correctly-rounded
+    * IEEE op on exact integer ratios, so an identical-tree oracle is
+    * bit-equal.
+    *
+    * Output: (group, n1, n2, d, ks_stat, p_asym), one row per group
+    * having at least one observation in each sample.
+    */
+  def ksTest2(df: DataFrame, group: Column, value: Column, inSample1: Column): DataFrame = {
+    val base = df.select(
+      group.as("g"), value.cast(DoubleType).as("v"),
+      when(inSample1, 1L).otherwise(0L).as("s1"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val diffed = base
+      .withColumn("c1", sum(col("s1")).over(wCum))
+      .withColumn("c2", sum(lit(1L) - col("s1")).over(wCum))
+      .withColumn("n1", sum(col("s1")).over(wAll))
+      .withColumn("n2", sum(lit(1L) - col("s1")).over(wAll))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("diff", abs(
+        col("c1").cast(DoubleType) / col("n1").cast(DoubleType) -
+          col("c2").cast(DoubleType) / col("n2").cast(DoubleType)))
+    val ks = sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType) /
+      (col("n1") + col("n2")).cast(DoubleType)) * col("d")
+    diffed
+      .groupBy(col("g"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"), max(col("diff")).as("d"))
+      .withColumn("ks_stat", ks)
+      .withColumn("p_asym", least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("ks_stat") * col("ks_stat"))))
+  }
+
+  /** Two-sample Mann-Whitney U (rank-sum) test per group, with the
+    * tie-corrected normal approximation — the rank-based complement of
+    * [[ksTest2]] for "is slice A stochastically larger than slice B?".
+    *
+    * Exactness discipline: average ranks are half-integers, so the
+    * rank-sum is accumulated as the INTEGER 2·rank-sum (2r + ct − 1 per
+    * row) and halved once at the end — sum order cannot perturb it, and
+    * the tie term Σ(t³−t) folds from the per-row identity
+    * Σ_rows(ct²−1) = Σ_groups t(t²−1), so the whole statistic reduces to
+    * a fixed IEEE expression over exact integers (oracle bit-equal).
+    * One shuffle on `group` (the rank window and the tie-count window
+    * share it).
+    *
+    * Output: (group, n1, n2, u1, z), one row per group having both
+    * samples; z > 0 means sample 1 ranks higher.
+    */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column, inSample1: Column): DataFrame = {
+    val base = df.select(
+      group.as("g"), value.cast(DoubleType).as("v"),
+      when(inSample1, 1L).otherwise(0L).as("s1"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+    val wTie = org.apache.spark.sql.expressions.Window.partitionBy(col("g"), col("v"))
+    val ranked = base
+      .withColumn("r2", lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+      .withColumn("ct", count(lit(1)).over(wTie))
+    val d = (c: Column) => c.cast(DoubleType)
+    val agg = ranked.groupBy(col("g")).agg(
+      sum(col("s1")).as("n1"),
+      sum(lit(1L) - col("s1")).as("n2"),
+      sum(when(col("s1") === 1L, col("r2")).otherwise(lit(0L))).as("r2sum"),
+      sum(col("ct") * col("ct") - lit(1L)).as("tiesum"),
+    ).filter(col("n1") > 0 && col("n2") > 0)
+    val bigN = col("n1") + col("n2")
+    val u1 = d(col("r2sum")) / lit(2.0) - d(col("n1") * (col("n1") + lit(1L))) / lit(2.0)
+    val sigma = sqrt(
+      d(col("n1")) * d(col("n2")) / lit(12.0) *
+        (d(bigN + lit(1L)) - d(col("tiesum")) / (d(bigN) * d(bigN - lit(1L)))))
+    agg
+      .withColumn("u1", u1)
+      .withColumn("z", (col("u1") - d(col("n1")) * d(col("n2")) / lit(2.0)) / sigma)
+      .select(col("g"), col("n1"), col("n2"), col("u1"), col("z"))
+  }
 }

@@ -1015,3 +1015,87 @@ case class BpeEncodeWord(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeWord =
     copy(child = newChild)
 }
+
+object JaroWinklerImpl {
+  /** Jaro-Winkler similarity over UTF-16 code units — the record-linkage
+    * scoring primitive (reference has no fuzzy matcher; beyond-reference
+    * scope). Semantics pinned to DuckDB's `jaro_winkler_similarity`
+    * (rapidfuzz lineage), empirically verified case-exact:
+    *  - either side empty → 0.0 (INCLUDING both empty — not 1.0);
+    *  - Jaro: greedy left-to-right matching inside the
+    *    max(l1,l2)/2 − 1 window (clamped ≥ 0), transpositions halved,
+    *    (m/l1 + m/l2 + (m−t)/m) / 3.0 accumulated left-to-right so the
+    *    IEEE result is bit-identical to the oracle's;
+    *  - Winkler boost ONLY when jaro > 0.7: sim + p·0.1·(1−sim) with
+    *    common prefix p capped at 4.
+    * ASCII-exact vs DuckDB by construction; non-BMP code points would
+    * count as two units here vs one there (documents are ASCII ids/names
+    * in every registered use).
+    */
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val sim = (matches.toDouble / l1 + matches.toDouble / l2 +
+      (matches - t).toDouble / matches) / 3.0
+    if (sim > 0.7) {
+      var p = 0
+      val cap = math.min(4, math.min(l1, l2))
+      while (p < cap && s1.charAt(p) == s2.charAt(p)) p += 1
+      sim + p * 0.1 * (1.0 - sim)
+    } else sim
+  }
+}
+
+/** jaro_winkler(a, b) → double in [0,1]. Codegen'd scoring kernel for the
+  * blocked entity-resolution join (q_entity_match): candidate pairs are
+  * generated by a blocking key equi-join, so this runs once per in-block
+  * pair — a tight char-array loop inside WholeStageCodegen, no boxing.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaroWinklerImpl.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+}

@@ -20,6 +20,10 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.toColumn(CosineSimilarity(GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** Jaro-Winkler similarity (DuckDB-exact semantics; see kernel doc). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftShim.toColumn(JaroWinkler(GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 

@@ -379,6 +379,22 @@ object Ann {
       k: Int,
       rerank: Int,
   ): DataFrame = {
+    val adc = codes
+      .join(broadcast(queryLuts(queries, idCol, vecCol, codebooks)), col(idCol) =!= col("qid"))
+      .withColumn("adc", adcSum)
+    rerankShortlist(adc, queries, vectors, idCol, vecCol, k, rerank)
+  }
+
+  /** Per-query ADC lookup tables: (qid, lut) with lut[s][cid] = squared-L2
+    * from the query's s-th NORMALIZED subvector to codebook centroid cid.
+    * The m × ksub table is a per-row literal-array projection — the whole
+    * frame broadcasts into the codes scan.
+    */
+  private def queryLuts(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val lut = array((0 until m).map { s =>
@@ -386,14 +402,30 @@ object Ann {
       val cents = array(codebooks(s).map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
       transform(cents, c => l2sq(qsub, c))
     }.toIndexedSeq: _*)
-    val q = normalized(queries, idCol, vecCol)
-      .select(col("id").as("qid"), lut.as("lut"))
-    val adc = codes
-      .join(broadcast(q), col(idCol) =!= col("qid"))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), col("lut"), (code, row) => element_at(row, code + 1)),
-          lit(0.0), (acc, x) => acc + x))
+    normalized(queries, idCol, vecCol).select(col("id").as("qid"), lut.as("lut"))
+  }
+
+  /** The compressed-domain distance: per subspace, the stored code picks
+    * its LUT entry; the m entries sum in subspace order (the oracle's
+    * list_reduce replays the same fold).
+    */
+  private def adcSum: Column =
+    aggregate(
+      zip_with(col("codes"), col("lut"), (code, row) => element_at(row, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Top-`rerank` by ADC per query (WindowGroupLimit), exact cosine
+    * re-score of the shortlist against the raw `vectors` store, top-`k`.
+    */
+  private def rerankShortlist(
+      adc: DataFrame,
+      queries: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int,
+  ): DataFrame = {
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col(idCol))
     val shortlist = adc
       .withColumn("arn", row_number().over(wAdc))
@@ -408,6 +440,49 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), round(col("sim"), 6).as("sim"), col("rn"))
+  }
+
+  /** IVF-PQ — the composed FAISS-style scale shape: an IVF coarse
+    * quantizer routes each query to its `nProbe` nearest cells, and the
+    * PQ ADC scan runs over ONLY those cells' compressed codes (vs
+    * [[pqTopK]]'s whole-corpus scan), then the usual exact re-rank.
+    * Non-residual variant: codes encode the vectors themselves, not the
+    * vector−centroid residuals — so the same codes table serves both the
+    * routed and unrouted scans, and at nProbe = nList this is EXACTLY
+    * [[pqTopK]] (pinned in SimilaritySpec).
+    *
+    * Scale shape: corpus-side work is one coarse assignment + one encode
+    * pass (both broadcast-model projections, no shuffle of the vectors);
+    * per query batch, the broadcast (qid, cid, lut) probe frame meets the
+    * cell-keyed codes scan, cutting scanned codes by ~nProbe/nList; both
+    * rank filters compile to WindowGroupLimit. At 100 TB the codes table
+    * lives partitioned by `cid` — the probe join is then partition
+    * pruning, not even a scan of cold cells.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int,
+      nList: Int = 8,
+      nProbe: Int = 2,
+      coarseIters: Int = 3,
+      rerank: Int = 32,
+  ): DataFrame = {
+    val centDf = fittedCentroidsDf(corpus, idCol, vecCol, nList, coarseIters)
+    val cells = nearestCells(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, 1, centDf)
+      .select(col(idCol), col("cid"))
+    val probes = nearestCells(
+      queries.select(col(idCol).as("qid"), col(vecCol)), "qid", vecCol, nProbe, centDf)
+      .select(col("qid"), col("cid"))
+    val adc = pqEncode(corpus, idCol, vecCol, codebooks)
+      .join(cells, Seq(idCol))
+      .join(broadcast(probes.join(queryLuts(queries, idCol, vecCol, codebooks), Seq("qid"))), Seq("cid"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("adc", adcSum)
+    rerankShortlist(adc, queries, corpus, idCol, vecCol, k, rerank)
   }
 
   // ---- Standing PQ index (frozen codebooks + stored codes) -------------

@@ -274,4 +274,41 @@ class AsOfSpec extends SparkTestBase {
     Writers.writeByExtension(df, s"$dir/out_default")
     assert(spark.read.parquet(s"$dir/out_default").count() == 2)
   }
+
+  test("Scd.scd2 compresses repeats into half-open validity intervals") {
+    import org.apache.spark.sql.functions._
+    // key A: tiers 1,1,2,2,1 at t=10..50 → intervals (1)[10,30), (2)[30,50), (1)[50,∞).
+    val ev = Seq(
+      ("A", 1L, 10L, 1L), ("A", 1L, 20L, 2L), ("A", 2L, 30L, 3L),
+      ("A", 2L, 40L, 4L), ("A", 1L, 50L, 5L),
+      ("B", 7L, 5L, 6L),
+    ).toDF("k", "attr", "ts", "id")
+    val got = graft.core.Scd.scd2(ev, $"k", $"attr", $"ts", $"id")
+      .orderBy("k", "version")
+      .as[(String, Long, Long, Option[Long], Int, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("A", 1L, 10L, Some(30L), 1, false),
+      ("A", 2L, 30L, Some(50L), 2, false),
+      ("A", 1L, 50L, None, 3, true),
+      ("B", 7L, 5L, None, 1, true),
+    ))
+  }
+
+  test("Scd.scd2 null attr runs collapse null-safely and tiebreak orders same-instant rows") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      ("A", None: Option[Long], 10L, 1L), ("A", None: Option[Long], 20L, 2L),
+      ("A", Some(3L), 30L, 3L),
+      // same ts=30: tiebreak id=4 sorts after id=3 → value 4 wins the tail
+      ("A", Some(4L), 30L, 4L),
+    ).toDF("k", "attr", "ts", "id")
+    val got = graft.core.Scd.scd2(ev, $"k", $"attr", $"ts", $"id")
+      .orderBy("version")
+      .as[(String, Option[Long], Long, Option[Long], Int, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("A", None, 10L, Some(30L), 1, false),
+      ("A", Some(3L), 30L, Some(30L), 2, false),
+      ("A", Some(4L), 30L, None, 3, true),
+    ))
+  }
 }

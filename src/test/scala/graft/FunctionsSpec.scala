@@ -161,4 +161,37 @@ class FunctionsSpec extends SparkTestBase {
     }
     assert(merged.totalCount() == whole.totalCount())
   }
+
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity golden values") {
+    // Pinned from DuckDB 1.0 (rapidfuzz lineage) — the oracle engine for
+    // q_entity_match. Covers: transposition, identity, empty-side zero
+    // (INCLUDING both-empty), 4-char prefix cap, the jaro<=0.7 no-boost
+    // branch, and the linkage-shaped dropped-char case.
+    val cases = Seq(
+      ("martha", "marhta") -> 0.9611111111111111,
+      ("abcd", "abcd") -> 1.0,
+      ("", "x") -> 0.0,
+      ("", "") -> 0.0,
+      ("aaaaaX", "aaaaaY") -> 0.9333333333333333,
+      ("abcdefxxxx", "abcdzzzzzzzzzzzz") -> 0.5499999999999999,
+      ("Cstomer#000000054", "Customer#000000054") -> 0.9833333333333334,
+      ("ab", "ba") -> 0.0,
+    )
+    val got = cases.map(_._1).toDF("a", "b")
+      .select($"a", $"b", GraftFunctions.jaroWinkler($"a", $"b").as("s"))
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    cases.foreach { case (k, want) =>
+      assert(got(k) == want, s"$k: got ${got(k)}, want $want (bit-exact)")
+    }
+  }
+
+  test("jaroWinkler null propagation and SQL registration") {
+    val df = Seq((Some("abc"), None: Option[String]), (None, Some("abc")), (Some("abc"), Some("abd")))
+      .toDF("a", "b")
+    val out = df.select(GraftFunctions.jaroWinkler($"a", $"b").as("s")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && !out(2).isNullAt(0))
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s").head().getDouble(0)
+    assert(viaSql == 0.9611111111111111)
+  }
 }

@@ -125,6 +125,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b, "PQ pipeline must be deterministic across refits")
   }
 
+  test("ivfPqTopK: full probe equals pqTopK exactly; routed probe recall is sane") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2)
+    val pq = Ann.pqTopK(q, emb, "vec_id", "embedding", books, k = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // nProbe = nList: every cell probed — the candidate set is the whole
+    // corpus minus self, so the routed scan IS the unrouted one.
+    val full = Ann.ivfPqTopK(q, emb, "vec_id", "embedding", books, k = 3,
+      nList = 8, nProbe = 8, coarseIters = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == pq, "full-probe IVF-PQ must equal the unrouted PQ scan")
+    // Partial probe prunes candidates; recall against the unrouted scan
+    // degrades gracefully, never exceeds it.
+    val routedPairs = Ann.ivfPqTopK(q, emb, "vec_id", "embedding", books, k = 3,
+      nList = 8, nProbe = 3, coarseIters = 3, rerank = 32)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val pqPairs = pq.map(t => (t._1, t._2))
+    val recall = (routedPairs intersect pqPairs).size.toDouble / pqPairs.size
+    assert(recall > 0.3, s"routed recall vs unrouted PQ suspiciously low: $recall")
+  }
+
   test("standing IVF index: frozen-cell append == one-shot assign; retrieve == ivfTopK; full probe exact") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 8)

@@ -65,4 +65,42 @@ class StatsSpec extends SparkTestBase {
     val a = Seq(500).toDF("n").select(Stats.bonferroni($"n").as("a")).head().getDouble(0)
     assert(a == 0.0001)
   }
+
+  test("ksTest2 golden: two-sample KS matches the hand ECDF computation") {
+    // a = [1,2,3,4,10] (s1), b = [2,5,6,7]: D = |3/5 - 1/4| at x=4 → 0.55.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 10.0).map(v => ("g1", v, true)) ++
+      Seq(2.0, 5.0, 6.0, 7.0).map(v => ("g1", v, false))).toDF("g", "v", "in1")
+    val r = Stats.ksTest2(df, $"g", $"v", $"in1").collect().head
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 4L)
+    assert(math.abs(r.getAs[Double]("d") - 0.55) < 1e-15)
+    val ks = math.sqrt(5.0 * 4.0 / 9.0) * 0.55
+    assert(math.abs(r.getAs[Double]("ks_stat") - ks) < 1e-15)
+    assert(math.abs(r.getAs[Double]("p_asym") - math.min(1.0, 2.0 * math.exp(-2.0 * ks * ks))) < 1e-15)
+  }
+
+  test("ksTest2 drops groups missing either sample") {
+    val df = Seq(("only1", 1.0, true), ("only1", 2.0, true), ("both", 1.0, true), ("both", 2.0, false))
+      .toDF("g", "v", "in1")
+    val got = Stats.ksTest2(df, $"g", $"v", $"in1").select("g").as[String].collect().toSeq
+    assert(got == Seq("both"), "a one-sample group has no defined D")
+  }
+
+  test("mannWhitneyU golden: tie-corrected z matches the hand rank-sum") {
+    // Same samples; value 2.0 tied across samples → avg rank 2.5,
+    // tiesum = 2³−2 = 6, U1 = 6.5, z = −0.8609160647753271.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 10.0).map(v => ("g1", v, true)) ++
+      Seq(2.0, 5.0, 6.0, 7.0).map(v => ("g1", v, false))).toDF("g", "v", "in1")
+    val r = Stats.mannWhitneyU(df, $"g", $"v", $"in1").collect().head
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 4L)
+    assert(r.getAs[Double]("u1") == 6.5)
+    assert(math.abs(r.getAs[Double]("z") - (-0.8609160647753271)) < 1e-14)
+  }
+
+  test("mannWhitneyU is antisymmetric in the sample flag") {
+    val df = (Seq(1.0, 2.0, 3.0).map(v => ("g", v, true)) ++
+      Seq(2.5, 4.0).map(v => ("g", v, false))).toDF("g", "v", "in1")
+    val z1 = Stats.mannWhitneyU(df, $"g", $"v", $"in1").collect().head.getAs[Double]("z")
+    val z2 = Stats.mannWhitneyU(df, $"g", $"v", !$"in1").collect().head.getAs[Double]("z")
+    assert(math.abs(z1 + z2) < 1e-12, s"flipping samples must negate z: $z1 vs $z2")
+  }
 }
