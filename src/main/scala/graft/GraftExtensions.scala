@@ -67,6 +67,7 @@ object GraftExtensions {
       (es => HpaClassify(Cast(es(0), ArrayType(DoubleType)), constDouble(es(1), "low cutoff"))),
     "graft_text_stats" -> (es => TextStats(es.head)),
     "graft_jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
+    "graft_image_dhash" -> (es => ImageDHash(es.head)),
     "graft_char_entropy" -> (es => CharEntropy(es.head)),
     "graft_deflate_stats" -> (es => DeflateStats(es.head)),
   )

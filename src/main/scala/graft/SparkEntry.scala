@@ -3035,6 +3035,52 @@ object SparkEntry {
         .select(col("d_key"), col("d_name"), col("c_custkey").as("matched_key"),
           round(col("sim"), 6).as("sim"))
     }),
+
+    // --- beyond-reference: Welch's unequal-variance t-test ---------------
+    // The parametric member of the two-sample family (q_ks_test shape,
+    // q_mannwhitney rank-order, this one mean-difference) on the same
+    // slices: per language, do even-numbered sources ship longer docs?
+    // Means/variances from exact decimal sums of v and v² (sum-order
+    // independent), t and Welch-Satterthwaite df as fixed IEEE trees —
+    // one aggregation, no window, oracle bit-equal.
+    "q_welch_t" -> ((s, dir) =>
+      Stats.welchT(t(s, dir, "documents"),
+        group = col("lang"), value = col("n_chars"),
+        inSample1 = pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0)
+        .withColumnRenamed("g", "lang")
+        .withColumn("m1", round(col("m1"), 6))
+        .withColumn("m2", round(col("m2"), 6))
+        .withColumn("t_stat", round(col("t_stat"), 12))
+        .withColumn("df", round(col("df"), 9))),
+
+    // --- beyond-reference: triangle counting -----------------------------
+    // Per-node triangle participation over the part co-purchase graph
+    // (q_cooccur's edge rule: canonical a<b pairs in >= 2 baskets) — the
+    // clustering-coefficient numerator beside q_pagerank's centrality.
+    // The compact "forward" join: edges meet on the middle vertex, then
+    // one membership join closes (a,c) — candidate pairs stay bounded by
+    // Σ deg², never the n³ triple cross. The edge list feeds three
+    // consumers, so it's checkpointed once (the q_mad_outliers pattern);
+    // each triangle then credits its three corners via one explode.
+    "q_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("pos", "pa")), col("ps"))
+        .select(col("pa"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint(false)
+      val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
+        .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+        .join(edges.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"))
+      tris
+        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_tri"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -5685,6 +5731,52 @@ object SparkEntry {
         |SELECT k AS user_id, attr AS tier, valid_from, valid_to, version,
         |  valid_to IS NULL AS is_current
         |FROM iv""".stripMargin,
+
+    "q_welch_t" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(substr(source, 4, 10) AS INT) % 2 = 0 AS in1
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(count(CASE WHEN in1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(count(CASE WHEN NOT in1 THEN 1 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN in1 THEN CAST(v AS DECIMAL(24,6)) END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN NOT in1 THEN CAST(v AS DECIMAL(24,6)) END) AS DOUBLE) AS s2,
+        |    CAST(sum(CASE WHEN in1 THEN CAST(v * v AS DECIMAL(30,6)) END) AS DOUBLE) AS q1,
+        |    CAST(sum(CASE WHEN NOT in1 THEN CAST(v * v AS DECIMAL(30,6)) END) AS DOUBLE) AS q2
+        |  FROM base GROUP BY 1),
+        |vv AS (
+        |  SELECT lang, n1, n2,
+        |    s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+        |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS var1,
+        |    (q2 - s2 * s2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS var2
+        |  FROM agg WHERE n1 >= 2 AND n2 >= 2),
+        |se AS (
+        |  SELECT lang, n1, n2, m1, m2, var1, var2,
+        |    var1 / CAST(n1 AS DOUBLE) AS se1, var2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM vv)
+        |SELECT lang, n1, n2, round(m1, 6) AS m1, round(m2, 6) AS m2,
+        |  round((m1 - m2) / sqrt(se1 + se2), 12) AS t_stat,
+        |  round((se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 9) AS df
+        |FROM se""".stripMargin,
+
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT unnest([a, b, c]) AS part FROM tri)
+        |GROUP BY 1""".stripMargin,
 
     "q_entity_match" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),

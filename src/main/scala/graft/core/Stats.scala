@@ -212,6 +212,47 @@ object Stats {
       .withColumn("p_asym", least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("ks_stat") * col("ks_stat"))))
   }
 
+  /** Welch's unequal-variance t-test per group — the parametric member
+    * of the two-sample family ([[ksTest2]] distribution-shape,
+    * [[mannWhitneyU]] rank-order, this one mean-difference).
+    *
+    * Exactness discipline: means and variances come from EXACT decimal
+    * sums of v and v² (the dsum doctrine — sum order cannot perturb
+    * them; exact for integer-grid inputs), then the t statistic and the
+    * Welch-Satterthwaite degrees of freedom are fixed IEEE expression
+    * trees over those exact sums, so an identical-tree oracle is
+    * bit-equal. One aggregation, no window.
+    *
+    * Output: (group, n1, n2, m1, m2, t_stat, df), groups with ≥ 2
+    * observations in each sample (sample variance needs n−1).
+    */
+  def welchT(df: DataFrame, group: Column, value: Column, inSample1: Column): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(group.as("g"), value.cast(DoubleType).as("v"), inSample1.as("in1"))
+    val agg = base.groupBy(col("g")).agg(
+      count(when(col("in1"), 1)).as("n1"),
+      count(when(!col("in1"), 1)).as("n2"),
+      sum(when(col("in1"), col("v").cast("decimal(24,6)"))).as("s1"),
+      sum(when(!col("in1"), col("v").cast("decimal(24,6)"))).as("s2"),
+      sum(when(col("in1"), (col("v") * col("v")).cast("decimal(30,6)"))).as("q1"),
+      sum(when(!col("in1"), (col("v") * col("v")).cast("decimal(30,6)"))).as("q2"),
+    ).filter(col("n1") >= 2 && col("n2") >= 2)
+    val se1 = col("var1") / d(col("n1"))
+    val se2 = col("var2") / d(col("n2"))
+    agg
+      .withColumn("m1", d(col("s1")) / d(col("n1")))
+      .withColumn("m2", d(col("s2")) / d(col("n2")))
+      .withColumn("var1",
+        (d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) / d(col("n1") - lit(1)))
+      .withColumn("var2",
+        (d(col("q2")) - d(col("s2")) * d(col("s2")) / d(col("n2"))) / d(col("n2") - lit(1)))
+      .withColumn("t_stat", (col("m1") - col("m2")) / sqrt(se1 + se2))
+      .withColumn("df",
+        (se1 + se2) * (se1 + se2) /
+          (se1 * se1 / d(col("n1") - lit(1)) + se2 * se2 / d(col("n2") - lit(1))))
+      .select(col("g"), col("n1"), col("n2"), col("m1"), col("m2"), col("t_stat"), col("df"))
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) test per group, with the
     * tie-corrected normal approximation — the rank-based complement of
     * [[ksTest2]] for "is slice A stochastically larger than slice B?".

@@ -1099,3 +1099,38 @@ case class JaroWinkler(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
     copy(left = l, right = r)
 }
+
+object ImageDHashImpl {
+  /** Boxed-Long bridge so generated code gets a nullable result without
+    * primitive unboxing hazards (the ImageMeta null-struct pattern).
+    */
+  def compute(bytes: Array[Byte]): java.lang.Long =
+    graft.multimodal.Multimodal.PerceptualHash.dHash64(bytes) match {
+      case Some(h) => java.lang.Long.valueOf(h)
+      case None => null
+    }
+}
+
+/** image_dhash(bytes) → long|null. 64-bit perceptual dHash over a binary
+  * image column (PerceptualHash.dHash64): the image-side near-duplicate
+  * key — band it and bucket-join exactly like SimHash64 over text.
+  * Undecodable bytes → null (never an executor crash).
+  */
+case class ImageDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_dhash"
+  override def nullSafeEval(v: Any): Any = {
+    val r = ImageDHashImpl.compute(v.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.Long graftDh = graft.functions.ImageDHashImpl.compute($c);
+         |if (graftDh == null) { ${ev.isNull} = true; } else { ${ev.value} = graftDh.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ImageDHash =
+    copy(child = newChild)
+}

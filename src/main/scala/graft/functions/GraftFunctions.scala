@@ -24,6 +24,12 @@ object GraftFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftShim.toColumn(JaroWinkler(GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** 64-bit perceptual dHash of a binary image column (null when the
+    * bytes don't decode) — the image near-dup key.
+    */
+  def imageDHash(bytes: Column): Column =
+    GraftShim.toColumn(ImageDHash(GraftShim.toExpression(bytes)))
+
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 

@@ -485,6 +485,81 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hashing — the image-side near-duplicate fingerprint
+    * (the visual analogue of text SimHash): dHash reduces an image to a
+    * 64-bit horizontal-gradient signature, so near-identical images
+    * (re-encodes, small edits, minor noise) land within a few bits of
+    * Hamming distance and image dedup becomes the same banded
+    * hash-join machinery the text near-dup family uses.
+    *
+    * Full-pixel decode (ImageIO, pure JDK) then a DETERMINISTIC 9x8
+    * box-average grayscale grid — own integer area averaging, NOT
+    * `getScaledInstance` (platform/filter dependent) — and bit k set
+    * when cell (x+1, y) is brighter than (x, y). Integer arithmetic
+    * throughout: the same bytes hash identically on every executor.
+    */
+  object PerceptualHash {
+    /** 64-bit dHash; None when the bytes don't decode as an image. */
+    def dHash64(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+        val grid = grayGrid(img, 9, 8)
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (grid(y)(x + 1) > grid(y)(x)) h |= (1L << bit)
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** cols x rows integer box-average luminance grid (BT.601 integer
+      * weights 299/587/114, floor division — fully deterministic).
+      */
+    private def grayGrid(img: java.awt.image.BufferedImage, cols: Int, rows: Int): Array[Array[Long]] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = Array.ofDim[Long](rows, cols)
+      var j = 0
+      while (j < rows) {
+        val y0 = j * h / rows
+        val y1 = math.max(y0 + 1, (j + 1) * h / rows)
+        var i = 0
+        while (i < cols) {
+          val x0 = i * w / cols
+          val x1 = math.max(x0 + 1, (i + 1) * w / cols)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)) / 1000L
+              sum += lum
+              x += 1
+            }
+            y += 1
+          }
+          out(j)(i) = sum / ((y1 - y0).toLong * (x1 - x0))
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Shared mapPartitions scaffold: append ONE column derived from a
     * binary column. The per-partition codec lifecycle lives here, once:
     * a real decoder initializes per partition (the expensive part with

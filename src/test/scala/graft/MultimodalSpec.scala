@@ -421,4 +421,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.GifCodec.sampleFrames("plain text".getBytes, 3).isEmpty)
     assert(Multimodal.GifCodec.frameCount(null) == 0)
   }
+
+  test("PerceptualHash.dHash64: stable, edit-tolerant, content-sensitive; kernel column path") {
+    import org.apache.spark.sql.functions._
+    // Deterministic gradient image + variants, encoded as real PNGs.
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(seed: Int)(x: Int, y: Int): Int = {
+      val v = (x * 7 + y * 3) % 256
+      (v << 16) | (v << 8) | ((v + seed) % 256)
+    }
+    val base = png(64, 48)(gradient(0))
+    val nearDup = png(64, 48) { (x, y) =>
+      // Small blue-channel perturbation in one corner — a "minor edit".
+      if (x < 6 && y < 6) gradient(5)(x, y) else gradient(0)(x, y)
+    }
+    val different = png(64, 48) { (x, y) =>
+      val v = ((x * 131) ^ (y * 197)) % 256  // high-frequency noise
+      (v << 16) | (((255 - v) & 0xff) << 8) | ((v * 3) % 256)
+    }
+    val h1 = Multimodal.PerceptualHash.dHash64(base).get
+    val h2 = Multimodal.PerceptualHash.dHash64(nearDup).get
+    val h3 = Multimodal.PerceptualHash.dHash64(different).get
+    assert(Multimodal.PerceptualHash.dHash64(base).get == h1, "same bytes, same hash")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) <= 8, s"near-dup must stay within a few bits: ${ham(h1, h2)}")
+    assert(ham(h1, h3) >= 16, s"distinct content must diverge: ${ham(h1, h3)}")
+    // Column/kernel path: identical to the driver-side call; nulls for
+    // undecodable bytes; a banded self-join finds the near-dup pair.
+    val df = Seq((1L, base), (2L, nearDup), (3L, different),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("id", "bytes")
+      .withColumn("dh", graft.functions.GraftFunctions.imageDHash($"bytes"))
+    val got = df.select("id", "dh").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(h1) && got(2L).contains(h2) && got(3L).contains(h3))
+    assert(got(4L).isEmpty, "non-image bytes must be null, not a crash")
+    // 4 bands of 16 bits: near-dups (<= 8 bits apart) share >= 1 band
+    // by pigeonhole at threshold 3 per band - the SimHash64 banding rule.
+    val banded = df.filter($"dh".isNotNull).select($"id", $"dh",
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"dh", b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+    val pairs = banded.as("l").join(banded.as("r"),
+        $"l.bk" === $"r.bk" && $"l.id" < $"r.id")
+      .select($"l.id", $"r.id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "banding must surface the near-dup pair")
+    assert(!pairs.contains((1L, 3L)), "noise image must not collide on any band")
+  }
 }
