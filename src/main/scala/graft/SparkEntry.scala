@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KMeans, NearDup, SemDeDup, SparseSim}
+import graft.similarity.{Ann, KMeans, MlpScore, NearDup, SemDeDup, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -3081,6 +3081,18 @@ object SparkEntry {
         .groupBy("part")
         .agg(count(lit(1)).as("n_tri"))
     }),
+
+    // --- beyond-reference: distilled MLP scorer as columnar compute ------
+    // The "tiny neural quality head over embeddings" pipeline stage,
+    // with the whole forward pass (8 relu units over 64 dims) as a
+    // codegen'd projection of literal weights — no UDF, no model
+    // server; scoring 100 TB is one scan and the top-k readout is
+    // TakeOrderedAndProject. Weights are deterministic dyadic rationals
+    // (the hyperplaneValues discipline), so the generated DuckDB oracle
+    // replays the identical folds bit-for-bit.
+    "q_mlp_score" -> ((s, dir) =>
+      MlpScore.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, hidden = 8, k = 20)),
   )
 
   // ---------------------------------------------------------------------
@@ -5761,6 +5773,24 @@ object SparkEntry {
         |  round((se1 + se2) * (se1 + se2) /
         |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 9) AS df
         |FROM se""".stripMargin,
+
+    // Generated: the MLP forward pass with the SAME literal weights and
+    // fold order as MlpScore.score (list_reduce left fold ≡ the Spark
+    // aggregate's op order — the pqOracleSql precedent).
+    "q_mlp_score" -> {
+      val dim = 64
+      def lst(ws: Seq[Double]) = ws.map(_.toString).mkString("[", ",", "]")
+      val units = (0 until 8).map { j =>
+        s"${MlpScore.w2(j)} * greatest(0.0, ${MlpScore.b1(j)} + " +
+          s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+          s"i -> v[CAST(i AS INT)] * (${lst(MlpScore.w1Row(j, dim))})[CAST(i AS INT)]), " +
+          "(x, y) -> x + y))"
+      }
+      val expr = (s"${MlpScore.b2}" +: units).mkString("\n    + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (SELECT vec_id, round($expr, 6) AS score FROM e)
+         |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+    },
 
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -697,4 +697,30 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long, Double, Int)].collect().toSet
     assert(reg == k5)
   }
+
+  test("MlpScore: column forward pass is bit-equal to a driver-side reference; topK deterministic") {
+    import graft.similarity.MlpScore
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(32)
+    // Driver reference replaying the same fold order (0.0-seeded
+    // left-to-right), same weights.
+    def ref(v: Seq[Float]): Double = {
+      var acc = MlpScore.b2
+      for (j <- 0 until 8) {
+        var dot = 0.0
+        val w = MlpScore.w1Row(j, 64)
+        for (i <- 0 until 64) dot += v(i).toDouble * w(i)
+        acc += MlpScore.w2(j) * math.max(0.0, MlpScore.b1(j) + dot)
+      }
+      acc
+    }
+    val got = emb.select($"vec_id", MlpScore.score($"embedding", 64, 8).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == ref(v), s"vec $id: column ${got(id)} != driver ${ref(v)} (bit-exact)")
+    }
+    val t1 = MlpScore.topK(emb, "vec_id", "embedding", 64, 8, 5).collect().toSeq
+    val t2 = MlpScore.topK(emb, "vec_id", "embedding", 64, 8, 5).collect().toSeq
+    assert(t1 == t2 && t1.size == 5)
+  }
 }
