@@ -3093,6 +3093,34 @@ object SparkEntry {
     "q_mlp_score" -> ((s, dir) =>
       MlpScore.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, hidden = 8, k = 20)),
+
+    // --- beyond-reference: label-propagation communities -----------------
+    // Community detection over the part co-purchase graph (the third
+    // graph member: PageRank centrality, CC reachability, LPA
+    // communities). SYNCHRONOUS WEIGHTED rounds (weight = basket
+    // co-occurrence count) with min-label tie-breaks — the classic
+    // asynchronous LPA is vertex-order-dependent, and the unweighted
+    // synchronous variant degenerates to min-label flooding (GraphSpec
+    // demonstrates both); this one is deterministic and
+    // oracle-replayable as 4 unrolled CTE rounds. Per round: one
+    // integer-exact sum aggregate + one argmax window, both keyed on
+    // the destination node; localCheckpoint caps plan growth.
+    "q_communities" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("pos", "pa")), col("ps"))
+        .select(col("pa"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("n_orders").as("weight"))
+        .union(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("n_orders").as("weight")))
+      graft.graph.LabelProp.run(edges, iters = 4)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -5773,6 +5801,39 @@ object SparkEntry {
         |  round((se1 + se2) * (se1 + se2) /
         |    (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 9) AS df
         |FROM se""".stripMargin,
+
+    // Generated: 4 synchronous WEIGHTED label-propagation rounds unrolled
+    // (the lloydCtes discipline — integer weight-mass argmax with
+    // min-label ties, isolated nodes keep their label via the LEFT JOIN
+    // coalesce).
+    "q_communities" -> {
+      def round(tr: Int): String =
+        s"""cc$tr AS MATERIALIZED (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS mass
+           |  FROM eg e JOIN lp${tr - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |wn$tr AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label,
+           |      row_number() OVER (PARTITION BY node ORDER BY mass DESC, label) AS rn
+           |    FROM cc$tr) WHERE rn = 1),
+           |lp$tr AS MATERIALIZED (
+           |  SELECT n.node, coalesce(w.label, l.label) AS label
+           |  FROM nd n JOIN lp${tr - 1} l USING (node) LEFT JOIN wn$tr w USING (node))""".stripMargin
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pr AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+         |  FROM op a JOIN op b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |eg AS (SELECT pa AS src, pb AS dst, w FROM pr
+         |  UNION ALL SELECT pb AS src, pa AS dst, w FROM pr),
+         |nd AS (SELECT DISTINCT src AS node FROM eg),
+         |lp0 AS (SELECT node, node AS label FROM nd),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM lp4 GROUP BY 1""".stripMargin
+    },
 
     // Generated: the MLP forward pass with the SAME literal weights and
     // fold order as MlpScore.score (list_reduce left fold ≡ the Spark

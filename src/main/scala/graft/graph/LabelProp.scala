@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous WEIGHTED label propagation — community detection beside
+  * [[PageRank]] (centrality) and the NearDup connected components
+  * (reachability): every node starts as its own label, and each round
+  * adopts the label with the largest incident edge-weight mass among
+  * its neighbors, ties to the SMALLEST label (full determinism — no
+  * vertex-order dependence, unlike classic asynchronous LPA). Weights
+  * matter for more than ranking: UNWEIGHTED synchronous LPA degenerates
+  * on round 1 (all labels distinct → every vote ties → min-label floods
+  * like connected components, spec-demonstrated); with weights, strong
+  * intra-community edges out-vote weak bridges and real communities
+  * survive. A fixed round count keeps the computation oracle-replayable
+  * as unrolled CTEs; integer weights keep every vote exact.
+  *
+  * Scale shape: one sum-aggregate + one argmax window per round, both
+  * shuffling on the destination node — no adjacency materialization
+  * beyond the edge list, no driver participation, plan growth capped by
+  * a localCheckpoint per round (the PageRank cadence lesson: Spark
+  * replans the full lineage each round otherwise).
+  */
+object LabelProp {
+
+  /** Final (node, label) after `iters` synchronous rounds over weighted
+    * directed adjacency (src, dst, weight) — undirected callers emit
+    * both directions. The node set is the distinct src endpoints
+    * (both-direction graphs make this every node).
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("weight")).as("mass"))
+      val w = Window.partitionBy(col("node")).orderBy(col("mass").desc, col("label"))
+      val winners = votes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = nodes
+        .join(labels, Seq("node"))
+        .join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+}

@@ -82,4 +82,27 @@ class GraphSpec extends SparkTestBase {
       assert(inc == full, s"trial $trial: incremental fold must equal full recompute")
     }
   }
+
+  test("LabelProp: weighted votes keep bridged cliques separate; unweighted ties flood") {
+    import graft.graph.LabelProp
+    // Cliques {1,2,3} and {10,11,12} with heavy internal edges (5),
+    // joined by a light bridge 3-10 (1).
+    val und = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 5L), (10L, 12L, 5L), (11L, 12L, 5L), (3L, 10L, 1L))
+    val edges = (und ++ und.map(p => (p._2, p._1, p._3))).toDF("src", "dst", "weight")
+    val got = LabelProp.run(edges, iters = 4).as[(Long, Long)].collect().toMap
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L),
+      s"left clique must converge to min label 1: $got")
+    assert(Set(10L, 11L, 12L).map(got) == Set(10L),
+      s"right clique must converge to min label 10, not leak across the bridge: $got")
+    // Deterministic across reruns (synchronous + min-label ties).
+    val again = LabelProp.run(edges, iters = 4).as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // The degeneracy the weights exist to prevent: with equal weights,
+    // round-1 votes all tie, min labels win everywhere, and a left-clique
+    // label invades the right clique through the bridge.
+    val flat = edges.withColumn("weight", org.apache.spark.sql.functions.lit(1L))
+    val deg = LabelProp.run(flat, iters = 4).as[(Long, Long)].collect().toMap
+    assert(deg(10L) == 3L, s"unweighted ties must flood the bridge label: $deg")
+  }
 }
