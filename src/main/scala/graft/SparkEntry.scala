@@ -1255,6 +1255,33 @@ object SparkEntry {
       )
     }),
 
+    // --- beyond-reference: STANDING IVF-PQ index (incremental) ----------
+    // The composed standing store: coarse cells AND codebooks fit ONCE
+    // on the base load (vec_id%4!=0), the %4==0 batch assigns + encodes
+    // through BOTH frozen models (appendToIvfPqIndex — no refit
+    // anywhere), queries route and ADC-scan the standing stores. Oracle:
+    // the q_ann_ivfpq pipeline with BOTH fits restricted to the base
+    // slice (coarse lloydCtes fitWhere + subspace fitWhere) —
+    // assignment, encoding, routing, and scoring over the union are
+    // unchanged, hash-exact.
+    "q_ann_ivfpq_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Ann.buildIvfPqIndex(
+        emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        dim = 64, nList = 8, coarseIters = 3, m = 8, ksub = 16, iters = 2)
+      val idx2 = Ann.appendToIvfPqIndex(idx, emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding")
+      Ann.ivfPqRetrieve(
+        queries = emb.filter(col("vec_id") < 8),
+        idCol = "vec_id",
+        vecCol = "embedding",
+        index = idx2,
+        vectors = emb,
+        k = 5,
+        nProbe = 3,
+        rerank = 32,
+      )
+    }),
+
     // --- beyond-reference: STANDING PQ index (incremental ANN) --------
     // The frozen-model serving shape that completes the incremental
     // retrieval family: codebooks fit ONCE on the base load
@@ -3223,7 +3250,7 @@ object SparkEntry {
       |  SELECT qid, list(row ORDER BY s) AS lut FROM (
       |    SELECT qid, s, list(d ORDER BY cid) AS row FROM qd GROUP BY qid, s)
       |  GROUP BY qid),
-      |${coarse.fold("")(c => coarseRoutingCtes(c._1, c._2, c._3))}adc AS (
+      |${coarse.fold("")(c => coarseRoutingCtes(c._1, c._2, c._3, fitWhere))}adc AS (
       |  SELECT l.qid, k.vec_id,
       |    list_reduce(list_transform(range(1, ${m + 1}),
       |      s -> (l.lut)[CAST(s AS INT)][CAST((k.codes)[CAST(s AS INT)] AS INT) + 1]), (x, y) -> x + y) AS adc
@@ -3254,8 +3281,9 @@ object SparkEntry {
     * query probes (top-nProbe), and the (qid, vec_id) candidate set the
     * ADC scan is restricted to. Emitted as a comma-terminated CTE block.
     */
-  private def coarseRoutingCtes(nList: Int, nProbe: Int, coarseIters: Int): String =
-    s"""${lloydCtes(k = nList, iters = coarseIters, dim = 64)},
+  private def coarseRoutingCtes(nList: Int, nProbe: Int, coarseIters: Int,
+      fitWhere: String = "TRUE"): String =
+    s"""${lloydCtes(k = nList, iters = coarseIters, dim = 64, fitWhere = fitWhere)},
        |cf AS MATERIALIZED (
        |  SELECT cid, list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
        |  FROM c$coarseIters),
@@ -4688,6 +4716,11 @@ object SparkEntry {
     // (nList/nProbe/coarseIters mirror the Scala call exactly).
     "q_ann_ivfpq" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2, rerank = 32, k = 5,
       coarse = Some((8, 3, 3))),
+
+    // Standing IVF-PQ: both fits (coarse Lloyd AND subspace codebooks)
+    // restricted to the base slice; assignment/encoding/routing over all.
+    "q_ann_ivfpq_incremental" -> pqOracleSql(m = 8, ksub = 16, dsub = 8, iters = 2,
+      rerank = 32, k = 5, fitWhere = "vec_id % 4 <> 0", coarse = Some((8, 3, 3))),
 
     // Standing-index variant: Lloyd fit restricted to the base slice,
     // encode/ADC over the full corpus — the frozen-books append scenario.

@@ -474,16 +474,95 @@ object Ann {
     val centDf = fittedCentroidsDf(corpus, idCol, vecCol, nList, coarseIters)
     val cells = nearestCells(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, 1, centDf)
       .select(col(idCol), col("cid"))
+    ivfPqScan(queries, centDf, cells, pqEncode(corpus, idCol, vecCol, codebooks),
+      codebooks, corpus, idCol, vecCol, k, nProbe, rerank)
+  }
+
+  /** The routed ADC scan against ALREADY-ASSIGNED cells and
+    * ALREADY-ENCODED codes — shared by [[ivfPqTopK]] (one-shot) and
+    * [[ivfPqRetrieve]] (standing index) so the paths cannot drift.
+    */
+  private def ivfPqScan(
+      queries: DataFrame,
+      centroids: DataFrame,
+      cells: DataFrame,
+      codes: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      rerank: Int,
+  ): DataFrame = {
     val probes = nearestCells(
-      queries.select(col(idCol).as("qid"), col(vecCol)), "qid", vecCol, nProbe, centDf)
+      queries.select(col(idCol).as("qid"), col(vecCol)), "qid", vecCol, nProbe, centroids)
       .select(col("qid"), col("cid"))
-    val adc = pqEncode(corpus, idCol, vecCol, codebooks)
-      .join(cells, Seq(idCol))
+    val adc = codes
+      .join(cells.select(col(idCol), col("cid")), Seq(idCol))
       .join(broadcast(probes.join(queryLuts(queries, idCol, vecCol, codebooks), Seq("qid"))), Seq("cid"))
       .filter(col(idCol) =!= col("qid"))
       .withColumn("adc", adcSum)
-    rerankShortlist(adc, queries, corpus, idCol, vecCol, k, rerank)
+    rerankShortlist(adc, queries, vectors, idCol, vecCol, k, rerank)
   }
+
+  // ---- Standing IVF-PQ index (frozen coarse cells + frozen codebooks) --
+
+  /** The composed standing retrieval index: [[IvfIndex]] routing halves
+    * (frozen coarse centroids + assigned cells) and [[PqIndex]]
+    * compression halves (frozen codebooks + encoded codes), all four
+    * model-as-data DataFrames. Batches append through BOTH frozen
+    * models ([[appendToIvfPqIndex]] — no refit anywhere), queries route
+    * and scan the standing stores ([[ivfPqRetrieve]]) — the fit cost of
+    * [[ivfPqTopK]] amortizes away exactly as the PQ/IVF standing paths
+    * do individually.
+    */
+  final case class IvfPqIndex(ivf: IvfIndex, pq: PqIndex)
+
+  /** Fit both models on `corpus` (offline; at 100 TB, on a hashSample
+    * slice) and assign+encode it.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nList: Int = 8,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+  ): IvfPqIndex =
+    IvfPqIndex(
+      buildIvfIndex(corpus, idCol, vecCol, nList, coarseIters),
+      buildPqIndex(corpus, idCol, vecCol, dim, m, ksub, iters))
+
+  /** Assign + encode an arriving batch in BOTH frozen models and append
+    * — (old ∪ batch) stores ≡ one-shot assignment/encoding of the union
+    * with the same models. Ids must be disjoint from the indexed set.
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame, idCol: String, vecCol: String): IvfPqIndex =
+    IvfPqIndex(
+      appendToIvfIndex(index.ivf, batch, idCol, vecCol),
+      appendToPqIndex(index.pq, batch, idCol, vecCol))
+
+  /** Route a query batch through the standing coarse cells and ADC-scan
+    * the standing codes — [[ivfPqTopK]]'s output without any per-run
+    * fit (SimilaritySpec pins retrieve ≡ one-shot on a full build, and
+    * sub-batch-append invariance).
+    */
+  def ivfPqRetrieve(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfPqIndex,
+      vectors: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      rerank: Int = 32,
+  ): DataFrame =
+    ivfPqScan(queries, index.ivf.centroids, index.ivf.cells.select(col(idCol), col("cid")),
+      index.pq.codes, codebookArrays(index.pq.codebooks), vectors, idCol, vecCol, k, nProbe, rerank)
 
   // ---- Standing PQ index (frozen codebooks + stored codes) -------------
 

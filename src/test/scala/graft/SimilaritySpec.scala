@@ -147,6 +147,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.3, s"routed recall vs unrouted PQ suspiciously low: $recall")
   }
 
+  test("standing IVF-PQ index: full-build retrieve == one-shot; sub-batch append invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+    // Full-corpus build: retrieval through the standing stores IS the
+    // one-shot routed scan (shared scan core, same fits).
+    val full = Ann.buildIvfPqIndex(emb, "vec_id", "embedding", dim = 64,
+      nList = 8, coarseIters = 3, m = 8, ksub = 16, iters = 2)
+    val viaIndex = Ann.ivfPqRetrieve(q, "vec_id", "embedding", full, emb, k = 3,
+      nProbe = 3, rerank = 32).as[(Long, Long, Double, Int)].collect().toSet
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16, iters = 2)
+    val oneShot = Ann.ivfPqTopK(q, emb, "vec_id", "embedding", books, k = 3,
+      nList = 8, nProbe = 3, coarseIters = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaIndex == oneShot, "standing retrieve must equal the one-shot routed scan")
+    // Frozen models make micro-batching invisible: appending the
+    // remainder in one batch or two sub-batches yields identical stores
+    // and identical retrievals.
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val batchA = emb.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 === 0)
+    val batchB = emb.filter($"vec_id" % 4 === 0 && $"vec_id" % 8 =!= 0)
+    val idx = Ann.buildIvfPqIndex(base, "vec_id", "embedding", dim = 64,
+      nList = 8, coarseIters = 3, m = 8, ksub = 16, iters = 2)
+    val one = Ann.appendToIvfPqIndex(idx, emb.filter($"vec_id" % 4 === 0), "vec_id", "embedding")
+    val two = Ann.appendToIvfPqIndex(
+      Ann.appendToIvfPqIndex(idx, batchA, "vec_id", "embedding"), batchB, "vec_id", "embedding")
+    val rOne = Ann.ivfPqRetrieve(q, "vec_id", "embedding", one, emb, k = 3, nProbe = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rTwo = Ann.ivfPqRetrieve(q, "vec_id", "embedding", two, emb, k = 3, nProbe = 3, rerank = 32)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rOne == rTwo, "sub-batching must be invisible under frozen models")
+  }
+
   test("standing IVF index: frozen-cell append == one-shot assign; retrieve == ivfTopK; full probe exact") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 8)
