@@ -3030,6 +3030,30 @@ object SparkEntry {
         .withColumnRenamed("k", "user_id")
         .withColumnRenamed("attr", "tier")),
 
+    // --- beyond-reference: INCREMENTAL SCD2 maintenance ------------------
+    // The warehouse-dimension member of the incremental family: the
+    // standing SCD2 table is built from the first ~3 weeks of purchases,
+    // the tail folds in through Scd.scd2Increment (closed intervals
+    // immutable; only affected live rows close; cross-boundary repeats
+    // collapse), and the oracle is the FULL recompute — fold ≡ rebuild
+    // is the correctness claim, hash-exact. The standing table is never
+    // re-shuffled; only the batch pays the key exchange.
+    "q_scd2_incremental" -> ((s, dir) => {
+      val cutUs = 1706054400000000L // 2024-01-24T00:00Z in epoch micros
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val base = Scd.scd2(
+        p.filter(tsUs(col("ts")) < cutUs),
+        key = col("user_id"), attr = floor(col("value") / 25.0).cast("long"),
+        ts = tsUs(col("ts")), tiebreak = col("event_id"))
+      Scd.scd2Increment(
+        base,
+        p.filter(tsUs(col("ts")) >= cutUs),
+        key = col("user_id"), attr = floor(col("value") / 25.0).cast("long"),
+        ts = tsUs(col("ts")), tiebreak = col("event_id"))
+        .withColumnRenamed("k", "user_id")
+        .withColumnRenamed("attr", "tier")
+    }),
+
     // --- beyond-reference: blocked entity resolution (record linkage) ----
     // Fuzzy-match dirtied customer names back to the clean roster: a
     // deterministic typo per name (key%3 picks dropped-char / doubled-
@@ -5785,6 +5809,29 @@ object SparkEntry {
         |FROM u""".stripMargin,
 
     "q_scd2" ->
+      """WITH p AS (
+        |  SELECT user_id AS k, CAST(floor(value / 25.0) AS BIGINT) AS attr,
+        |    epoch_us(ts) AS ts, event_id AS tb
+        |  FROM events WHERE event_type = 'purchase'),
+        |lg AS (
+        |  SELECT k, attr, ts, tb,
+        |    lag(attr) OVER w AS prev, lag(1) OVER w AS prev_seen
+        |  FROM p WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+        |ch AS (
+        |  SELECT k, attr, ts, tb FROM lg
+        |  WHERE prev_seen IS NULL OR attr IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT k, attr, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to,
+        |    CAST(row_number() OVER w2 AS INT) AS version
+        |  FROM ch WINDOW w2 AS (PARTITION BY k ORDER BY ts, tb))
+        |SELECT k AS user_id, attr AS tier, valid_from, valid_to, version,
+        |  valid_to IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    // Fold == full rebuild: the incremental query's oracle IS the
+    // one-shot recompute over the union.
+    "q_scd2_incremental" ->
       """WITH p AS (
         |  SELECT user_id AS k, CAST(floor(value / 25.0) AS BIGINT) AS attr,
         |    epoch_us(ts) AS ts, event_id AS tb

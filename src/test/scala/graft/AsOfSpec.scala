@@ -294,6 +294,35 @@ class AsOfSpec extends SparkTestBase {
     ))
   }
 
+  test("Scd.scd2Increment folds a batch == full recompute: collapse, close, new key, untouched") {
+    import org.apache.spark.sql.functions._
+    // History: A tiers 1,2 (live 2 since t=20); B tier 7 (live); C tier 9 (live, untouched).
+    val hist = Seq(
+      ("A", 1L, 10L, 1L), ("A", 2L, 20L, 2L),
+      ("B", 7L, 5L, 3L), ("C", 9L, 8L, 4L),
+    ).toDF("k", "attr", "ts", "id")
+    // Batch: A opens with the LIVE value (must collapse) then changes;
+    // B changes; D is a brand-new key with an internal repeat.
+    val batch = Seq(
+      ("A", 2L, 30L, 5L), ("A", 3L, 40L, 6L),
+      ("B", 8L, 35L, 7L),
+      ("D", 5L, 50L, 8L), ("D", 5L, 60L, 9L),
+    ).toDF("k", "attr", "ts", "id")
+    val all = hist.unionByName(batch)
+    def sixt(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "version")
+        .as[(String, Long, Long, Option[Long], Int, Boolean)].collect().toSeq
+    val full = sixt(graft.core.Scd.scd2(all, $"k", $"attr", $"ts", $"id"))
+    val folded = sixt(graft.core.Scd.scd2Increment(
+      graft.core.Scd.scd2(hist, $"k", $"attr", $"ts", $"id"),
+      batch, $"k", $"attr", $"ts", $"id"))
+    assert(folded == full, s"fold must equal full recompute:\n$folded\nvs\n$full")
+    // The collapse really happened: A has 3 intervals (1,2,3), not 4.
+    assert(full.count(_._1 == "A") == 3)
+    // Untouched key's live row survived the fold intact.
+    assert(folded.filter(_._1 == "C") == Seq(("C", 9L, 8L, None, 1, true)))
+  }
+
   test("Scd.scd2 null attr runs collapse null-safely and tiebreak orders same-instant rows") {
     import org.apache.spark.sql.functions._
     val ev = Seq(
