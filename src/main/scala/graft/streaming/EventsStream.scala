@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -271,6 +271,47 @@ object EventsStream {
         when(size(col("_eligible")) > 0, element_at(col("_eligible"), -1)(payload)))
       .drop("_dk", "_hist", "_eligible")
   }
+
+  /** Streaming SCD2 maintenance: fold each micro-batch of change events
+    * into a standing dimension table via
+    * [[graft.core.Scd.scd2Increment]] — the mutable-store member of the
+    * streaming maintenance family (bm25IndexAppender appends immutable
+    * rows; an SCD2 fold must CLOSE affected live rows, so each batch
+    * rewrites the table through a tmp-path swap, the parquet analogue
+    * of a MERGE-capable table format's row-level upsert, which is what
+    * this becomes at 100 TB).
+    *
+    * First batch bootstraps the table with a plain [[graft.core.Scd.scd2]]
+    * build. Micro-batch boundaries are invisible under the append-only
+    * CDC contract (StreamingSpec pins stream-folded ≡ one-shot build).
+    */
+  def scd2Appender(
+      events: DataFrame,
+      tablePath: String,
+      checkpointPath: String,
+      key: Column,
+      attr: Column,
+      ts: Column,
+      tiebreak: Column,
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(tablePath)
+        val folded =
+          if (fs.exists(cur))
+            graft.core.Scd.scd2Increment(spark.read.parquet(tablePath), batch, key, attr, ts, tiebreak)
+          else graft.core.Scd.scd2(batch, key, attr, ts, tiebreak)
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".next")
+        folded.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(cur, true)
+        fs.rename(tmp, cur)
+        ()
+      }
+      .start()
 
   /** Drive a streaming DataFrame to a named in-memory table and block
     * until the backlog drains — the local smoke harness.

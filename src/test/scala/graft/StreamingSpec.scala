@@ -551,4 +551,37 @@ class StreamingSpec extends SparkTestBase {
       "stream-appended anchor index must equal the batch build row set")
     assert(maintained.nonEmpty)
   }
+
+  test("scd2Appender: stream-folded dimension == one-shot batch build") {
+    import graft.core.Scd
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .localCheckpoint()
+    val evSchema = purchases.schema
+    val dir = tmpDir("scd2_in")
+    val table = tmpDir("scd2_table") + "/dim"
+    val ckpt = tmpDir("scd2_ckpt")
+    // Three TIME-SLICED files written in order — micro-batches must
+    // respect the append-only CDC contract per key, so slices are by ts.
+    val day = dayofmonth($"ts")
+    purchases.filter(day <= 10).coalesce(1).write.mode("overwrite").parquet(dir)
+    purchases.filter(day > 10 && day <= 20).coalesce(1).write.mode("append").parquet(dir)
+    purchases.filter(day > 20).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val attr = floor($"value" / 25.0).cast("long")
+    val tsUs = unix_micros($"ts".cast("timestamp"))
+    val q = EventsStream.scd2Appender(stream, table, ckpt,
+      key = $"user_id", attr = attr, ts = tsUs, tiebreak = $"event_id")
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Long], Int, Boolean)].collect().toSet
+    val folded = rows(spark.read.parquet(table))
+    val oneShot = rows(Scd.scd2(purchases, $"user_id", attr, tsUs, $"event_id"))
+    assert(folded.nonEmpty && folded == oneShot,
+      "stream-folded SCD2 table must equal the one-shot batch build")
+  }
 }
