@@ -3133,6 +3133,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tri"))
     }),
 
+    // --- beyond-reference: rank-biased overlap (RBO) ---------------------
+    // Retrieval-evaluation as columnar compute: how much do the BM25 and
+    // sparse-cosine rankings agree per query? Truncated RBO@10 (p=0.9)
+    // via the per-item identity: an item at ranks (rA, rB) in the two
+    // lists contributes W[max(rA,rB)] = Σ_{d≥max} p^(d-1)/d, so the
+    // whole metric is one equi-join + one weight lookup + one DECIMAL
+    // sum (exact, order-independent) — no per-depth loop. The weight
+    // table is 10 pre-quantized decimal literals shared verbatim with
+    // the oracle. Queries with disjoint lists read rbo = 0 through the
+    // left join.
+    "q_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").localCheckpoint(eager = false)
+      val bm = SparseSim.bm25TopK(docs, idCol = "doc_id", textCol = "text",
+        isQuery = col("doc_id") % 17 === 0, k = 10)
+        .select(col("q_id"), col("doc_b"), col("rn").as("r_bm"))
+      val lex = SparseSim.topKNeighbors(
+        SparseSim.postings(docs, idCol = "doc_id", textCol = "text", shingleLen = 3, dfCap = 100),
+        k = 10)
+        .filter(col("doc_a") % 17 === 0)
+        .select(col("doc_a").as("q_id"), col("doc_b"), col("rn").as("r_lex"))
+      val wLit = array(rboWeights.map(w => lit(new java.math.BigDecimal(w))): _*)
+      val overlap = bm.join(lex, Seq("q_id", "doc_b"))
+        .withColumn("contrib", element_at(wLit, greatest(col("r_bm"), col("r_lex"))))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_both"), sum(col("contrib")).as("wsum"))
+      bm.select("q_id").distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce((lit(new java.math.BigDecimal("0.1")) * col("wsum")).cast("double"), lit(0.0))
+            .as("rbo"))
+    }),
+
     // --- beyond-reference: distilled MLP scorer as columnar compute ------
     // The "tiny neural quality head over embeddings" pipeline stage,
     // with the whole forward pass (8 relu units over 64 dims) as a
@@ -3421,6 +3454,84 @@ object SparkEntry {
       |k AS (SELECT l.doc_id, l.line_no, l.line,
       |        (f2.line IS NULL OR (l.doc_id = f2.o_doc AND l.line_no = f2.o_line)) AS keep
       |      FROM l LEFT JOIN f2 ON l.line = f2.line)""".stripMargin
+
+  /** Shared oracle CTE chain producing the two retrieval rankings the
+    * composition queries consume: `bm` (q_id, doc_b, rn - BM25 top-10)
+    * and `lex` (q_id, doc_b, rn - sparse-cosine kNN top-10), mirroring
+    * SparseSim.bm25TopK / topKNeighbors at the q_hybrid_rrf config.
+    * q_hybrid_rrf fuses them (RRF); q_rbo measures their agreement
+    * (rank-biased overlap).
+    */
+  /** RBO@10 weight table (p = 0.9): W[m] = Σ_{d=m..10} p^(d-1)/d,
+    * pre-quantized to 12 decimals and embedded VERBATIM in both the
+    * Spark plan and the oracle SQL — decimal arithmetic makes the
+    * per-query sum exact, so the cross-engine hash cannot drift on
+    * summation order.
+    */
+  private val rboWeights: Seq[String] = Seq(
+    "2.354163994257", "1.354163994257", "0.904163994257", "0.634163994257",
+    "0.451913994257", "0.320693994257", "0.222278994257", "0.146358851400",
+    "0.086571738900", "0.038742048900")
+
+  private val retrievalRankCtes: String =
+    """base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sterms AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |stf AS (SELECT doc_id, term, count(*) AS tf FROM sterms GROUP BY doc_id, term),
+        |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+        |snd AS (SELECT count(*) AS n_docs FROM documents),
+        |sw AS (
+        |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        |  FROM stf JOIN sdf USING (term), snd
+        |  WHERE df <= 100 AND df < n_docs),
+        |snorms AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM sw GROUP BY doc_id),
+        |sp AS (SELECT doc_id, term, w / norm AS u FROM sw JOIN snorms USING (doc_id)),
+        |spairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CAST(a.u * b.u AS DECIMAL(28,12))) AS DOUBLE) AS cos
+        |  FROM sp a JOIN sp b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY doc_a, doc_b),
+        |ssym AS (
+        |  SELECT doc_a, doc_b, cos FROM spairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, cos FROM spairs),
+        |lex AS (
+        |  SELECT doc_a AS q_id, doc_b, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
+        |    FROM ssym)
+        |  WHERE rn <= 10 AND doc_a % 17 = 0),
+        |btf AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term, count(*) AS tf
+        |  FROM base, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2 GROUP BY 1, 2),
+        |bdl AS (SELECT doc_id, COALESCE(GREATEST(len(toks) - 1, 0), 0) AS dl FROM base),
+        |bstats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM bdl),
+        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+        |bpost AS (
+        |  SELECT btf.doc_id, btf.term, btf.tf, bdl.dl, bdf.df, bstats.n_docs, bstats.avgdl
+        |  FROM btf JOIN bdl USING (doc_id) JOIN bdf USING (term), bstats
+        |  WHERE bdf.df <= 100),
+        |bq AS (SELECT DISTINCT doc_id AS q_id, term FROM btf WHERE doc_id % 17 = 0),
+        |bscored AS (
+        |  SELECT q.q_id, p.doc_id AS doc_b,
+        |    CAST(sum(CAST(
+        |      ln(1 + (p.n_docs - p.df + 0.5) / (p.df + 0.5)) *
+        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / p.avgdl))
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM bq q JOIN bpost p USING (term)
+        |  WHERE p.doc_id <> q.q_id
+        |  GROUP BY q.q_id, p.doc_id),
+        |bm AS (
+        |  SELECT q_id, doc_b, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
+        |    FROM bscored)
+        |  WHERE rn <= 10)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // Generated: the winnow fingerprint SET per document is the distinct
@@ -4242,65 +4353,23 @@ object SparkEntry {
     // TF-IDF-cosine kNN at k=10, s-/b-prefixed CTEs) composed with the
     // 1/(60+rank) fusion; contributions CAST to DECIMAL(18,12) before
     // the exact sum, mirroring rrfFuse.
+    // Agreement metric over the same two rankings q_hybrid_rrf fuses:
+    // join on (query, doc), look up the max-rank weight, DECIMAL-sum.
+    "q_rbo" -> {
+      val wList = rboWeights.mkString("[", ", ", "]")
+      s"""WITH $retrievalRankCtes,
+         |ov AS (
+         |  SELECT bm.q_id, CAST(count(*) AS BIGINT) AS n_both,
+         |    sum(($wList)[greatest(bm.rn, lex.rn)]) AS wsum
+         |  FROM bm JOIN lex ON bm.q_id = lex.q_id AND bm.doc_b = lex.doc_b
+         |  GROUP BY 1)
+         |SELECT q.q_id, coalesce(n_both, 0) AS n_both,
+         |  CAST(coalesce(0.1 * wsum, 0.0) AS DOUBLE) AS rbo
+         |FROM (SELECT DISTINCT q_id FROM bm) q LEFT JOIN ov USING (q_id)""".stripMargin
+    },
+
     "q_hybrid_rrf" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |sterms AS (
-        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
-        |  FROM base, unnest(range(1, len(toks) - 1)) AS r(i)
-        |  WHERE len(toks) >= 3),
-        |stf AS (SELECT doc_id, term, count(*) AS tf FROM sterms GROUP BY doc_id, term),
-        |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
-        |snd AS (SELECT count(*) AS n_docs FROM documents),
-        |sw AS (
-        |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
-        |  FROM stf JOIN sdf USING (term), snd
-        |  WHERE df <= 100 AND df < n_docs),
-        |snorms AS (
-        |  SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
-        |  FROM sw GROUP BY doc_id),
-        |sp AS (SELECT doc_id, term, w / norm AS u FROM sw JOIN snorms USING (doc_id)),
-        |spairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(sum(CAST(a.u * b.u AS DECIMAL(28,12))) AS DOUBLE) AS cos
-        |  FROM sp a JOIN sp b ON a.term = b.term AND a.doc_id < b.doc_id
-        |  GROUP BY doc_a, doc_b),
-        |ssym AS (
-        |  SELECT doc_a, doc_b, cos FROM spairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a, cos FROM spairs),
-        |lex AS (
-        |  SELECT doc_a AS q_id, doc_b, rn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY cos DESC, doc_b ASC) AS rn
-        |    FROM ssym)
-        |  WHERE rn <= 10 AND doc_a % 17 = 0),
-        |btf AS (
-        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term, count(*) AS tf
-        |  FROM base, unnest(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2 GROUP BY 1, 2),
-        |bdl AS (SELECT doc_id, COALESCE(GREATEST(len(toks) - 1, 0), 0) AS dl FROM base),
-        |bstats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM bdl),
-        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
-        |bpost AS (
-        |  SELECT btf.doc_id, btf.term, btf.tf, bdl.dl, bdf.df, bstats.n_docs, bstats.avgdl
-        |  FROM btf JOIN bdl USING (doc_id) JOIN bdf USING (term), bstats
-        |  WHERE bdf.df <= 100),
-        |bq AS (SELECT DISTINCT doc_id AS q_id, term FROM btf WHERE doc_id % 17 = 0),
-        |bscored AS (
-        |  SELECT q.q_id, p.doc_id AS doc_b,
-        |    CAST(sum(CAST(
-        |      ln(1 + (p.n_docs - p.df + 0.5) / (p.df + 0.5)) *
-        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / p.avgdl))
-        |      AS DECIMAL(28,12))) AS DOUBLE) AS score
-        |  FROM bq q JOIN bpost p USING (term)
-        |  WHERE p.doc_id <> q.q_id
-        |  GROUP BY q.q_id, p.doc_id),
-        |bm AS (
-        |  SELECT q_id, doc_b, rn FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
-        |    FROM bscored)
-        |  WHERE rn <= 10),
+      s"""WITH $retrievalRankCtes,
         |u AS (
         |  SELECT q_id, doc_b, CAST(CAST(1 AS DOUBLE) / (60 + rn) AS DECIMAL(18,12)) AS contrib FROM bm
         |  UNION ALL

@@ -25,4 +25,17 @@ class QueriesSpec extends SparkTestBase {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q_rbo stays inside truncated-RBO bounds; identical lists would cap at 1-p^10") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_rbo")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val cap = 1.0 - math.pow(0.9, 10) // truncated RBO@10 of IDENTICAL lists
+    rows.foreach { case (q, nBoth, rbo) =>
+      assert(nBoth >= 0 && nBoth <= 10, s"q $q overlap out of range: $nBoth")
+      assert(rbo >= 0.0 && rbo <= cap + 1e-9, s"q $q rbo $rbo outside [0, $cap]")
+      if (nBoth == 0) assert(rbo == 0.0)
+    }
+  }
 }
