@@ -3133,6 +3133,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tri"))
     }),
 
+    // --- beyond-reference: population-stability index (PSI) --------------
+    // The binned drift monitor ML dashboards actually alert on, beside
+    // q_ks_test's exact statistic: reference = even sources, current =
+    // odd, octile bins fit on the reference (eighth fractions are
+    // dyadic → percentile interpolation exact in binary, the
+    // q_quantile_bin argument), +0.5 smoothing keeps empty current bins
+    // finite, and the 8 bin terms sum through DECIMAL (order-free).
+    "q_psi" -> ((s, dir) =>
+      Stats.psi(t(s, dir, "documents"),
+        group = col("lang"), value = col("n_chars"),
+        inRef = pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0)
+        .withColumnRenamed("g", "lang")),
+
+    // --- beyond-reference: Jensen-Shannon vocabulary divergence ----------
+    // Token-distribution drift between the two source halves per
+    // language — the vocabulary-level complement of q_psi's scalar
+    // binning (JSD ≤ ln 2; 0 ⇔ identical unigram mixes). One explode +
+    // one (lang, token) count aggregation feeds Stats.jsdFromCounts;
+    // per-term xlogx values quantize to DECIMAL before the vocabulary
+    // sum so aggregation order cannot perturb the hash.
+    "q_jsd" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          (pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0).as("ina"),
+          explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+      val counts = toks.groupBy("lang", "tok").agg(
+        count(when(col("ina"), 1)).as("ca"),
+        count(when(!col("ina"), 1)).as("cb"))
+      Stats.jsdFromCounts(counts, col("lang"), col("ca"), col("cb"))
+        .withColumnRenamed("g", "lang")
+        .withColumn("jsd", round(col("jsd"), 12))
+    }),
+
+    // --- beyond-reference: Laplace-mechanism noised counts ---------------
+    // The differential-privacy release SHAPE as columnar compute:
+    // per-group counts plus Laplace(1/ε) noise via inverse-CDF of a
+    // uniform draw. The draw here is DETERMINISTIC (md5 of the group
+    // key — the Sampling.hashSample primitive) so the query is
+    // reproducible and oracle-checkable; that seeding is explicitly NOT
+    // private — a production release swaps the hash for a real RNG and
+    // keeps every other operator of this dataflow.
+    "q_dp_counts" -> ((s, dir) => {
+      val eps = 0.1
+      val u = (conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", u)
+        .withColumn("noise",
+          lit(-1.0 / eps) * when(col("u") >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))))
+        .select(col("event_type"), col("n"),
+          round(col("n") + col("noise"), 6).as("n_noised"))
+    }),
+
     // --- beyond-reference: rank-biased overlap (RBO) ---------------------
     // Retrieval-evaluation as columnar compute: how much do the BM25 and
     // sparse-cosine rankings agree per query? Truncated RBO@10 (p=0.9)
@@ -4353,6 +4409,91 @@ object SparkEntry {
     // TF-IDF-cosine kNN at k=10, s-/b-prefixed CTEs) composed with the
     // 1/(60+rank) fusion; contributions CAST to DECIMAL(18,12) before
     // the exact sum, mirroring rrfFuse.
+    "q_psi" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(substr(source, 4, 10) AS INT) % 2 = 0 AS ref
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT lang,
+        |    quantile_cont(v, 0.125) AS c1, quantile_cont(v, 0.25) AS c2,
+        |    quantile_cont(v, 0.375) AS c3, quantile_cont(v, 0.5) AS c4,
+        |    quantile_cont(v, 0.625) AS c5, quantile_cont(v, 0.75) AS c6,
+        |    quantile_cont(v, 0.875) AS c7
+        |  FROM base WHERE ref GROUP BY 1),
+        |binned AS (
+        |  SELECT b.lang, b.ref,
+        |    CASE WHEN v <= c1 THEN 0 WHEN v <= c2 THEN 1 WHEN v <= c3 THEN 2
+        |         WHEN v <= c4 THEN 3 WHEN v <= c5 THEN 4 WHEN v <= c6 THEN 5
+        |         WHEN v <= c7 THEN 6 ELSE 7 END AS bin
+        |  FROM base b JOIN cuts USING (lang)),
+        |perbin AS (
+        |  SELECT lang, bin,
+        |    CAST(count(CASE WHEN ref THEN 1 END) AS BIGINT) AS n_ref,
+        |    CAST(count(CASE WHEN NOT ref THEN 1 END) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, bin, n_ref, n_cur,
+        |    sum(n_ref) OVER (PARTITION BY lang) AS tr,
+        |    sum(n_cur) OVER (PARTITION BY lang) AS tc
+        |  FROM perbin),
+        |termed AS (
+        |  SELECT lang, tr, tc,
+        |    CAST(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 4.0)
+        |         - (CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 4.0))
+        |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 4.0))
+        |          / ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 4.0)))
+        |      AS DECIMAL(28,15)) AS term
+        |  FROM tot WHERE tc > 0)
+        |SELECT lang, CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+        |  CAST(sum(term) AS DOUBLE) AS psi
+        |FROM termed GROUP BY 1""".stripMargin,
+
+    "q_jsd" ->
+      """WITH base AS (
+        |  SELECT lang, CAST(substr(source, 4, 10) AS INT) % 2 = 0 AS ina,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tk AS (SELECT lang, ina, unnest(toks) AS tok FROM base),
+        |counts AS (
+        |  SELECT lang, tok,
+        |    CAST(count(CASE WHEN ina THEN 1 END) AS BIGINT) AS ca,
+        |    CAST(count(CASE WHEN NOT ina THEN 1 END) AS BIGINT) AS cb
+        |  FROM tk GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, ca, cb,
+        |    sum(ca) OVER (PARTITION BY lang) AS na,
+        |    sum(cb) OVER (PARTITION BY lang) AS nb
+        |  FROM counts),
+        |ps AS (
+        |  SELECT lang,
+        |    CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |     + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 AS m
+        |  FROM tot WHERE na > 0 AND nb > 0),
+        |termed AS (
+        |  SELECT lang,
+        |    CAST(((CASE WHEN pa > 0.0 THEN pa * ln(pa / m) ELSE 0.0 END)
+        |        + (CASE WHEN pb > 0.0 THEN pb * ln(pb / m) ELSE 0.0 END)) / 2.0
+        |      AS DECIMAL(28,18)) AS term
+        |  FROM ps)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+        |  round(CAST(sum(term) AS DOUBLE), 12) AS jsd
+        |FROM termed GROUP BY 1""".stripMargin,
+
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |noised AS (
+        |  SELECT event_type, n,
+        |    (CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM c)
+        |SELECT event_type, n,
+        |  round(n + -10.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noised
+        |FROM noised""".stripMargin,
+
     // Agreement metric over the same two rankings q_hybrid_rrf fuses:
     // join on (query, doc), look up the max-rank weight, DECIMAL-sum.
     "q_rbo" -> {

@@ -253,6 +253,76 @@ object Stats {
       .select(col("g"), col("n1"), col("n2"), col("m1"), col("m2"), col("t_stat"), col("df"))
   }
 
+  /** Population-stability index per group — the binned drift monitor
+    * beside [[ksTest2]] (PSI is what ML monitoring dashboards actually
+    * alert on): bin boundaries are OCTILES of the REFERENCE sample
+    * (eighths are dyadic, so percentile interpolation is exact in
+    * binary on integer-grid inputs — the q_quantile_bin argument; decile
+    * fractions would not be), both samples bin against them, and
+    * PSI = Σ_bins (cur% − ref%)·ln(cur%/ref%) with +0.5/bin smoothing
+    * so an empty current bin stays finite. Each bin's term is a
+    * deterministic IEEE value; the 8-term sum goes through DECIMAL so
+    * aggregation order cannot perturb it.
+    *
+    * Plan shape: one reference-side percentile aggregation broadcast
+    * back, one codegen'd binning projection, one (group, bin)
+    * aggregation, one group aggregation. Output: (group, n_ref, n_cur,
+    * psi); groups need a non-empty reference sample.
+    */
+  def psi(df: DataFrame, group: Column, value: Column, inRef: Column): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(group.as("g"), value.cast(DoubleType).as("v"), inRef.as("ref"))
+    val cutCols = (1 to 7).map(i => percentile(col("v"), lit(i / 8.0)).as(s"c$i"))
+    val cuts = base.filter(col("ref")).groupBy(col("g")).agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 to 7).foldLeft(when(col("v") <= col("c1"), 0)) { (acc, i) =>
+      if (i == 7) acc.otherwise(7) else acc.when(col("v") <= col(s"c${i + 1}"), i)
+    }
+    val binned = base.join(broadcast(cuts), Seq("g")).withColumn("bin", bin)
+    val perBin = binned.groupBy(col("g"), col("bin")).agg(
+      count(when(col("ref"), 1)).as("n_ref"),
+      count(when(!col("ref"), 1)).as("n_cur"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val termed = perBin
+      .withColumn("tot_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("tot_cur", sum(col("n_cur")).over(wAll))
+      .filter(col("tot_cur") > 0)
+      .withColumn("p_ref", (d(col("n_ref")) + lit(0.5)) / (d(col("tot_ref")) + lit(4.0)))
+      .withColumn("p_cur", (d(col("n_cur")) + lit(0.5)) / (d(col("tot_cur")) + lit(4.0)))
+      .withColumn("term",
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))).cast("decimal(28,15)"))
+    termed.groupBy(col("g")).agg(
+      max(col("tot_ref")).as("n_ref"),
+      max(col("tot_cur")).as("n_cur"),
+      sum(col("term")).cast(DoubleType).as("psi"))
+  }
+
+  /** Jensen-Shannon divergence between two token-count distributions per
+    * group (nats; ≤ ln 2) — the vocabulary-level drift complement of
+    * [[psi]]'s scalar binning. `df` carries one row per (group, term)
+    * with the two counts; absent-side terms contribute only through the
+    * present side (0·ln0 = 0). Per-term xlogx values are deterministic
+    * IEEE; the vocabulary sum goes through DECIMAL (order-free).
+    */
+  def jsdFromCounts(df: DataFrame, group: Column, cntA: Column, cntB: Column): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(group.as("g"), cntA.as("ca"), cntB.as("cb"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val termed = base
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("pa", d(col("ca")) / d(col("na")))
+      .withColumn("pb", d(col("cb")) / d(col("nb")))
+      .withColumn("m", (col("pa") + col("pb")) / lit(2.0))
+      .withColumn("term",
+        ((when(col("pa") > 0.0, col("pa") * log(col("pa") / col("m"))).otherwise(lit(0.0)) +
+          when(col("pb") > 0.0, col("pb") * log(col("pb") / col("m"))).otherwise(lit(0.0))) / lit(2.0))
+          .cast("decimal(28,18)"))
+    termed.groupBy(col("g")).agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("term")).cast(DoubleType).as("jsd"))
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) test per group, with the
     * tie-corrected normal approximation — the rank-based complement of
     * [[ksTest2]] for "is slice A stochastically larger than slice B?".

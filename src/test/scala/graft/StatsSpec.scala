@@ -103,4 +103,27 @@ class StatsSpec extends SparkTestBase {
     val z2 = Stats.mannWhitneyU(df, $"g", $"v", !$"in1").collect().head.getAs[Double]("z")
     assert(math.abs(z1 + z2) < 1e-12, s"flipping samples must negate z: $z1 vs $z2")
   }
+
+  test("psi: identical distributions read exactly 0; a shifted one reads positive") {
+    val same = (1 to 64).flatMap(i => Seq(("g", i.toDouble, true), ("g", i.toDouble, false)))
+      .toDF("g", "v", "ref")
+    val z = Stats.psi(same, $"g", $"v", $"ref").collect().head
+    assert(z.getAs[Double]("psi") == 0.0, "equal per-bin shares must cancel exactly")
+    assert(z.getAs[Long]("n_ref") == 64L && z.getAs[Long]("n_cur") == 64L)
+    val shifted = ((1 to 64).map(i => ("g", i.toDouble, true)) ++
+      (1 to 64).map(i => ("g", i.toDouble + 40.0, false))).toDF("g", "v", "ref")
+    val s = Stats.psi(shifted, $"g", $"v", $"ref").collect().head.getAs[Double]("psi")
+    assert(s > 0.5, s"a 40-unit shift on a 64-wide support must alarm: $s")
+  }
+
+  test("jsdFromCounts: identical mixes read 0; disjoint vocabularies read ln 2") {
+    val z = Stats.jsdFromCounts(
+      Seq(("g", 3L, 3L), ("g", 7L, 7L)).toDF("g", "ca", "cb"), $"g", $"ca", $"cb")
+      .collect().head.getAs[Double]("jsd")
+    assert(math.abs(z) < 1e-15, s"identical mixes: $z")
+    val disj = Stats.jsdFromCounts(
+      Seq(("g", 5L, 0L), ("g", 0L, 5L)).toDF("g", "ca", "cb"), $"g", $"ca", $"cb")
+      .collect().head.getAs[Double]("jsd")
+    assert(math.abs(disj - math.log(2.0)) < 1e-9, s"disjoint vocab must hit ln2: $disj")
+  }
 }
