@@ -3074,17 +3074,9 @@ object SparkEntry {
             concat(substring(col("c_name"), 1, 6), lit("m"), substring(col("c_name"), 7, 64)))
           .otherwise(concat(lit("Cuts"), substring(col("c_name"), 5, 64)))
           .as("d_name"))
-      val clean = c.select(col("c_custkey"), col("c_name"))
-      val w = Window.partitionBy(col("d_key")).orderBy(col("sim").desc, col("c_custkey"))
-      dirty
-        .withColumn("blk", right(col("d_name"), lit(4)))
-        .join(clean.withColumn("blk", right(col("c_name"), lit(4))), Seq("blk"))
-        .withColumn("sim", graft.functions.GraftFunctions.jaroWinkler(col("d_name"), col("c_name")))
-        .filter(col("sim") >= 0.85)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("d_key"), col("d_name"), col("c_custkey").as("matched_key"),
-          round(col("sim"), 6).as("sim"))
+      graft.core.Linkage.bestMatch(
+        dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+        blockLen = 4, minSim = 0.85)
     }),
 
     // --- beyond-reference: Welch's unequal-variance t-test ---------------

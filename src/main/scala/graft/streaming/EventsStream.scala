@@ -313,6 +313,38 @@ object EventsStream {
       }
       .start()
 
+  /** Streaming record-linkage serving: each micro-batch of dirty
+    * records fuzzy-matches against a STATIC clean roster through
+    * [[graft.core.Linkage.bestMatch]] (blocked JaroWinkler + per-probe
+    * argmax) and appends its matches — the serve-side complement of
+    * q_entity_match's batch formulation. The roster is a static
+    * DataFrame captured by the closure: per batch it joins on the
+    * blocking key, so the streaming side never holds linkage state
+    * (StreamingSpec pins streamed matches ≡ one batch call).
+    */
+  def linkageServe(
+      probes: DataFrame,
+      roster: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      probeId: String,
+      probeName: String,
+      rosterId: String,
+      rosterName: String,
+      blockLen: Int = 4,
+      minSim: Double = 0.85,
+  ): StreamingQuery =
+    probes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.Linkage
+          .bestMatch(batch, probeId, probeName, roster, rosterId, rosterName, blockLen, minSim)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Drive a streaming DataFrame to a named in-memory table and block
     * until the backlog drains — the local smoke harness.
     */

@@ -584,4 +584,35 @@ class StreamingSpec extends SparkTestBase {
     assert(folded.nonEmpty && folded == oneShot,
       "stream-folded SCD2 table must equal the one-shot batch build")
   }
+
+  test("linkageServe: streamed fuzzy matches == one batch bestMatch call") {
+    import graft.core.Linkage
+    val roster = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_name").localCheckpoint()
+    // Dirty probes: the q_entity_match typo classes, derived here so the
+    // stream carries realistic linkage dirt.
+    val dirty = roster.select($"c_custkey".as("d_key"),
+      when($"c_custkey" % 3 === 0, concat(lit("C"), substring($"c_name", 3, 64)))
+        .when($"c_custkey" % 3 === 1,
+          concat(substring($"c_name", 1, 6), lit("m"), substring($"c_name", 7, 64)))
+        .otherwise(concat(lit("Cuts"), substring($"c_name", 5, 64))).as("d_name"))
+      .localCheckpoint()
+    val dir = tmpDir("linkage_in")
+    val out = tmpDir("linkage_out") + "/matches"
+    val ckpt = tmpDir("linkage_ckpt")
+    dirty.filter($"d_key" % 3 === 0).coalesce(1).write.mode("overwrite").parquet(dir)
+    dirty.filter($"d_key" % 3 === 1).coalesce(1).write.mode("append").parquet(dir)
+    dirty.filter($"d_key" % 3 === 2).coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(dirty.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.linkageServe(stream, roster, out, ckpt,
+      probeId = "d_key", probeName = "d_name", rosterId = "c_custkey", rosterName = "c_name")
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Double)].collect().toSet
+    val streamed = rows(spark.read.parquet(out))
+    val batch = rows(Linkage.bestMatch(dirty, "d_key", "d_name", roster, "c_custkey", "c_name"))
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-served matches must equal the batch call (stateless per-batch linkage)")
+  }
 }
