@@ -90,4 +90,39 @@ class EndToEndSpec extends SparkTestBase {
       again.as[(Long, String, Long, Long)].collect().toSet,
       "the composed pipeline must be deterministic end to end")
   }
+
+  test("drift monitor closes the funnel: survivors' length mix stays near the corpus (PSI/JSD)") {
+    import graft.core.Stats
+    val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
+    val out = runPipeline().select("doc_id").localCheckpoint()
+    // The production QC gate after a selection funnel: did the kept set
+    // drift from the corpus it was drawn from? Reference = full corpus,
+    // current = survivors, per language over doc length.
+    val tagged = docs
+      .join(out.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+      .select($"lang", $"n_chars", coalesce($"kept", lit(false)).as("kept"))
+    val monitored = tagged
+      .select($"lang", $"n_chars", lit(true).as("ref"))
+      .unionByName(tagged.filter($"kept").select($"lang", $"n_chars", lit(false).as("ref")))
+    // Cheap global readout (single group): PSI is finite and small —
+    // the funnel selects on quality/dup structure, not length, so a
+    // length-mix alarm (PSI > 0.25 is the classic action threshold at
+    // this smoothing) would mean a selection bug.
+    val p = Stats.psi(monitored.withColumn("g", lit("all")), $"g", $"n_chars", $"ref")
+      .collect().head.getAs[Double]("psi")
+    assert(!p.isNaN && p >= 0.0 && p < 0.25, s"funnel skewed the length mix: PSI = $p")
+    // Vocabulary drift likewise bounded: JSD of survivors vs corpus
+    // unigram mixes stays well under ln 2 (disjoint-vocab worst case).
+    val toks = docs
+      .join(out.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+      .select(coalesce($"kept", lit(false)).as("kept"),
+        explode(graft.text.TextAnalysis.tokens($"text")).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("ca"),
+      count(when($"kept", 1)).as("cb"))
+      .withColumn("g", lit("all"))
+    val jsd = Stats.jsdFromCounts(counts, $"g", $"ca", $"cb")
+      .collect().head.getAs[Double]("jsd")
+    assert(jsd >= 0.0 && jsd < 0.35, s"funnel skewed the vocabulary: JSD = $jsd nats")
+  }
 }
