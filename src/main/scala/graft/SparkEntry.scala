@@ -3226,6 +3226,35 @@ object SparkEntry {
       MlpScore.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, hidden = 8, k = 20)),
 
+    // --- beyond-reference: model calibration (reliability diagram) -------
+    // The eval readout a scorer ships with: per score bin, mean
+    // predicted score vs realized positive rate (target = even label).
+    // Bins are fixed-width between the global min/max of the ROUNDED
+    // score — percentile interpolation on computed doubles would not be
+    // cross-engine stable (Spark and DuckDB use different interpolation
+    // trees), where min/max/width arithmetic is the same IEEE tree in
+    // both. One scan to score, one broadcast min/max, one aggregation.
+    "q_calibration" -> ((s, dir) => {
+      val scored = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(MlpScore.score(col("embedding"), 64, 8), 6).as("s"),
+          when(pmod(col("label"), lit(2)) === 0, 1L).otherwise(0L).as("y"))
+      val mm = scored.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+      scored
+        .join(broadcast(mm))
+        .withColumn("bin",
+          least(floor((col("s") - col("lo")) / ((col("hi") - col("lo")) / lit(8.0))).cast("int"),
+            lit(7)))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("s")).as("ssum"),
+          sum(col("y")).as("ny"))
+        .select(col("bin"), col("n"),
+          round(col("ssum") / col("n").cast("double"), 6).as("mean_score"),
+          round(col("ny").cast("double") / col("n").cast("double"), 6).as("pos_rate"))
+    }),
+
     // --- beyond-reference: label-propagation communities -----------------
     // Community detection over the part co-purchase graph (the third
     // graph member: PageRank centrality, CC reachability, LPA
@@ -3520,6 +3549,23 @@ object SparkEntry {
     "2.354163994257", "1.354163994257", "0.904163994257", "0.634163994257",
     "0.451913994257", "0.320693994257", "0.222278994257", "0.146358851400",
     "0.086571738900", "0.038742048900")
+
+  /** The MLP forward pass over alias `v` (DOUBLE[]) as a DuckDB
+    * expression — the q_mlp_score weights, fold order preserved
+    * (list_reduce left fold ≡ the Spark aggregate). Shared by the
+    * q_mlp_score and q_calibration oracles.
+    */
+  private val mlpScoreSqlExpr: String = {
+    val dim = 64
+    def lst(ws: Seq[Double]) = ws.map(_.toString).mkString("[", ",", "]")
+    val units = (0 until 8).map { j =>
+      s"${MlpScore.w2(j)} * greatest(0.0, ${MlpScore.b1(j)} + " +
+        s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        s"i -> v[CAST(i AS INT)] * (${lst(MlpScore.w1Row(j, dim))})[CAST(i AS INT)]), " +
+        "(x, y) -> x + y))"
+    }
+    (s"${MlpScore.b2}" +: units).mkString("\n    + ")
+  }
 
   private val retrievalRankCtes: String =
     """base AS (
@@ -6120,20 +6166,34 @@ object SparkEntry {
     // Generated: the MLP forward pass with the SAME literal weights and
     // fold order as MlpScore.score (list_reduce left fold ≡ the Spark
     // aggregate's op order — the pqOracleSql precedent).
-    "q_mlp_score" -> {
-      val dim = 64
-      def lst(ws: Seq[Double]) = ws.map(_.toString).mkString("[", ",", "]")
-      val units = (0 until 8).map { j =>
-        s"${MlpScore.w2(j)} * greatest(0.0, ${MlpScore.b1(j)} + " +
-          s"list_reduce(list_transform(range(1, ${dim + 1}), " +
-          s"i -> v[CAST(i AS INT)] * (${lst(MlpScore.w1Row(j, dim))})[CAST(i AS INT)]), " +
-          "(x, y) -> x + y))"
-      }
-      val expr = (s"${MlpScore.b2}" +: units).mkString("\n    + ")
+    "q_mlp_score" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |scored AS (SELECT vec_id, round($expr, 6) AS score FROM e)
-         |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
-    },
+         |scored AS (SELECT vec_id, round($mlpScoreSqlExpr, 6) AS score FROM e)
+         |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Calibration readout over the same forward pass: rounded scores,
+    // fixed-width bins between the global min/max (identical IEEE trees
+    // both engines — interpolating percentiles on computed doubles would
+    // NOT be cross-engine stable), exact decimal means per bin.
+    "q_calibration" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, round($mlpScoreSqlExpr, 6) AS s,
+         |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM e),
+         |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
+         |binned AS (
+         |  SELECT least(CAST(trunc((s - lo) / ((hi - lo) / 8.0)) AS INT), 7) AS bin, s, y
+         |  FROM scored, mm),
+         |agg AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS ssum,
+         |    CAST(sum(y) AS BIGINT) AS ny
+         |  FROM binned GROUP BY 1)
+         |SELECT bin, n,
+         |  round(ssum / CAST(n AS DOUBLE), 6) AS mean_score,
+         |  round(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+         |FROM agg""".stripMargin,
 
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
