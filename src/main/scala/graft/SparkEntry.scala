@@ -3214,6 +3214,31 @@ object SparkEntry {
             .as("rbo"))
     }),
 
+    // --- beyond-reference: nDCG ranking quality --------------------------
+    // Completes the eval trio (q_rbo agreement, q_calibration
+    // probability quality, this one ranking quality): nDCG@5 of the LSH
+    // ANN list against the brute-force ideal, gains = the exact rounded
+    // cosines each list emits. Per-term gain/log2(rank+1) quantizes to
+    // DECIMAL before the 5-term sums; a query whose buckets missed
+    // entirely reads ndcg 0 through the left join.
+    "q_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+      val q = emb.filter(col("vec_id") < 8)
+      def dcgOf(df: DataFrame, out: String) =
+        df.withColumn("term",
+            (col("sim") / (log((col("rn") + 1).cast("double")) / log(lit(2.0))))
+              .cast("decimal(28,15)"))
+          .groupBy("qid").agg(sum(col("term")).as(out))
+      val l = dcgOf(Ann.lshTopK(q, emb, "vec_id", "embedding", dim = 64, k = 5), "dcg")
+      val i = dcgOf(Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5), "idcg")
+      i.join(l, Seq("qid"), "left")
+        .select(col("qid"),
+          round(coalesce(col("dcg").cast("double"), lit(0.0)), 6).as("dcg"),
+          round(col("idcg").cast("double"), 6).as("idcg"),
+          round(coalesce(col("dcg").cast("double"), lit(0.0)) / col("idcg").cast("double"), 12)
+            .as("ndcg"))
+    }),
+
     // --- beyond-reference: distilled MLP scorer as columnar compute ------
     // The "tiny neural quality head over embeddings" pipeline stage,
     // with the whole forward pass (8 relu units over 64 dims) as a
@@ -3549,6 +3574,30 @@ object SparkEntry {
     "2.354163994257", "1.354163994257", "0.904163994257", "0.634163994257",
     "0.451913994257", "0.320693994257", "0.222278994257", "0.146358851400",
     "0.086571738900", "0.038742048900")
+
+  /** The LSH ANN ranking as an oracle CTE chain ending at `lranked`
+    * (qid, vec_id, sim UNROUNDED, rn) — the q_ann_lsh pipeline with the
+    * identical hyperplane literals (Ann.hyperplaneValues dyadic
+    * rationals, Double.toString round-trips). Shared by the q_ann_lsh
+    * and q_ndcg oracles; `e` (vec_id, v DOUBLE[]) is also exposed.
+    */
+  private val lshRankCtes: String = {
+    val bucketExpr = (0 until 8).map { p =>
+      val plane = Ann.hyperplaneValues(p, 64).map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_cosine_similarity(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val probes = "[bucket" + (0 until 8).map(i => s", xor(bucket, ${1L << i})").mkString + "]"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id, v,
+       |   $bucketExpr AS bucket FROM e),
+       |qb AS (SELECT vec_id AS qid, v AS qv, unnest($probes) AS bucket
+       |       FROM cb WHERE vec_id < 8),
+       |lscored AS (
+       |  SELECT DISTINCT q.qid, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+       |  FROM qb q JOIN cb c USING (bucket) WHERE c.vec_id <> q.qid),
+       |lranked AS (SELECT qid, vec_id, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM lscored)""".stripMargin
+  }
 
   /** The MLP forward pass over alias `v` (DOUBLE[]) as a DuckDB
     * expression — the q_mlp_score weights, fold order preserved
@@ -4960,24 +5009,36 @@ object SparkEntry {
     // deterministic dyadic rationals computed by Ann.hyperplaneValues —
     // embedding the SAME doubles as list literals makes the bucket bits,
     // probes, and scores engine-identical (Double.toString round-trips).
-    "q_ann_lsh" -> {
-      val bucketExpr = (0 until 8).map { p =>
-        val plane = Ann.hyperplaneValues(p, 64).map(_.toString).mkString("[", ",", "]")
-        s"(CASE WHEN list_cosine_similarity(v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("\n   + ")
-      val probes = "[bucket" + (0 until 8).map(i => s", xor(bucket, ${1L << i})").mkString + "]"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cb AS (SELECT vec_id, v,
-         |   $bucketExpr AS bucket FROM e),
-         |qb AS (SELECT vec_id AS qid, v AS qv, unnest($probes) AS bucket
-         |       FROM cb WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT DISTINCT q.qid, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
-         |  FROM qb q JOIN cb c USING (bucket) WHERE c.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id, sim,
-         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM scored)
-         |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM ranked WHERE rn <= 5""".stripMargin
-    },
+    "q_ann_lsh" ->
+      s"""WITH $lshRankCtes
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM lranked WHERE rn <= 5""".stripMargin,
+
+    // nDCG@5 of the LSH ranking against the brute-force ideal: gains are
+    // the ROUNDED exact cosines of each list (matching the Scala
+    // consumers of lshTopK/bruteForceTopK output), per-term gain/log2
+    // quantized to DECIMAL before the 5-term sums (order-free), ratio as
+    // one double division.
+    "q_ndcg" ->
+      s"""WITH $lshRankCtes,
+         |bf AS (
+         |  SELECT qid, vec_id, sim, rn FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id, list_cosine_similarity(q.v, c.v) AS sim,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+         |    FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 5),
+         |ldcg AS (
+         |  SELECT qid, sum(CAST(round(sim, 6) / (ln(CAST(rn + 1 AS DOUBLE)) / ln(2.0))
+         |    AS DECIMAL(28,15))) AS dcg
+         |  FROM lranked WHERE rn <= 5 GROUP BY 1),
+         |idcg AS (
+         |  SELECT qid, sum(CAST(round(sim, 6) / (ln(CAST(rn + 1 AS DOUBLE)) / ln(2.0))
+         |    AS DECIMAL(28,15))) AS idcg
+         |  FROM bf GROUP BY 1)
+         |SELECT i.qid, round(CAST(coalesce(l.dcg, 0.0) AS DOUBLE), 6) AS dcg,
+         |  round(CAST(i.idcg AS DOUBLE), 6) AS idcg,
+         |  round(CAST(coalesce(l.dcg, 0.0) AS DOUBLE) / CAST(i.idcg AS DOUBLE), 12) AS ndcg
+         |FROM idcg i LEFT JOIN ldcg l USING (qid)""".stripMargin,
 
     // Generated: the full PQ pipeline unrolled (8 subspace Lloyd fits,
     // encode, ADC, rerank) — see pqOracleSql. Matches the registry
