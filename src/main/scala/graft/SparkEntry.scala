@@ -3158,6 +3158,29 @@ object SparkEntry {
         .withColumn("jsd", round(col("jsd"), 12))
     }),
 
+    // --- beyond-reference: k-anonymity / l-diversity audit ---------------
+    // The privacy QC a dataset release runs before the q_dp_counts
+    // mechanism: equivalence classes over quasi-identifiers (language ×
+    // length bucket), per-language readout of class count, rows in
+    // classes below k=5 (re-identification risk), and the minimum
+    // l-diversity (distinct sensitive values — source — in any class).
+    // Two aggregations, no window; integer-exact until one final
+    // division.
+    "q_k_anon" -> ((s, dir) => {
+      val classes = t(s, dir, "documents")
+        .groupBy(col("lang"), floor(col("n_chars") / 100L).as("len_bucket"))
+        .agg(count(lit(1)).as("class_size"), countDistinct(col("source")).as("l_div"))
+      classes
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_rows"),
+          sum(when(col("class_size") < 5, col("class_size")).otherwise(lit(0L))).as("rows_at_risk"),
+          min(col("l_div")).as("min_l"))
+        .withColumn("risk_frac",
+          round(col("rows_at_risk").cast("double") / col("n_rows").cast("double"), 6))
+    }),
+
     // --- beyond-reference: Laplace-mechanism noised counts ---------------
     // The differential-privacy release SHAPE as columnar compute:
     // per-group counts plus Laplace(1/ε) noise via inverse-CDF of a
@@ -4568,6 +4591,20 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
         |  round(CAST(sum(term) AS DOUBLE), 12) AS jsd
         |FROM termed GROUP BY 1""".stripMargin,
+
+    "q_k_anon" ->
+      """WITH cls AS (
+        |  SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS l_div
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  min(l_div) AS min_l,
+        |  round(CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(class_size) AS DOUBLE), 6) AS risk_frac
+        |FROM cls GROUP BY 1""".stripMargin,
 
     "q_dp_counts" ->
       """WITH c AS (

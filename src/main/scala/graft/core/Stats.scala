@@ -296,6 +296,58 @@ object Stats {
       sum(col("term")).cast(DoubleType).as("psi"))
   }
 
+  /** Fit the FROZEN reference model for [[psiAgainstRef]]: octile cut
+    * points and per-bin counts of the reference sample. Driver collect
+    * is bounded by construction (7 + 8 numbers) — the model-fit step of
+    * the streaming drift monitor, run once offline.
+    */
+  def refHistogram(df: DataFrame, value: Column): (Seq[Double], Seq[Long]) = {
+    val base = df.select(value.cast(DoubleType).as("v"))
+    val cutRow = base.agg(
+      (1 to 7).map(i => percentile(col("v"), lit(i / 8.0)).as(s"c$i")).head,
+      (1 to 7).map(i => percentile(col("v"), lit(i / 8.0)).as(s"c$i")).tail: _*).head()
+    val cuts = (0 until 7).map(cutRow.getDouble)
+    val bin = binOf(col("v"), cuts)
+    val counts = base.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (cuts, (0 until 8).map(counts.getOrElse(_, 0L)))
+  }
+
+  private def binOf(v: Column, cuts: Seq[Double]): Column =
+    (1 until 8).foldLeft(when(v <= cuts.head, 0)) { (acc, i) =>
+      if (i == 7) acc.otherwise(7) else acc.when(v <= cuts(i), i)
+    }
+
+  /** PSI of `df` against a FROZEN reference histogram (literal cuts +
+    * counts — the model-as-data discipline): one conditional aggregation
+    * to the 8 current-bin counts, then the 8 smoothed terms as a FIXED
+    * literal-chain sum (each term decimal-quantized) — a single-row
+    * (n, psi) readout with no window and no second scan, which is what
+    * lets a streaming micro-batch monitor run it per trigger
+    * (stream ≡ batch pinned in StreamingSpec).
+    */
+  def psiAgainstRef(
+      df: DataFrame,
+      value: Column,
+      cuts: Seq[Double],
+      refCounts: Seq[Long],
+  ): DataFrame = {
+    require(cuts.length == 7 && refCounts.length == 8, "octile model: 7 cuts, 8 bins")
+    val d = (c: Column) => c.cast(DoubleType)
+    val base = df.select(value.cast(DoubleType).as("v"))
+    val binned = base.withColumn("bin", binOf(col("v"), cuts))
+    val agg = binned.agg(
+      count(lit(1)).as("n"),
+      (0 until 8).map(i => count(when(col("bin") === i, 1)).as(s"b$i")): _*)
+    val refTotal = refCounts.sum
+    val terms = (0 until 8).map { i =>
+      val pRef = lit((refCounts(i) + 0.5) / (refTotal + 4.0))
+      val pCur = (d(col(s"b$i")) + lit(0.5)) / (d(col("n")) + lit(4.0))
+      ((pCur - pRef) * log(pCur / pRef)).cast("decimal(28,15)")
+    }
+    agg.select(col("n"), terms.reduce(_ + _).cast(DoubleType).as("psi"))
+  }
+
   /** Jensen-Shannon divergence between two token-count distributions per
     * group (nats; ≤ ln 2) — the vocabulary-level drift complement of
     * [[psi]]'s scalar binning. `df` carries one row per (group, term)

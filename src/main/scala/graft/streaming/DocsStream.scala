@@ -244,6 +244,34 @@ object DocsStream {
     * corpus-scale index never reshuffles (term-bucketed store drops its
     * exchange entirely, LayoutSpec).
     */
+  /** Streaming drift monitor: per micro-batch, PSI of the batch's value
+    * distribution against a FROZEN reference histogram
+    * ([[graft.core.Stats.psiAgainstRef]] — literal octile cuts + counts
+    * fitted offline via refHistogram), one (batch_id, n, psi) row
+    * appended per trigger. The QC that catches an upstream source going
+    * sideways WHILE ingesting, before the bad slice lands in the
+    * training mix; stateless per batch (StreamingSpec pins streamed
+    * rows ≡ the batch call per slice).
+    */
+  def driftMonitor(
+      docs: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      valueCol: String,
+      cuts: Seq[Double],
+      refCounts: Seq[Long],
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.core.Stats.psiAgainstRef(batch, col(valueCol), cuts, refCounts)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   def bm25ServeStream(
       queries: DataFrame,
       index: DataFrame,

@@ -615,4 +615,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch,
       "stream-served matches must equal the batch call (stateless per-batch linkage)")
   }
+
+  test("driftMonitor: per-batch PSI rows == the batch psiAgainstRef on each slice") {
+    import graft.core.Stats
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").localCheckpoint()
+    // Frozen reference model fitted offline on the even half.
+    val (cuts, refCounts) = Stats.refHistogram(docs.filter($"doc_id" % 2 === 0), $"n_chars")
+    val dir = tmpDir("drift_in")
+    val out = tmpDir("drift_out") + "/psi"
+    val ckpt = tmpDir("drift_ckpt")
+    val s0 = docs.filter($"doc_id" % 3 === 0)
+    val s1 = docs.filter($"doc_id" % 3 === 1)
+    val s2 = docs.filter($"doc_id" % 3 === 2)
+    s0.coalesce(1).write.mode("overwrite").parquet(dir)
+    s1.coalesce(1).write.mode("append").parquet(dir)
+    s2.coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.driftMonitor(stream, out, ckpt, "n_chars", cuts, refCounts)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out).select($"n", $"psi")
+      .as[(Long, Double)].collect().toSet
+    val batch = Seq(s0, s1, s2).map(sl =>
+      Stats.psiAgainstRef(sl, $"n_chars", cuts, refCounts)
+        .as[(Long, Double)].collect().head).toSet
+    assert(streamed.size == 3 && streamed == batch,
+      "per-trigger PSI must equal the batch computation on the same slice")
+    // Sanity: same-population slices sit well under the 0.25 action line.
+    streamed.foreach { case (_, psi) => assert(psi >= 0.0 && psi < 0.25, s"psi $psi") }
+  }
 }
