@@ -3290,9 +3290,14 @@ object SparkEntry {
       val mm = scored.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
       scored
         .join(broadcast(mm))
+        // Degenerate guard: hi == lo (every score identical — a
+        // regeneration edge) would NaN the width and ANSI-throw on the
+        // int cast; collapse to bin 0 instead, identically in both
+        // engines.
         .withColumn("bin",
-          least(floor((col("s") - col("lo")) / ((col("hi") - col("lo")) / lit(8.0))).cast("int"),
-            lit(7)))
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("s") - col("lo")) / ((col("hi") - col("lo")) / lit(8.0))).cast("int"),
+              lit(7))))
         .groupBy("bin")
         .agg(
           count(lit(1)).as("n"),
@@ -6281,7 +6286,8 @@ object SparkEntry {
          |  FROM e),
          |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
          |binned AS (
-         |  SELECT least(CAST(trunc((s - lo) / ((hi - lo) / 8.0)) AS INT), 7) AS bin, s, y
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE least(CAST(trunc((s - lo) / ((hi - lo) / 8.0)) AS INT), 7) END AS bin, s, y
          |  FROM scored, mm),
          |agg AS (
          |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
