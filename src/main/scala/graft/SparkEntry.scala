@@ -2254,6 +2254,40 @@ object SparkEntry {
         .select("o_custkey", "n_orders", "ema")
     }),
 
+    // --- beyond-reference: Holt double-exponential forecast --------------
+    // The forecasting member of the time-series family (q_ema smooths
+    // level only; Holt carries level + trend): per customer, fold the
+    // ordered spend history through l ← αx + (1−α)(l+b),
+    // b ← β(l − l_prev) + (1−β)b with dyadic α = β = 0.5 (every product
+    // exactly representable-op — correctly rounded identically in both
+    // engines), init (l, b) = (x₁, 0) so single-order customers need no
+    // special case; one-step-ahead forecast = l + b. One shuffle to the
+    // sorted per-key history, then a struct-state HOF fold — the oracle
+    // replays the recursion as a recursive CTE (the PageRank shape).
+    "q_holt" -> ((s, dir) => {
+      val arr = sort_array(collect_list(struct(
+        col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))))
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), arr.as("hist"))
+        .withColumn("prices", transform(col("hist"), x => x.getField("o_totalprice")))
+        // Emitted UNROUNDED: every update op is correctly rounded on
+        // identical trees, so the raw double is bit-equal cross-engine —
+        // where round(…, 6) diverged on an exact .xxxxxx5 tie (HALF_UP
+        // on the exact expansion vs DuckDB's scaled-away rounding; hit
+        // in practice at sf0.01, custkey 1077).
+        .withColumn("forecast", aggregate(
+          slice(col("prices"), lit(2), greatest(size(col("prices")) - 1, lit(0))),
+          struct(get(col("prices"), lit(0)).as("l"), lit(0.0).as("b")),
+          (acc, x) => {
+            val lNew = lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+            struct(lNew.as("l"),
+              (lit(0.5) * (lNew - acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))
+          },
+          acc => acc.getField("l") + acc.getField("b")))
+        .select("o_custkey", "n_orders", "forecast")
+    }),
+
     // --- beyond-reference: bigram language-model scoring ----------------
     // Model-based text quality: train bigram transition counts on 90% of
     // the corpus, score EVERY doc by its weakest transition (min p) and
@@ -5713,6 +5747,27 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices
         |  FROM orders GROUP BY 1)""".stripMargin,
+
+    // Holt recursion replayed as a recursive CTE: the same dyadic
+    // level/trend updates step i → i+1 per customer.
+    "q_holt" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS DOUBLE[]) AS prices
+        |  FROM orders GROUP BY 1),
+        |h(o_custkey, i, l, b) AS (
+        |  SELECT o_custkey, 1, prices[1], CAST(0.0 AS DOUBLE) FROM p
+        |  UNION ALL
+        |  SELECT h.o_custkey, h.i + 1,
+        |    0.5 * p.prices[h.i + 1] + 0.5 * (h.l + h.b),
+        |    0.5 * ((0.5 * p.prices[h.i + 1] + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+        |  FROM h JOIN p USING (o_custkey) WHERE h.i < p.n)
+        |SELECT x.o_custkey, p.n AS n_orders, x.l + x.b AS forecast
+        |FROM (
+        |  SELECT o_custkey, l, b,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY i DESC) AS rn
+        |  FROM h) x JOIN p USING (o_custkey)
+        |WHERE x.rn = 1""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (
