@@ -2254,6 +2254,44 @@ object SparkEntry {
         .select("o_custkey", "n_orders", "ema")
     }),
 
+    // --- beyond-reference: CUSUM changepoint detection -------------------
+    // Where did the level shift? Per event type, daily value totals
+    // (exact decimal), CUSUM_d = running Σ (v_d − mean) over the day
+    // sequence, changepoint = the day maximizing |CUSUM| (ties to the
+    // earliest day). Prefix sums are sequential by definition
+    // (order-deterministic), the mean is one division of exact decimal
+    // casts, and the argmax is a WindowGroupLimit top-1 — one shuffle on
+    // the type key carries the running window, the stats join, and the
+    // argmax.
+    "q_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(24,6)")).as("vd"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("vd")).as("tot"))
+        .withColumn("mean", col("tot").cast("double") / col("n_days").cast("double"))
+        .select("event_type", "n_days", "mean")
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wTop = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      daily
+        .join(broadcast(stats), Seq("event_type"))
+        // CUSUM_d = (Σ_{i≤d} v_i) − d·mean: the prefix sum stays DECIMAL
+        // (exact — immune to DuckDB's segment-tree window summation
+        // order on doubles), only the final two ops are float.
+        .withColumn("prefix", sum(col("vd")).over(wRun))
+        .withColumn("idx", row_number().over(wOrd))
+        .withColumn("cusum",
+          col("prefix").cast("double") - col("idx").cast("double") * col("mean"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"), col("day").as("cp_day"),
+          round(col("cusum"), 4).as("cusum"))
+    }),
+
     // --- beyond-reference: Holt double-exponential forecast --------------
     // The forecasting member of the time-series family (q_ema smooths
     // level only; Holt carries level + trend): per customer, fold the
@@ -5747,6 +5785,30 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices
         |  FROM orders GROUP BY 1)""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(24,6))) AS vd
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(vd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |  FROM daily GROUP BY 1),
+        |cus AS (
+        |  SELECT d.event_type, s.n_days, d.day,
+        |    CAST(sum(d.vd) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    - CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS DOUBLE)
+        |      * s.mean AS cusum
+        |  FROM daily d JOIN stats s USING (event_type))
+        |SELECT event_type, n_days, day AS cp_day, round(cusum, 4) AS cusum
+        |FROM (
+        |  SELECT event_type, n_days, day, cusum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, day) AS rn
+        |  FROM cus)
+        |WHERE rn = 1""".stripMargin,
 
     // Holt recursion replayed as a recursive CTE: the same dyadic
     // level/trend updates step i → i+1 per customer.
