@@ -394,4 +394,72 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("ksTest2 and mannWhitneyU agree with driver references on random two-sample data") {
+    import graft.core.Stats
+    val rowGen = for {
+      n <- Gen.choose(8, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 30) // small support forces heavy ties
+        s1 <- Gen.oneOf(true, false)
+      } yield (g, v.toDouble, s1))
+    } yield rows
+    samples(rowGen, 6, 4100L).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v", "in1")
+      // --- KS reference: ECDF over pooled points, inclusive of ties.
+      val wantKs = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val a = rs.filter(_._3).map(_._2)
+        val b = rs.filterNot(_._3).map(_._2)
+        if (a.isEmpty || b.isEmpty) None
+        else {
+          val d = (a ++ b).distinct.map { x =>
+            math.abs(a.count(_ <= x).toDouble / a.size - b.count(_ <= x).toDouble / b.size)
+          }.max
+          Some(g -> (a.size.toLong, b.size.toLong, d))
+        }
+      }
+      val gotKs = Stats.ksTest2(df, $"g", $"v", $"in1")
+        .select($"g", $"n1", $"n2", $"d").as[(String, Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotKs.keySet == wantKs.keySet, s"case $i groups")
+      wantKs.foreach { case (g, (n1, n2, d)) =>
+        val (gn1, gn2, gd) = gotKs(g)
+        assert(gn1 == n1 && gn2 == n2 && math.abs(gd - d) < 1e-12,
+          s"case $i group $g: got ($gn1,$gn2,$gd) want ($n1,$n2,$d)")
+      }
+      // --- Mann-Whitney reference: average ranks + tie-corrected z.
+      val wantMw = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val a = rs.filter(_._3).map(_._2)
+        val b = rs.filterNot(_._3).map(_._2)
+        if (a.isEmpty || b.isEmpty) None
+        else {
+          val all = (a ++ b).sorted
+          def avgRank(x: Double): Double = {
+            val lo = all.count(_ < x); val hi = all.count(_ <= x)
+            (lo + 1 + hi) / 2.0
+          }
+          val r1 = a.map(avgRank).sum
+          val (n1, n2) = (a.size.toDouble, b.size.toDouble)
+          val bigN = n1 + n2
+          val u1 = r1 - n1 * (n1 + 1) / 2
+          val tiesum = all.groupBy(identity).values.map { t =>
+            val c = t.size.toDouble; c * c * c - c
+          }.sum
+          val sigma = math.sqrt(n1 * n2 / 12.0 * ((bigN + 1) - tiesum / (bigN * (bigN - 1))))
+          Some(g -> (u1, (u1 - n1 * n2 / 2) / sigma))
+        }
+      }
+      val gotMw = Stats.mannWhitneyU(df, $"g", $"v", $"in1")
+        .select($"g", $"u1", $"z").as[(String, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(gotMw.keySet == wantMw.keySet, s"case $i mw groups")
+      wantMw.foreach { case (g, (u1, z)) =>
+        val (gu, gz) = gotMw(g)
+        assert(gu == u1, s"case $i group $g: U $gu != $u1 (half-integers, must be exact)")
+        assert((z.isNaN && gz.isNaN) || math.abs(gz - z) < 1e-10,
+          s"case $i group $g: z $gz != $z")
+      }
+    }
+  }
 }
