@@ -3050,6 +3050,29 @@ object SparkEntry {
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
     }),
 
+    // --- beyond-reference: personalized PageRank -------------------------
+    // "Related to THESE items": teleport mass lands only on the seed
+    // parts (every 50th id), so rank measures proximity to the seed set
+    // instead of global centrality — q_pagerank's dataflow with a
+    // seed-masked teleport vector (shared power loop, decimal mass,
+    // 8 unrolled recursive-CTE rounds in the oracle). Nodes unreachable
+    // from any seed read exactly 0.
+    "q_ppr" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      PageRank.runPersonalized(edges, isSeed = col("node") % 50 === 0, iters = 8)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+    }),
+
     // --- beyond-reference: two-sample Kolmogorov-Smirnov drift test ------
     // Distribution-drift QC between data slices (the training-mix
     // question "do even-numbered sources ship the same length profile as
@@ -3829,6 +3852,41 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n.node,
         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
+        |         i.nit
+        |  FROM nodes n
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(CAST(p.rank / d.deg AS DECIMAL(28,12))) AS mass
+        |    FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) m ON m.node = n.node
+        |  WHERE i.nit <= 8)
+        |SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE it = 8""".stripMargin,
+
+    // Personalized variant: identical recursion with the seed-masked
+    // teleport (init = teleport; floor = (1-d)*tele).
+    "q_ppr" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (SELECT a, b FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node,
+        |  CASE WHEN src % 50 = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS tele
+        |  FROM deg),
+        |pr AS (
+        |  SELECT node, tele AS rank, 0 AS it FROM nodes
+        |  UNION ALL
+        |  SELECT n.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.tele
+        |           + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
         |         i.nit
         |  FROM nodes n
         |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i

@@ -34,14 +34,45 @@ object PageRank {
       iters: Int,
       damping: Double = 0.85,
       checkpointEvery: Int = 3,
+  ): DataFrame =
+    runWithTeleport(edges, iters, damping, checkpointEvery, tele = lit(1.0))
+
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * set (proximity to the seeds replaces global centrality — the
+    * "related items to THESE items" query). Teleport vector e = 1 for
+    * seeds, 0 otherwise; start rank = e; update
+    * r ← (1−d)·e + d·Σ_in r/deg. Non-seed nodes unreachable from any
+    * seed settle at exactly 0. Same per-round dataflow, decimal mass
+    * discipline, and checkpoint cadence as [[run]] (shared loop — the
+    * paths cannot drift).
+    */
+  def runPersonalized(
+      edges: DataFrame,
+      isSeed: org.apache.spark.sql.Column,
+      iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 3,
+  ): DataFrame =
+    runWithTeleport(edges, iters, damping, checkpointEvery,
+      tele = when(isSeed, lit(1.0)).otherwise(lit(0.0)))
+
+  /** Shared power-iteration loop over an arbitrary per-node teleport
+    * column (evaluated against the node id as `node`).
+    */
+  private def runWithTeleport(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      checkpointEvery: Int,
+      tele: org.apache.spark.sql.Column,
   ): DataFrame = {
     require(iters >= 0 && damping >= 0 && damping < 1 && checkpointEvery > 0,
       s"bad pagerank config iters=$iters d=$damping checkpointEvery=$checkpointEvery")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(false)
-    val nodes = deg.select(col("src").as("node")).localCheckpoint(false)
+    val nodes = deg.select(col("src").as("node"), tele.as("tele")).localCheckpoint(false)
 
-    var rank = nodes.select(col("node"), lit(1.0).as("rank"))
+    var rank = nodes.select(col("node"), col("tele").as("rank"))
     // Lineage cap: checkpoint every N rounds, EAGERLY, then release the
     // previous round's checkpoint blocks — otherwise executor storage
     // grows O(iters/checkpointEvery × |V|) over a long run.
@@ -56,7 +87,7 @@ object PageRank {
         .join(inMass, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(1.0 - damping) +
+          (lit(1.0 - damping) * col("tele") +
             lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0))).as("rank"),
         )
       if (i % checkpointEvery == 0) {

@@ -105,4 +105,21 @@ class GraphSpec extends SparkTestBase {
     val deg = LabelProp.run(flat, iters = 4).as[(Long, Long)].collect().toMap
     assert(deg(10L) == 3L, s"unweighted ties must flood the bridge label: $deg")
   }
+
+  test("runPersonalized: mass localizes around seeds; disconnected nodes read exactly 0") {
+    import graft.graph.PageRank
+    // Chain 1-2-3-4 plus a disconnected pair 10-11; seed = node 1.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(p => (p._2, p._1))).toDF("src", "dst")
+    val r = PageRank.runPersonalized(edges, $"node" === 1L, iters = 12)
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L),
+      s"rank must decay with distance from the seed: $r")
+    assert(r(10L) == 0.0 && r(11L) == 0.0,
+      s"no seed reaches the island -> exactly zero: $r")
+    // Global run on the same graph gives the island nonzero mass - the
+    // personalization is what zeroes it.
+    val g = PageRank.run(edges, iters = 12).as[(Long, Double)].collect().toMap
+    assert(g(10L) > 0.0)
+  }
 }
