@@ -2254,6 +2254,27 @@ object SparkEntry {
         .select("o_custkey", "n_orders", "ema")
     }),
 
+    // --- beyond-reference: day-of-week seasonality index -----------------
+    // The multiplicative seasonal profile (the decomposition's seasonal
+    // factor at weekly period): per event type and weekday, mean value
+    // over the weekday's events divided by the type's overall mean.
+    // Weekday derives from integer epoch-day arithmetic ((d+4) mod 7,
+    // 0 = Sunday) — engine date functions disagree on week conventions,
+    // integer math cannot. Exact decimal sums; two aggregations.
+    "q_seasonal_index" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          pmod(floor(tsUs(col("ts")) / 86400000000L) + 4, lit(7)).cast("int").as("dow"))
+      val byDow = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(24,6)")).as("sv"))
+      val overall = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_all"), sum(col("value").cast("decimal(24,6)")).as("sv_all"))
+      byDow.join(broadcast(overall), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          round((col("sv").cast("double") / col("n").cast("double")) /
+            (col("sv_all").cast("double") / col("n_all").cast("double")), 6).as("seasonal_index"))
+    }),
+
     // --- beyond-reference: CUSUM changepoint detection -------------------
     // Where did the level shift? Per event type, daily value totals
     // (exact decimal), CUSUM_d = running Σ (v_d − mean) over the day
@@ -5843,6 +5864,24 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices
         |  FROM orders GROUP BY 1)""".stripMargin,
+
+    "q_seasonal_index" ->
+      """WITH d AS (
+        |  SELECT event_type, value,
+        |    CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4) % 7 AS INT) AS dow
+        |  FROM events),
+        |byd AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(24,6))) AS sv
+        |  FROM d GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+        |    sum(CAST(value AS DECIMAL(24,6))) AS sv_all
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, dow, n,
+        |  round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        (CAST(sv_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS seasonal_index
+        |FROM byd JOIN ov USING (event_type)""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (
