@@ -68,6 +68,7 @@ object GraftExtensions {
     "graft_text_stats" -> (es => TextStats(es.head)),
     "graft_jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
     "graft_image_dhash" -> (es => ImageDHash(es.head)),
+    "graft_damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
     "graft_char_entropy" -> (es => CharEntropy(es.head)),
     "graft_deflate_stats" -> (es => DeflateStats(es.head)),
   )

@@ -3195,6 +3195,37 @@ object SparkEntry {
         blockLen = 4, minSim = 0.85)
     }),
 
+    // --- beyond-reference: edit-distance audit of the typo classes -------
+    // The metric contrast the linkage kit is built on, read directly:
+    // per injected typo class (dropped char / doubled char /
+    // transposition), mean Damerau-Levenshtein vs mean plain Levenshtein
+    // between each dirty name and its true clean form. The transposition
+    // row shows DL = 1 where Levenshtein charges 2 — the reason the
+    // transposition-aware metric exists. Integer DP kernels (no floats
+    // until the final mean division); one broadcast-joined scan.
+    "q_edit_audit" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val dirty = c.select(
+        col("c_custkey"), col("c_name"),
+        pmod(col("c_custkey"), lit(3)).as("cls"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(lit("C"), substring(col("c_name"), 3, 64)))
+          .when(pmod(col("c_custkey"), lit(3)) === 1,
+            concat(substring(col("c_name"), 1, 6), lit("m"), substring(col("c_name"), 7, 64)))
+          .otherwise(concat(lit("Cuts"), substring(col("c_name"), 5, 64)))
+          .as("d_name"))
+      dirty
+        .withColumn("dl", graft.functions.GraftFunctions
+          .damerauLevenshtein(col("d_name"), col("c_name")))
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
+        .groupBy("cls")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("dl")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_dl"),
+          round(sum(col("lev")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_lev"),
+          max(col("dl")).as("max_dl"))
+    }),
+
     // --- beyond-reference: Welch's unequal-variance t-test ---------------
     // The parametric member of the two-sample family (q_ks_test shape,
     // q_mannwhitney rank-order, this one mean-difference) on the same
@@ -6416,6 +6447,21 @@ object SparkEntry {
         |SELECT k AS user_id, attr AS tier, valid_from, valid_to, version,
         |  valid_to IS NULL AS is_current
         |FROM iv""".stripMargin,
+
+    "q_edit_audit" ->
+      """WITH d AS (
+        |  SELECT c_custkey % 3 AS cls, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'C' || substr(c_name, 3, 64)
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 6) || 'm' || substr(c_name, 7, 64)
+        |         ELSE 'Cuts' || substr(c_name, 5, 64) END AS d_name
+        |  FROM customer)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(damerau_levenshtein(d_name, c_name)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_dl,
+        |  round(CAST(sum(levenshtein(d_name, c_name)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_lev,
+        |  CAST(max(damerau_levenshtein(d_name, c_name)) AS INT) AS max_dl
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q_welch_t" ->
       """WITH base AS (

@@ -1134,3 +1134,66 @@ case class ImageDHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ImageDHash =
     copy(child = newChild)
 }
+
+object DamerauLevenshteinImpl {
+  /** TRUE Damerau-Levenshtein (unrestricted — transposed characters may
+    * be edited in between, the dictionary-DP formulation), pinned
+    * variant-exact to DuckDB's `damerau_levenshtein` (empirically: the
+    * classic discriminator CA→ABC = 2 where restricted OSA gives 3; 400
+    * random cases exact). Integer DP over UTF-16 code units — no float
+    * anywhere, so cross-engine parity is structural, not numeric.
+    */
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val n = s1.length
+    val m = s2.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val h = Array.ofDim[Int](n + 2, m + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= n) { h(i + 1)(1) = i; h(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= m) { h(1)(j + 1) = j; h(0)(j + 1) = inf; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val i1 = Option(da.get(s2.charAt(j - 1))).map(_.intValue).getOrElse(0)
+        val j1 = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
+        h(i + 1)(j + 1) = math.min(
+          math.min(h(i)(j) + cost, h(i + 1)(j) + 1),
+          math.min(h(i)(j + 1) + 1, h(i1)(j1) + (i - i1 - 1) + 1 + (j - j1 - 1)))
+        j += 1
+      }
+      da.put(s1.charAt(i - 1), i)
+      i += 1
+    }
+    h(n + 1)(m + 1)
+  }
+}
+
+/** damerau_levenshtein(a, b) → int. The transposition-aware edit
+  * distance beside [[JaroWinkler]] in the record-linkage kit: a swapped
+  * character pair costs 1 here where plain Levenshtein charges 2 —
+  * q_edit_audit reads that contrast directly.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau_levenshtein"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshteinImpl.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DamerauLevenshteinImpl.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
+    copy(left = l, right = r)
+}

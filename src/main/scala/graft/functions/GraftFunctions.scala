@@ -30,6 +30,10 @@ object GraftFunctions {
   def imageDHash(bytes: Column): Column =
     GraftShim.toColumn(ImageDHash(GraftShim.toExpression(bytes)))
 
+  /** True (unrestricted) Damerau-Levenshtein distance, DuckDB-variant-exact. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftShim.toColumn(DamerauLevenshtein(GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 

@@ -194,4 +194,22 @@ class FunctionsSpec extends SparkTestBase {
     val viaSql = spark.sql("SELECT graft_jaro_winkler('martha', 'marhta') AS s").head().getDouble(0)
     assert(viaSql == 0.9611111111111111)
   }
+
+  test("damerauLevenshtein: true (unrestricted) variant goldens, DuckDB-pinned") {
+    val cases = Seq(
+      ("CA", "ABC") -> 2,    // the OSA discriminator: restricted OSA says 3
+      ("ab", "ba") -> 1,     // adjacent transposition costs 1
+      ("", "") -> 0,
+      ("", "abc") -> 3,
+      ("abc", "") -> 3,
+      ("Cutsomer#01", "Customer#01") -> 1, // the q_entity_match transposition class
+      ("kitten", "sitting") -> 3,
+    )
+    val got = cases.map(_._1).toDF("a", "b")
+      .select($"a", $"b", GraftFunctions.damerauLevenshtein($"a", $"b").as("d"))
+      .as[(String, String, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    cases.foreach { case (k, want) => assert(got(k) == want, s"$k: got ${got(k)} want $want") }
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT graft_damerau_levenshtein('CA', 'ABC') AS d").head().getInt(0) == 2)
+  }
 }
