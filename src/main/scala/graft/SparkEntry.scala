@@ -3025,6 +3025,38 @@ object SparkEntry {
         dim = 64, tau = new java.math.BigDecimal("0.35"), iters = 4,
         targetCell = 4096L, minK = 8, maxCell = 4096)),
 
+    // --- beyond-reference: cluster assignment-margin quality -------------
+    // How confident is each k-means assignment? Per vector, cosine to
+    // the best and second-best FITTED centroid (the same Lloyd fit as
+    // q_semantic_cluster — oracle reuses lloydCtes), margin = a − b;
+    // per cluster: occupancy, mean margin (decimal-summed), and the
+    // weakest assignment. The clustering-quality readout of the eval
+    // family (a near-zero min margin marks boundary vectors SemDeDup's
+    // cell pruning would treat as interchangeable). Centroids broadcast
+    // as literals — one scan, one aggregation.
+    "q_cluster_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.centroids(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 4)
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          (-nanvl(graft.functions.GraftFunctions.cosineSim(
+            col("embedding"), array(c.map(lit(_)).toIndexedSeq: _*)), lit(-2.0))).as("negsim"),
+          lit(i).as("cid"))
+      }.toIndexedSeq: _*)
+      emb.select(col("vec_id"), array_sort(scored).as("ranked"))
+        .select(col("vec_id"),
+          element_at(col("ranked"), 1).getField("cid").as("cluster"),
+          (-element_at(col("ranked"), 1).getField("negsim")).as("a"),
+          (-element_at(col("ranked"), 2).getField("negsim")).as("b"))
+        .withColumn("margin", col("a") - col("b"))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("margin").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_margin"),
+          round(min(col("margin")), 6).as("min_margin"))
+    }),
+
     // --- beyond-reference: INCREMENTAL semantic dedup (standing index) --
     // The dense member of the incremental-dedup family: centroids fit
     // ONCE on the base load (vec_id%4!=0), the base dedups into a kept
@@ -5895,6 +5927,27 @@ object SparkEntry {
         |  SELECT o_custkey, count(*) AS n_orders,
         |    list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices
         |  FROM orders GROUP BY 1)""".stripMargin,
+
+    // Same Lloyd fit as q_semantic_cluster (lloydCtes), then top-2
+    // centroid sims per vector and the per-cluster margin readout.
+    "q_cluster_margin" -> {
+      s"""WITH ${lloydCtes(k = 8, iters = 4, dim = 64)},
+         |ranked AS (
+         |  SELECT vec_id, cid, sim, rn FROM (
+         |    SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+         |    FROM e, c4 c) WHERE rn <= 2),
+         |m AS (
+         |  SELECT a.vec_id, a.cid AS cluster, a.sim - b.sim AS margin
+         |  FROM ranked a JOIN ranked b
+         |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(margin AS DECIMAL(28,12))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS avg_margin,
+         |  round(min(margin), 6) AS min_margin
+         |FROM m GROUP BY 1""".stripMargin
+    },
 
     "q_seasonal_index" ->
       """WITH d AS (
