@@ -3514,6 +3514,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
     }),
+
+    // --- beyond-reference: tie-corrected ROC-AUC (rank estimator) ------
+    // "Is this document English?" scored by raw document length, per
+    // source: P(random positive outranks a random negative), ties at
+    // half credit. Stats.rocAuc rides the Mann-Whitney doubled-rank
+    // trick — the rank sum stays an exact BIGINT, so the AUC is ONE IEEE
+    // division of exact integers (bit-equal, no rounding). A deliberately
+    // weak scorer: AUC lands mid-range and exercises the tie path
+    // (n_chars collides heavily).
+    "q_auc" -> ((s, dir) => {
+      Stats.rocAuc(
+        t(s, dir, "documents"),
+        group = col("source"), score = col("n_chars"),
+        isPositive = col("lang") === "en")
+        .withColumnRenamed("g", "source")
+    }),
+
+    // --- beyond-reference: Cohen's kappa inter-rater agreement ---------
+    // Two deterministic 3-class quality raters over documents (char-count
+    // buckets vs whitespace-count buckets), agreement chance-corrected
+    // per language. Stats.cohenKappa collapses the scan to the
+    // contingency table in ONE aggregation; κ is one IEEE division of
+    // exact BIGINTs.
+    "q_kappa" -> ((s, dir) => {
+      val spaces = length(col("text")) - length(translate(col("text"), " ", ""))
+      Stats.cohenKappa(
+        t(s, dir, "documents"),
+        group = col("lang"),
+        raterA = when(col("n_chars") < 150, 0).when(col("n_chars") < 350, 1).otherwise(2),
+        raterB = when(spaces < 25, 0).when(spaces < 55, 1).otherwise(2))
+        .withColumnRenamed("g", "lang")
+    }),
+
+    // --- beyond-reference: autocorrelation of daily revenue ------------
+    // ACF at calendar-day lags 1..7 over the daily order-revenue series —
+    // the seasonality detector feeding q_seasonal_index/q_holt. Sparse
+    // days just contribute fewer pairs. The series is quantized to
+    // KILODOLLAR integer units (exact decimal daily sum → one IEEE
+    // division → exact floor) BEFORE the moments, keeping every moment
+    // sum under 2⁵³ — see Stats.autocorr for why the usual decimal-
+    // scaling recipe breaks on daily aggregates (DuckDB's int128→double
+    // cast is 1-ulp off past 53 bits).
+    "q_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(floor(tsUs(col("o_orderdate")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,3)")).as("v"))
+        .select(col("day"),
+          floor(col("v").cast("double") / lit(1000.0)).cast("long").as("kilo"))
+      Stats.autocorr(daily, time = col("day"), value = col("kilo"), maxLag = 7)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -6647,6 +6697,73 @@ object SparkEntry {
         |  FROM j)
         |SELECT d_key, d_name, c_custkey AS matched_key, round(sim, 6) AS sim
         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_auc" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, pos,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY v)
+        |      + count(*) OVER (PARTITION BY source, v) - 1 AS r2
+        |  FROM d),
+        |a AS (
+        |  SELECT source, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2sum
+        |  FROM rk GROUP BY 1)
+        |SELECT source, np, nn,
+        |  CAST(r2sum - np * (np + 1) AS DOUBLE)
+        |    / (2.0 * CAST(np * nn AS DOUBLE)) AS auc
+        |FROM a WHERE np > 0 AND nn > 0""".stripMargin,
+
+    "q_kappa" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 350 THEN 1 ELSE 2 END AS ra,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) < 25 THEN 0
+        |         WHEN length(text) - length(replace(text, ' ', '')) < 55 THEN 1
+        |         ELSE 2 END AS rb
+        |  FROM documents),
+        |ct AS (SELECT lang, ra, rb, count(*) AS c FROM d GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM ct GROUP BY 1),
+        |ma AS (SELECT lang, ra, CAST(sum(c) AS BIGINT) AS ca FROM ct GROUP BY 1, 2),
+        |mb AS (SELECT lang, rb, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT ma.lang, CAST(sum(ca * cb) AS BIGINT) AS chance
+        |  FROM ma JOIN mb ON ma.lang = mb.lang AND ma.ra = mb.rb GROUP BY 1)
+        |SELECT lang, n, diag,
+        |  CAST(n * diag - chance AS DOUBLE) / CAST(n * n - chance AS DOUBLE) AS kappa
+        |FROM base JOIN ch USING (lang) WHERE n * n > chance""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(floor(CAST(v AS DOUBLE) / 1000.0) AS BIGINT) AS kilo
+        |  FROM (
+        |    SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+        |      sum(CAST(o_totalprice AS DECIMAL(12,3))) AS v
+        |    FROM orders GROUP BY 1)),
+        |pairs AS (
+        |  SELECT CAST(g.gs AS INT) AS lag_d, a.kilo AS x, b.kilo AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS gs) g
+        |  JOIN daily b ON b.day = a.day + g.gs),
+        |m AS (
+        |  SELECT lag_d, count(*) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM pairs GROUP BY 1)
+        |SELECT lag_d, n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+        |FROM m""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

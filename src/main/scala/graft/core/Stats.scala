@@ -417,4 +417,124 @@ object Stats {
       .withColumn("z", (col("u1") - d(col("n1")) * d(col("n2")) / lit(2.0)) / sigma)
       .select(col("g"), col("n1"), col("n2"), col("u1"), col("z"))
   }
+
+  /** Tie-corrected ROC-AUC per group: the probability a random positive
+    * outranks a random negative by `score`, ties at half credit — the
+    * rank estimator (equivalently U/(n⁺·n⁻), the Mann-Whitney relation).
+    *
+    * Determinism: [[mannWhitneyU]]'s doubled-rank trick. The average rank
+    * of a tied run starting at min-rank r with c members is r + (c-1)/2,
+    * so 2·avg = 2·rank() + c - 1 stays INTEGRAL; the positive-class rank
+    * sum is an exact BIGINT and the final AUC is ONE IEEE division of
+    * exact integers — bit-equal on any partitioning and across engines,
+    * no rounding needed.
+    *
+    * Scale: one window keyed on the group (never an empty partitionSpec)
+    * + one aggregation — shuffles on the group key only; no global sort.
+    * Groups with a missing class are dropped (AUC undefined).
+    */
+  def rocAuc(df: DataFrame, group: Column, score: Column, isPositive: Column): DataFrame = {
+    val base = df.select(
+      group.as("g"), score.as("v"),
+      when(isPositive, 1L).otherwise(0L).as("pos"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+    val wTie = org.apache.spark.sql.expressions.Window.partitionBy(col("g"), col("v"))
+    base
+      .withColumn("r2", lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - lit(1L))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("pos")).as("np"),
+        sum(lit(1L) - col("pos")).as("nn"),
+        sum(when(col("pos") === 1L, col("r2")).otherwise(lit(0L))).as("r2sum"))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .select(
+        col("g"), col("np"), col("nn"),
+        ((col("r2sum") - col("np") * (col("np") + lit(1L))).cast(DoubleType) /
+          (lit(2.0) * (col("np") * col("nn")).cast(DoubleType))).as("auc"))
+  }
+
+  /** Cohen's kappa per group: chance-corrected agreement between two
+    * categorical raters, κ = (n·Σdiag − Σ_c a_c·b_c) / (n² − Σ_c a_c·b_c)
+    * — the (p_o − p_e)/(1 − p_e) definition with both sides multiplied
+    * through by n² so every term stays an exact BIGINT; the final κ is
+    * ONE IEEE division (bit-equal across engines, no rounding).
+    *
+    * Scale: the input is collapsed to the contingency table (group ×
+    * |A-categories| × |B-categories| rows — tiny) in a SINGLE map-side-
+    * combining aggregation; diagonal, marginals, and the chance term all
+    * derive from that table, so the raw data is scanned exactly once.
+    * Groups where both raters are constant (p_e = 1, κ undefined) are
+    * dropped.
+    */
+  def cohenKappa(df: DataFrame, group: Column, raterA: Column, raterB: Column): DataFrame = {
+    val ct = df
+      .select(group.as("g"), raterA.as("ra"), raterB.as("rb"))
+      .groupBy(col("g"), col("ra"), col("rb"))
+      .agg(count(lit(1)).as("c"))
+    val base = ct.groupBy(col("g")).agg(
+      sum(col("c")).as("n"),
+      sum(when(col("ra") === col("rb"), col("c")).otherwise(lit(0L))).as("diag"))
+    val ma = ct.groupBy(col("g"), col("ra")).agg(sum(col("c")).as("ca"))
+    val mb = ct.groupBy(col("g"), col("rb")).agg(sum(col("c")).as("cb"))
+    val chance = ma.alias("ma")
+      .join(mb.alias("mb"), col("ma.g") === col("mb.g") && col("ma.ra") === col("mb.rb"))
+      .groupBy(col("ma.g").as("g"))
+      .agg(sum(col("ca") * col("cb")).as("chance"))
+    base
+      .join(broadcast(chance), "g")
+      .filter(col("n") * col("n") > col("chance"))
+      .select(
+        col("g"), col("n"), col("diag"),
+        ((col("n") * col("diag") - col("chance")).cast(DoubleType) /
+          (col("n") * col("n") - col("chance")).cast(DoubleType)).as("kappa"))
+  }
+
+  /** Sample autocorrelation of an evenly-indexed series at lags 1..maxLag:
+    * for each lag k, the Pearson correlation between (x_t, x_{t+k}) over
+    * every pair whose BOTH time points exist (a sparse series simply
+    * yields fewer pairs — no imputation).
+    *
+    * `value` MUST be an already-INTEGER-valued column (the caller picks
+    * the quantization, e.g. floor(revenue/1000) — kilodollar units).
+    * Rationale, learned the hard way: the q_corr_manual decimal-scaling
+    * recipe produces moment sums beyond 2⁵³ here (daily AGGREGATES are
+    * ~10× per-row facts, squared), and DuckDB's int128-decimal → DOUBLE
+    * cast is NOT correctly rounded (1-ulp off the JVM's BigDecimal
+    * round-to-nearest), so the "exact decimal then one cast" trick
+    * silently breaks past 53 bits. Integer units keep every moment sum
+    * < 2⁵³ — each BIGINT→DOUBLE cast is value-preserving on both
+    * engines, and the final Pearson expression is a fixed-order IEEE
+    * tree. The caller-side floor(x/c) on a nonnegative double is itself
+    * engine-identical (correctly-rounded division, exact floor) —
+    * unlike a decimal→long cast, which truncates on the JVM but ROUNDS
+    * in DuckDB.
+    *
+    * Scale: the series is already aggregated (one row per time index), so
+    * the lag fan-out is maxLag× a SMALL table; the pair join is keyed on
+    * the shifted index (equi-join, shuffles on time only).
+    */
+  def autocorr(df: DataFrame, time: Column, value: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64], got $maxLag")
+    val series = df.select(time.as("t"), value.as("v"))
+    val lagged = series
+      .select(col("t"), col("v"),
+        explode(array((1 to maxLag).map(lit(_)): _*)).as("lag_d"))
+      .withColumn("tt", col("t") + col("lag_d"))
+    val pairs = lagged.alias("a")
+      .join(series.alias("b"), col("tt") === col("b.t"))
+      .select(col("lag_d"), col("a.v").as("x"), col("b.v").as("y"))
+    pairs.groupBy("lag_d")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sxx"),
+        sum(col("y") * col("y")).cast(DoubleType).as("syy"),
+        sum(col("x") * col("y")).cast(DoubleType).as("sxy"))
+      .select(
+        col("lag_d"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+  }
 }

@@ -126,4 +126,62 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getAs[Double]("jsd")
     assert(math.abs(disj - math.log(2.0)) < 1e-9, s"disjoint vocab must hit ln2: $disj")
   }
+
+  test("rocAuc: perfect separation -> 1, inverted -> 0, tied run -> hand value") {
+    val perfect = (Seq(3L, 4L).map(v => ("g", v, true)) ++
+      Seq(1L, 2L).map(v => ("g", v, false))).toDF("g", "v", "pos")
+    assert(Stats.rocAuc(perfect, $"g", $"v", $"pos")
+      .collect().head.getAs[Double]("auc") == 1.0)
+    assert(Stats.rocAuc(perfect, $"g", $"v", !$"pos")
+      .collect().head.getAs[Double]("auc") == 0.0)
+    // pos scores (2,3), neg (1,2): ranks 1→1, {2,2}→2.5 each, 3→4;
+    // rank-sum⁺ = 2.5+4 = 6.5, U = 6.5 − 3 = 3.5, AUC = 3.5/4.
+    val tied = (Seq(2L, 3L).map(v => ("g", v, true)) ++
+      Seq(1L, 2L).map(v => ("g", v, false))).toDF("g", "v", "pos")
+    assert(Stats.rocAuc(tied, $"g", $"v", $"pos")
+      .collect().head.getAs[Double]("auc") == 0.875)
+  }
+
+  test("rocAuc drops groups missing either class") {
+    val df = (Seq(("a", 1L, true), ("a", 2L, false)) ++
+      Seq(("b", 1L, true), ("b", 2L, true))).toDF("g", "v", "pos")
+    val got = Stats.rocAuc(df, $"g", $"v", $"pos").collect().map(_.getString(0)).toSet
+    assert(got == Set("a"), s"all-positive group must vanish: $got")
+  }
+
+  test("cohenKappa: perfect agreement -> 1; hand 2x2 matrix -> 0.4; constant raters dropped") {
+    val agree = Seq(("g", 0, 0), ("g", 1, 1), ("g", 2, 2), ("g", 1, 1)).toDF("g", "ra", "rb")
+    assert(Stats.cohenKappa(agree, $"g", $"ra", $"rb")
+      .collect().head.getAs[Double]("kappa") == 1.0)
+    // counts (a,b): (0,0)=20 (0,1)=5 (1,0)=10 (1,1)=15; n=50, diag=35,
+    // marginals a=(25,25) b=(30,20), chance=25·30+25·20=1250,
+    // κ = (50·35−1250)/(2500−1250) = 0.4.
+    val hand = (Seq.fill(20)((0, 0)) ++ Seq.fill(5)((0, 1)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(15)((1, 1)))
+      .map { case (a, b) => ("g", a, b) }.toDF("g", "ra", "rb")
+    val r = Stats.cohenKappa(hand, $"g", $"ra", $"rb").collect().head
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Long]("diag") == 35L)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // both raters constant -> p_e = 1, undefined -> dropped
+    val const = Seq(("g", 1, 1), ("g", 1, 1)).toDF("g", "ra", "rb")
+    assert(Stats.cohenKappa(const, $"g", $"ra", $"rb").count() == 0L)
+  }
+
+  test("autocorr: linear series -> +1 at every lag; alternating -> -1 at lag 1, +1 at lag 2") {
+    val lin = (1L to 10L).map(t => (t, t)).toDF("t", "v")
+    val got = Stats.autocorr(lin, $"t", $"v", maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(got(1) - 1.0) < 1e-12 && math.abs(got(2) - 1.0) < 1e-12, s"$got")
+    val alt = (1L to 10L).map(t => (t, if (t % 2 == 0) 2L else 1L)).toDF("t", "v")
+    val a = Stats.autocorr(alt, $"t", $"v", maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("acf")).toMap
+    assert(math.abs(a(1) + 1.0) < 1e-12 && math.abs(a(2) - 1.0) < 1e-12, s"$a")
+  }
+
+  test("autocorr: a missing time point only shrinks the pair count") {
+    val sparse = (1L to 10L).filter(_ != 5L).map(t => (t, t)).toDF("t", "v")
+    val n = Stats.autocorr(sparse, $"t", $"v", maxLag = 1)
+      .collect().head.getAs[Long]("n")
+    assert(n == 7L, s"9 points with a hole -> 7 adjacent pairs, got $n")
+  }
 }
