@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KMeans, MlpScore, NearDup, SemDeDup, SparseSim}
+import graft.similarity.{Ann, KMeans, MlpScore, NearDup, SemDeDup, SetSimJoin, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -3564,6 +3564,75 @@ object SparkEntry {
           floor(col("v").cast("double") / lit(1000.0)).cast("long").as("kilo"))
       Stats.autocorr(daily, time = col("day"), value = col("kilo"), maxLag = 7)
     }),
+
+    // --- beyond-reference: EXACT set-similarity join (prefix filter) ---
+    // The lossless counterpart to MinHash-LSH near-dup: all document
+    // pairs with shingle-set Jaccard ≥ 0.5, found via AllPairs prefix
+    // filtering (rarest-first order, no doc×doc). The oracle is the
+    // BRUTE-FORCE all-pairs join — the gate therefore proves the prefix
+    // filter loses nothing. Shingles = the q_neardup_jaccard 3-gram
+    // formation over all docs (no sample: the prefix filter IS the
+    // scale path, unlike that query's LSH-candidates-on-a-sample).
+    "q_setsim_join" -> ((s, dir) => {
+      SetSimJoin.selfJoin(
+        t(s, dir, "documents"),
+        id = col("doc_id"),
+        tokenSet = TextAnalysis.wordShingles(col("text"), 3),
+        t = 0.5)
+    }),
+
+    // --- beyond-reference: market-basket association rules -------------
+    // Support/confidence/lift over order baskets with ANTI-MONOTONE
+    // pruning: items below min-support are dropped BEFORE the quadratic
+    // successor-pair emission (pair support ≤ item support, so nothing is
+    // lost), then pairs below min-support drop before the rule join. All
+    // three metrics are exact-integer ratios — one IEEE division each,
+    // bit-equal across engines. Basket count arrives as a 1-row broadcast
+    // cross join, not a collected scalar.
+    "q_assoc_rules" -> ((s, dir) => {
+      val minSupp = 2
+      val ip = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+      val ic = ip.groupBy("item").agg(count(lit(1)).as("ci")).filter(col("ci") >= minSupp)
+      val baskets = ip.join(ic.select("item"), "item")
+        .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+      val pairs = baskets
+        .select(posexplode(col("items")).as(Seq("pos", "ia")), col("items"))
+        .select(col("ia"), explode(slice(col("items"), col("pos") + 2, size(col("items")))).as("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= minSupp)
+      val nb = ip.agg(countDistinct(col("ok")).as("n_baskets"))
+      val rules = pairs.select(col("ia").as("ante"), col("ib").as("cons"), col("nab"))
+        .union(pairs.select(col("ib").as("ante"), col("ia").as("cons"), col("nab")))
+      rules
+        .join(ic.select(col("item").as("ante"), col("ci").as("ca")), "ante")
+        .join(ic.select(col("item").as("cons"), col("ci").as("cc")), "cons")
+        .crossJoin(broadcast(nb))
+        .select(col("ante"), col("cons"), col("nab"),
+          (col("nab").cast("double") / col("ca").cast("double")).as("confidence"),
+          ((col("n_baskets") * col("nab")).cast("double") /
+            (col("ca") * col("cc")).cast("double")).as("lift"))
+    }),
+
+    // --- beyond-reference: k-core decomposition (fixed-round peel) -----
+    // The cohesion filter for the co-purchase graph: nodes surviving 6
+    // peels at k=3, with their surviving degree. Edge set = the
+    // q_communities basket-pair graph (n_orders ≥ 2, both directions).
+    // graph.KCore: one degree agg + two semi-joins per round, keyed on
+    // node; the oracle replays the identical chain as unrolled
+    // MATERIALIZED CTEs.
+    "q_kcore" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+        .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(posexplode(col("items")).as(Seq("pos", "ia")), col("items"))
+        .select(col("ia"), explode(slice(col("items"), col("pos") + 2, size(col("items")))).as("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      graft.graph.KCore.peel(edges, k = 3, rounds = 6)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -3932,6 +4001,32 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_b ASC) AS rn
         |    FROM bscored)
         |  WHERE rn <= 10)""".stripMargin
+
+  /** Generated DuckDB oracle for q_kcore: the identical fixed-round peel
+    * chain unrolled — e0 is the symmetric frequent-basket-pair graph,
+    * each round keeps edges whose BOTH endpoints have degree ≥ k in the
+    * previous round. MATERIALIZED is load-bearing: every e_i is
+    * referenced three times by e_{i+1}, so inlining would blow up 3^R.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""n$r AS (SELECT src FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN n$r a ON a.src = e.src JOIN n$r b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |pr AS MATERIALIZED (
+       |  SELECT a.item AS ia, b.item AS ib
+       |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT ia AS src, ib AS dst FROM pr UNION ALL SELECT ib, ia FROM pr),
+       |$chain
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Generated: the winnow fingerprint SET per document is the distinct
@@ -6764,6 +6859,60 @@ object SparkEntry {
         |  (n * sxy - sx * sy) /
         |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
         |FROM m""".stripMargin,
+
+    // Brute-force all-pairs: every pair with shingle-Jaccard >= 0.5 —
+    // deliberately NOT the prefix-filtered plan, so a green row proves
+    // the Spark-side prefix filter is lossless.
+    "q_setsim_join" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs),
+        |sz AS (SELECT doc_id, len(sh) AS m FROM sh WHERE len(sh) > 0),
+        |ov AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT ov.doc_a, ov.doc_b, ov.inter,
+        |  CAST(sa.m + sb.m - ov.inter AS BIGINT) AS un,
+        |  CAST(ov.inter AS DOUBLE) / CAST(sa.m + sb.m - ov.inter AS DOUBLE) AS jaccard
+        |FROM ov
+        |JOIN sz sa ON sa.doc_id = ov.doc_a
+        |JOIN sz sb ON sb.doc_id = ov.doc_b
+        |WHERE CAST(ov.inter AS DOUBLE) >= 0.5 * CAST(sa.m + sb.m - ov.inter AS DOUBLE)""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH ip AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |ic AS MATERIALIZED (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS ci
+        |  FROM ip GROUP BY 1 HAVING count(*) >= 2),
+        |fi AS (SELECT ok, item FROM ip JOIN ic USING (item)),
+        |pr AS MATERIALIZED (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS nab
+        |  FROM fi a JOIN fi b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ip),
+        |rules AS (
+        |  SELECT ia AS ante, ib AS cons, nab FROM pr
+        |  UNION ALL SELECT ib, ia, nab FROM pr)
+        |SELECT r.ante, r.cons, r.nab,
+        |  CAST(r.nab AS DOUBLE) / CAST(a.ci AS DOUBLE) AS confidence,
+        |  CAST(nb.n_baskets * r.nab AS DOUBLE) / CAST(a.ci * c.ci AS DOUBLE) AS lift
+        |FROM rules r
+        |JOIN ic a ON a.item = r.ante
+        |JOIN ic c ON c.item = r.cons
+        |CROSS JOIN nb""".stripMargin,
+
+    "q_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -122,4 +122,28 @@ class GraphSpec extends SparkTestBase {
     val g = PageRank.run(edges, iters = 12).as[(Long, Double)].collect().toMap
     assert(g(10L) > 0.0)
   }
+
+  test("kcore: pendant peels off, triangle survives as the 2-core") {
+    // Triangle 1-2-3 with pendant 4 hanging off node 1.
+    val edges = undirected((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val got = graft.graph.KCore.peel(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the triangle with degree 2 each: $got")
+  }
+
+  test("kcore: a path has no 2-core — peels to empty") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(graft.graph.KCore.peel(edges, k = 2, rounds = 3).count() == 0L)
+  }
+
+  test("kcore: fixed-round contract exposes the intermediate peel state") {
+    // Path of 6: round 1 kills the endpoints, round 2 the next pair, ...
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val r1 = graft.graph.KCore.peel(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(r1 == Set(2L, 3L, 4L, 5L), s"after ONE peel only endpoints die: $r1")
+    val r3 = graft.graph.KCore.peel(edges, k = 2, rounds = 3)
+    assert(r3.count() == 0L, "three peels exhaust a 6-path")
+  }
 }

@@ -38,4 +38,20 @@ class QueriesSpec extends SparkTestBase {
       if (nBoth == 0) assert(rbo == 0.0)
     }
   }
+
+  test("q_assoc_rules: rules come in mirrored pairs, lift is symmetric, confidence bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    rows.foreach { case (a, c, nab, conf, lift) =>
+      assert(conf > 0.0 && conf <= 1.0, s"confidence out of (0,1]: $conf")
+      assert(lift > 0.0)
+      val mirror = byPair.get((c, a))
+      assert(mirror.isDefined, s"rule $a->$c has no mirror")
+      assert(mirror.get._5 == lift, "lift must be direction-independent")
+      assert(mirror.get._3 == nab)
+    }
+  }
 }

@@ -755,4 +755,40 @@ class SimilaritySpec extends SparkTestBase {
     val t2 = MlpScore.topK(emb, "vec_id", "embedding", 64, 8, 5).collect().toSeq
     assert(t1 == t2 && t1.size == 5)
   }
+
+  test("setSimJoin golden: exact counts; below-threshold and empty sets drop; dup tokens dedup") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),       // J(1,2) = 3/5 = 0.6
+      (3L, Seq("x", "y")),                 // unrelated
+      (4L, Seq("a", "a", "b", "c", "d")),  // dups collapse -> identical to 1
+      (5L, Seq.empty[String]))             // empty never matches
+      .toDF("id", "ts")
+    val got = graft.similarity.SetSimJoin.selfJoin(df, $"id", $"ts", t = 0.5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"pair set: ${got.keySet}")
+    assert(got((1L, 2L)) == ((3L, 5L, 0.6)))
+    assert(got((1L, 4L)) == ((4L, 4L, 1.0)), "dup tokens must collapse before matching")
+  }
+
+  test("setSimJoin is lossless vs brute force on random sets (prefix-filter property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val sets = (1L to 40L).map { id =>
+      val m = 3 + rnd.nextInt(8)
+      id -> rnd.shuffle(vocab).take(m).toSet
+    }
+    val df = sets.map { case (id, s) => (id, s.toSeq) }.toDF("id", "ts")
+    val t = 0.4
+    val got = graft.similarity.SetSimJoin.selfJoin(df, $"id", $"ts", t)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size; un = (sa | sb).size
+      if un > 0 && inter.toDouble >= t * un.toDouble
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
 }
