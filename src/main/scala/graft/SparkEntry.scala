@@ -3633,6 +3633,30 @@ object SparkEntry {
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       graft.graph.KCore.peel(edges, k = 3, rounds = 6)
     }),
+
+    // --- beyond-reference: Kaplan-Meier reorder survival ---------------
+    // Time-to-reorder per market segment: each consecutive order pair is
+    // an event observation (gap days), each customer's last order a
+    // RIGHT-CENSORED one (days to the dataset's max order day — which
+    // arrives as a 1-row broadcast, not a collected scalar). Stats
+    // .kaplanMeier turns the exact per-time factors into a decimal
+    // prefix sum of quantized ln terms (see its scaladoc for the float
+    // discipline); the oracle replays the identical chain.
+    "q_km_survival" -> ((s, dir) => {
+      val day = floor(tsUs(col("o_orderdate")) / 86400000000L).cast("long")
+      val o = t(s, dir, "orders").select(col("o_custkey"), day.as("day"), col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+      val obs = o.withColumn("nd", lead(col("day"), 1).over(w))
+        .crossJoin(broadcast(o.agg(max(col("day")).as("maxday"))))
+        .select(col("o_custkey"),
+          coalesce(col("nd") - col("day"), col("maxday") - col("day")).as("dur"),
+          col("nd").isNotNull.as("ev"))
+      val seg = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      Stats.kaplanMeier(
+        obs.join(broadcast(seg), obs("o_custkey") === seg("c_custkey")),
+        group = col("c_mktsegment"), duration = col("dur"), event = col("ev"))
+        .withColumnRenamed("g", "segment")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -6913,6 +6937,51 @@ object SparkEntry {
         |CROSS JOIN nb""".stripMargin,
 
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
+
+    "q_km_survival" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+        |    o_orderkey
+        |  FROM orders),
+        |mx AS (SELECT max(day) AS maxday FROM o),
+        |led AS (
+        |  SELECT o_custkey, day,
+        |    lead(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS nd
+        |  FROM o),
+        |obs AS (
+        |  SELECT led.o_custkey,
+        |    coalesce(nd - day, mx.maxday - day) AS dur,
+        |    CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM led, mx),
+        |gr AS (
+        |  SELECT c.c_mktsegment AS g, obs.dur,
+        |    CAST(sum(obs.ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS tot
+        |  FROM obs JOIN customer c ON c.c_custkey = obs.o_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT g, dur, d,
+        |    CAST(sum(tot) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(tot) OVER (PARTITION BY g ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM gr),
+        |cm AS (
+        |  SELECT g, dur, d, n_risk,
+        |    sum(CAST(CASE WHEN d < n_risk
+        |        THEN ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        ELSE 0.0 END AS DECIMAL(28,12)))
+        |      OVER (PARTITION BY g ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumln,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM rk)
+        |SELECT g AS segment, dur AS t_day, n_risk, d AS d_events,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE CAST(CAST(exp(CAST(cumln AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+        |  END AS survival
+        |FROM cm WHERE d > 0""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -513,6 +513,54 @@ object Stats {
     * the lag fan-out is maxLag× a SMALL table; the pair join is keyed on
     * the shifted index (equi-join, shuffles on time only).
     */
+  /** Kaplan-Meier survival estimator per group: S(t) = Π_{tᵢ ≤ t}
+    * (1 − dᵢ/nᵢ) over event times tᵢ, with right-censored observations
+    * leaving the risk set without an event. Emits one row per EVENT time
+    * (the standard KM curve points) with the risk-set size and event
+    * count at that time.
+    *
+    * Determinism (the q_lm_score float playbook): each factor is an exact
+    * integer ratio; its ln() — an identical IEEE tree on both engines up
+    * to 1 ulp of libm — is quantized to decimal(28,12) PER TERM, the
+    * cumulative product becomes an exact DECIMAL prefix sum of those
+    * terms (order-free; double window sums would be engine-reordered),
+    * and the final exp() is squeezed through decimal(18,6) to absorb
+    * transcendental last-ulp wobble. A factor of exactly zero (dᵢ = nᵢ —
+    * the whole risk set dies) can't go through ln; a cumulative max flag
+    * pins survival to exactly 0.0 from that time on.
+    *
+    * Scale: one aggregation to (group, duration) — the curve table, tiny
+    * relative to observations — then windows keyed on the group. No
+    * driver action; the raw observations are scanned once.
+    */
+  def kaplanMeier(df: DataFrame, group: Column, duration: Column, event: Column): DataFrame = {
+    val obs = df.select(
+      group.as("g"), duration.cast("long").as("dur"),
+      when(event, 1L).otherwise(0L).as("ev"))
+    val grouped = obs.groupBy(col("g"), col("dur"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("tot"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("dur"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val lnFactor = when(col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast(DoubleType) / col("n_risk").cast(DoubleType)))
+      .otherwise(lit(0.0))
+    grouped
+      .withColumn("before", coalesce(
+        sum(col("tot")).over(wCum.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("n_risk", sum(col("tot")).over(wAll) - col("before"))
+      .withColumn("lnq", lnFactor.cast("decimal(28,12)"))
+      .withColumn("cumln", sum(col("lnq")).over(wCum.rowsBetween(Long.MinValue, 0)))
+      .withColumn("dead",
+        max((col("d") === col("n_risk")).cast(IntegerType)).over(wCum.rowsBetween(Long.MinValue, 0)))
+      .filter(col("d") > 0)
+      .select(
+        col("g"), col("dur").as("t_day"), col("n_risk"), col("d").as("d_events"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(exp(col("cumln").cast(DoubleType)).cast("decimal(18,6)").cast(DoubleType))
+          .as("survival"))
+  }
+
   def autocorr(df: DataFrame, time: Column, value: Column, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1, 64], got $maxLag")
     val series = df.select(time.as("t"), value.as("v"))

@@ -178,6 +178,32 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(a(1) + 1.0) < 1e-12 && math.abs(a(2) - 1.0) < 1e-12, s"$a")
   }
 
+  test("kaplanMeier: hand curve with a censored subject; exhausted risk set pins S=0") {
+    // obs: events at t=1,2,3 plus one censor at t=2.
+    // t=1: n=4, d=1 -> S=3/4; t=2: n=3, d=1 (censor leaves silently)
+    // -> S=1/2; t=3: n=1, d=1 -> factor 0 -> S=0 exactly.
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .map { case (d, e) => ("g", d, e) }.toDF("g", "dur", "ev")
+    val got = Stats.kaplanMeier(df, $"g", $"dur", $"ev")
+      .collect()
+      .map(r => r.getAs[Long]("t_day") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("d_events"), r.getAs[Double]("survival"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"only event times emit rows: ${got.keySet}")
+    assert(got(1L) == ((4L, 1L, 0.75)))
+    assert(got(2L) == ((3L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 1L, 0.0)), "whole risk set dying must pin survival to exact 0")
+  }
+
+  test("kaplanMeier: censor-only times emit no row but still shrink the risk set") {
+    val df = Seq((1L, true), (3L, false), (5L, true))
+      .map { case (d, e) => ("g", d, e) }.toDF("g", "dur", "ev")
+    val got = Stats.kaplanMeier(df, $"g", $"dur", $"ev")
+      .collect().map(r => r.getAs[Long]("t_day") -> r.getAs[Long]("n_risk")).toMap
+    assert(got.keySet == Set(1L, 5L))
+    assert(got(1L) == 3L && got(5L) == 1L, s"censor at t=3 must leave silently: $got")
+  }
+
   test("autocorr: a missing time point only shrinks the pair count") {
     val sparse = (1L to 10L).filter(_ != 5L).map(t => (t, t)).toDF("t", "v")
     val n = Stats.autocorr(sparse, $"t", $"v", maxLag = 1)
