@@ -3398,10 +3398,12 @@ object SparkEntry {
       val bm = SparseSim.bm25TopK(docs, idCol = "doc_id", textCol = "text",
         isQuery = col("doc_id") % 17 === 0, k = 10)
         .select(col("q_id"), col("doc_b"), col("rn").as("r_bm"))
-      val lex = SparseSim.topKNeighbors(
+      // Asymmetric query-side scoring: row-identical to topKNeighbors +
+      // filter, but the pair space never forms for the 16/17 non-query
+      // anchors (SparseSim.topKNeighborsFor scaladoc).
+      val lex = SparseSim.topKNeighborsFor(
         SparseSim.postings(docs, idCol = "doc_id", textCol = "text", shingleLen = 3, dfCap = 100),
-        k = 10)
-        .filter(col("doc_a") % 17 === 0)
+        isQuery = col("doc_id") % 17 === 0, k = 10)
         .select(col("doc_a").as("q_id"), col("doc_b"), col("rn").as("r_lex"))
       val wLit = array(rboWeights.map(w => lit(new java.math.BigDecimal(w))): _*)
       val overlap = bm.join(lex, Seq("q_id", "doc_b"))

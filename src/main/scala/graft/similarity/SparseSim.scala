@@ -250,6 +250,35 @@ object SparseSim {
     sym.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
   }
 
+  /** [[topKNeighbors]] restricted to a query subset: top-k TF-IDF cosine
+    * neighbors (among ALL docs) for only the docs matching `isQuery` —
+    * row-identical to `topKNeighbors(postings, k).filter(isQuery on
+    * doc_a)`, but the pair space never forms for non-query anchors.
+    *
+    * Shape: asymmetric scoring — the query-side posting rows join the
+    * full postings on term, so the per-term fan-out is |Q∩term|·df
+    * instead of the successor-pair df²/2, and the top-k window runs over
+    * query anchors only. With a q-fraction query set that is ~2q× the
+    * symmetric cost (each kept pair is now formed from both sides
+    * instead of once), a large win whenever q ≪ 1/2 — q_rbo's 1/17
+    * sample cuts the lex pipeline ~8×. Per-pair cosine is the same
+    * order-free decimal sum, so results are bit-identical to the
+    * symmetric path.
+    */
+  def topKNeighborsFor(postings: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
+    val a = postings.filter(isQuery)
+      .select(col("term"), col("doc_id").as("doc_a"), col("u").as("ua"))
+    val cand = a
+      .join(postings.select(col("term"), col("doc_id").as("doc_b"), col("u").as("ub")), Seq("term"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        sum((col("ua") * col("ub")).cast("decimal(28,12)")).cast("double").as("cos"))
+    val win = Window.partitionBy("doc_a").orderBy(col("cos").desc, col("doc_b").asc)
+    cand.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+  }
+
   /** BM25 retrieval: score every corpus document against a (small) query
     * set through the same inverted-postings machinery as [[topKNeighbors]],
     * with Okapi BM25 term weighting instead of TF-IDF cosine — the

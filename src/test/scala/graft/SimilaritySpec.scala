@@ -756,6 +756,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(t1 == t2 && t1.size == 5)
   }
 
+  test("topKNeighborsFor == topKNeighbors filtered to the query anchors (bit-exact)") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "alpha beta gamma eta theta"),
+      (3L, "iota kappa lambda mu nu"),
+      (4L, "iota kappa lambda mu xi"),
+      (5L, "alpha kappa gamma mu epsilon"),
+      (6L, "beta delta zeta theta kappa"))
+      .toDF("doc_id", "text")
+    val p = graft.similarity.SparseSim
+      .postings(docs, "doc_id", "text", shingleLen = 2, dfCap = 100)
+      .localCheckpoint(false)
+    val q = $"doc_id" % 3 === 0
+    val sym = graft.similarity.SparseSim.topKNeighbors(p, k = 3)
+      .filter($"doc_a" % 3 === 0)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    val asym = graft.similarity.SparseSim.topKNeighborsFor(p, q, k = 3)
+      .as[(Long, Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._5))
+    assert(asym.nonEmpty && asym.toSeq == sym.toSeq,
+      s"asymmetric scoring must be bit-identical:\n sym=${sym.toSeq}\n asym=${asym.toSeq}")
+  }
+
   test("setSimJoin golden: exact counts; below-threshold and empty sets drop; dup tokens dedup") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d")),
