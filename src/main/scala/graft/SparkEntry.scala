@@ -3659,6 +3659,79 @@ object SparkEntry {
         group = col("c_mktsegment"), duration = col("dur"), event = col("ev"))
         .withColumnRenamed("g", "segment")
     }),
+
+    // --- beyond-reference: average precision (PR-space eval) -----------
+    // The class-imbalance-robust complement to q_auc, on the same task
+    // and scorer. AP is NOT tie-invariant, so the (score DESC, doc_id)
+    // total order is part of the contract — Stats.avgPrecision quantizes
+    // each exact cumpos/k term to decimal before the order-free sum.
+    "q_avg_precision" -> ((s, dir) => {
+      Stats.avgPrecision(
+        t(s, dir, "documents"),
+        group = col("source"), score = col("n_chars"), id = col("doc_id"),
+        isPositive = col("lang") === "en")
+        .withColumnRenamed("g", "source")
+    }),
+
+    // --- beyond-reference: Benjamini-Hochberg FDR ------------------------
+    // The multiple-testing step q_bonferroni is too blunt for: per
+    // nation, BH step-up over each supplier's mean-quantity test.
+    // The test p is a Gaussian-bound pseudo-p exp(-z²/2) from the
+    // decimal-exact supplier mean — squeezed through decimal(18,12) so
+    // libm's exp last-ulp cannot flip a step-up comparison downstream
+    // (Stats.bhFdr runs pure products, no division, on that quantized p).
+    "q_bh_fdr" -> ((s, dir) => {
+      val d12 = (c: Column) => c.cast("decimal(12,3)")
+      val tests = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(d12(col("l_quantity"))) * lit(1000)).cast("decimal(38,0)").cast("double").as("sx"))
+        .withColumn("z",
+          ((col("sx") / lit(1000.0)) / col("n").cast("double") - lit(25.5)) *
+            sqrt(col("n").cast("double")) / lit(14.4))
+        .withColumn("p",
+          exp(lit(-0.5) * col("z") * col("z")).cast("decimal(18,12)").cast("double"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      Stats.bhFdr(
+        tests.join(broadcast(sup), tests("l_suppkey") === sup("s_suppkey")),
+        family = col("s_nationkey"), testId = col("l_suppkey"), p = col("p"), q = 0.1)
+        .withColumnRenamed("g", "nation")
+        .withColumnRenamed("tid", "suppkey")
+    }),
+
+    // --- beyond-reference: HITS hubs & authorities ----------------------
+    // Bipartite purchase graph customer→part: hub customers are broad
+    // buyers, authority parts are what hub customers buy. graph.Hits
+    // runs 3 alternating rounds in exact BIGINT arithmetic (no per-round
+    // normalization — see its scaladoc for the 2⁵³ growth budget) and
+    // normalizes once at the end per role.
+    "q_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      graft.graph.Hits.run(edges, rounds = 3)
+    }),
+
+    // --- beyond-reference: Adamic-Adar link prediction -------------------
+    // Which co-purchase edge forms next: non-adjacent part pairs scored
+    // by hub-discounted shared neighborhood over the basket graph.
+    // graph.LinkPred: successor-slice pair emission through the pivot,
+    // maxDeg hub cap bounding the two-hop fan-out, one left-anti to
+    // drop existing edges.
+    "q_adamic_adar" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+        .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(posexplode(col("items")).as(Seq("pos", "ia")), col("items"))
+        .select(col("ia"), explode(slice(col("items"), col("pos") + 2, size(col("items")))).as("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      graft.graph.LinkPred.adamicAdar(edges, minCommon = 2, maxDeg = 200)
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -6984,6 +7057,104 @@ object SparkEntry {
         |       ELSE CAST(CAST(exp(CAST(cumln AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
         |  END AS survival
         |FROM cm WHERE d > 0""".stripMargin,
+
+    "q_avg_precision" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, pos,
+        |    row_number() OVER (PARTITION BY source ORDER BY v DESC, doc_id) AS k,
+        |    sum(pos) OVER (PARTITION BY source ORDER BY v DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+        |  FROM d),
+        |ap AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS np,
+        |    sum(CAST(CAST(cumpos AS DOUBLE) / CAST(k AS DOUBLE) AS DECIMAL(28,12))) AS s
+        |  FROM rk WHERE pos = 1 GROUP BY 1)
+        |SELECT source, np,
+        |  CAST(s AS DOUBLE) / CAST(np AS DOUBLE) AS avg_precision
+        |FROM ap""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH tests AS (
+        |  SELECT l_suppkey,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0)) AS DOUBLE) AS sx
+        |  FROM lineitem GROUP BY 1),
+        |pv AS (
+        |  SELECT s.s_nationkey AS nation, t.l_suppkey AS suppkey,
+        |    CAST(CAST(exp(-0.5 * z * z) AS DECIMAL(18,12)) AS DOUBLE) AS p
+        |  FROM (
+        |    SELECT l_suppkey,
+        |      ((sx / 1000.0) / CAST(n AS DOUBLE) - 25.5)
+        |        * sqrt(CAST(n AS DOUBLE)) / 14.4 AS z
+        |    FROM tests) t
+        |  JOIN supplier s ON s.s_suppkey = t.l_suppkey),
+        |rk AS (
+        |  SELECT nation, suppkey, p,
+        |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS m,
+        |    row_number() OVER (PARTITION BY nation ORDER BY p, suppkey) AS rnk
+        |  FROM pv),
+        |st AS (
+        |  SELECT nation, suppkey, p, m, rnk,
+        |    max(CASE WHEN p * CAST(m AS DOUBLE) <= 0.1 * CAST(rnk AS DOUBLE)
+        |        THEN rnk END) OVER (PARTITION BY nation) AS kstar,
+        |    min(p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE))
+        |      OVER (PARTITION BY nation ORDER BY rnk DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj_q
+        |  FROM rk)
+        |SELECT nation, suppkey, p, m, rnk,
+        |  least(padj_q, 1.0) AS p_adj,
+        |  rnk <= coalesce(kstar, 0) AS discovered
+        |FROM st""".stripMargin,
+
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h1 AS (SELECT src, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY 1),
+        |a1 AS (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 USING (src) GROUP BY 1),
+        |h2 AS (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |a2 AS (SELECT e.dst, CAST(sum(h2.h) AS BIGINT) AS a
+        |       FROM e JOIN h2 USING (src) GROUP BY 1),
+        |h3 AS (SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS h
+        |       FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |a3 AS (SELECT e.dst, CAST(sum(h3.h) AS BIGINT) AS a
+        |       FROM e JOIN h3 USING (src) GROUP BY 1),
+        |hm AS (SELECT max(h) AS mx FROM h3),
+        |am AS (SELECT max(a) AS mx FROM a3)
+        |SELECT 'hub' AS role, src AS node, h AS score,
+        |  CAST(h AS DOUBLE) / CAST(hm.mx AS DOUBLE) AS score_norm
+        |FROM h3, hm
+        |UNION ALL
+        |SELECT 'auth', dst, a, CAST(a AS DOUBLE) / CAST(am.mx AS DOUBLE)
+        |FROM a3, am""".stripMargin,
+
+    "q_adamic_adar" ->
+      """WITH ip AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |pr AS MATERIALIZED (
+        |  SELECT a.item AS ia, b.item AS ib
+        |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (
+        |  SELECT ia AS src, ib AS dst FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |ne AS (
+        |  SELECT e.src AS z, e.dst AS nb, dg.deg AS degz
+        |  FROM e JOIN dg USING (src) WHERE dg.deg <= 200),
+        |ag AS (
+        |  SELECT a.nb AS a, b.nb AS b, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(CAST(1.0 / ln(CAST(a.degz AS DOUBLE)) AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS aa
+        |  FROM ne a JOIN ne b ON a.z = b.z AND a.nb < b.nb
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a AS node_a, b AS node_b, cn, aa FROM ag
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = ag.a AND e.dst = ag.b)""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -513,6 +513,72 @@ object Stats {
     * the lag fan-out is maxLag× a SMALL table; the pair join is keyed on
     * the shifted index (equi-join, shuffles on time only).
     */
+  /** Average precision (the area under the precision-recall curve in its
+    * standard rank-sum form) per group: AP = (1/R) Σ_{k: rel(k)}
+    * cumpos(k)/k over the list ranked by (score DESC, id ASC) — the
+    * PR-space complement to [[rocAuc]], preferred under class imbalance.
+    * The id tiebreaker makes the ranked list (and therefore AP — which,
+    * unlike AUC, is NOT tie-invariant) a total order both engines replay.
+    *
+    * Determinism: each term cumpos/k is an exact-integer IEEE division,
+    * quantized to decimal(28,12) so the per-group sum is order-free; the
+    * final 1/R division is one more fixed tree. Groups without a
+    * positive are dropped (AP undefined).
+    */
+  def avgPrecision(df: DataFrame, group: Column, score: Column, id: Column, isPositive: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("tid").asc)
+    df.select(group.as("g"), score.as("v"), id.as("tid"),
+        when(isPositive, 1L).otherwise(0L).as("pos"))
+      .withColumn("k", row_number().over(w))
+      .withColumn("cumpos", sum(col("pos")).over(w.rowsBetween(Long.MinValue, 0)))
+      .filter(col("pos") === 1L)
+      .withColumn("term",
+        (col("cumpos").cast(DoubleType) / col("k").cast(DoubleType)).cast("decimal(28,12)"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("np"), sum(col("term")).as("s"))
+      .select(col("g"), col("np"),
+        (col("s").cast(DoubleType) / col("np").cast(DoubleType)).as("avg_precision"))
+  }
+
+  /** Benjamini-Hochberg FDR control per family: rank the family's
+    * p-values ascending, find k* = max{k : p_(k) ≤ q·k/m}, mark ranks
+    * ≤ k* discovered, and emit the standard step-up adjusted p-value
+    * padj_(k) = min(1, min_{j ≥ k} p_(j)·m/j).
+    *
+    * Determinism: the step-up test is the comparison p·m ≤ q·k — two
+    * exact-factor IEEE products, no division. The padj suffix-min runs
+    * on RAW doubles: p·m/j is an identical IEEE tree on both engines and
+    * min — unlike sum — is order-free, so no decimal quantization is
+    * needed (and re-quantizing a computed double to decimal is exactly
+    * the half-boundary hazard that bit-flipped this query's first
+    * version). The (p, id) order key is total per family.
+    *
+    * Scale: two windows and one full-partition count, all keyed on the
+    * family column — no global sort, no driver action.
+    */
+  def bhFdr(df: DataFrame, family: Column, testId: Column, p: Column, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("p").asc, col("tid").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("rnk").desc)
+    df.select(family.as("g"), testId.as("tid"), p.cast(DoubleType).as("p"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("kstar",
+        max(when(col("p") * col("m").cast(DoubleType) <= lit(q) * col("rnk").cast(DoubleType),
+          col("rnk"))).over(wAll))
+      .withColumn("padj_q",
+        min(col("p") * col("m").cast(DoubleType) / col("rnk").cast(DoubleType))
+          .over(wDesc.rowsBetween(Long.MinValue, 0)))
+      .select(
+        col("g"), col("tid"), col("p"), col("m"), col("rnk"),
+        least(col("padj_q"), lit(1.0)).as("p_adj"),
+        (col("rnk") <= coalesce(col("kstar"), lit(0))).as("discovered"))
+  }
+
   /** Kaplan-Meier survival estimator per group: S(t) = Π_{tᵢ ≤ t}
     * (1 − dᵢ/nᵢ) over event times tᵢ, with right-censored observations
     * leaving the risk set without an event. Emits one row per EVENT time

@@ -123,6 +123,48 @@ class GraphSpec extends SparkTestBase {
     assert(g(10L) > 0.0)
   }
 
+  test("hits: one-round bipartite hand graph — exact integer scores and norms") {
+    // customers 1,2 -> parts: 1 buys {10,11,12}, 2 buys {10}.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = graft.graph.Hits.run(e, rounds = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("node")) ->
+        ((r.getAs[Long]("score"), r.getAs[Double]("score_norm"))))
+      .toMap
+    assert(got(("hub", 1L)) == ((3L, 1.0)) && got(("hub", 2L)) == ((1L, 1.0 / 3.0)))
+    assert(got(("auth", 10L)) == ((4L, 1.0)), "part 10 collects both hub scores")
+    assert(got(("auth", 11L)) == ((3L, 0.75)) && got(("auth", 12L)) == ((3L, 0.75)))
+  }
+
+  test("hits: more rounds keep the dominant hub/authority on top; growth guard trips") {
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val r3 = graft.graph.Hits.run(e, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("node")) -> r.getAs[Double]("score_norm")).toMap
+    assert(r3(("hub", 1L)) == 1.0 && r3(("auth", 10L)) == 1.0)
+    assert(r3(("hub", 2L)) < 1.0 && r3(("auth", 11L)) < 1.0)
+    intercept[IllegalArgumentException] { graft.graph.Hits.run(e, rounds = 4) }
+  }
+
+  test("adamicAdar: 4-cycle scores exactly the two diagonals; hub cap empties it") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = graft.graph.LinkPred.adamicAdar(edges, minCommon = 2, maxDeg = 200)
+      .collect()
+      .map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")) ->
+        ((r.getAs[Long]("cn"), r.getAs[Double]("aa"))))
+      .toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)), s"only the diagonals: ${got.keySet}")
+    // two pivots of degree 2: AA = 2 · (1/ln 2 quantized at 12 dp)
+    got.values.foreach { case (cn, aa) =>
+      assert(cn == 2L)
+      assert(math.abs(aa - 2.0 / math.log(2.0)) < 1e-9, s"aa=$aa")
+    }
+    // Star 0-{1,2,3}: the only pair-emitting pivot has degree 3, so a
+    // maxDeg=2 hub cap must empty the candidate space.
+    val star = undirected((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(graft.graph.LinkPred.adamicAdar(star, minCommon = 1, maxDeg = 2).count() == 0L,
+      "a hub cap below every pair-emitting pivot degree must empty the candidates")
+  }
+
   test("kcore: pendant peels off, triangle survives as the 2-core") {
     // Triangle 1-2-3 with pendant 4 hanging off node 1.
     val edges = undirected((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))

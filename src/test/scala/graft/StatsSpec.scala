@@ -178,6 +178,38 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(a(1) + 1.0) < 1e-12 && math.abs(a(2) - 1.0) < 1e-12, s"$a")
   }
 
+  test("avgPrecision: hand list [+,-,+] -> (1 + 2/3)/2; tie order is part of the contract") {
+    val df = Seq(("g", 3L, 1L, true), ("g", 2L, 2L, false), ("g", 1L, 3L, true))
+      .toDF("g", "v", "id", "pos")
+    val r = Stats.avgPrecision(df, $"g", $"v", $"id", $"pos").collect().head
+    assert(r.getAs[Long]("np") == 2L)
+    assert(math.abs(r.getAs[Double]("avg_precision") - 5.0 / 6.0) < 1e-12)
+  }
+
+  test("bhFdr: hand family — step-up cutoff, discoveries, and monotone adjusted p") {
+    // p = [.01, .02, .2, .9], q=.1, m=4: thresholds .025/.05/.075/.1 ->
+    // k*=2. padj (suffix min of p·m/j): [.04, .04, 4/15, .9].
+    val df = Seq((1L, 0.01), (2L, 0.02), (3L, 0.2), (4L, 0.9))
+      .map { case (id, p) => ("g", id, p) }.toDF("g", "id", "p")
+    val got = Stats.bhFdr(df, $"g", $"id", $"p", q = 0.1)
+      .collect()
+      .map(r => r.getAs[Long]("tid") ->
+        ((r.getAs[Int]("rnk"), r.getAs[Double]("p_adj"), r.getAs[Boolean]("discovered"))))
+      .toMap
+    assert(got(1L)._3 && got(2L)._3, s"ranks 1,2 are discoveries: $got")
+    assert(!got(3L)._3 && !got(4L)._3, s"ranks 3,4 are not: $got")
+    assert(math.abs(got(1L)._2 - 0.04) < 1e-15 && math.abs(got(2L)._2 - 0.04) < 1e-15)
+    assert(math.abs(got(3L)._2 - 4.0 / 15.0) < 1e-15)
+    assert(math.abs(got(4L)._2 - 0.9) < 1e-15)
+    assert(got(1L)._2 <= got(3L)._2 && got(3L)._2 <= got(4L)._2, "padj must be monotone in rank")
+  }
+
+  test("bhFdr: a family with no passing rank discovers nothing") {
+    val df = Seq(("g", 1L, 0.5), ("g", 2L, 0.9)).toDF("g", "id", "p")
+    val got = Stats.bhFdr(df, $"g", $"id", $"p", q = 0.1).collect()
+    assert(got.forall(!_.getAs[Boolean]("discovered")))
+  }
+
   test("kaplanMeier: hand curve with a censored subject; exhausted risk set pins S=0") {
     // obs: events at t=1,2,3 plus one censor at t=2.
     // t=1: n=4, d=1 -> S=3/4; t=2: n=3, d=1 (censor leaves silently)
