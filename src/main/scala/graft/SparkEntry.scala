@@ -3732,6 +3732,88 @@ object SparkEntry {
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       graft.graph.LinkPred.adamicAdar(edges, minCommon = 2, maxDeg = 200)
     }),
+
+    // --- beyond-reference: INCREMENTAL exact set-similarity -------------
+    // The standing-index member of the setsim family (the
+    // q_semdedup_incremental slice convention): the %4!=0 base builds a
+    // frozen-order index ONCE, the %4==0 batch joins it — batch×index
+    // and batch×batch pairs only, index×index never re-formed. The
+    // frozen (df, token) order stays LOSSLESS under drift (prefix
+    // pigeonhole never uses what df means — SetSimJoin.buildIndex
+    // scaladoc); the oracle is again brute force over exactly the
+    // batch-touching pair space.
+    "q_setsim_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = TextAnalysis.wordShingles(col("text"), 3)
+      val idx = SetSimJoin.buildIndex(
+        docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      SetSimJoin.selfJoinIncrement(
+        docs.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5)
+    }),
+
+    // --- beyond-reference: RFM customer segmentation ---------------------
+    // Recency / frequency / monetary quintiles WITHIN each market
+    // segment (the partition key keeps every ntile keyed — no global
+    // window), ties broken by custkey so the quintile assignment is a
+    // total order both engines replay. Monetary goes through the exact
+    // decimal sum; its quintile ordering uses the decimal directly.
+    // 5 = best on every axis (most recent / most orders / most spend).
+    "q_rfm" -> ((s, dir) => {
+      val day = floor(tsUs(col("o_orderdate")) / 86400000000L).cast("long")
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), day.as("day"), col("o_totalprice"))
+      val per = o.groupBy("o_custkey").agg(
+        max(col("day")).as("lastday"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(12,3)")).as("mon"))
+        .crossJoin(broadcast(o.agg(max(col("day")).as("maxday"))))
+        .withColumn("recency", col("maxday") - col("lastday"))
+      val seg = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val base = per.join(broadcast(seg), per("o_custkey") === seg("c_custkey"))
+      def score(order: Seq[Column]) = ntile(5).over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(order: _*))
+      base
+        .withColumn("r_score", score(Seq(col("recency").desc, col("c_custkey").asc)))
+        .withColumn("f_score", score(Seq(col("frequency").asc, col("c_custkey").asc)))
+        .withColumn("m_score", score(Seq(col("mon").asc, col("c_custkey").asc)))
+        .select(
+          col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+          col("recency"), col("frequency"), col("mon").cast("double").as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"),
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+            .otherwise("regular").as("segment_label"))
+    }),
+
+    // --- beyond-reference: Benford first-digit audit ---------------------
+    // Data-forensics staple: first-digit distribution of order totals per
+    // priority class vs Benford's law. The digit comes from exact integer
+    // cents via the string-length power (log10 on a double reads
+    // 2.999…96 for some libms at exact powers of ten — never use it for
+    // digit extraction); expected counts and χ² contributions are pure
+    // identical IEEE trees on (BIGINT n, 6-dp literal e_d) — the nine
+    // 6-dp Benford constants sum to exactly 1.000000.
+    "q_benford" -> ((s, dir) => {
+      val benford = array(Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757).map(lit(_)): _*)
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), cents.as("cents"))
+        .withColumn("digit",
+          floor(col("cents").cast("double") /
+            pow(lit(10.0), (length(col("cents").cast("string")) - 1).cast("double")))
+            .cast("int"))
+      val counts = o.groupBy("priority", "digit").agg(count(lit(1)).as("obs"))
+      val totals = o.groupBy("priority").agg(count(lit(1)).as("n"))
+      counts.join(broadcast(totals), "priority")
+        .withColumn("e", element_at(benford, col("digit")))
+        .withColumn("expected", col("n").cast("double") * col("e"))
+        .withColumn("contrib",
+          (col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) / col("expected"))
+        .select("priority", "digit", "obs", "n", "expected", "contrib")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -7155,6 +7237,91 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT a AS node_a, b AS node_b, cn, aa FROM ag
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = ag.a AND e.dst = ag.b)""".stripMargin,
+
+    "q_setsim_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs),
+        |bs AS (SELECT doc_id, sh, len(sh) AS m FROM sh WHERE doc_id % 4 = 0 AND len(sh) > 0),
+        |ix AS (SELECT doc_id, sh, len(sh) AS m FROM sh WHERE doc_id % 4 <> 0 AND len(sh) > 0),
+        |pairs AS (
+        |  SELECT b.doc_id AS batch_id, i.doc_id AS partner_id, 'index' AS side,
+        |    CAST(len(list_intersect(b.sh, i.sh)) AS BIGINT) AS inter,
+        |    CAST(b.m + i.m AS BIGINT) AS msum
+        |  FROM bs b JOIN ix i ON TRUE
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, 'batch',
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT),
+        |    CAST(a.m + b.m AS BIGINT)
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id)
+        |SELECT batch_id, partner_id, side, inter,
+        |  msum - inter AS un,
+        |  CAST(inter AS DOUBLE) / CAST(msum - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(msum - inter AS DOUBLE)""".stripMargin,
+
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+        |    o_totalprice
+        |  FROM orders),
+        |mx AS (SELECT max(day) AS maxday FROM o),
+        |per AS (
+        |  SELECT o_custkey, max(day) AS lastday,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,3))) AS mon
+        |  FROM o GROUP BY 1),
+        |b AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, mx.maxday - per.lastday AS recency,
+        |    per.frequency, per.mon
+        |  FROM per JOIN customer c ON c.c_custkey = per.o_custkey, mx),
+        |sc AS (
+        |  SELECT c_custkey, c_mktsegment, recency, frequency, mon,
+        |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency DESC, c_custkey) AS r_score,
+        |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency ASC, c_custkey) AS f_score,
+        |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY mon ASC, c_custkey) AS m_score
+        |  FROM b)
+        |SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |  recency, frequency, CAST(mon AS DOUBLE) AS monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+        |       ELSE 'regular' END AS segment_label
+        |FROM sc""".stripMargin,
+
+    "q_benford" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT priority,
+        |    CAST(floor(CAST(cents AS DOUBLE)
+        |      / power(10.0, CAST(length(CAST(cents AS VARCHAR)) - 1 AS DOUBLE))) AS INT)
+        |      AS digit
+        |  FROM o),
+        |counts AS (
+        |  SELECT priority, digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1, 2),
+        |totals AS (SELECT priority, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT c.priority, c.digit, c.obs, t.n,
+        |    CAST(n AS DOUBLE) * CAST(([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        |      0.066947, 0.057992, 0.051153, 0.045757])[c.digit] AS DOUBLE) AS expected
+        |  FROM counts c JOIN totals t ON t.priority = c.priority)
+        |SELECT priority, digit, obs, n, expected,
+        |  (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+        |    / expected AS contrib
+        |FROM j""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

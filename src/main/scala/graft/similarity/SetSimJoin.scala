@@ -77,4 +77,98 @@ object SetSimJoin {
         col("un").cast("long").as("un"),
         (col("inter").cast("double") / col("un").cast("double")).as("jaccard"))
   }
+
+  /** The STANDING half of incremental set-similarity: each corpus set
+    * stored with its tokens sorted under the then-current (df ASC, token
+    * ASC) order, plus that token order itself as data — `(sid, arr, m)`
+    * and the frozen `(tok, dfr)` dictionary. The key property making a
+    * frozen order safe: prefix-filter losslessness holds under ANY shared
+    * total order (the pigeonhole argument never uses what df means), so
+    * corpus drift degrades only the FILTER's selectivity, never recall —
+    * the standing index stays exact forever, it just prunes a little
+    * worse as true frequencies drift. (The NgramLm model-as-data rule:
+    * scoring a batch must not silently refit corpus statistics.)
+    */
+  def buildIndex(df: DataFrame, id: Column, tokenSet: Column): (DataFrame, DataFrame) = {
+    val base = df
+      .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+    val dict = toks.groupBy("tok").agg(count(lit(1)).as("dfr"))
+    val ordered = toks
+      .join(dict, "tok")
+      .groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+      .select(
+        col("sid"),
+        transform(col("pairs"), e => e.getField("tok")).as("arr"),
+        size(col("pairs")).as("m"))
+    (ordered, dict)
+  }
+
+  /** Incremental set-similarity: all qualifying pairs touching the batch
+    * — batch×index and batch×batch; index×index pairs are NEVER re-formed
+    * (they were emitted when their rows arrived). Batch sets sort under
+    * the FROZEN dictionary order, with unseen tokens taking df = 0 — they
+    * sort rarest-first, which is both consistent (any shared total order
+    * preserves losslessness, see [[buildIndex]]) and efficient (a token
+    * the corpus has never seen is maximally selective). Output ids are
+    * (batch id, partner id) with a side marker instead of an id-ordered
+    * pair, so a batch row never needs the index side's id range.
+    */
+  def selfJoinIncrement(
+      batch: DataFrame,
+      id: Column,
+      tokenSet: Column,
+      index: (DataFrame, DataFrame),
+      t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"threshold must be in (0,1), got $t")
+    val (idxSets, dict) = index
+    val base = batch
+      .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+    // Dictionary pruned to the batch's vocabulary first (broadcast
+    // semi-join on the SMALL side — the incrementalNeighbors pattern):
+    // the corpus-scale token dictionary never broadcasts whole.
+    val dictPruned = dict.join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    val ordered = toks
+      .join(broadcast(dictPruned), Seq("tok"), "left")
+      .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
+      .groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+      .select(
+        col("sid"),
+        transform(col("pairs"), e => e.getField("tok")).as("arr"),
+        size(col("pairs")).as("m"))
+      .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
+      .localCheckpoint(false) // consumers: batch prefix, internal join, verify
+    val bPrefix = ordered.select(
+      col("sid"), explode(slice(col("arr"), lit(1), col("p"))).as("tok"))
+    // Index-side prefixes from the STORED arrays — same prefix rule, no
+    // index-side recompute of order.
+    val iPrefix = idxSets
+      .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
+      .select(col("sid"), explode(slice(col("arr"), lit(1), col("p"))).as("tok"))
+    val candCross = bPrefix.alias("a")
+      .join(iPrefix.alias("b"), col("a.tok") === col("b.tok"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+    val candInternal = bPrefix.alias("a")
+      .join(bPrefix.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("da"), col("b.sid").as("db"))
+    val verify = (cands: DataFrame, partner: DataFrame, side: String) => cands.distinct()
+      .join(ordered.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
+      .join(partner.select(col("sid").as("db"), col("arr").as("ab"), col("m").as("mb")), "db")
+      .withColumn("inter", size(array_intersect(col("aa"), col("ab"))))
+      .withColumn("un", col("ma") + col("mb") - col("inter"))
+      .filter(col("inter").cast("double") >= lit(t) * col("un").cast("double"))
+      .select(
+        col("da").as("batch_id"), col("db").as("partner_id"), lit(side).as("side"),
+        col("inter").cast("long").as("inter"),
+        col("un").cast("long").as("un"),
+        (col("inter").cast("double") / col("un").cast("double")).as("jaccard"))
+    verify(candCross, idxSets, "index")
+      .unionByName(verify(candInternal, ordered, "batch"))
+  }
 }

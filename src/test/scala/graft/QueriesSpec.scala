@@ -39,6 +39,42 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_rfm: quintiles balanced within each segment; label rules hold") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("r_score")).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$seg r_score quintiles unbalanced: $sizes")
+    }
+    rows.foreach { r =>
+      val (rc, fc) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"))
+      val label = r.getAs[String]("segment_label")
+      if (rc >= 4 && fc >= 4) assert(label == "champion")
+      else if (rc <= 2 && fc <= 2) assert(label == "at_risk")
+      else assert(label == "regular")
+      assert(r.getAs[Int]("rfm") == rc * 100 + fc * 10 + r.getAs[Int]("m_score"))
+    }
+  }
+
+  test("q_benford: digits 1-9, observed counts account for every order, chi2 terms nonneg") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_benford")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9, s"first digit out of range: $d")
+      assert(r.getAs[Double]("contrib") >= 0.0)
+    }
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (p, rs) =>
+      val n = rs.head.getAs[Long]("n")
+      assert(rs.map(_.getAs[Long]("obs")).sum == n, s"$p: digit counts must partition n")
+      val expSum = rs.map(_.getAs[Double]("expected")).sum
+      // only digits that OCCUR emit rows, but the 6-dp constants sum to 1
+      assert(expSum <= n + 1e-6, s"$p: expected mass exceeds n: $expSum vs $n")
+    }
+  }
+
   test("q_assoc_rules: rules come in mirrored pairs, lift is symmetric, confidence bounded") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sf)

@@ -795,6 +795,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(got((1L, 4L)) == ((4L, 4L, 1.0)), "dup tokens must collapse before matching")
   }
 
+  test("setSimJoin incremental == full join restricted to batch-touching pairs; unseen tokens safe") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"t$i")
+    // Batch sets also draw from 5 tokens the BASE has never seen — the
+    // frozen-order df=0 path must stay lossless.
+    val fresh = (0 until 5).map(i => s"new$i")
+    val sets = (1L to 30L).map { id =>
+      val pool = if (id % 4 == 0) vocab ++ fresh else vocab
+      id -> rnd.shuffle(pool).take(4 + rnd.nextInt(6)).toSet
+    }
+    val df = sets.map { case (i, s) => (i, s.toSeq) }.toDF("id", "ts")
+    val t = 0.4
+    val base = df.filter($"id" % 4 =!= 0)
+    val batch = df.filter($"id" % 4 === 0)
+    val idx = graft.similarity.SetSimJoin.buildIndex(base, $"id", $"ts")
+    val got = graft.similarity.SetSimJoin.selfJoinIncrement(batch, $"id", $"ts", idx, t)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val want = (for {
+      (ia, sa) <- sets if ia % 4 == 0
+      (ib, sb) <- sets if ib != ia && (ib % 4 != 0 || ib > ia)
+      inter = (sa & sb).size; un = (sa | sb).size
+      if inter.toDouble >= t * un.toDouble
+    } yield (ia, ib) -> ((if (ib % 4 == 0) "batch" else "index", inter.toLong, un.toLong))).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet} diff=${
+        got.filter { case (k, v) => want.get(k).exists(_ != v) }}")
+  }
+
   test("setSimJoin is lossless vs brute force on random sets (prefix-filter property)") {
     val rnd = new scala.util.Random(42)
     val vocab = (0 until 30).map(i => s"t$i")
