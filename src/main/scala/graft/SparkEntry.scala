@@ -3814,6 +3814,25 @@ object SparkEntry {
             (col("obs").cast("double") - col("expected")) / col("expected"))
         .select("priority", "digit", "obs", "n", "expected", "contrib")
     }),
+
+    // --- beyond-reference: reciprocal rank of the true neighbor ----------
+    // The last standard retrieval-eval metric (after q_ndcg, q_rbo,
+    // q_avg_precision): where does the LSH list put the brute-force #1?
+    // rr = 1/rank (0 when the probe sequence missed it entirely) — the
+    // per-query MRR terms; the mean is a trivial downstream fold the
+    // consumer picks a grouping for.
+    "q_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+      val q = emb.filter(col("vec_id") < 8)
+      val ideal = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 1)
+        .select(col("qid"), col("vec_id").as("ideal_id"))
+      val lsh = Ann.lshTopK(q, emb, "vec_id", "embedding", dim = 64, k = 10)
+        .select(col("qid"), col("vec_id").as("ideal_id"), col("rn"))
+      ideal.join(lsh, Seq("qid", "ideal_id"), "left")
+        .select(col("qid"), col("ideal_id"),
+          coalesce(col("rn"), lit(0)).as("found_rank"),
+          coalesce(lit(1.0) / col("rn").cast("double"), lit(0.0)).as("rr"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -7322,6 +7341,22 @@ object SparkEntry {
         |  (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
         |    / expected AS contrib
         |FROM j""".stripMargin,
+
+    "q_mrr" ->
+      s"""WITH $lshRankCtes,
+         |ideal AS (
+         |  SELECT qid, vec_id AS ideal_id FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+         |    FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |  WHERE rn = 1),
+         |hit AS (
+         |  SELECT qid, vec_id AS ideal_id, rn FROM lranked WHERE rn <= 10)
+         |SELECT i.qid, i.ideal_id,
+         |  CAST(coalesce(h.rn, 0) AS INT) AS found_rank,
+         |  coalesce(1.0 / CAST(h.rn AS DOUBLE), 0.0) AS rr
+         |FROM ideal i LEFT JOIN hit h ON h.qid = i.qid AND h.ideal_id = i.ideal_id""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */
