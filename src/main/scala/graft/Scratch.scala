@@ -18,24 +18,22 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    def time(name: String)(f: => Unit): Unit = {
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[scratch] $name%-28s ${ts.min}%.3f s")
-    }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
-    time("postings only") {
-      noop(SparseSim.postings(docs, "doc_id", "text", 3, 100))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import graft.text.TextAnalysis
+    import graft.similarity.SetSimJoin
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("full topk") {
-      noop(SparseSim.topKNeighbors(SparseSim.postings(docs, "doc_id", "text", 3, 100), 5))
+    val shingles = TextAnalysis.wordShingles(col("text"), 3)
+    val idx = time("buildIndex+materialize") {
+      val i = SetSimJoin.buildIndex(docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      i._1.count(); i._2.count(); i
     }
-    val pr = SparseSim.topKNeighbors(SparseSim.postings(docs, "doc_id", "text", 3, 100), 5)
-    println("[scratch] knn rows = " + pr.count())
+    val out = SetSimJoin.selfJoinIncrement(docs.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5)
+    time("increment full")(out.count())
+    time("increment again")(out.count())
     spark.stop()
   }
 }

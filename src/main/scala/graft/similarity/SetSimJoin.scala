@@ -58,11 +58,28 @@ object SetSimJoin {
         transform(col("pairs"), e => e.getField("tok")).as("arr"),
         size(col("pairs")).as("m"))
       .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
+    // Prefix rows carry the token's POSITION and the set size so two
+    // PPJoin-style prunes run inside the candidate join, BEFORE the
+    // distinct and the array-verify step:
+    //  - length filter: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - positional filter: a pair first meeting at positions (i, j) can
+    //    overlap at most 1 + min(|A|−i, |B|−j), which must reach the
+    //    equivalent-overlap bound t/(1+t)·(|A|+|B|).
+    // Both are Spark-side pruning only — the DuckDB oracle stays the
+    // brute-force join, so the gate keeps proving losslessness. The ε
+    // guard keeps borderline pairs: a false KEEP costs one verify row, a
+    // false PRUNE would cost a result.
     val prefix = ordered.select(
-      col("sid"), explode(slice(col("arr"), lit(1), col("p"))).as("tok"))
+      col("sid"), col("m"),
+      posexplode(slice(col("arr"), lit(1), col("p"))).as(Seq("pos", "tok")))
     val cands = prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid"))
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid")
+          && col("b.m").cast("double") >= lit(t) * col("a.m").cast("double") - lit(1e-9)
+          && col("a.m").cast("double") >= lit(t) * col("b.m").cast("double") - lit(1e-9)
+          && (lit(1) + least(col("a.m") - col("a.pos") - 1, col("b.m") - col("b.pos") - 1))
+               .cast("double") >=
+             lit(t / (1.0 + t)) * (col("a.m") + col("b.m")).cast("double") - lit(1e-9))
       .select(col("a.sid").as("da"), col("b.sid").as("db"))
       .distinct()
     cands
@@ -103,7 +120,11 @@ object SetSimJoin {
         col("sid"),
         transform(col("pairs"), e => e.getField("tok")).as("arr"),
         size(col("pairs")).as("m"))
-    (ordered, dict)
+    // Checkpointed: a STANDING index is read from storage in production;
+    // in-session both halves have two consumers each (prefix emission +
+    // verify partner / dict prune + order join) and must not re-run the
+    // corpus groupBy per consumer.
+    (ordered.localCheckpoint(false), dict.localCheckpoint(false))
   }
 
   /** Incremental set-similarity: all qualifying pairs touching the batch
@@ -144,18 +165,28 @@ object SetSimJoin {
       .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
       .localCheckpoint(false) // consumers: batch prefix, internal join, verify
     val bPrefix = ordered.select(
-      col("sid"), explode(slice(col("arr"), lit(1), col("p"))).as("tok"))
+      col("sid"), col("m"),
+      posexplode(slice(col("arr"), lit(1), col("p"))).as(Seq("pos", "tok")))
     // Index-side prefixes from the STORED arrays — same prefix rule, no
     // index-side recompute of order.
     val iPrefix = idxSets
       .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
-      .select(col("sid"), explode(slice(col("arr"), lit(1), col("p"))).as("tok"))
+      .select(col("sid"), col("m"),
+        posexplode(slice(col("arr"), lit(1), col("p"))).as(Seq("pos", "tok")))
+    // The selfJoin PPJoin prunes (length + positional, ε-guarded — see
+    // there) applied inside both candidate joins.
+    val prune =
+      col("b.m").cast("double") >= lit(t) * col("a.m").cast("double") - lit(1e-9) &&
+        col("a.m").cast("double") >= lit(t) * col("b.m").cast("double") - lit(1e-9) &&
+        (lit(1) + least(col("a.m") - col("a.pos") - 1, col("b.m") - col("b.pos") - 1))
+          .cast("double") >=
+          lit(t / (1.0 + t)) * (col("a.m") + col("b.m")).cast("double") - lit(1e-9)
     val candCross = bPrefix.alias("a")
-      .join(iPrefix.alias("b"), col("a.tok") === col("b.tok"))
+      .join(iPrefix.alias("b"), col("a.tok") === col("b.tok") && prune)
       .select(col("a.sid").as("da"), col("b.sid").as("db"))
     val candInternal = bPrefix.alias("a")
       .join(bPrefix.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid"))
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid") && prune)
       .select(col("a.sid").as("da"), col("b.sid").as("db"))
     val verify = (cands: DataFrame, partner: DataFrame, side: String) => cands.distinct()
       .join(ordered.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
