@@ -58,6 +58,14 @@ object SetSimJoin {
         transform(col("pairs"), e => e.getField("tok")).as("arr"),
         size(col("pairs")).as("m"))
       .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
+    // `ordered` has four consumers (both prefix sides + both verify
+    // sides) and the plan audit shows the scan recomputed for each —
+    // deliberately NOT localCheckpointed: measured at sf1, materializing
+    // the fat sorted-array rows costs 2× more (5.6 → 11.3 s) than
+    // re-running the thin scan+explode pipelines, which stay inside
+    // whole-stage codegen with broadcast dims. The multi-consumer
+    // checkpoint discipline applies to REUSED SMALL state, not to
+    // array-wide intermediates cheaper to rebuild than to store.
     // Prefix rows carry the token's POSITION and the set size so two
     // PPJoin-style prunes run inside the candidate join, BEFORE the
     // distinct and the array-verify step:
