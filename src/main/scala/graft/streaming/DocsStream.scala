@@ -316,4 +316,45 @@ object DocsStream {
       .withColumn("fp", TextAnalysis.fingerprintNormMd5(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** FROZEN-INDEX near-dup ingest gate: each micro-batch runs the exact
+    * prefix-filter join ([[graft.similarity.SetSimJoin.selfJoinIncrement]])
+    * against a standing corpus index and drops any arriving document
+    * whose shingle-set Jaccard against a STORED document reaches `t`
+    * — the exact-similarity stage that sits between [[dedupedDocs]]'s
+    * fingerprint equality and [[cmsGated]]'s frequency heuristics in an
+    * ingest stack.
+    *
+    * Contract (the [[qualityModelGated]] shape): the keep/drop decision
+    * is a pure function of (document, frozen index) — batch-internal
+    * pairs are deliberately NOT consulted, so micro-batching is
+    * invisible and gated output ≡ one batch filter over the same docs
+    * (StreamingSpec pin). Within-feed duplicates are the upstream
+    * fingerprint stage's job; newly-arrived near-dup CLUSTERS accumulate
+    * until the periodic index rebuild folds survivors in — the standard
+    * frozen-model refresh cadence. The frozen (df, token) order stays
+    * LOSSLESS under drift (SetSimJoin.buildIndex scaladoc), so the gate
+    * never misses a qualifying store match no matter how stale the
+    * dictionary.
+    */
+  def setsimGate(
+      docs: DataFrame,
+      index: (DataFrame, DataFrame),
+      outPath: String,
+      checkpointPath: String,
+      t: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStreamForeach(docs, checkpointPath) { batch =>
+      val hits = graft.similarity.SetSimJoin
+        .selfJoinIncrement(
+          batch, col(idCol), TextAnalysis.wordShingles(col(textCol), shingleLen), index, t)
+        .filter(col("side") === "index")
+        .select(col("batch_id").as(idCol))
+        .distinct()
+      batch.join(hits, Seq(idCol), "left_anti")
+        .write.mode("append").parquet(outPath)
+    }
 }

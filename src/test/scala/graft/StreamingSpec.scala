@@ -616,6 +616,36 @@ class StreamingSpec extends SparkTestBase {
       "stream-served matches must equal the batch call (stateless per-batch linkage)")
   }
 
+  test("setsimGate: frozen-index near-dup gate, stream == one batch filter; drops real dups") {
+    import graft.similarity.SetSimJoin
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
+    val base = docs.filter($"doc_id" % 4 =!= 0)
+    val batchAll = docs.filter($"doc_id" % 4 === 0).localCheckpoint()
+    val b1 = batchAll.filter($"doc_id" % 8 === 0).localCheckpoint()
+    val b2 = batchAll.filter($"doc_id" % 8 === 4).localCheckpoint()
+    val shingles = TextAnalysis.wordShingles($"text", 3)
+    val idx = SetSimJoin.buildIndex(base, $"doc_id", shingles)
+
+    val (outP, ckP, inP) = (tmpDir("ssg_out"), tmpDir("ssg_ck"), tmpDir("ssg_in"))
+    b1.coalesce(1).write.mode("overwrite").parquet(inP)
+    Thread.sleep(1100) // distinct mod-times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(inP)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.setsimGate(stream, idx, outP, ckP, t = 0.5)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    // The frozen-gate decision is per-doc vs the index, so one batch
+    // filter over the SAME docs must agree exactly.
+    val hits = SetSimJoin.selfJoinIncrement(batchAll, $"doc_id", shingles, idx, t = 0.5)
+      .filter($"side" === "index").select($"batch_id").as[Long].collect().toSet
+    val all = batchAll.select("doc_id").as[Long].collect().toSet
+    assert(got == all -- hits, "streamed survivors must equal the batch filter")
+    assert(hits.nonEmpty, "the sf0.001 slice must exercise real index near-dups")
+  }
+
   test("driftMonitor: per-batch PSI rows == the batch psiAgainstRef on each slice") {
     import graft.core.Stats
     val docs = spark.read.parquet(s"$sf/documents.parquet")
