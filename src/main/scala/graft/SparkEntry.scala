@@ -3815,6 +3815,42 @@ object SparkEntry {
         .select("priority", "digit", "obs", "n", "expected", "contrib")
     }),
 
+    // --- beyond-reference: Neyman allocation + effective sample size -----
+    // Stratified-sampling planning over order strata: per priority class,
+    // the Neyman-optimal share N_h·σ_h / Σ N_h·σ_h of a 1000-row budget,
+    // plus the effective sample size (Σw)²/Σw² the value-weighted
+    // estimator would actually carry. EVERYTHING runs in kilodollar
+    // INTEGER units (the Stats.autocorr lesson — moment sums must stay
+    // < 2⁵³ for the decimal→double cast to be safe at both engines);
+    // Neyman shares and ESS are scale-invariant, so the quantization
+    // changes only the statistic's documented contract, not its meaning.
+    // Per-stratum N·σ terms quantize to decimal before the cross-stratum
+    // total (order-free); shares and ESS are single IEEE divisions.
+    "q_neyman" -> ((s, dir) => {
+      val v = floor(col("o_totalprice") / lit(1000.0)).cast("long")
+      val m = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), v.as("v"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+        .withColumn("sd",
+          sqrt((col("n").cast("double") * col("svv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double")) /
+            (col("n").cast("double") * (col("n") - lit(1)).cast("double"))))
+        // decimal(28,6), not (28,12): N·σ terms reach ~1e7, and a 12-dp
+        // raw value would cross 2⁵³ — the same cast hazard the kilodollar
+        // units exist to dodge. 6 dp keeps term AND total raw < 2⁵³.
+        .withColumn("term", (col("n").cast("double") * col("sd")).cast("decimal(28,6)"))
+      val tot = m.agg(sum(col("term")).as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("priority"), col("n"), round(col("sd"), 6).as("sd_kilo"),
+          (col("term").cast("double") / col("tot").cast("double")).as("share"),
+          floor(lit(1000.0) * (col("term").cast("double") / col("tot").cast("double")))
+            .cast("long").as("alloc"),
+          ((col("sv").cast("double") * col("sv").cast("double")) /
+            col("svv").cast("double")).as("ess"))
+    }),
+
     // --- beyond-reference: reciprocal rank of the true neighbor ----------
     // The last standard retrieval-eval metric (after q_ndcg, q_rbo,
     // q_avg_precision): where does the LSH list put the brute-force #1?
@@ -7341,6 +7377,29 @@ object SparkEntry {
         |  (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
         |    / expected AS contrib
         |FROM j""".stripMargin,
+
+    "q_neyman" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS v
+        |  FROM orders),
+        |m AS (
+        |  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv
+        |  FROM o GROUP BY 1),
+        |sd AS (
+        |  SELECT priority, n, sv, svv,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+        |  FROM m),
+        |tm AS (SELECT *, CAST(CAST(n AS DOUBLE) * sd AS DECIMAL(28,6)) AS term FROM sd),
+        |tot AS (SELECT sum(term) AS tot FROM tm)
+        |SELECT priority, n, round(sd, 6) AS sd_kilo,
+        |  CAST(term AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
+        |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
+        |FROM tm, tot""".stripMargin,
 
     "q_mrr" ->
       s"""WITH $lshRankCtes,
