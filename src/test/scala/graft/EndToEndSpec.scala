@@ -91,6 +91,38 @@ class EndToEndSpec extends SparkTestBase {
       "the composed pipeline must be deterministic end to end")
   }
 
+  test("eval stage closes the loop: holdout AUC/AP above chance, model-vs-truth kappa positive") {
+    import graft.core.Stats
+    // The funnel's FIRST stage is a fitted model — production QC also
+    // asks "is the gate any good?" before trusting its survivors. The
+    // new eval family answers on the held-out split: ranking quality
+    // (AUC), imbalance-robust ranking quality (AP vs base rate), and
+    // chance-corrected agreement of the thresholded decision (kappa).
+    val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
+    val label = array_contains(graft.text.TextAnalysis.tokens($"text"), "spark")
+    val model = QualityModel.fit(
+      docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text", label = label)
+    val holdout = docs.filter($"doc_id" % 3 === 0)
+    val scored = QualityModel.score(holdout, "doc_id", "text", model)
+      .join(holdout.select($"doc_id", label.as("y")), Seq("doc_id"))
+      .localCheckpoint()
+
+    val auc = Stats.rocAuc(scored, lit("all"), $"score", $"y")
+      .collect().head.getAs[Double]("auc")
+    assert(auc > 0.7, s"distilled gate must rank holdout positives high: AUC=$auc")
+
+    val apRow = Stats.avgPrecision(scored, lit("all"), $"score", $"doc_id", $"y")
+      .collect().head
+    val ap = apRow.getAs[Double]("avg_precision")
+    val base = apRow.getAs[Long]("np").toDouble / scored.count()
+    assert(ap > base, s"AP must beat the positive base rate: $ap vs $base")
+
+    val kap = Stats.cohenKappa(scored, lit("all"),
+      $"pred".cast("int"), $"y".cast("int"))
+      .collect().head.getAs[Double]("kappa")
+    assert(kap > 0.2, s"thresholded decision vs truth must beat chance: kappa=$kap")
+  }
+
   test("drift monitor closes the funnel: survivors' length mix stays near the corpus (PSI/JSD)") {
     import graft.core.Stats
     val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
