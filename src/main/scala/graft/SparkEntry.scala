@@ -3851,6 +3851,79 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: CUPED variance-reduced A/B readout ------------
+    // The industry-standard pre-period adjustment: per user, pre- and
+    // post-period value totals (split at the integer midpoint day),
+    // Y' = Y − θ(X − μ_X) with θ = cov(X,Y)/var(X) POOLED across
+    // variants (assignment-independent, so the adjustment cannot bias
+    // the contrast). Per-user totals quantize decimal(12,3) before the
+    // exact sum, then floor to INTEGER units — every moment after that
+    // is a BIGINT < 2⁵³ and θ/ρ²/means are fixed IEEE trees. Emits per
+    // variant the raw and adjusted means plus the shared θ and ρ²
+    // (ρ² IS the variance-reduction fraction CUPED delivers).
+    "q_cuped" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("value").cast("decimal(12,3)").as("v"))
+      val mid = e.agg(floor((min(col("day")) + max(col("day"))).cast("double") / lit(2.0))
+        .cast("long").as("mid"))
+      val u = e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          floor(coalesce(sum(when(col("day") < col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("x"),
+          floor(coalesce(sum(when(col("day") >= col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+        .localCheckpoint(false) // two consumers: pooled moments + per-variant means
+      val d = (c: Column) => c.cast("double")
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      u.groupBy("variant")
+        .agg(count(lit(1)).as("nv"), sum(col("x")).as("svx"), sum(col("y")).as("svy"))
+        .crossJoin(broadcast(m))
+        .withColumn("theta",
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+        .select(
+          col("variant"), col("nv"),
+          (d(col("svy")) / d(col("nv"))).as("mean_y"),
+          (d(col("svy")) / d(col("nv")) -
+            col("theta") * (d(col("svx")) / d(col("nv")) - d(col("sx")) / d(col("n"))))
+            .as("mean_adj"),
+          col("theta"),
+          ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) *
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("rho2"))
+    }),
+
+    // --- beyond-reference: sample-ratio-mismatch guardrail ---------------
+    // The first thing a trustworthy A/B system checks: per event type,
+    // did the 50/50 user split actually land 50/50? χ² of the two
+    // distinct-user counts against the half-total expectation; the flag
+    // trips at the 0.05 critical value (3.841). Exact integer counts →
+    // one fixed IEEE tree.
+    "q_srm" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val u = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy("event_type")
+        .agg(
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+      u.withColumn("expected", d(col("n0") + col("n1")) / lit(2.0))
+        .withColumn("chi2",
+          (d(col("n0")) - col("expected")) * (d(col("n0")) - col("expected")) / col("expected") +
+            (d(col("n1")) - col("expected")) * (d(col("n1")) - col("expected")) / col("expected"))
+        .select(col("event_type"), col("n0"), col("n1"), col("chi2"),
+          (col("chi2") > lit(3.841)).as("srm_flag"))
+    }),
+
     // --- beyond-reference: reciprocal rank of the true neighbor ----------
     // The last standard retrieval-eval metric (after q_ndcg, q_rbo,
     // q_avg_precision): where does the LSH list put the brute-force #1?
@@ -7400,6 +7473,73 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(12,3)) AS v
+        |  FROM events),
+        |md AS (
+        |  SELECT CAST(floor(CAST(min(day) + max(day) AS DOUBLE) / 2.0) AS BIGINT) AS mid
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day < mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS x,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day >= mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS y,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM e, md GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u),
+        |pv AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(x) AS BIGINT) AS svx, CAST(sum(y) AS BIGINT) AS svy
+        |  FROM u GROUP BY 1),
+        |j AS (
+        |  SELECT pv.*, m.*,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS theta
+        |  FROM pv, m)
+        |SELECT variant, nv,
+        |  CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE) AS mean_y,
+        |  CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE)
+        |    - theta * (CAST(svx AS DOUBLE) / CAST(nv AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_adj,
+        |  theta,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS rho2
+        |FROM j""".stripMargin,
+
+    "q_srm" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |u AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM du GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n0, n1,
+        |    CAST(n0 + n1 AS DOUBLE) / 2.0 AS expected
+        |  FROM u)
+        |SELECT event_type, n0, n1,
+        |  (CAST(n0 AS DOUBLE) - expected) * (CAST(n0 AS DOUBLE) - expected) / expected
+        |    + (CAST(n1 AS DOUBLE) - expected) * (CAST(n1 AS DOUBLE) - expected) / expected
+        |    AS chi2,
+        |  ((CAST(n0 AS DOUBLE) - expected) * (CAST(n0 AS DOUBLE) - expected) / expected
+        |    + (CAST(n1 AS DOUBLE) - expected) * (CAST(n1 AS DOUBLE) - expected) / expected)
+        |    > 3.841 AS srm_flag
+        |FROM x""".stripMargin,
 
     "q_mrr" ->
       s"""WITH $lshRankCtes,
