@@ -3851,6 +3851,109 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: Poisson bootstrap (deterministic resampling) --
+    // The resampling design that actually works at 100 TB: each (row,
+    // replicate) draws an independent Poisson(1) weight — no global
+    // multinomial to coordinate — from the md5-uniform primitive, so
+    // the "randomness" is content-derived and engine/partition/growth
+    // stable (the q_hash_sample doctrine). 8 replicates of mean order
+    // value per priority class in EXACT CENTS (every weighted sum a
+    // BIGINT < 2⁵³); the bootstrap SE folds the replicate means through
+    // kilodollar decimal quantization so the cross-replicate moments
+    // stay cast-safe. Inverse-CDF thresholds are 12-dp Poisson(1)
+    // cumulative literals shared verbatim with the oracle.
+    "q_bootstrap" -> ((s, dir) => {
+      val pcum = Seq("0.367879441171", "0.735758882343", "0.919698602929",
+        "0.980988306262", "0.996339732021", "0.999406017295", "0.999916758850")
+      val d = (c: Column) => c.cast("double")
+      val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"), col("o_orderkey"), cents.as("cents"))
+        .select(col("*"), explode(array((1 to 8).map(lit(_)): _*)).as("rep"))
+        .withColumn("u",
+          (conv(substring(md5(concat_ws(":", col("o_orderkey"), col("rep"))), 1, 8), 16, 10)
+            .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0))
+        .withColumn("w", pcum.zipWithIndex.foldRight(lit(7L): Column) {
+          case ((c, i), els) => when(col("u") < lit(new java.math.BigDecimal(c)).cast("double"), lit(i.toLong)).otherwise(els)
+        })
+      val reps = rows.groupBy("priority", "rep")
+        .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("swc"))
+        .withColumn("mean_cents", d(col("swc")) / d(col("n_eff")))
+        .withColumn("mk", (col("mean_cents") / lit(100000.0)).cast("decimal(15,3)"))
+      val wAll = Window.partitionBy("priority")
+      reps
+        .withColumn("sm", sum(col("mk")).over(wAll))
+        .withColumn("smm", sum(col("mk") * col("mk")).over(wAll))
+        .select(col("priority"), col("rep"), col("n_eff"), col("mean_cents"),
+          sqrt((lit(8.0) * d(col("smm")) - d(col("sm")) * d(col("sm"))) /
+            (lit(8.0) * lit(7.0))).as("se_kilo"))
+    }),
+
+    // --- beyond-reference: PMI-lift keywords per source -------------------
+    // Which terms characterize a source: lift = N·c_ts / (c_t·c_s) over
+    // DOC frequencies (exact-integer PMI ranking — lift is monotone in
+    // PMI, so no ln enters the sort key), df≥3 in-source support, top 5
+    // per source by (lift DESC, term). Identical-tree doubles order
+    // identically on both engines, so the rank itself is the contract.
+    "q_keywords" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dt = docs.select(col("source"), col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      val cts = dt.groupBy("source", "term").agg(count(lit(1)).as("c_ts"))
+        .filter(col("c_ts") >= 3)
+      val ct = dt.groupBy("term").agg(count(lit(1)).as("c_t"))
+      val cs = docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("source").orderBy(col("lift").desc, col("term").asc)
+      cts.join(ct, "term").join(broadcast(cs), "source").crossJoin(broadcast(n))
+        .withColumn("lift",
+          (col("n_docs") * col("c_ts")).cast("double") /
+            (col("c_t") * col("c_s")).cast("double"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("source", "rk", "term", "c_ts", "lift")
+    }),
+
+    // --- beyond-reference: distributed decision stump ---------------------
+    // The one-split learner over (n_chars → lang='en') per source: 15
+    // candidate cuts at fixed integer positions between the source's
+    // min/max, weighted Gini impurity per cut from exact-integer
+    // class counts, argmin by (score, cut). The cut grid joins back to
+    // the scan ONCE (15× row multiplication, then one map-side-combining
+    // aggregation) — per-cut passes would scan 15×. Empty sides
+    // contribute zero impurity by definition.
+    "q_stump" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val base = t(s, dir, "documents").select(
+        col("source"), col("n_chars"), (col("lang") === "en").cast("long").as("pos"))
+      val stats = base.groupBy("source").agg(
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val cuts = stats.select(col("source"), col("mn"), col("mx"),
+          explode(array((1 to 15).map(lit(_)): _*)).as("i"))
+        .withColumn("cut", col("mn") +
+          floor(d(col("i")) * d(col("mx") - col("mn")) / lit(16.0)).cast("long"))
+        .select("source", "cut").distinct()
+      val sides = base.join(cuts, "source")
+        .groupBy("source", "cut")
+        .agg(
+          sum(when(col("n_chars") < col("cut"), 1L).otherwise(0L)).as("nl"),
+          sum(when(col("n_chars") < col("cut") && col("pos") === 1L, 1L).otherwise(0L)).as("pl"))
+        .join(broadcast(stats.select("source", "n", "p")), "source")
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("pr", col("p") - col("pl"))
+      def giniSide(nc: Column, pc: Column) =
+        when(nc === 0L, lit(0.0)).otherwise(
+          d(nc) * (lit(1.0) - (d(pc) / d(nc)) * (d(pc) / d(nc)) -
+            (d(nc - pc) / d(nc)) * (d(nc - pc) / d(nc))))
+      val w = Window.partitionBy("source").orderBy(col("score").asc, col("cut").asc)
+      sides
+        .withColumn("score",
+          (giniSide(col("nl"), col("pl")) + giniSide(col("nr"), col("pr"))) / d(col("n")))
+        .withColumn("rk", row_number().over(w))
+        .select("source", "rk", "cut", "nl", "pl", "nr", "pr", "score")
+    }),
+
     // --- beyond-reference: CUPED variance-reduced A/B readout ------------
     // The industry-standard pre-period adjustment: per user, pre- and
     // post-period value totals (split at the integer midpoint day),
@@ -7473,6 +7576,111 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority, o_orderkey,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT priority, o_orderkey, cents, CAST(g.gs AS INT) AS rep,
+        |    (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |       || CAST(g.gs AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM o CROSS JOIN (SELECT unnest(range(1, 9)) AS gs) g),
+        |wt AS (
+        |  SELECT priority, rep, cents,
+        |    CASE WHEN u < CAST(0.367879441171 AS DOUBLE) THEN 0
+        |         WHEN u < CAST(0.735758882343 AS DOUBLE) THEN 1
+        |         WHEN u < CAST(0.919698602929 AS DOUBLE) THEN 2
+        |         WHEN u < CAST(0.980988306262 AS DOUBLE) THEN 3
+        |         WHEN u < CAST(0.996339732021 AS DOUBLE) THEN 4
+        |         WHEN u < CAST(0.999406017295 AS DOUBLE) THEN 5
+        |         WHEN u < CAST(0.999916758850 AS DOUBLE) THEN 6
+        |         ELSE 7 END AS w
+        |  FROM rows_),
+        |reps AS (
+        |  SELECT priority, rep,
+        |    CAST(sum(w) AS BIGINT) AS n_eff,
+        |    CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_cents
+        |  FROM wt GROUP BY 1, 2),
+        |mk AS (
+        |  SELECT *, CAST(mean_cents / 100000.0 AS DECIMAL(15,3)) AS mk FROM reps),
+        |agg AS (
+        |  SELECT *,
+        |    sum(mk) OVER (PARTITION BY priority) AS sm,
+        |    sum(mk * mk) OVER (PARTITION BY priority) AS smm
+        |  FROM mk)
+        |SELECT priority, rep, n_eff, mean_cents,
+        |  sqrt((8.0 * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+        |    / (8.0 * 7.0)) AS se_kilo
+        |FROM agg""".stripMargin,
+
+    "q_keywords" ->
+      """WITH dt AS (
+        |  SELECT source, doc_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> ''))) AS term
+        |  FROM documents),
+        |cts AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_ts
+        |  FROM dt GROUP BY 1, 2 HAVING count(*) >= 3),
+        |ct AS (SELECT term, CAST(count(*) AS BIGINT) AS c_t FROM dt GROUP BY 1),
+        |cs AS (SELECT source, CAST(count(*) AS BIGINT) AS c_s FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |lf AS (
+        |  SELECT cts.source, cts.term, cts.c_ts,
+        |    CAST(n.n_docs * cts.c_ts AS DOUBLE) / CAST(ct.c_t * cs.c_s AS DOUBLE) AS lift
+        |  FROM cts JOIN ct USING (term) JOIN cs USING (source), n),
+        |rk AS (
+        |  SELECT source, term, c_ts, lift,
+        |    row_number() OVER (PARTITION BY source ORDER BY lift DESC, term) AS rk
+        |  FROM lf)
+        |SELECT source, rk, term, c_ts, lift FROM rk WHERE rk <= 5""".stripMargin,
+
+    "q_stump" ->
+      """WITH base AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |stats AS (
+        |  SELECT source, min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        |  FROM base GROUP BY 1),
+        |cuts AS (
+        |  SELECT DISTINCT source,
+        |    mn + CAST(floor(CAST(i AS DOUBLE) * CAST(mx - mn AS DOUBLE) / 16.0) AS BIGINT)
+        |      AS cut
+        |  FROM stats, (SELECT unnest(range(1, 16)) AS i)),
+        |sides AS (
+        |  SELECT b.source, c.cut,
+        |    CAST(sum(CASE WHEN b.n_chars < c.cut THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(sum(CASE WHEN b.n_chars < c.cut AND b.pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pl
+        |  FROM base b JOIN cuts c ON c.source = b.source
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT s.source, s.cut, s.nl, s.pl,
+        |    t.n - s.nl AS nr, t.p - s.pl AS pr, t.n
+        |  FROM sides s JOIN stats t USING (source)),
+        |g AS (
+        |  SELECT source, cut, nl, pl, nr, pr,
+        |    ((CASE WHEN nl = 0 THEN 0.0 ELSE
+        |        CAST(nl AS DOUBLE) * (1.0
+        |          - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |          - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))) END)
+        |     + (CASE WHEN nr = 0 THEN 0.0 ELSE
+        |        CAST(nr AS DOUBLE) * (1.0
+        |          - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |            * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |          - (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |            * (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))) END))
+        |      / CAST(n AS DOUBLE) AS score
+        |  FROM sc)
+        |SELECT source, rk, cut, nl, pl, nr, pr, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score, cut) AS rk
+        |  FROM g)""".stripMargin,
 
     "q_cuped" ->
       """WITH e AS (
