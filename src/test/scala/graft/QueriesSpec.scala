@@ -75,6 +75,57 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_stump: best cut ranks first, Gini bounded, side counts partition every source") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_stump")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.head == scores.min, s"$src: rk=1 must carry the minimal impurity")
+      scores.foreach(sc => assert(sc >= 0.0 && sc <= 0.5 + 1e-12, s"$src gini $sc"))
+      val totals = rs.map(r => r.getAs[Long]("nl") + r.getAs[Long]("nr")).distinct
+      assert(totals.size == 1, s"$src: nl+nr must be the source size for every cut")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("pl") <= r.getAs[Long]("nl"))
+        assert(r.getAs[Long]("pr") <= r.getAs[Long]("nr"))
+      }
+    }
+  }
+
+  test("q_bootstrap: Poisson mass near n, SE constant per stratum and nonnegative") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_bootstrap")(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (p, rs) =>
+      assert(rs.length == 8, s"$p: 8 replicates expected")
+      val ses = rs.map(_.getAs[Double]("se_kilo")).distinct
+      assert(ses.length == 1 && ses.head >= 0.0, s"$p: SE must be one nonneg value: ${ses.toSeq}")
+      val n = nOrders(p)
+      rs.foreach { r =>
+        val eff = r.getAs[Long]("n_eff")
+        assert(math.abs(eff - n) < 5 * math.sqrt(n.toDouble) + 10,
+          s"$p rep ${r.getAs[Int]("rep")}: Poisson mass $eff far from $n")
+      }
+    }
+  }
+
+  test("q_keywords: five ranked terms per source with real support and positive lift") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_keywords")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length),
+        s"$src: ranks must be dense from 1")
+      assert(rs.length <= 5)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("c_ts") >= 3L)
+        assert(r.getAs[Double]("lift") > 0.0)
+      }
+    }
+  }
+
   test("q_assoc_rules: rules come in mirrored pairs, lift is symmetric, confidence bounded") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sf)
