@@ -3851,6 +3851,39 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: delete-one-group jackknife ---------------------
+    // The resampling sibling of q_bootstrap for CLUSTERED data: within
+    // each region, leave one nation out at a time and read the
+    // leave-one-out mean of customer balances; the jackknife SE over the
+    // G deletions estimates the cluster-robust uncertainty. LOO means
+    // come from exact decimal sum differences (never re-aggregating the
+    // deleted slice); cross-deletion moments go through kilodollar-free
+    // decimal(15,3) quantization of the means (cast-safe), and the
+    // variance is clamped at 0 before sqrt — the float identity
+    // Σm²−(Σm)²/G can land a hair negative when the deletions agree.
+    "q_jackknife" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val base = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal").cast("decimal(12,3)").as("v"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+      val per = base.groupBy(col("n_regionkey").as("region"), col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s_g"))
+      val reg = per.groupBy("region")
+        .agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("st"), count(lit(1)).as("g"))
+      val wReg = Window.partitionBy("region")
+      per.join(broadcast(reg), "region")
+        .withColumn("loo_mean", (col("st") - col("s_g")).cast("double") /
+          d(col("n") - col("n_g")))
+        .withColumn("mk", col("loo_mean").cast("decimal(15,3)"))
+        .withColumn("sm", sum(col("mk")).over(wReg))
+        .withColumn("smm", sum(col("mk") * col("mk")).over(wReg))
+        .select(col("region"), col("nation"), col("n_g"), col("loo_mean"),
+          sqrt((d(col("g")) - lit(1.0)) / d(col("g")) *
+            greatest(d(col("smm")) - d(col("sm")) * d(col("sm")) / d(col("g")), lit(0.0)))
+            .as("jk_se"))
+    }),
+
     // --- beyond-reference: Poisson bootstrap (deterministic resampling) --
     // The resampling design that actually works at 100 TB: each (row,
     // replicate) draws an independent Poisson(1) weight — no global
@@ -7576,6 +7609,35 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_jackknife" ->
+      """WITH base AS (
+        |  SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+        |    CAST(c.c_acctbal AS DECIMAL(12,3)) AS v
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |per AS (
+        |  SELECT region, nation, CAST(count(*) AS BIGINT) AS n_g, sum(v) AS s_g
+        |  FROM base GROUP BY 1, 2),
+        |reg AS (
+        |  SELECT region, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS st,
+        |    CAST(count(*) AS BIGINT) AS g
+        |  FROM per GROUP BY 1),
+        |loo AS (
+        |  SELECT per.region, per.nation, per.n_g,
+        |    CAST(reg.st - per.s_g AS DOUBLE) / CAST(reg.n - per.n_g AS DOUBLE) AS loo_mean,
+        |    reg.g
+        |  FROM per JOIN reg USING (region)),
+        |mk AS (SELECT *, CAST(loo_mean AS DECIMAL(15,3)) AS mk FROM loo),
+        |agg AS (
+        |  SELECT *,
+        |    sum(mk) OVER (PARTITION BY region) AS sm,
+        |    sum(mk * mk) OVER (PARTITION BY region) AS smm
+        |  FROM mk)
+        |SELECT region, nation, n_g, loo_mean,
+        |  sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+        |    * greatest(CAST(smm AS DOUBLE)
+        |        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(g AS DOUBLE), 0.0)) AS jk_se
+        |FROM agg""".stripMargin,
 
     "q_bootstrap" ->
       """WITH o AS (
