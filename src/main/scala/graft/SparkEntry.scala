@@ -3851,6 +3851,50 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: split-conformal prediction intervals ----------
+    // Distribution-free intervals with finite-sample coverage: fit a
+    // per-priority mean on the calibration half (content-derived
+    // orderkey%2 split), take q̂ = the ⌈(n+1)·0.875⌉-th smallest
+    // calibration residual as an EXACT ORDER STATISTIC (no interpolation
+    // — the dyadic-fraction rule says interpolated quantiles are the
+    // cross-engine hazard; a rank-selected data value is bit-identical
+    // by construction), then read the realized coverage on the held-out
+    // half. α = 1/8 keeps the nominal level dyadic too.
+    "q_conformal" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("priority"), col("o_orderkey"),
+        col("o_totalprice"), (col("o_orderkey") % 2 === 0).as("cal"))
+      val mu = o.filter(col("cal"))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_cal"),
+          (sum(col("o_totalprice").cast("decimal(12,3)")) * lit(1000))
+            .cast("decimal(38,0)").cast("double").as("sp"))
+        .withColumn("mu", col("sp") / lit(1000.0) / d(col("n_cal")))
+        .withColumn("k", ceil(lit(0.875) * d(col("n_cal") + lit(1))).cast("long"))
+      val wR = Window.partitionBy("priority")
+        .orderBy(col("resid").asc, col("o_orderkey").asc)
+      val qhat = o.filter(col("cal"))
+        .join(broadcast(mu), "priority")
+        .withColumn("resid", abs(col("o_totalprice") - col("mu")))
+        .withColumn("rn", row_number().over(wR))
+        .filter(col("rn") === col("k"))
+        .select(col("priority"), col("n_cal"), col("k"), col("resid").as("qhat"))
+      o.filter(!col("cal"))
+        .join(broadcast(mu.select("priority", "mu")), "priority")
+        .join(broadcast(qhat), "priority")
+        .groupBy("priority")
+        .agg(
+          max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+          max(col("qhat")).as("qhat"),
+          count(lit(1)).as("n_test"),
+          sum((abs(col("o_totalprice") - col("mu")) <= col("qhat")).cast("long"))
+            .as("n_covered"))
+        .select(col("priority"), col("n_cal"), col("k"), col("qhat"),
+          col("n_test"), col("n_covered"),
+          (d(col("n_covered")) / d(col("n_test"))).as("coverage"))
+    }),
+
     // --- beyond-reference: delete-one-group jackknife ---------------------
     // The resampling sibling of q_bootstrap for CLUSTERED data: within
     // each region, leave one nation out at a time and read the
@@ -7609,6 +7653,38 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_conformal" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+        |    o_orderkey % 2 = 0 AS cal
+        |  FROM orders),
+        |mu AS (
+        |  SELECT priority, CAST(count(*) AS BIGINT) AS n_cal,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,3))) * 1000 AS DECIMAL(38,0))
+        |      AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE) AS mu,
+        |    CAST(ceil(0.875 * CAST(count(*) + 1 AS DOUBLE)) AS BIGINT) AS k
+        |  FROM o WHERE cal GROUP BY 1),
+        |res AS (
+        |  SELECT o.priority, o.o_orderkey, abs(o.o_totalprice - mu.mu) AS resid,
+        |    mu.n_cal, mu.k
+        |  FROM o JOIN mu USING (priority) WHERE o.cal),
+        |qh AS (
+        |  SELECT priority, n_cal, k, resid AS qhat FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY priority
+        |      ORDER BY resid, o_orderkey) AS rn
+        |    FROM res) WHERE rn = k),
+        |tst AS (
+        |  SELECT o.priority, qh.n_cal, qh.k, qh.qhat,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(o.o_totalprice - mu.mu) <= qh.qhat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM o JOIN mu USING (priority) JOIN qh USING (priority)
+        |  WHERE NOT o.cal
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT priority, n_cal, k, qhat, n_test, n_covered,
+        |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+        |FROM tst""".stripMargin,
 
     "q_jackknife" ->
       """WITH base AS (

@@ -126,6 +126,24 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_conformal: realized coverage brackets the nominal 0.875; rank formula holds") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_conformal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nCal, k) = (r.getAs[Long]("n_cal"), r.getAs[Long]("k"))
+      assert(k == math.ceil(0.875 * (nCal + 1)).toLong, s"rank formula broke: $k vs $nCal")
+      assert(r.getAs[Double]("qhat") > 0.0)
+      val cov = r.getAs[Double]("coverage")
+      // Finite-sample guarantee is >= 0.875 in expectation over splits;
+      // on one fixed split allow the binomial wiggle around it.
+      val n = r.getAs[Long]("n_test").toDouble
+      val slack = 4.0 * math.sqrt(0.875 * 0.125 / n)
+      assert(cov > 0.875 - slack && cov < 1.0,
+        s"${r.getAs[String]("priority")}: coverage $cov far from nominal (slack $slack)")
+    }
+  }
+
   test("q_assoc_rules: rules come in mirrored pairs, lift is symmetric, confidence bounded") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_assoc_rules")(spark, sf)
