@@ -3851,6 +3851,30 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: kNN-distance outlier score ---------------------
+    // The dense-side anomaly detector (q_mad_outliers/q_zscore cover
+    // scalars): a monitored sample's distance to its 5th nearest
+    // neighbor — points whose k-th neighbor is already far are isolated.
+    // Score = 1 − cos@5 from the exact brute-force ranking; per label
+    // class the top-3 most isolated flag for review. The sample-vs-
+    // corpus shape (not corpus×corpus) is the monitoring deployment: a
+    // fixed probe set scanning the full store stays linear in the
+    // corpus.
+    "q_knn_outlier" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").localCheckpoint(eager = false)
+      val q = emb.filter(col("vec_id") < 64)
+      val kth = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+        .filter(col("rn") === 5)
+        .select(col("qid").as("vec_id"), col("sim").as("cos_k5"))
+      val w = Window.partitionBy("label").orderBy(col("score").desc, col("vec_id").asc)
+      q.select(col("vec_id"), col("label"))
+        .join(kth, "vec_id")
+        .withColumn("score", lit(1.0) - col("cos_k5"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("label"), col("rk"), col("vec_id"), col("cos_k5"),
+          col("score"), (col("rk") <= 3).as("flagged"))
+    }),
+
     // --- beyond-reference: split-conformal prediction intervals ----------
     // Distribution-free intervals with finite-sample coverage: fit a
     // per-priority mean on the calibration half (content-derived
@@ -7653,6 +7677,24 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_knn_outlier" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |kth AS (
+        |  SELECT qid AS vec_id, round(sim, 6) AS cos_k5 FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |      list_cosine_similarity(q.v, c.v) AS sim,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+        |    FROM e q, e c WHERE q.vec_id < 64 AND c.vec_id <> q.vec_id)
+        |  WHERE rn = 5),
+        |sc AS (
+        |  SELECT e.label, e.vec_id, kth.cos_k5, 1.0 - kth.cos_k5 AS score
+        |  FROM e JOIN kth USING (vec_id) WHERE e.vec_id < 64)
+        |SELECT label, rk, vec_id, cos_k5, score, rk <= 3 AS flagged FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY score DESC, vec_id) AS rk
+        |  FROM sc)""".stripMargin,
 
     "q_conformal" ->
       """WITH o AS (
