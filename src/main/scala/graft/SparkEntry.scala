@@ -3851,6 +3851,36 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: Hill tail index of key skew --------------------
+    // The diagnosis that motivates q_salted_join/q_salted_agg: how heavy
+    // is the tail of the join-key frequency distribution? Hill estimator
+    // over the top-100 partkey group sizes per returnflag slice —
+    // ĥ = (1/k)Σ ln(x_(i)/x_(k+1)), α̂ = 1/ĥ; α̂ ≤ ~2 says the
+    // heaviest keys dominate enough that an unsalted shuffle will
+    // straggle. Group sizes are exact BIGINTs; each ln of an exact ratio
+    // quantizes to decimal before the order-free sum; one keyed window
+    // ranks the sizes (top-k per slice, never a global sort).
+    "q_skew_index" -> ((s, dir) => {
+      val k = 100
+      val sizes = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_partkey").asc)
+      val ranked = sizes.withColumn("rn", row_number().over(w)).filter(col("rn") <= k + 1)
+      val thresh = ranked.filter(col("rn") === k + 1)
+        .select(col("l_returnflag"), col("cnt").as("x_thresh"))
+      ranked.filter(col("rn") <= k)
+        .join(broadcast(thresh), "l_returnflag")
+        .withColumn("lnterm",
+          log(col("cnt").cast("double") / col("x_thresh").cast("double"))
+            .cast("decimal(28,12)"))
+        .groupBy(col("l_returnflag"), col("x_thresh"))
+        .agg(count(lit(1)).as("k"), sum(col("lnterm")).as("s"))
+        .select(col("l_returnflag"), col("k"), col("x_thresh"),
+          (col("s").cast("double") / col("k").cast("double")).as("hill"),
+          (col("k").cast("double") / col("s").cast("double")).as("alpha"))
+    }),
+
     // --- beyond-reference: kNN-distance outlier score ---------------------
     // The dense-side anomaly detector (q_mad_outliers/q_zscore cover
     // scalars): a monitored sample's distance to its 5th nearest
@@ -7677,6 +7707,31 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_skew_index" ->
+      """WITH sizes AS (
+        |  SELECT l_returnflag, l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT l_returnflag, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_partkey) AS rn
+        |  FROM sizes),
+        |th AS (
+        |  SELECT l_returnflag, cnt AS x_thresh FROM ranked WHERE rn = 101),
+        |terms AS (
+        |  SELECT r.l_returnflag, th.x_thresh,
+        |    CAST(ln(CAST(r.cnt AS DOUBLE) / CAST(th.x_thresh AS DOUBLE))
+        |      AS DECIMAL(28,12)) AS lnterm
+        |  FROM ranked r JOIN th USING (l_returnflag) WHERE r.rn <= 100),
+        |agg AS (
+        |  SELECT l_returnflag, x_thresh,
+        |    CAST(count(*) AS BIGINT) AS k, sum(lnterm) AS s
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT l_returnflag, k, x_thresh,
+        |  CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS hill,
+        |  CAST(k AS DOUBLE) / CAST(s AS DOUBLE) AS alpha
+        |FROM agg""".stripMargin,
 
     "q_knn_outlier" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
