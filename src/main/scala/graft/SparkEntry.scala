@@ -3851,6 +3851,41 @@ object SparkEntry {
             col("svv").cast("double")).as("ess"))
     }),
 
+    // --- beyond-reference: declarative expectations report ----------------
+    // The dbt-test/Great-Expectations-style contract run as ONE query:
+    // each expectation is an independent exact aggregate (not-null,
+    // key uniqueness, accepted range, accepted values, referential
+    // integrity via anti-join counts), unioned into the audit report a
+    // warehouse would persist per load. Complements core/Qc's in-code
+    // assertions (which THROW) with the report-shaped surface; every
+    // violation count is an exact integer.
+    "q_expectations" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      def row(tbl: String, column: String, exp: String, viol: DataFrame) =
+        viol.select(
+          lit(tbl).as("table_name"), lit(column).as("column_name"),
+          lit(exp).as("expectation"), col("v").cast("long").as("n_violations"),
+          (col("v") === 0L).as("passed"))
+      row("orders", "o_orderkey", "not_null",
+        o.agg(sum(col("o_orderkey").isNull.cast("long")).as("v")))
+        .unionByName(row("orders", "o_orderkey", "unique",
+          o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))))
+        .unionByName(row("orders", "o_totalprice", "range_0_1e6",
+          o.agg(sum((col("o_totalprice") < 0.0 || col("o_totalprice") > 1.0e6 ||
+            col("o_totalprice").isNull).cast("long")).as("v"))))
+        .unionByName(row("orders", "o_orderpriority", "accepted_values",
+          o.agg(sum((!col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")).cast("long")).as("v"))))
+        .unionByName(row("orders", "o_custkey", "ref_customer",
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))))
+        .unionByName(row("lineitem", "l_orderkey", "ref_orders",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))))
+    }),
+
     // --- beyond-reference: Hill tail index of key skew --------------------
     // The diagnosis that motivates q_salted_join/q_salted_agg: how heavy
     // is the tail of the join-key frequency distribution? Hill estimator
@@ -7707,6 +7742,46 @@ object SparkEntry {
         |  CAST(floor(1000.0 * (CAST(term AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS alloc,
         |  (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(svv AS DOUBLE) AS ess
         |FROM tm, tot""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+        |  'not_null' AS expectation,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |    AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey', 'unique',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_totalprice', 'range_0_1e6',
+        |  CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1.0e6
+        |    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1.0e6
+        |    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_orderpriority', 'accepted_values',
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |    THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_custkey', 'ref_customer',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT) = 0
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey', 'ref_orders',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT) = 0
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
 
     "q_skew_index" ->
       """WITH sizes AS (
