@@ -4211,6 +4211,138 @@ object SparkEntry {
           coalesce(col("rn"), lit(0)).as("found_rank"),
           coalesce(lit(1.0) / col("rn").cast("double"), lit(0.0)).as("rr"))
     }),
+
+    // --- beyond-reference: multi-feature OLS via normal equations --------
+    // Two-regressor least squares (price ~ quantity + discount) per
+    // returnflag, solved in closed form by Cramer's rule on the 3×3
+    // normal-equation matrix — the multivariate sibling of
+    // q_regress_slope. Features quantize to exact integers (whole
+    // dollars / units / discount percent: floor on doubles both engines
+    // share bit-for-bit), so all ten moments are exact BIGINT sums far
+    // below 2^53 at gate scale, and the determinant arithmetic is one
+    // identical IEEE tree in Spark and DuckDB. One map-side-combining
+    // aggregation over the scan; no window, no second pass — at 100 TB
+    // this is a single shuffle of 3 groups × 10 longs.
+    "q_ols_multi" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val mo = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("y"),
+          floor(col("l_quantity")).cast("long").as("x1"),
+          round(col("l_discount") * 100, 0).cast("long").as("x2"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+      mo
+        .withColumn("det",
+          d(col("n")) * (d(col("s11")) * d(col("s22")) - d(col("s12")) * d(col("s12")))
+            - d(col("s1")) * (d(col("s1")) * d(col("s22")) - d(col("s12")) * d(col("s2")))
+            + d(col("s2")) * (d(col("s1")) * d(col("s12")) - d(col("s11")) * d(col("s2"))))
+        .withColumn("det0",
+          d(col("sy")) * (d(col("s11")) * d(col("s22")) - d(col("s12")) * d(col("s12")))
+            - d(col("s1")) * (d(col("s1y")) * d(col("s22")) - d(col("s12")) * d(col("s2y")))
+            + d(col("s2")) * (d(col("s1y")) * d(col("s12")) - d(col("s11")) * d(col("s2y"))))
+        .withColumn("det1",
+          d(col("n")) * (d(col("s1y")) * d(col("s22")) - d(col("s2y")) * d(col("s12")))
+            - d(col("sy")) * (d(col("s1")) * d(col("s22")) - d(col("s12")) * d(col("s2")))
+            + d(col("s2")) * (d(col("s1")) * d(col("s2y")) - d(col("s1y")) * d(col("s2"))))
+        .withColumn("det2",
+          d(col("n")) * (d(col("s11")) * d(col("s2y")) - d(col("s12")) * d(col("s1y")))
+            - d(col("s1")) * (d(col("s1")) * d(col("s2y")) - d(col("s1y")) * d(col("s2")))
+            + d(col("sy")) * (d(col("s1")) * d(col("s12")) - d(col("s11")) * d(col("s2"))))
+        .withColumn("b0", col("det0") / col("det"))
+        .withColumn("b1", col("det1") / col("det"))
+        .withColumn("b2", col("det2") / col("det"))
+        .withColumn("sse",
+          d(col("syy")) - (col("b0") * d(col("sy")) + col("b1") * d(col("s1y"))
+            + col("b2") * d(col("s2y"))))
+        .withColumn("sst", d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n")))
+        .select(col("l_returnflag"), col("n"),
+          round(col("b0"), 6).as("beta0"), round(col("b1"), 6).as("beta1"),
+          round(col("b2"), 6).as("beta2"),
+          round(lit(1.0) - col("sse") / col("sst"), 6).as("r2"))
+    }),
+
+    // --- beyond-reference: isotonic recalibration (PAV via minimax) ------
+    // Monotone recalibration of the q_calibration readout: the isotonic
+    // (pool-adjacent-violators) fit over the 8 score bins, computed by
+    // the minimax identity iso(k) = max_{i<=k} min_{j>=k} rate(i..j) —
+    // no iterative pooling, so the whole fit is three joins over a
+    // bin-pair table whose size is FIXED (8 bins → 36 ranges) no matter
+    // how large the corpus gets; the only full-data work is the same
+    // single scoring scan q_calibration already does. Range rates divide
+    // exact BIGINT pools, so min/max compare identical doubles in both
+    // engines.
+    "q_isotonic" -> ((s, dir) => {
+      val scored = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(MlpScore.score(col("embedding"), 64, 8), 6).as("sc"),
+          when(pmod(col("label"), lit(2)) === 0, 1L).otherwise(0L).as("y"))
+      val mm = scored.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))
+      val bins = scored.join(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("sc") - col("lo")) / ((col("hi") - col("lo")) / lit(8.0))).cast("int"),
+              lit(7))))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+        .localCheckpoint(eager = false) // 4 consumers below, all ≤8 rows
+      val ranges = broadcast(bins.select(col("bin").as("i")))
+        .join(broadcast(bins.select(col("bin").as("j"))), col("i") <= col("j"))
+      val rangeRate = ranges
+        .join(bins, col("bin").between(col("i"), col("j")))
+        .groupBy("i", "j")
+        .agg((sum(col("ny")).cast("double") / sum(col("n")).cast("double")).as("avg"))
+      val iso = broadcast(bins.select(col("bin").as("k")))
+        .join(rangeRate, col("i") <= col("k") && col("j") >= col("k"))
+        .groupBy("k", "i").agg(min(col("avg")).as("mavg"))
+        .groupBy("k").agg(max(col("mavg")).as("iso"))
+      bins.join(iso, col("bin") === col("k"))
+        .select(col("bin"), col("n"),
+          round(col("ny").cast("double") / col("n").cast("double"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+    }),
+
+    // --- beyond-reference: Luhn checksum validation (PII hardening) ------
+    // The validation step behind credit-card PII detection: a regex hit
+    // (q_pii_scrub's territory) is only a REAL card number if the mod-10
+    // Luhn checksum closes. The corpus has no digit runs, so the query
+    // synthesizes one 16-digit PAN per document from doc_id arithmetic —
+    // even doc_ids get the correct check digit, odd ones a corrupted one
+    // — then validates from scratch with a pure integer fold over the
+    // digit positions (doubling every second digit from the right).
+    // Everything is exact integer arithmetic: per-row compute, no
+    // shuffle at all beyond the scan.
+    "q_luhn" -> ((s, dir) => {
+      val base = (pmod(col("doc_id") * 48271L + 11L, lit(899999999999999L))
+        + 100000000000000L).cast("string")
+      def luhnSum(pan: Column, len: Int): Column =
+        aggregate(sequence(lit(1), lit(len)), lit(0),
+          (acc, i) => {
+            val dig = pan.substr(i, lit(1)).cast("int")
+            // position from the right in the final 16-digit PAN is
+            // 17 - i; even positions double (9-subtract wrap)
+            val term = when(pmod(lit(17) - i, lit(2)) === 0,
+              when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+            acc + term
+          })
+      val check = pmod(lit(10) - pmod(luhnSum(col("base15"), 15), lit(10)), lit(10))
+      t(s, dir, "documents")
+        .select(col("doc_id"), base.as("base15"))
+        .withColumn("pan",
+          concat(col("base15"),
+            when(pmod(col("doc_id"), lit(2)) === 0, check)
+              .otherwise(pmod(check + 5, lit(10))).cast("string")))
+        .select(col("doc_id"), col("pan").substr(13, 4).as("last4"),
+          (pmod(luhnSum(col("pan"), 16), lit(10)) === 0).as("luhn_valid"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -8074,6 +8206,119 @@ object SparkEntry {
          |  CAST(coalesce(h.rn, 0) AS INT) AS found_rank,
          |  coalesce(1.0 / CAST(h.rn AS DOUBLE), 0.0) AS rr
          |FROM ideal i LEFT JOIN hit h ON h.qid = i.qid AND h.ideal_id = i.ideal_id""".stripMargin,
+
+    // Cramer's rule on exact-BIGINT moments; the determinant expressions
+    // are the same IEEE trees as the Spark side, term for term.
+    "q_ols_multi" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |mo AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1),
+        |dets AS (
+        |  SELECT l_returnflag, n, sy, s1y, s2y, syy,
+        |    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det,
+        |    CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+        |      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)) AS det0,
+        |    CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2y AS DOUBLE) * CAST(s12 AS DOUBLE))
+        |      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det1,
+        |    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s1y AS DOUBLE))
+        |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det2
+        |  FROM mo),
+        |beta AS (
+        |  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM dets),
+        |fit AS (
+        |  SELECT *,
+        |    CAST(syy AS DOUBLE) - (b0 * CAST(sy AS DOUBLE) + b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE)) AS sse,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+        |  FROM beta)
+        |SELECT l_returnflag, n,
+        |  round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+        |  round(1.0 - sse / sst, 6) AS r2
+        |FROM fit""".stripMargin,
+
+    // PAV by the minimax identity over the q_calibration bins; range
+    // rates divide exact BIGINT pools, so the min/max lattice compares
+    // identical doubles in both engines.
+    "q_isotonic" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, round($mlpScoreSqlExpr, 6) AS s,
+         |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM e),
+         |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
+         |binned AS (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE least(CAST(trunc((s - lo) / ((hi - lo) / 8.0)) AS INT), 7) END AS bin, y
+         |  FROM scored, mm),
+         |bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ny
+         |  FROM binned GROUP BY 1),
+         |rng AS (
+         |  SELECT i.bin AS i, j.bin AS j,
+         |    CAST(sum(b.ny) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE) AS avg
+         |  FROM bins i JOIN bins j ON i.bin <= j.bin
+         |    JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
+         |  GROUP BY 1, 2),
+         |mn AS (
+         |  SELECT k.bin AS k, r.i, min(r.avg) AS mavg
+         |  FROM bins k JOIN rng r ON r.i <= k.bin AND r.j >= k.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT k, max(mavg) AS iso FROM mn GROUP BY 1)
+         |SELECT b.bin, b.n,
+         |  round(CAST(b.ny AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+         |  round(i.iso, 6) AS iso_rate
+         |FROM bins b JOIN iso i ON i.k = b.bin""".stripMargin,
+
+    // Pure integer fold over digit positions; synthesis and validation
+    // re-derive the same Luhn sum, so the oracle is fully independent of
+    // the Spark fold only in the validation direction (as intended).
+    "q_luhn" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id * 48271 + 11) % 899999999999999 + 100000000000000 AS VARCHAR) AS base15
+        |  FROM documents),
+        |withcheck AS (
+        |  SELECT doc_id, base15,
+        |    (10 - list_reduce(list_transform(range(1, 16),
+        |      i -> CASE WHEN (17 - i) % 2 = 0 THEN
+        |             CASE WHEN CAST(substr(base15, CAST(i AS INT), 1) AS INT) * 2 > 9
+        |               THEN CAST(substr(base15, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |               ELSE CAST(substr(base15, CAST(i AS INT), 1) AS INT) * 2 END
+        |           ELSE CAST(substr(base15, CAST(i AS INT), 1) AS INT) END),
+        |      (x, y) -> x + y) % 10) % 10 AS chk
+        |  FROM base),
+        |pans AS (
+        |  SELECT doc_id,
+        |    base15 || CAST(CASE WHEN doc_id % 2 = 0 THEN chk ELSE (chk + 5) % 10 END AS VARCHAR) AS pan
+        |  FROM withcheck)
+        |SELECT doc_id, substr(pan, 13, 4) AS last4,
+        |  list_reduce(list_transform(range(1, 17),
+        |    i -> CASE WHEN (17 - i) % 2 = 0 THEN
+        |           CASE WHEN CAST(substr(pan, CAST(i AS INT), 1) AS INT) * 2 > 9
+        |             THEN CAST(substr(pan, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |             ELSE CAST(substr(pan, CAST(i AS INT), 1) AS INT) * 2 END
+        |         ELSE CAST(substr(pan, CAST(i AS INT), 1) AS INT) END),
+        |    (x, y) -> x + y) % 10 = 0 AS luhn_valid
+        |FROM pans""".stripMargin,
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -159,4 +159,62 @@ class QueriesSpec extends SparkTestBase {
       assert(mirror.get._3 == nab)
     }
   }
+
+  test("q_ols_multi: betas solve the normal equations recomputed driver-side") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_ols_multi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mo = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice")).cast("long").as("y"),
+        floor(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 100, 0).cast("long").as("x2"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"), sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val m = mo(r.getString(0))
+      val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+        (1 to 9).map(i => m.getLong(i).toDouble)
+      val (b0, b1, b2) = (r.getAs[Double]("beta0"), r.getAs[Double]("beta1"), r.getAs[Double]("beta2"))
+      // each normal equation, scaled to per-row units, closes at the fit
+      assert(math.abs((b0 * n + b1 * s1 + b2 * s2 - sy) / n) < 1e-3)
+      assert(math.abs((b0 * s1 + b1 * s11 + b2 * s12 - s1y) / s1y.max(1.0)) < 1e-3)
+      assert(math.abs((b0 * s2 + b1 * s12 + b2 * s22 - s2y) / s2y.max(1.0)) < 1e-3)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+    }
+  }
+
+  test("q_isotonic: fit is monotone, bounded, and preserves weighted mass") {
+    val rows = SparkEntry.queries("q_isotonic")(spark, sf)
+      .orderBy("bin").collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    val raw = rows.map(_.getAs[Double]("raw_rate"))
+    val n = rows.map(_.getAs[Long]("n"))
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-9, s"isotonic fit not monotone: $a > $b")
+    }
+    iso.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // PAV preserves the weighted total: sum n_k * iso_k == sum n_k * raw_k
+    val massIso = iso.zip(n).map { case (v, w) => v * w }.sum
+    val massRaw = raw.zip(n).map { case (v, w) => v * w }.sum
+    assert(math.abs(massIso - massRaw) / massRaw.max(1.0) < 1e-4,
+      s"PAV mass not preserved: $massIso vs $massRaw")
+  }
+
+  test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
+    val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, last4, valid) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("last4"), r.getAs[Boolean]("luhn_valid"))
+      assert(last4.length == 4 && last4.forall(_.isDigit))
+      assert(valid == (id % 2 == 0), s"doc $id: luhn_valid=$valid")
+    }
+  }
 }
