@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KMeans, MlpScore, NearDup, SemDeDup, SetSimJoin, SparseSim}
+import graft.similarity.{Ann, KCenter, KMeans, MlpScore, NearDup, SemDeDup, SetSimJoin, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -4343,6 +4343,101 @@ object SparkEntry {
         .select(col("doc_id"), col("pan").substr(13, 4).as("last4"),
           (pmod(luhnSum(col("pan"), 16), lit(10)) === 0).as("luhn_valid"))
     }),
+
+    // --- beyond-reference: contrastive negative sampling -----------------
+    // Deterministic hard-negative assignment for contrastive training:
+    // each anchor document (a ~1% hash slice) gets 4 negatives drawn
+    // from OTHER sources, with zero doc×doc work. The trick is
+    // position-addressed sampling: candidates are ranked once inside
+    // (source, md5-bucket) cells, and each (anchor, slot) hashes to a
+    // (source≠own, bucket, index) address — so the "draw" is an
+    // EQUI-join on (source, bucket, rank), not a scan of the bucket.
+    // One partitioned window over the corpus, broadcast dims, and a
+    // key-unique probe join: at 100 TB the corpus shuffles once by
+    // (source, bucket) and never again. A hash landing in an empty cell
+    // yields a null negative (left joins) — identically in both engines.
+    "q_negative_pairs" -> ((s, dir) => {
+      val nb = 4
+      def h32(c: Column, at: Int) =
+        conv(substring(c, at, 8), 16, 10).cast("long")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .localCheckpoint(eager = false) // anchors + candidates + source dim
+      val srcs = docs.select(col("source")).distinct()
+        .localCheckpoint(eager = false) // rank dim + count, both tiny
+      val srcRank = srcs.as("a")
+        .join(srcs.as("b"), col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg(count(col("b.source")).as("src_rank"))
+      val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+      val cands = docs
+        .withColumn("bucket", pmod(h32(md5(col("doc_id").cast("string")), 1), lit(nb)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source", "bucket")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .localCheckpoint(eager = false) // cell sizes + the probe join
+      val sizes = cands.groupBy("source", "bucket").agg(count(lit(1)).as("sz"))
+      docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("anchor_id"), col("source").as("anchor_source"))
+        .select(col("*"), explode(array((1 to 4).map(lit(_)): _*)).as("j"))
+        .withColumn("h", md5(concat_ws(":", col("anchor_id"), col("j"))))
+        .join(broadcast(srcRank.select(col("source").as("anchor_source"),
+          col("src_rank").as("a_rank"))), "anchor_source")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("pick0", pmod(h32(col("h"), 1), col("n_src") - 1))
+        .withColumn("pick_rank",
+          when(col("pick0") >= col("a_rank"), col("pick0") + 1).otherwise(col("pick0")))
+        .join(broadcast(srcRank.select(col("source").as("neg_source"),
+          col("src_rank").as("pick_rank"))), Seq("pick_rank"))
+        .withColumn("bucket", pmod(h32(col("h"), 9), lit(nb)))
+        .join(broadcast(sizes.select(col("source").as("neg_source"), col("bucket"),
+          col("sz"))), Seq("neg_source", "bucket"), "left")
+        .withColumn("idx", pmod(h32(col("h"), 17), col("sz")) + 1)
+        .join(cands.select(col("source").as("neg_source"), col("bucket"),
+          col("rk").cast("long").as("idx"), col("doc_id").as("neg_id")),
+          Seq("neg_source", "bucket", "idx"), "left")
+        .select(col("anchor_id"), col("j"), col("neg_source"), col("neg_id"))
+    }),
+
+    // --- beyond-reference: quantile normalization (rank-bin) -------------
+    // The cross-group distribution equalizer (microarray-style quantile
+    // normalization, feature-scaling flavor): each event's value maps to
+    // its within-type rank percentile, percentiles pool into 20 fixed
+    // bins, and the normalized value is the POOLED mean of the bin —
+    // so every event_type ends up on the same reference distribution.
+    // Percentiles come from exact integer ranks (never interpolated
+    // percentile_cont, which is not cross-engine stable); bin means are
+    // exact decimal sums. One partitioned window + two aggregations.
+    "q_quantile_norm" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+      val ranked = e.withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)))
+      val nt = e.groupBy("event_type").agg(count(lit(1)).as("nt"))
+      val binned = ranked.join(broadcast(nt), "event_type")
+        .withColumn("bin",
+          when(col("nt") === 1, lit(0)).otherwise(
+            least(floor((col("rk") - 1).cast("double") / (col("nt") - 1).cast("double")
+              * lit(20.0)).cast("int"), lit(19))))
+        .localCheckpoint(eager = false) // pooled reference + per-type readout
+      val ref = binned.groupBy("bin")
+        .agg((sum(col("value").cast("decimal(24,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("norm_value"))
+      binned.groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(24,6)")).as("vsum"))
+        .join(broadcast(ref), "bin")
+        .select(col("event_type"), col("bin"), col("n"),
+          round(col("vsum").cast("double") / col("n").cast("double"), 6).as("raw_mean"),
+          round(col("norm_value"), 6).as("norm_value"))
+    }),
+
+    // --- beyond-reference: Gonzalez k-center diversity coreset -----------
+    // Farthest-point selection over the embedding corpus (see
+    // [[KCenter.select]]): 8 maximally-spread exemplars plus the
+    // covering-radius curve. The per-round argmax is a 1-row TakeOrdered
+    // collect (the KMeans/BPE bounded driver tier); all distance work is
+    // the codegen'd cosine kernel over the partitioned corpus.
+    "q_kcenter" -> ((s, dir) =>
+      KCenter.select(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .select(col("ord"), col("center_id"), round(col("radius"), 6).as("radius"))),
   )
 
   // ---------------------------------------------------------------------
@@ -8319,6 +8414,104 @@ object SparkEntry {
         |         ELSE CAST(substr(pan, CAST(i AS INT), 1) AS INT) END),
         |    (x, y) -> x + y) % 10 = 0 AS luhn_valid
         |FROM pans""".stripMargin,
+
+    // Position-addressed sampling: the draw is an equi-join on
+    // (source, bucket, rank); hashes land identically in both engines
+    // (32-bit hex slices of md5), empty cells null out via left joins.
+    "q_negative_pairs" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM docs),
+        |srcrank AS (
+        |  SELECT a.source, count(b.source) AS src_rank
+        |  FROM srcs a LEFT JOIN srcs b ON b.source < a.source GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_src FROM srcs),
+        |cands AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS bucket,
+        |    row_number() OVER (PARTITION BY source,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM docs),
+        |sizes AS (SELECT source, bucket, count(*) AS sz FROM cands GROUP BY 1, 2),
+        |slots AS (
+        |  SELECT d.doc_id AS anchor_id, d.source AS anchor_source, CAST(g.gs AS INT) AS j,
+        |    md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(g.gs AS VARCHAR)) AS h
+        |  FROM docs d CROSS JOIN (SELECT unnest(range(1, 5)) AS gs) g
+        |  WHERE d.doc_id % 101 = 0),
+        |prep AS (
+        |  SELECT s.*, ar.src_rank AS a_rank, ns.n_src,
+        |    CAST('0x' || substr(s.h, 1, 8) AS BIGINT) % (ns.n_src - 1) AS pick0
+        |  FROM slots s JOIN srcrank ar ON ar.source = s.anchor_source, ns),
+        |picked AS (
+        |  SELECT p.*,
+        |    CASE WHEN pick0 >= a_rank THEN pick0 + 1 ELSE pick0 END AS pick_rank,
+        |    CAST('0x' || substr(h, 9, 8) AS BIGINT) % 4 AS bucket
+        |  FROM prep p),
+        |withsrc AS (
+        |  SELECT pk.*, sr.source AS neg_source
+        |  FROM picked pk JOIN srcrank sr ON sr.src_rank = pk.pick_rank),
+        |withsz AS (
+        |  SELECT w.*, CAST('0x' || substr(w.h, 17, 8) AS BIGINT) % z.sz + 1 AS idx
+        |  FROM withsrc w LEFT JOIN sizes z
+        |    ON z.source = w.neg_source AND z.bucket = w.bucket)
+        |SELECT w.anchor_id, w.j, w.neg_source, c.doc_id AS neg_id
+        |FROM withsz w LEFT JOIN cands c
+        |  ON c.source = w.neg_source AND c.bucket = w.bucket AND c.rk = w.idx""".stripMargin,
+
+    // Exact integer ranks → fixed bins → exact decimal pooled means; no
+    // percentile interpolation anywhere.
+    "q_quantile_norm" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk
+        |  FROM e),
+        |nt AS (SELECT event_type, count(*) AS nt FROM e GROUP BY 1),
+        |binned AS (
+        |  SELECT r.event_type, r.value,
+        |    CASE WHEN nt.nt = 1 THEN 0 ELSE
+        |      least(CAST(trunc(CAST(r.rk - 1 AS DOUBLE) / CAST(nt.nt - 1 AS DOUBLE) * 20.0) AS INT), 19)
+        |    END AS bin
+        |  FROM ranked r JOIN nt USING (event_type)),
+        |ref AS (
+        |  SELECT bin,
+        |    CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS norm_value
+        |  FROM binned GROUP BY 1),
+        |agg AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS vsum
+        |  FROM binned GROUP BY 1, 2)
+        |SELECT a.event_type, a.bin, a.n,
+        |  round(a.vsum / CAST(a.n AS DOUBLE), 6) AS raw_mean,
+        |  round(r.norm_value, 6) AS norm_value
+        |FROM agg a JOIN ref r USING (bin)""".stripMargin,
+
+    // Generated: 7 unrolled farthest-point rounds; each round is one
+    // argmax over the running min-distance column, ties on vec_id.
+    "q_kcenter" -> {
+      val rounds = (1 to 7).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT vec_id AS cid, dmin AS rad FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |c$r AS MATERIALIZED (
+           |  SELECT e.v AS cv FROM e JOIN p$r ON e.vec_id = p$r.cid),
+           |d$r AS MATERIALIZED (
+           |  SELECT d.vec_id, d.v,
+           |    least(d.dmin, 1 - list_cosine_similarity(d.v, c$r.cv)) AS dmin
+           |  FROM d${r - 1} d, c$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, 1 - list_cosine_similarity(e.v, c0.cv) AS dmin
+         |  FROM e, c0),
+         |$rounds
+         |SELECT CAST(0 AS INT) AS ord, cid AS center_id, 0.0 AS radius FROM c0
+         |${(1 to 7).map(r =>
+             s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) FROM p$r").mkString("\n")}""".stripMargin
+    },
   )
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */

@@ -207,6 +207,60 @@ class QueriesSpec extends SparkTestBase {
       s"PAV mass not preserved: $massIso vs $massRaw")
   }
 
+  test("q_negative_pairs: 4 slots per anchor, negatives from a different source") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_negative_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor_id"))
+    byAnchor.foreach { case (a, rs) =>
+      assert(rs.map(_.getAs[Int]("j")).sorted.sameElements(Array(1, 2, 3, 4)),
+        s"anchor $a missing slots")
+      rs.foreach { r =>
+        assert(docs(a) != r.getAs[String]("neg_source"),
+          s"anchor $a drew a negative from its own source")
+        Option(r.getAs[java.lang.Long]("neg_id")).foreach { nid =>
+          assert(nid != a)
+          assert(docs(nid) == r.getAs[String]("neg_source"),
+            s"neg $nid source mismatch")
+        }
+      }
+    }
+  }
+
+  test("q_quantile_norm: per-type raw means ride the rank order; reference shared") {
+    val rows = SparkEntry.queries("q_quantile_norm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // within a type, higher rank-bins pool strictly later order statistics
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bin"))
+      sorted.map(_.getAs[Double]("raw_mean")).sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b + 1e-9, s"$et raw_mean not monotone in bin: $a > $b")
+      }
+    }
+    // the normalized value is a function of bin alone (the shared reference)
+    rows.groupBy(_.getAs[Int]("bin")).foreach { case (bin, rs) =>
+      assert(rs.map(_.getAs[Double]("norm_value")).distinct.length == 1,
+        s"bin $bin maps to multiple normalized values")
+    }
+  }
+
+  test("q_kcenter: radius curve non-increasing, centers distinct") {
+    val rows = SparkEntry.queries("q_kcenter")(spark, sf)
+      .orderBy("ord").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("center_id")).distinct.length == 8)
+    val radii = rows.map(_.getAs[Double]("radius"))
+    assert(radii(0) == 0.0)
+    radii.foreach(r => assert(r >= 0.0 && r <= 2.0))
+    // Gonzalez guarantees the selection radius never increases
+    radii.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"covering radius increased: $a then $b")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
