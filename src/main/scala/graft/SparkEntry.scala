@@ -4438,6 +4438,49 @@ object SparkEntry {
     "q_kcenter" -> ((s, dir) =>
       KCenter.select(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("ord"), col("center_id"), round(col("radius"), 6).as("radius"))),
+
+    // --- beyond-reference: top principal component (power iteration) -----
+    // PCA over the first 16 embedding dimensions: the covariance matrix
+    // condenses to ONE row of 152 exact-decimal moment aggregates (the
+    // KMeans wide-agg shape — never a posexplode, which would shuffle
+    // 16× the data), and three power-iteration rounds then run entirely
+    // INSIDE that row as unrolled column arithmetic — zero driver
+    // actions, zero extra scans; at 100 TB the whole query is one
+    // map-side-combining pass. Every sum quantizes through
+    // DECIMAL(28,12) (the PQ-oracle convention) and every dot product
+    // is a left-associated 16-term chain, so Spark and DuckDB walk
+    // identical IEEE trees; λ is the final iterate's norm.
+    "q_pca_power" -> ((s, dir) => {
+      val dim = 16
+      def x(i: Int) = element_at(col("embedding"), i).cast("double")
+      def cv(i: Int, j: Int) = if (i <= j) col(s"c${i}_$j") else col(s"c${j}_$i")
+      val moCols =
+        (1 to dim).map(i => sum(x(i).cast("decimal(28,12)")).cast("double").as(s"s$i")) ++
+          (for { i <- 1 to dim; j <- i to dim }
+            yield sum((x(i) * x(j)).cast("decimal(28,12)")).cast("double").as(s"p${i}_$j"))
+      val mo = t(s, dir, "embeddings")
+        .agg(count(lit(1)).cast("double").as("n"), moCols: _*)
+      val covCols = for { i <- 1 to dim; j <- i to dim }
+        yield (col(s"p${i}_$j") / col("n")
+          - (col(s"s$i") / col("n")) * (col(s"s$j") / col("n"))).as(s"c${i}_$j")
+      var df = mo.select(col("n") +: covCols: _*)
+        .select(col("*") +: (1 to dim).map(i => lit(0.25).as(s"v0_$i")): _*)
+      for (t <- 1 to 3) {
+        df = df.select(col("*") +: (1 to dim).map { i =>
+          (1 to dim).map(j => cv(i, j) * col(s"v${t - 1}_$j"))
+            .reduceLeft(_ + _).as(s"w${t}_$i")
+        }: _*)
+        df = df.select(col("*"),
+          sqrt((1 to dim).map(i => col(s"w${t}_$i") * col(s"w${t}_$i"))
+            .reduceLeft(_ + _)).as(s"nrm$t"))
+        df = df.select(col("*") +: (1 to dim).map(i =>
+          (col(s"w${t}_$i") / col(s"nrm$t")).as(s"v${t}_$i")): _*)
+      }
+      df.select(posexplode(array((1 to dim).map(i => col(s"v3_$i")): _*))
+          .as(Seq("pos", "loading")), col("nrm3"))
+        .select((col("pos") + 1).as("dim"), round(col("loading"), 6).as("loading"),
+          round(col("nrm3"), 6).as("lambda"))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -8511,6 +8554,47 @@ object SparkEntry {
          |SELECT CAST(0 AS INT) AS ord, cid AS center_id, 0.0 AS radius FROM c0
          |${(1 to 7).map(r =>
              s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) FROM p$r").mkString("\n")}""".stripMargin
+    },
+
+    // Generated: the same one-row moment condensation and three unrolled
+    // power-iteration rounds, left-associated term for term.
+    "q_pca_power" -> {
+      val dim = 16
+      def cn(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+      val moCols =
+        (1 to dim).map(i => s"CAST(sum(CAST(v[$i] AS DECIMAL(28,12))) AS DOUBLE) AS s$i") ++
+          (for { i <- 1 to dim; j <- i to dim }
+            yield s"CAST(sum(CAST(v[$i] * v[$j] AS DECIMAL(28,12))) AS DOUBLE) AS p${i}_$j")
+      val covCols = (for { i <- 1 to dim; j <- i to dim }
+        yield s"p${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j").mkString(",\n    ")
+      val v0 = (1 to dim).map(i => s"0.25 AS v0_$i").mkString(", ")
+      val iters = (1 to 3).map { t =>
+        val w = (1 to dim).map { i =>
+          (1 to dim).map(j => s"${cn(i, j)} * v${t - 1}_$j").mkString(" + ") + s" AS w${t}_$i"
+        }.mkString(",\n    ")
+        val nrm = "sqrt(" +
+          (1 to dim).map(i => s"w${t}_$i * w${t}_$i").mkString(" + ") + s") AS nrm$t"
+        val vn = (1 to dim).map(i => s"w${t}_$i / nrm$t AS v${t}_$i").mkString(", ")
+        s"""w$t AS (SELECT *,
+           |    $w
+           |  FROM ${if (t == 1) "v0" else s"v${t - 1}"}),
+           |n$t AS (SELECT *, $nrm FROM w$t),
+           |v$t AS (SELECT *, $vn FROM n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mo AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${moCols.mkString(",\n    ")}
+         |  FROM e),
+         |cov AS (
+         |  SELECT n,
+         |    $covCols
+         |  FROM mo),
+         |v0 AS (SELECT *, $v0 FROM cov),
+         |$iters
+         |${(1 to dim).map(i =>
+             s"SELECT CAST($i AS INT) AS dim, round(v3_$i, 6) AS loading, round(nrm3, 6) AS lambda FROM v3")
+           .mkString("\nUNION ALL\n")}""".stripMargin
     },
   )
 

@@ -261,6 +261,34 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_pca_power: unit-norm loadings matching a driver-side power iteration") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_pca_power")(spark, sf).orderBy("dim").collect()
+    assert(rows.length == 16)
+    val loadings = rows.map(_.getAs[Double]("loading"))
+    val norm = math.sqrt(loadings.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings not unit norm: $norm")
+    assert(rows.map(_.getAs[Double]("lambda")).distinct.length == 1)
+    assert(rows.head.getAs[Double]("lambda") > 0.0)
+    // driver-side reference: same covariance, same 3 rounds from 0.25
+    val xs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(slice(col("embedding"), 1, 16).cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = xs.length.toDouble
+    val mu = (0 until 16).map(i => xs.map(_(i)).sum / n).toArray
+    val cov = Array.tabulate(16, 16)((i, j) =>
+      xs.map(r => r(i) * r(j)).sum / n - mu(i) * mu(j))
+    var v = Array.fill(16)(0.25)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(16)(i => (0 until 16).map(j => cov(i)(j) * v(j)).sum)
+      val nm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nm)
+    }
+    loadings.zip(v).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-3, s"dim ${i + 1}: $got vs driver $want")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
