@@ -4450,38 +4450,142 @@ object SparkEntry {
     // DECIMAL(28,12) (the PQ-oracle convention) and every dot product
     // is a left-associated 16-term chain, so Spark and DuckDB walk
     // identical IEEE trees; λ is the final iterate's norm.
-    "q_pca_power" -> ((s, dir) => {
-      val dim = 16
-      def x(i: Int) = element_at(col("embedding"), i).cast("double")
-      def cv(i: Int, j: Int) = if (i <= j) col(s"c${i}_$j") else col(s"c${j}_$i")
-      val moCols =
-        (1 to dim).map(i => sum(x(i).cast("decimal(28,12)")).cast("double").as(s"s$i")) ++
-          (for { i <- 1 to dim; j <- i to dim }
-            yield sum((x(i) * x(j)).cast("decimal(28,12)")).cast("double").as(s"p${i}_$j"))
-      val mo = t(s, dir, "embeddings")
-        .agg(count(lit(1)).cast("double").as("n"), moCols: _*)
-      val covCols = for { i <- 1 to dim; j <- i to dim }
-        yield (col(s"p${i}_$j") / col("n")
-          - (col(s"s$i") / col("n")) * (col(s"s$j") / col("n"))).as(s"c${i}_$j")
-      var df = mo.select(col("n") +: covCols: _*)
-        .select(col("*") +: (1 to dim).map(i => lit(0.25).as(s"v0_$i")): _*)
-      for (t <- 1 to 3) {
-        df = df.select(col("*") +: (1 to dim).map { i =>
-          (1 to dim).map(j => cv(i, j) * col(s"v${t - 1}_$j"))
-            .reduceLeft(_ + _).as(s"w${t}_$i")
-        }: _*)
-        df = df.select(col("*"),
-          sqrt((1 to dim).map(i => col(s"w${t}_$i") * col(s"w${t}_$i"))
-            .reduceLeft(_ + _)).as(s"nrm$t"))
-        df = df.select(col("*") +: (1 to dim).map(i =>
-          (col(s"w${t}_$i") / col(s"nrm$t")).as(s"v${t}_$i")): _*)
-      }
-      df.select(posexplode(array((1 to dim).map(i => col(s"v3_$i")): _*))
+    "q_pca_power" -> ((s, dir) =>
+      pcaTopComponent(t(s, dir, "embeddings"))
+        .select(posexplode(array((1 to 16).map(i => col(s"v3_$i")): _*))
           .as(Seq("pos", "loading")), col("nrm3"))
         .select((col("pos") + 1).as("dim"), round(col("loading"), 6).as("loading"),
-          round(col("nrm3"), 6).as("lambda"))
+          round(col("nrm3"), 6).as("lambda"))),
+
+    // --- beyond-reference: PCA projection / whitening readout ------------
+    // The serving half of q_pca_power: every embedding's coordinate along
+    // the fitted top component (the "whitening" score a curation
+    // pipeline thresholds on) plus its residual norm in the 16-dim
+    // slice. The 1-row component broadcasts into a codegen'd projection
+    // — one scan, no shuffle; both the dot product and the residual are
+    // left-associated 16-term chains shared with the oracle.
+    "q_pca_project" -> ((s, dir) => {
+      val dim = 16
+      val comp = pcaTopComponent(t(s, dir, "embeddings"))
+        .select((1 to dim).map(i => col(s"v3_$i")): _*)
+      def x(i: Int) = element_at(col("embedding"), i).cast("double")
+      t(s, dir, "embeddings")
+        .crossJoin(broadcast(comp))
+        .withColumn("proj",
+          (1 to dim).map(i => x(i) * col(s"v3_$i")).reduceLeft(_ + _))
+        .withColumn("resid",
+          sqrt((1 to dim).map(i => (x(i) - col("proj") * col(s"v3_$i"))
+            * (x(i) - col("proj") * col(s"v3_$i"))).reduceLeft(_ + _)))
+        .select(col("vec_id"), round(col("proj"), 6).as("proj"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
+    // --- beyond-reference: mutual-information feature ranking ------------
+    // Filter-style feature selection: MI between each candidate feature
+    // (source, 4-bin doc length) and the "is English" target, from
+    // exact joint counts. The map-explode unpivots features so ALL of
+    // them share one aggregation pass; each p·ln(p/..) term quantizes
+    // to DECIMAL(28,12) before the order-free sum (the q_skew_index ln
+    // pattern), so partial-aggregation order can never leak into the
+    // result. Cell tables are tiny regardless of corpus size.
+    "q_mutual_info" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), (col("lang") === "en").cast("int").as("y"))
+      val mm = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      val joint = d.join(broadcast(mm))
+        .withColumn("len4",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("n_chars") - col("lo")).cast("double") /
+              ((col("hi") - col("lo")).cast("double") / lit(4.0))).cast("int"), lit(3))))
+        .select(col("y"), explode(map(
+          lit("source"), col("source"),
+          lit("len4"), col("len4").cast("string"))).as(Seq("feature", "fv")))
+        .groupBy("feature", "fv", "y").agg(count(lit(1)).as("nxy"))
+        .localCheckpoint(eager = false) // 3 marginal consumers, ≤96 rows
+      val fx = joint.groupBy("feature", "fv").agg(sum("nxy").as("nx"))
+      val fy = joint.groupBy("feature", "y").agg(sum("nxy").as("ny_"))
+      val nn = joint.groupBy("feature").agg(sum("nxy").as("nt"))
+      joint.join(fx, Seq("feature", "fv")).join(fy, Seq("feature", "y"))
+        .join(broadcast(nn), "feature")
+        .withColumn("term",
+          ((col("nxy").cast("double") / col("nt").cast("double")) *
+            log((col("nt").cast("double") * col("nxy").cast("double")) /
+              (col("nx").cast("double") * col("ny_").cast("double"))))
+            .cast("decimal(28,12)"))
+        .groupBy("feature")
+        .agg(sum(col("term")).as("mi_q"), count(lit(1)).as("n_cells"))
+        .select(col("feature"), round(col("mi_q").cast("double"), 6).as("mi"),
+          col("n_cells"))
+    }),
+
+    // --- beyond-reference: raking / iterative proportional fitting -------
+    // Survey-style weight calibration: the (order priority × market
+    // segment) cell table rakes to uniform margins over 3 unrolled IPF
+    // rounds (row-scale then column-scale). Margin sums quantize to
+    // DECIMAL(28,12) before summing, so every scale factor is one IEEE
+    // division of deterministic doubles; the whole fit runs on the
+    // ≤25-row cell table — only the initial count touches the data.
+    "q_raking" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      var cells = t(s, dir, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("pr"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_cell"))
+        .localCheckpoint(eager = false) // root of 6 re-aggregations below
+      val dims = cells.agg(sum("n_cell").as("n"),
+        countDistinct("pr").as("npr"), countDistinct("seg").as("nseg"))
+      cells = cells.crossJoin(broadcast(dims))
+        .withColumn("w", col("n_cell").cast("double"))
+        .withColumn("t_r", col("n").cast("double") / col("npr").cast("double"))
+        .withColumn("t_c", col("n").cast("double") / col("nseg").cast("double"))
+      def qsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+      for (_ <- 1 to 3) {
+        val rs = cells.groupBy("pr").agg(qsum(col("w")).as("rs"))
+        cells = cells.join(broadcast(rs), "pr")
+          .withColumn("w", col("w") * (col("t_r") / col("rs"))).drop("rs")
+        val cs = cells.groupBy("seg").agg(qsum(col("w")).as("cs"))
+        cells = cells.join(broadcast(cs), "seg")
+          .withColumn("w", col("w") * (col("t_c") / col("cs"))).drop("cs")
+      }
+      cells.select(col("pr"), col("seg"), col("n_cell"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") / col("n_cell").cast("double"), 6).as("raking_factor"))
     }),
   )
+
+  /** One-row top-principal-component fit over the first 16 embedding
+    * dims: 152 exact-decimal moment aggregates condense the covariance,
+    * then three power-iteration rounds run as unrolled column arithmetic
+    * (columns v3_1..v3_16 + nrm3). Shared by q_pca_power/q_pca_project;
+    * the SQL twin is [[pcaPowerCtes]].
+    */
+  private def pcaTopComponent(emb: DataFrame): DataFrame = {
+    val dim = 16
+    def x(i: Int) = element_at(col("embedding"), i).cast("double")
+    def cv(i: Int, j: Int) = if (i <= j) col(s"c${i}_$j") else col(s"c${j}_$i")
+    val moCols =
+      (1 to dim).map(i => sum(x(i).cast("decimal(28,12)")).cast("double").as(s"s$i")) ++
+        (for { i <- 1 to dim; j <- i to dim }
+          yield sum((x(i) * x(j)).cast("decimal(28,12)")).cast("double").as(s"p${i}_$j"))
+    val mo = emb.agg(count(lit(1)).cast("double").as("n"), moCols: _*)
+    val covCols = for { i <- 1 to dim; j <- i to dim }
+      yield (col(s"p${i}_$j") / col("n")
+        - (col(s"s$i") / col("n")) * (col(s"s$j") / col("n"))).as(s"c${i}_$j")
+    var df = mo.select(col("n") +: covCols: _*)
+      .select(col("*") +: (1 to dim).map(i => lit(0.25).as(s"v0_$i")): _*)
+    for (t <- 1 to 3) {
+      df = df.select(col("*") +: (1 to dim).map { i =>
+        (1 to dim).map(j => cv(i, j) * col(s"v${t - 1}_$j"))
+          .reduceLeft(_ + _).as(s"w${t}_$i")
+      }: _*)
+      df = df.select(col("*"),
+        sqrt((1 to dim).map(i => col(s"w${t}_$i") * col(s"w${t}_$i"))
+          .reduceLeft(_ + _)).as(s"nrm$t"))
+      df = df.select(col("*") +: (1 to dim).map(i =>
+        (col(s"w${t}_$i") / col(s"nrm$t")).as(s"v${t}_$i")): _*)
+    }
+    df
+  }
 
   // ---------------------------------------------------------------------
   // Oracles (DuckDB SQL over the same parquet tables)
@@ -8558,45 +8662,138 @@ object SparkEntry {
 
     // Generated: the same one-row moment condensation and three unrolled
     // power-iteration rounds, left-associated term for term.
-    "q_pca_power" -> {
-      val dim = 16
-      def cn(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
-      val moCols =
-        (1 to dim).map(i => s"CAST(sum(CAST(v[$i] AS DECIMAL(28,12))) AS DOUBLE) AS s$i") ++
-          (for { i <- 1 to dim; j <- i to dim }
-            yield s"CAST(sum(CAST(v[$i] * v[$j] AS DECIMAL(28,12))) AS DOUBLE) AS p${i}_$j")
-      val covCols = (for { i <- 1 to dim; j <- i to dim }
-        yield s"p${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j").mkString(",\n    ")
-      val v0 = (1 to dim).map(i => s"0.25 AS v0_$i").mkString(", ")
-      val iters = (1 to 3).map { t =>
-        val w = (1 to dim).map { i =>
-          (1 to dim).map(j => s"${cn(i, j)} * v${t - 1}_$j").mkString(" + ") + s" AS w${t}_$i"
-        }.mkString(",\n    ")
-        val nrm = "sqrt(" +
-          (1 to dim).map(i => s"w${t}_$i * w${t}_$i").mkString(" + ") + s") AS nrm$t"
-        val vn = (1 to dim).map(i => s"w${t}_$i / nrm$t AS v${t}_$i").mkString(", ")
-        s"""w$t AS (SELECT *,
-           |    $w
-           |  FROM ${if (t == 1) "v0" else s"v${t - 1}"}),
-           |n$t AS (SELECT *, $nrm FROM w$t),
-           |v$t AS (SELECT *, $vn FROM n$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |mo AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n,
-         |    ${moCols.mkString(",\n    ")}
-         |  FROM e),
-         |cov AS (
-         |  SELECT n,
-         |    $covCols
-         |  FROM mo),
-         |v0 AS (SELECT *, $v0 FROM cov),
-         |$iters
-         |${(1 to dim).map(i =>
+    "q_pca_power" ->
+      s"""WITH $pcaPowerCtes
+         |${(1 to 16).map(i =>
              s"SELECT CAST($i AS INT) AS dim, round(v3_$i, 6) AS loading, round(nrm3, 6) AS lambda FROM v3")
-           .mkString("\nUNION ALL\n")}""".stripMargin
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
+    // Same component CTEs; projection and residual are the Spark side's
+    // left-associated chains term for term.
+    "q_pca_project" -> {
+      val proj = (1 to 16).map(i => s"e2.v[$i] * v3.v3_$i").mkString(" + ")
+      val resid = (1 to 16)
+        .map(i => s"(e2.v[$i] - proj * v3.v3_$i) * (e2.v[$i] - proj * v3.v3_$i)")
+        .mkString(" + ")
+      s"""WITH $pcaPowerCtes,
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pr AS (SELECT e2.vec_id, $proj AS proj FROM e2, v3)
+         |SELECT pr.vec_id, round(pr.proj, 6) AS proj,
+         |  round(sqrt($resid), 6) AS resid
+         |FROM pr JOIN e2 ON e2.vec_id = pr.vec_id, v3""".stripMargin
+    },
+
+    // Exact joint counts; each p·ln term decimal-quantized before the
+    // order-free sum (the q_skew_index ln convention).
+    "q_mutual_info" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+        |fb AS (
+        |  SELECT y, source, CASE WHEN hi = lo THEN 0 ELSE
+        |    least(CAST(trunc(CAST(n_chars - lo AS DOUBLE) / (CAST(hi - lo AS DOUBLE) / 4.0)) AS INT), 3)
+        |  END AS len4
+        |  FROM d, mm),
+        |feat AS (
+        |  SELECT y, 'source' AS feature, source AS fv FROM fb
+        |  UNION ALL
+        |  SELECT y, 'len4', CAST(len4 AS VARCHAR) FROM fb),
+        |joint AS (
+        |  SELECT feature, fv, y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM feat GROUP BY 1, 2, 3),
+        |fx AS (SELECT feature, fv, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1, 2),
+        |fy AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny_ FROM joint GROUP BY 1, 2),
+        |nn AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS nt FROM joint GROUP BY 1),
+        |terms AS (
+        |  SELECT j.feature,
+        |    CAST((CAST(j.nxy AS DOUBLE) / CAST(n.nt AS DOUBLE)) *
+        |      ln((CAST(n.nt AS DOUBLE) * CAST(j.nxy AS DOUBLE)) /
+        |        (CAST(f.nx AS DOUBLE) * CAST(g.ny_ AS DOUBLE))) AS DECIMAL(28,12)) AS term
+        |  FROM joint j
+        |    JOIN fx f ON f.feature = j.feature AND f.fv = j.fv
+        |    JOIN fy g ON g.feature = j.feature AND g.y = j.y
+        |    JOIN nn n ON n.feature = j.feature)
+        |SELECT feature, round(CAST(sum(term) AS DOUBLE), 6) AS mi,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    // Generated: three unrolled IPF rounds (row scale, column scale);
+    // margin sums decimal-quantized, scale factors identical IEEE trees.
+    "q_raking" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "c0" else s"b${t - 1}"
+        s"""a$t AS (
+           |  SELECT c.pr, c.seg, c.n_cell, c.w * (c.t_r / m.rs) AS w, c.t_r, c.t_c
+           |  FROM $prev c JOIN (
+           |    SELECT pr, CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS rs
+           |    FROM $prev GROUP BY 1) m ON m.pr = c.pr),
+           |b$t AS (
+           |  SELECT c.pr, c.seg, c.n_cell, c.w * (c.t_c / m.cs) AS w, c.t_r, c.t_c
+           |  FROM a$t c JOIN (
+           |    SELECT seg, CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS cs
+           |    FROM a$t GROUP BY 1) m ON m.seg = c.seg)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cells0 AS (
+         |  SELECT o_orderpriority AS pr, c_mktsegment AS seg,
+         |    CAST(count(*) AS BIGINT) AS n_cell
+         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |dims AS (
+         |  SELECT CAST(sum(n_cell) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT pr) AS BIGINT) AS npr,
+         |    CAST(count(DISTINCT seg) AS BIGINT) AS nseg
+         |  FROM cells0),
+         |c0 AS (
+         |  SELECT pr, seg, n_cell, CAST(n_cell AS DOUBLE) AS w,
+         |    CAST(n AS DOUBLE) / CAST(npr AS DOUBLE) AS t_r,
+         |    CAST(n AS DOUBLE) / CAST(nseg AS DOUBLE) AS t_c
+         |  FROM cells0, dims),
+         |$rounds
+         |SELECT pr, seg, n_cell, round(w, 6) AS weight,
+         |  round(w / CAST(n_cell AS DOUBLE), 6) AS raking_factor
+         |FROM b3""".stripMargin
     },
   )
+
+  /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns
+    * v3_1..v3_16 + nrm3 (plus everything upstream). Left-associated
+    * term order matches the Spark reduceLeft chains exactly.
+    */
+  private val pcaPowerCtes: String = {
+    val dim = 16
+    def cn(i: Int, j: Int) = if (i <= j) s"c${i}_$j" else s"c${j}_$i"
+    val moCols =
+      (1 to dim).map(i => s"CAST(sum(CAST(v[$i] AS DECIMAL(28,12))) AS DOUBLE) AS s$i") ++
+        (for { i <- 1 to dim; j <- i to dim }
+          yield s"CAST(sum(CAST(v[$i] * v[$j] AS DECIMAL(28,12))) AS DOUBLE) AS p${i}_$j")
+    val covCols = (for { i <- 1 to dim; j <- i to dim }
+      yield s"p${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j").mkString(",\n    ")
+    val v0 = (1 to dim).map(i => s"0.25 AS v0_$i").mkString(", ")
+    val iters = (1 to 3).map { t =>
+      val w = (1 to dim).map { i =>
+        (1 to dim).map(j => s"${cn(i, j)} * v${t - 1}_$j").mkString(" + ") + s" AS w${t}_$i"
+      }.mkString(",\n    ")
+      val nrm = "sqrt(" +
+        (1 to dim).map(i => s"w${t}_$i * w${t}_$i").mkString(" + ") + s") AS nrm$t"
+      val vn = (1 to dim).map(i => s"w${t}_$i / nrm$t AS v${t}_$i").mkString(", ")
+      s"""w$t AS (SELECT *,
+         |    $w
+         |  FROM ${if (t == 1) "v0" else s"v${t - 1}"}),
+         |n$t AS (SELECT *, $nrm FROM w$t),
+         |v$t AS (SELECT *, $vn FROM n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |mo AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${moCols.mkString(",\n    ")}
+       |  FROM e),
+       |cov AS (
+       |  SELECT n,
+       |    $covCols
+       |  FROM mo),
+       |v0 AS (SELECT *, $v0 FROM cov),
+       |$iters""".stripMargin
+  }
 
   /** Flagship query — driver smoke-checks rows > 0 at sf0.001. */
   def entry(spark: SparkSession): DataFrame =

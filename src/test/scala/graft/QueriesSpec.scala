@@ -289,6 +289,54 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_pca_project: proj and resid close the Pythagorean identity per vector") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_pca_project")(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("proj"), r.getAs[Double]("resid"))).toMap
+    assert(rows.nonEmpty)
+    val norms = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("aggregate(slice(embedding, 1, 16), 0d, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, (p, res)) =>
+      assert(res >= 0.0)
+      assert(math.abs(p * p + res * res - norms(id)) < 1e-3,
+        s"vec $id: proj/resid do not decompose the slice norm")
+    }
+  }
+
+  test("q_mutual_info: both features present, MI within [0, ln(cells)]") {
+    val rows = SparkEntry.queries("q_mutual_info")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).sorted.sameElements(Array("len4", "source")))
+    rows.foreach { r =>
+      val (mi, cells) = (r.getAs[Double]("mi"), r.getAs[Long]("n_cells"))
+      assert(cells >= 2)
+      assert(mi >= -1e-9, s"negative MI: $mi")
+      assert(mi <= math.log(cells.toDouble) + 1e-9, s"MI $mi above ln($cells)")
+    }
+  }
+
+  test("q_raking: column margins exact after the final scale, totals preserved") {
+    val rows = SparkEntry.queries("q_raking")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_cell")).sum.toDouble
+    val segs = rows.groupBy(_.getAs[String]("seg"))
+    val prs = rows.groupBy(_.getAs[String]("pr"))
+    val segTarget = n / segs.size
+    segs.foreach { case (seg, rs) =>
+      val m = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(m - segTarget) < 1e-3, s"seg $seg margin $m vs $segTarget")
+    }
+    // row margins converge but are not exact after a column-last round
+    val prTarget = n / prs.size
+    prs.foreach { case (pr, rs) =>
+      val m = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(m - prTarget) / prTarget < 0.05, s"pr $pr margin $m far from $prTarget")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
