@@ -4551,6 +4551,120 @@ object SparkEntry {
         round(col("w"), 6).as("weight"),
         round(col("w") / col("n_cell").cast("double"), 6).as("raking_factor"))
     }),
+
+    // --- beyond-reference: cumulative gains / lift curve -----------------
+    // The targeting readout beside q_auc/q_calibration: "if we act on
+    // the top-scoring slice, what share of positives do we capture?"
+    // Score bins are the q_calibration fixed-width kind; the cumulative
+    // top-down sums come from a 20×20 bin self-join (never a global
+    // window — PlanShapeSpec bans those), so nothing here grows with
+    // the corpus except the one scoring scan.
+    "q_gain_curve" -> ((s, dir) => {
+      val scored = t(s, dir, "embeddings")
+        .select(round(MlpScore.score(col("embedding"), 64, 8), 6).as("sc"),
+          when(pmod(col("label"), lit(2)) === 0, 1L).otherwise(0L).as("y"))
+      val mm = scored.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))
+      val bins = scored.join(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("sc") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0))).cast("int"),
+              lit(19))))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+        .localCheckpoint(eager = false) // totals + cumulative self-join
+      val tot = bins.agg(sum("n").as("n_tot"), sum("ny").as("pos_tot"))
+      bins.select(col("bin"))
+        .join(broadcast(bins.select(col("bin").as("b2"), col("n"), col("ny"))),
+          col("b2") >= col("bin"))
+        .groupBy("bin").agg(sum("n").as("cum_n"), sum("ny").as("cum_pos"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("cum_n"),
+          round(col("cum_n").cast("double") / col("n_tot").cast("double"), 6).as("frac_targeted"),
+          round(col("cum_pos").cast("double") / col("pos_tot").cast("double"), 6).as("gain"),
+          round((col("cum_pos").cast("double") / col("pos_tot").cast("double")) /
+            (col("cum_n").cast("double") / col("n_tot").cast("double")), 6).as("lift"))
+    }),
+
+    // --- beyond-reference: Heaps-law vocabulary growth -------------------
+    // Corpus-health diagnostic: vocabulary size V(N) vs token count N at
+    // 10 doc-id checkpoints, plus the fitted Heaps exponent b from OLS
+    // on (ln N, ln V). A stagnating b is the classic duplicated-corpus
+    // smell the dedup family exists to fix. First occurrences come from
+    // one token aggregation (min doc per token); checkpoints are fixed
+    // thresholds (no global ranks); each ln quantizes to decimal before
+    // the 10-point fit, whose slope is one shared IEEE tree.
+    "q_heaps_law" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .localCheckpoint(eager = false) // first occurrences + instance counts
+      val ks = broadcast(docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .select(col("*"), explode(array((1 to 10).map(lit(_)): _*)).as("k"))
+        .withColumn("thr", col("lo") +
+          floor((col("hi") - col("lo")).cast("double") * col("k") / lit(10.0)).cast("long"))
+        .select("k", "thr"))
+      val vocab = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+        .join(ks, col("first_doc") <= col("thr"))
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+      val insts = toks.join(ks, col("doc_id") <= col("thr"))
+        .groupBy("k").agg(count(lit(1)).as("n_tokens"))
+      val pts = vocab.join(insts, "k")
+        .withColumn("lnn", log(col("n_tokens").cast("double")).cast("decimal(28,12)").cast("double"))
+        .withColumn("lnv", log(col("vocab").cast("double")).cast("decimal(28,12)").cast("double"))
+        .localCheckpoint(eager = false) // fit + readout
+      val d = (c: Column) => c.cast("double")
+      val fit = pts.agg(count(lit(1)).as("np"),
+          sum(col("lnn").cast("decimal(28,12)")).as("sx"),
+          sum(col("lnv").cast("decimal(28,12)")).as("sy"),
+          sum((col("lnn") * col("lnn")).cast("decimal(28,12)")).as("sxx"),
+          sum((col("lnn") * col("lnv")).cast("decimal(28,12)")).as("sxy"))
+        .withColumn("b",
+          (d(col("np")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("np")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+        .withColumn("a", (d(col("sy")) - col("b") * d(col("sx"))) / d(col("np")))
+        .select(col("b"), col("a"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("k"), col("n_tokens"), col("vocab"),
+          round(col("b"), 6).as("heaps_b"), round(col("a"), 6).as("heaps_a"))
+    }),
+
+    // --- beyond-reference: permutation test (hash-sign replicates) -------
+    // The nonparametric sibling of q_ab_ztest/q_welch_t: 16 label
+    // permutations, each flipping every user's variant by an md5 bit
+    // keyed on (user, replicate) — deterministic, partition-independent,
+    // growth-stable, like q_bootstrap's Poisson weights. Per-user totals
+    // are exact decimals; each replicate's mean gap is two divisions of
+    // exact sums, so the exceeds-observed flags are cross-engine exact.
+    "q_perm_test" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+        .localCheckpoint(eager = false) // observed gap + 16 replicates
+      val obs = u.agg(
+          sum(when(col("variant") === 1, col("v"))).as("s1"),
+          count(when(col("variant") === 1, lit(1))).as("n1"),
+          sum(when(col("variant") === 0, col("v"))).as("s0"),
+          count(when(col("variant") === 0, lit(1))).as("n0"))
+        .select((d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0"))).as("d_obs"))
+      u.select(col("*"), explode(array((1 to 16).map(lit(_)): _*)).as("rep"))
+        .withColumn("bit",
+          pmod(conv(substring(md5(concat_ws(":", col("user_id"), col("rep"))), 1, 8), 16, 10)
+            .cast("long"), lit(2)).cast("int"))
+        .withColumn("g", pmod(col("variant") + col("bit"), lit(2)))
+        .groupBy("rep")
+        .agg(
+          sum(when(col("g") === 1, col("v"))).as("s1"),
+          count(when(col("g") === 1, lit(1))).as("n1"),
+          sum(when(col("g") === 0, col("v"))).as("s0"),
+          count(when(col("g") === 0, lit(1))).as("n0"))
+        .withColumn("d_rep", d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0")))
+        .crossJoin(broadcast(obs))
+        .select(col("rep"), round(col("d_rep"), 6).as("d_rep"),
+          round(col("d_obs"), 6).as("d_obs"),
+          (abs(col("d_rep")) >= abs(col("d_obs"))).as("exceeds"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -8493,8 +8607,8 @@ object SparkEntry {
         |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS sst
         |  FROM beta)
         |SELECT l_returnflag, n,
-        |  round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
-        |  round(1.0 - sse / sst, 6) AS r2
+        |  round(b0, 6) + 0 AS beta0, round(b1, 6) + 0 AS beta1, round(b2, 6) + 0 AS beta2,
+        |  round(1.0 - sse / sst, 6) + 0 AS r2
         |FROM fit""".stripMargin,
 
     // PAV by the minimax identity over the q_calibration bins; range
@@ -8629,8 +8743,8 @@ object SparkEntry {
         |    CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS vsum
         |  FROM binned GROUP BY 1, 2)
         |SELECT a.event_type, a.bin, a.n,
-        |  round(a.vsum / CAST(a.n AS DOUBLE), 6) AS raw_mean,
-        |  round(r.norm_value, 6) AS norm_value
+        |  round(a.vsum / CAST(a.n AS DOUBLE), 6) + 0 AS raw_mean,
+        |  round(r.norm_value, 6) + 0 AS norm_value
         |FROM agg a JOIN ref r USING (bin)""".stripMargin,
 
     // Generated: 7 unrolled farthest-point rounds; each round is one
@@ -8665,7 +8779,7 @@ object SparkEntry {
     "q_pca_power" ->
       s"""WITH $pcaPowerCtes
          |${(1 to 16).map(i =>
-             s"SELECT CAST($i AS INT) AS dim, round(v3_$i, 6) AS loading, round(nrm3, 6) AS lambda FROM v3")
+             s"SELECT CAST($i AS INT) AS dim, round(v3_$i, 6) + 0 AS loading, round(nrm3, 6) AS lambda FROM v3")
            .mkString("\nUNION ALL\n")}""".stripMargin,
 
     // Same component CTEs; projection and residual are the Spark side's
@@ -8678,7 +8792,7 @@ object SparkEntry {
       s"""WITH $pcaPowerCtes,
          |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |pr AS (SELECT e2.vec_id, $proj AS proj FROM e2, v3)
-         |SELECT pr.vec_id, round(pr.proj, 6) AS proj,
+         |SELECT pr.vec_id, round(pr.proj, 6) + 0 AS proj,
          |  round(sqrt($resid), 6) AS resid
          |FROM pr JOIN e2 ON e2.vec_id = pr.vec_id, v3""".stripMargin
     },
@@ -8714,7 +8828,7 @@ object SparkEntry {
         |    JOIN fx f ON f.feature = j.feature AND f.fv = j.fv
         |    JOIN fy g ON g.feature = j.feature AND g.y = j.y
         |    JOIN nn n ON n.feature = j.feature)
-        |SELECT feature, round(CAST(sum(term) AS DOUBLE), 6) AS mi,
+        |SELECT feature, round(CAST(sum(term) AS DOUBLE), 6) + 0 AS mi,
         |  CAST(count(*) AS BIGINT) AS n_cells
         |FROM terms GROUP BY 1""".stripMargin,
 
@@ -8753,6 +8867,101 @@ object SparkEntry {
          |  round(w / CAST(n_cell AS DOUBLE), 6) AS raking_factor
          |FROM b3""".stripMargin
     },
+
+    // Cumulative top-down sums from the bin self-join; everything else
+    // is the q_calibration binning verbatim.
+    "q_gain_curve" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT round($mlpScoreSqlExpr, 6) AS s,
+         |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM e),
+         |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM scored),
+         |binned AS (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |    ELSE least(CAST(trunc((s - lo) / ((hi - lo) / 20.0)) AS INT), 19) END AS bin, y
+         |  FROM scored, mm),
+         |bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS ny
+         |  FROM binned GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(ny) AS BIGINT) AS pos_tot
+         |  FROM bins),
+         |cum AS (
+         |  SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cum_n, CAST(sum(b.ny) AS BIGINT) AS cum_pos
+         |  FROM bins a JOIN bins b ON b.bin >= a.bin GROUP BY 1)
+         |SELECT bin, cum_n,
+         |  round(CAST(cum_n AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS frac_targeted,
+         |  round(CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE), 6) AS gain,
+         |  round((CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)) /
+         |    (CAST(cum_n AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS lift
+         |FROM cum, tot""".stripMargin,
+
+    // Fixed doc-id thresholds (no global ranks); quantized-ln OLS fit.
+    "q_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |ks AS (
+        |  SELECT CAST(g.gs AS INT) AS k,
+        |    lo + CAST(floor(CAST(hi - lo AS DOUBLE) * g.gs / 10.0) AS BIGINT) AS thr
+        |  FROM (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS gs) g),
+        |firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS vocab
+        |  FROM firsts JOIN ks ON first_doc <= thr GROUP BY 1),
+        |insts AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks JOIN ks ON doc_id <= thr GROUP BY 1),
+        |pts AS (
+        |  SELECT k, n_tokens, vocab,
+        |    CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE) AS lnn,
+        |    CAST(CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE) AS lnv
+        |  FROM vocab JOIN insts USING (k)),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(CAST(lnn AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(lnv AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(lnn * lnn AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(lnn * lnv AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        |  FROM pts),
+        |fit AS (
+        |  SELECT (CAST(np AS DOUBLE) * sxy - sx * sy) /
+        |         (CAST(np AS DOUBLE) * sxx - sx * sx) AS b, np, sx, sy
+        |  FROM mo),
+        |fit2 AS (SELECT b, (sy - b * sx) / CAST(np AS DOUBLE) AS a FROM fit)
+        |SELECT k, n_tokens, vocab, round(b, 6) + 0 AS heaps_b, round(a, 6) + 0 AS heaps_a
+        |FROM pts, fit2""".stripMargin,
+
+    // md5-bit label flips per (user, replicate); exact decimal totals.
+    "q_perm_test" ->
+      """WITH u AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(12,3))) AS v,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |obs AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 1 THEN v END) AS DOUBLE) /
+        |    CAST(count(CASE WHEN variant = 1 THEN 1 END) AS DOUBLE) -
+        |    CAST(sum(CASE WHEN variant = 0 THEN v END) AS DOUBLE) /
+        |    CAST(count(CASE WHEN variant = 0 THEN 1 END) AS DOUBLE) AS d_obs
+        |  FROM u),
+        |reps AS (
+        |  SELECT u.user_id, u.v, u.variant, CAST(g.gs AS INT) AS rep,
+        |    CAST((u.variant + CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+        |      || CAST(g.gs AS VARCHAR)), 1, 8) AS BIGINT) % 2) % 2 AS INT) AS g
+        |  FROM u CROSS JOIN (SELECT unnest(range(1, 17)) AS gs) g),
+        |per AS (
+        |  SELECT rep,
+        |    CAST(sum(CASE WHEN g = 1 THEN v END) AS DOUBLE) /
+        |    CAST(count(CASE WHEN g = 1 THEN 1 END) AS DOUBLE) -
+        |    CAST(sum(CASE WHEN g = 0 THEN v END) AS DOUBLE) /
+        |    CAST(count(CASE WHEN g = 0 THEN 1 END) AS DOUBLE) AS d_rep
+        |  FROM reps GROUP BY 1)
+        |SELECT rep, round(d_rep, 6) + 0 AS d_rep, round(d_obs, 6) + 0 AS d_obs,
+        |  abs(d_rep) >= abs(d_obs) AS exceeds
+        |FROM per, obs""".stripMargin,
   )
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

@@ -337,6 +337,53 @@ class QueriesSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
   }
 
+  test("q_gain_curve: anchored at (1,1), monotone as the targeted slice narrows") {
+    val rows = SparkEntry.queries("q_gain_curve")(spark, sf)
+      .orderBy("bin").collect()
+    assert(rows.nonEmpty)
+    val bottom = rows.head
+    assert(bottom.getAs[Int]("bin") == 0)
+    assert(math.abs(bottom.getAs[Double]("frac_targeted") - 1.0) < 1e-9)
+    assert(math.abs(bottom.getAs[Double]("gain") - 1.0) < 1e-9)
+    // narrowing the slice (higher bins) can only shrink frac and gain
+    val fracs = rows.map(_.getAs[Double]("frac_targeted"))
+    val gains = rows.map(_.getAs[Double]("gain"))
+    fracs.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    gains.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("gain") >= -1e-9 && r.getAs[Double]("gain") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("lift") >= -1e-9)
+    }
+  }
+
+  test("q_heaps_law: both growth curves monotone, vocab bounded by tokens") {
+    val rows = SparkEntry.queries("q_heaps_law")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.length == 10)
+    val v = rows.map(_.getAs[Long]("vocab"))
+    val n = rows.map(_.getAs[Long]("n_tokens"))
+    v.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    n.sliding(2).foreach { case Array(a, b) => assert(a <= b) }
+    v.zip(n).foreach { case (vv, nn) => assert(vv <= nn) }
+    val b = rows.head.getAs[Double]("heaps_b")
+    assert(rows.map(_.getAs[Double]("heaps_b")).distinct.length == 1)
+    // sublinear growth: 0 <= b < 1 (a saturated synthetic vocab sits near 0)
+    assert(b > -0.05 && b < 1.0, s"heaps exponent out of range: $b")
+  }
+
+  test("q_perm_test: 16 replicates share the observed gap; flags consistent") {
+    val rows = SparkEntry.queries("q_perm_test")(spark, sf).collect()
+    val reps: Seq[Int] = rows.map(r => r.getAs[Int]("rep")).toSeq
+    assert(reps.sorted == (1 to 16).toList)
+    assert(rows.map(_.getAs[Double]("d_obs")).distinct.length == 1)
+    rows.foreach { r =>
+      // flag computed pre-rounding; only assert away from the boundary
+      val gap = math.abs(r.getAs[Double]("d_rep")) - math.abs(r.getAs[Double]("d_obs"))
+      if (math.abs(gap) > 2e-6)
+        assert(r.getAs[Boolean]("exceeds") == (gap >= 0))
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
