@@ -4341,7 +4341,7 @@ object SparkEntry {
             when(pmod(col("doc_id"), lit(2)) === 0, check)
               .otherwise(pmod(check + 5, lit(10))).cast("string")))
         .select(col("doc_id"), col("pan").substr(13, 4).as("last4"),
-          (pmod(luhnSum(col("pan"), 16), lit(10)) === 0).as("luhn_valid"))
+          TextAnalysis.luhnValid(col("pan")).as("luhn_valid"))
     }),
 
     // --- beyond-reference: contrastive negative sampling -----------------
@@ -4664,6 +4664,38 @@ object SparkEntry {
         .select(col("rep"), round(col("d_rep"), 6).as("d_rep"),
           round(col("d_obs"), 6).as("d_obs"),
           (abs(col("d_rep")) >= abs(col("d_obs"))).as("exceeds"))
+    }),
+
+    // --- beyond-reference: Zipf rank-frequency fit ------------------------
+    // Heaps' companion diagnostic (same quantized-ln OLS machinery): the
+    // per-source slope of ln(term frequency) on ln(rank) over each
+    // source's top-50 terms. Natural text sits near −1; a much flatter
+    // slope flags templated/duplicated content before the dedup family
+    // even runs. One term aggregation + one source-partitioned top-k
+    // window; the 50-point fits are map-side-combining aggregates.
+    "q_zipf_fit" -> ((s, dir) => {
+      val k = 50
+      val d = (c: Column) => c.cast("double")
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source").orderBy(col("n").desc, col("term").asc)
+      tf.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .withColumn("lnr", log(col("rk").cast("double")).cast("decimal(28,12)").cast("double"))
+        .withColumn("lnn", log(col("n").cast("double")).cast("decimal(28,12)").cast("double"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("lnr").cast("decimal(28,12)")).as("sx"),
+          sum(col("lnn").cast("decimal(28,12)")).as("sy"),
+          sum((col("lnr") * col("lnr")).cast("decimal(28,12)")).as("sxx"),
+          sum((col("lnr") * col("lnn")).cast("decimal(28,12)")).as("sxy"))
+        .withColumn("slope",
+          (d(col("n_terms")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("n_terms")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+        .select(col("source"), col("n_terms"),
+          round(col("slope"), 6).as("zipf_slope"),
+          round((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n_terms")), 6)
+            .as("zipf_a"))
     }),
   )
 
@@ -8962,6 +8994,40 @@ object SparkEntry {
         |SELECT rep, round(d_rep, 6) + 0 AS d_rep, round(d_obs, 6) + 0 AS d_obs,
         |  abs(d_rep) >= abs(d_obs) AS exceeds
         |FROM per, obs""".stripMargin,
+
+    // Same tokenizer convention as the retrieval oracles; quantized-ln
+    // OLS per source over the top-50 window.
+    "q_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source,
+        |          unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE) AS lnr,
+        |    CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,12)) AS DOUBLE) AS lnn
+        |  FROM (
+        |    SELECT source, n,
+        |      row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk
+        |    FROM tf)
+        |  WHERE rk <= 50),
+        |mo AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(CAST(lnr AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(lnn AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(lnr * lnr AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(lnr * lnn AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        |  FROM pts GROUP BY 1),
+        |fit AS (
+        |  SELECT source, n_terms,
+        |    (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope, sx, sy
+        |  FROM mo)
+        |SELECT source, n_terms, round(slope, 6) + 0 AS zipf_slope,
+        |  round((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) + 0 AS zipf_a
+        |FROM fit""".stripMargin,
   )
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

@@ -357,4 +357,15 @@ object DocsStream {
       batch.join(hits, Seq(idCol), "left_anti")
         .write.mode("append").parquet(outPath)
     }
+
+  /** Stateless PII ingest gate: drop any document containing a
+    * Luhn-VALID card-number candidate ([[TextAnalysis.containsValidPan]]
+    * — a bare 13–19-digit run with a failing checksum passes, a real
+    * PAN does not). Pure per-row predicate, so micro-batching is
+    * invisible: the streamed survivors are exactly the batch filter's
+    * (StreamingSpec pins it). Null text passes, matching qualityGated's
+    * "null predicate → keep" convention via the explicit coalesce.
+    */
+  def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(!coalesce(TextAnalysis.containsValidPan(col(textCol)), lit(false)))
 }

@@ -16,6 +16,37 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Mod-10 Luhn checksum validity of a digit string of ANY length
+    * (13–19 for real card numbers): a pure integer fold over the digit
+    * positions — every second digit from the RIGHT doubles, with the
+    * classic subtract-9 wrap. Runs inside whole-stage codegen; the
+    * validation step behind card-number PII detection (q_luhn,
+    * [[graft.streaming.DocsStream.piiGate]]).
+    */
+  def luhnValid(digits: Column): Column = {
+    val len = length(digits)
+    val total = aggregate(sequence(lit(1), len), lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        // position from the right is len - i + 1; even ones double
+        val term = when(pmod(len - i + 1, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + term
+      })
+    length(digits) >= 2 && pmod(total, lit(10)) === 0
+  }
+
+  /** Candidate card-number runs (13–19 digits) in free text. */
+  def panCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("[0-9]{13,19}"), lit(0))
+
+  /** TRUE when the text contains at least one Luhn-valid card-number
+    * candidate — the "this really is a PAN" confirmation that cuts the
+    * false-positive rate of a bare digit-run regex.
+    */
+  def containsValidPan(text: Column): Column =
+    exists(panCandidates(text), p => luhnValid(p))
+
   /** Token count without materializing the token array. */
   def tokenCount(text: Column): Column =
     when(trim(text) === "" || text.isNull, lit(0))

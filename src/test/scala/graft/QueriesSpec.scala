@@ -384,6 +384,19 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_zipf_fit: one fit per source, non-positive slope over the top-50") {
+    val rows = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_terms")
+      assert(n >= 2 && n <= 50)
+      // frequencies are non-increasing in rank, so the OLS slope
+      // can never be positive (0 only if every count ties)
+      assert(r.getAs[Double]("zipf_slope") <= 1e-9)
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -675,4 +675,32 @@ class StreamingSpec extends SparkTestBase {
     // Sanity: same-population slices sit well under the 0.25 action line.
     streamed.foreach { case (_, psi) => assert(psi >= 0.0 && psi < 0.25, s"psi $psi") }
   }
+
+  test("DocsStream.piiGate drops Luhn-valid card numbers, stream identical to batch") {
+    val dir = tmpDir("stream_docs_pii")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      (1L, "ordinary prose with no digits at all", t0),
+      // 4532015112830366 passes the Luhn checksum — a real-looking PAN
+      (2L, "card on file 4532015112830366 thanks", t0),
+      // same digits, corrupted check digit: a false-positive digit run
+      (3L, "invoice ref 4532015112830367 attached", t0),
+      // short digit runs never qualify as candidates
+      (4L, "order 12345 shipped 2026", t0),
+      (5L, null.asInstanceOf[String], t0), // null text passes by convention
+    ).toDF("doc_id", "text", "ingest_time")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(DocsStream.piiGate(stream), "docs_pii_gated")
+    try {
+      val streamed = spark.table("docs_pii_gated").select("doc_id").as[Long].collect().toSet
+      val batch = DocsStream.piiGate(spark.read.schema(docsSchema).parquet(dir))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "streaming PII gate diverges from batch")
+      assert(streamed == Set(1L, 3L, 4L, 5L),
+        s"only the valid-checksum PAN doc should drop, got $streamed")
+    } finally q.stop()
+  }
 }
