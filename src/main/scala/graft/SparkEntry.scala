@@ -4697,6 +4697,54 @@ object SparkEntry {
           round((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n_terms")), 6)
             .as("zipf_a"))
     }),
+
+    // --- beyond-reference: Hopkins cluster-tendency statistic ------------
+    // "Is this embedding space clustered at all, or uniform noise?" —
+    // the go/no-go diagnostic BEFORE KMeans/SemDeDup spend anything.
+    // A ~3% hash slice of real points and equally many synthetic
+    // points (per-dim uniform via the q_bootstrap md5-uniform, inside
+    // the per-dim min/max box) each find their nearest real neighbor
+    // over the first 16 dims; H = Σu/(Σu+Σw) reads ~0.5 for uniform
+    // data, →1 for clustered. Probes broadcast over ONE corpus scan
+    // (never corpus×corpus); min-distances decimal-quantize before the
+    // final order-free sums.
+    "q_hopkins" -> ((s, dir) => {
+      val dim = 16
+      def x(i: Int) = element_at(col("embedding"), i).cast("double")
+      val emb = t(s, dir, "embeddings")
+      val mmCols = (1 to dim).map(i => min(x(i)).as(s"lo$i")) ++
+        (1 to dim).map(i => max(x(i)).as(s"hi$i"))
+      val mm = emb.agg(mmCols.head, mmCols.tail: _*)
+      def u(i: Int) =
+        (conv(substring(md5(concat_ws(":", col("pid"), lit(i))), 1, 8), 16, 10)
+          .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+      val withSynth = emb.filter(pmod(col("vec_id"), lit(31)) === 0)
+        .select(col("vec_id").as("pid") +: (1 to dim).map(i => x(i).as(s"p$i")): _*)
+        .crossJoin(broadcast(mm))
+        .select(col("pid") +:
+          ((1 to dim).map(i => col(s"p$i")) ++
+            (1 to dim).map(i =>
+              (col(s"lo$i") + (col(s"hi$i") - col(s"lo$i")) * u(i)).as(s"s$i"))): _*)
+      def chainDist(a: Int => Column, b: Int => Column) =
+        sqrt((1 to dim).map(i => (a(i) - b(i)) * (a(i) - b(i))).reduceLeft(_ + _))
+      emb.select(col("vec_id") +: (1 to dim).map(i => x(i).as(s"x$i")): _*)
+        .crossJoin(broadcast(withSynth))
+        .select(col("pid"), col("vec_id"),
+          chainDist(i => col(s"x$i"), i => col(s"p$i")).as("dw"),
+          chainDist(i => col(s"x$i"), i => col(s"s$i")).as("du"))
+        .groupBy("pid")
+        .agg(
+          min(when(col("vec_id") =!= col("pid"), col("dw"))).as("w"),
+          min(col("du")).as("u"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("u").cast("decimal(28,12)")).as("su"),
+          sum(col("w").cast("decimal(28,12)")).as("sw"))
+        .select(col("n_probes"),
+          round(col("su").cast("double"), 6).as("sum_u"),
+          round(col("sw").cast("double"), 6).as("sum_w"),
+          round(col("su").cast("double") /
+            (col("su").cast("double") + col("sw").cast("double")), 6).as("hopkins"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -9028,6 +9076,46 @@ object SparkEntry {
         |SELECT source, n_terms, round(slope, 6) + 0 AS zipf_slope,
         |  round((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) + 0 AS zipf_a
         |FROM fit""".stripMargin,
+
+    // Generated: 16-dim min/max box, md5-uniform synthetic probes, and
+    // left-associated distance chains, term for term with the Spark side.
+    "q_hopkins" -> {
+      val dim = 16
+      def uexpr(i: Int) =
+        s"(CAST('0x' || substr(md5(CAST(pid AS VARCHAR) || ':' || '$i'), 1, 8) AS BIGINT) + 0.5) / 4294967296.0"
+      def chain(a: String, b: String) =
+        "sqrt(" + (1 to dim).map(i => s"($a$i - $b$i) * ($a$i - $b$i)").mkString(" + ") + ")"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mm AS (SELECT ${(1 to dim).map(i => s"min(v[$i]) AS lo$i").mkString(", ")},
+         |  ${(1 to dim).map(i => s"max(v[$i]) AS hi$i").mkString(", ")} FROM e),
+         |probes AS (
+         |  SELECT vec_id AS pid, ${(1 to dim).map(i => s"v[$i] AS p$i").mkString(", ")}
+         |  FROM e WHERE vec_id % 31 = 0),
+         |ps AS (
+         |  SELECT pid, ${(1 to dim).map(i => s"p$i").mkString(", ")},
+         |    ${(1 to dim).map(i => s"lo$i + (hi$i - lo$i) * ${uexpr(i)} AS s$i").mkString(",\n    ")}
+         |  FROM probes, mm),
+         |corpus AS (
+         |  SELECT vec_id, ${(1 to dim).map(i => s"v[$i] AS x$i").mkString(", ")} FROM e),
+         |dists AS (
+         |  SELECT ps.pid, c.vec_id,
+         |    ${chain("c.x", "ps.p")} AS dw,
+         |    ${chain("c.x", "ps.s")} AS du
+         |  FROM corpus c, ps),
+         |mins AS (
+         |  SELECT pid,
+         |    min(CASE WHEN vec_id <> pid THEN dw END) AS w,
+         |    min(du) AS u
+         |  FROM dists GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |    CAST(sum(CAST(u AS DECIMAL(28,12))) AS DOUBLE) AS su,
+         |    CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS sw
+         |  FROM mins)
+         |SELECT n_probes, round(su, 6) AS sum_u, round(sw, 6) AS sum_w,
+         |  round(su / (su + sw), 6) AS hopkins
+         |FROM agg""".stripMargin
+    },
   )
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

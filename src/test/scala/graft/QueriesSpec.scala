@@ -397,6 +397,19 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_hopkins: statistic bounded in (0,1), components consistent") {
+    val r = SparkEntry.queries("q_hopkins")(spark, sf).collect().head
+    val (su, sw, h) = (r.getAs[Double]("sum_u"), r.getAs[Double]("sum_w"),
+      r.getAs[Double]("hopkins"))
+    assert(r.getAs[Long]("n_probes") > 0)
+    assert(su > 0.0 && sw >= 0.0)
+    assert(h > 0.0 && h < 1.0, s"hopkins out of (0,1): $h")
+    assert(math.abs(h - su / (su + sw)) < 1e-4)
+    // real embeddings are not uniform noise: expect at least mild
+    // clustering signal (H > 0.4 rules out 'synthetic closer than real')
+    assert(h > 0.4, s"hopkins $h says probes are farther than noise")
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
