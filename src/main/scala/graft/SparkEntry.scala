@@ -4538,14 +4538,15 @@ object SparkEntry {
         .withColumn("w", col("n_cell").cast("double"))
         .withColumn("t_r", col("n").cast("double") / col("npr").cast("double"))
         .withColumn("t_c", col("n").cast("double") / col("nseg").cast("double"))
-      def qsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+      // margin sums as PARTITIONED window aggregates (frameless over the
+      // whole pr/seg partition): the six rounds fuse into one stage with
+      // two tiny exchanges instead of six broadcast-join jobs — same
+      // decimal-quantized sums, same IEEE trees, identical values.
+      def qwin(c: Column, key: String) =
+        sum(c.cast("decimal(28,12)")).over(Window.partitionBy(key)).cast("double")
       for (_ <- 1 to 3) {
-        val rs = cells.groupBy("pr").agg(qsum(col("w")).as("rs"))
-        cells = cells.join(broadcast(rs), "pr")
-          .withColumn("w", col("w") * (col("t_r") / col("rs"))).drop("rs")
-        val cs = cells.groupBy("seg").agg(qsum(col("w")).as("cs"))
-        cells = cells.join(broadcast(cs), "seg")
-          .withColumn("w", col("w") * (col("t_c") / col("cs"))).drop("cs")
+        cells = cells.withColumn("w", col("w") * (col("t_r") / qwin(col("w"), "pr")))
+        cells = cells.withColumn("w", col("w") * (col("t_c") / qwin(col("w"), "seg")))
       }
       cells.select(col("pr"), col("seg"), col("n_cell"),
         round(col("w"), 6).as("weight"),
