@@ -4746,6 +4746,20 @@ object SparkEntry {
           round(col("su").cast("double") /
             (col("su").cast("double") + col("sw").cast("double")), 6).as("hopkins"))
     }),
+
+    // --- beyond-reference: directed containment join ---------------------
+    // The quote/subset detector (see [[SetSimJoin.containmentJoin]]):
+    // |A∩B|/|A| ≥ 0.6 over 2-gram shingles — asymmetric prefix filter
+    // (probe-side prefix, full postings on the candidate side, length
+    // prune ε-guarded). The oracle is the BRUTE-FORCE directed
+    // all-pairs join, so the gate re-proves prefix losslessness on
+    // every run, like q_setsim_join's.
+    "q_containment" -> ((s, dir) =>
+      SetSimJoin.containmentJoin(
+        t(s, dir, "documents"),
+        id = col("doc_id"),
+        tokenSet = TextAnalysis.wordShingles(col("text"), 2),
+        t = 0.6)),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -9117,6 +9131,31 @@ object SparkEntry {
          |  round(su / (su + sw), 6) AS hopkins
          |FROM agg""".stripMargin
     },
+
+    // BRUTE FORCE directed all-pairs — the losslessness gate for the
+    // asymmetric prefix filter.
+    "q_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_distinct(list_transform(range(1, len(toks)),
+        |        i -> array_to_string(toks[i:i+1], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs),
+        |ov AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) AS BIGINT) AS size_a
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT doc_a, doc_b, inter, size_a,
+        |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+        |FROM ov
+        |WHERE CAST(inter AS DOUBLE) >= 0.6 * CAST(size_a AS DOUBLE)""".stripMargin,
   )
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

@@ -210,4 +210,65 @@ object SetSimJoin {
     verify(candCross, idxSets, "index")
       .unionByName(verify(candInternal, ordered, "batch"))
   }
+
+  /** Directed containment self-join: all (a, b), a ≠ b, with
+    * |A∩B| / |A| ≥ t — "A is (mostly) contained in B", the quote/subset
+    * detector the symmetric Jaccard join cannot express (a short quote
+    * inside a long document has tiny Jaccard but containment ≈ 1).
+    *
+    * Prefix filtering adapts ASYMMETRICALLY: only the probe side A can
+    * be prefixed (overlap ≥ ceil(t·|A|), so A's first
+    * |A| − ceil(t·|A|) + 1 rarest tokens must hit any qualifying B —
+    * the same pigeonhole as [[selfJoin]]); containment puts no lower
+    * bound on |A∩B|/|B|, so B indexes ALL its tokens. The rarest-first
+    * shared order is what keeps that tractable: A's prefix holds rare
+    * tokens, and the candidate list for a rare token is short by
+    * definition — its length IS the token's df. One length prune
+    * survives the asymmetry (B must hold the overlap: |B| ≥ ceil(t·|A|)),
+    * ε-guarded like the PPJoin prunes. The DuckDB oracle is the
+    * brute-force directed all-pairs join, so the gate re-proves
+    * losslessness every run.
+    */
+  def containmentJoin(df: DataFrame, id: Column, tokenSet: Column, t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val base = df
+      .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfr"))
+    val ordered = toks
+      .join(dfreq, "tok")
+      .groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+      .select(
+        col("sid"),
+        transform(col("pairs"), e => e.getField("tok")).as("arr"),
+        size(col("pairs")).as("m"))
+    // Same no-checkpoint decision as selfJoin: thin scan pipelines are
+    // cheaper to re-run than fat sorted-array rows are to store.
+    val prefix = ordered.select(
+      col("sid"), col("m"),
+      explode(slice(col("arr"), lit(1),
+        col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))).as("tok"))
+    val postings = toks
+      .join(base.select(col("sid"), size(col("ts")).as("mb")), "sid")
+      .select(col("sid").as("bsid"), col("mb"), col("tok"))
+    val cands = prefix
+      .join(postings, Seq("tok"))
+      .filter(col("sid") =!= col("bsid") &&
+        col("mb").cast("double") >=
+          ceil(lit(t) * col("m").cast("double")) - lit(1e-9))
+      .select(col("sid").as("da"), col("bsid").as("db"))
+      .distinct()
+    cands
+      .join(ordered.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
+      .join(ordered.select(col("sid").as("db"), col("arr").as("ab")), "db")
+      .withColumn("inter", size(array_intersect(col("aa"), col("ab"))))
+      .filter(col("inter").cast("double") >= lit(t) * col("ma").cast("double"))
+      .select(
+        col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter").cast("long").as("inter"),
+        col("ma").cast("long").as("size_a"),
+        (col("inter").cast("double") / col("ma").cast("double")).as("containment"))
+  }
 }

@@ -843,4 +843,38 @@ class SimilaritySpec extends SparkTestBase {
     } yield (ia, ib)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("containmentJoin golden: a quote inside a long doc; symmetric Jaccard misses it") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),                                     // the quote
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),  // contains it
+      (3L, Seq("x", "y", "z")),                                     // unrelated
+    ).toDF("id", "ts")
+    val got = graft.similarity.SetSimJoin.containmentJoin(docs, $"id", $"ts", 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // 1 ⊂ 2 fully (containment 1.0); the reverse direction is 3/10
+    assert(got == Set((1L, 2L, 3L, 3L, 1.0)), s"got $got")
+    // the symmetric join at the same bar finds nothing: J(1,2) = 0.3
+    assert(graft.similarity.SetSimJoin.selfJoin(docs, $"id", $"ts", 0.9).count() == 0)
+  }
+
+  test("containmentJoin is lossless vs brute force on random sets (asymmetric prefix)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 30).map(i => s"t$i")
+    val sets = (1L to 40L).map { id =>
+      val m = 2 + rnd.nextInt(10)
+      id -> rnd.shuffle(vocab).take(m).toSet
+    }
+    val df = sets.map { case (id, s) => (id, s.toSeq) }.toDF("id", "ts")
+    val t = 0.6
+    val got = graft.similarity.SetSimJoin.containmentJoin(df, $"id", $"ts", t)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size
+      if inter.toDouble >= t * sa.size.toDouble
+    } yield (ia, ib)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
 }
