@@ -4760,6 +4760,64 @@ object SparkEntry {
         id = col("doc_id"),
         tokenSet = TextAnalysis.wordShingles(col("text"), 2),
         t = 0.6)),
+
+    // --- beyond-reference: k-fold cross-validation of the stump ----------
+    // The honest-eval loop around q_stump: 3 hash-assigned folds
+    // (md5 membership — growth/partition/engine-stable, the
+    // q_hash_sample rule), each fold's stump fit ONLY on the other two
+    // (same cut grid, same Gini argmin, keyed by (source, fold)), then
+    // scored on the held-out fold with the train-side majority rule.
+    // Train/test accuracies are exact-integer ratios; one extra key in
+    // every aggregation is the whole cost of the CV — no per-fold scans.
+    "q_crossval" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val base = t(s, dir, "documents").select(
+          col("source"), col("n_chars"), (col("lang") === "en").cast("long").as("pos"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(3)).cast("int").as("fold"))
+        .localCheckpoint(eager = false) // 3 train fits + 3 held-out evals
+      val folds = broadcast(s.range(3).select(col("id").cast("int").as("f")))
+      val train = base.join(folds, col("fold") =!= col("f"))
+      val stats = train.groupBy("source", "f").agg(
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val cuts = stats.select(col("source"), col("f"), col("mn"), col("mx"),
+          explode(array((1 to 15).map(lit(_)): _*)).as("i"))
+        .withColumn("cut", col("mn") +
+          floor(d(col("i")) * d(col("mx") - col("mn")) / lit(16.0)).cast("long"))
+        .select("source", "f", "cut").distinct()
+      def giniSide(nc: Column, pc: Column) =
+        when(nc === 0L, lit(0.0)).otherwise(
+          d(nc) * (lit(1.0) - (d(pc) / d(nc)) * (d(pc) / d(nc)) -
+            (d(nc - pc) / d(nc)) * (d(nc - pc) / d(nc))))
+      val w = Window.partitionBy("source", "f").orderBy(col("score").asc, col("cut").asc)
+      val best = train.join(cuts, Seq("source", "f"))
+        .groupBy("source", "f", "cut")
+        .agg(
+          sum(when(col("n_chars") < col("cut"), 1L).otherwise(0L)).as("nl"),
+          sum(when(col("n_chars") < col("cut") && col("pos") === 1L, 1L).otherwise(0L)).as("pl"))
+        .join(broadcast(stats.select("source", "f", "n", "p")), Seq("source", "f"))
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("pr", col("p") - col("pl"))
+        .withColumn("score",
+          (giniSide(col("nl"), col("pl")) + giniSide(col("nr"), col("pr"))) / d(col("n")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("source"), col("f"), col("cut"), col("score"),
+          (col("pl") * 2 > col("nl")).as("predl"),
+          (col("pr") * 2 > col("nr")).as("predr"))
+        .localCheckpoint(eager = false) // test eval + readout join
+      base.join(folds, col("fold") === col("f"))
+        .join(broadcast(best), Seq("source", "f"))
+        .withColumn("pred",
+          when(col("n_chars") < col("cut"), col("predl")).otherwise(col("predr")))
+        .groupBy("source", "f")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === (col("pos") === 1L), 1L).otherwise(0L)).as("n_correct"))
+        .join(broadcast(best.select("source", "f", "cut", "score")), Seq("source", "f"))
+        .select(col("source"), col("f").as("fold"), col("cut"),
+          round(col("score"), 6).as("train_score"), col("n_test"),
+          round(d(col("n_correct")) / d(col("n_test")), 6).as("test_acc"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -9156,6 +9214,70 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
         |WHERE CAST(inter AS DOUBLE) >= 0.6 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // The q_stump fit with one extra (fold) key, then held-out scoring
+    // under the train-side majority rule; md5 fold membership.
+    "q_crossval" ->
+      """WITH base AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 3 AS INT)
+        |      AS fold
+        |  FROM documents),
+        |folds AS (SELECT CAST(g.gs AS INT) AS f FROM (SELECT unnest(range(0, 3)) AS gs) g),
+        |train AS (SELECT b.*, f.f FROM base b JOIN folds f ON b.fold <> f.f),
+        |stats AS (
+        |  SELECT source, f, min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        |  FROM train GROUP BY 1, 2),
+        |cuts AS (
+        |  SELECT DISTINCT source, f,
+        |    mn + CAST(floor(CAST(i AS DOUBLE) * CAST(mx - mn AS DOUBLE) / 16.0) AS BIGINT)
+        |      AS cut
+        |  FROM stats, (SELECT unnest(range(1, 16)) AS i)),
+        |sides AS (
+        |  SELECT b.source, b.f, c.cut,
+        |    CAST(sum(CASE WHEN b.n_chars < c.cut THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(sum(CASE WHEN b.n_chars < c.cut AND b.pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pl
+        |  FROM train b JOIN cuts c ON c.source = b.source AND c.f = b.f
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT s.source, s.f, s.cut, s.nl, s.pl,
+        |    t.n - s.nl AS nr, t.p - s.pl AS pr, t.n
+        |  FROM sides s JOIN stats t USING (source, f)),
+        |g AS (
+        |  SELECT source, f, cut, nl, pl, nr, pr,
+        |    ((CASE WHEN nl = 0 THEN 0.0 ELSE
+        |        CAST(nl AS DOUBLE) * (1.0
+        |          - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |          - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))) END)
+        |     + (CASE WHEN nr = 0 THEN 0.0 ELSE
+        |        CAST(nr AS DOUBLE) * (1.0
+        |          - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |            * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |          - (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |            * (CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE))) END))
+        |      / CAST(n AS DOUBLE) AS score
+        |  FROM sc),
+        |best AS (
+        |  SELECT source, f, cut, score,
+        |    pl * 2 > nl AS predl, pr * 2 > nr AS predr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source, f ORDER BY score, cut) AS rk
+        |        FROM g)
+        |  WHERE rk = 1),
+        |test_ AS (
+        |  SELECT b.source, b.fold AS f, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN (CASE WHEN b.n_chars < x.cut THEN x.predl ELSE x.predr END)
+        |                       = (b.pos = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM base b JOIN best x ON x.source = b.source AND x.f = b.fold
+        |  GROUP BY 1, 2)
+        |SELECT t.source, t.f AS fold, x.cut,
+        |  round(x.score, 6) AS train_score, t.n_test,
+        |  round(CAST(t.n_correct AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS test_acc
+        |FROM test_ t JOIN best x USING (f) WHERE x.source = t.source""".stripMargin,
   )
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

@@ -410,6 +410,24 @@ class QueriesSpec extends SparkTestBase {
     assert(h > 0.4, s"hopkins $h says probes are farther than noise")
   }
 
+  test("q_crossval: every (source, fold) cell scored; accuracies are proper ratios") {
+    val rows = SparkEntry.queries("q_crossval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(r => (r.getAs[String]("source"), r.getAs[Int]("fold")))
+    assert(cells.distinct.length == cells.length, "duplicate (source, fold) cells")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Int]("fold")).sorted.toSeq == Seq(0, 1, 2),
+        s"$src missing folds")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_test") > 0)
+      val acc = r.getAs[Double]("test_acc")
+      assert(acc >= 0.0 && acc <= 1.0)
+      val ts = r.getAs[Double]("train_score")
+      assert(ts >= 0.0 && ts <= 0.5 + 1e-9, s"gini out of range: $ts")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
