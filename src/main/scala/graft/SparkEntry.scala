@@ -4758,8 +4758,23 @@ object SparkEntry {
       SetSimJoin.containmentJoin(
         t(s, dir, "documents"),
         id = col("doc_id"),
-        tokenSet = TextAnalysis.wordShingles(col("text"), 2),
-        t = 0.6)),
+        tokenSet = TextAnalysis.wordShingles(col("text"), 3),
+        t = 0.5)),
+
+    // --- beyond-reference: incremental containment vs the standing index -
+    // The ingest-time quote detector ([[SetSimJoin.containmentIncrement]]):
+    // both directions against the frozen store plus batch-internal
+    // pairs; index×index pairs never re-form. The oracle is the
+    // brute-force directed join over batch-touching pairs — frozen-order
+    // pruning can never change the result set, only its cost.
+    "q_containment_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingles = TextAnalysis.wordShingles(col("text"), 3)
+      val idx = SetSimJoin.buildIndex(
+        docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      SetSimJoin.containmentIncrement(
+        docs.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5)
+    }),
 
     // --- beyond-reference: k-fold cross-validation of the stump ----------
     // The honest-eval loop around q_stump: 3 hash-assigned folds
@@ -9199,9 +9214,9 @@ object SparkEntry {
         |  FROM documents),
         |sh AS MATERIALIZED (
         |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 2
-        |      THEN list_distinct(list_transform(range(1, len(toks)),
-        |        i -> array_to_string(toks[i:i+1], ' ')))
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
         |      ELSE [] END AS sh
         |  FROM docs),
         |ov AS (
@@ -9213,7 +9228,37 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter, size_a,
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
-        |WHERE CAST(inter AS DOUBLE) >= 0.6 * CAST(size_a AS DOUBLE)""".stripMargin,
+        |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // Brute force over batch-touching directed pairs, side-tagged by
+    // index membership (doc_id % 4 splits exactly as the query does).
+    "q_containment_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(toks[i:i+2], ' ')))
+        |      ELSE [] END AS sh
+        |  FROM docs),
+        |mz AS (
+        |  SELECT doc_id, sh, len(sh) AS m, doc_id % 4 = 0 AS isb
+        |  FROM sh WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN a.isb AND NOT b.isb THEN 'batch_in_index'
+        |         WHEN NOT a.isb AND b.isb THEN 'index_in_batch'
+        |         ELSE 'batch_in_batch' END AS side,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(a.m AS BIGINT) AS size_a
+        |  FROM mz a JOIN mz b ON a.doc_id <> b.doc_id AND (a.isb OR b.isb))
+        |SELECT doc_a, doc_b, side, inter, size_a,
+        |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
 
     // The q_stump fit with one extra (fold) key, then held-out scoring
     // under the train-side majority rule; md5 fold membership.

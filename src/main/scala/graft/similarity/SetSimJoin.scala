@@ -246,17 +246,26 @@ object SetSimJoin {
         size(col("pairs")).as("m"))
     // Same no-checkpoint decision as selfJoin: thin scan pipelines are
     // cheaper to re-run than fat sorted-array rows are to store.
+    // BOTH sides carry their position in the shared sorted order, so
+    // the PPJoin positional prune applies despite the asymmetry: a pair
+    // first meeting at positions (i, j) can overlap at most
+    // 1 + min(|A|−i−1, |B|−j−1), which must reach ceil(t·|A|) — the
+    // earliest-common-token row always survives, so candidates are
+    // never lost (ε-guarded like selfJoin's prunes).
     val prefix = ordered.select(
       col("sid"), col("m"),
-      explode(slice(col("arr"), lit(1),
-        col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))).as("tok"))
-    val postings = toks
-      .join(base.select(col("sid"), size(col("ts")).as("mb")), "sid")
-      .select(col("sid").as("bsid"), col("mb"), col("tok"))
+      posexplode(slice(col("arr"), lit(1),
+        col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))).as(Seq("pos", "tok")))
+    val postings = ordered.select(
+      col("sid").as("bsid"), col("m").as("mb"),
+      posexplode(col("arr")).as(Seq("posb", "tok")))
     val cands = prefix
       .join(postings, Seq("tok"))
       .filter(col("sid") =!= col("bsid") &&
         col("mb").cast("double") >=
+          ceil(lit(t) * col("m").cast("double")) - lit(1e-9) &&
+        (lit(1) + least(col("m") - col("pos") - 1, col("mb") - col("posb") - 1))
+          .cast("double") >=
           ceil(lit(t) * col("m").cast("double")) - lit(1e-9))
       .select(col("sid").as("da"), col("bsid").as("db"))
       .distinct()
@@ -270,5 +279,83 @@ object SetSimJoin {
         col("inter").cast("long").as("inter"),
         col("ma").cast("long").as("size_a"),
         (col("inter").cast("double") / col("ma").cast("double")).as("containment"))
+  }
+
+  /** Incremental containment against a [[buildIndex]] standing store —
+    * all directed pairs touching the batch, in BOTH directions
+    * (index×index pairs were emitted when their rows arrived):
+    *  - `batch_in_index`: a new document (mostly) contained in an
+    *    indexed one — "this upload is a quote of something we hold";
+    *  - `index_in_batch`: an indexed document contained in the new one
+    *    — "this upload swallowed something we hold";
+    *  - `batch_in_batch`: containment inside the batch itself.
+    * Probe sides prefix under the FROZEN dictionary order (unseen
+    * tokens df = 0 — the selfJoinIncrement rule; losslessness holds
+    * under any shared total order, so drift degrades pruning, never
+    * recall); the non-probe side always contributes FULL postings, per
+    * the containment asymmetry (see [[containmentJoin]]). The
+    * index-as-probe join keeps the index side bounded by semi-joining
+    * its postings to the batch vocabulary first.
+    */
+  def containmentIncrement(
+      batch: DataFrame,
+      id: Column,
+      tokenSet: Column,
+      index: (DataFrame, DataFrame),
+      t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val (idxSets, dict) = index
+    val base = batch
+      .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+    val dictPruned = dict.join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    val ordered = toks
+      .join(broadcast(dictPruned), Seq("tok"), "left")
+      .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
+      .groupBy("sid")
+      .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+      .select(
+        col("sid"),
+        transform(col("pairs"), e => e.getField("tok")).as("arr"),
+        size(col("pairs")).as("m"))
+      .localCheckpoint(false) // prefix + postings + both verify partners
+    def prefixOf(sets: DataFrame) = sets.select(
+      col("sid"), col("m"),
+      posexplode(slice(col("arr"), lit(1),
+        col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))).as(Seq("pos", "tok")))
+    def postingsOf(sets: DataFrame) = sets.select(
+      col("sid").as("bsid"), col("m").as("mb"),
+      posexplode(col("arr")).as(Seq("posb", "tok")))
+    // length prune + the positional bound (see containmentJoin)
+    val lenPrune =
+      col("mb").cast("double") >= ceil(lit(t) * col("m").cast("double")) - lit(1e-9) &&
+        (lit(1) + least(col("m") - col("pos") - 1, col("mb") - col("posb") - 1))
+          .cast("double") >=
+          ceil(lit(t) * col("m").cast("double")) - lit(1e-9)
+    def cands(probe: DataFrame, posts: DataFrame) = probe
+      .join(posts, Seq("tok"))
+      .filter(col("sid") =!= col("bsid") && lenPrune)
+      .select(col("sid").as("da"), col("bsid").as("db"))
+      .distinct()
+    // index postings restricted to the batch vocabulary: a standing
+    // store's token lists only join where the batch can actually hit
+    val iPosts = postingsOf(idxSets)
+      .join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    val iPrefix = prefixOf(idxSets)
+      .join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    def verify(c: DataFrame, aSets: DataFrame, bSets: DataFrame, side: String) = c
+      .join(aSets.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
+      .join(bSets.select(col("sid").as("db"), col("arr").as("ab")), "db")
+      .withColumn("inter", size(array_intersect(col("aa"), col("ab"))))
+      .filter(col("inter").cast("double") >= lit(t) * col("ma").cast("double"))
+      .select(
+        col("da").as("doc_a"), col("db").as("doc_b"), lit(side).as("side"),
+        col("inter").cast("long").as("inter"),
+        col("ma").cast("long").as("size_a"),
+        (col("inter").cast("double") / col("ma").cast("double")).as("containment"))
+    verify(cands(prefixOf(ordered), iPosts), ordered, idxSets, "batch_in_index")
+      .unionByName(verify(cands(iPrefix, postingsOf(ordered)), idxSets, ordered, "index_in_batch"))
+      .unionByName(verify(cands(prefixOf(ordered), postingsOf(ordered)), ordered, ordered, "batch_in_batch"))
   }
 }

@@ -877,4 +877,25 @@ class SimilaritySpec extends SparkTestBase {
     } yield (ia, ib)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("containmentIncrement == full containmentJoin restricted to batch-touching pairs") {
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 25).map(i => s"t$i")
+    val sets = (1L to 40L).map { id =>
+      val m = 2 + rnd.nextInt(9)
+      id -> rnd.shuffle(vocab).take(m).toSeq
+    }
+    val df = sets.toDF("id", "ts")
+    val isBatch = (id: Long) => id % 3 == 0
+    val t = 0.6
+    val idx2 = graft.similarity.SetSimJoin.buildIndex(df.filter($"id" % 3 =!= 0), $"id", $"ts")
+    val inc = graft.similarity.SetSimJoin.containmentIncrement(
+        df.filter($"id" % 3 === 0), $"id", $"ts", idx2, t)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fullPairs: Set[(Long, Long)] =
+      graft.similarity.SetSimJoin.containmentJoin(df, $"id", $"ts", t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = fullPairs.filter(p => isBatch(p._1) || isBatch(p._2))
+    assert(inc == full, s"missing=${full -- inc} extra=${inc -- full}")
+  }
 }
