@@ -4767,6 +4767,40 @@ object SparkEntry {
     // pairs; index×index pairs never re-form. The oracle is the
     // brute-force directed join over batch-touching pairs — frozen-order
     // pruning can never change the result set, only its cost.
+    // --- beyond-reference: standardized effect sizes ----------------------
+    // The "how big, not just how significant" readout beside
+    // q_welch_t/q_mannwhitney: Cohen's d (pooled-SD standardized mean
+    // gap, from exact decimal moments) and Cliff's delta (the
+    // rank-based 2·AUC−1, riding Stats.rocAuc's doubled-rank trick —
+    // exact BIGINT rank sums) per event type, variants by user parity.
+    // One aggregation for moments + one partitioned rank window.
+    "q_effect_size" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val u = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .withColumn("pos", pmod(col("user_id"), lit(2)) === 1)
+        .localCheckpoint(eager = false) // moment branch + rank branch
+      val cohen = u.groupBy("event_type").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("pos"), col("v"))).as("s1"),
+          sum(when(!col("pos"), col("v"))).as("s0"),
+          sum(when(col("pos"), col("v") * col("v"))).as("q1"),
+          sum(when(!col("pos"), col("v") * col("v"))).as("q0"))
+        .select(col("event_type"), col("n1"), col("n0"),
+          ((d(col("s1")) / d(col("n1"))) - (d(col("s0")) / d(col("n0")))).as("mean_gap"),
+          sqrt(((d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) +
+            (d(col("q0")) - d(col("s0")) * d(col("s0")) / d(col("n0")))) /
+            (d(col("n1")) + d(col("n0")) - lit(2.0))).as("sp"))
+      val auc = Stats.rocAuc(u, col("event_type"), col("v").cast("double"), col("pos"))
+        .select(col("g").as("event_type"), col("auc"))
+      cohen.join(auc, "event_type")
+        .select(col("event_type"), col("n1"), col("n0"),
+          round(col("mean_gap") / col("sp"), 6).as("cohens_d"),
+          round(col("auc") * 2.0 - 1.0, 6).as("cliffs_delta"))
+    }),
+
     "q_containment_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val shingles = TextAnalysis.wordShingles(col("text"), 3)
@@ -9229,6 +9263,49 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
         |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // Exact decimal moments for d; the rocAuc doubled-rank convention
+    // for delta (2·AUC − 1), rank on the DOUBLE cast both engines share.
+    "q_effect_size" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(12,3))) AS v,
+        |    user_id % 2 = 1 AS pos
+        |  FROM events GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN pos THEN v END) AS s1,
+        |    sum(CASE WHEN NOT pos THEN v END) AS s0,
+        |    sum(CASE WHEN pos THEN v * v END) AS q1,
+        |    sum(CASE WHEN NOT pos THEN v * v END) AS q0
+        |  FROM u GROUP BY 1),
+        |cohen AS (
+        |  SELECT event_type, n1, n0,
+        |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS mean_gap,
+        |    sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |          (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+        |         (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)) AS sp
+        |  FROM mo),
+        |rk AS (
+        |  SELECT event_type, pos,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY CAST(v AS DOUBLE))
+        |      + count(*) OVER (PARTITION BY event_type, CAST(v AS DOUBLE)) - 1 AS r2
+        |  FROM u),
+        |ag AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS r2sum
+        |  FROM rk GROUP BY 1),
+        |a2 AS (
+        |  SELECT event_type,
+        |    CAST(r2sum - np * (np + 1) AS DOUBLE) / (2.0 * CAST(np * nn AS DOUBLE)) AS auc
+        |  FROM ag WHERE np > 0 AND nn > 0)
+        |SELECT c.event_type, c.n1, c.n0,
+        |  round(c.mean_gap / c.sp, 6) + 0 AS cohens_d,
+        |  round(a.auc * 2.0 - 1.0, 6) + 0 AS cliffs_delta
+        |FROM cohen c JOIN a2 a USING (event_type)""".stripMargin,
 
     // Brute force over batch-touching directed pairs, side-tagged by
     // index membership (doc_id % 4 splits exactly as the query does).

@@ -428,6 +428,21 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_effect_size: delta bounded in [-1,1]; d and delta agree in sign when material") {
+    val rows = SparkEntry.queries("q_effect_size")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n0") > 0)
+      val delta = r.getAs[Double]("cliffs_delta")
+      assert(delta >= -1.0 - 1e-9 && delta <= 1.0 + 1e-9)
+      val dd = r.getAs[Double]("cohens_d")
+      // parity variants on the same population: both effects are small,
+      // and when either is non-trivial the two measures agree in sign
+      if (math.abs(dd) > 0.05 && math.abs(delta) > 0.05)
+        assert(dd.sign == delta.sign, s"d=$dd delta=$delta disagree")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
