@@ -4767,6 +4767,39 @@ object SparkEntry {
     // pairs; index×index pairs never re-form. The oracle is the
     // brute-force directed join over batch-touching pairs — frozen-order
     // pruning can never change the result set, only its cost.
+    // --- beyond-reference: STL-lite seasonal decomposition ---------------
+    // value = trend + seasonal + residual, per event type's daily
+    // series: trend is a 7-row centered moving average (window frame,
+    // partitioned by type — day gaps take their 7 nearest rows, which
+    // both engines frame identically), seasonal is the day-of-week mean
+    // of the detrended values (quantized to decimal before the
+    // order-free group sum), residual the remainder. Completes the
+    // time-series family next to q_ema/q_holt/q_seasonal_index/
+    // q_changepoint; everything after the daily rollup is windows and
+    // one small aggregate — no extra scans.
+    "q_stl_lite" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+      val w7 = Window.partitionBy("event_type").orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("trend", sum(col("v")).over(w7).cast("double") /
+          count(lit(1)).over(w7).cast("double"))
+        .withColumn("detr", (d(col("v")) - col("trend")).cast("decimal(28,12)"))
+        .withColumn("dow", pmod(col("day"), lit(7)))
+      val seas = det.groupBy("event_type", "dow")
+        .agg((sum(col("detr")).cast("double") /
+          count(lit(1)).cast("double")).as("seasonal"))
+      det.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), d(col("v")).as("v"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("detr").cast("double") - col("seasonal"), 6).as("resid"))
+    }),
+
     // --- beyond-reference: standardized effect sizes ----------------------
     // The "how big, not just how significant" readout beside
     // q_welch_t/q_mannwhitney: Cohen's d (pooled-SD standardized mean
@@ -9263,6 +9296,35 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
         |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // Identical 7-row centered frames; detrended values quantize before
+    // the day-of-week means.
+    "q_stl_lite" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |det AS (
+        |  SELECT event_type, day, v,
+        |    CAST(sum(v) OVER w7 AS DOUBLE) / CAST(count(*) OVER w7 AS DOUBLE) AS trend,
+        |    day % 7 AS dow
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det2 AS (
+        |  SELECT event_type, day, v, trend, dow,
+        |    CAST(CAST(v AS DOUBLE) - trend AS DECIMAL(28,12)) AS detr
+        |  FROM det),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |    CAST(sum(detr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seasonal
+        |  FROM det2 GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, CAST(d.v AS DOUBLE) AS v,
+        |  round(d.trend, 6) + 0 AS trend,
+        |  round(s.seasonal, 6) + 0 AS seasonal,
+        |  round(CAST(d.detr AS DOUBLE) - s.seasonal, 6) + 0 AS resid
+        |FROM det2 d JOIN seas s USING (event_type, dow)""".stripMargin,
 
     // Exact decimal moments for d; the rocAuc doubled-rank convention
     // for delta (2·AUC − 1), rank on the DOUBLE cast both engines share.

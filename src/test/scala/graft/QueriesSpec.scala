@@ -443,6 +443,24 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_stl_lite: decomposition reassembles the series; seasonal sums to ~0") {
+    val rows = SparkEntry.queries("q_stl_lite")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, tr, se, re) = (r.getAs[Double]("v"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal"), r.getAs[Double]("resid"))
+      assert(math.abs(v - (tr + se + re)) < 5e-6,
+        s"decomposition broken: $v vs ${tr + se + re}")
+    }
+    // the dow means absorb the detrended signal: per type, residuals
+    // average ~0 within each day-of-week
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("day") % 7))
+      .foreach { case (key, rs) =>
+        val m = rs.map(_.getAs[Double]("resid")).sum / rs.length
+        assert(math.abs(m) < 1e-4, s"$key residual mean $m not ~0")
+      }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
