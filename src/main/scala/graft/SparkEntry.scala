@@ -4767,6 +4767,52 @@ object SparkEntry {
     // pairs; index×index pairs never re-form. The oracle is the
     // brute-force directed join over batch-touching pairs — frozen-order
     // pruning can never change the result set, only its cost.
+    // --- beyond-reference: mixture diversity indices ----------------------
+    // The data-mixing diagnostic (domain_mix/temperature_mix's readout
+    // side): per language, how concentrated is the source mix? Shannon
+    // entropy (p·ln p terms decimal-quantized before the order-free
+    // sum — the q_mutual_info rule) and the Simpson index (Σ p², same
+    // quantization), from exact joint counts. Tiny cell tables at any
+    // corpus size.
+    "q_diversity" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val cells = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("nc"))
+        .localCheckpoint(eager = false) // totals + index terms
+      val tot = cells.groupBy("lang").agg(sum("nc").as("nl"), count(lit(1)).as("n_sources"))
+      cells.join(broadcast(tot), "lang")
+        .withColumn("p", d(col("nc")) / d(col("nl")))
+        .withColumn("sh_term", (col("p") * log(col("p"))).cast("decimal(28,12)"))
+        .withColumn("si_term", (col("p") * col("p")).cast("decimal(28,12)"))
+        .groupBy(col("lang"), col("nl"), col("n_sources"))
+        .agg(sum(col("sh_term")).as("sh"), sum(col("si_term")).as("si"))
+        .select(col("lang"), col("nl").as("n_docs"), col("n_sources"),
+          round(-col("sh").cast("double"), 6).as("shannon"),
+          round(col("si").cast("double"), 6).as("simpson"))
+    }),
+
+    // --- beyond-reference: vocabulary coverage curve -----------------------
+    // Tokenizer/vocab sizing: per source, what share of token INSTANCES
+    // do the top-10 and top-100 types cover? One term aggregation + one
+    // source-partitioned rank window + conditional exact-integer sums.
+    // High coverage at tiny k = templated text (the q_zipf_fit smell,
+    // read as a budget number).
+    "q_coverage_curve" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source").orderBy(col("n").desc, col("term").asc)
+      tf.withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("n").as("n_instances"),
+          sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("c10"),
+          sum(when(col("rk") <= 100, col("n")).otherwise(0L)).as("c100"))
+        .select(col("source"), col("n_types"), col("n_instances"),
+          round(d(col("c10")) / d(col("n_instances")), 6).as("coverage_10"),
+          round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
+    }),
+
     // --- beyond-reference: STL-lite seasonal decomposition ---------------
     // value = trend + seasonal + residual, per event type's daily
     // series: trend is a 7-row centered moving average (window frame,
@@ -9296,6 +9342,47 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
         |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // p·ln p and p² terms quantized before the order-free sums.
+    "q_diversity" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS nc
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lang, CAST(sum(nc) AS BIGINT) AS nl, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT c.lang, t.nl, t.n_sources,
+        |    CAST((CAST(c.nc AS DOUBLE) / CAST(t.nl AS DOUBLE))
+        |      * ln(CAST(c.nc AS DOUBLE) / CAST(t.nl AS DOUBLE)) AS DECIMAL(28,12)) AS sh_term,
+        |    CAST((CAST(c.nc AS DOUBLE) / CAST(t.nl AS DOUBLE))
+        |      * (CAST(c.nc AS DOUBLE) / CAST(t.nl AS DOUBLE)) AS DECIMAL(28,12)) AS si_term
+        |  FROM cells c JOIN tot t USING (lang))
+        |SELECT lang, nl AS n_docs, n_sources,
+        |  round(-CAST(sum(sh_term) AS DOUBLE), 6) + 0 AS shannon,
+        |  round(CAST(sum(si_term) AS DOUBLE), 6) AS simpson
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same tokenizer convention; conditional exact-integer sums under
+    // the per-source rank.
+    "q_coverage_curve" ->
+      """WITH tf AS (
+        |  SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT source,
+        |          unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk
+        |  FROM tf)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS n_instances,
+        |  round(CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_10,
+        |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
+        |FROM rk GROUP BY 1""".stripMargin,
 
     // Identical 7-row centered frames; detrended values quantize before
     // the day-of-week means.

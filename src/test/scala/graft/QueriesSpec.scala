@@ -461,6 +461,29 @@ class QueriesSpec extends SparkTestBase {
       }
   }
 
+  test("q_diversity: entropy within [0, ln k]; Simpson within [1/k, 1]") {
+    val rows = SparkEntry.queries("q_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_sources").toDouble
+      val (h, si) = (r.getAs[Double]("shannon"), r.getAs[Double]("simpson"))
+      assert(h >= -1e-9 && h <= math.log(k) + 1e-9, s"H=$h outside [0, ln $k]")
+      assert(si >= 1.0 / k - 1e-9 && si <= 1.0 + 1e-9, s"Simpson=$si outside [1/$k, 1]")
+    }
+  }
+
+  test("q_coverage_curve: coverage monotone in k and properly bounded") {
+    val rows = SparkEntry.queries("q_coverage_curve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c10, c100) = (r.getAs[Double]("coverage_10"), r.getAs[Double]("coverage_100"))
+      assert(c10 >= 0.0 && c10 <= c100 + 1e-9 && c100 <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_types") >= 1)
+      if (r.getAs[Long]("n_types") <= 100)
+        assert(math.abs(c100 - 1.0) < 1e-9, "top-100 of <=100 types must cover all")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
