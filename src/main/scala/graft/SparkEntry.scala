@@ -4767,6 +4767,71 @@ object SparkEntry {
     // pairs; index×index pairs never re-form. The oracle is the
     // brute-force directed join over batch-touching pairs — frozen-order
     // pruning can never change the result set, only its cost.
+    // --- beyond-reference: paired t-test (pre/post per user) --------------
+    // The within-subject sibling of q_welch_t: each user's post-minus-pre
+    // gap (the q_cuped split: integer midpoint day, floored integer
+    // totals) is one sample; t = mean(d) / (sd(d)/√n) from three exact
+    // BIGINT moments. Pairing removes the between-user variance that
+    // q_welch_t has to carry.
+    "q_paired_t" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("value").cast("decimal(12,3)").as("v"))
+      val mid = e.agg(floor((min(col("day")) + max(col("day"))).cast("double") / lit(2.0))
+        .cast("long").as("mid"))
+      e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          floor(coalesce(sum(when(col("day") < col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("x"),
+          floor(coalesce(sum(when(col("day") >= col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("y"))
+        .select((col("y") - col("x")).as("dd"))
+        .agg(count(lit(1)).as("n"), sum(col("dd")).as("sd"),
+          sum(col("dd") * col("dd")).as("sdd"))
+        .select(col("n"),
+          round(d(col("sd")) / d(col("n")), 6).as("mean_diff"),
+          round((d(col("sd")) / d(col("n"))) /
+            (sqrt((d(col("sdd")) - d(col("sd")) * d(col("sd")) / d(col("n"))) /
+              (d(col("n")) - lit(1.0))) / sqrt(d(col("n")))), 6).as("t_stat"),
+          (col("n") - 1).as("dof"))
+    }),
+
+    // --- beyond-reference: minimum detectable effect (A/B planning) ------
+    // The planning readout over q_effect_size's moments: at α=0.05
+    // (two-sided) and 80% power, MDE = (z_{α/2} + z_β)·s_p·√(1/n1+1/n0)
+    // per event type — "what lift could this traffic even see?". The z
+    // constants are shared literals; everything else is the exact
+    // pooled-moment arithmetic.
+    "q_mde" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .withColumn("pos", pmod(col("user_id"), lit(2)) === 1)
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("pos"), col("v"))).as("s1"),
+          sum(when(!col("pos"), col("v"))).as("s0"),
+          sum(when(col("pos"), col("v") * col("v"))).as("q1"),
+          sum(when(!col("pos"), col("v") * col("v"))).as("q0"))
+        .withColumn("sp",
+          sqrt(((d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) +
+            (d(col("q0")) - d(col("s0")) * d(col("s0")) / d(col("n0")))) /
+            (d(col("n1")) + d(col("n0")) - lit(2.0))))
+        .withColumn("mde",
+          lit(2.801585) * col("sp") *
+            sqrt(lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n0"))))
+        .select(col("event_type"), col("n1"), col("n0"),
+          round(col("sp"), 6).as("pooled_sd"),
+          round(col("mde"), 6).as("mde_abs"),
+          round(col("mde") / (d(col("s0")) / d(col("n0"))), 6).as("mde_rel"))
+    }),
+
     // --- beyond-reference: mixture diversity indices ----------------------
     // The data-mixing diagnostic (domain_mix/temperature_mix's readout
     // side): per language, how concentrated is the source mix? Shannon
@@ -9342,6 +9407,67 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
         |FROM ov
         |WHERE CAST(inter AS DOUBLE) >= 0.5 * CAST(size_a AS DOUBLE)""".stripMargin,
+
+    // Three exact BIGINT moments of the per-user post-minus-pre gap.
+    "q_paired_t" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(12,3)) AS v
+        |  FROM events),
+        |md AS (
+        |  SELECT CAST(floor(CAST(min(day) + max(day) AS DOUBLE) / 2.0) AS BIGINT) AS mid
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day >= mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(CAST(coalesce(sum(CASE WHEN day < mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS dd
+        |  FROM e, md GROUP BY user_id),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dd) AS BIGINT) AS sd,
+        |    CAST(sum(dd * dd) AS BIGINT) AS sdd
+        |  FROM u)
+        |SELECT n,
+        |  round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0 AS mean_diff,
+        |  round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0)) / sqrt(CAST(n AS DOUBLE))), 6) + 0 AS t_stat,
+        |  n - 1 AS dof
+        |FROM mo""".stripMargin,
+
+    // Shared z constants (1.959964 + 0.841621 = 2.801585); pooled-moment
+    // arithmetic identical to q_effect_size's.
+    "q_mde" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(12,3))) AS v,
+        |    user_id % 2 = 1 AS pos
+        |  FROM events GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    sum(CASE WHEN pos THEN v END) AS s1,
+        |    sum(CASE WHEN NOT pos THEN v END) AS s0,
+        |    sum(CASE WHEN pos THEN v * v END) AS q1,
+        |    sum(CASE WHEN NOT pos THEN v * v END) AS q0
+        |  FROM u GROUP BY 1),
+        |sp AS (
+        |  SELECT event_type, n1, n0, s0,
+        |    sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |          (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) /
+        |         (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)) AS sp
+        |  FROM mo),
+        |m2 AS (
+        |  SELECT event_type, n1, n0, s0, sp,
+        |    2.801585 * sp * sqrt(1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)) AS mde
+        |  FROM sp)
+        |SELECT event_type, n1, n0,
+        |  round(sp, 6) AS pooled_sd,
+        |  round(mde, 6) AS mde_abs,
+        |  round(mde / (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) + 0 AS mde_rel
+        |FROM m2""".stripMargin,
 
     // p·ln p and p² terms quantized before the order-free sums.
     "q_diversity" ->

@@ -484,6 +484,42 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_paired_t: t recomputes from mean and a driver-side sd of the gaps") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_paired_t")(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    assert(n > 1 && r.getAs[Long]("dof") == n - 1)
+    // driver-side recompute of the same pre/post construction
+    val e = spark.read.parquet(s"$sf/events.parquet").select(
+      col("user_id"), floor(unix_micros(col("ts").cast("timestamp")) / 86400000000L).as("day"),
+      col("value").cast("decimal(12,3)").as("v"))
+    val Array(lo, hi) = e.agg(min("day"), max("day")).collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = math.floor((lo + hi).toDouble / 2.0).toLong
+    val gaps = e.collect().groupBy(_.getLong(0)).map { case (_, rs) =>
+      def tot(p: org.apache.spark.sql.Row => Boolean) =
+        math.floor(rs.filter(p).map(r => BigDecimal(r.getDecimal(2)))
+          .foldLeft(BigDecimal(0))(_ + _).doubleValue).toLong
+      tot(_.getLong(1) >= mid) - tot(_.getLong(1) < mid)
+    }.toSeq
+    val mean = gaps.sum.toDouble / gaps.length
+    val sd = math.sqrt(gaps.map(g => (g - mean) * (g - mean)).sum / (gaps.length - 1))
+    val want = mean / (sd / math.sqrt(gaps.length.toDouble))
+    assert(math.abs(r.getAs[Double]("t_stat") - want) < 1e-2,
+      s"t=${r.getAs[Double]("t_stat")} vs driver $want")
+  }
+
+  test("q_mde: planning numbers positive and consistent with the pooled sd") {
+    val rows = SparkEntry.queries("q_mde")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n0) = (r.getAs[Long]("n1"), r.getAs[Long]("n0"))
+      val (sp, mde) = (r.getAs[Double]("pooled_sd"), r.getAs[Double]("mde_abs"))
+      assert(sp > 0.0 && mde > 0.0)
+      val want = 2.801585 * sp * math.sqrt(1.0 / n1 + 1.0 / n0)
+      assert(math.abs(mde - want) < 1e-4, s"mde $mde vs $want")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
