@@ -4439,6 +4439,38 @@ object SparkEntry {
       KCenter.select(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("ord"), col("center_id"), round(col("radius"), 6).as("radius"))),
 
+    // --- beyond-reference: knee/elbow detection on the radius curve ------
+    // "How many centers are enough?" — the kneedle-style readout over
+    // q_kcenter's covering-radius decay: the knee is the point farthest
+    // BELOW the chord from the first to the last radius (convex decay).
+    // Pure arithmetic over the 7-point curve; max/argmax compare
+    // identical doubles, ties break on the earliest round.
+    "q_knee" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val curve = KCenter.select(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .filter(col("ord") >= 1) // seed's 0 radius is not part of the decay
+        .select(col("ord"), col("radius"))
+        .localCheckpoint(eager = false) // ends + line + argmax consumers
+      val lo = curve.orderBy(col("ord").asc).limit(1)
+        .select(col("ord").as("o1"), col("radius").as("rl"))
+      val hi = curve.orderBy(col("ord").desc).limit(1)
+        .select(col("ord").as("o2"), col("radius").as("rh"))
+      val lined = curve.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .withColumn("line", col("rl") + (col("rh") - col("rl")) *
+          ((d(col("ord")) - d(col("o1"))) / (d(col("o2")) - d(col("o1")))))
+        .withColumn("chord_drop", col("line") - col("radius"))
+        .localCheckpoint(eager = false) // max + argmax + readout
+      val mx = lined.agg(max(col("chord_drop")).as("mxd"))
+      val best = lined.crossJoin(broadcast(mx))
+        .filter(col("chord_drop") === col("mxd"))
+        .agg(min(col("ord")).as("knee_ord"))
+      lined.crossJoin(broadcast(best))
+        .select(col("ord"), round(col("radius"), 6).as("radius"),
+          round(col("line"), 6).as("line"),
+          round(col("chord_drop"), 6).as("chord_drop"),
+          (col("ord") === col("knee_ord")).as("is_knee"))
+    }),
+
     // --- beyond-reference: top principal component (power iteration) -----
     // PCA over the first 16 embedding dimensions: the covariance matrix
     // condenses to ONE row of 152 exact-decimal moment aggregates (the
@@ -9095,30 +9127,35 @@ object SparkEntry {
 
     // Generated: 7 unrolled farthest-point rounds; each round is one
     // argmax over the running min-distance column, ties on vec_id.
-    "q_kcenter" -> {
-      val rounds = (1 to 7).map { r =>
-        s"""p$r AS MATERIALIZED (
-           |  SELECT vec_id AS cid, dmin AS rad FROM d${r - 1}
-           |  ORDER BY dmin DESC, vec_id LIMIT 1),
-           |c$r AS MATERIALIZED (
-           |  SELECT e.v AS cv FROM e JOIN p$r ON e.vec_id = p$r.cid),
-           |d$r AS MATERIALIZED (
-           |  SELECT d.vec_id, d.v,
-           |    least(d.dmin, 1 - list_cosine_similarity(d.v, c$r.cv)) AS dmin
-           |  FROM d${r - 1} d, c$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS MATERIALIZED (
-         |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
-         |d0 AS MATERIALIZED (
-         |  SELECT e.vec_id, e.v, 1 - list_cosine_similarity(e.v, c0.cv) AS dmin
-         |  FROM e, c0),
-         |$rounds
+    "q_kcenter" ->
+      s"""WITH $kcenterCtes
          |SELECT CAST(0 AS INT) AS ord, cid AS center_id, 0.0 AS radius FROM c0
          |${(1 to 7).map(r =>
-             s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) FROM p$r").mkString("\n")}""".stripMargin
-    },
+             s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) FROM p$r").mkString("\n")}""".stripMargin,
+
+    // The same selection rounds; knee = the curve point farthest below
+    // the first-to-last chord, double-exact comparisons both engines.
+    "q_knee" ->
+      s"""WITH $kcenterCtes,
+         |curve AS (
+         |${(1 to 7).map(r => s"  SELECT CAST($r AS INT) AS ord, rad AS radius FROM p$r").mkString("\nUNION ALL\n")}),
+         |ends AS (
+         |  SELECT l.radius AS rl, h.radius AS rh, l.ord AS o1, h.ord AS o2
+         |  FROM (SELECT ord, radius FROM curve ORDER BY ord LIMIT 1) l,
+         |       (SELECT ord, radius FROM curve ORDER BY ord DESC LIMIT 1) h),
+         |lined AS (
+         |  SELECT c.ord, c.radius,
+         |    e.rl + (e.rh - e.rl) *
+         |      ((CAST(c.ord AS DOUBLE) - CAST(e.o1 AS DOUBLE)) /
+         |       (CAST(e.o2 AS DOUBLE) - CAST(e.o1 AS DOUBLE))) AS line
+         |  FROM curve c, ends e),
+         |dropped AS (SELECT ord, radius, line, line - radius AS drop_ FROM lined),
+         |mx AS (SELECT max(drop_) AS mxd FROM dropped),
+         |best AS (
+         |  SELECT min(ord) AS knee_ord FROM dropped, mx WHERE drop_ = mxd)
+         |SELECT d.ord, round(d.radius, 6) AS radius, round(d.line, 6) AS line,
+         |  round(d.drop_, 6) + 0 AS chord_drop, d.ord = b.knee_ord AS is_knee
+         |FROM dropped d, best b""".stripMargin,
 
     // Generated: the same one-row moment condensation and three unrolled
     // power-iteration rounds, left-associated term for term.
@@ -9676,6 +9713,31 @@ object SparkEntry {
         |  round(CAST(t.n_correct AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS test_acc
         |FROM test_ t JOIN best x USING (f) WHERE x.source = t.source""".stripMargin,
   )
+
+  /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:
+    * CTEs `e, c0, d0, p1..p7, c1..c7, d1..d7` (picks carry `cid, rad`).
+    */
+  private val kcenterCtes: String = {
+    val rounds = (1 to 7).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id AS cid, dmin AS rad FROM d${r - 1}
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT e.v AS cv FROM e JOIN p$r ON e.vec_id = p$r.cid),
+         |d$r AS MATERIALIZED (
+         |  SELECT d.vec_id, d.v,
+         |    least(d.dmin, 1 - list_cosine_similarity(d.v, c$r.cv)) AS dmin
+         |  FROM d${r - 1} d, c$r)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+       |d0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, 1 - list_cosine_similarity(e.v, c0.cv) AS dmin
+       |  FROM e, c0),
+       |$rounds""".stripMargin
+  }
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns
     * v3_1..v3_16 + nrm3 (plus everything upstream). Left-associated

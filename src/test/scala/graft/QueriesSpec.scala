@@ -520,6 +520,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_knee: exactly one knee, at the maximal chord drop; endpoints on the chord") {
+    val rows = SparkEntry.queries("q_knee")(spark, sf).orderBy("ord").collect()
+    assert(rows.length == 7)
+    assert(rows.count(_.getAs[Boolean]("is_knee")) == 1)
+    val drops = rows.map(_.getAs[Double]("chord_drop"))
+    val knee = rows.find(_.getAs[Boolean]("is_knee")).get
+    assert(knee.getAs[Double]("chord_drop") >= drops.max - 1e-9)
+    // the chord passes through the first and last points exactly
+    assert(math.abs(rows.head.getAs[Double]("chord_drop")) < 1e-6)
+    assert(math.abs(rows.last.getAs[Double]("chord_drop")) < 1e-6)
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
