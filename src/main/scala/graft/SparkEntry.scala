@@ -4910,6 +4910,79 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: Mann-Kendall trend test ------------------------
+    // The nonparametric "is this series trending?" beside q_acf/q_holt:
+    // S = Σ sign(v_b − v_a) over all day pairs per event type (sign on
+    // exact decimals — integer-exact), tie-corrected variance, and the
+    // continuity-corrected z. The pair join is bounded by DAYS² per
+    // type — a function of the time range, not data volume, so it is
+    // scale-stable by construction.
+    "q_mannkendall" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .localCheckpoint(eager = false) // pair join (both sides) + tie groups
+      val pairs = daily.select(col("event_type"), col("day").as("da"), col("v").as("va"))
+        .join(daily.select(col("event_type"), col("day").as("db"), col("v").as("vb")),
+          Seq("event_type"))
+        .filter(col("da") < col("db"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy("event_type", "v").agg(count(lit(1)).as("tg"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"), sum(col("tg")).as("n_days"),
+          sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)).as("tie_term"))
+      pairs.join(ties, "event_type")
+        .withColumn("var_s",
+          (d(col("n_days")) * d(col("n_days") - 1) * d(lit(2) * col("n_days") + 5)
+            - d(col("tie_term"))) / lit(18.0))
+        .select(col("event_type"), col("n_days"), col("s_stat"), col("n_pairs"),
+          round(col("var_s"), 6).as("var_s"),
+          round(
+            when(col("s_stat") > 0, (d(col("s_stat")) - lit(1.0)) / sqrt(col("var_s")))
+              .when(col("s_stat") < 0, (d(col("s_stat")) + lit(1.0)) / sqrt(col("var_s")))
+              .otherwise(lit(0.0)), 6).as("z"))
+    }),
+
+    // --- beyond-reference: Theil-Sen robust trend line --------------------
+    // Mann-Kendall's estimator half: slope = the LOWER MEDIAN (exact
+    // order statistic — never interpolated, the q_conformal rule) of
+    // all pairwise slopes per type; intercept = lower median of the
+    // residuals v − slope·day. Same bounded DAYS² pair join; two
+    // partitioned rank windows.
+    "q_theil_sen" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .localCheckpoint(eager = false) // slopes + residual pass
+      val slopes = daily.select(col("event_type"), col("day").as("da"), col("v").as("va"))
+        .join(daily.select(col("event_type"), col("day").as("db"), col("v").as("vb")),
+          Seq("event_type"))
+        .filter(col("da") < col("db"))
+        .select(col("event_type"), col("da"), col("db"),
+          ((col("vb") - col("va")).cast("double") / d(col("db") - col("da"))).as("sl"))
+      val wS = Window.partitionBy("event_type").orderBy(col("sl").asc, col("da").asc, col("db").asc)
+      val med = slopes
+        .withColumn("rk", row_number().over(wS))
+        .join(broadcast(slopes.groupBy("event_type").agg(count(lit(1)).as("np"))), "event_type")
+        .filter(col("rk") === floor((col("np") + 1).cast("double") / lit(2.0)).cast("int"))
+        .select(col("event_type"), col("np").as("n_pairs"), col("sl").as("slope"))
+      val wR = Window.partitionBy("event_type").orderBy(col("resid").asc, col("day").asc)
+      daily.join(broadcast(med), "event_type")
+        .withColumn("resid", d(col("v")) - col("slope") * d(col("day")))
+        .withColumn("rk", row_number().over(wR))
+        .join(broadcast(daily.groupBy("event_type").agg(count(lit(1)).as("nd"))), "event_type")
+        .filter(col("rk") === floor((col("nd") + 1).cast("double") / lit(2.0)).cast("int"))
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("resid"), 6).as("intercept"))
+    }),
+
     // --- beyond-reference: STL-lite seasonal decomposition ---------------
     // value = trend + seasonal + residual, per event type's daily
     // series: trend is a 7-row centered moving average (window frame,
@@ -9546,6 +9619,76 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // sign() on exact decimals; tie-corrected variance from exact
+    // integer group sizes; one division by 18.
+    "q_mannkendall" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tg AS (
+        |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS tg
+        |  FROM daily GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(tg) AS BIGINT) AS n_days,
+        |    CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+        |  FROM tg GROUP BY 1),
+        |vs AS (
+        |  SELECT p.event_type, t.n_days, p.s_stat, p.n_pairs,
+        |    (CAST(t.n_days AS DOUBLE) * CAST(t.n_days - 1 AS DOUBLE)
+        |      * CAST(2 * t.n_days + 5 AS DOUBLE) - CAST(t.tie_term AS DOUBLE)) / 18.0 AS var_s
+        |  FROM pr p JOIN ties t USING (event_type))
+        |SELECT event_type, n_days, s_stat, n_pairs,
+        |  round(var_s, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |             ELSE 0.0 END, 6) + 0 AS z
+        |FROM vs""".stripMargin,
+
+    // Lower-median order statistics (never interpolated) for slope and
+    // intercept, under total orders shared with the Spark windows.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type, a.day AS da, b.day AS db,
+        |    CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS sl
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS np FROM slopes GROUP BY 1),
+        |med AS (
+        |  SELECT s.event_type, n.np AS n_pairs, s.sl AS slope
+        |  FROM (SELECT event_type, sl,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY sl, da, db) AS rk
+        |        FROM slopes) s
+        |    JOIN np n ON n.event_type = s.event_type
+        |  WHERE s.rk = CAST(trunc(CAST(n.np + 1 AS DOUBLE) / 2.0) AS INT)),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+        |res AS (
+        |  SELECT d.event_type, m.n_pairs, m.slope,
+        |    CAST(d.v AS DOUBLE) - m.slope * CAST(d.day AS DOUBLE) AS resid, d.day
+        |  FROM daily d JOIN med m USING (event_type)),
+        |rr AS (
+        |  SELECT event_type, n_pairs, slope, resid,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY resid, day) AS rk
+        |  FROM res)
+        |SELECT r.event_type, r.n_pairs,
+        |  round(r.slope, 6) + 0 AS slope,
+        |  round(r.resid, 6) + 0 AS intercept
+        |FROM rr r JOIN nd n USING (event_type)
+        |WHERE r.rk = CAST(trunc(CAST(n.nd + 1 AS DOUBLE) / 2.0) AS INT)""".stripMargin,
 
     // Identical 7-row centered frames; detrended values quantize before
     // the day-of-week means.

