@@ -4910,6 +4910,66 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: forecast-accuracy eval (MASE) ------------------
+    // The eval half of the forecasting family (q_holt/q_seasonal_index
+    // produce, this judges): seasonal-naive (value 7 observations back)
+    // vs naive (previous observation) one-step errors on the SAME eval
+    // rows, per event type; MASE = ΣAE_seasonal / ΣAE_naive from exact
+    // decimal absolute errors — below 1 means the weekly pattern is
+    // real signal. Lags are observation lags over the daily rollup
+    // (rows, not calendar — identical framing both engines).
+    "q_forecast_eval" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+      daily
+        .withColumn("l1", lag(col("v"), 1).over(w))
+        .withColumn("l7", lag(col("v"), 7).over(w))
+        .filter(col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_evals"),
+          sum(abs(col("v") - col("l1"))).as("ae1"),
+          sum(abs(col("v") - col("l7"))).as("ae7"))
+        .select(col("event_type"), col("n_evals"),
+          round(col("ae1").cast("double") / col("n_evals").cast("double"), 6).as("mae_naive"),
+          round(col("ae7").cast("double") / col("n_evals").cast("double"), 6).as("mae_seasonal"),
+          round(col("ae7").cast("double") / col("ae1").cast("double"), 6).as("mase"))
+    }),
+
+    // --- beyond-reference: Spearman rank correlation ----------------------
+    // The monotone-association sibling of q_corr_manual's Pearson: per
+    // market segment, does a customer's balance RANK track their order
+    // count RANK? Two partitioned rank windows (total orders via unique
+    // tiebreaks), then the Pearson formula on exact integer rank
+    // moments — every sum a BIGINT, two sqrts and one division at the
+    // very edge.
+    "q_spearman" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val base = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          col("c_acctbal"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      val r1 = Window.partitionBy("seg").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val r2 = Window.partitionBy("seg").orderBy(col("n_orders").asc, col("c_custkey").asc)
+      base
+        .withColumn("ra", row_number().over(r1).cast("long"))
+        .withColumn("rb", row_number().over(r2).cast("long"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra")).as("s1"), sum(col("rb")).as("s2"),
+          sum(col("ra") * col("ra")).as("s11"),
+          sum(col("rb") * col("rb")).as("s22"),
+          sum(col("ra") * col("rb")).as("s12"))
+        .select(col("seg"), col("n"),
+          round((d(col("n")) * d(col("s12")) - d(col("s1")) * d(col("s2"))) /
+            (sqrt(d(col("n")) * d(col("s11")) - d(col("s1")) * d(col("s1"))) *
+              sqrt(d(col("n")) * d(col("s22")) - d(col("s2")) * d(col("s2")))), 6)
+            .as("spearman_rho"))
+    }),
+
     // --- beyond-reference: Mann-Kendall trend test ------------------------
     // The nonparametric "is this series trending?" beside q_acf/q_holt:
     // S = Σ sign(v_b − v_a) over all day pairs per event type (sign on
@@ -9619,6 +9679,56 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Observation lags over the same daily rollup; exact decimal
+    // absolute-error sums.
+    "q_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 7) OVER w AS l7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |ag AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+        |    sum(abs(v - l1)) AS ae1, sum(abs(v - l7)) AS ae7
+        |  FROM lagged WHERE l7 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_evals,
+        |  round(CAST(ae1 AS DOUBLE) / CAST(n_evals AS DOUBLE), 6) AS mae_naive,
+        |  round(CAST(ae7 AS DOUBLE) / CAST(n_evals AS DOUBLE), 6) AS mae_seasonal,
+        |  round(CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE), 6) AS mase
+        |FROM ag""".stripMargin,
+
+    // Pearson on exact integer ranks; unique tiebreaks make both rank
+    // windows total orders.
+    "q_spearman" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment AS seg, c.c_custkey, c.c_acctbal,
+        |    coalesce(o.n_orders, 0) AS n_orders
+        |  FROM customer c LEFT JOIN oc o ON o.o_custkey = c.c_custkey),
+        |ranked AS (
+        |  SELECT seg,
+        |    CAST(row_number() OVER (PARTITION BY seg ORDER BY c_acctbal, c_custkey) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (PARTITION BY seg ORDER BY n_orders, c_custkey) AS BIGINT) AS rb
+        |  FROM base),
+        |mo AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS s1, CAST(sum(rb) AS BIGINT) AS s2,
+        |    CAST(sum(ra * ra) AS BIGINT) AS s11, CAST(sum(rb * rb) AS BIGINT) AS s22,
+        |    CAST(sum(ra * rb) AS BIGINT) AS s12
+        |  FROM ranked GROUP BY 1)
+        |SELECT seg, n,
+        |  round((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6) + 0
+        |    AS spearman_rho
+        |FROM mo""".stripMargin,
 
     // sign() on exact decimals; tie-corrected variance from exact
     // integer group sizes; one division by 18.

@@ -563,6 +563,40 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_forecast_eval: MASE is the error ratio; all errors nonnegative") {
+    val rows = SparkEntry.queries("q_forecast_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m1, m7, mase) = (r.getAs[Double]("mae_naive"),
+        r.getAs[Double]("mae_seasonal"), r.getAs[Double]("mase"))
+      assert(m1 >= 0.0 && m7 >= 0.0 && r.getAs[Long]("n_evals") > 0)
+      assert(math.abs(mase - m7 / m1) < 1e-4, s"mase $mase vs ${m7 / m1}")
+    }
+  }
+
+  test("q_spearman: rho bounded; a perfect monotone pairing reads exactly 1") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_spearman")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho out of range: $rho")
+    }
+    // planted perfect monotone relation: ranks coincide, rho = 1
+    val df = (1 to 50).map(i => ("s", i.toLong, i.toDouble, i.toLong * 2))
+      .toDF("seg", "c_custkey", "c_acctbal", "n_orders")
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+      .orderBy(col("n_orders"), col("c_custkey"))
+    val ranked = df
+      .withColumn("ra", org.apache.spark.sql.functions.row_number().over(w1).cast("long"))
+      .withColumn("rb", org.apache.spark.sql.functions.row_number().over(w2).cast("long"))
+      .filter(col("ra") =!= col("rb")).count()
+    assert(ranked == 0, "monotone pairing must give identical ranks")
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
