@@ -4910,6 +4910,42 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: quality-gate funnel report ---------------------
+    // Ingest observability (the q_expectations idea applied to the
+    // quality gates): how many documents survive each SEQUENTIAL stage —
+    // token floor, mean-token-length band, stopword ceiling, Luhn-PII
+    // clearance. One scan computes every gate boolean; stage counts are
+    // conditional exact sums over the cumulative AND chain, emitted as
+    // one unioned report.
+    "q_gate_report" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val nTok = size(toks)
+      val meanLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+        nTok.cast("double")
+      val stopRatio = size(filter(transform(toks, x => lower(x)),
+        x => x.isin("the", "and", "of", "to", "in", "is", "that", "for", "with", "a")))
+        .cast("double") / nTok.cast("double")
+      val g = t(s, dir, "documents").select(
+        (nTok >= 10).as("g1"),
+        (meanLen >= 2.0 && meanLen <= 12.0).as("g2"),
+        (stopRatio <= 0.6).as("g3"),
+        (!TextAnalysis.containsValidPan(col("text"))).as("g4"))
+      val agg = g.agg(
+        count(lit(1)).as("n0"),
+        sum(col("g1").cast("long")).as("p1"),
+        sum((col("g1") && col("g2")).cast("long")).as("p2"),
+        sum((col("g1") && col("g2") && col("g3")).cast("long")).as("p3"),
+        sum((col("g1") && col("g2") && col("g3") && col("g4")).cast("long")).as("p4"))
+      def row(stage: Int, name: String, nin: Column, npass: Column) =
+        agg.select(lit(stage).as("stage"), lit(name).as("gate"),
+          nin.as("n_in"), npass.as("n_pass"),
+          round((nin - npass).cast("double") / nin.cast("double"), 6).as("drop_rate"))
+      row(1, "token_floor", col("n0"), col("p1"))
+        .unionByName(row(2, "token_len_band", col("p1"), col("p2")))
+        .unionByName(row(3, "stopword_ceiling", col("p2"), col("p3")))
+        .unionByName(row(4, "pii_clearance", col("p3"), col("p4")))
+    }),
+
     // --- beyond-reference: forecast-accuracy eval (MASE) ------------------
     // The eval half of the forecasting family (q_holt/q_seasonal_index
     // produce, this judges): seasonal-naive (value 7 observations back)
@@ -9679,6 +9715,45 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // One scan of gate booleans; the cumulative AND chain as exact
+    // conditional sums. The Luhn clearance reuses the q_luhn digit fold
+    // inside a list filter.
+    "q_gate_report" ->
+      """WITH g AS (
+        |  SELECT
+        |    len(toks) >= 10 AS g1,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0 AS g2,
+        |    CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+        |      x -> list_contains(['the','and','of','to','in','is','that','for','with','a'], x))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) <= 0.6 AS g3,
+        |    len(list_filter(regexp_extract_all(text, '[0-9]{13,19}'),
+        |      p -> length(p) >= 2 AND list_reduce(list_transform(range(1, length(p) + 1),
+        |        i -> CASE WHEN (length(p) - i + 1) % 2 = 0 THEN
+        |               CASE WHEN CAST(p[CAST(i AS INT)] AS INT) * 2 > 9
+        |                 THEN CAST(p[CAST(i AS INT)] AS INT) * 2 - 9
+        |                 ELSE CAST(p[CAST(i AS INT)] AS INT) * 2 END
+        |             ELSE CAST(p[CAST(i AS INT)] AS INT) END),
+        |        (x, y) -> x + y) % 10 = 0)) = 0 AS g4
+        |  FROM (SELECT text,
+        |          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |    CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |    CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+        |  FROM g)
+        |SELECT CAST(1 AS INT) AS stage, 'token_floor' AS gate, n0 AS n_in, p1 AS n_pass,
+        |  round(CAST(n0 - p1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS drop_rate FROM agg
+        |UNION ALL SELECT CAST(2 AS INT), 'token_len_band', p1, p2,
+        |  round(CAST(p1 - p2 AS DOUBLE) / CAST(p1 AS DOUBLE), 6) FROM agg
+        |UNION ALL SELECT CAST(3 AS INT), 'stopword_ceiling', p2, p3,
+        |  round(CAST(p2 - p3 AS DOUBLE) / CAST(p2 AS DOUBLE), 6) FROM agg
+        |UNION ALL SELECT CAST(4 AS INT), 'pii_clearance', p3, p4,
+        |  round(CAST(p3 - p4 AS DOUBLE) / CAST(p3 AS DOUBLE), 6) FROM agg""".stripMargin,
 
     // Observation lags over the same daily rollup; exact decimal
     // absolute-error sums.

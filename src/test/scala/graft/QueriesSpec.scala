@@ -597,6 +597,20 @@ class QueriesSpec extends SparkTestBase {
     assert(ranked == 0, "monotone pairing must give identical ranks")
   }
 
+  test("q_gate_report: funnel counts telescope; drop rates consistent") {
+    val rows = SparkEntry.queries("q_gate_report")(spark, sf).orderBy("stage").collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pass") == b.getAs[Long]("n_in"),
+        "stage k's survivors must be stage k+1's input")
+    }
+    rows.foreach { r =>
+      val (nin, np) = (r.getAs[Long]("n_in"), r.getAs[Long]("n_pass"))
+      assert(np <= nin)
+      assert(math.abs(r.getAs[Double]("drop_rate") - (nin - np).toDouble / nin) < 1e-4)
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
