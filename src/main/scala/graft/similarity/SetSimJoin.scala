@@ -309,7 +309,11 @@ object SetSimJoin {
       .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
       .filter(size(col("ts")) > 0)
     val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
-    val dictPruned = dict.join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    // The batch vocabulary feeds THREE semi-joins (dictionary prune,
+    // index postings, index prefixes) — checkpoint the small distinct
+    // set once instead of re-running the batch explode per consumer.
+    val batchVocab = toks.select("tok").distinct().localCheckpoint(false)
+    val dictPruned = dict.join(broadcast(batchVocab), Seq("tok"), "left_semi")
     val ordered = toks
       .join(broadcast(dictPruned), Seq("tok"), "left")
       .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
@@ -341,9 +345,9 @@ object SetSimJoin {
     // index postings restricted to the batch vocabulary: a standing
     // store's token lists only join where the batch can actually hit
     val iPosts = postingsOf(idxSets)
-      .join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+      .join(broadcast(batchVocab), Seq("tok"), "left_semi")
     val iPrefix = prefixOf(idxSets)
-      .join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+      .join(broadcast(batchVocab), Seq("tok"), "left_semi")
     def verify(c: DataFrame, aSets: DataFrame, bSets: DataFrame, side: String) = c
       .join(aSets.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
       .join(bSets.select(col("sid").as("db"), col("arr").as("ab")), "db")
