@@ -3884,6 +3884,19 @@ object SparkEntry {
         .unionByName(row("lineitem", "l_orderkey", "ref_orders",
           li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
             .agg(count(lit(1)).as("v"))))
+        .unionByName {
+          val docs = t(s, dir, "documents")
+          row("documents", "doc_id", "unique",
+            docs.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("v")))
+            .unionByName(row("documents", "text", "not_null",
+              docs.agg(sum(col("text").isNull.cast("long")).as("v"))))
+            .unionByName(row("documents", "lang", "accepted_values",
+              docs.agg(sum((!col("lang").isin("en", "de", "es", "fr", "zh"))
+                .cast("long")).as("v"))))
+            .unionByName(row("documents", "n_chars", "range_1_1e6",
+              docs.agg(sum((col("n_chars") < 1L || col("n_chars") > 1000000L ||
+                col("n_chars").isNull).cast("long")).as("v"))))
+        }
     }),
 
     // --- beyond-reference: Hill tail index of key skew --------------------
@@ -8816,7 +8829,31 @@ object SparkEntry {
         |SELECT 'lineitem', 'l_orderkey', 'ref_orders',
         |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT) = 0
         |FROM lineitem l WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'documents', 'doc_id', 'unique',
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents', 'text', 'not_null',
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents', 'lang', 'accepted_values',
+        |  CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+        |    THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents', 'n_chars', 'range_1_1e6',
+        |  CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 1000000 OR n_chars IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 1000000 OR n_chars IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM documents""".stripMargin,
 
     "q_skew_index" ->
       """WITH sizes AS (

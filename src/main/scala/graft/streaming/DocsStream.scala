@@ -358,6 +358,35 @@ object DocsStream {
         .write.mode("append").parquet(outPath)
     }
 
+  /** Containment ingest gate: drop any micro-batch document that is
+    * (mostly) a QUOTE of the standing corpus — batch_in_index
+    * containment ≥ t against a frozen [[graft.similarity.SetSimJoin.buildIndex]]
+    * store. Keep/drop is a pure function of (document, frozen index),
+    * so micro-batching is invisible (StreamingSpec pins stream ≡ one
+    * batch filter); the near-dup setsimGate catches resemblance, this
+    * catches subset-ness a Jaccard bar misses.
+    */
+  def containmentGate(
+      docs: DataFrame,
+      index: (DataFrame, DataFrame),
+      outPath: String,
+      checkpointPath: String,
+      t: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleLen: Int = 3,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStreamForeach(docs, checkpointPath) { batch =>
+      val hits = graft.similarity.SetSimJoin
+        .containmentIncrement(
+          batch, col(idCol), TextAnalysis.wordShingles(col(textCol), shingleLen), index, t)
+        .filter(col("side") === "batch_in_index")
+        .select(col("doc_a").as(idCol))
+        .distinct()
+      batch.join(hits, Seq(idCol), "left_anti")
+        .write.mode("append").parquet(outPath)
+    }
+
   /** Stateless PII ingest gate: drop any document containing a
     * Luhn-VALID card-number candidate ([[TextAnalysis.containsValidPan]]
     * — a bare 13–19-digit run with a failing checksum passes, a real

@@ -646,6 +646,34 @@ class StreamingSpec extends SparkTestBase {
     assert(hits.nonEmpty, "the sf0.001 slice must exercise real index near-dups")
   }
 
+  test("containmentGate: frozen-index quote filter, stream == one batch filter") {
+    import graft.similarity.SetSimJoin
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet").localCheckpoint()
+    val base = docs.filter($"doc_id" % 4 =!= 0)
+    val batchAll = docs.filter($"doc_id" % 4 === 0).localCheckpoint()
+    val b1 = batchAll.filter($"doc_id" % 8 === 0).localCheckpoint()
+    val b2 = batchAll.filter($"doc_id" % 8 === 4).localCheckpoint()
+    val shingles = TextAnalysis.wordShingles($"text", 3)
+    val idx = SetSimJoin.buildIndex(base, $"doc_id", shingles)
+
+    val (outP, ckP, inP) = (tmpDir("cg_out"), tmpDir("cg_ck"), tmpDir("cg_in"))
+    b1.coalesce(1).write.mode("overwrite").parquet(inP)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(inP)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.containmentGate(stream, idx, outP, ckP, t = 0.5)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    val hits = SetSimJoin.containmentIncrement(batchAll, $"doc_id", shingles, idx, t = 0.5)
+      .filter($"side" === "batch_in_index").select($"doc_a").as[Long].collect().toSet
+    val all = batchAll.select("doc_id").as[Long].collect().toSet
+    assert(got == all -- hits, "streamed survivors must equal the batch filter")
+    assert(hits.nonEmpty, "the sf0.001 slice must exercise real contained uploads")
+  }
+
   test("driftMonitor: per-batch PSI rows == the batch psiAgainstRef on each slice") {
     import graft.core.Stats
     val docs = spark.read.parquet(s"$sf/documents.parquet")
