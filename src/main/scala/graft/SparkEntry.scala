@@ -4923,6 +4923,72 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: QQ plot points (A vs B distributions) ----------
+    // The full-curve companion to q_ks_test's single max-distance: the
+    // two variants' per-user total distributions compared at 19 exact
+    // order statistics (rank k = trunc((n+1)·i/20), never interpolated
+    // — the q_conformal rule). Matching quantiles on the diagonal ⇒
+    // same distribution; a bowed curve localizes WHERE they differ.
+    "q_qq_points" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      val w = Window.partitionBy("variant").orderBy(col("v").asc, col("user_id").asc)
+      val ranked = u.withColumn("rk", row_number().over(w))
+        .join(broadcast(u.groupBy("variant").agg(count(lit(1)).as("n"))), "variant")
+      val pts = ranked
+        .select(col("*"), explode(array((1 to 19).map(lit(_)): _*)).as("i"))
+        .filter(col("rk") ===
+          floor((col("n") + 1).cast("double") * col("i").cast("double") / lit(20.0)).cast("int"))
+      pts.groupBy("i")
+        .agg(
+          max(when(col("variant") === 0, col("v"))).cast("double").as("q_control"),
+          max(when(col("variant") === 1, col("v"))).cast("double").as("q_treat"))
+        .select(col("i"), round(col("i").cast("double") / lit(20.0), 6).as("p"),
+          round(col("q_control"), 6).as("q_control"),
+          round(col("q_treat"), 6).as("q_treat"))
+    }),
+
+    // --- beyond-reference: Lorenz concentration curve ---------------------
+    // Revenue concentration per market segment (the curve behind
+    // q_gini's scalar): customers ranked by exact-cent spend, spend
+    // deciles, cumulative spend share per decile from a 10×10
+    // self-join (no global window). The "top decile owns X% of
+    // revenue" readout.
+    "q_lorenz" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(14,0)")).as("cents"))
+      val cust = t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          coalesce(col("cents"), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(14,0)")).as("cents"))
+      val w = Window.partitionBy("seg").orderBy(col("cents").asc, col("c_custkey").asc)
+      val deciles = cust
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(cust.groupBy("seg").agg(count(lit(1)).as("n"))), "seg")
+        .withColumn("dec",
+          least(floor((col("rk") - 1).cast("double") * lit(10.0) / col("n").cast("double"))
+            .cast("int") + 1, lit(10)))
+        .groupBy("seg", "dec")
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("dc"))
+        .localCheckpoint(eager = false) // totals + cumulative self-join
+      val tot = deciles.groupBy("seg").agg(sum(col("dc")).as("tc"))
+      deciles.select(col("seg"), col("dec"), col("n_cust"))
+        .join(broadcast(deciles.select(col("seg"), col("dec").as("d2"), col("dc"))),
+          Seq("seg"))
+        .filter(col("d2") <= col("dec"))
+        .groupBy("seg", "dec", "n_cust")
+        .agg(sum(col("dc")).as("cum"))
+        .join(broadcast(tot), "seg")
+        .select(col("seg"), col("dec"), col("n_cust"),
+          round(d(col("cum")) / d(col("tc")), 6).as("cum_share"))
+    }),
+
     // --- beyond-reference: quality-gate funnel report ---------------------
     // Ingest observability (the q_expectations idea applied to the
     // quality gates): how many documents survive each SEQUENTIAL stage —
@@ -9752,6 +9818,58 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Exact order statistics at rank trunc((n+1)·i/20); pivot by the
+    // max-of-single-match trick.
+    "q_qq_points" ->
+      """WITH u AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(12,3))) AS v,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY user_id),
+        |ranked AS (
+        |  SELECT u.variant, u.v,
+        |    row_number() OVER (PARTITION BY u.variant ORDER BY u.v, u.user_id) AS rk,
+        |    n.n
+        |  FROM u JOIN (SELECT variant, CAST(count(*) AS BIGINT) AS n
+        |               FROM u GROUP BY 1) n USING (variant)),
+        |pts AS (
+        |  SELECT r.variant, r.v, CAST(g.gs AS INT) AS i
+        |  FROM ranked r CROSS JOIN (SELECT unnest(range(1, 20)) AS gs) g
+        |  WHERE r.rk = CAST(trunc(CAST(r.n + 1 AS DOUBLE) * g.gs / 20.0) AS INT))
+        |SELECT i, round(CAST(i AS DOUBLE) / 20.0, 6) AS p,
+        |  round(CAST(max(CASE WHEN variant = 0 THEN v END) AS DOUBLE), 6) AS q_control,
+        |  round(CAST(max(CASE WHEN variant = 1 THEN v END) AS DOUBLE), 6) AS q_treat
+        |FROM pts GROUP BY 1""".stripMargin,
+
+    // Exact-cent spend deciles; cumulative shares from the decile
+    // self-join.
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS cents
+        |  FROM orders GROUP BY 1),
+        |cust AS (
+        |  SELECT c.c_mktsegment AS seg, c.c_custkey,
+        |    coalesce(s.cents, CAST(0 AS DECIMAL(14,0))) AS cents
+        |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+        |deciles AS (
+        |  SELECT seg,
+        |    least(CAST(trunc(CAST(rk - 1 AS DOUBLE) * 10.0 / CAST(n AS DOUBLE)) AS INT) + 1, 10)
+        |      AS dec, CAST(count(*) AS BIGINT) AS n_cust, sum(cents) AS dc
+        |  FROM (
+        |    SELECT c.seg, c.cents,
+        |      row_number() OVER (PARTITION BY c.seg ORDER BY c.cents, c.c_custkey) AS rk,
+        |      n.n
+        |    FROM cust c JOIN (SELECT seg, CAST(count(*) AS BIGINT) AS n
+        |                      FROM cust GROUP BY 1) n USING (seg))
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT seg, sum(dc) AS tc FROM deciles GROUP BY 1)
+        |SELECT a.seg, a.dec, a.n_cust,
+        |  round(CAST(sum(b.dc) AS DOUBLE) / CAST(max(t.tc) AS DOUBLE), 6) AS cum_share
+        |FROM deciles a
+        |  JOIN deciles b ON b.seg = a.seg AND b.dec <= a.dec
+        |  JOIN tot t ON t.seg = a.seg
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // One scan of gate booleans; the cumulative AND chain as exact
     // conditional sums. The Luhn clearance reuses the q_luhn digit fold

@@ -611,6 +611,36 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_qq_points: quantiles nondecreasing in p for both variants") {
+    val rows = SparkEntry.queries("q_qq_points")(spark, sf).orderBy("i").collect()
+    assert(rows.nonEmpty)
+    Seq("q_control", "q_treat").foreach { c =>
+      rows.map(_.getAs[Double](c)).sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b + 1e-9, s"$c quantiles not monotone: $a > $b")
+      }
+    }
+    rows.foreach(r => assert(
+      math.abs(r.getAs[Double]("p") - r.getAs[Int]("i") / 20.0) < 1e-9))
+  }
+
+  test("q_lorenz: curve convex-monotone per segment, top decile ends at 1") {
+    val rows = SparkEntry.queries("q_lorenz")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("dec"))
+      assert(sorted.last.getAs[Int]("dec") == 10)
+      assert(math.abs(sorted.last.getAs[Double]("cum_share") - 1.0) < 1e-9,
+        s"$seg curve must end at 1")
+      val shares = sorted.map(_.getAs[Double]("cum_share"))
+      shares.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-9) }
+      // spend-sorted deciles: the curve sits on or below the diagonal
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("cum_share") <= r.getAs[Int]("dec") / 10.0 + 0.05,
+          s"$seg Lorenz curve above the diagonal")
+      }
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
