@@ -4923,6 +4923,55 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: log-log price elasticity -----------------------
+    // The econometrics staple on the OLS machinery: elasticity =
+    // d ln(quantity) / d ln(unit price) per returnflag. Each ln
+    // quantizes to DECIMAL(28,12) (the q_skew_index rule) so the moment
+    // sums are order-free exact; the slope is one shared IEEE tree.
+    "q_elasticity" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      def qln(c: Column) = log(c).cast("decimal(28,12)").cast("double")
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0.0 && col("l_extendedprice") > 0.0)
+        .select(col("l_returnflag"),
+          qln(col("l_quantity")).as("lq"),
+          qln(col("l_extendedprice") / col("l_quantity")).as("lp"))
+      base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("lp").cast("decimal(28,12)")).as("sx"),
+          sum(col("lq").cast("decimal(28,12)")).as("sy"),
+          sum((col("lp") * col("lp")).cast("decimal(28,12)")).as("sxx"),
+          sum((col("lp") * col("lq")).cast("decimal(28,12)")).as("sxy"))
+        .withColumn("elasticity",
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+        .select(col("l_returnflag"), col("n"),
+          round(col("elasticity"), 6).as("elasticity"),
+          round((d(col("sy")) - col("elasticity") * d(col("sx"))) / d(col("n")), 6)
+            .as("intercept"))
+    }),
+
+    // --- beyond-reference: duplication profile -----------------------------
+    // "How duplicated is this corpus, exactly?" — the size distribution
+    // of exact-duplicate clusters (normalized-text md5, the
+    // q_norm_dedup key): for each cluster size, how many clusters, how
+    // many documents, and the corpus share. The first number a dedup
+    // run should report; two aggregations, all exact integers.
+    "q_dup_profile" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val sizes = t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprintNormMd5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("n_docs_total"))
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"),
+          round((col("sz") * col("n_clusters")).cast("double") /
+            d(col("n_docs_total")), 6).as("corpus_share"))
+    }),
+
     // --- beyond-reference: QQ plot points (A vs B distributions) ----------
     // The full-curve companion to q_ks_test's single max-distance: the
     // two variants' per-user total distributions compared at 19 exact
@@ -9818,6 +9867,43 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Quantized-ln OLS slope per returnflag; the q_norm_dedup ln rules.
+    "q_elasticity" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(ln(l_quantity) AS DECIMAL(28,12)) AS DOUBLE) AS lq,
+        |    CAST(CAST(ln(l_extendedprice / l_quantity) AS DECIMAL(28,12)) AS DOUBLE) AS lp
+        |  FROM lineitem WHERE l_quantity > 0.0 AND l_extendedprice > 0.0),
+        |mo AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(lq AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(lp * lp AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(lp * lq AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        |  FROM base GROUP BY 1),
+        |fit AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx) AS elasticity
+        |  FROM mo)
+        |SELECT l_returnflag, n, round(elasticity, 6) + 0 AS elasticity,
+        |  round((sy - elasticity * sx) / CAST(n AS DOUBLE), 6) + 0 AS intercept
+        |FROM fit""".stripMargin,
+
+    // The q_norm_dedup normalization; all exact integers.
+    "q_dup_profile" ->
+      """WITH sizes AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_docs_total FROM sizes)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sz * count(*) AS DOUBLE) / CAST(max(t.n_docs_total) AS DOUBLE), 6)
+        |    AS corpus_share
+        |FROM sizes, tot t GROUP BY sz""".stripMargin,
 
     // Exact order statistics at rank trunc((n+1)·i/20); pivot by the
     // max-of-single-match trick.

@@ -641,6 +641,42 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_elasticity: slope recomputes from driver-side quantized-ln moments") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_elasticity")(spark, sf).collect()
+    assert(rows.length >= 1)
+    val mo = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 0.0 && col("l_extendedprice") > 0.0)
+      .select(col("l_returnflag"),
+        log(col("l_quantity")).as("lq"),
+        log(col("l_extendedprice") / col("l_quantity")).as("lp"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = mo(r.getString(0)).map(x => (x.getDouble(2), x.getDouble(1)))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("elasticity") - want) < 1e-4,
+        s"${r.getString(0)}: ${r.getAs[Double]("elasticity")} vs $want")
+    }
+  }
+
+  test("q_dup_profile: shares sum to 1; docs account for the corpus") {
+    val rows = SparkEntry.queries("q_dup_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("corpus_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 1 && r.getAs[Long]("n_clusters") >= 1)
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
