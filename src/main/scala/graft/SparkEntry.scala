@@ -4923,6 +4923,60 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: bigram conditional entropy ---------------------
+    // Corpus predictability per source: H(next | current) =
+    // −Σ p(c,n)·ln p(n|c) over token bigrams, from exact counts with
+    // every p·ln term decimal-quantized (the q_mutual_info rule). Low
+    // conditional entropy = templated/predictable text — the
+    // information-theoretic reading of what q_repetition counts.
+    "q_ngram_entropy" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val toks = t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("source"), posexplode(col("ts")).as(Seq("pos", "cur")), col("ts"))
+        .filter(col("pos") < size(col("ts")) - 1) // guard BEFORE element_at (ANSI)
+        .select(col("source"), col("cur"), element_at(col("ts"), col("pos") + 2).as("nxt"))
+      val big = toks.groupBy("source", "cur", "nxt").agg(count(lit(1)).as("nb"))
+        .localCheckpoint(eager = false) // marginals + terms
+      val marg = big.groupBy("source", "cur").agg(sum("nb").as("nc"))
+      val tot = big.groupBy("source").agg(sum("nb").as("nt"))
+      big.join(marg, Seq("source", "cur")).join(broadcast(tot), "source")
+        .withColumn("term",
+          ((d(col("nb")) / d(col("nt"))) * log(d(col("nb")) / d(col("nc"))))
+            .cast("decimal(28,12)"))
+        .groupBy(col("source"), col("nt"))
+        .agg(sum(col("term")).as("hsum"), count(lit(1)).as("n_bigrams"))
+        .select(col("source"), col("nt").as("n_pairs"), col("n_bigrams"),
+          round(-col("hsum").cast("double"), 6).as("cond_entropy_nats"))
+    }),
+
+    // --- beyond-reference: traffic burstiness ------------------------------
+    // Queueing-flavored load diagnostic per event type: the index of
+    // dispersion (variance/mean of daily counts — 1 for Poisson
+    // arrivals) and the Goh-Barabási burstiness (σ−μ)/(σ+μ) ∈ (−1, 1),
+    // from three exact BIGINT moments of the daily count series.
+    "q_burstiness" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .withColumn("mean_c", d(col("sc")) / d(col("n_days")))
+        .withColumn("var_c",
+          (d(col("scc")) - d(col("sc")) * d(col("sc")) / d(col("n_days"))) /
+            (d(col("n_days")) - lit(1.0)))
+        .withColumn("sd_c", sqrt(col("var_c")))
+        .select(col("event_type"), col("n_days"),
+          round(col("mean_c"), 6).as("mean_daily"),
+          round(col("var_c") / col("mean_c"), 6).as("dispersion"),
+          round((col("sd_c") - col("mean_c")) / (col("sd_c") + col("mean_c")), 6)
+            .as("burstiness"))
+    }),
+
     // --- beyond-reference: log-log price elasticity -----------------------
     // The econometrics staple on the OLS machinery: elasticity =
     // d ln(quantity) / d ln(unit price) per returnflag. Each ln
@@ -9867,6 +9921,53 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Bigram counts with the same tokenizer; p·ln terms quantized.
+    "q_ngram_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, toks[i] AS cur, toks[i + 1] AS nxt
+        |  FROM (SELECT source,
+        |          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |        FROM documents),
+        |    unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |big AS (
+        |  SELECT source, cur, nxt, CAST(count(*) AS BIGINT) AS nb
+        |  FROM toks GROUP BY 1, 2, 3),
+        |marg AS (SELECT source, cur, CAST(sum(nb) AS BIGINT) AS nc FROM big GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(nb) AS BIGINT) AS nt FROM big GROUP BY 1),
+        |terms AS (
+        |  SELECT b.source, t.nt,
+        |    CAST((CAST(b.nb AS DOUBLE) / CAST(t.nt AS DOUBLE))
+        |      * ln(CAST(b.nb AS DOUBLE) / CAST(m.nc AS DOUBLE)) AS DECIMAL(28,12)) AS term
+        |  FROM big b JOIN marg m ON m.source = b.source AND m.cur = b.cur
+        |    JOIN tot t ON t.source = b.source)
+        |SELECT source, nt AS n_pairs, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(term) AS DOUBLE), 6) + 0 AS cond_entropy_nats
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // Three exact BIGINT moments of the daily count series.
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+        |  FROM daily GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, n_days,
+        |    CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_c,
+        |    (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+        |      (CAST(n_days AS DOUBLE) - 1.0) AS var_c
+        |  FROM mo)
+        |SELECT event_type, n_days,
+        |  round(mean_c, 6) AS mean_daily,
+        |  round(var_c / mean_c, 6) AS dispersion,
+        |  round((sqrt(var_c) - mean_c) / (sqrt(var_c) + mean_c), 6) + 0 AS burstiness
+        |FROM st""".stripMargin,
 
     // Quantized-ln OLS slope per returnflag; the q_norm_dedup ln rules.
     "q_elasticity" ->

@@ -677,6 +677,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_ngram_entropy: conditional entropy within [0, ln(n_bigrams)]") {
+    val rows = SparkEntry.queries("q_ngram_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cond_entropy_nats")
+      assert(h >= -1e-9, s"negative entropy: $h")
+      // H(next|cur) <= H(cur,next) <= ln(#distinct bigrams)
+      assert(h <= math.log(r.getAs[Long]("n_bigrams").toDouble) + 1e-9)
+      assert(r.getAs[Long]("n_pairs") >= r.getAs[Long]("n_bigrams"))
+    }
+  }
+
+  test("q_burstiness: burstiness within (-1,1); dispersion consistent with moments") {
+    val rows = SparkEntry.queries("q_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 - 1e-9 && b < 1.0 + 1e-9, s"burstiness out of range: $b")
+      assert(r.getAs[Double]("dispersion") >= 0.0)
+      assert(r.getAs[Double]("mean_daily") > 0.0)
+      assert(r.getAs[Long]("n_days") > 1)
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
