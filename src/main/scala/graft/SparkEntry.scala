@@ -4923,6 +4923,39 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: lead-lag cross-correlation ---------------------
+    // "Does event type A lead event type B?" — Pearson correlation
+    // between every ordered type pair's daily series at lags −3..3
+    // (b shifted k days). Daily totals quantize to DECIMAL(15,3) so
+    // every cross-moment product stays inside exact decimal precision;
+    // the correlation is the shared moment tree. Pair×lag volume is
+    // TYPES²×7 — fixed, tiny, volume-independent after the rollup.
+    "q_lag_corr" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).cast("decimal(15,3)").as("v"))
+        .localCheckpoint(eager = false) // both join sides × 7 lags
+      val lags = broadcast(s.range(-3, 4).select(col("id").cast("int").as("lag")))
+      val a = daily.select(col("event_type").as("eta"), col("day"), col("v").as("va"))
+      val b = daily.select(col("event_type").as("etb"), col("day").as("dayb"), col("v").as("vb"))
+      a.crossJoin(lags)
+        .join(b, col("eta") < col("etb") && col("dayb") === col("day") + col("lag"))
+        .groupBy("eta", "etb", "lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("va")).as("sx"), sum(col("vb")).as("sy"),
+          sum(col("va") * col("va")).as("sxx"),
+          sum(col("vb") * col("vb")).as("syy"),
+          sum(col("va") * col("vb")).as("sxy"))
+        .filter(col("n") >= 3)
+        .select(col("eta"), col("etb"), col("lag"), col("n"),
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+            .as("corr"))
+    }),
+
     // --- beyond-reference: bigram conditional entropy ---------------------
     // Corpus predictability per source: H(next | current) =
     // −Σ p(c,n)·ln p(n|c) over token bigrams, from exact counts with
@@ -9921,6 +9954,30 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Exact decimal cross-moments at each lag; shared correlation tree.
+    "q_lag_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(12,3))) AS DECIMAL(15,3)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(g.gs AS INT) AS lag FROM (SELECT unnest(range(-3, 4)) AS gs) g),
+        |mo AS (
+        |  SELECT a.event_type AS eta, b.event_type AS etb, l.lag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(a.v) AS sx, sum(b.v) AS sy,
+        |    sum(a.v * a.v) AS sxx, sum(b.v * b.v) AS syy,
+        |    sum(a.v * b.v) AS sxy
+        |  FROM daily a CROSS JOIN lags l
+        |    JOIN daily b ON a.event_type < b.event_type AND b.day = a.day + l.lag
+        |  GROUP BY 1, 2, 3)
+        |SELECT eta, etb, lag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+        |    AS corr
+        |FROM mo WHERE n >= 3""".stripMargin,
 
     // Bigram counts with the same tokenizer; p·ln terms quantized.
     "q_ngram_entropy" ->

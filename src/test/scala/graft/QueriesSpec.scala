@@ -701,6 +701,23 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_lag_corr: correlations bounded, ordered pairs, full lag grid present") {
+    val rows = SparkEntry.queries("q_lag_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("eta") < r.getAs[String]("etb"))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+      assert(math.abs(r.getAs[Int]("lag")) <= 3)
+      assert(r.getAs[Long]("n") >= 3)
+    }
+    rows.groupBy(r => (r.getAs[String]("eta"), r.getAs[String]("etb")))
+      .foreach { case (pair, rs) =>
+        assert(rs.map(_.getAs[Int]("lag")).sorted.toSeq == (-3 to 3).toSeq,
+          s"$pair missing lags")
+      }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
