@@ -4923,6 +4923,99 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: difference-in-differences ----------------------
+    // The 2×2 causal staple on the q_cuped split (pre/post at the
+    // integer midpoint day, floored integer per-user totals, variants
+    // by parity): DiD = (post−pre | treat) − (post−pre | control), with
+    // the SE from the per-user gap variances — all from five exact
+    // BIGINT moments per variant.
+    "q_did" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("value").cast("decimal(12,3)").as("v"))
+      val mid = e.agg(floor((min(col("day")) + max(col("day"))).cast("double") / lit(2.0))
+        .cast("long").as("mid"))
+      val u = e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          floor(coalesce(sum(when(col("day") < col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("x"),
+          floor(coalesce(sum(when(col("day") >= col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("y"))
+        .withColumn("g", pmod(col("user_id"), lit(2)).cast("int"))
+        .withColumn("dd", col("y") - col("x"))
+      u.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("dd")).as("sd"),
+          sum(col("dd") * col("dd")).as("sdd"))
+        .withColumn("mean_d", d(col("sd")) / d(col("n")))
+        .withColumn("var_d",
+          (d(col("sdd")) - d(col("sd")) * d(col("sd")) / d(col("n"))) /
+            (d(col("n")) - lit(1.0)))
+        .groupBy()
+        .agg(
+          max(when(col("g") === 1, col("n"))).as("n_t"),
+          max(when(col("g") === 0, col("n"))).as("n_c"),
+          max(when(col("g") === 1, col("mean_d"))).as("mt"),
+          max(when(col("g") === 0, col("mean_d"))).as("mc"),
+          max(when(col("g") === 1, col("var_d"))).as("vt"),
+          max(when(col("g") === 0, col("var_d"))).as("vc"))
+        .withColumn("did", col("mt") - col("mc"))
+        .withColumn("se", sqrt(col("vt") / d(col("n_t")) + col("vc") / d(col("n_c"))))
+        .select(col("n_t"), col("n_c"), round(col("did"), 6).as("did"),
+          round(col("se"), 6).as("se"),
+          round(col("did") / col("se"), 6).as("t_stat"))
+    }),
+
+    // --- beyond-reference: stratified ATT (CEM-style) ---------------------
+    // Coarsened-exact-matching flavor: users stratify into 5 fixed-width
+    // PRE-activity bins (the calibration binning — never quantiles),
+    // strata keep both groups or prune (standard CEM), and the ATT is
+    // the treated-weighted sum of within-stratum post-mean gaps. Exact
+    // integer totals; per-stratum rows plus the pooled ATT replicated
+    // via a broadcast scalar.
+    "q_att_strata" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"),
+        col("value").cast("decimal(12,3)").as("v"))
+      val mid = e.agg(floor((min(col("day")) + max(col("day"))).cast("double") / lit(2.0))
+        .cast("long").as("mid"))
+      val u = e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          floor(coalesce(sum(when(col("day") < col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("x"),
+          floor(coalesce(sum(when(col("day") >= col("mid"), col("v"))),
+            lit(java.math.BigDecimal.ZERO)).cast("double")).cast("long").as("y"))
+        .withColumn("g", pmod(col("user_id"), lit(2)).cast("int"))
+        .localCheckpoint(eager = false) // bin bounds + stratum aggregates
+      val mm = u.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val strata = u.join(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0)).otherwise(
+            least(floor((col("x") - col("lo")).cast("double") /
+              ((col("hi") - col("lo")).cast("double") / lit(5.0))).cast("int"), lit(4))))
+        .groupBy("bin")
+        .agg(
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("g") === 1, col("y"))).as("sy_t"),
+          sum(when(col("g") === 0, col("y"))).as("sy_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0) // CEM prune
+        .withColumn("gap", d(col("sy_t")) / d(col("n_t")) - d(col("sy_c")) / d(col("n_c")))
+        .localCheckpoint(eager = false) // att scalar + readout
+      val att = strata
+        .withColumn("wgap", (col("gap") * d(col("n_t"))).cast("decimal(28,12)"))
+        .agg((sum(col("wgap")).cast("double") / sum(col("n_t")).cast("double")).as("att"))
+      strata.crossJoin(broadcast(att))
+        .select(col("bin"), col("n_t"), col("n_c"),
+          round(col("gap"), 6).as("stratum_gap"),
+          round(col("att"), 6).as("att"))
+    }),
+
     // --- beyond-reference: lead-lag cross-correlation ---------------------
     // "Does event type A lead event type B?" — Pearson correlation
     // between every ordered type pair's daily series at lags −3..3
@@ -9954,6 +10047,95 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // The q_cuped per-user split; five exact BIGINT moments per variant.
+    "q_did" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(12,3)) AS v
+        |  FROM events),
+        |md AS (
+        |  SELECT CAST(floor(CAST(min(day) + max(day) AS DOUBLE) / 2.0) AS BIGINT) AS mid
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day >= mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(CAST(coalesce(sum(CASE WHEN day < mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS dd,
+        |    CAST(user_id % 2 AS INT) AS g
+        |  FROM e, md GROUP BY user_id),
+        |pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(dd) AS BIGINT) AS sd,
+        |    CAST(sum(dd * dd) AS BIGINT) AS sdd
+        |  FROM u GROUP BY 1),
+        |st AS (
+        |  SELECT g, n, CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d,
+        |    (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) - 1.0) AS var_d
+        |  FROM pg),
+        |wide AS (
+        |  SELECT
+        |    max(CASE WHEN g = 1 THEN n END) AS n_t,
+        |    max(CASE WHEN g = 0 THEN n END) AS n_c,
+        |    max(CASE WHEN g = 1 THEN mean_d END) AS mt,
+        |    max(CASE WHEN g = 0 THEN mean_d END) AS mc,
+        |    max(CASE WHEN g = 1 THEN var_d END) AS vt,
+        |    max(CASE WHEN g = 0 THEN var_d END) AS vc
+        |  FROM st),
+        |fin AS (
+        |  SELECT n_t, n_c, mt - mc AS did,
+        |    sqrt(vt / CAST(n_t AS DOUBLE) + vc / CAST(n_c AS DOUBLE)) AS se
+        |  FROM wide)
+        |SELECT n_t, n_c, round(did, 6) + 0 AS did, round(se, 6) AS se,
+        |  round(did / se, 6) + 0 AS t_stat
+        |FROM fin""".stripMargin,
+
+    // Fixed-width pre-activity bins (the calibration binning), CEM
+    // prune, treated-weighted gap sum with decimal-quantized terms.
+    "q_att_strata" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(value AS DECIMAL(12,3)) AS v
+        |  FROM events),
+        |md AS (
+        |  SELECT CAST(floor(CAST(min(day) + max(day) AS DOUBLE) / 2.0) AS BIGINT) AS mid
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day < mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS x,
+        |    CAST(floor(CAST(coalesce(sum(CASE WHEN day >= mid THEN v END),
+        |      CAST(0 AS DECIMAL(12,3))) AS DOUBLE)) AS BIGINT) AS y,
+        |    CAST(user_id % 2 AS INT) AS g
+        |  FROM e, md GROUP BY user_id),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM u),
+        |sb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    least(CAST(trunc(CAST(x - lo AS DOUBLE) / (CAST(hi - lo AS DOUBLE) / 5.0)) AS INT), 4)
+        |  END AS bin, g, y
+        |  FROM u, mm),
+        |strata AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN g = 1 THEN y END) AS BIGINT) AS sy_t,
+        |    CAST(sum(CASE WHEN g = 0 THEN y END) AS BIGINT) AS sy_c
+        |  FROM sb GROUP BY 1),
+        |kept AS (
+        |  SELECT bin, n_t, n_c,
+        |    CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS gap
+        |  FROM strata WHERE n_t > 0 AND n_c > 0),
+        |att AS (
+        |  SELECT CAST(sum(CAST(gap * CAST(n_t AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(sum(n_t) AS DOUBLE) AS att
+        |  FROM kept)
+        |SELECT k.bin, k.n_t, k.n_c,
+        |  round(k.gap, 6) + 0 AS stratum_gap, round(a.att, 6) + 0 AS att
+        |FROM kept k, att a""".stripMargin,
 
     // Exact decimal cross-moments at each lag; shared correlation tree.
     "q_lag_corr" ->

@@ -718,6 +718,27 @@ class QueriesSpec extends SparkTestBase {
       }
   }
 
+  test("q_did: estimate equals the paired-t mean gap difference of the variants") {
+    val r = SparkEntry.queries("q_did")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_t") > 1 && r.getAs[Long]("n_c") > 1)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      r.getAs[Double]("did") / r.getAs[Double]("se")) < 1e-3)
+  }
+
+  test("q_att_strata: every kept stratum has both groups; ATT is the weighted gap mean") {
+    val rows = SparkEntry.queries("q_att_strata")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("att")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    }
+    val att = rows.head.getAs[Double]("att")
+    val want = rows.map(r => r.getAs[Double]("stratum_gap") * r.getAs[Long]("n_t")).sum /
+      rows.map(_.getAs[Long]("n_t")).sum
+    assert(math.abs(att - want) < 1e-4, s"att $att vs weighted $want")
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
