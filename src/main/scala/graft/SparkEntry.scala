@@ -4923,6 +4923,47 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: SAX symbolization -------------------------------
+    // Symbolic Aggregate approXimation of each event type's daily
+    // series: 8-observation PAA segments (exact decimal means),
+    // z-normalized against the type's own exact moments, mapped to a
+    // 4-symbol alphabet at the standard N(0,1) quartile breakpoints
+    // (±0.6745, 0). The compact string that makes series indexable /
+    // motif-searchable; thresholds compare identical doubles.
+    "q_sax" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+      val seg = daily
+        .withColumn("segi", ((row_number().over(w) - 1) / lit(8)).cast("int"))
+        .groupBy("event_type", "segi")
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("paa"))
+        .localCheckpoint(eager = false) // moments + symbol pass
+      val mo = seg.groupBy("event_type")
+        .agg(count(lit(1)).as("nseg"),
+          sum(col("paa").cast("decimal(28,12)")).as("sp"),
+          sum((col("paa") * col("paa")).cast("decimal(28,12)")).as("spp"))
+        .withColumn("mu", col("sp").cast("double") / d(col("nseg")))
+        .withColumn("sd", sqrt(
+          (col("spp").cast("double") - col("sp").cast("double") *
+            col("sp").cast("double") / d(col("nseg"))) / (d(col("nseg")) - lit(1.0))))
+      seg.join(broadcast(mo.select("event_type", "nseg", "mu", "sd")), "event_type")
+        .withColumn("z", (col("paa") - col("mu")) / col("sd"))
+        .withColumn("sym",
+          when(col("z") < -0.6745, lit("a"))
+            .when(col("z") < 0.0, lit("b"))
+            .when(col("z") < 0.6745, lit("c"))
+            .otherwise(lit("d")))
+        .groupBy(col("event_type"), col("nseg").as("n_segments"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("segi"), col("sym")))),
+          e => e.getField("sym")), "").as("sax"))
+    }),
+
     // --- beyond-reference: difference-in-differences ----------------------
     // The 2×2 causal staple on the q_cuped split (pre/post at the
     // integer midpoint day, floored integer per-user totals, variants
@@ -10047,6 +10088,42 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Same PAA segmentation; symbol thresholds on identical doubles.
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT event_type,
+        |    CAST(trunc((row_number() OVER (PARTITION BY event_type ORDER BY day) - 1) / 8.0) AS INT)
+        |      AS segi, v
+        |  FROM daily),
+        |paa AS (
+        |  SELECT event_type, segi,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS paa
+        |  FROM seg GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nseg,
+        |    CAST(sum(CAST(paa AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(paa * paa AS DECIMAL(28,12))) AS DOUBLE) AS spp
+        |  FROM paa GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, nseg, sp / CAST(nseg AS DOUBLE) AS mu,
+        |    sqrt((spp - sp * sp / CAST(nseg AS DOUBLE)) / (CAST(nseg AS DOUBLE) - 1.0)) AS sd
+        |  FROM mo),
+        |sym AS (
+        |  SELECT p.event_type, s.nseg, p.segi,
+        |    CASE WHEN (p.paa - s.mu) / s.sd < -0.6745 THEN 'a'
+        |         WHEN (p.paa - s.mu) / s.sd < 0.0 THEN 'b'
+        |         WHEN (p.paa - s.mu) / s.sd < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS sym
+        |  FROM paa p JOIN st s USING (event_type))
+        |SELECT event_type, nseg AS n_segments,
+        |  string_agg(sym, '' ORDER BY segi) AS sax
+        |FROM sym GROUP BY 1, 2""".stripMargin,
 
     // The q_cuped per-user split; five exact BIGINT moments per variant.
     "q_did" ->

@@ -739,6 +739,19 @@ class QueriesSpec extends SparkTestBase {
     assert(math.abs(att - want) < 1e-4, s"att $att vs weighted $want")
   }
 
+  test("q_sax: strings use the 4-letter alphabet and match segment counts") {
+    val rows = SparkEntry.queries("q_sax")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sax = r.getAs[String]("sax")
+      assert(sax.length == r.getAs[Long]("n_segments"))
+      assert(sax.forall(c => c >= 'a' && c <= 'd'), s"bad symbol in $sax")
+      // z-normalized segments must straddle the mean: both halves appear
+      assert(sax.exists(c => c <= 'b') && sax.exists(c => c >= 'c'),
+        s"degenerate symbolization: $sax")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
