@@ -4923,6 +4923,43 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: kernel density estimate -------------------------
+    // Gaussian KDE of the per-user total distribution at 20 fixed grid
+    // points, Silverman bandwidth. Cross-engine note: exp/pow are the
+    // one place libm parity is not bit-guaranteed, so the bandwidth and
+    // every kernel term round to 6 dp BEFORE the decimal-quantized sum
+    // — a 1-ulp libm gap then only matters within 1e-16 of a rounding
+    // boundary (odds ~1e-10 per term). The corpus side is one
+    // broadcast-grid scan; 20 cells aggregate map-side.
+    "q_kde" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("vd"))
+        .select(d(col("vd")).as("x"))
+        .localCheckpoint(eager = false) // stats + kernel scan
+      val st = u.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(24,6)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(28,12)")).as("sxx"),
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .withColumn("sd", sqrt((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / d(col("n"))) /
+          (d(col("n")) - lit(1.0))))
+        .withColumn("h", round(lit(1.06) * col("sd") * pow(d(col("n")), lit(-0.2)), 6))
+      val grid = broadcast(st.select(col("n"), col("h"), col("lo"), col("hi"))
+        .select(col("*"), explode(array((0 to 19).map(lit(_)): _*)).as("i"))
+        .withColumn("g", col("lo") + (col("hi") - col("lo")) * d(col("i")) / lit(19.0)))
+      u.crossJoin(grid)
+        .withColumn("t",
+          round(exp(lit(-0.5) * ((col("x") - col("g")) / col("h"))
+            * ((col("x") - col("g")) / col("h"))), 6).cast("decimal(28,12)"))
+        .groupBy("i", "g", "n", "h")
+        .agg(sum(col("t")).as("ts"))
+        .select(col("i"), round(col("g"), 6).as("g"),
+          round(col("ts").cast("double") /
+            (d(col("n")) * col("h") * lit(2.5066282746310002)), 9).as("density"))
+    }),
+
     // --- beyond-reference: SAX symbolization -------------------------------
     // Symbolic Aggregate approXimation of each event type's daily
     // series: 8-observation PAA segments (exact decimal means),
@@ -10088,6 +10125,37 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Bandwidth and kernel terms rounded at 6 dp before the quantized
+    // sum (the libm-parity dodge documented on the Spark side).
+    "q_kde" ->
+      """WITH u AS (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS x
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    min(x) AS lo, max(x) AS hi
+        |  FROM u),
+        |hb AS (
+        |  SELECT n, lo, hi,
+        |    round(1.06 * sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+        |      * pow(CAST(n AS DOUBLE), -0.2), 6) AS h
+        |  FROM st),
+        |grid AS (
+        |  SELECT n, h, CAST(g.gs AS INT) AS i,
+        |    lo + (hi - lo) * CAST(g.gs AS DOUBLE) / 19.0 AS g
+        |  FROM hb, (SELECT unnest(range(0, 20)) AS gs) g),
+        |terms AS (
+        |  SELECT gr.i, gr.g, gr.n, gr.h,
+        |    CAST(round(exp(-0.5 * ((u.x - gr.g) / gr.h) * ((u.x - gr.g) / gr.h)), 6)
+        |      AS DECIMAL(28,12)) AS t
+        |  FROM u, grid gr)
+        |SELECT i, round(g, 6) AS g,
+        |  round(CAST(sum(t) AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * h * 2.5066282746310002), 9) AS density
+        |FROM terms GROUP BY i, g, n, h""".stripMargin,
 
     // Same PAA segmentation; symbol thresholds on identical doubles.
     "q_sax" ->

@@ -752,6 +752,21 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_kde: densities nonnegative and integrate to roughly 1 over the grid") {
+    val rows = SparkEntry.queries("q_kde")(spark, sf).orderBy("i").collect()
+    assert(rows.length == 20)
+    val gs = rows.map(_.getAs[Double]("g"))
+    val ds = rows.map(_.getAs[Double]("density"))
+    ds.foreach(v => assert(v >= 0.0))
+    gs.sliding(2).foreach { case Array(a, b) => assert(a < b) }
+    // trapezoid over the grid: most of the mass sits inside [lo, hi]
+    val pts = gs.zip(ds)
+    val area = pts.zip(pts.tail).map { case ((g1, d1), (g2, d2)) =>
+      (g2 - g1) * (d1 + d2) / 2.0
+    }.sum
+    assert(area > 0.5 && area < 1.2, s"KDE grid mass $area far from 1")
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
