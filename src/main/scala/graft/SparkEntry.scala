@@ -4923,6 +4923,36 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: partial autocorrelation (PACF) -----------------
+    // The AR-order diagnostic beside q_acf: PACF at lags 1–3 via the
+    // Durbin-Levinson recursion on the same integer-quantized daily
+    // revenue series — "is the lag-2/3 correlation real structure or
+    // just lag-1 echo?". The recursion is pure scalar arithmetic on the
+    // three ACF values (identical doubles both engines).
+    "q_pacf" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(floor(tsUs(col("o_orderdate")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,3)")).as("v"))
+        .select(col("day"),
+          floor(col("v").cast("double") / lit(1000.0)).cast("long").as("kilo"))
+      Stats.autocorr(daily, time = col("day"), value = col("kilo"), maxLag = 3)
+        .agg(
+          max(when(col("lag_d") === 1, col("acf"))).as("r1"),
+          max(when(col("lag_d") === 2, col("acf"))).as("r2"),
+          max(when(col("lag_d") === 3, col("acf"))).as("r3"))
+        .withColumn("p2",
+          (col("r2") - col("r1") * col("r1")) / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("a21", col("r1") * (lit(1.0) - col("p2")))
+        .withColumn("p3",
+          (col("r3") - col("a21") * col("r2") - col("p2") * col("r1")) /
+            (lit(1.0) - col("a21") * col("r1") - col("p2") * col("r2")))
+        .select(
+          round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+          round(col("r3"), 6).as("r3"),
+          round(col("r1"), 6).as("pacf1"), round(col("p2"), 6).as("pacf2"),
+          round(col("p3"), 6).as("pacf3"))
+    }),
+
     // --- beyond-reference: kernel density estimate -------------------------
     // Gaussian KDE of the per-user total distribution at 20 fixed grid
     // points, Silverman bandwidth. Cross-engine note: exp/pow are the
@@ -10125,6 +10155,50 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // The q_acf moment machinery at lags 1..3, then the scalar
+    // Durbin-Levinson tree.
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(floor(CAST(v AS DOUBLE) / 1000.0) AS BIGINT) AS kilo
+        |  FROM (
+        |    SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+        |      sum(CAST(o_totalprice AS DECIMAL(12,3))) AS v
+        |    FROM orders GROUP BY 1)),
+        |pairs AS (
+        |  SELECT CAST(g.gs AS INT) AS lag_d, a.kilo AS x, b.kilo AS y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(1, 4)) AS gs) g
+        |  JOIN daily b ON b.day = a.day + g.gs),
+        |m AS (
+        |  SELECT lag_d, count(*) AS n,
+        |    CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+        |  FROM pairs GROUP BY 1),
+        |acf AS (
+        |  SELECT lag_d,
+        |    (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf
+        |  FROM m),
+        |wide AS (
+        |  SELECT
+        |    max(CASE WHEN lag_d = 1 THEN acf END) AS r1,
+        |    max(CASE WHEN lag_d = 2 THEN acf END) AS r2,
+        |    max(CASE WHEN lag_d = 3 THEN acf END) AS r3
+        |  FROM acf),
+        |dl AS (
+        |  SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        |  FROM wide),
+        |dl2 AS (SELECT *, r1 * (1.0 - p2) AS a21 FROM dl)
+        |SELECT round(r1, 6) + 0 AS r1, round(r2, 6) + 0 AS r2, round(r3, 6) + 0 AS r3,
+        |  round(r1, 6) + 0 AS pacf1, round(p2, 6) + 0 AS pacf2,
+        |  round((r3 - a21 * r2 - p2 * r1) /
+        |    (1.0 - a21 * r1 - p2 * r2), 6) + 0 AS pacf3
+        |FROM dl2""".stripMargin,
 
     // Bandwidth and kernel terms rounded at 6 dp before the quantized
     // sum (the libm-parity dodge documented on the Spark side).

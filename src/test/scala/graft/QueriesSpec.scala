@@ -767,6 +767,18 @@ class QueriesSpec extends SparkTestBase {
     assert(area > 0.5 && area < 1.2, s"KDE grid mass $area far from 1")
   }
 
+  test("q_pacf: pacf1 equals r1; level-2 recursion closes on the reported acf values") {
+    val r = SparkEntry.queries("q_pacf")(spark, sf).collect().head
+    val (r1, r2) = (r.getAs[Double]("r1"), r.getAs[Double]("r2"))
+    assert(r.getAs[Double]("pacf1") == r1)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(r.getAs[Double]("pacf2") - p2) < 1e-4)
+    Seq("pacf1", "pacf2", "pacf3").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6, s"$c out of range: $v")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
