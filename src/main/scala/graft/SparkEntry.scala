@@ -4923,6 +4923,30 @@ object SparkEntry {
           round(d(col("c100")) / d(col("n_instances")), 6).as("coverage_100"))
     }),
 
+    // --- beyond-reference: local peak detection ----------------------------
+    // Spike surfacing in each event type's daily series: a peak is a
+    // strict local maximum over its ±2 observation window, with a
+    // prominence-lite score (value minus the window's best neighbor).
+    // Exact decimal comparisons inside type-partitioned frame windows;
+    // emits only the peak rows.
+    "q_peaks" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy(col("day"))
+      val wb = wOrd.rowsBetween(-2, -1)
+      val wa = wOrd.rowsBetween(1, 2)
+      daily
+        .withColumn("mb", max(col("v")).over(wb))
+        .withColumn("ma", max(col("v")).over(wa))
+        .filter(col("mb").isNotNull && col("ma").isNotNull &&
+          col("v") > col("mb") && col("v") > col("ma"))
+        .select(col("event_type"), col("day"), col("v").cast("double").as("v"),
+          round((col("v") - greatest(col("mb"), col("ma"))).cast("double"), 6)
+            .as("prominence"))
+    }),
+
     // --- beyond-reference: partial autocorrelation (PACF) -----------------
     // The AR-order diagnostic beside q_acf: PACF at lags 1–3 via the
     // Durbin-Levinson recursion on the same integer-quantized daily
@@ -10155,6 +10179,25 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS coverage_100
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // Identical frame windows; decimal comparisons.
+    "q_peaks" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    sum(CAST(value AS DECIMAL(12,3))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, day, v,
+        |    max(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS mb,
+        |    max(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS ma
+        |  FROM daily)
+        |SELECT event_type, day, CAST(v AS DOUBLE) AS v,
+        |  round(CAST(v - greatest(mb, ma) AS DOUBLE), 6) AS prominence
+        |FROM n
+        |WHERE mb IS NOT NULL AND ma IS NOT NULL AND v > mb AND v > ma""".stripMargin,
 
     // The q_acf moment machinery at lags 1..3, then the scalar
     // Durbin-Levinson tree.

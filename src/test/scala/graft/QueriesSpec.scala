@@ -779,6 +779,30 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_peaks: every peak strictly dominates its window; prominence positive") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_peaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("prominence") > 0.0))
+    // cross-check one type driver-side: peaks must be local maxima of
+    // the recomputed daily series
+    val et = rows.head.getAs[String]("event_type")
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === et)
+      .groupBy(floor(unix_micros(col("ts").cast("timestamp")) / 86400000000L).as("day"))
+      .agg(sum(col("value").cast("decimal(12,3)")).as("v"))
+      .orderBy("day").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue)
+    val series = daily.map(_._2)
+    val dayIdx = daily.map(_._1).zipWithIndex.toMap
+    rows.filter(_.getAs[String]("event_type") == et).foreach { r =>
+      val i = dayIdx(r.getAs[Long]("day"))
+      val nb = (math.max(0, i - 2) until i).map(series) ++
+        ((i + 1) to math.min(series.length - 1, i + 2)).map(series)
+      assert(nb.forall(_ < series(i)), s"day ${r.getAs[Long]("day")} is not a local max")
+    }
+  }
+
   test("q_luhn: validation recovers the synthesis rule exactly (even=valid)") {
     val rows = SparkEntry.queries("q_luhn")(spark, sf).collect()
     assert(rows.nonEmpty)
