@@ -10525,8 +10525,8 @@ object SparkEntry {
         |  FROM ranked r CROSS JOIN (SELECT unnest(range(1, 20)) AS gs) g
         |  WHERE r.rk = CAST(trunc(CAST(r.n + 1 AS DOUBLE) * g.gs / 20.0) AS INT))
         |SELECT i, round(CAST(i AS DOUBLE) / 20.0, 6) AS p,
-        |  round(CAST(max(CASE WHEN variant = 0 THEN v END) AS DOUBLE), 6) AS q_control,
-        |  round(CAST(max(CASE WHEN variant = 1 THEN v END) AS DOUBLE), 6) AS q_treat
+        |  round(CAST(max(CASE WHEN variant = 0 THEN v END) AS DOUBLE), 6) + 0 AS q_control,
+        |  round(CAST(max(CASE WHEN variant = 1 THEN v END) AS DOUBLE), 6) + 0 AS q_treat
         |FROM pts GROUP BY 1""".stripMargin,
 
     // Exact-cent spend deciles; cumulative shares from the decile
