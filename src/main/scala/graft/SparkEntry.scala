@@ -125,6 +125,30 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Bench-only production probes
+  // ---------------------------------------------------------------------
+
+  /** Production-path perf probes, timed by Bench alongside `queries` but
+    * NOT part of the correctness registry: round 9 converted
+    * q_neardup_minhash/simhash to contract queries (candidates → exact
+    * Jaccard verify → signature re-join at a recall≈1 config), which is
+    * the right correctness shape but means the benched number measures
+    * the contract harness — a regression in the actual 100 TB dedup path
+    * ([[graft.similarity.NearDup.minhashCandidates]] /
+    * [[graft.similarity.NearDup.simhashCandidates]] at their production
+    * defaults) would be invisible. These entries keep that path benched
+    * (`b_` prefix; Verify ignores them, so the 254-query oracle gate is
+    * untouched). Correctness for the kernels stays pinned by
+    * NearDupSpec + the contract queries.
+    */
+  def benchProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b_neardup_minhash_cands" -> ((s, dir) =>
+      NearDup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")),
+    "b_neardup_simhash_cands" -> ((s, dir) =>
+      NearDup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")),
+  )
+
+  // ---------------------------------------------------------------------
   // Queries
   // ---------------------------------------------------------------------
 
@@ -192,11 +216,15 @@ object SparkEntry {
     }),
 
     // --- J3: left anti (subtract) -------------------------------------
+    // Customers with no HIGH-VALUE order: every synthetic customer has
+    // at least one order, so the anti-join runs against the filtered
+    // subset (>400k total) to keep the result non-empty at every SF
+    // (20 rows at sf0.001, 202 at sf0.01) — a real, non-vacuous gate.
     "q_join_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      val bigOrd = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
       cust
-        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .join(bigOrd, cust("c_custkey") === bigOrd("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
@@ -580,13 +608,17 @@ object SparkEntry {
     }),
 
     // --- beyond-reference: n-gram Jaccard near-dup (LSH recall≈1 cfg) -
+    // doc_id%2 / J≥0.7 keeps the verified pair set non-empty at every
+    // SF (12 pairs at sf0.001, 6 at sf0.01); single-hash bands put the
+    // LSH miss probability at (1-J)^12 ≤ 0.3^12 ≈ 5e-7 for J≥0.7, so
+    // the candidate stage is exhaustive w.r.t. the oracle's all-pairs.
     "q_neardup_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val cands = NearDup.minhashCandidates(
         docs, "doc_id", "text",
         shingleLen = 3, numHashes = 12, bands = 12, maxBucket = 10000,
       )
-      NearDup.jaccardVerify(cands, docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.8)
+      NearDup.jaccardVerify(cands, docs, "doc_id", "text", shingleLen = 3, minJaccard = 0.7)
     }),
 
     // --- beyond-reference: SimHash near-dup (CONTRACT oracle) ---------
@@ -842,11 +874,14 @@ object SparkEntry {
     }),
 
     // --- Bonferroni threshold from an in-plan distinct count ----------
+    // Synthetic p = discount²/10 spans 0 … 1e-3, straddling the α/n
+    // cut at both SFs (2633/6000 rows at sf0.001, 8923/60000 at
+    // sf0.01) — selective AND non-empty, so the hash check is real.
     "q_bonferroni" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val nTests = broadcast(t(s, dir, "part").agg(countDistinct(col("p_partkey")).as("__n")))
       li.crossJoin(nTests)
-        .filter((col("l_discount") + lit(0.001)) / lit(10.0) < Stats.bonferroni(col("__n")))
+        .filter(col("l_discount") * col("l_discount") / lit(10.0) < Stats.bonferroni(col("__n")))
         .select("l_orderkey", "l_linenumber", "l_discount")
     }),
 
@@ -6233,7 +6268,8 @@ object SparkEntry {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
 
     "q_join_semi" ->
       """SELECT s_suppkey, s_name FROM supplier
@@ -6471,7 +6507,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) >= 3
@@ -6485,7 +6521,7 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""".stripMargin,
 
     // MinHash contract: the exact-Jaccard row set is all-pairs
     // reproducible; the xxhash64 MinHash estimate arrives as an envelope
@@ -6726,7 +6762,7 @@ object SparkEntry {
 
     "q_bonferroni" ->
       """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
-        |WHERE (l_discount + 0.001) / 10.0 < 0.05 / (SELECT count(DISTINCT p_partkey) FROM part)""".stripMargin,
+        |WHERE l_discount * l_discount / 10.0 < 0.05 / (SELECT count(DISTINCT p_partkey) FROM part)""".stripMargin,
 
     "q_stouffer_z" ->
       """SELECT l_suppkey,

@@ -19,10 +19,13 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("all queries execute and return rows at sf0.001 (except known-empty)") {
-    val mayBeEmpty = Set("q_join_anti") // every sf0.001 customer has orders
+    // r10: no allowlist — every registered query must be non-vacuous,
+    // including the former zero-row trio (q_join_anti, q_bonferroni,
+    // q_neardup_jaccard), whose predicates now leave survivors at
+    // every SF.
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 
