@@ -4431,6 +4431,11 @@ object SparkEntry {
         .join(broadcast(srcRank.select(col("source").as("anchor_source"),
           col("src_rank").as("a_rank"))), "anchor_source")
         .crossJoin(broadcast(nSrc))
+        // ≥2 distinct sources is a hard precondition of cross-source
+        // negatives; the filter makes a single-source corpus return
+        // empty IDENTICALLY in both engines instead of pmod-by-zero
+        // (NULL in Spark, divergent/erroring modulo in DuckDB).
+        .filter(col("n_src") > 1)
         .withColumn("pick0", pmod(h32(col("h"), 1), col("n_src") - 1))
         .withColumn("pick_rank",
           when(col("pick0") >= col("a_rank"), col("pick0") + 1).otherwise(col("pick0")))
@@ -4799,8 +4804,18 @@ object SparkEntry {
       def u(i: Int) =
         (conv(substring(md5(concat_ws(":", col("pid"), lit(i))), 1, 8), 16, 10)
           .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
-      val withSynth = emb.filter(pmod(col("vec_id"), lit(31)) === 0)
+      // Probe set bounded at a FIXED 64 rows by md5 rank (not a corpus
+      // fraction): the broadcast side and the probe-by-corpus distance
+      // work stay volume-independent — one corpus scan of O(64·n)
+      // distances at any data size. TakeOrderedAndProject keeps the
+      // top-K selection itself one pass, no global sort.
+      val withSynth = emb
         .select(col("vec_id").as("pid") +: (1 to dim).map(i => x(i).as(s"p$i")): _*)
+        .orderBy(
+          conv(substring(md5(col("pid").cast("string")), 1, 8), 16, 10)
+            .cast("long").asc,
+          col("pid").asc)
+        .limit(64)
         .crossJoin(broadcast(mm))
         .select(col("pid") +:
           ((1 to dim).map(i => col(s"p$i")) ++
@@ -4829,7 +4844,7 @@ object SparkEntry {
 
     // --- beyond-reference: directed containment join ---------------------
     // The quote/subset detector (see [[SetSimJoin.containmentJoin]]):
-    // |A∩B|/|A| ≥ 0.6 over 2-gram shingles — asymmetric prefix filter
+    // |A∩B|/|A| ≥ 0.5 over 3-token shingles — asymmetric prefix filter
     // (probe-side prefix, full postings on the candidate side, length
     // prune ε-guarded). The oracle is the BRUTE-FORCE directed
     // all-pairs join, so the gate re-proves prefix losslessness on
@@ -9749,7 +9764,8 @@ object SparkEntry {
         |prep AS (
         |  SELECT s.*, ar.src_rank AS a_rank, ns.n_src,
         |    CAST('0x' || substr(s.h, 1, 8) AS BIGINT) % (ns.n_src - 1) AS pick0
-        |  FROM slots s JOIN srcrank ar ON ar.source = s.anchor_source, ns),
+        |  FROM slots s JOIN srcrank ar ON ar.source = s.anchor_source, ns
+        |  WHERE ns.n_src > 1),
         |picked AS (
         |  SELECT p.*,
         |    CASE WHEN pick0 >= a_rank THEN pick0 + 1 ELSE pick0 END AS pick_rank,
@@ -9796,11 +9812,14 @@ object SparkEntry {
 
     // Generated: 7 unrolled farthest-point rounds; each round is one
     // argmax over the running min-distance column, ties on vec_id.
+    // '+ 0' on the rounded radius: dmin = 1 - cosine can go
+    // epsilon-negative on (near-)identical vectors, and DuckDB round()
+    // preserves the resulting -0.0 while Spark never emits it.
     "q_kcenter" ->
       s"""WITH $kcenterCtes
          |SELECT CAST(0 AS INT) AS ord, cid AS center_id, 0.0 AS radius FROM c0
          |${(1 to 7).map(r =>
-             s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) FROM p$r").mkString("\n")}""".stripMargin,
+             s"UNION ALL SELECT CAST($r AS INT), cid, round(rad, 6) + 0 FROM p$r").mkString("\n")}""".stripMargin,
 
     // The same selection rounds; knee = the curve point farthest below
     // the first-to-last chord, double-exact comparisons both engines.
@@ -9822,7 +9841,7 @@ object SparkEntry {
          |mx AS (SELECT max(drop_) AS mxd FROM dropped),
          |best AS (
          |  SELECT min(ord) AS knee_ord FROM dropped, mx WHERE drop_ = mxd)
-         |SELECT d.ord, round(d.radius, 6) AS radius, round(d.line, 6) AS line,
+         |SELECT d.ord, round(d.radius, 6) + 0 AS radius, round(d.line, 6) + 0 AS line,
          |  round(d.drop_, 6) + 0 AS chord_drop, d.ord = b.knee_ord AS is_knee
          |FROM dropped d, best b""".stripMargin,
 
@@ -10062,7 +10081,9 @@ object SparkEntry {
          |  ${(1 to dim).map(i => s"max(v[$i]) AS hi$i").mkString(", ")} FROM e),
          |probes AS (
          |  SELECT vec_id AS pid, ${(1 to dim).map(i => s"v[$i] AS p$i").mkString(", ")}
-         |  FROM e WHERE vec_id % 31 = 0),
+         |  FROM e
+         |  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+         |  LIMIT 64),
          |ps AS (
          |  SELECT pid, ${(1 to dim).map(i => s"p$i").mkString(", ")},
          |    ${(1 to dim).map(i => s"lo$i + (hi$i - lo$i) * ${uexpr(i)} AS s$i").mkString(",\n    ")}

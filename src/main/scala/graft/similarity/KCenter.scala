@@ -38,7 +38,22 @@ object KCenter {
   def select(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"k in [1,64], got $k")
     val spark = emb.sparkSession
-    def litVec(r: Row) = array(r.getSeq[Float](1).map(lit(_)): _*)
+    // Element type read generically: float and double embedding columns
+    // both work (lit() preserves the source type, so the float path's
+    // arithmetic — and its oracle parity — is unchanged). Anything else
+    // fails with a message naming the column, not a ClassCastException.
+    def litVec(r: Row) = array(r.getSeq[Any](1).map {
+      case f: Float  => lit(f)
+      case d: Double => lit(d)
+      case x => throw new IllegalArgumentException(
+        s"$vecCol must be array<float> or array<double>, got element " +
+          (if (x == null) "null" else x.getClass.getName))
+    }: _*)
+    // One bounded count up front: with n < k the greedy loop would
+    // silently re-pick exhausted points (every dmin hits 0), so fail
+    // loudly instead — selection is a model fit, the extra job is noise.
+    val n = emb.count()
+    require(n >= k, s"k-center needs at least k=$k rows, corpus has $n")
     val seed = emb.orderBy(col(idCol).asc).limit(1)
       .select(col(idCol), col(vecCol)).head()
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](

@@ -27,44 +27,100 @@ object Bpe {
 
   /** The learned merge table: (rank, left, right, pair_count), rank 0 =
     * first merge. `nMerges` rounds; stops early if no pair repeats.
+    *
+    * ONE distributed job total, independent of `nMerges`: the corpus
+    * collapses to the (word, freq) vocabulary — bounded by the language,
+    * not the data — which collects once, and every merge round runs
+    * driver-local over it (the r9 formulation ran a pair-count job +
+    * a checkpointing merge projection PER ROUND: at a realistic
+    * 10k-merge vocabulary that is 10k driver round-trips of pure
+    * scheduling latency for work that fits in one in-memory loop).
+    * Greedy semantics are the SAME scan as [[mergePair]] (TextSpec pins
+    * the equivalence on overlap-adversarial words), and the argmax
+    * tie-break compares UTF-8 bytes — Spark's UTF8String/DuckDB
+    * collation order, NOT Java's UTF-16 `compareTo`, which disagrees
+    * above the BMP — so the learned table is bit-identical to the
+    * distributed rounds and to the unrolled SQL oracle.
     */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Corpus → bounded word-frequency table, symbols start as characters.
-    var words = docs
+    // Corpus → bounded word-frequency table: the only cluster job.
+    val vocab: Array[(String, Long)] = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(
-        col("freq"),
-        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))).as("syms"))
-      .localCheckpoint(false)
-
+      .as[(String, Long)]
+      .collect()
+    // Symbols start as characters — CODE POINTS, matching the SQL
+    // formulation's substr(i, 1) (Java chars would split surrogate pairs).
+    var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      val syms = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n)
+        i += n
+      }
+      (syms.result(), f)
+    }
     val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // Each round replaces the words checkpoint; release the previous
-    // round's blocks or executor storage grows O(nMerges × vocab).
-    var prevCkpt = words
     var rank = 0
     var continue = nMerges > 0
     while (continue) {
-      val top = pairCounts(words).filter(col("n") >= 2)
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      top.headOption match {
-        case Some(r) =>
-          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      // Adjacent-pair histogram, freq-weighted (every position counts,
+      // same as the exploded formulation).
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+      }
+      val top = counts.iterator.filter(_._2 >= 2L).reduceOption { (x, y) =>
+        // max n; ties → lexicographically smallest (a, b) in UTF-8 bytes
+        if (y._2 > x._2) y
+        else if (y._2 < x._2) x
+        else {
+          val ca = utf8Compare(y._1._1, x._1._1)
+          if (ca < 0 || (ca == 0 && utf8Compare(y._1._2, x._1._2) < 0)) y else x
+        }
+      }
+      top match {
+        case Some(((a, b), n)) =>
           learned += ((rank, a, b, n))
-          words = words
-            .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
-            .localCheckpoint() // eager: owns its blocks before the old ones go
-          prevCkpt.unpersist()
-          prevCkpt = words
+          words = words.map { case (syms, f) => (applyMergeLocal(syms, a, b), f) }
           rank += 1
           continue = rank < nMerges
         case None => continue = false
       }
     }
     learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** UTF-8 byte comparison — Spark's UTF8String (and DuckDB's) string
+    * order; Java's UTF-16 compareTo disagrees for code points ≥ U+10000
+    * vs [U+E000, U+FFFF].
+    */
+  private def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Driver-local twin of [[mergePair]]'s greedy left-to-right scan
+    * (non-overlapping: "aaa" under (a,a) → [aa, a]); TextSpec pins the
+    * equivalence so train and the HOF spec cannot drift.
+    */
+  private[graft] def applyMergeLocal(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
   }
 
   /** The APPLY half of the tokenizer (model-as-data): segment text with

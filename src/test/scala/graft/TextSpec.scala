@@ -118,6 +118,23 @@ class TextSpec extends SparkTestBase {
     assert(stops == 1, s"must stop when no pair repeats, learned $stops")
   }
 
+  test("BPE driver-local merge scan is the mergePair column's twin") {
+    // Training now learns merges driver-side over the collected vocab;
+    // this pin keeps applyMergeLocal and the HOF mergePair (the apply
+    // path's executable spec) from drifting, on overlap-adversarial and
+    // boundary cases.
+    val cases = Seq(
+      Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("b", "a", "a", "b"), Seq("a"), Seq.empty[String],
+      Seq("x", "a", "b", "a", "b", "y"), Seq("a", "b"), Seq("b", "a"))
+    cases.foreach { syms =>
+      val viaColumn = Seq(syms).toDF("syms")
+        .select(Bpe.mergePair($"syms", "a", "b")).as[Seq[String]].head()
+      val viaLocal = Bpe.applyMergeLocal(syms.toArray, "a", "b").toSeq
+      assert(viaColumn == viaLocal, s"$syms: column=$viaColumn local=$viaLocal")
+    }
+  }
+
   test("BPE encodeWords replays learned merges; unseen words degrade to characters") {
     // Model from the classic corpus: merges (l,o), (lo,w), (low,e).
     val train = Seq("low low low", "lower lowest").toDF("text")
