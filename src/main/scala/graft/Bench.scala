@@ -176,9 +176,13 @@ object Bench {
           .mkString("{", ",", "}")
         s""","firstPass":$fp"""
       } else ""
-    val fullLine = render("%.3f", results).stripSuffix("}") + fpJson + "}"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // Full-registry runs only: a SPARK_GRAFT_ONLY profiling subset must
+    // not clobber the complete history the next round's priorMins reads.
+    if (only.isEmpty) {
+      val fullLine = render("%.3f", results).stripSuffix("}") + fpJson + "}"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    }
     // Cascade until the line fits with ~wiggle room: full 3-decimal map →
     // full 2-decimal → the largest slowest-N subset that fits (totals
     // stay complete either way; only per-query detail is shed,

@@ -2413,26 +2413,8 @@ object SparkEntry {
         )
     }),
 
-    // --- beyond-reference: overlapping document chunking ----------------
-    // The context-window prep step: split each doc into fixed-size token
-    // windows with stride overlap (window 16, stride 12 here — sized so
-    // the synthetic docs actually produce several chunks). One narrow
-    // explode per doc, fan-out bounded by len/stride; no shuffle until a
-    // downstream consumer asks for one.
-    "q_chunk_overlap" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-        .filter(size(col("t")) > 0)
-      docs
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(0), size(col("t")) - 1, lit(12))).as("start"))
-        .select(
-          col("doc_id"),
-          (col("start") / 12).cast("long").as("chunk_id"),
-          size(slice(col("t"), col("start") + 1, lit(16))).as("n_tokens"),
-          concat_ws(" ", slice(col("t"), col("start") + 1, lit(16))).as("chunk_text"),
-        )
-    }),
+    // (overlapping document chunking lives at "q_chunk_overlap" below —
+    // consolidated r10 into the graft.text.Packing library operator.)
 
     // --- beyond-reference: mergeable sketch aggregation ----------------
     // The incremental-pipeline primitive: per-month HLL sketches of
@@ -2758,6 +2740,32 @@ object SparkEntry {
           sum(size(col("subwords"))).as("n_subwords"),
           max(when(col("word_pos") === 0, array_join(col("subwords"), "|"))).as("first_seg"))
     }),
+
+    // --- beyond-reference: sequence packing (context-window layout) ------
+    // The pretraining-example constructor ([[graft.text.Packing
+    // .packSequences]]): docs concat end-to-end (+1 EOS each) on 16
+    // md5-sharded token streams, cut every 256 tokens. One hash shuffle
+    // into shard-partitioned windows; straddle marks docs crossing a
+    // cut. Shards bound the window partitions, so the layout
+    // parallelizes at any corpus size.
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)),
+
+    // --- beyond-reference: packing-bin utilization -----------------------
+    // Per (shard, bin) doc count + straddle count — the packing
+    // diagnostic over the same layout.
+    "q_pack_stats" -> ((s, dir) =>
+      graft.text.Packing.packStats(graft.text.Packing.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16))),
+
+    // --- beyond-reference: overlapping token chunking (RAG cut) ----------
+    // window=32, stride=24 → 8-token overlap; scan-side posexplode, no
+    // shuffle. chunk_text is the embedding-input payload; tail chunks
+    // run short rather than dropping context.
+    "q_chunk_overlap" -> ((s, dir) =>
+      graft.text.Packing.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", window = 32, stride = 24)),
 
     // --- beyond-reference: chi-square contingency cells ------------------
     // Independence test input (priority × status): observed counts plus
@@ -8281,18 +8289,6 @@ object SparkEntry {
         |  min(p) AS min_p
         |FROM bi LEFT JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
 
-    "q_chunk_overlap" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |starts AS (
-        |  SELECT doc_id, t, unnest(range(0, len(t), 12)) AS start
-        |  FROM toks WHERE len(t) > 0)
-        |SELECT doc_id, start // 12 AS chunk_id,
-        |  CAST(len(t[start + 1:start + 16]) AS INTEGER) AS n_tokens,
-        |  array_to_string(t[start + 1:start + 16], ' ') AS chunk_text
-        |FROM starts""".stripMargin,
-
     "q_funnel_events" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
         |v AS (SELECT user_id, min(tsn) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
@@ -8529,6 +8525,73 @@ object SparkEntry {
         |         (CASE WHEN q <> '' THEN '?' || q ELSE '' END) END AS canon,
         |  host
         |FROM p""".stripMargin,
+
+    // Concat-and-split packing: pure integer window arithmetic, so the
+    // oracle replays it exactly (md5-rank shard + order, cumulative
+    // token stream, floor-division bins).
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS rnk
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, rnk, rnk % 16 AS shard
+        |      FROM d WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens + 1) OVER (PARTITION BY shard ORDER BY rnk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM f)
+        |SELECT doc_id, shard, n_tokens,
+        |  tok_end - (n_tokens + 1) AS tok_start,
+        |  (tok_end - (n_tokens + 1)) // 256 AS bin_first,
+        |  (tok_end - 1) // 256 AS bin_last,
+        |  ((tok_end - 1) // 256) > ((tok_end - (n_tokens + 1)) // 256) AS straddles
+        |FROM c""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS rnk
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, rnk, rnk % 16 AS shard
+        |      FROM d WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens + 1) OVER (PARTITION BY shard ORDER BY rnk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM f),
+        |p AS (
+        |  SELECT shard,
+        |    (tok_end - (n_tokens + 1)) // 256 AS bin_first,
+        |    (tok_end - 1) // 256 AS bin_last
+        |  FROM c),
+        |b AS (
+        |  SELECT shard, bin_last > bin_first AS straddles,
+        |    unnest(range(bin_first, bin_last + 1)) AS bin
+        |  FROM p)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    CAST(unnest(range(0, (n - 1) // 24 + 1)) AS INT) AS chunk_idx
+        |  FROM f)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx AS BIGINT) * 24 AS tok_start,
+        |  least(CAST(32 AS BIGINT), n - CAST(chunk_idx AS BIGINT) * 24) AS chunk_len,
+        |  array_to_string(
+        |    toks[CAST(chunk_idx AS BIGINT) * 24 + 1 : CAST(chunk_idx AS BIGINT) * 24 + 32],
+        |    ' ') AS chunk_text
+        |FROM e""".stripMargin,
 
     "q_chisq_cells" ->
       """WITH cells AS (SELECT o_orderpriority, o_orderstatus,

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-example construction over a document corpus — the two
+  * layout steps between "cleaned documents" and "model input":
+  * fixed-context sequence packing (pretraining) and overlapping token
+  * chunking (RAG / retrieval indexing). Both are pure dataflow: no
+  * UDFs, no driver loops, no corpus collects.
+  */
+object Packing {
+
+  /** GPT-style concat-and-split sequence packing: documents are laid
+    * end-to-end (each contributing `n_tokens + 1` — one EOS separator
+    * after every doc) on a per-shard token stream, and the stream is cut
+    * into fixed `ctxLen` windows ("bins" — the training examples).
+    * Documents may straddle a cut, exactly as pretraining packers leave
+    * them (no padding waste; `straddles` marks the affected docs).
+    *
+    * Determinism and scale shape: a single GLOBAL token stream would be
+    * one window partition — a serial scan no cluster can parallelize —
+    * so the corpus shards by md5 of the id into `shards` independent
+    * streams first (what any distributed packer does: shard, pack within
+    * shard), and each shard orders by (md5 rank, id). One hash shuffle
+    * into `shards`-way windows; everything else is scan-side arithmetic.
+    * Size `shards` to the cluster's parallelism at 100 TB.
+    *
+    * Null/empty documents drop (nothing to pack). Output: one row per
+    * doc — (idCol, shard, n_tokens, tok_start, bin_first, bin_last,
+    * straddles), token offsets shard-local, EOS included in the stream
+    * (bin_last is the bin of the doc's final content-or-EOS token).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxLen: Int,
+      shards: Int,
+  ): DataFrame = {
+    require(ctxLen >= 2, s"ctxLen must be >= 2, got $ctxLen")
+    require(shards >= 1 && shards <= 65536, s"shards in [1,65536], got $shards")
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__rank"), col(idCol))
+    docs
+      .select(
+        col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"),
+        rank.as("__rank"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("__rank"), lit(shards)))
+      .withColumn("__tok_end", sum(col("n_tokens") + lit(1L)).over(w))
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("__tok_end") - (col("n_tokens") + lit(1L))).as("tok_start"),
+        floor((col("__tok_end") - (col("n_tokens") + lit(1L))) / lit(ctxLen)).as("bin_first"),
+        floor((col("__tok_end") - lit(1L)) / lit(ctxLen)).as("bin_last"))
+      .withColumn("straddles", col("bin_last") > col("bin_first"))
+  }
+
+  /** Per-bin utilization of a [[packSequences]] layout: how many docs
+    * touch each (shard, bin) and how many of them straddle — the packing
+    * diagnostic (concat-split bins are always full except each shard's
+    * tail, so the interesting number is the straddle rate per bin).
+    */
+  def packStats(packed: DataFrame): DataFrame =
+    packed
+      .select(col("shard"), explode(sequence(col("bin_first"), col("bin_last"))).as("bin"),
+        col("straddles"))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+
+  /** Overlapping token-window chunking — the RAG indexing cut: chunk i
+    * of a doc covers tokens `[i·stride, i·stride + window)` (clamped at
+    * the doc end), chunks start at every stride multiple below `n`, so
+    * consecutive chunks overlap by `window - stride` tokens and the tail
+    * chunk may be short (standard retrieval-chunker behavior — context
+    * is never silently dropped).
+    *
+    * Scale shape: a pure scan-side posexplode — no shuffle, no join; the
+    * corpus never moves. Chunk text is emitted as a joined string (the
+    * embedding-input payload) plus scalar offsets for downstream joins.
+    * Null/empty documents drop.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int,
+  ): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride in [1, window=$window], got $stride")
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(
+        col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), floor((col("__n") - 1) / lit(stride)).cast("int")))
+          .as(Seq("chunk_idx", "__i")))
+      .withColumn("tok_start", (col("__i").cast("long") * lit(stride.toLong)))
+      .withColumn("chunk_len", least(lit(window.toLong), col("__n") - col("tok_start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("tok_start"),
+        col("chunk_len"),
+        array_join(slice(col("__toks"), col("tok_start").cast("int") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+}

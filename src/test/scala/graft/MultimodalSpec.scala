@@ -422,6 +422,108 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.GifCodec.frameCount(null) == 0)
   }
 
+  test("GifComposedCodec: delta frames composite onto the canvas; disposal honored") {
+    import javax.imageio.metadata.IIOMetadataNode
+    // A genuinely DELTA-ENCODED animation, built by handing ImageIO's GIF
+    // writer per-frame metadata: frame 0 = 8x8 red full canvas
+    // (doNotDispose), frame 1 = 4x4 blue sub-rectangle at offset (2,2).
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    def gifMeta(
+        writer: javax.imageio.ImageWriter,
+        img: java.awt.image.BufferedImage,
+        x: Int, y: Int, disposal: String): javax.imageio.metadata.IIOMetadata = {
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def child(name: String): IIOMetadataNode = {
+        val kids = tree.getElementsByTagName(name)
+        if (kids.getLength > 0) kids.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode(name); tree.appendChild(n); n }
+      }
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      if (gce.getAttribute("delayTime").isEmpty) gce.setAttribute("delayTime", "10")
+      if (gce.getAttribute("transparentColorFlag").isEmpty)
+        gce.setAttribute("transparentColorFlag", "FALSE")
+      if (gce.getAttribute("userInputFlag").isEmpty)
+        gce.setAttribute("userInputFlag", "FALSE")
+      if (gce.getAttribute("transparentColorIndex").isEmpty)
+        gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, tree)
+      meta
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val f0 = solid(8, 8, 0xFF0000)
+    val f1 = solid(4, 4, 0x0000FF)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(f0, null, gifMeta(writer, f0, 0, 0, "doNotDispose")), null)
+    writer.writeToSequence(
+      new javax.imageio.IIOImage(f1, null, gifMeta(writer, f1, 2, 2, "doNotDispose")), null)
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    // Raw codec: frame 1 is the bare 4x4 sub-rectangle (the documented
+    // pre-compositing limit).
+    val raw = Multimodal.GifCodec.sampleFrames(gif, 2)
+    val rawF1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(raw(1)))
+    assert(rawF1.getWidth == 4 && rawF1.getHeight == 4)
+    // Composed codec: every frame is the full canvas; frame 1 = red
+    // canvas with the blue delta at (2,2).
+    val comp = Multimodal.GifComposedCodec.sampleFrames(gif, 2)
+    assert(comp.length == 2)
+    val c0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(comp(0)))
+    val c1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(comp(1)))
+    assert(c0.getWidth == 8 && c0.getHeight == 8)
+    assert((c0.getRGB(4, 4) & 0xFFFFFF) == 0xFF0000, "frame 0 canvas must be red")
+    assert(c1.getWidth == 8 && c1.getHeight == 8)
+    assert((c1.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000, "outside the delta stays red")
+    assert((c1.getRGB(3, 3) & 0xFFFFFF) == 0x0000FF, "delta rectangle lands at its offset")
+    assert((c1.getRGB(6, 6) & 0xFFFFFF) == 0xFF0000, "beyond the delta stays red")
+
+    // restoreToBackgroundColor: after the delta frame disposes, the next
+    // composited frame shows the cleared (transparent) rectangle, not
+    // the stale delta.
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios2 = javax.imageio.ImageIO.createImageOutputStream(bos2)
+    val writer2 = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer2.setOutput(ios2)
+    writer2.prepareWriteSequence(null)
+    val g1 = solid(4, 4, 0x00FF00)
+    val tiny = solid(2, 2, 0xFFFF00)
+    writer2.writeToSequence(
+      new javax.imageio.IIOImage(g1, null, gifMeta(writer2, g1, 0, 0, "doNotDispose")), null)
+    writer2.writeToSequence(
+      new javax.imageio.IIOImage(tiny, null, gifMeta(writer2, tiny, 1, 1, "restoreToBackgroundColor")), null)
+    writer2.writeToSequence(
+      new javax.imageio.IIOImage(tiny, null, gifMeta(writer2, tiny, 2, 2, "doNotDispose")), null)
+    writer2.endWriteSequence()
+    ios2.close(); writer2.dispose()
+    val frames2 = Multimodal.GifComposedCodec.sampleFrames(bos2.toByteArray, 3)
+    val d2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames2(2)))
+    // (1,1) was the disposed delta's top-left: cleared to transparent
+    // (alpha 0), NOT still yellow; (2,2) is the new delta.
+    assert((d2.getRGB(1, 1) >>> 24) == 0, "disposed rect must clear to transparent")
+    assert((d2.getRGB(2, 2) & 0xFFFFFF) == 0xFFFF00, "new delta lands after disposal")
+    // Degradation contract matches the raw codec.
+    assert(Multimodal.GifComposedCodec.sampleFrames("plain text".getBytes, 3).isEmpty)
+    assert(Multimodal.GifComposedCodec.frameCount(null) == 0)
+  }
+
   test("PerceptualHash.dHash64: stable, edit-tolerant, content-sensitive; kernel column path") {
     import org.apache.spark.sql.functions._
     // Deterministic gradient image + variants, encoded as real PNGs.

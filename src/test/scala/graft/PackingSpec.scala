@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Packing
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("packSequences: shard-local token stream, EOS accounting, straddle marks") {
+    // One shard so the stream is a single deterministic sequence.
+    val docs = Seq(
+      (1L, "a b c"),         // 3 tokens
+      (2L, "d e f g h"),     // 5
+      (3L, ""),              // empty -> drops
+      (4L, "i j"),           // 2
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", ctxLen = 8, shards = 1)
+      .orderBy("tok_start")
+      .select("doc_id", "n_tokens", "tok_start", "bin_first", "bin_last", "straddles")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 3, s"empty doc must drop: $out")
+    // Offsets chain: each doc advances n_tokens + 1 (EOS).
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 == a._3 + a._2 + 1, s"stream must be gapless: $out")
+      case _ =>
+    }
+    // Every token lands in exactly the floor(tok/8) bin; straddle is
+    // bin_last > bin_first.
+    out.foreach { case (_, n, start, bf, bl, st) =>
+      assert(bf == start / 8 && bl == (start + n) / 8, s"bins wrong: $out")
+      assert(st == (bl > bf))
+    }
+    // The total stream length is sum(n+1); at ctx 8 and 13 tokens + 3
+    // EOS = 16 stream positions, at least one doc must straddle a cut.
+    assert(out.exists(_._6), s"a straddling doc is expected here: $out")
+  }
+
+  test("packSequences: shards bound the window partitions; ids stay in their md5 shard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = Packing.packSequences(docs, "doc_id", "text", ctxLen = 256, shards = 16)
+    val shardOf = packed.select(
+      col("doc_id"),
+      col("shard"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(16)).as("expect"))
+    assert(shardOf.filter(col("shard") =!= col("expect")).count() == 0)
+    assert(packed.select("shard").distinct().count() <= 16)
+    // packStats covers every bin a doc touches exactly once.
+    val stats = Packing.packStats(packed)
+    val binsFromDocs = packed
+      .select(col("shard"), explode(sequence(col("bin_first"), col("bin_last"))).as("bin"))
+      .groupBy("shard", "bin").count()
+    assert(stats.count() == binsFromDocs.count())
+    assert(stats.agg(sum("n_docs")).as[Long].head() ==
+      binsFromDocs.agg(sum("count")).as[Long].head())
+  }
+
+  test("chunkTokens: stride windows with short tail; content preserved; no shuffle") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (8L, "solo")).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "tok_start", "chunk_len", "chunk_text")
+      .as[(Long, Int, Long, Long, String)].collect().toSeq
+    val d7 = out.filter(_._1 == 7L)
+    assert(d7.map(c => (c._3, c._4)) == Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 1L)), d7.toString)
+    assert(d7.head._5 == "t0 t1 t2 t3")
+    assert(d7.last._5 == "t9", "tail chunk keeps the remainder")
+    // Consecutive chunks overlap by window - stride = 1 token.
+    assert(d7(1)._5 == "t3 t4 t5 t6")
+    assert(out.filter(_._1 == 8L) == Seq((8L, 0, 0L, 1L, "solo")))
+    // Scan-side operator: no exchange anywhere in the plan.
+    val plan = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+}
