@@ -2759,6 +2759,17 @@ object SparkEntry {
       graft.text.Packing.packStats(graft.text.Packing.packSequences(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16))),
 
+    // --- beyond-reference: no-straddle greedy packing (T5-style) ---------
+    // Next-fit example packing ([[graft.text.Packing.packGreedy]]): docs
+    // fill a 256-token bin until the next would overflow; no document
+    // crosses a boundary; oversize docs bin alone, flagged truncated.
+    // The fold is sequential by nature, so it runs per md5 shard inside
+    // one aggregate HOF (shards = parallelism AND memory envelope). The
+    // oracle replays the fold as a per-shard recursive CTE.
+    "q_pack_greedy" -> ((s, dir) =>
+      graft.text.Packing.packGreedy(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)),
+
     // --- beyond-reference: overlapping token chunking (RAG cut) ----------
     // window=32, stride=24 → 8-token overlap; scan-side posexplode, no
     // shuffle. chunk_text is the embedding-input payload; tail chunks
@@ -8574,6 +8585,31 @@ object SparkEntry {
         |SELECT shard, bin, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Next-fit is a sequential fold — the oracle replays it as a
+    // per-shard recursive CTE (one recursion step per shard row).
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS rnk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens, rnk % 16 AS shard,
+        |    least(n_tokens, 256) AS n_eff,
+        |    row_number() OVER (PARTITION BY rnk % 16 ORDER BY rnk, doc_id) AS rn
+        |  FROM d WHERE n_tokens > 0),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_eff AS fill
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.shard, f.rn, f.doc_id, f.n_tokens,
+        |    CASE WHEN r.fill + f.n_eff <= 256 THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + f.n_eff <= 256 THEN r.fill + f.n_eff ELSE f.n_eff END
+        |  FROM r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1)
+        |SELECT doc_id, shard, n_tokens, bin, n_tokens > 256 AS truncated
+        |FROM r""".stripMargin,
 
     "q_chunk_overlap" ->
       """WITH d AS (

@@ -75,6 +75,77 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
 
+  /** No-straddle greedy packing (next-fit) — the T5-style EXAMPLE
+    * packer: docs fill a bin until the next one would overflow `ctxLen`,
+    * then a fresh bin opens; no document crosses a bin boundary (the
+    * padding-for-integrity trade [[packSequences]] refuses). Oversize
+    * docs (n_tokens > ctxLen) occupy a bin alone, flagged `truncated`
+    * (the trainer's truncation decision, marked not hidden).
+    *
+    * Next-fit is inherently SEQUENTIAL — bin state is a running fold
+    * with capacity resets, which no associative window can express — so
+    * the corpus md5-shards first and each shard folds independently
+    * inside one `aggregate` HOF over its sorted doc list (the SemDeDup
+    * maxCell discipline: shards are both the parallelism AND the memory
+    * envelope — one array row of (rank, id, tokens) triples per shard,
+    * so size `shards` to keep corpus/shards rows comfortably in an
+    * executor; for unbounded corpora use [[packSequences]]). One
+    * groupBy(shard) shuffle, one fold projection, one explode — the
+    * corpus moves once.
+    *
+    * Output: (idCol, shard, n_tokens, bin, truncated); bins shard-local,
+    * dense from 0 in shard order.
+    */
+  def packGreedy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxLen: Int,
+      shards: Int,
+  ): DataFrame = {
+    require(ctxLen >= 2, s"ctxLen must be >= 2, got $ctxLen")
+    require(shards >= 1 && shards <= 65536, s"shards in [1,65536], got $shards")
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val perShard = docs
+      .select(
+        col(idCol).as("__id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"),
+        rank.as("__rank"))
+      .filter(col("__n") > 0)
+      .withColumn("shard", pmod(col("__rank"), lit(shards)))
+      .groupBy("shard")
+      .agg(array_sort(collect_list(struct(col("__rank"), col("__id"), col("__n"))))
+        .as("__docs"))
+    // state = (placed rows, current bin, current fill); the capacity rule
+    // is uniform because the (bin 0, fill 0) seed lets the first doc
+    // "fit" trivially (n_eff <= ctxLen by construction).
+    val folded = aggregate(
+      col("__docs"),
+      struct(
+        array().cast("array<struct<id:bigint,n:bigint,bin:bigint>>").as("acc"),
+        lit(0L).as("bin"),
+        lit(0L).as("fill")),
+      (st, d) => {
+        val nEff = least(d.getField("__n"), lit(ctxLen.toLong))
+        val fits = st.getField("fill") + nEff <= lit(ctxLen.toLong)
+        val bin = when(fits, st.getField("bin")).otherwise(st.getField("bin") + 1L)
+        struct(
+          concat(st.getField("acc"), array(struct(
+            d.getField("__id").as("id"), d.getField("__n").as("n"), bin.as("bin")))).as("acc"),
+          bin.as("bin"),
+          when(fits, st.getField("fill") + nEff).otherwise(nEff).as("fill"))
+      },
+      st => st.getField("acc"))
+    perShard
+      .select(col("shard"), explode(folded).as("__p"))
+      .select(
+        col("__p.id").as(idCol),
+        col("shard"),
+        col("__p.n").as("n_tokens"),
+        col("__p.bin").as("bin"),
+        (col("__p.n") > lit(ctxLen.toLong)).as("truncated"))
+  }
+
   /** Overlapping token-window chunking — the RAG indexing cut: chunk i
     * of a doc covers tokens `[i·stride, i·stride + window)` (clamped at
     * the doc end), chunks start at every stride multiple below `n`, so

@@ -55,6 +55,37 @@ class PackingSpec extends SparkTestBase {
       binsFromDocs.agg(sum("count")).as[Long].head())
   }
 
+  test("packGreedy: next-fit bins never straddle; oversize docs bin alone, flagged") {
+    // One shard → a single deterministic fold. md5-rank order for these
+    // ids is computed by the operator itself; the invariants below are
+    // order-free.
+    val docs = Seq(
+      (1L, Seq.fill(5)("t").mkString(" ")),   // 5 tokens
+      (2L, Seq.fill(4)("t").mkString(" ")),   // 4
+      (3L, Seq.fill(7)("t").mkString(" ")),   // 7
+      (4L, Seq.fill(12)("t").mkString(" ")),  // 12 > ctx → truncated, own bin
+      (5L, Seq.fill(3)("t").mkString(" ")),   // 3
+      (6L, ""),                               // drops
+    ).toDF("doc_id", "text")
+    val out = Packing.packGreedy(docs, "doc_id", "text", ctxLen = 8, shards = 1)
+      .select("doc_id", "n_tokens", "bin", "truncated")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 5, s"empty doc must drop: $out")
+    // Capacity invariant: per bin, the sum of effective sizes fits ctx.
+    out.groupBy(_._3).foreach { case (bin, ds) =>
+      val fill = ds.map(d => math.min(d._2, 8L)).sum
+      assert(fill <= 8, s"bin $bin overfilled: $ds")
+    }
+    // The oversize doc is flagged and alone in its bin.
+    val big = out.find(_._1 == 4L).get
+    assert(big._4, "12-token doc must be truncated at ctx 8")
+    assert(out.count(_._3 == big._3) == 1, s"oversize doc must bin alone: $out")
+    assert(out.filter(_._1 != 4L).forall(!_._4))
+    // Bins are dense from 0.
+    val bins = out.map(_._3).distinct.sorted
+    assert(bins == (0L until bins.length).toSeq, s"bins not dense: $bins")
+  }
+
   test("chunkTokens: stride windows with short tail; content preserved; no shuffle") {
     val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (8L, "solo")).toDF("doc_id", "text")
     val out = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
