@@ -2770,6 +2770,19 @@ object SparkEntry {
       graft.text.Packing.packGreedy(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)),
 
+    // --- beyond-reference: packing waste (padding cost of no-straddle) ---
+    // The metric the packSequences/packGreedy trade-off turns on: per
+    // (shard, bin), occupancy and padding waste ctx − Σ min(n, ctx).
+    // One groupBy over the greedy layout.
+    "q_pack_waste" -> ((s, dir) =>
+      graft.text.Packing.packGreedy(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)
+        .groupBy("shard", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(least(col("n_tokens"), lit(256L))).as("fill"),
+          (lit(256L) - sum(least(col("n_tokens"), lit(256L)))).as("waste"))),
+
     // --- beyond-reference: overlapping token chunking (RAG cut) ----------
     // window=32, stride=24 → 8-token overlap; scan-side posexplode, no
     // shuffle. chunk_text is the embedding-input payload; tail chunks
@@ -8610,6 +8623,31 @@ object SparkEntry {
         |  FROM r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1)
         |SELECT doc_id, shard, n_tokens, bin, n_tokens > 256 AS truncated
         |FROM r""".stripMargin,
+
+    "q_pack_waste" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS rnk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens, rnk % 16 AS shard,
+        |    least(n_tokens, 256) AS n_eff,
+        |    row_number() OVER (PARTITION BY rnk % 16 ORDER BY rnk, doc_id) AS rn
+        |  FROM d WHERE n_tokens > 0),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS bin, n_eff AS fill
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.shard, f.rn, f.doc_id, f.n_tokens,
+        |    CASE WHEN r.fill + f.n_eff <= 256 THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + f.n_eff <= 256 THEN r.fill + f.n_eff ELSE f.n_eff END
+        |  FROM r JOIN f ON f.shard = r.shard AND f.rn = r.rn + 1)
+        |SELECT shard, bin, count(*) AS n_docs,
+        |  CAST(sum(least(n_tokens, 256)) AS BIGINT) AS fill,
+        |  256 - CAST(sum(least(n_tokens, 256)) AS BIGINT) AS waste
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_chunk_overlap" ->
       """WITH d AS (

@@ -173,6 +173,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Generate"), s"expected an explode Generate node:\n$p")
   }
 
+  test("q_pack_sequences: ONE shard exchange feeds a partitioned running-sum window") {
+    val p = plan("q_pack_sequences")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"packing layout = one shuffle on shard:\n$p")
+    assert(p.contains("Window"), s"expected the per-shard running sum:\n$p")
+  }
+
+  test("q_pack_greedy: the sequential fold rides ONE shard exchange, no window") {
+    val p = plan("q_pack_greedy")
+    assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
+      s"next-fit fold = one shard shuffle into the HOF aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window — the fold is the aggregate:\n$p")
+    assert(p.contains("Generate"), s"expected the placement explode:\n$p")
+  }
+
   test("q_decontaminate: benchmark gram set joins as a broadcast, never SMJ") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast:\n$p")
