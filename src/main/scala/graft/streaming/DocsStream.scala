@@ -288,6 +288,51 @@ object DocsStream {
         .write.mode("append").parquet(outPath)
     }
 
+  /** STANDING-LAYOUT MAINTENANCE for greedy sequence packing
+    * ([[graft.text.Packing.packGreedyAppend]]): each micro-batch packs
+    * into the standing per-shard (bin, fill) tails, appends its
+    * placements to `placementsPath`, and rolls the tiny state table
+    * forward at `statePath`. The state is ≤ `shards` rows BY
+    * CONSTRUCTION (the open tail bin per shard — closed bins are
+    * immutable), so it round-trips through the driver each batch, the
+    * same bounded-model tier as KMeans centroids; the standing
+    * PLACEMENTS are never read. Micro-batches run serially in
+    * foreachBatch, so any micro-batching of a feed yields the
+    * sequential-fold semantics PackingSpec pins against one-shot
+    * [[graft.text.Packing.packGreedy]] (StreamingSpec pins stream ≡
+    * sequential batch appends bit-identically).
+    *
+    * Seed `statePath` with [[graft.text.Packing.emptyPackState]] (or a
+    * prior layout's rolled state) before starting.
+    */
+  def packAppender(
+      docs: DataFrame,
+      placementsPath: String,
+      statePath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ctxLen: Int = 256,
+      shards: Int = 16,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.text.Packing
+    docsStreamForeach(docs, checkpointPath) { batch =>
+      val spark = batch.sparkSession
+      val state = spark.read.parquet(statePath)
+      val placed = Packing
+        .packGreedyAppend(batch, idCol, textCol, ctxLen, shards, state)
+        .localCheckpoint() // placements write + state roll share one pack
+      placed.write.mode("append").parquet(placementsPath)
+      // The rolled state must materialize BEFORE the overwrite drops the
+      // old files it derives from: ≤ shards rows collect (bounded model).
+      val rolled = Packing.packState(state, placed, ctxLen).collect().toSeq
+      import spark.implicits._
+      rolled.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("shard", "bin", "fill")
+        .write.mode("overwrite").parquet(statePath)
+    }
+  }
+
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

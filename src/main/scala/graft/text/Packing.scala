@@ -146,6 +146,108 @@ object Packing {
         (col("__p.n") > lit(ctxLen.toLong)).as("truncated"))
   }
 
+  /** Empty standing-layout state for [[packGreedyAppend]]: one row per
+    * shard will accumulate as batches arrive — (shard, bin, fill) is the
+    * COMPLETE maintenance state of a greedy layout (the open tail bin
+    * per shard; closed bins are immutable), so the standing side is
+    * `shards` rows no matter how much data has been packed.
+    */
+  def emptyPackState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("shard", "bin", "fill")
+  }
+
+  /** Fold a NEW batch into a standing greedy layout — the packing member
+    * of the incremental family (the appendToPqIndex/scd2Increment
+    * discipline): each shard's fold seeds from the standing (bin, fill)
+    * tail instead of (0, 0), so already-placed docs never move and
+    * append(append(∅, b₁), b₂) is BIT-IDENTICAL to one-shot
+    * [[packGreedy]] over b₁∥b₂ whenever b₁'s ranks precede b₂'s per
+    * shard (PackingSpec pins the split-append equivalence). Batch cost:
+    * one groupBy(shard) over the BATCH plus a broadcast-size state join
+    * — the standing placements are never read, let alone re-shuffled.
+    *
+    * Output: [[packGreedy]]'s schema for the batch docs only. Roll the
+    * state forward with [[packState]].
+    */
+  def packGreedyAppend(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxLen: Int,
+      shards: Int,
+      state: DataFrame,
+  ): DataFrame = {
+    require(ctxLen >= 2, s"ctxLen must be >= 2, got $ctxLen")
+    require(shards >= 1 && shards <= 65536, s"shards in [1,65536], got $shards")
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val perShard = batch
+      .select(
+        col(idCol).as("__id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__n"),
+        rank.as("__rank"))
+      .filter(col("__n") > 0)
+      .withColumn("shard", pmod(col("__rank"), lit(shards)))
+      .groupBy("shard")
+      .agg(array_sort(collect_list(struct(col("__rank"), col("__id"), col("__n"))))
+        .as("__docs"))
+      .join(broadcast(state.select(
+        col("shard"), col("bin").as("__bin0"), col("fill").as("__fill0"))), Seq("shard"), "left")
+      .select(col("shard"), col("__docs"),
+        coalesce(col("__bin0"), lit(0L)).as("__bin0"),
+        coalesce(col("__fill0"), lit(0L)).as("__fill0"))
+    val folded = aggregate(
+      col("__docs"),
+      struct(
+        array().cast("array<struct<id:bigint,n:bigint,bin:bigint>>").as("acc"),
+        col("__bin0").as("bin"),
+        col("__fill0").as("fill")),
+      (st, d) => {
+        val nEff = least(d.getField("__n"), lit(ctxLen.toLong))
+        val fits = st.getField("fill") + nEff <= lit(ctxLen.toLong)
+        val bin = when(fits, st.getField("bin")).otherwise(st.getField("bin") + 1L)
+        struct(
+          concat(st.getField("acc"), array(struct(
+            d.getField("__id").as("id"), d.getField("__n").as("n"), bin.as("bin")))).as("acc"),
+          bin.as("bin"),
+          when(fits, st.getField("fill") + nEff).otherwise(nEff).as("fill"))
+      },
+      st => st.getField("acc"))
+    perShard
+      .select(col("shard"), explode(folded).as("__p"))
+      .select(
+        col("__p.id").as(idCol),
+        col("shard"),
+        col("__p.n").as("n_tokens"),
+        col("__p.bin").as("bin"),
+        (col("__p.n") > lit(ctxLen.toLong)).as("truncated"))
+  }
+
+  /** Roll the standing state forward after [[packGreedyAppend]]: touched
+    * shards derive their new (tail bin, fill) from the batch placements;
+    * untouched shards carry the old row. Both sides are ≤ `shards` rows.
+    */
+  def packState(oldState: DataFrame, placed: DataFrame, ctxLen: Int): DataFrame = {
+    val tail = placed.groupBy("shard").agg(max("bin").as("bin"))
+    // When a shard's batch tail bin IS the carried-over standing bin
+    // (every batch doc fit into the old open bin), the old fill is part
+    // of the tail's occupancy — add it back; a fresh tail bin starts
+    // from the batch docs alone.
+    val derived = placed
+      .join(tail, Seq("shard", "bin"))
+      .groupBy("shard", "bin")
+      .agg(sum(least(col("n_tokens"), lit(ctxLen.toLong))).as("__batch_fill"))
+      .join(oldState.select(
+        col("shard"), col("bin").as("__old_bin"), col("fill").as("__old_fill")),
+        Seq("shard"), "left")
+      .select(col("shard"), col("bin"),
+        (col("__batch_fill") +
+          when(col("bin") === col("__old_bin"), col("__old_fill")).otherwise(lit(0L)))
+          .as("fill"))
+    derived.unionByName(
+      oldState.join(derived.select("shard"), Seq("shard"), "left_anti"))
+  }
+
   /** Overlapping token-window chunking — the RAG indexing cut: chunk i
     * of a doc covers tokens `[i·stride, i·stride + window)` (clamped at
     * the doc end), chunks start at every stride multiple below `n`, so

@@ -86,6 +86,42 @@ class PackingSpec extends SparkTestBase {
     assert(bins == (0L until bins.length).toSeq, s"bins not dense: $bins")
   }
 
+  test("packGreedyAppend: split-append is bit-identical to one-shot packGreedy") {
+    // Split the corpus at a global md5-rank threshold: every shard sees
+    // batch 1's docs strictly before batch 2's, which is exactly the
+    // order one-shot packGreedy folds them in — so
+    // append(append(empty, b1), b2) must reproduce the one-shot layout
+    // row for row, including tail-bin fills carried across the seam.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rank = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val withRank = docs.withColumn("__r", rank)
+    val median = withRank.stat.approxQuantile("__r", Array(0.5), 0.0).head.toLong
+    val b1 = withRank.filter(col("__r") < median).drop("__r")
+    val b2 = withRank.filter(col("__r") >= median).drop("__r")
+    val empty = Packing.emptyPackState(spark)
+    val p1 = Packing.packGreedyAppend(b1, "doc_id", "text", ctxLen = 64, shards = 4, state = empty)
+      .localCheckpoint()
+    val s1 = Packing.packState(empty, p1, ctxLen = 64).localCheckpoint()
+    val p2 = Packing.packGreedyAppend(b2, "doc_id", "text", ctxLen = 64, shards = 4, state = s1)
+    val appended = p1.unionByName(p2)
+      .select("doc_id", "shard", "n_tokens", "bin", "truncated")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val oneShot = Packing.packGreedy(docs, "doc_id", "text", ctxLen = 64, shards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin", "truncated")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(appended == oneShot,
+      s"diff: ${(appended diff oneShot).take(5)} / ${(oneShot diff appended).take(5)}")
+    // And the rolled state after both appends equals the one-shot tail.
+    val s2 = Packing.packState(s1, p2, ctxLen = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneTail = {
+      val p = Packing.packGreedy(docs, "doc_id", "text", ctxLen = 64, shards = 4)
+      Packing.packState(Packing.emptyPackState(spark), p, ctxLen = 64)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(s2 == oneTail, s"state drift: $s2 vs $oneTail")
+  }
+
   test("chunkTokens: stride windows with short tail; content preserved; no shuffle") {
     val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (8L, "solo")).toDF("doc_id", "text")
     val out = Packing.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)

@@ -426,6 +426,48 @@ class StreamingSpec extends SparkTestBase {
     assert(h.nonEmpty && h == hits(rebuilt), "retrieval must not see the maintenance path")
   }
 
+  test("packAppender: stream-maintained layout == sequential batch-API appends") {
+    import graft.text.Packing
+    val dir = tmpDir("stream_pack_in")
+    val (placements, statePath, ckpt) =
+      (tmpDir("stream_pack_out"), tmpDir("stream_pack_state"), tmpDir("stream_pack_ckpt"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    // Three files -> three serial micro-batches.
+    val parts = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+    parts(2).coalesce(1).write.mode("append").parquet(dir)
+    Packing.emptyPackState(spark).write.mode("overwrite").parquet(statePath)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.packAppender(stream, placements, statePath, ckpt,
+      ctxLen = 64, shards = 4)
+    try q.processAllAvailable() finally q.stop()
+
+    // Sequential batch-API appends over the same micro-batch order. The
+    // stream's batch order follows file order (maxFilesPerTrigger=1).
+    var state = Packing.emptyPackState(spark)
+    val batchPlaced = parts.map { p =>
+      val placed = Packing
+        .packGreedyAppend(p, "doc_id", "text", ctxLen = 64, shards = 4, state = state)
+        .localCheckpoint()
+      state = Packing.packState(state, placed, ctxLen = 64).localCheckpoint()
+      placed
+    }.reduce(_ unionByName _)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "n_tokens", "bin", "truncated")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(rows(spark.read.parquet(placements)) == rows(batchPlaced),
+      "stream-maintained placements must equal the sequential batch fold")
+    assert(spark.read.parquet(statePath).as[(Long, Long, Long)].collect().toSet ==
+      state.as[(Long, Long, Long)].collect().toSet,
+      "rolled state must match the batch fold's tail")
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")
