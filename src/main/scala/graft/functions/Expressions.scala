@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, TernaryExpression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -1196,4 +1196,61 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DamerauLevenshteinImpl.compute($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DamerauLevenshtein =
     copy(left = l, right = r)
+}
+
+object NextFitImpl {
+  /** One-pass next-fit bin assignment over a doc-size array: sizes cap
+    * at ctx (oversize docs bin alone, the caller flags truncation), a
+    * doc joins the open bin when it fits, else opens the next. Seeded
+    * with (bin0, fill0) so a standing layout's tail carries in — the
+    * kernel behind Packing.packGreedy/packGreedyAppend. Replaces the
+    * aggregate-HOF fold whose per-element array concat was O(m²) per
+    * shard (14× at a 10× corpus); this is O(m) and allocation-free
+    * until the result array.
+    */
+  def compute(ns: ArrayData, bin0: Long, fill0: Long, ctx: Long): ArrayData = {
+    val m = ns.numElements()
+    val bins = new Array[Long](m)
+    var bin = bin0
+    var fill = fill0
+    var i = 0
+    while (i < m) {
+      val ne = math.min(ns.getLong(i), ctx)
+      if (fill + ne <= ctx) fill += ne
+      else { bin += 1; fill = ne }
+      bins(i) = bin
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bins)
+  }
+}
+
+/** next_fit_bins(sizes: array<bigint>, bin0, fill0) → array<bigint>:
+  * the sequential next-fit scan as a codegen'd scalar kernel (ctxLen a
+  * plan-time constant). Sequentiality lives INSIDE one row's array —
+  * exactly where the per-shard fold put it — so the operator stays a
+  * projection.
+  */
+case class NextFitBins(
+    sizes: Expression,
+    bin0: Expression,
+    fill0: Expression,
+    ctxLen: Long) extends TernaryExpression {
+  override def first: Expression = sizes
+  override def second: Expression = bin0
+  override def third: Expression = fill0
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_next_fit_bins"
+  override def nullSafeEval(s: Any, b: Any, f: Any): Any =
+    NextFitImpl.compute(
+      s.asInstanceOf[ArrayData],
+      b.asInstanceOf[java.lang.Long],
+      f.asInstanceOf[java.lang.Long],
+      ctxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, b, f) =>
+      s"graft.functions.NextFitImpl.compute($s, $b, $f, ${ctxLen}L)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NextFitBins =
+    copy(sizes = f, bin0 = s, fill0 = t)
 }

@@ -45,6 +45,14 @@ object GraftFunctions {
   def bpeEncodeWord(word: Column, merges: Seq[(String, String)]): Column =
     GraftShim.toColumn(BpeEncodeWord(GraftShim.toExpression(word), merges))
 
+  /** One-pass next-fit bin assignment over a doc-size array, seeded
+    * with a standing (bin, fill) tail.
+    */
+  def nextFitBins(sizes: Column, bin0: Column, fill0: Column, ctxLen: Long): Column =
+    GraftShim.toColumn(NextFitBins(
+      GraftShim.toExpression(sizes), GraftShim.toExpression(bin0),
+      GraftShim.toExpression(fill0), ctxLen))
+
   /** Winnowing rolling-hash fingerprints (k-gram length, window size). */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftShim.toColumn(Winnow(GraftShim.toExpression(text), k, w))
