@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 import graft.functions._
 
@@ -71,5 +71,8 @@ object GraftExtensions {
     "graft_damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
     "graft_char_entropy" -> (es => CharEntropy(es.head)),
     "graft_deflate_stats" -> (es => DeflateStats(es.head)),
+    "graft_next_fit_bins" -> (es => NextFitBins(
+      Cast(es(0), ArrayType(LongType)), Cast(es(1), LongType), Cast(es(2), LongType),
+      constInt(es(3), "context length").toLong)),
   )
 }

@@ -25,7 +25,8 @@ class ExtensionsSpec extends SparkTestBase {
         |  graft_audio_meta(CAST('junk' AS BINARY)) AS am,
         |  graft_gini(array(1.0, 1.0, 1.0)) AS g,
         |  graft_hpa_classify(array(10.0, 1.0, 1.0), 1.0).specificity AS spec,
-        |  graft_text_stats('the quick brown fox').n_tokens AS nt
+        |  graft_text_stats('the quick brown fox').n_tokens AS nt,
+        |  graft_next_fit_bins(array(5, 4, 7, 12, 3), 0, 0, 8) AS nfb
         |""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("e") - 0.8427007929497149) < 1e-12)
     assert(math.abs(r.getAs[Double]("e") + r.getAs[Double]("ec") - 1.0) < 1e-12)
@@ -41,6 +42,10 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("g")) < 1e-12, "equal values => gini 0")
     assert(r.getAs[String]("spec") == "Tissue enriched")
     assert(r.getAs[Int]("nt") == 4)
+    // next-fit at ctx 8: 5 | 4 | 7 | 12→capped own bin | 3 → bins 0,1,2,3,4
+    // (4 doesn't fit after 5? 5+4=9>8 → new bin; 4+7=11>8 → new; cap(12)=8
+    // can't join 7's bin → new; 8 full → 3 opens the next.)
+    assert(r.getSeq[Long](r.fieldIndex("nfb")) == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
   test("SQL function results match the Column-API facade") {
