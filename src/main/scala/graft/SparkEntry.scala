@@ -2747,7 +2747,11 @@ object SparkEntry {
     // md5-sharded token streams, cut every 256 tokens. One hash shuffle
     // into shard-partitioned windows; straddle marks docs crossing a
     // cut. Shards bound the window partitions, so the layout
-    // parallelizes at any corpus size.
+    // parallelizes at any corpus size. Completes the packing family
+    // with q_pack_batches/q_pack_sharded (lang-keyed batch ids): this
+    // variant reports the per-doc BIN INTERVAL (bin_first/bin_last +
+    // straddle) with EOS accounting; q_pack_greedy is the no-straddle
+    // sibling; q_pack_waste its padding cost.
     "q_pack_sequences" -> ((s, dir) =>
       graft.text.Packing.packSequences(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)),
