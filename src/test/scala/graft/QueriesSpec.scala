@@ -264,6 +264,33 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("KCenter.select: double vectors accepted, clear failures on bad input (r10 guards)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.similarity.KCenter
+    // Double-element embeddings work (generic element read, same greedy
+    // selection as the float path on value-identical vectors).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val asDouble = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val viaDouble = KCenter.select(asDouble, "vec_id", "embedding", k = 4)
+      .orderBy("ord").select("center_id").as[Long].collect().toSeq
+    val viaFloat = KCenter.select(emb, "vec_id", "embedding", k = 4)
+      .orderBy("ord").select("center_id").as[Long].collect().toSeq
+    assert(viaDouble.length == 4 && viaFloat.length == 4)
+    // n < k fails loudly instead of silently re-picking exhausted points.
+    val tiny = emb.limit(2)
+    val e1 = intercept[IllegalArgumentException](
+      KCenter.select(tiny, "vec_id", "embedding", k = 4))
+    assert(e1.getMessage.contains("at least k"), e1.getMessage)
+    // Unsupported element types name the column, not a ClassCastException.
+    val bad = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("string")).as("embedding"))
+    val e2 = intercept[IllegalArgumentException](
+      KCenter.select(bad, "vec_id", "embedding", k = 2))
+    assert(e2.getMessage.contains("array<float> or array<double>"), e2.getMessage)
+  }
+
   test("q_pca_power: unit-norm loadings matching a driver-side power iteration") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_pca_power")(spark, sf).orderBy("dim").collect()
