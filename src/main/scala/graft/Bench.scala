@@ -63,7 +63,14 @@ object Bench {
     val priorMins: Map[String, Double] = {
       def parse(f: java.io.File): Map[String, Double] =
         try {
-          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val full = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          // Parse ONLY the "queries" map: BENCH_FULL.json may carry a
+          // trailing "firstPass" object with the LOADED values of
+          // escalation-flagged queries, and a whole-file regex would let
+          // those override the calm mins via toMap last-wins — exactly
+          // the baseline corruption this defense exists to prevent.
+          val cut = full.indexOf("\"firstPass\"")
+          val txt = if (cut >= 0) full.substring(0, cut) else full
           // The queries map is flat {"name":sec,...}; query keys are the
           // q_*/b_* entries (top-level keys like "value"/"warmup" never
           // collide with those prefixes).

@@ -2767,9 +2767,10 @@ object SparkEntry {
     // Next-fit example packing ([[graft.text.Packing.packGreedy]]): docs
     // fill a 256-token bin until the next would overflow; no document
     // crosses a boundary; oversize docs bin alone, flagged truncated.
-    // The fold is sequential by nature, so it runs per md5 shard inside
-    // one aggregate HOF (shards = parallelism AND memory envelope). The
-    // oracle replays the fold as a per-shard recursive CTE.
+    // The scan is sequential by nature, so it runs per md5 shard through
+    // the codegen'd O(m) NextFitBins kernel (shards = parallelism AND
+    // memory envelope). The oracle replays the scan as a per-shard
+    // recursive CTE.
     "q_pack_greedy" -> ((s, dir) =>
       graft.text.Packing.packGreedy(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 256, shards = 16)),
@@ -11088,8 +11089,14 @@ object SparkEntry {
     */
   private val kcenterCtes: String = {
     val rounds = (1 to 7).map { r =>
+      // Picked ids leave the argmax pool (NOT IN) — mirrors
+      // KCenter.select's exclusion, which matters only on duplicate-
+      // heavy corpora where every dmin can reach 0.
+      val pickedSoFar = ("SELECT cid FROM c0" +:
+        (1 until r).map(i => s"SELECT cid FROM p$i")).mkString(" UNION ALL ")
       s"""p$r AS MATERIALIZED (
          |  SELECT vec_id AS cid, dmin AS rad FROM d${r - 1}
+         |  WHERE vec_id NOT IN ($pickedSoFar)
          |  ORDER BY dmin DESC, vec_id LIMIT 1),
          |c$r AS MATERIALIZED (
          |  SELECT e.v AS cv FROM e JOIN p$r ON e.vec_id = p$r.cid),

@@ -1215,6 +1215,10 @@ object NextFitImpl {
     var fill = fill0
     var i = 0
     while (i < m) {
+      // A null size has no defensible placement — silently reading 0
+      // would shift every later bin. Null in → null out (the SQL surface
+      // allows nullable elements; the library path never produces them).
+      if (ns.isNullAt(i)) return null
       val ne = math.min(ns.getLong(i), ctx)
       if (fill + ne <= ctx) fill += ne
       else { bin += 1; fill = ne }
@@ -1240,6 +1244,7 @@ case class NextFitBins(
   override def second: Expression = bin0
   override def third: Expression = fill0
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null size element → null result
   override def prettyName: String = "graft_next_fit_bins"
   override def nullSafeEval(s: Any, b: Any, f: Any): Any =
     NextFitImpl.compute(
@@ -1248,8 +1253,13 @@ case class NextFitBins(
       f.asInstanceOf[java.lang.Long],
       ctxLen)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (s, b, f) =>
-      s"graft.functions.NextFitImpl.compute($s, $b, $f, ${ctxLen}L)")
+    nullSafeCodeGen(ctx, ev, (s, b, f) => {
+      s"""
+         |Object nfbRes = graft.functions.NextFitImpl.compute($s, $b, $f, ${ctxLen}L);
+         |if (nfbRes == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) nfbRes; }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NextFitBins =
     copy(sizes = f, bin0 = s, fill0 = t)

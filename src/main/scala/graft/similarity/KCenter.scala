@@ -58,7 +58,14 @@ object KCenter {
       .select(col(idCol), col(vecCol)).head()
     val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
       (0, seed.getLong(0), 0.0))
+    // Picked points leave the candidate pool: on a duplicate-heavy
+    // corpus every dmin can reach 0.0, and an argmax over the FULL pool
+    // would then re-pick the seed (smallest id) forever — distinct
+    // centers by construction instead, with radius 0 marking the
+    // degenerate tail (n >= k guarantees the pool never runs dry). The
+    // q_kcenter oracle replays the same exclusion (NOT IN picked).
     var cur = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("id") =!= seed.getLong(0))
       .withColumn("dmin", lit(1.0) - cosineSim(col("v"), litVec(seed)))
       .localCheckpoint(false)
     for (r <- 1 until k) {
@@ -66,6 +73,7 @@ object KCenter {
       picked += ((r, top.getLong(0), top.getDouble(2)))
       if (r < k - 1) {
         cur = cur
+          .filter(col("id") =!= top.getLong(0))
           .withColumn("dmin",
             least(col("dmin"), lit(1.0) - cosineSim(col("v"), litVec(top))))
           .localCheckpoint(false)

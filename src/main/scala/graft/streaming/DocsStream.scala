@@ -302,8 +302,10 @@ object DocsStream {
     * [[graft.text.Packing.packGreedy]] (StreamingSpec pins stream ≡
     * sequential batch appends bit-identically).
     *
-    * Seed `statePath` with [[graft.text.Packing.emptyPackState]] (or a
-    * prior layout's rolled state) before starting.
+    * No seeding needed: an empty `statePath` means an empty layout (to
+    * resume a prior layout, write its rolled state as
+    * `statePath/batch=0` and start the stream's batch ids above it via
+    * the checkpoint).
     */
   def packAppender(
       docs: DataFrame,
@@ -316,21 +318,41 @@ object DocsStream {
       shards: Int = 16,
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.text.Packing
-    docsStreamForeach(docs, checkpointPath) { batch =>
-      val spark = batch.sparkSession
-      val state = spark.read.parquet(statePath)
-      val placed = Packing
-        .packGreedyAppend(batch, idCol, textCol, ctxLen, shards, state)
-        .localCheckpoint() // placements write + state roll share one pack
-      placed.write.mode("append").parquet(placementsPath)
-      // The rolled state must materialize BEFORE the overwrite drops the
-      // old files it derives from: ≤ shards rows collect (bounded model).
-      val rolled = Packing.packState(state, placed, ctxLen).collect().toSeq
-      import spark.implicits._
-      rolled.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .toDF("shard", "bin", "fill")
-        .write.mode("overwrite").parquet(statePath)
-    }
+    // REPLAY SAFETY: foreachBatch gives at-least-once delivery, so both
+    // writes must be idempotent under batch re-execution. State is
+    // VERSIONED (statePath/batch=<id>, overwrite) and each batch seeds
+    // from the newest version STRICTLY BELOW its own id — a replayed
+    // batch re-reads the exact state it saw the first time even though
+    // its own version already exists, and rewrites the same outputs.
+    // Placements land in per-batch partitions (placementsPath/batch=<id>,
+    // overwrite), so a replay replaces rather than duplicates; readers
+    // see one partitioned dataset at placementsPath. A crash between the
+    // two writes leaves only a stale/fresh version pair, never a
+    // half-written standing layout (the in-place overwrite this replaces
+    // could be caught mid-delete). Versions are <= shards rows each.
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val versions = Option(new java.io.File(statePath).listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLongOption
+            case _ => None
+          })
+          .filter(_ < batchId)
+        val state =
+          if (versions.isEmpty) Packing.emptyPackState(spark)
+          else spark.read.parquet(s"$statePath/batch=${versions.max}")
+        val placed = Packing
+          .packGreedyAppend(batch, idCol, textCol, ctxLen, shards, state)
+          .localCheckpoint() // placements write + state roll share one pack
+        placed.write.mode("overwrite").parquet(s"$placementsPath/batch=$batchId")
+        Packing.packState(state, placed, ctxLen)
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
   }
 
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(

@@ -173,17 +173,6 @@ object Bpe {
         posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("word_pos", "w")))
       .select(col(idCol), col("word_pos"), col("w"), seg(ms).as("subwords"))
 
-  /** Adjacent symbol pairs weighted by word frequency. */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words
-      .filter(size(col("syms")) >= 2)
-      .select(col("freq"), explode(
-        transform(sequence(lit(1), size(col("syms")) - 1), i =>
-          struct(element_at(col("syms"), i).as("a"), element_at(col("syms"), i + 1).as("b"))))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("freq")).as("n"))
-
   /** Greedy left-to-right merge of adjacent (a,b) → a+b, the standard
     * BPE scan (so "aaa" under (a,a) merges once, leaving [aa, a]),
     * expressed as an aggregate fold with (accumulated, pending) state.

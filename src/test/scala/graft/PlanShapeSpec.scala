@@ -180,11 +180,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"), s"expected the per-shard running sum:\n$p")
   }
 
-  test("q_pack_greedy: the sequential fold rides ONE shard exchange, no window") {
+  test("q_pack_greedy: the sequential scan rides ONE shard exchange, no window") {
     val p = plan("q_pack_greedy")
     assert(countOccurrences(p, "Arguments: hashpartitioning") == 1,
-      s"next-fit fold = one shard shuffle into the HOF aggregate:\n$p")
-    assert(!p.contains("Window"), s"no window — the fold is the aggregate:\n$p")
+      s"next-fit = one shard shuffle into the NextFitBins kernel projection:\n$p")
+    assert(!p.contains("Window"), s"no window — the kernel scan does the fold:\n$p")
     assert(p.contains("Generate"), s"expected the placement explode:\n$p")
   }
 

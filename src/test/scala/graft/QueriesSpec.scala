@@ -289,6 +289,14 @@ class QueriesSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       KCenter.select(bad, "vec_id", "embedding", k = 2))
     assert(e2.getMessage.contains("array<float> or array<double>"), e2.getMessage)
+    // Degenerate corpus (all-identical vectors): centers stay DISTINCT —
+    // picked points leave the pool — with radius 0 marking the tail,
+    // instead of silently re-picking the seed id.
+    val dup = (0L until 5L).map(i => (i, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val degC = KCenter.select(dup, "vec_id", "embedding", k = 3)
+      .orderBy("ord").collect()
+    assert(degC.map(_.getAs[Long]("center_id")).distinct.length == 3, degC.mkString(","))
+    assert(degC.drop(1).forall(r => math.abs(r.getAs[Double]("radius")) < 1e-9))
   }
 
   test("q_pca_power: unit-norm loadings matching a driver-side power iteration") {

@@ -440,7 +440,6 @@ class StreamingSpec extends SparkTestBase {
     parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
     parts(1).coalesce(1).write.mode("append").parquet(dir)
     parts(2).coalesce(1).write.mode("append").parquet(dir)
-    Packing.emptyPackState(spark).write.mode("overwrite").parquet(statePath)
 
     val stream = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -463,7 +462,13 @@ class StreamingSpec extends SparkTestBase {
         .as[(Long, Long, Long, Long, Boolean)].collect().toSet
     assert(rows(spark.read.parquet(placements)) == rows(batchPlaced),
       "stream-maintained placements must equal the sequential batch fold")
-    assert(spark.read.parquet(statePath).as[(Long, Long, Long)].collect().toSet ==
+    // Final state = the NEWEST version dir (state is versioned per batch
+    // for replay idempotency).
+    val latest = new java.io.File(statePath).listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    assert(spark.read.parquet(s"$statePath/batch=$latest")
+      .as[(Long, Long, Long)].collect().toSet ==
       state.as[(Long, Long, Long)].collect().toSet,
       "rolled state must match the batch fold's tail")
   }
