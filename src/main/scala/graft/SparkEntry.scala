@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
-import graft.similarity.{Ann, KCenter, KMeans, MlpScore, NearDup, SemDeDup, SetSimJoin, SparseSim}
+import graft.similarity.{Ann, KCenter, KMeans, MlpScore, Mmr, NearDup, RandomProjection, SemDeDup, SetSimJoin, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
 
 /** Driver contract — one named query per implemented operator family from
@@ -4529,6 +4529,21 @@ object SparkEntry {
       KCenter.select(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .select(col("ord"), col("center_id"), round(col("radius"), 6).as("radius"))),
 
+    // --- beyond-reference: MMR diversified re-ranking --------------------
+    // Maximal Marginal Relevance over the retrieval pool (see
+    // [[Mmr.select]]): query = smallest-id vector, pool = TakeOrdered
+    // top-16 by relevance (one corpus scan — never a window), then six
+    // greedy picks maximizing 0.7·rel − 0.3·max-sim-to-selected. The
+    // redundancy cut a retrieval stage runs before filling a context
+    // window. λ and μ are independent literals (1−λ would be
+    // 0.30000000000000004 in IEEE and diverge from the SQL oracle).
+    "q_mmr" -> ((s, dir) =>
+      Mmr.select(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 6, lambda = 0.7, mu = 0.3, poolSize = 16)
+        .select(col("ord"), col("id").as("vec_id"),
+          round(col("rel"), 6).as("rel"), round(col("ms"), 6).as("ms"),
+          round(col("score"), 6).as("score"))),
+
     // --- beyond-reference: knee/elbow detection on the radius curve ------
     // "How many centers are enough?" — the kneedle-style readout over
     // q_kcenter's covering-radius decay: the knee is the point farthest
@@ -4600,6 +4615,56 @@ object SparkEntry {
             * (x(i) - col("proj") * col(s"v3_$i"))).reduceLeft(_ + _)))
         .select(col("vec_id"), round(col("proj"), 6).as("proj"),
           round(col("resid"), 6).as("resid"))
+    }),
+
+    // --- beyond-reference: Johnson-Lindenstrauss random projection -------
+    // 64 → 8 dims through a ±1 Achlioptas sign matrix (MD5-derived
+    // model-as-code constants — see RandomProjection.signs). ONE
+    // codegen'd scan-side projection: no fit, no shuffle, no UDF; at
+    // 100 TB it rides the scan that produced the vectors and feeds the
+    // ANN/KMeans family at 8× smaller compare cost. Each output dim is
+    // a left-associated ±v_i chain the oracle replays from the same
+    // generated constants.
+    "q_rand_project" -> ((s, dir) => {
+      val p = RandomProjection.project(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dIn = 64, dOut = 8)
+      p.select(col("vec_id") +:
+        (1 to 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
+    }),
+
+    // --- beyond-reference: JL distortion audit ---------------------------
+    // "Did the projection keep the geometry?" — the acceptance check a
+    // pipeline runs BEFORE switching its ANN/cluster stages onto the
+    // projected vectors: pairwise Euclidean distance before vs after,
+    // on a FIXED 32-probe panel (496 pairs — bounded regardless of
+    // corpus size; the pair join broadcasts). Both distances are
+    // left-associated squared-diff chains over the same unrounded
+    // projection columns the oracle rebuilds.
+    "q_jl_distortion" -> ((s, dir) => {
+      val (dIn, dOut) = (64, 8)
+      // Materialize the 32-row panel: without the barrier Catalyst
+      // collapses the 8×64-term projection chains into the pair-join
+      // stage and the generated method overflows janino's limits,
+      // dropping the whole stage out of codegen.
+      val probes = t(s, dir, "embeddings").filter(col("vec_id") < 32)
+        .select(col("vec_id") +: col("embedding") +:
+          RandomProjection.projectCols(col("embedding"), dIn, dOut): _*)
+        .localCheckpoint(eager = false)
+      val a = probes.toDF(probes.columns.map("a_" + _): _*)
+      val b = probes.toDF(probes.columns.map("b_" + _): _*)
+      def xa(i: Int) = element_at(col("a_embedding"), i).cast("double")
+      def xb(i: Int) = element_at(col("b_embedding"), i).cast("double")
+      val d2o = (1 to dIn).map(i => (xa(i) - xb(i)) * (xa(i) - xb(i)))
+        .reduceLeft(_ + _)
+      val d2p = (1 to dOut).map(j => (col(s"a_p$j") - col(s"b_p$j")) *
+        (col(s"a_p$j") - col(s"b_p$j"))).reduceLeft(_ + _)
+      a.join(broadcast(b), col("a_vec_id") < col("b_vec_id"))
+        .withColumn("d2o", d2o).withColumn("d2p", d2p)
+        .filter(col("d2o") > 0) // identical-point pairs have no ratio
+        .select(col("a_vec_id"), col("b_vec_id"),
+          round(sqrt(col("d2o")), 6).as("d_orig"),
+          round(sqrt(col("d2p")), 6).as("d_proj"),
+          round(sqrt(col("d2p") / col("d2o")), 6).as("ratio"))
     }),
 
     // --- beyond-reference: mutual-information feature ranking ------------
@@ -9987,6 +10052,15 @@ object SparkEntry {
          |  round(d.drop_, 6) + 0 AS chord_drop, d.ord = b.knee_ord AS is_knee
          |FROM dropped d, best b""".stripMargin,
 
+    // Generated: the same TakeOrdered pool and six unrolled greedy
+    // rounds (mmrCtes); every rounded column is sign-capable → + 0.
+    "q_mmr" ->
+      s"""WITH $mmrCtes
+         |${(1 to 6).map(r =>
+             s"SELECT CAST($r AS INT) AS ord, vec_id, round(rel, 6) + 0 AS rel, " +
+               s"round(ms, 6) + 0 AS ms, round(score, 6) + 0 AS score FROM p$r")
+           .mkString("\nUNION ALL\n")}""".stripMargin,
+
     // Generated: the same one-row moment condensation and three unrolled
     // power-iteration rounds, left-associated term for term.
     "q_pca_power" ->
@@ -10008,6 +10082,41 @@ object SparkEntry {
          |SELECT pr.vec_id, round(pr.proj, 6) + 0 AS proj,
          |  round(sqrt($resid), 6) AS resid
          |FROM pr JOIN e2 ON e2.vec_id = pr.vec_id, v3""".stripMargin
+    },
+
+    // Generated: the same ±1 sign constants (RandomProjection.signs)
+    // replayed as left-associated ±v[i] chains. Rounded dims carry the
+    // + 0 negative-zero guard (sign-capable).
+    "q_rand_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |  ${(1 to 8).map(j => s"round(${jlChainSql("v", j)}, 6) + 0 AS p$j")
+             .mkString(",\n  ")}
+         |FROM e""".stripMargin,
+
+    // Same projection CTE unrounded; both squared-distance chains are
+    // the Spark side's left-associated term order. Distances are
+    // non-negative, so no -0.0 guard is needed on the rounded columns.
+    "q_jl_distortion" -> {
+      val d2o = (1 to 64)
+        .map(i => s"(a.v[$i] - b.v[$i]) * (a.v[$i] - b.v[$i])").mkString(" + ")
+      val d2p = (1 to 8)
+        .map(j => s"(a.p$j - b.p$j) * (a.p$j - b.p$j)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id < 32),
+         |p AS (
+         |  SELECT vec_id, v,
+         |    ${(1 to 8).map(j => s"${jlChainSql("v", j)} AS p$j").mkString(",\n    ")}
+         |  FROM e),
+         |pr AS (
+         |  SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+         |    $d2o AS d2o,
+         |    $d2p AS d2p
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id)
+         |SELECT a_vec_id, b_vec_id, round(sqrt(d2o), 6) AS d_orig,
+         |  round(sqrt(d2p), 6) AS d_proj, round(sqrt(d2p / d2o), 6) AS ratio
+         |FROM pr WHERE d2o > 0""".stripMargin
     },
 
     // Exact joint counts; each p·ln term decimal-quantized before the
@@ -11113,6 +11222,63 @@ object SparkEntry {
        |  SELECT e.vec_id, e.v, 1 - list_cosine_similarity(e.v, c0.cv) AS dmin
        |  FROM e, c0),
        |$rounds""".stripMargin
+  }
+
+  /** Generated MMR rounds shared by the q_mmr oracle: CTEs `e, q, pool,
+    * p1..p6, c1..c6, d1..d5` — picks carry (vec_id, rel, ms, score),
+    * `d` tables keep the running max-sim-to-selected, exclusion chains
+    * exactly like [[Mmr.select]]'s pool filtering.
+    */
+  private val mmrCtes: String = {
+    val rounds = (2 to 6).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, rel, ms, 0.7 * rel - 0.3 * ms AS score
+         |  FROM d${r - 1} ORDER BY score DESC, vec_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT pool.v AS cv FROM pool JOIN p$r USING (vec_id))""".stripMargin +
+        (if (r < 6)
+          s""",
+             |d$r AS MATERIALIZED (
+             |  SELECT d.vec_id, d.v, d.rel,
+             |    greatest(d.ms, list_cosine_similarity(d.v, c$r.cv)) AS ms
+             |  FROM d${r - 1} d, c$r
+             |  WHERE d.vec_id NOT IN (SELECT vec_id FROM p$r))""".stripMargin
+        else "")
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+       |pool AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS rel
+       |  FROM e, q WHERE e.vec_id <> q.qid
+       |  ORDER BY rel DESC, e.vec_id LIMIT 16),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS ms,
+       |    0.7 * rel - 0.3 * CAST(0.0 AS DOUBLE) AS score
+       |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |c1 AS MATERIALIZED (
+       |  SELECT pool.v AS cv FROM pool JOIN p1 USING (vec_id)),
+       |d1 AS MATERIALIZED (
+       |  SELECT pool.vec_id, pool.v, pool.rel,
+       |    list_cosine_similarity(pool.v, c1.cv) AS ms
+       |  FROM pool, c1 WHERE pool.vec_id NOT IN (SELECT vec_id FROM p1)),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[RandomProjection.projectCols]]: the j-th projected
+    * dim as a left-associated ±vec[i] chain over the SAME driver-derived
+    * sign constants, scaled by 1/√dOut — term for term the Spark tree.
+    */
+  private def jlChainSql(vec: String, j: Int, dIn: Int = 64, dOut: Int = 8): String = {
+    val s = RandomProjection.signs(dIn, dOut)
+    val terms = (0 until dIn).map { i =>
+      val cell = s"$vec[${i + 1}]"
+      if (i == 0) { if (s(i)(j - 1) > 0) cell else s"(- $cell)" }
+      else if (s(i)(j - 1) > 0) s"+ $cell"
+      else s"- $cell"
+    }.mkString(" ")
+    s"($terms) / sqrt(${dOut}.0)"
   }
 
   /** SQL twin of [[pcaTopComponent]]: CTEs ending in `v3` with columns

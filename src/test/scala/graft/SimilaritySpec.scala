@@ -898,4 +898,53 @@ class SimilaritySpec extends SparkTestBase {
     val full = fullPairs.filter(p => isBatch(p._1) || isBatch(p._2))
     assert(inc == full, s"missing=${full -- inc} extra=${inc -- full}")
   }
+
+  test("Mmr.select: diversity term breaks pure-relevance ranking; invariants hold") {
+    // id 0 is the query (smallest id). A-cluster (1,2,3) is nearest the
+    // query but internally near-identical; B-cluster (4,5) is slightly
+    // less relevant but far from A. Pure top-3 by relevance would be
+    // {1,2,3}; MMR must defect to a B pick by round 2:
+    //   A second pick: 0.7·0.92 − 0.3·≈1    ≈ 0.344
+    //   B first  pick: 0.7·0.90 − 0.3·≈0.81 ≈ 0.387  ← wins
+    val a = (i: Int) => Array(0.92f, 0.392f + i * 1e-4f, 0f)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, a(0)), (2L, a(1)), (3L, a(2)),
+      (4L, Array(0.9f, 0f, 0.436f)), (5L, Array(0.9f, 0f, 0.435f)))
+      .toDF("vec_id", "embedding")
+    val sel = graft.similarity.Mmr.select(emb, "vec_id", "embedding",
+      k = 3, lambda = 0.7, mu = 0.3, poolSize = 5).collect()
+    val ids = sel.map(_.getLong(1))
+    assert(ids.length == 3 && ids.distinct.length == 3)
+    assert(sel.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(ids.head >= 1L && ids.head <= 3L, s"first pick must be an A (most relevant), got ${ids.head}")
+    assert(ids.exists(i => i == 4L || i == 5L),
+      s"diversity term should pull in a B-cluster pick, got ${ids.toSeq}")
+    assert(sel.head.getDouble(3) == 0.0, "first pick has no selected set: ms = 0")
+    sel.foreach { r =>
+      assert(math.abs(r.getDouble(4) - (0.7 * r.getDouble(2) - 0.3 * r.getDouble(3))) < 1e-12)
+    }
+    // rel of the first pick is the pool max
+    assert(sel.map(_.getDouble(2)).forall(_ <= sel.head.getDouble(2) + 1e-12))
+  }
+
+  test("RandomProjection: reproducible balanced signs; JL preserves distances in expectation") {
+    val s1 = graft.similarity.RandomProjection.signs(64, 8)
+    val s2 = graft.similarity.RandomProjection.signs(64, 8)
+    assert(s1.flatten.toSeq == s2.flatten.toSeq, "sign matrix must be a pure function of (i,j)")
+    assert(s1.flatten.forall(v => v == 1 || v == -1))
+    val pos = s1.flatten.count(_ == 1)
+    assert(pos > 512 * 0.35 && pos < 512 * 0.65, s"±1 balance off: $pos/512 positive")
+
+    val proj = graft.similarity.RandomProjection.project(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding", 64, 8)
+    assert(proj.columns.toSeq == ("vec_id" +: (1 to 8).map(j => s"p$j")))
+
+    // E[|Pu-Pv|²/|u-v|²] = 1 for the ±1/√d matrix; the panel mean over
+    // 496 pairs must land near it even at dOut = 8.
+    val ratios = SparkEntry.queries("q_jl_distortion")(spark, sf)
+      .select("ratio").collect().map(_.getDouble(0))
+    assert(ratios.length > 400, s"expected the 32-probe pair panel, got ${ratios.length}")
+    val meanSq = ratios.map(r => r * r).sum / ratios.length
+    assert(meanSq > 0.6 && meanSq < 1.4, s"E[d2p/d2o] should be ~1, got $meanSq")
+  }
 }
