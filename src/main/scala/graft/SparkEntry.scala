@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Cleanup, Dedup, Rank, Readers, Reshape, Scd, Stats, Union}
+import graft.core.{Cleanup, Dedup, Preference, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
 import graft.similarity.{Ann, KCenter, KMeans, MlpScore, Mmr, NearDup, RandomProjection, SemDeDup, SetSimJoin, SparseSim}
 import graft.text.{SubstringDedup, TextAnalysis}
@@ -3004,6 +3004,43 @@ object SparkEntry {
         .groupBy("first_touch", "last_touch")
         .agg(count(lit(1)).as("n_users"))
     }),
+
+    // --- beyond-reference: Bradley-Terry preference strengths ------------
+    // The pairwise-judgment model behind reward-model data curation and
+    // arena leaderboards (see [[Preference.bradleyTerry]]). Comparisons
+    // derive from exact per-user counts: within a user, type a "beats"
+    // type b when the user fired a more often (integer compare — no
+    // float ambiguity); three Hunter-MM rounds then run on the T²-row
+    // model tier. The corpus contributes ONE aggregation; user-level
+    // pair expansion is bounded by T² per user.
+    "q_bradley_terry" -> ((s, dir) => {
+      val c = t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // self-joined a-vs-b
+      val a = c.toDF("user_id", "ta", "ca")
+      val b = c.toDF("user_id", "tb", "cb")
+      val comp = a.join(b, Seq("user_id"))
+        .filter(col("ta") =!= col("tb") && col("ca") > col("cb"))
+        .groupBy(col("ta").as("winner"), col("tb").as("loser"))
+        .agg(count(lit(1)).as("n"))
+      Preference.bradleyTerry(comp, "winner", "loser", "n", iters = 3)
+        .select(col("item").as("event_type"), col("wins"),
+          round(col("strength"), 6).as("strength"))
+    }),
+
+    // --- beyond-reference: implicit-feedback rank-1 ALS ------------------
+    // Hu-Koren confidence-weighted factorization of the user×event-type
+    // interaction matrix (see [[Preference.alsImplicitRank1]]): c = 1 +
+    // 0.1·count, λ = 0.1, two alternating closed-form rounds from v ≡ 1.
+    // One corpus aggregation; every later table is bounded by users or
+    // by the item vocabulary, factors broadcast into each update.
+    "q_als_implicit" -> ((s, dir) =>
+      Preference.alsImplicitRank1(
+        t(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt")),
+        "user_id", "event_type", "cnt", alpha = 0.1, lambda = 0.1, iters = 2)
+        .select(col("item").as("event_type"), col("n_entities").as("n_users"),
+          round(col("v_1"), 6).as("v_1"), round(col("v_2"), 6).as("v_2"))),
 
     // --- beyond-reference: equal-frequency binning -----------------------
     // Length-balanced batch construction: exact quartile boundaries of
@@ -8835,6 +8872,75 @@ object SparkEntry {
         |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_users
         |FROM p JOIN fr USING (user_id) LEFT JOIN lt USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Generated: the same exact-count comparison derivation and three
+    // unrolled Hunter-MM rounds; each 1/(s_i+s_j) term quantizes to
+    // DECIMAL(28,12) before its order-free sum, rescaling anchors on
+    // the smallest item.
+    "q_bradley_terry" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (
+           |  SELECT p.i AS item,
+           |    sum(CAST(CAST(p.nij AS DOUBLE) / (si.s + sj.s) AS DECIMAL(28,12))) AS den
+           |  FROM pairT p JOIN s${r - 1} si ON si.item = p.i
+           |    JOIN s${r - 1} sj ON sj.item = p.j
+           |  GROUP BY 1),
+           |r$r AS (
+           |  SELECT d.item,
+           |    CAST(coalesce(w.wins, 0) AS DOUBLE) / CAST(d.den AS DOUBLE) AS sr
+           |  FROM d$r d LEFT JOIN wins w USING (item)),
+           |f$r AS (SELECT sr AS refv FROM r$r ORDER BY item LIMIT 1),
+           |s$r AS (SELECT item, sr / refv AS s FROM r$r, f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |comp AS (
+         |  SELECT a.event_type AS w, b.event_type AS l, CAST(count(*) AS BIGINT) AS n
+         |  FROM c a JOIN c b ON a.user_id = b.user_id
+         |    AND a.event_type <> b.event_type AND a.c > b.c
+         |  GROUP BY 1, 2),
+         |wins AS (SELECT w AS item, CAST(sum(n) AS BIGINT) AS wins FROM comp GROUP BY 1),
+         |pairT AS (
+         |  SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM (
+         |    SELECT w AS i, l AS j, n FROM comp
+         |    UNION ALL SELECT l AS i, w AS j, n FROM comp)
+         |  GROUP BY 1, 2),
+         |s0 AS (SELECT DISTINCT i AS item, CAST(1.0 AS DOUBLE) AS s FROM pairT),
+         |$rounds
+         |SELECT s.item AS event_type, coalesce(w.wins, 0) AS wins,
+         |  round(s.s, 6) AS strength
+         |FROM s3 s LEFT JOIN wins w ON w.item = s.item""".stripMargin
+    },
+
+    // Generated: the same confidence weights and two unrolled alternating
+    // rounds; every c·u / c·v product quantizes to DECIMAL(28,12) before
+    // its order-free sum, λ added after the double cast.
+    "q_als_implicit" -> {
+      val rounds = (1 to 2).map { it =>
+        s"""u$it AS (
+           |  SELECT r.e,
+           |    CAST(sum(CAST(r.c * v.v AS DECIMAL(28,12))) AS DOUBLE) /
+           |    (CAST(sum(CAST(r.c * v.v * v.v AS DECIMAL(28,12))) AS DOUBLE) + 0.1) AS u
+           |  FROM r JOIN v${it - 1} v USING (item) GROUP BY 1),
+           |v$it AS (
+           |  SELECT r.item, CAST(count(*) AS BIGINT) AS n_entities,
+           |    CAST(sum(CAST(r.c * u.u AS DECIMAL(28,12))) AS DOUBLE) /
+           |    (CAST(sum(CAST(r.c * u.u * u.u AS DECIMAL(28,12))) AS DOUBLE) + 0.1) AS v
+           |  FROM r JOIN u$it u USING (e) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (
+         |  SELECT user_id AS e, event_type AS item,
+         |    1.0 + 0.1 * CAST(count(*) AS DOUBLE) AS c
+         |  FROM events GROUP BY 1, 2),
+         |v0 AS (
+         |  SELECT item, CAST(1.0 AS DOUBLE) AS v
+         |  FROM (SELECT DISTINCT item FROM r)),
+         |$rounds
+         |SELECT v1.item AS event_type, v1.n_entities AS n_users,
+         |  round(v1.v, 6) AS v_1, round(v2.v, 6) AS v_2
+         |FROM v1 JOIN v2 USING (item)""".stripMargin
+    },
 
     "q_quantile_bin" ->
       """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,

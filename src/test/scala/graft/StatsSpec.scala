@@ -242,4 +242,37 @@ class StatsSpec extends SparkTestBase {
       .collect().head.getAs[Long]("n")
     assert(n == 7L, s"9 points with a hole -> 7 adjacent pairs, got $n")
   }
+
+  test("bradleyTerry: recovers a planted dominance order; winless item -> 0; anchor = 1") {
+    // a beats b 9:1, b beats c 9:1, a beats c 9:1, d loses everything.
+    val comp = Seq(
+      ("a", "b", 9L), ("b", "a", 1L),
+      ("b", "c", 9L), ("c", "b", 1L),
+      ("a", "c", 9L), ("c", "a", 1L),
+      ("a", "d", 5L), ("b", "d", 5L), ("c", "d", 5L))
+      .toDF("winner", "loser", "n")
+    val s = graft.core.Preference.bradleyTerry(comp, "winner", "loser", "n", iters = 6)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s.keySet == Set("a", "b", "c", "d"))
+    assert(s("a")._2 > s("b")._2 && s("b")._2 > s("c")._2,
+      s"dominance order lost: $s")
+    assert(s("d")._1 == 0L && s("d")._2 < 1e-3, s"winless item should sink to ~0: ${s("d")}")
+    assert(math.abs(s("a")._2 - 1.0) < 1e-12, "smallest item anchors the rescale at 1")
+  }
+
+  test("alsImplicitRank1: block structure separates; heavier interaction -> larger factor") {
+    // Items x,y live with entities 1-4 at high counts; z only with
+    // entity 5 at count 1 -> z's factor must come out far smaller.
+    val inter = (for (e <- 1L to 4L; i <- Seq("x", "y")) yield (e, i, 20L)) :+ ((5L, "z", 1L))
+    val v = graft.core.Preference.alsImplicitRank1(
+      inter.toDF("e", "item", "cnt"), "e", "item", "cnt",
+      alpha = 0.1, lambda = 0.1, iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(v.keySet == Set("x", "y", "z"))
+    assert(v("x")._1 == 4L && v("z")._1 == 1L)
+    assert(math.abs(v("x")._3 - v("y")._3) < 1e-12, "symmetric items get equal factors")
+    assert(v("x")._3 > 2 * v("z")._3,
+      s"heavily-connected items should dominate: ${v("x")._3} vs ${v("z")._3}")
+    assert(v.values.forall(t => t._2 > 0 && t._3 > 0), "all-positive data -> positive factors")
+  }
 }
