@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions._
 
@@ -43,6 +43,17 @@ object GraftExtensions {
     require(e.foldable, s"$what must be a constant")
     Cast(e, DoubleType).eval().asInstanceOf[Double]
   }
+  private def constString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant")
+    Cast(e, StringType).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  }
+  private def constStringSeq(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a constant array")
+    Cast(e, ArrayType(StringType)).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(_.toString).toSeq
+  }
 
   /** Name → expression builder for every kernel. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -71,6 +82,10 @@ object GraftExtensions {
     "graft_damerau_levenshtein" -> (es => DamerauLevenshtein(es(0), es(1))),
     "graft_char_entropy" -> (es => CharEntropy(es.head)),
     "graft_deflate_stats" -> (es => DeflateStats(es.head)),
+    "graft_multi_match" ->
+      (es => MultiMatchCounts(es(0), constStringSeq(es(1), "pattern list"))),
+    "graft_unicode_norm" ->
+      (es => UnicodeNorm(es(0), constString(es(1), "normalization form"))),
     "graft_next_fit_bins" -> (es => NextFitBins(
       Cast(es(0), ArrayType(LongType)), Cast(es(1), LongType), Cast(es(2), LongType),
       constInt(es(3), "context length").toLong)),

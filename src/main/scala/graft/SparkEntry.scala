@@ -5841,6 +5841,180 @@ object SparkEntry {
           round(col("score"), 6).as("train_score"), col("n_test"),
           round(d(col("n_correct")) / d(col("n_test")), 6).as("test_acc"))
     }),
+
+    // =====================================================================
+    // Round 11: one-pass multi-pattern scan, Unicode canonicalization,
+    // rendezvous sharding, int8 scalar quantization, table digests,
+    // readability.
+    // =====================================================================
+
+    // --- beyond-reference: Aho-Corasick one-pass k-keyword scan ----------
+    // ONE automaton walk per document (the automaton rides inside the
+    // codegen'd expression) where the regexp form costs k passes: at a
+    // 100 TB corpus with a thousand-term scrub list that is the
+    // difference between reading every byte once and a thousand times.
+    // Patterns here are border-free (no proper prefix = suffix), so the
+    // kernel's every-end-position counts equal the oracle's
+    // non-overlapping replace counts exactly.
+    "q_multi_match" -> ((s, dir) => {
+      val kws = multiMatchKeywords
+      t(s, dir, "documents")
+        .select(col("source"),
+          posexplode(graft.functions.GraftFunctions
+            .multiMatchCounts(lower(col("text")), kws)).as(Seq("kid", "hits")))
+        .select(col("source"),
+          element_at(array(kws.map(lit): _*), col("kid") + 1).as("kw"),
+          col("hits"))
+        .groupBy("source", "kw")
+        .agg(sum("hits").as("hits"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with"))
+    }),
+
+    // --- beyond-reference: Unicode NFC canonicalization ------------------
+    // Composed (U+00E9) and decomposed (e + U+0301) "é" are
+    // byte-different, render identically, and land in DIFFERENT
+    // exact-dedup buckets unless canonicalized — NFC belongs upstream of
+    // every content hash in a web-scale pipeline. The decomposed suffix
+    // is constructed here (the TPC-H-ish testdata is ASCII); NFC
+    // composes 3 pairs per row, so len drops by exactly 3 and the md5
+    // fingerprint matches any composed-form source.
+    "q_unicode_norm" -> ((s, dir) => {
+      // DECOMPOSED escapes (base char + combining mark), NOT composed
+      // codepoints - NFC must have real work to do: e+U+0301 -> \u00e9,
+      // a+U+030A -> \u00e5, o+U+0308 -> \u00f6. Escapes, not raw marks,
+      // so an editor/tool normalization pass cannot silently flip the
+      // query to a no-op.
+      val raw = concat(col("c_name"),
+        lit(" cafe\u0301 a\u030Angstro\u0308m"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          length(col("raw")).as("len_raw"),
+          graft.functions.GraftFunctions.unicodeNorm(col("raw"), "NFC").as("nfc"))
+        .withColumn("len_nfc", length(col("nfc")))
+        .withColumn("fp", md5(col("nfc")))
+    }),
+
+    // --- beyond-reference: rendezvous (HRW) sharding + stability ---------
+    // Highest-random-weight sharding: per (doc, shard) 48-bit md5 score,
+    // assignment = argmax — a PURE PROJECTION (the 16 scores live in one
+    // in-row array; no join, no shuffle until the 16-row rollup).
+    // Stability is the point: growing 16 → 17 shards moves only the docs
+    // the new shard wins (expected 1/17), where mod-hashing reshuffles
+    // ~16/17 of the corpus — n_moved reads that directly.
+    "q_rendezvous" -> ((s, dir) => {
+      def score(sh: Int): Column =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + sh))), 1, 12), 16, 10).cast("long")
+      def assign(n: Int): Column = array_max(array((0 until n).map(sh =>
+        struct(score(sh).as("score"), lit(sh).as("shard"))): _*))
+        .getField("shard").cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), assign(16).as("s16"), assign(17).as("s17"))
+        .groupBy(col("s16").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("n_moved"))
+    }),
+
+    // --- beyond-reference: int8 scalar quantization (SQ8) ----------------
+    // The 4×-smaller affine-per-dimension embedding layout every vector
+    // store ships beside PQ. The dim min/max model is 64 rows —
+    // aggregated once, carried back as two in-row arrays on a broadcast
+    // 1-row cross join — and the quantize + reconstruct + squared-error
+    // fold runs INSIDE the row (zip_with + aggregate over a decimal
+    // accumulator): the corpus never shuffles; the label rollup moves 10
+    // rows. Codes are reconstruction-centered (q + 0.5); a constant
+    // dimension quantizes to code 0 with zero error.
+    "q_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stats = emb
+        .select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("d").agg(min("v").as("mn"), max("v").as("mx"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("st"))
+        .select(
+          transform(col("st"), x => x.getField("mn").cast("double")).as("mns"),
+          transform(col("st"), x => x.getField("mx").cast("double")).as("mxs"))
+      val zero = lit(BigDecimal(0)).cast("decimal(28,12)")
+      def term(v: Column, mn: Column, mx: Column): Column = {
+        val range = mx - mn
+        val q = least(floor(((v - mn) / range) * lit(256.0)), lit(255.0))
+        val recon = mn + (q + lit(0.5)) * range / lit(256.0)
+        when(range === lit(0.0), zero)
+          .otherwise(((v - recon) * (v - recon)).cast("decimal(28,12)"))
+      }
+      emb.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("label"),
+          aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              arrays_zip(col("mns"), col("mxs")),
+              (v, mm) => term(v, mm.getField("mns"), mm.getField("mxs"))),
+            zero,
+            (acc, x) => (acc + x).cast("decimal(28,12)")).as("sse"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("sse")).cast("decimal(38,12)").as("sse_total"),
+          max(col("sse")).as("sse_max"))
+    }),
+
+    // --- beyond-reference: order-free table content digest ---------------
+    // Replication/migration integrity at 100 TB: one scan per table, a
+    // 48-bit md5 row hash, and a commutative sum — the digest is
+    // partition-order- and engine-independent, so a source and a copy
+    // compare with one tiny row each side instead of a row-level diff.
+    // Floating columns quantize through decimal(18,2) BEFORE the string
+    // render (double→varchar formatting is engine-specific; decimal is
+    // not).
+    "q_table_digest" -> ((s, dir) => {
+      def digest(name: String, df: DataFrame, cols: Seq[Column]) = df.select(
+        lit(name).as("tbl"),
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      val parts = Seq(
+        digest("region", t(s, dir, "region"),
+          Seq(col("r_regionkey").cast("string"), col("r_name"))),
+        digest("nation", t(s, dir, "nation"),
+          Seq(col("n_nationkey").cast("string"), col("n_name"),
+            col("n_regionkey").cast("string"))),
+        digest("supplier", t(s, dir, "supplier"),
+          Seq(col("s_suppkey").cast("string"), col("s_name"),
+            col("s_nationkey").cast("string"),
+            col("s_acctbal").cast("decimal(18,2)").cast("string"))))
+      // The 48-bit row hashes sum through decimal(38,0): a bigint
+      // accumulator would overflow silently past ~3×10^4 billion rows;
+      // decimal is exact at any table size and hash-identical to
+      // DuckDB's hugeint sum.
+      parts.reduce(_ unionByName _)
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).as("digest"))
+    }),
+
+    // --- beyond-reference: readability scoring (Flesch reading ease) -----
+    // The classic quality gate beside q_text_quality: words, sentences
+    // and vowel-group syllables all come from the run-counting identity
+    // len(replace(p,'X')) − len(remove(p)) — pure regexp algebra that
+    // mirrors into SQL symbol-for-symbol, one scan, no shuffle until the
+    // 20-row source rollup. Sentence-less docs (the synthetic corpus has
+    // no punctuation) clamp to 1 sentence, the standard convention.
+    "q_readability" -> ((s, dir) => {
+      def runs(c: Column, pat: String): Column =
+        (length(regexp_replace(c, pat, "X")) -
+          length(regexp_replace(c, pat, ""))).cast("double")
+      val low = lower(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"),
+          runs(col("text"), "\\S+").as("words"),
+          greatest(runs(col("text"), "[.!?]+"), lit(1.0)).as("sents"),
+          runs(low, "[aeiouy]+").as("sylls"))
+        .withColumn("flesch",
+          (lit(206.835) - lit(1.015) * (col("words") / col("sents")) -
+            lit(84.6) * (col("sylls") / col("words"))).cast("decimal(28,12)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words").cast("decimal(18,0)")).as("sum_words"),
+          sum(col("sylls").cast("decimal(18,0)")).as("sum_sylls"),
+          sum(col("flesch")).cast("decimal(38,12)").as("sum_flesch"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -6138,6 +6312,14 @@ object SparkEntry {
     * per-query sum exact, so the cross-engine hash cannot drift on
     * summation order.
     */
+  /** q_multi_match's scan list: high-frequency corpus terms, all
+    * border-free (no proper prefix = suffix), so Aho-Corasick
+    * every-end-position counts equal non-overlapping replace counts and
+    * the DuckDB oracle is exact.
+    */
+  private val multiMatchKeywords: Seq[String] = Seq(
+    "join", "hash", "scan", "filter", "merge", "stream", "window", "sort")
+
   private val rboWeights: Seq[String] = Seq(
     "2.354163994257", "1.354163994257", "0.904163994257", "0.634163994257",
     "0.451913994257", "0.320693994257", "0.222278994257", "0.146358851400",
@@ -11297,6 +11479,134 @@ object SparkEntry {
         |  round(x.score, 6) AS train_score, t.n_test,
         |  round(CAST(t.n_correct AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS test_acc
         |FROM test_ t JOIN best x USING (f) WHERE x.source = t.source""".stripMargin,
+
+    // Relational mirror of the Aho-Corasick scan: per-keyword
+    // non-overlapping replace counts (equal to every-end-position counts
+    // for border-free patterns — see multiMatchKeywords).
+    "q_multi_match" -> {
+      val vals = multiMatchKeywords.map(k => s"('$k')").mkString(", ")
+      s"""WITH kws(kw) AS (VALUES $vals)
+         |SELECT d.source, k.kw,
+         |  CAST(sum((length(lower(d.text)) - length(replace(lower(d.text), k.kw, '')))
+         |           // length(k.kw)) AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN contains(lower(d.text), k.kw) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS docs_with
+         |FROM documents d CROSS JOIN kws k
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // chr(769/778/776) = the combining acute/ring/diaeresis the Spark
+    // side appends as escapes; nfc_normalize is DuckDB's NFC.
+    "q_unicode_norm" ->
+      """WITH r AS (SELECT c_custkey,
+        |  c_name || ' cafe' || chr(769) || ' a' || chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM customer)
+        |SELECT c_custkey, length(raw) AS len_raw,
+        |  nfc_normalize(raw) AS nfc,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS fp
+        |FROM r""".stripMargin,
+
+    // The argmax is tie-broken (score DESC, s DESC) exactly like Spark's
+    // lexicographic struct max — 48-bit scores make ties ~impossible,
+    // but the oracle must not depend on that.
+    "q_rendezvous" ->
+      """WITH shards AS (SELECT range AS s FROM range(0, 17)),
+        |sc AS (SELECT d.doc_id, shards.s,
+        |  CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(shards.s AS VARCHAR)), 1, 12)
+        |    AS BIGINT) AS score
+        |  FROM documents d CROSS JOIN shards),
+        |a16 AS (SELECT doc_id, s FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, s DESC) AS rn
+        |  FROM sc WHERE s < 16) WHERE rn = 1),
+        |a17 AS (SELECT doc_id, s FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, s DESC) AS rn
+        |  FROM sc) WHERE rn = 1)
+        |SELECT a16.s AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a17.s <> a16.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |FROM a16 JOIN a17 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // Same affine quantizer, term-for-term: double arithmetic is IEEE-
+    // identical, each squared error quantizes through decimal(28,12)
+    // BEFORE the order-free sums.
+    "q_sq8" ->
+      """WITH x AS (SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS d,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |dim AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY d),
+        |q AS (SELECT x.vec_id, x.label, x.v, dim.mn, dim.mx,
+        |    CASE WHEN dim.mx = dim.mn THEN 0.0
+        |      ELSE least(floor((x.v - dim.mn) / (dim.mx - dim.mn) * 256.0), 255.0)
+        |    END AS qc
+        |  FROM x JOIN dim USING (d)),
+        |tm AS (SELECT vec_id, label,
+        |    CASE WHEN mx = mn THEN CAST(0 AS DECIMAL(28,12))
+        |      ELSE CAST((v - (mn + (qc + 0.5) * (mx - mn) / 256.0))
+        |               * (v - (mn + (qc + 0.5) * (mx - mn) / 256.0))
+        |           AS DECIMAL(28,12))
+        |    END AS term
+        |  FROM q),
+        |pv AS (SELECT vec_id, label,
+        |    CAST(sum(term) AS DECIMAL(28,12)) AS sse
+        |  FROM tm GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(sse) AS DECIMAL(38,12)) AS sse_total,
+        |  max(sse) AS sse_max
+        |FROM pv GROUP BY 1""".stripMargin,
+
+    // Identical row serialization ('|' joins, decimal(18,2) before any
+    // float renders), identical 48-bit md5 prefix, commutative sum.
+    "q_table_digest" ->
+      """WITH rows_ AS (
+        |  SELECT 'region' AS tbl,
+        |    CAST('0x' || substr(md5(CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'nation',
+        |    CAST('0x' || substr(md5(CAST(n_nationkey AS VARCHAR) || '|' || n_name
+        |      || '|' || CAST(n_regionkey AS VARCHAR)), 1, 12) AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'supplier',
+        |    CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|' || s_name
+        |      || '|' || CAST(s_nationkey AS VARCHAR)
+        |      || '|' || CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)), 1, 12)
+        |      AS BIGINT)
+        |  FROM supplier)
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS DECIMAL(38,0)) AS digest
+        |FROM rows_ GROUP BY 1""".stripMargin,
+
+    // The run-counting identity len(replace(p,'X')) − len(remove(p)),
+    // symbol-for-symbol; sentence-less docs clamp to 1. The flesch
+    // double quantizes through VARCHAR: Spark's double→decimal Cast
+    // rounds the SHORTEST-REPR string (BigDecimal.valueOf), not the
+    // exact binary expansion — DuckDB's double→VARCHAR→DECIMAL chain is
+    // the semantics-identical mirror (a direct double→DECIMAL cast
+    // rounds the binary value and drifts one ulp on repr-boundary rows).
+    "q_readability" ->
+      """WITH d AS (SELECT source,
+        |    CAST(length(regexp_replace(text, '\S+', 'X', 'g'))
+        |       - length(regexp_replace(text, '\S+', '', 'g')) AS DOUBLE) AS words,
+        |    greatest(CAST(length(regexp_replace(text, '[.!?]+', 'X', 'g'))
+        |       - length(regexp_replace(text, '[.!?]+', '', 'g')) AS DOUBLE), 1.0) AS sents,
+        |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'X', 'g'))
+        |       - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS DOUBLE) AS sylls
+        |  FROM documents),
+        |f AS (SELECT source, words, sylls,
+        |    CAST(CAST(206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS flesch
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(words AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS sum_words,
+        |  CAST(sum(CAST(sylls AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS sum_sylls,
+        |  CAST(sum(flesch) AS DECIMAL(38,12)) AS sum_flesch
+        |FROM f GROUP BY 1""".stripMargin,
   )
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:

@@ -48,6 +48,21 @@ object Preference {
       .groupBy("i", "j").agg(sum("n").as("nij"))
       .localCheckpoint(eager = false) // reused every MM round
     val wins = base.groupBy(col("w").as("item")).agg(sum("n").as("wins"))
+    // The per-round rescale anchors on the SMALLEST item key; if that
+    // item is winless its strength is 0 every round and the division
+    // would turn the whole table into NaN/Infinity silently. The item
+    // set is fixed across rounds, so one cheap head() on the
+    // broadcast-sized model table checks the precondition up front.
+    val anchorWins = pairT.select(col("i").as("item")).distinct()
+      .orderBy(col("item").asc).limit(1)
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("w0"))
+      .head()
+    require(anchorWins.getLong(1) > 0L,
+      s"bradleyTerry: anchor item '${anchorWins.get(0)}' (smallest by " +
+        "key) has zero wins - its strength is 0 and rescaling by it " +
+        "would NaN the model; drop winless items or re-key so the " +
+        "anchor has at least one recorded win.")
     var s = pairT.select(col("i").as("item")).distinct()
       .withColumn("s", lit(1.0))
     for (_ <- 1 to iters) {

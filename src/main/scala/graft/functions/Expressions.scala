@@ -1254,13 +1254,179 @@ case class NextFitBins(
       ctxLen)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, b, f) => {
+      // freshName: two graft_next_fit_bins calls can land in ONE generated
+      // method (the function is SQL-registered) — a fixed local would be a
+      // duplicate declaration and a janino compile failure.
+      val res = ctx.freshName("nfbRes")
       s"""
-         |Object nfbRes = graft.functions.NextFitImpl.compute($s, $b, $f, ${ctxLen}L);
-         |if (nfbRes == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) nfbRes; }
+         |Object $res = graft.functions.NextFitImpl.compute($s, $b, $f, ${ctxLen}L);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): NextFitBins =
     copy(sizes = f, bin0 = s, fill0 = t)
+}
+
+/** Serializable Aho-Corasick automaton: the one-pass multi-pattern
+  * matcher behind [[MultiMatchCounts]]. Built once on the driver from a
+  * bounded pattern list and shipped to executors inside the expression
+  * (codegen embeds it via `addReferenceObj`), so a k-keyword scan costs
+  * ONE walk over each document instead of k regexp passes — the shape
+  * that matters when the corpus is 100 TB and the scrub list has
+  * thousands of entries. Matching is over UTF-16 code units,
+  * case-sensitive (normalize upstream); every occurrence is counted,
+  * including occurrences overlapping other patterns or other
+  * occurrences of the same pattern (the automaton reports every end
+  * position — for self-overlap-free patterns this equals the
+  * non-overlapping replace count, which is what the SQL oracle can
+  * express).
+  */
+final class AhoCorasick(val patterns: Array[String]) extends Serializable {
+  require(patterns.nonEmpty, "AhoCorasick: empty pattern list")
+  require(patterns.forall(_.nonEmpty), "AhoCorasick: empty pattern")
+
+  // Trie + fail links + per-node output closure, all in flat arrays.
+  private val (children, fail, outputs) = {
+    val kids = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    for ((p, pid) <- patterns.zipWithIndex) {
+      var cur = 0
+      var i = 0
+      while (i < p.length) {
+        val ch = p.charAt(i)
+        var nxt = kids(cur).get(ch)
+        if (nxt == null) {
+          kids += new java.util.HashMap[Character, Integer]()
+          ends += Nil
+          nxt = kids.size - 1
+          kids(cur).put(ch, nxt)
+        }
+        cur = nxt
+        i += 1
+      }
+      ends(cur) = pid :: ends(cur)
+    }
+    val n = kids.size
+    val fl = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = ends(0).toArray
+    val queue = new java.util.ArrayDeque[Integer]()
+    kids(0).forEach { (_, v) => fl(v) = 0; queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      // Output closure: own pattern ends ++ the fail target's closure
+      // (already computed — BFS order guarantees fail(u) was dequeued).
+      out(u) = (ends(u) ++ out(fl(u)).toList).toArray
+      kids(u).forEach { (ch, v) =>
+        var f = fl(u)
+        while (f != 0 && !kids(f).containsKey(ch)) f = fl(f)
+        val t = kids(f).get(ch)
+        fl(v) = if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+        queue.add(v)
+      }
+    }
+    (kids.toArray, fl, out)
+  }
+
+  /** Per-pattern occurrence counts over one text. */
+  def countMatches(text: String): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    var cur = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (cur != 0 && !children(cur).containsKey(ch)) cur = fail(cur)
+      val nxt = children(cur).get(ch)
+      cur = if (nxt == null) 0 else nxt.intValue()
+      val o = outputs(cur)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    counts
+  }
+}
+
+object MultiMatchImpl {
+  def counts(ac: AhoCorasick,
+             t: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      ac.countMatches(t.toString))
+}
+
+/** multi_match_counts(text) → array<bigint>: per-pattern occurrence
+  * counts for a plan-time-constant pattern list, one Aho-Corasick pass
+  * per row. Position i of the result counts `patterns(i)`. Full codegen
+  * citizen: the automaton rides `addReferenceObj`, so generated code
+  * calls straight into the walk with no boxing or regex machinery.
+  */
+case class MultiMatchCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_multi_match"
+  @transient private lazy val automaton = new AhoCorasick(patterns.toArray)
+  override def nullSafeEval(t: Any): Any =
+    MultiMatchImpl.counts(automaton,
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.MultiMatchImpl.counts($ref, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchCounts =
+    copy(child = newChild)
+}
+
+object UnicodeNormImpl {
+  private val forms = java.text.Normalizer.Form.values()
+  def formOf(name: String): java.text.Normalizer.Form =
+    forms.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unicode_norm: form must be one of ${forms.mkString("/")}, got '$name'"))
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String,
+                form: java.text.Normalizer.Form): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // Fast path: already normalized (all-ASCII always is) — skip the
+    // rewrite and return the input buffer untouched.
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, form))
+  }
+  /** Codegen entry: the form arrives as a validated plan-time string
+    * literal (janino-safe — no nested-enum class name in generated
+    * code); the O(1) valueOf is noise next to the normalization walk.
+    */
+  def normalizeNamed(s: org.apache.spark.unsafe.types.UTF8String,
+                     name: String): org.apache.spark.unsafe.types.UTF8String =
+    normalize(s, java.text.Normalizer.Form.valueOf(name))
+}
+
+/** unicode_norm(text, 'NFC'|'NFD'|'NFKC'|'NFKD') → string: Unicode
+  * normalization as a codegen'd scalar. Web-scale dedup NEEDS this
+  * upstream of any content hash: "café" composed (U+00E9) and
+  * decomposed (e + U+0301) are byte-different, render identically, and
+  * land in different exact-dedup buckets unless canonicalized. The form
+  * is a plan-time constant; DuckDB's `nfc_normalize` oracles the NFC
+  * path (the only form it ships).
+  */
+case class UnicodeNorm(child: Expression, formName: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_norm"
+  @transient private lazy val form = UnicodeNormImpl.formOf(formName)
+  override def nullSafeEval(t: Any): Any =
+    UnicodeNormImpl.normalize(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Validate the form at plan time (lazy `form` would only throw at
+    // eval), then embed the NAME as a string literal — janino-safe.
+    val validated = UnicodeNormImpl.formOf(formName).name()
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.UnicodeNormImpl.normalizeNamed($c, "$validated")""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNorm =
+    copy(child = newChild)
 }

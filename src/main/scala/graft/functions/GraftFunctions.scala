@@ -34,6 +34,16 @@ object GraftFunctions {
   def damerauLevenshtein(a: Column, b: Column): Column =
     GraftShim.toColumn(DamerauLevenshtein(GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** Per-pattern occurrence counts in one Aho-Corasick pass (position i
+    * counts `patterns(i)`); see kernel doc for the overlap semantics.
+    */
+  def multiMatchCounts(text: Column, patterns: Seq[String]): Column =
+    GraftShim.toColumn(MultiMatchCounts(GraftShim.toExpression(text), patterns))
+
+  /** Unicode normalization (form in NFC/NFD/NFKC/NFKD). */
+  def unicodeNorm(text: Column, form: String = "NFC"): Column =
+    GraftShim.toColumn(UnicodeNorm(GraftShim.toExpression(text), form))
+
   def minhashShingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.toColumn(MinHashShingles(GraftShim.toExpression(tokens), n, k))
 

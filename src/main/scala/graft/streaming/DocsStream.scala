@@ -335,9 +335,15 @@ object DocsStream {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val versions = Option(new java.io.File(statePath).listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
+        // Version listing goes through the Hadoop FileSystem of statePath —
+        // the same resolution the Spark writers below use — so hdfs://,
+        // s3a:// and file:/-prefixed paths all list correctly. A
+        // java.io.File listing would return null for every non-local URI
+        // and silently seed each batch from the EMPTY state.
+        val stateDir = new org.apache.hadoop.fs.Path(statePath)
+        val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions = (if (fs.exists(stateDir)) fs.listStatus(stateDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+          .flatMap(st => st.getPath.getName match {
             case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLongOption
             case _ => None
           })

@@ -42,15 +42,29 @@ object Bpe {
     * above the BMP — so the learned table is bit-identical to the
     * distributed rounds and to the unrolled SQL oracle.
     */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxVocab: Long = 4000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Corpus → bounded word-frequency table: the only cluster job.
-    val vocab: Array[(String, Long)] = docs
+    // Corpus → word-frequency table: the only cluster job. "Bounded by
+    // the language" holds for clean prose but NOT for noisy web corpora
+    // (URLs, hashes, typos make the distinct-word set data-bounded), so
+    // the collect is guarded: fail loudly instead of OOMing the driver
+    // silently. At the default cap (4M words × ~50 B) the driver table
+    // is ≤ a few hundred MB; above it the caller must pre-normalize or
+    // frequency-prune the corpus — pruning here would change the
+    // learned table, which is pinned bit-identical to the SQL oracle.
+    val vocabDf = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-      .collect()
+      .localCheckpoint(eager = false) // count + collect share the agg
+    val vocabSize = vocabDf.count()
+    require(vocabSize <= maxVocab,
+      s"Bpe.learnMerges: distinct-word vocabulary ($vocabSize) exceeds " +
+        s"maxVocab ($maxVocab) — the merge learner collects the vocab to " +
+        "the driver; normalize or frequency-prune the corpus first, or " +
+        "raise maxVocab if the driver heap allows.")
+    val vocab: Array[(String, Long)] = vocabDf.as[(String, Long)].collect()
     // Symbols start as characters — CODE POINTS, matching the SQL
     // formulation's substr(i, 1) (Java chars would split surrogate pairs).
     var words: Array[(Array[String], Long)] = vocab.map { case (w, f) =>

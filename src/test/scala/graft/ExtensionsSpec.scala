@@ -48,6 +48,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](r.fieldIndex("nfb")) == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("two graft_next_fit_bins calls share one generated method (freshName)") {
+    // Both calls land in a single whole-stage-codegen projection; a
+    // fixed local name in doGenCode would be a duplicate declaration
+    // and a janino failure. Fallback is disabled so a codegen bug
+    // fails the test instead of silently de-optimizing.
+    val conf = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val r = spark.sql(
+        """SELECT graft_next_fit_bins(array(5, 4), 0, 0, 8) AS a,
+          |       graft_next_fit_bins(array(5, 4), 2, 0, 8) AS b
+          |""".stripMargin).head()
+      assert(r.getSeq[Long](0) == Seq(0L, 1L))
+      assert(r.getSeq[Long](1) == Seq(2L, 3L))
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("SQL function results match the Column-API facade") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     df.createOrReplaceTempView("ext_docs")

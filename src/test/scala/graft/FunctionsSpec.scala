@@ -195,6 +195,61 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSql == 0.9611111111111111)
   }
 
+  test("multiMatchCounts: one-pass Aho-Corasick counts, overlaps, SQL registration") {
+    // Overlapping patterns: "he"/"she"/"his"/"hers" over "ushers" — the
+    // classic AC example; "she" and "he" both end at position 4 (every
+    // end position is reported), "hers" ends at 6.
+    val pats = Seq("he", "she", "his", "hers")
+    val r = Seq("ushers", "his house", "", "hehehe").toDF("t")
+      .select(GraftFunctions.multiMatchCounts($"t", pats).as("c"))
+      .as[Seq[Long]].collect()
+    assert(r(0) == Seq(1L, 1L, 0L, 1L), r(0).toString) // ushers: he, she, hers
+    assert(r(1) == Seq(0L, 0L, 1L, 0L), r(1).toString)
+    assert(r(2) == Seq(0L, 0L, 0L, 0L))
+    assert(r(3) == Seq(3L, 0L, 0L, 0L)) // self-overlap-free "he" x3
+    // Fail links inside a match run: "aa" in "aaaa" ends at 1,2,3.
+    val aa = Seq("aaaa").toDF("t")
+      .select(GraftFunctions.multiMatchCounts($"t", Seq("aa")).as("c"))
+      .as[Seq[Long]].head()
+    assert(aa == Seq(3L), aa.toString)
+    // Null propagates; SQL registration with a constant array literal.
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(GraftFunctions.multiMatchCounts($"t", pats).as("c")).collect()
+    assert(n(0).isNullAt(0))
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_multi_match('ushers', array('he','she','his','hers')) AS c")
+      .as[Seq[Long]].head()
+    assert(viaSql == Seq(1L, 1L, 0L, 1L), viaSql.toString)
+  }
+
+  test("unicodeNorm: NFC/NFD/NFKC round-trips, fast path, SQL registration") {
+    // Explicit escapes (not raw literals) so an editor/tooling
+    // normalization pass cannot silently collapse the two forms.
+    val decomposed = "cafe\u0301"  // e + combining acute U+0301
+    val composed = "caf\u00e9"     // precomposed U+00E9
+    val df = Seq((decomposed, composed)).toDF("d", "c")
+    val r = df.select(
+      GraftFunctions.unicodeNorm($"d", "NFC").as("nfc"),
+      GraftFunctions.unicodeNorm($"c", "NFD").as("nfd"),
+      GraftFunctions.unicodeNorm($"c", "NFC").as("idem"),
+      GraftFunctions.unicodeNorm(lit("\ufb01le"), "NFKC").as("nfkc")).head()
+    assert(r.getString(0) == composed, "NFC composes")
+    assert(r.getString(1) == decomposed, "NFD decomposes")
+    assert(r.getString(2) == composed, "already-NFC passes through")
+    assert(r.getString(3) == "file", "NFKC folds the fi ligature")
+    // Invalid form fails at plan/build time with a descriptive message.
+    val e = intercept[IllegalArgumentException] {
+      df.select(GraftFunctions.unicodeNorm($"d", "NFX")).head()
+    }
+    assert(e.getMessage.contains("NFX"), e.getMessage)
+    GraftFunctions.registerAll(spark)
+    // Spark's chr() wraps mod 256 (DuckDB's does not) — embed the
+    // combining mark via the Scala escape instead.
+    assert(spark.sql(s"SELECT graft_unicode_norm('$decomposed', 'NFC') AS s")
+      .head().getString(0) == composed)
+  }
+
   test("damerauLevenshtein: true (unrestricted) variant goldens, DuckDB-pinned") {
     val cases = Seq(
       ("CA", "ABC") -> 2,    // the OSA discriminator: restricted OSA says 3

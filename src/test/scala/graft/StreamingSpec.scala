@@ -473,6 +473,47 @@ class StreamingSpec extends SparkTestBase {
       "rolled state must match the batch fold's tail")
   }
 
+  test("packAppender lists standing state through Hadoop FS (file:-URI statePath)") {
+    // The r10 version listing used java.io.File, which returns null for
+    // ANY URI-prefixed path — every batch would silently seed from the
+    // EMPTY state and bins would restart at 0. This pin drives the
+    // appender with file:-prefixed placements/state paths (the minimal
+    // non-plain-local shape) and checks batch 2 really continued from
+    // batch 1's rolled state.
+    import graft.text.Packing
+    val dir = tmpDir("uri_pack_in")
+    val placements = "file:" + tmpDir("uri_pack_out")
+    val statePath = "file:" + tmpDir("uri_pack_state")
+    val ckpt = tmpDir("uri_pack_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 1).map(i => corpus.filter($"doc_id" % 2 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.packAppender(stream, placements, statePath, ckpt,
+      ctxLen = 64, shards = 4)
+    try q.processAllAvailable() finally q.stop()
+
+    var state = Packing.emptyPackState(spark)
+    val batchPlaced = parts.map { p =>
+      val placed = Packing
+        .packGreedyAppend(p, "doc_id", "text", ctxLen = 64, shards = 4, state = state)
+        .localCheckpoint()
+      state = Packing.packState(state, placed, ctxLen = 64).localCheckpoint()
+      placed
+    }.reduce(_ unionByName _)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "n_tokens", "bin", "truncated")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(rows(spark.read.parquet(placements)) == rows(batchPlaced),
+      "URI statePath: batch 2 must seed from batch 1's state, not from empty")
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")

@@ -109,6 +109,20 @@ class TextSpec extends SparkTestBase {
     assert(merges == Seq(("l", "o", 5L), ("lo", "w", 5L), ("low", "e", 2L)), merges.toString)
   }
 
+  test("BPE learnMerges fails loudly above maxVocab (driver-collect guard)") {
+    // The vocab collect is "bounded by the language" only for clean
+    // prose; on noisy corpora the distinct-word set is data-bounded.
+    // Above the cap the learner must refuse, not OOM the driver.
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMerges(Seq("aa bb cc dd ee").toDF("text"), "text",
+        nMerges = 1, maxVocab = 3L)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // At the default cap the same corpus learns normally.
+    assert(Bpe.learnMerges(Seq("aa bb aa").toDF("text"), "text", nMerges = 1)
+      .count() == 1L)
+  }
+
   test("BPE greedy merge scan handles overlapping pairs left-to-right") {
     val out = Seq(Seq("a", "a", "a")).toDF("syms")
       .select(Bpe.mergePair($"syms", "a", "a")).as[Seq[String]].head()
