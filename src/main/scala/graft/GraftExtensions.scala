@@ -54,6 +54,12 @@ object GraftExtensions {
       .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
       .map(_.toString).toSeq
   }
+  private def constDoubleSeq(e: Expression, what: String): Seq[Double] = {
+    require(e.foldable, s"$what must be a constant array")
+    Cast(e, ArrayType(DoubleType)).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+  }
 
   /** Name → expression builder for every kernel. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -89,5 +95,12 @@ object GraftExtensions {
     "graft_next_fit_bins" -> (es => NextFitBins(
       Cast(es(0), ArrayType(LongType)), Cast(es(1), LongType), Cast(es(2), LongType),
       constInt(es(3), "context length").toLong)),
+    // Aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a function builder in AggregateExpression itself.
+    "graft_quantile_sketch" -> (es => QuantileSketchAgg(
+      Cast(es(0), DoubleType), constInt(es(1), "sketch capacity k"))),
+    "graft_quantile_sketch_merge" -> (es => QuantileSketchMergeAgg(es.head)),
+    "graft_sketch_quantiles" -> (es => SketchQuantiles(
+      es(0), constDoubleSeq(es(1), "fraction list"))),
   )
 }

