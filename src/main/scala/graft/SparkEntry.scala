@@ -6063,6 +6063,79 @@ object SparkEntry {
             (col("worst") === 0L).as("all_ranks_within_2pct"))
       }
     }),
+
+    // --- beyond-reference: writing-system (script) detection -------------
+    // Multilingual web corpora route by SCRIPT before language: a
+    // Unicode-block histogram is one regexp-algebra scan (chars in
+    // class = len − len(after removal)), no shuffle until the per-source
+    // rollup, and the \x{...} class syntax is shared verbatim by Java
+    // regex and RE2 so the oracle mirrors symbol-for-symbol. BMP ranges
+    // only (UTF-16 units ≡ code points — the length() parity the oracle
+    // needs). The ASCII testdata gets deterministic per-row script
+    // suffixes (c_custkey%4, same constants interpolated into both
+    // sides); c_name carries exactly 8 Latin letters, so the 11/12/10-
+    // letter suffixes flip dominance and ALL four classifier branches
+    // fire. Dominant = explicit >= case-chain (earlier script wins
+    // ties), identical in both engines.
+    "q_script_detect" -> ((s, dir) => {
+      def cnt(c: Column, pat: String): Column =
+        (length(c) - length(regexp_replace(c, pat, ""))).cast("long")
+      val suffix = element_at(
+        array(scriptSuffixes.map(lit): _*), (col("c_custkey") % 4).cast("int") + 1)
+      val txt = concat(col("c_name"), suffix)
+      val counted = t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          cnt(txt, scriptRanges("latin")).as("latin"),
+          cnt(txt, scriptRanges("cyrillic")).as("cyr"),
+          cnt(txt, scriptRanges("greek")).as("greek"),
+          cnt(txt, scriptRanges("cjk")).as("cjk"))
+        .withColumn("dominant",
+          when(col("latin") >= col("cyr") && col("latin") >= col("greek") &&
+            col("latin") >= col("cjk"), "latin")
+            .when(col("cyr") >= col("greek") && col("cyr") >= col("cjk"), "cyrillic")
+            .when(col("greek") >= col("cjk"), "greek")
+            .otherwise("cjk"))
+      counted.groupBy("c_mktsegment", "dominant")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("latin").as("sum_latin"), sum("cyr").as("sum_cyr"),
+          sum("greek").as("sum_greek"), sum("cjk").as("sum_cjk"))
+    }),
+
+    // --- beyond-reference: sorted-neighborhood near-dup ------------------
+    // The classic entity-resolution alternative to LSH blocking: sort by
+    // a similarity-preserving key (here the first 3 of the sorted
+    // distinct tokens — near-dups share most tokens, so their sorted
+    // prefixes collide), then compare each doc ONLY against its w−1=2
+    // successors in key order. O(n·w) comparisons after one sort-shuffle
+    // — at 100 TB the window rides a partitioned sort (partition by
+    // source; a finer key prefix at higher cardinality), never a global
+    // one. Exact distinct-token Jaccard on the surviving pairs mirrors
+    // into DuckDB's window+list algebra one-to-one.
+    "q_sorted_neighbor" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("key", "doc_id")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(filter(split(trim(col("text")), "\\s+"), _ =!= ""))
+            .as("toks"))
+        .withColumn("key", concat_ws(" ", slice(array_sort(col("toks")), 1, 3)))
+      val withNext = base
+        .withColumn("n1", lead(col("toks"), 1).over(w))
+        .withColumn("n2", lead(col("toks"), 2).over(w))
+      def jac(other: Column): Column = {
+        val i = size(array_intersect(col("toks"), other)).cast("double")
+        val u = size(array_union(col("toks"), other)).cast("double")
+        when(other.isNull, lit(null)).otherwise(
+          when(u > 0.0, i / u).otherwise(0.0))
+      }
+      withNext
+        .select(col("source"), jac(col("n1")).as("j1"), jac(col("n2")).as("j2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (count(col("j1")) + count(col("j2"))).as("n_pairs"),
+          (sum(when(col("j1") >= 0.5, 1L).otherwise(0L)) +
+            sum(when(col("j2") >= 0.5, 1L).otherwise(0L))).as("n_dups"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -6367,6 +6440,30 @@ object SparkEntry {
     */
   private val multiMatchKeywords: Seq[String] = Seq(
     "join", "hash", "scan", "filter", "merge", "stream", "window", "sort")
+
+  /** q_script_detect's Unicode-block classes. The `\x{...}` char-class
+    * syntax is valid in BOTH Java regex (Spark) and RE2 (DuckDB), so the
+    * identical pattern string runs on both sides. BMP-only ranges keep
+    * UTF-16-unit counts (Spark `length`) equal to code-point counts
+    * (DuckDB `length`).
+    */
+  private val scriptRanges: Map[String, String] = Map(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+  )
+
+  /** Deterministic per-doc script suffixes (index = doc_id % 4); escape
+    * literals so tooling normalization can't alter them. Interpolated
+    * into BOTH the Spark query and the DuckDB oracle SQL.
+    */
+  private val scriptSuffixes: Seq[String] = Seq(
+    "", // pure-Latin docs
+    " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0434\u0430", // Cyrillic: privet mir da
+    " \u03b3\u03b5\u03b9\u03b1 \u03c3\u03bf\u03c5 \u03ba\u03bf\u03c3\u03bc\u03b5", // Greek: geia sou kosme
+    " \u4f60\u597d\u4e16\u754c\u518d\u89c1\u8c22\u8c22\u670b\u53cb", // CJK: ni hao shi jie zai jian xie xie peng you (10 chars)
+  )
 
   private val rboWeights: Seq[String] = Seq(
     "2.354163994257", "1.354163994257", "0.904163994257", "0.634163994257",
@@ -11665,6 +11762,66 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS all_ranks_within_2pct
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Same \x{...} classes, same suffix constants, same >= case-chain —
+    // interpolated from the shared Scala values so the two sides cannot
+    // drift.
+    "q_script_detect" -> {
+      def cnt(p: String) =
+        s"CAST(length(txt) - length(regexp_replace(txt, '$p', '', 'g')) AS BIGINT)"
+      s"""WITH t AS (SELECT c_mktsegment,
+         |  c_name || CASE CAST(c_custkey % 4 AS INT)
+         |    WHEN 0 THEN '${scriptSuffixes(0)}' WHEN 1 THEN '${scriptSuffixes(1)}'
+         |    WHEN 2 THEN '${scriptSuffixes(2)}' ELSE '${scriptSuffixes(3)}' END AS txt
+         |  FROM customer),
+         |c AS (SELECT c_mktsegment,
+         |  ${cnt(scriptRanges("latin"))} AS latin,
+         |  ${cnt(scriptRanges("cyrillic"))} AS cyr,
+         |  ${cnt(scriptRanges("greek"))} AS greek,
+         |  ${cnt(scriptRanges("cjk"))} AS cjk
+         |  FROM t),
+         |d AS (SELECT *,
+         |  CASE WHEN latin >= cyr AND latin >= greek AND latin >= cjk THEN 'latin'
+         |       WHEN cyr >= greek AND cyr >= cjk THEN 'cyrillic'
+         |       WHEN greek >= cjk THEN 'greek' ELSE 'cjk' END AS dominant
+         |  FROM c)
+         |SELECT c_mktsegment, dominant, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(latin) AS BIGINT) AS sum_latin,
+         |  CAST(sum(cyr) AS BIGINT) AS sum_cyr,
+         |  CAST(sum(greek) AS BIGINT) AS sum_greek,
+         |  CAST(sum(cjk) AS BIGINT) AS sum_cjk
+         |FROM d GROUP BY 1, 2""".stripMargin
+    },
+
+    // Window + list algebra, one-to-one with the Spark side: same sorted-
+    // token-prefix key, same (key, doc_id) order, same exact Jaccard.
+    "q_sorted_neighbor" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |k AS (SELECT *, array_to_string(list_sort(toks)[1:3], ' ') AS key FROM docs),
+        |w AS (SELECT source, toks,
+        |    lead(toks, 1) OVER (PARTITION BY source ORDER BY key, doc_id) AS n1,
+        |    lead(toks, 2) OVER (PARTITION BY source ORDER BY key, doc_id) AS n2
+        |  FROM k),
+        |j AS (SELECT source,
+        |    CASE WHEN n1 IS NULL THEN NULL
+        |         WHEN len(list_distinct(list_concat(toks, n1))) > 0
+        |         THEN CAST(len(list_intersect(toks, n1)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(toks, n1)))
+        |         ELSE 0.0 END AS j1,
+        |    CASE WHEN n2 IS NULL THEN NULL
+        |         WHEN len(list_distinct(list_concat(toks, n2))) > 0
+        |         THEN CAST(len(list_intersect(toks, n2)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(toks, n2)))
+        |         ELSE 0.0 END AS j2
+        |  FROM w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(j1) + count(j2) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN j1 >= 0.5 THEN 1 ELSE 0 END)
+        |     + sum(CASE WHEN j2 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        |FROM j GROUP BY 1""".stripMargin,
   )
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:
