@@ -335,19 +335,7 @@ object DocsStream {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // Version listing goes through the Hadoop FileSystem of statePath —
-        // the same resolution the Spark writers below use — so hdfs://,
-        // s3a:// and file:/-prefixed paths all list correctly. A
-        // java.io.File listing would return null for every non-local URI
-        // and silently seed each batch from the EMPTY state.
-        val stateDir = new org.apache.hadoop.fs.Path(statePath)
-        val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val versions = (if (fs.exists(stateDir)) fs.listStatus(stateDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
-          .flatMap(st => st.getPath.getName match {
-            case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLongOption
-            case _ => None
-          })
-          .filter(_ < batchId)
+        val versions = stateVersionsBelow(spark, statePath, batchId)
         val state =
           if (versions.isEmpty) Packing.emptyPackState(spark)
           else spark.read.parquet(s"$statePath/batch=${versions.max}")
@@ -357,6 +345,73 @@ object DocsStream {
         placed.write.mode("overwrite").parquet(s"$placementsPath/batch=$batchId")
         Packing.packState(state, placed, ctxLen)
           .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+  }
+
+  /** Standing-state version ids strictly below `batchId` at
+    * `statePath/batch=<id>`. Listing goes through the Hadoop FileSystem
+    * of statePath — the same resolution the Spark writers use — so
+    * hdfs://, s3a:// and file:/-prefixed paths all list correctly (a
+    * java.io.File listing returns null for every non-local URI and
+    * would silently seed each batch from the EMPTY state).
+    */
+  private def stateVersionsBelow(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batchId: Long): Array[Long] = {
+    val stateDir = new org.apache.hadoop.fs.Path(statePath)
+    val fs = stateDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(stateDir)) fs.listStatus(stateDir)
+     else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .flatMap(st => st.getPath.getName match {
+        case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLongOption
+        case _ => None
+      })
+      .filter(_ < batchId)
+  }
+
+  /** STANDING QUANTILE-SKETCH MAINTENANCE: each micro-batch sketches
+    * `valueCol` per `groupCol` with the mergeable deterministic
+    * [[graft.functions.MrlSketch]] aggregate and FOLDS it into the
+    * standing per-group sketches — the continuously-maintained
+    * percentile monitor (per-source document-length / quality-score
+    * distributions) that never rescans history: yesterday's sketch +
+    * today's batch sketch = the updated distribution. State is one
+    * binary sketch row per group (k·log(n/k) doubles), the same
+    * bounded-model tier as packAppender's tails, and rides the SAME
+    * replay-safe versioned layout (state/batch=<id>, seed strictly
+    * below own id, overwrite on replay).
+    *
+    * Sketch CONTENTS are merge-order-dependent (see MrlSketch scaladoc),
+    * so the stream ≡ batch pin is on the invariants: exact counts and
+    * the rank-error envelope — StreamingSpec asserts both.
+    */
+  def quantileAppender(
+      docs: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      groupCol: String = "source",
+      valueCol: String = "n_tokens",
+      k: Int = 256,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.GraftFunctions
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch
+          .groupBy(col(groupCol).as("g"))
+          .agg(GraftFunctions.quantileSketch(col(valueCol), k).as("sk"))
+        val versions = stateVersionsBelow(spark, statePath, batchId)
+        val merged =
+          if (versions.isEmpty) fresh
+          else fresh.unionByName(
+            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            .groupBy("g")
+            .agg(GraftFunctions.quantileSketchMerge(col("sk")).as("sk"))
+        merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
       }
       .start()
   }

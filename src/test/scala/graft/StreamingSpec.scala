@@ -514,6 +514,61 @@ class StreamingSpec extends SparkTestBase {
       "URI statePath: batch 2 must seed from batch 1's state, not from empty")
   }
 
+  test("quantileAppender: standing sketches track counts exactly and quantiles within envelope") {
+    import graft.functions.MrlSketch
+    val dir = tmpDir("qsk_in")
+    val statePath = "file:" + tmpDir("qsk_state") // URI path: exercises the FS listing
+    val ckpt = tmpDir("qsk_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 1).map(i => corpus.filter($"doc_id" % 2 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("n_tokens", size(filter(split(trim($"text"), "\\s+"), _ =!= "")))
+      .withColumn("g", $"doc_id" % 4)
+    val q = DocsStream.quantileAppender(stream, statePath, ckpt,
+      groupCol = "g", valueCol = "n_tokens", k = 64)
+    try q.processAllAvailable() finally q.stop()
+
+    // Exact per-group token-count streams for ground truth.
+    val exact = corpus
+      .select($"doc_id" % 4 as "g",
+        size(filter(split(trim($"text"), "\\s+"), _ =!= "")).cast("double").as("v"))
+      .as[(Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    // batch=1 is the final standing state (two micro-batches: 0 then 1).
+    val standing = spark.read.parquet(s"$statePath/batch=1")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(standing.keySet == exact.keySet)
+    standing.foreach { case (g, bytes) =>
+      val sk = MrlSketch.deserialize(bytes)
+      assert(sk.count == exact(g).length,
+        s"group $g: standing count ${sk.count} != exact ${exact(g).length}")
+      for (f <- Seq(0.25, 0.5, 0.9)) {
+        val est = sk.quantile(f)
+        val rankErr = math.abs(exact(g).count(_ <= est).toDouble / exact(g).length - f)
+        // ~20 values per group at k=64: no compaction, only the ceil-
+        // rank convention (≤ 1/n) separates estimate from exact.
+        assert(rankErr <= 0.06, s"group $g f=$f rank error $rankErr")
+      }
+    }
+    // Batch 1's state must have SEEDED from batch 0 (not restarted):
+    // batch=0 holds only part 0's rows.
+    val v0 = spark.read.parquet(s"$statePath/batch=0")
+      .as[(Long, Array[Byte])].collect().toMap
+    val part0Sizes = parts(0).select($"doc_id" % 4 as "g").groupBy("g").count()
+      .as[(Long, Long)].collect().toMap
+    v0.foreach { case (g, bytes) =>
+      assert(MrlSketch.deserialize(bytes).count == part0Sizes(g),
+        s"version 0 should hold only micro-batch 0's rows for group $g")
+    }
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")
