@@ -5965,10 +5965,15 @@ object SparkEntry {
     // render (double→varchar formatting is engine-specific; decimal is
     // not).
     "q_table_digest" -> ((s, dir) => {
+      // Every column coalesces to '' BEFORE the join: Spark's concat_ws
+      // SKIPS nulls (fields would shift) while DuckDB's || NULLifies the
+      // whole row (it would vanish from the sum) — divergent null
+      // handling on a digest advertised as engine-independent. With the
+      // coalesce both sides serialize identically.
       def digest(name: String, df: DataFrame, cols: Seq[Column]) = df.select(
         lit(name).as("tbl"),
-        conv(substring(md5(concat_ws("|", cols: _*)), 1, 12), 16, 10)
-          .cast("long").as("h"))
+        conv(substring(md5(concat_ws("|", cols.map(coalesce(_, lit(""))): _*)),
+          1, 12), 16, 10).cast("long").as("h"))
       val parts = Seq(
         digest("region", t(s, dir, "region"),
           Seq(col("r_regionkey").cast("string"), col("r_name"))),
@@ -6006,9 +6011,15 @@ object SparkEntry {
           runs(col("text"), "\\S+").as("words"),
           greatest(runs(col("text"), "[.!?]+"), lit(1.0)).as("sents"),
           runs(low, "[aeiouy]+").as("sylls"))
+        // Both denominators clamp to 1 (empty docs would put NaN through
+        // the formula — Spark's decimal cast nulls it silently while
+        // DuckDB's VARCHAR→DECIMAL chain hard-errors: divergent failure
+        // modes, so neither may occur). sum_words stays UNclamped.
         .withColumn("flesch",
-          (lit(206.835) - lit(1.015) * (col("words") / col("sents")) -
-            lit(84.6) * (col("sylls") / col("words"))).cast("decimal(28,12)"))
+          (lit(206.835) -
+            lit(1.015) * (greatest(col("words"), lit(1.0)) / col("sents")) -
+            lit(84.6) * (col("sylls") / greatest(col("words"), lit(1.0))))
+            .cast("decimal(28,12)"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("words").cast("decimal(18,0)")).as("sum_words"),
@@ -6436,10 +6447,16 @@ object SparkEntry {
   /** q_multi_match's scan list: high-frequency corpus terms, all
     * border-free (no proper prefix = suffix), so Aho-Corasick
     * every-end-position counts equal non-overlapping replace counts and
-    * the DuckDB oracle is exact.
+    * the DuckDB oracle is exact. The property is ENFORCED below — a
+    * bordered keyword (e.g. "hash": h…h, "window": w…w) can self-overlap
+    * ("hashash" holds two AC ends but one non-overlapping replace) and
+    * would diverge the two sides on regenerated data.
     */
   private val multiMatchKeywords: Seq[String] = Seq(
-    "join", "hash", "scan", "filter", "merge", "stream", "window", "sort")
+    "join", "group", "scan", "filter", "merge", "stream", "shuffle", "sort")
+  require(multiMatchKeywords.forall(w =>
+    (1 until w.length).forall(b => w.take(b) != w.takeRight(b))),
+    s"multiMatchKeywords must be border-free, got $multiMatchKeywords")
 
   /** q_script_detect's Unicode-block classes. The `\x{...}` char-class
     * syntax is valid in BOTH Java regex (Spark) and RE2 (DuckDB), so the
@@ -11708,20 +11725,23 @@ object SparkEntry {
     "q_table_digest" ->
       """WITH rows_ AS (
         |  SELECT 'region' AS tbl,
-        |    CAST('0x' || substr(md5(CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1, 12)
+        |    CAST('0x' || substr(md5(COALESCE(CAST(r_regionkey AS VARCHAR), '')
+        |      || '|' || COALESCE(r_name, '')), 1, 12)
         |      AS BIGINT) AS h
         |  FROM region
         |  UNION ALL
         |  SELECT 'nation',
-        |    CAST('0x' || substr(md5(CAST(n_nationkey AS VARCHAR) || '|' || n_name
-        |      || '|' || CAST(n_regionkey AS VARCHAR)), 1, 12) AS BIGINT)
+        |    CAST('0x' || substr(md5(COALESCE(CAST(n_nationkey AS VARCHAR), '')
+        |      || '|' || COALESCE(n_name, '')
+        |      || '|' || COALESCE(CAST(n_regionkey AS VARCHAR), '')), 1, 12) AS BIGINT)
         |  FROM nation
         |  UNION ALL
         |  SELECT 'supplier',
-        |    CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|' || s_name
-        |      || '|' || CAST(s_nationkey AS VARCHAR)
-        |      || '|' || CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)), 1, 12)
-        |      AS BIGINT)
+        |    CAST('0x' || substr(md5(COALESCE(CAST(s_suppkey AS VARCHAR), '')
+        |      || '|' || COALESCE(s_name, '')
+        |      || '|' || COALESCE(CAST(s_nationkey AS VARCHAR), '')
+        |      || '|' || COALESCE(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR), '')),
+        |      1, 12) AS BIGINT)
         |  FROM supplier)
         |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(h) AS DECIMAL(38,0)) AS digest
@@ -11744,7 +11764,8 @@ object SparkEntry {
         |       - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS DOUBLE) AS sylls
         |  FROM documents),
         |f AS (SELECT source, words, sylls,
-        |    CAST(CAST(206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)
+        |    CAST(CAST(206.835 - 1.015 * (greatest(words, 1.0) / sents)
+        |                      - 84.6 * (sylls / greatest(words, 1.0))
         |      AS VARCHAR) AS DECIMAL(28,12)) AS flesch
         |  FROM d)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -53,16 +53,20 @@ object Preference {
     // would turn the whole table into NaN/Infinity silently. The item
     // set is fixed across rounds, so one cheap head() on the
     // broadcast-sized model table checks the precondition up front.
-    val anchorWins = pairT.select(col("i").as("item")).distinct()
+    // headOption shape: an EMPTY comparison table skips the guard and
+    // falls through to the prior behavior (an empty model), instead of
+    // throwing an opaque NoSuchElementException here.
+    pairT.select(col("i").as("item")).distinct()
       .orderBy(col("item").asc).limit(1)
       .join(wins, Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("w0"))
-      .head()
-    require(anchorWins.getLong(1) > 0L,
-      s"bradleyTerry: anchor item '${anchorWins.get(0)}' (smallest by " +
-        "key) has zero wins - its strength is 0 and rescaling by it " +
-        "would NaN the model; drop winless items or re-key so the " +
-        "anchor has at least one recorded win.")
+      .take(1).headOption.foreach { anchorWins =>
+        require(anchorWins.getLong(1) > 0L,
+          s"bradleyTerry: anchor item '${anchorWins.get(0)}' (smallest by " +
+            "key) has zero wins - its strength is 0 and rescaling by it " +
+            "would NaN the model; drop winless items or re-key so the " +
+            "anchor has at least one recorded win.")
+      }
     var s = pairT.select(col("i").as("item")).distinct()
       .withColumn("s", lit(1.0))
     for (_ <- 1 to iters) {
