@@ -102,5 +102,9 @@ object GraftExtensions {
     "graft_quantile_sketch_merge" -> (es => QuantileSketchMergeAgg(es.head)),
     "graft_sketch_quantiles" -> (es => SketchQuantiles(
       es(0), constDoubleSeq(es(1), "fraction list"))),
+    "graft_mg_topk" -> (es => MgTopKAgg(
+      Cast(es(0), StringType), constInt(es(1), "counter budget k"))),
+    "graft_mg_merge" -> (es => MgMergeAgg(es.head)),
+    "graft_mg_entries" -> (es => MgEntries(es.head)),
   )
 }

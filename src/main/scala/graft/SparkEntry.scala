@@ -6075,6 +6075,39 @@ object SparkEntry {
       }
     }),
 
+    // --- beyond-reference: Misra–Gries frequent items (deterministic) ----
+    // The deterministic-memory complement of the CMS path: k=200
+    // counters per partial, merged counter-wise (Agarwal et al.'s
+    // mergeable construction — the additive n/(k+1) envelope survives
+    // shard-then-union), carrying the CANDIDATE TERMS themselves with a
+    // guaranteed undercount. Contract oracle: every term with exact
+    // frequency above n/(k+1) must be PRESENT in the merged summary with
+    // est ≤ freq and freq − est ≤ n/(k+1); the row set (the heavy terms)
+    // and freq are exact in both engines, the boolean is the guarantee.
+    "q_mg_topk" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val k = 200
+      val bound = lit((k + 1).toDouble)
+      val terms = t(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(trim(col("text")), "\\s+"), _ =!= "")).as("term"))
+        .localCheckpoint(eager = false) // consumers: summaries + exact counts
+      val entries = terms
+        .groupBy("source").agg(mgTopK(col("term"), k).as("sk"))
+        .agg(mgMerge(col("sk")).as("sk"))
+        .select(explode(mgEntries(col("sk"))).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+      val total = terms.agg(count(lit(1)).as("n_total"))
+      terms.groupBy("term").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") > col("n_total") / bound)
+        .join(entries, Seq("term"), "left")
+        .select(col("term"), col("freq"),
+          (col("est").isNotNull && col("est") <= col("freq") &&
+            (col("freq") - coalesce(col("est"), lit(0L))) <=
+              col("n_total") / bound).as("present_and_bounded"))
+    }),
+
     // --- beyond-reference: writing-system (script) detection -------------
     // Multilingual web corpora route by SCRIPT before language: a
     // Unicode-block histogram is one regexp-algebra scan (chars in
@@ -11783,6 +11816,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS all_ranks_within_2pct
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // MG contract: exact heavy-term row set + frequencies; presence and
+    // the undercount envelope are the summary's guarantee → TRUE.
+    "q_mg_topk" ->
+      """WITH tms AS (SELECT
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tms)
+        |SELECT term, CAST(count(*) AS BIGINT) AS freq,
+        |  TRUE AS present_and_bounded
+        |FROM tms, tot
+        |GROUP BY term, tot.n_total
+        |HAVING count(*) > tot.n_total / 201.0""".stripMargin,
 
     // Same \x{...} classes, same suffix constants, same >= case-chain —
     // interpolated from the shared Scala values so the two sides cannot

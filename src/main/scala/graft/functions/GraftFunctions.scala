@@ -148,6 +148,22 @@ object GraftFunctions {
   def sketchQuantiles(sketch: Column, fractions: Seq[Double]): Column =
     GraftShim.toColumn(SketchQuantiles(GraftShim.toExpression(sketch), fractions))
 
+  /** Misra–Gries frequent-items summary over a string column → binary
+    * (deterministic memory, deterministic UNDERcount; see [[MgSummary]]).
+    */
+  def mgTopK(term: Column, k: Int): Column =
+    GraftShim.toColumn(MgTopKAgg(
+      GraftShim.toExpression(term), k).toAggregateExpression())
+
+  /** Fold serialized MG summaries (shard-then-union / incremental). */
+  def mgMerge(summary: Column): Column =
+    GraftShim.toColumn(MgMergeAgg(
+      GraftShim.toExpression(summary)).toAggregateExpression())
+
+  /** Surviving (term, est, n) counters of a serialized MG summary. */
+  def mgEntries(summary: Column): Column =
+    GraftShim.toColumn(MgEntries(GraftShim.toExpression(summary)))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.
