@@ -525,4 +525,36 @@ object DocsStream {
     */
   def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.filter(!coalesce(TextAnalysis.containsValidPan(col(textCol)), lit(false)))
+
+  /** Stateless BLOCKLIST gate: drop any document containing one of
+    * `blocked` (case-insensitive), annotate survivors with the total hit
+    * count across the watchlist — ONE Aho-Corasick walk per document
+    * ([[graft.functions.MultiMatchCounts]], the automaton rides the
+    * codegen'd projection) regardless of list size, where a regexp
+    * blocklist costs k passes. The scrub-list gate every web-scale
+    * ingest runs; stream ≡ batch by construction (same expression), and
+    * StreamingSpec pins it.
+    */
+  def blocklistGate(
+      docs: DataFrame,
+      blocked: Seq[String],
+      watch: Seq[String] = Nil,
+      textCol: String = "text",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    val low = lower(col(textCol))
+    val blockedHits = aggregate(
+      GraftFunctions.multiMatchCounts(low, blocked.map(_.toLowerCase)),
+      lit(0L), (acc, x) => acc + x)
+    val watchHits =
+      if (watch.isEmpty) lit(0L)
+      else aggregate(
+        GraftFunctions.multiMatchCounts(low, watch.map(_.toLowerCase)),
+        lit(0L), (acc, x) => acc + x)
+    docs
+      .withColumn("blocked_hits", coalesce(blockedHits, lit(0L)))
+      .withColumn("watch_hits", coalesce(watchHits, lit(0L)))
+      .filter(col("blocked_hits") === 0L)
+      .drop("blocked_hits")
+  }
 }

@@ -306,6 +306,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocsStream.blocklistGate: one-pass AC scrub drops and annotates, stream == batch") {
+    val dir = tmpDir("stream_docs_block")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Seq(
+      (1L, "a perfectly clean document about joins and streams", t0),
+      (2L, "this one mentions FORBIDDENWORD in passing", t0),
+      (3L, "watchterm here, watchterm there, nothing blocked", t0),
+      (4L, "Forbiddenword capitalized still counts", t0),
+    ).toDF("doc_id", "text", "ingest_time")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      DocsStream.blocklistGate(df, blocked = Seq("forbiddenword"),
+        watch = Seq("watchterm", "stream"))
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventsStream.runToMemory(gate(stream), "docs_blocked")
+    try {
+      val streamed = spark.table("docs_blocked")
+        .select("doc_id", "watch_hits").as[(Long, Long)].collect().toSet
+      val batch = gate(spark.read.schema(docsSchema).parquet(dir))
+        .select("doc_id", "watch_hits").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, "streaming gate diverges from batch")
+      // Docs 2 and 4 (case-insensitive hit) are dropped; 3 counts its
+      // two watch hits; 1 counts the "stream" watch term.
+      assert(streamed == Set((1L, 1L), (3L, 2L)), streamed.toString)
+    } finally q.stop()
+  }
+
   test("DocsStream.qualityGated drops filler/noise under streaming, identical to batch") {
     val dir = tmpDir("stream_docs_gate")
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
