@@ -100,6 +100,9 @@ object GraftExtensions {
     "graft_quantile_sketch" -> (es => QuantileSketchAgg(
       Cast(es(0), DoubleType), constInt(es(1), "sketch capacity k"))),
     "graft_quantile_sketch_merge" -> (es => QuantileSketchMergeAgg(es.head)),
+    "graft_quantile_sketch_w" -> (es => WeightedQuantileSketchAgg(
+      Cast(es(0), DoubleType), Cast(es(1), LongType),
+      constInt(es(2), "sketch capacity k"))),
     "graft_sketch_quantiles" -> (es => SketchQuantiles(
       es(0), constDoubleSeq(es(1), "fraction list"))),
     "graft_mg_topk" -> (es => MgTopKAgg(

@@ -6075,6 +6075,43 @@ object SparkEntry {
       }
     }),
 
+    // --- beyond-reference: WEIGHTED quantile sketch ----------------------
+    // Weighted percentiles (here: the unit-sales-weighted price
+    // distribution) via the power-of-two level decomposition — each row
+    // adds `w` units of mass in O(popcount(w)), a capability the
+    // built-in approx_percentile lacks. Same contract shape as
+    // q_quantile_sketch: exact weighted totals hash-compare; each probe
+    // must sit within 2% WEIGHTED rank error.
+    "q_weighted_quantile" -> ((s, dir) => {
+      import graft.functions.GraftFunctions._
+      val fracs = Seq(0.25, 0.50, 0.75)
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity").cast("long").as("w"))
+      val merged = li.groupBy("l_returnflag")
+        .agg(quantileSketchWeighted(col("l_extendedprice"), col("w"), 512).as("sk"),
+          sum(col("w")).as("w_total"))
+        .select(col("l_returnflag"), col("w_total"),
+          sketchQuantiles(col("sk"), fracs).as("qs"))
+      if (java.lang.Boolean.getBoolean("graft.bench.approxOnly")) {
+        merged.select(col("l_returnflag"), col("w_total"),
+          round(element_at(col("qs"), 2), 0).as("approx_p50"))
+      } else {
+        val est = merged.select(col("l_returnflag"), col("w_total"),
+          posexplode(col("qs")).as(Seq("fi", "est")))
+        est.join(li, Seq("l_returnflag"))
+          .groupBy("l_returnflag", "w_total", "fi")
+          .agg(sum(when(col("l_extendedprice") <= col("est"), col("w"))
+            .otherwise(0L)).as("wrank"))
+          .withColumn("f", element_at(array(fracs.map(lit): _*), col("fi") + 1))
+          .groupBy("l_returnflag", "w_total")
+          .agg(max(when(
+            abs(col("wrank") / col("w_total") - col("f")) > 0.02, 1L)
+            .otherwise(0L)).as("worst"))
+          .select(col("l_returnflag"), col("w_total"),
+            (col("worst") === 0L).as("all_wranks_within_2pct"))
+      }
+    }),
+
     // --- beyond-reference: Misra–Gries frequent items (deterministic) ----
     // The deterministic-memory complement of the CMS path: k=200
     // counters per partial, merged counter-wise (Agarwal et al.'s
@@ -11815,6 +11852,14 @@ object SparkEntry {
         |    AS n_months,
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS all_ranks_within_2pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Weighted contract: exact weighted totals (trunc per the
+    // double→int idiom); the 2% weighted-rank envelope → TRUE.
+    "q_weighted_quantile" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS w_total,
+        |  TRUE AS all_wranks_within_2pct
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     // MG contract: exact heavy-term row set + frequencies; presence and

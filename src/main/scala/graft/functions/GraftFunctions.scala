@@ -139,6 +139,12 @@ object GraftFunctions {
     GraftShim.toColumn(QuantileSketchAgg(
       GraftShim.toExpression(c.cast("double")), k).toAggregateExpression())
 
+  /** Weighted build: each row adds `w` units of mass at its value. */
+  def quantileSketchWeighted(c: Column, w: Column, k: Int): Column =
+    GraftShim.toColumn(WeightedQuantileSketchAgg(
+      GraftShim.toExpression(c.cast("double")),
+      GraftShim.toExpression(w.cast("long")), k).toAggregateExpression())
+
   /** Fold serialized sketches (shard-then-union / incremental). */
   def quantileSketchMerge(sketch: Column): Column =
     GraftShim.toColumn(QuantileSketchMergeAgg(

@@ -54,6 +54,29 @@ final class MrlSketch(val k: Int) extends Serializable {
     if (levels(0).length >= k) compact(0)
   }
 
+  /** Weighted insert: decompose w into powers of two and place ONE copy
+    * of v at each set-bit level — level i items already stand for 2^i
+    * rows, so mass conservation is exact (Σ set bits = w) and the
+    * compaction analysis is unchanged. O(popcount(w)) per row instead
+    * of O(w) repeated inserts: the weighted-percentile shape (e.g.
+    * token-weighted document statistics) at any weight magnitude.
+    */
+  def insertWeighted(v: Double, w: Long): Unit = {
+    require(w >= 0L, s"MrlSketch.insertWeighted: negative weight $w")
+    count += w
+    var i = 0
+    var rem = w
+    while (rem != 0L) {
+      if ((rem & 1L) == 1L) {
+        ensureLevel(i)
+        levels(i) += v
+        if (levels(i).length >= k) compact(i)
+      }
+      rem >>>= 1
+      i += 1
+    }
+  }
+
   private def ensureLevel(i: Int): Unit =
     while (levels.length <= i) {
       levels += scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -213,6 +236,48 @@ case class QuantileSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
     copy(child = newChild)
+}
+
+/** graft_quantile_sketch_w(x, w, k) → binary: weighted build — each row
+  * contributes `w` units of mass at value `x` via the power-of-two level
+  * decomposition (see [[MrlSketch.insertWeighted]]). Null value OR null
+  * weight skips the row.
+  */
+case class WeightedQuantileSketchAgg(
+    value: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MrlSketch]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "graft_quantile_sketch_w"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def left: Expression = value
+  override def right: Expression = weight
+
+  override def createAggregationBuffer(): MrlSketch = new MrlSketch(k)
+  override def update(b: MrlSketch, input: InternalRow): MrlSketch = {
+    val v = value.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null)
+      b.insertWeighted(v.asInstanceOf[Double], w.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: MrlSketch, o: MrlSketch): MrlSketch = b.merge(o)
+  override def eval(b: MrlSketch): Any = b.serialize()
+  override def serialize(b: MrlSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): MrlSketch = MrlSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WeightedQuantileSketchAgg =
+    copy(value = newLeft, weight = newRight)
 }
 
 /** graft_quantile_sketch_merge(sketch) → binary: fold serialized

@@ -98,6 +98,38 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(signed.exists(_ < 0) || signed.forall(math.abs(_) < 1e-4), signed.toString)
   }
 
+  test("weighted insert: mass conservation, hand quantiles, envelope under compaction") {
+    // Small exact case: values 1..4 with weights 1,2,3,4 (total 10).
+    val sk = new MrlSketch(64)
+    (1 to 4).foreach(i => sk.insertWeighted(i.toDouble, i.toLong))
+    assert(sk.count == 10L)
+    assert(sk.weightedItems.map(_._2).sum == 10L)
+    // ceil(f·10) ranks over mass [1|2 2|3 3 3|4 4 4 4].
+    assert(sk.quantile(0.1) == 1.0)
+    assert(sk.quantile(0.3) == 2.0)
+    assert(sk.quantile(0.6) == 3.0)
+    assert(sk.quantile(0.7) == 4.0)
+    assert(sk.quantile(1.0) == 4.0)
+    // Zero weight adds nothing.
+    sk.insertWeighted(99.0, 0L)
+    assert(sk.count == 10L)
+    // Compaction case: heavy skewed weights, envelope vs exact weighted
+    // ranks (deterministic LCG values, weight = 1 + (i mod 97)).
+    val vals = lcg(30000)
+    val big = new MrlSketch(128)
+    vals.zipWithIndex.foreach { case (v, i) => big.insertWeighted(v, 1L + (i % 97)) }
+    val totalW = vals.indices.map(i => 1L + (i % 97)).sum
+    assert(big.count == totalW)
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val est = big.quantile(f)
+      val wrank = vals.zipWithIndex.collect {
+        case (v, i) if v <= est => 1L + (i % 97)
+      }.sum
+      val err = math.abs(wrank.toDouble / totalW - f)
+      assert(err <= 0.02, s"weighted f=$f rank error $err")
+    }
+  }
+
   test("Spark end-to-end: build agg, merge agg, probe; nulls skipped; SQL registration") {
     val df = (1 to 4000).map(i => (i % 4, if (i % 97 == 0) None else Some(i.toDouble)))
       .toDF("g", "v")
