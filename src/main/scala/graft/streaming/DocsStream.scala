@@ -416,6 +416,45 @@ object DocsStream {
       .start()
   }
 
+  /** STANDING FREQUENT-TERMS MAINTENANCE: the Misra–Gries twin of
+    * [[quantileAppender]] — each micro-batch summarizes `termCol` per
+    * `groupCol` with [[graft.functions.MgSummary]] and folds it into the
+    * standing per-group summaries (k counters each, deterministic
+    * memory). The continuously-maintained vocabulary/heavy-hitter
+    * watchlist: the n/(k+1) undercount envelope survives the fold
+    * (mergeable-summaries construction), so any term above threshold in
+    * the corpus-so-far is guaranteed present in the standing state.
+    * Same replay-safe versioned layout.
+    */
+  def mgAppender(
+      docs: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      groupCol: String = "source",
+      termCol: String = "term",
+      k: Int = 256,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.GraftFunctions
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch
+          .groupBy(col(groupCol).as("g"))
+          .agg(GraftFunctions.mgTopK(col(termCol), k).as("sk"))
+        val versions = stateVersionsBelow(spark, statePath, batchId)
+        val merged =
+          if (versions.isEmpty) fresh
+          else fresh.unionByName(
+            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            .groupBy("g")
+            .agg(GraftFunctions.mgMerge(col("sk")).as("sk"))
+        merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+  }
+
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

@@ -599,6 +599,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("mgAppender: standing summaries keep n exact and every heavy term present+bounded") {
+    import graft.functions.MgSummary
+    val dir = tmpDir("mg_in")
+    val statePath = "file:" + tmpDir("mg_state")
+    val ckpt = tmpDir("mg_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 1).map(i => corpus.filter($"doc_id" % 2 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select($"doc_id" % 2 as "g",
+        explode(filter(split(trim($"text"), "\\s+"), _ =!= "")).as("term"))
+    val q = DocsStream.mgAppender(stream, statePath, ckpt,
+      groupCol = "g", termCol = "term", k = 32)
+    try q.processAllAvailable() finally q.stop()
+
+    val exact = corpus
+      .select($"doc_id" % 2 as "g",
+        explode(filter(split(trim($"text"), "\\s+"), _ =!= "")).as("term"))
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val standing = spark.read.parquet(s"$statePath/batch=1")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(standing.keySet == exact.keySet)
+    standing.foreach { case (g, bytes) =>
+      val mg = MgSummary.deserialize(bytes)
+      val terms = exact(g)
+      assert(mg.n == terms.length, s"group $g: standing n ${mg.n} != ${terms.length}")
+      val freqs = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = mg.n.toDouble / 33.0
+      freqs.foreach { case (t, f) =>
+        val est = mg.estimate(t)
+        assert(est <= f, s"group $g term $t overcounted")
+        assert(f - est <= bound, s"group $g term $t bound violated: ${f - est} > $bound")
+        if (f > bound) assert(est > 0L, s"group $g heavy term $t missing from standing state")
+      }
+    }
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")
