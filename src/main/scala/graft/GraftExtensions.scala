@@ -109,5 +109,9 @@ object GraftExtensions {
       Cast(es(0), StringType), constInt(es(1), "counter budget k"))),
     "graft_mg_merge" -> (es => MgMergeAgg(es.head)),
     "graft_mg_entries" -> (es => MgEntries(es.head)),
+    "graft_topk" -> (es => TopKAgg(
+      Cast(es(0), DoubleType), Cast(es(1), LongType), constInt(es(2), "top-k size"))),
+    "graft_topk_merge" -> (es => TopKMergeAgg(es.head)),
+    "graft_topk_entries" -> (es => TopKEntries(es.head)),
   )
 }

@@ -1,0 +1,173 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance — delta-maintained aggregates and joins.
+  *
+  * The standing-pipeline complement of [[Scd]] (history intervals) and
+  * q_cdc_diff (snapshot deltas): given yesterday's MATERIALIZED view state
+  * and today's delta batch, produce today's view state WITHOUT rescanning
+  * history. This is the core move that makes a daily 100 TB pipeline
+  * O(|delta|) instead of O(|corpus|): the corpus-sized inputs appear only
+  * as standing, already-partitioned state tables; every maintenance step
+  * shuffles delta-sized data (plus one state-sized co-partitioned merge).
+  *
+  * Three maintenance classes, in increasing generality:
+  *  - append-only distributive/algebraic aggregates ([[aggState]] /
+  *    [[mergeAggStates]]): count, sum, min, max (and anything derivable —
+  *    mean, variance via moments) merge by re-aggregation; min/max are
+  *    safe because nothing is ever removed.
+  *  - signed multiset aggregates ([[signedAggState]] /
+  *    [[mergeSignedStates]]): rows carry a multiplicity op (+1 insert,
+  *    -1 retract); count and sum maintain under retraction by signed
+  *    re-aggregation (the counting algorithm of Blakeley et al.,
+  *    SIGMOD 1986; the same delta algebra DBToaster and every streaming
+  *    changelog engine use). Keys whose support reaches zero leave the
+  *    view. min/max are NOT signed-maintainable — retracting the current
+  *    minimum needs the runner-up, which the scalar state no longer has.
+  *  - support-table extrema ([[supportState]] / [[mergeSupportStates]] /
+  *    [[extremaFromSupport]]): the classic fix — keep per (key, value)
+  *    signed support counts and read min/max off values with support > 0.
+  *    State size is bounded by the number of DISTINCT values per key
+  *    (here: days, categories — not raw rows), which is what makes it
+  *    viable at corpus scale.
+  *
+  * Join maintenance ([[joinDelta]]): for view J = A ⋈ B under append-only
+  * deltas ΔA, ΔB, the new matches are exactly
+  * ΔJ = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB) — three joins whose
+  * smaller side is always a delta, so each is broadcast-able or prunes to
+  * the delta's key range against a state table bucketed on the join key.
+  * J_new = J_old ∪ ΔJ needs no join at all.
+  *
+  * Merge mechanics: every merge here is `unionByName` + re-aggregate
+  * rather than a full-outer join — partial aggregation pre-combines
+  * map-side, and when the standing state is bucketed on the key the union
+  * re-agg needs no extra exchange for the state side. Callers folding many
+  * batches should checkpoint (or persist/write) the state between steps,
+  * exactly as a real pipeline persists yesterday's state table; the fold
+  * is otherwise one ever-deepening union tree.
+  *
+  * Determinism doctrine: sums run through decimal casts supplied by the
+  * caller (see q_ivm_* in SparkEntry for the cross-engine idiom); the
+  * state schema carries sums as decimals end-to-end so a fold over K
+  * batches is bit-identical to a one-shot aggregation in ANY batch order.
+  */
+object Ivm {
+
+  /** Per-key append-only aggregate state of one batch:
+    * (keys..., n, sum_v, min_v, max_v). `valueCol` must already be the
+    * deterministic (decimal-cast) form — it is summed as-is.
+    */
+  def aggState(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Fold a delta batch's state into the standing state (append-only).
+    * Union + re-agg: count/sum add, min/max combine — every column's
+    * combinator is its own partial-merge, so state(A ∪ B) ≡
+    * merge(state(A), state(B)) exactly.
+    */
+  def mergeAggStates(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Signed multiset state of one delta batch: rows carry `opCol` ∈
+    * {+1, -1}. Retractions must refer to previously-inserted rows — the
+    * view is a multiset, and negative support is a pipeline bug upstream
+    * (a delete for a row never inserted), checked on read in
+    * [[finishSigned]].
+    */
+  def signedAggState(batch: DataFrame, keys: Seq[String], valueCol: String,
+      opCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(opCol).cast("long")).as("n"),
+        sum(col(opCol).cast("decimal(4,0)") * col(valueCol)).as("sum_v"))
+
+  /** Fold a signed delta state into the standing signed state. Keys are
+    * KEPT at n = 0 inside the fold (a later batch may re-insert them);
+    * [[finishSigned]] drops them when the view is read.
+    */
+  def mergeSignedStates(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+
+  /** Read the signed view: zero-support keys vanish; negative support
+    * fails loudly (retraction of a row never inserted) instead of
+    * silently emitting negative counts downstream.
+    */
+  def finishSigned(state: DataFrame): DataFrame =
+    state
+      .withColumn("n",
+        when(col("n") < 0, raise_error(concat(
+          lit("Ivm.finishSigned: negative support for key — a retraction " +
+            "arrived for a row never inserted; state n="),
+          col("n").cast("string"))))
+          .otherwise(col("n")))
+      .filter(col("n") > 0)
+
+  /** Signed support table of one delta batch over DISTINCT values:
+    * (keys..., value, support). The extrema-under-retraction state —
+    * rows are (key, value) pairs, so its size is the per-key distinct
+    * value count, not the row count.
+    */
+  def supportState(batch: DataFrame, keys: Seq[String], valueCol: String,
+      opCol: String): DataFrame =
+    batch.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(col(opCol).cast("long")).as("support"))
+
+  /** Fold a delta support table into the standing one. Zero-support
+    * values are dropped EAGERLY here (unlike [[mergeSignedStates]]):
+    * the support table exists only to answer extrema over support > 0,
+    * and re-insertion re-creates the row — keeping tombstones would grow
+    * the state with the retraction history. Negative support is checked
+    * at read time in [[extremaFromSupport]].
+    */
+  def mergeSupportStates(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    state.unionByName(delta)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(col("support")).as("support"))
+      .filter(col("support") =!= 0)
+
+  /** Current min/max per key off the support table — only values whose
+    * support survived retraction count. This is why retracting the
+    * current minimum is safe: the runner-up is still a row here.
+    */
+  def extremaFromSupport(state: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    state
+      .withColumn("support",
+        when(col("support") < 0, raise_error(concat(
+          lit("Ivm.extremaFromSupport: negative support — a retraction " +
+            "arrived for a value never inserted; support="),
+          col("support").cast("string"))))
+          .otherwise(col("support")))
+      .filter(col("support") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Append-only join-view delta: the three new-match terms. Old states
+    * appear once each, joined against a delta — with the state tables
+    * bucketed on `usingKeys`, each term is a delta-pruned (or broadcast)
+    * join; nothing re-pairs old against old. The caller unions the result
+    * onto the standing J.
+    */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame, bOld: DataFrame,
+      bDelta: DataFrame, usingKeys: Seq[String]): DataFrame =
+    aDelta.join(bOld, usingKeys)
+      .unionByName(aOld.join(bDelta, usingKeys))
+      .unionByName(aDelta.join(bDelta, usingKeys))
+}

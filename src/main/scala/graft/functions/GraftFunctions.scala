@@ -170,6 +170,24 @@ object GraftFunctions {
   def mgEntries(summary: Column): Column =
     GraftShim.toColumn(MgEntries(GraftShim.toExpression(summary)))
 
+  /** Exact bounded top-k by (value DESC, id ASC) → binary state (see
+    * [[TopKState]]). Probe with [[topKEntries]]; fold shard states with
+    * [[topKMerge]]. Exact and order-free, unlike the sketch kits.
+    */
+  def topK(value: Column, id: Column, k: Int): Column =
+    GraftShim.toColumn(TopKAgg(
+      GraftShim.toExpression(value.cast("double")),
+      GraftShim.toExpression(id.cast("long")), k).toAggregateExpression())
+
+  /** Fold serialized top-k states (shard-then-union / incremental). */
+  def topKMerge(state: Column): Column =
+    GraftShim.toColumn(TopKMergeAgg(
+      GraftShim.toExpression(state)).toAggregateExpression())
+
+  /** Kept (rank, id, v) pairs of a serialized top-k state, best first. */
+  def topKEntries(state: Column): Column =
+    GraftShim.toColumn(TopKEntries(GraftShim.toExpression(state)))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.

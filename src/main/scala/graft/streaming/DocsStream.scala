@@ -455,6 +455,47 @@ object DocsStream {
       .start()
   }
 
+  /** STANDING EXACT-AGGREGATE MAINTENANCE: the IVM member of the
+    * appender family — each micro-batch condenses to its per-key
+    * [[graft.core.Ivm.aggState]] (count/sum/min/max, sums in the
+    * caller's decimal type) and folds into the standing state via
+    * [[graft.core.Ivm.mergeAggStates]]. Unlike the sketch appenders the
+    * state is EXACT, so the stream ≡ batch pin is full equality: the
+    * standing table after N micro-batches is bit-identical to a one-shot
+    * aggregate of everything ingested (StreamingSpec asserts it). State
+    * size is the key cardinality — the usual IVM contract; at corpus
+    * scale the state table is bucketed on the keys so the fold's
+    * union + re-agg needs no state-side exchange. Same replay-safe
+    * versioned layout as the other appenders.
+    *
+    * `valueCol` must already be deterministic (decimal-cast) — it is
+    * summed as-is.
+    */
+  def ivmAppender(
+      docs: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      keys: Seq[String],
+      valueCol: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.core.Ivm
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = Ivm.aggState(batch, keys, valueCol)
+        val versions = stateVersionsBelow(spark, statePath, batchId)
+        val merged =
+          if (versions.isEmpty) fresh
+          else Ivm.mergeAggStates(
+            spark.read.parquet(s"$statePath/batch=${versions.max}"),
+            fresh, keys)
+        merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+  }
+
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Ivm
+
+/** Incremental view maintenance pins — the algebra that q_ivm_agg /
+  * q_ivm_join / q_ivm_retract rely on, exercised on small controlled
+  * frames where the invariants are checkable exactly.
+  */
+class IvmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+
+  private def rows(rs: (String, String, Int)*): DataFrame =
+    rs.toDF("k", "v", "op")
+      .select(col("k"), col("v").cast("decimal(18,6)").as("v"), col("op"))
+
+  private def asMap(df: DataFrame): Map[String, (Long, BigDecimal)] =
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+
+  /** Merge widens sum_v's decimal precision (28,6 → 38,6); canonicalize
+    * before frame equality so the comparison is about VALUES.
+    */
+  private def canon(df: DataFrame): DataFrame =
+    df.select(col("k"), col("n"), col("sum_v").cast("decimal(38,6)").as("sum_v"),
+      col("min_v"), col("max_v"))
+
+  test("append-only fold over any batch split equals the one-shot state") {
+    val all = rows(("a", "1.5", 1), ("a", "2.25", 1), ("b", "-3", 1),
+      ("a", "0.125", 1), ("b", "7", 1), ("c", "4", 1))
+    val oneShot = Ivm.aggState(all, keys, "v")
+    // two different splits, both must match the one-shot bit-for-bit
+    for (cut <- Seq(2, 4)) {
+      val withId = all.coalesce(1).withColumn("i", monotonically_increasing_id())
+      val b1 = withId.filter(col("i") < cut).drop("i")
+      val b2 = withId.filter(col("i") >= cut).drop("i")
+      val folded = canon(Ivm.mergeAggStates(
+        Ivm.aggState(b1, keys, "v"), Ivm.aggState(b2, keys, "v"), keys))
+      val want = canon(oneShot)
+      assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty)
+    }
+  }
+
+  test("mergeAggStates with an empty delta is the identity") {
+    val st = Ivm.aggState(rows(("a", "1", 1), ("b", "2", 1)), keys, "v")
+    val empty = Ivm.aggState(rows(("a", "1", 1)).limit(0), keys, "v")
+    val merged = canon(Ivm.mergeAggStates(st, empty, keys))
+    val want = canon(st)
+    assert(merged.exceptAll(want).isEmpty && want.exceptAll(merged).isEmpty)
+  }
+
+  test("signed state: full retraction empties the view; partial keeps exact n/sum") {
+    val ins = rows(("a", "1.5", 1), ("a", "2.5", 1), ("b", "4", 1))
+    val delA = rows(("a", "1.5", -1), ("a", "2.5", -1))
+    val st = Ivm.mergeSignedStates(
+      Ivm.signedAggState(ins, keys, "v", "op"),
+      Ivm.signedAggState(delA, keys, "v", "op"), keys)
+    val view = asMap(Ivm.finishSigned(st))
+    assert(view == Map("b" -> ((1L, BigDecimal(4)))))
+  }
+
+  test("signed state: re-insertion after full retraction brings the key back") {
+    val b1 = Ivm.signedAggState(rows(("a", "2", 1)), keys, "v", "op")
+    val b2 = Ivm.signedAggState(rows(("a", "2", -1)), keys, "v", "op")
+    val b3 = Ivm.signedAggState(rows(("a", "9", 1)), keys, "v", "op")
+    val st = Ivm.mergeSignedStates(Ivm.mergeSignedStates(b1, b2, keys), b3, keys)
+    assert(asMap(Ivm.finishSigned(st)) == Map("a" -> ((1L, BigDecimal(9)))))
+  }
+
+  test("finishSigned fails loudly on negative support") {
+    val st = Ivm.signedAggState(rows(("a", "2", -1)), keys, "v", "op")
+    val e = intercept[Exception] { Ivm.finishSigned(st).collect() }
+    assert(e.getMessage.contains("negative support")
+      || e.getCause != null && e.getCause.getMessage.contains("negative support"))
+  }
+
+  test("support table: retracting the current minimum promotes the runner-up") {
+    val ins = Seq(("a", 3, 1), ("a", 7, 1), ("a", 5, 1)).toDF("k", "d", "op")
+    val del = Seq(("a", 3, -1)).toDF("k", "d", "op")
+    val st = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, keys, "d", "op"),
+      Ivm.supportState(del, keys, "d", "op"), keys, "d")
+    val ext = Ivm.extremaFromSupport(st, keys, "d").collect()
+    assert(ext.length == 1 && ext(0).getInt(1) == 5 && ext(0).getInt(2) == 7)
+  }
+
+  test("support table drops zero-support values eagerly (no tombstone growth)") {
+    val ins = Seq(("a", 3, 1), ("a", 7, 1)).toDF("k", "d", "op")
+    val del = Seq(("a", 3, -1)).toDF("k", "d", "op")
+    val st = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, keys, "d", "op"),
+      Ivm.supportState(del, keys, "d", "op"), keys, "d")
+    assert(st.count() == 1) // only (a, 7) survives; (a, 3) is gone, not 0
+  }
+
+  test("extremaFromSupport fails loudly on negative support") {
+    val del = Seq(("a", 3, -1)).toDF("k", "d", "op")
+    val st = Ivm.supportState(del, keys, "d", "op")
+    val e = intercept[Exception] {
+      Ivm.extremaFromSupport(st, keys, "d").collect()
+    }
+    assert(e.getMessage.contains("negative support")
+      || e.getCause != null && e.getCause.getMessage.contains("negative support"))
+  }
+
+  test("joinDelta: J_old ∪ ΔJ reproduces the full recomputed join") {
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "a")
+    val aNew = Seq((2, "a3"), (3, "a4")).toDF("k", "a")
+    val bOld = Seq((1, "b1"), (3, "b2")).toDF("k", "b")
+    val bNew = Seq((2, "b3"), (3, "b4")).toDF("k", "b")
+    val full = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+    val ivm = aOld.join(bOld, Seq("k"))
+      .unionByName(Ivm.joinDelta(aOld, aNew, bOld, bNew, Seq("k")))
+    assert(ivm.exceptAll(full).isEmpty && full.exceptAll(ivm).isEmpty)
+  }
+
+  test("signed fold equals direct aggregation of the surviving multiset") {
+    // the q_ivm_retract shape in miniature: insert everything, retract a
+    // deterministic subset, compare against a plain filter+agg
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type").as("k"),
+        col("value").cast("decimal(18,6)").as("v"),
+        dayofmonth(col("ts")).as("day"))
+    val ins = ev.withColumn("op", lit(1))
+    val dels = ev.filter(col("day") <= 10).withColumn("op", lit(-1))
+    val st = Ivm.mergeSignedStates(
+      Ivm.signedAggState(ins, keys, "v", "op"),
+      Ivm.signedAggState(dels, keys, "v", "op"), keys)
+    val direct = ev.filter(col("day") > 10).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    val got = asMap(Ivm.finishSigned(st))
+    val want = asMap(direct)
+    assert(got == want)
+  }
+}

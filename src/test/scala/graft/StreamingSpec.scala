@@ -643,6 +643,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ivmAppender: standing exact agg state == one-shot aggregate, bit for bit") {
+    import graft.core.Ivm
+    val dir = tmpDir("ivm_in")
+    val statePath = "file:" + tmpDir("ivm_state") // URI path: exercises the FS listing
+    val ckpt = tmpDir("ivm_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+    parts(2).coalesce(1).write.mode("append").parquet(dir)
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("g", $"doc_id" % 4)
+      .withColumn("v", size(filter(split(trim($"text"), "\\s+"), _ =!= ""))
+        .cast("decimal(18,6)"))
+      .select($"g", $"v")
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.ivmAppender(shape(stream), statePath, ckpt,
+      keys = Seq("g"), valueCol = "v")
+    try q.processAllAvailable() finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", $"n", $"sum_v".cast("decimal(38,6)").as("sum_v"),
+        $"min_v".cast("decimal(18,6)").as("min_v"),
+        $"max_v".cast("decimal(18,6)").as("max_v"))
+    val standing = canon(spark.read.parquet(s"$statePath/batch=2"))
+    val oneShot = canon(Ivm.aggState(shape(corpus), Seq("g"), "v"))
+    assert(standing.exceptAll(oneShot).isEmpty && oneShot.exceptAll(standing).isEmpty,
+      "standing IVM state after 3 micro-batches must equal the one-shot aggregate")
+    // and batch=0 holds ONLY micro-batch 0 (seeding is strictly versioned)
+    val v0 = canon(spark.read.parquet(s"$statePath/batch=0"))
+    val p0 = canon(Ivm.aggState(shape(parts(0)), Seq("g"), "v"))
+    assert(v0.exceptAll(p0).isEmpty && p0.exceptAll(v0).isEmpty)
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")
