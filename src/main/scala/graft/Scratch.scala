@@ -2,38 +2,81 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.similarity.SparseSim
 
-/** Ad-hoc stage profiler for perf work — not part of the library surface. */
+/** Ad-hoc stage profiler for perf work — not part of the library surface.
+  *
+  * Current experiment: IVM amortization. At N× events, compare the cost
+  * of maintaining the q_ivm_agg view for ONE day's delta (read standing
+  * state + aggState(delta) + merge + write new state) against the full
+  * one-shot recompute — the claim is maintenance ~ O(|delta| + |state|),
+  * independent of history size. Same shape for the join view: the three
+  * joinDelta terms against a 1-day orders delta vs the full join.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    import graft.core.Ivm
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    import graft.text.TextAnalysis
-    import graft.similarity.SetSimJoin
     def time[A](label: String)(f: => A): A = {
+      f // warm pass: JIT + parquet footer caches; report the steady run
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val shingles = TextAnalysis.wordShingles(col("text"), 3)
-    val idx = time("buildIndex+materialize") {
-      val i = SetSimJoin.buildIndex(docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
-      i._1.count(); i._2.count(); i
+
+    val keys = Seq("event_type", "ubucket")
+    // Recompute cost grows with the corpus; maintenance cost must NOT —
+    // measure both at two corpus sizes with the SAME one-day delta.
+    for (dir <- Seq("/root/testdata/sf0.1", sfDir)) {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), (col("user_id") % 10).cast("int").as("ubucket"),
+          col("value").cast("decimal(18,6)").as("v"), dayofmonth(col("ts")).as("day"))
+      val n = ev.count()
+      time(s"agg: full one-shot recompute over $n rows") {
+        Ivm.aggState(ev, keys, "v").collect().length
+      }
+      val statePath = "target/testtmp/ivm_scale_state"
+      // standing state = history through day 29 (built once; not
+      // maintenance); the delta lands as its own file, as a daily ingest
+      // would — maintenance never touches the history table at all.
+      Ivm.aggState(ev.filter(col("day") <= 29), keys, "v")
+        .write.mode("overwrite").parquet(statePath)
+      ev.filter(col("day") === 30)
+        .write.mode("overwrite").parquet(statePath + "_delta")
+      val dn = spark.read.parquet(statePath + "_delta").count()
+      time(s"agg: maintain one-day delta ($dn rows) against $n-row history") {
+        val delta = Ivm.aggState(spark.read.parquet(statePath + "_delta"), keys, "v")
+        Ivm.mergeAggStates(spark.read.parquet(statePath), delta, keys)
+          .write.mode("overwrite").parquet(statePath + "_next")
+        spark.read.parquet(statePath + "_next").count()
+      }
     }
-    val out = SetSimJoin.selfJoinIncrement(docs.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5)
-    time("increment full")(out.count())
-    time("increment again")(out.count())
+
+    // ----- join view -----
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    println(s"[scratch] orders rows: ${orders.count()}, customer rows: ${cust.count()}")
+    time("join: full recompute (count)") {
+      orders.join(cust, Seq("c_custkey")).count()
+    }
+    val cut = to_timestamp(lit("2001-07-01")) // last-month delta
+    val aOld = orders.filter(col("o_orderdate") < cut)
+    val aDelta = orders.filter(col("o_orderdate") >= cut)
+    println(s"[scratch] orders delta rows: ${aDelta.count()}")
+    time("join: delta terms only (count)") {
+      // append-only delta on one side: ΔA ⋈ B (B unchanged) — the daily term
+      aDelta.join(broadcast(cust), Seq("c_custkey")).count()
+    }
     spark.stop()
   }
 }
