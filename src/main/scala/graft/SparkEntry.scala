@@ -6305,6 +6305,31 @@ object SparkEntry {
           col("min_v").as("min_day"), col("max_v").as("max_day"))
     }),
 
+    // COUNT DISTINCT under retraction — the textbook non-distributive
+    // IVM case: the (key, user, support) table is the state that makes
+    // it maintainable, because a user leaves the view only when their
+    // LAST event is retracted (support hits 0) — a scalar distinct count
+    // could never know. Same changelog as q_ivm_retract (TTL-expire
+    // days 1–10, retract the 'error' type entirely).
+    "q_ivm_distinct" -> ((s, dir) => {
+      val keys = Seq("event_type", "ubucket")
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 10).cast("int").as("ubucket"),
+          col("user_id").as("user"),
+          dayofmonth(col("ts")).as("day"))
+      val ins1 = ev.filter(col("day") <= 15).withColumn("op", lit(1))
+      val ins2 = ev.filter(col("day") > 15).withColumn("op", lit(1))
+      val dels = ev.filter(col("day") <= 10 || col("event_type") === "error")
+        .withColumn("op", lit(-1))
+      val st = Seq(ins2, dels).foldLeft(
+        Ivm.supportState(ins1, keys, "user", "op"))((acc, b) =>
+        Ivm.mergeSupportStates(acc, Ivm.supportState(b, keys, "user", "op"),
+          keys, "user").localCheckpoint(eager = false))
+      Ivm.distinctFromSupport(st, keys)
+        .select(col("event_type"), col("ubucket"), col("n_distinct"))
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12089,6 +12114,13 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
         |  CAST(min(date_part('day', ts)) AS INTEGER) AS min_day,
         |  CAST(max(date_part('day', ts)) AS INTEGER) AS max_day
+        |FROM events
+        |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_ivm_distinct" ->
+      """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS ubucket,
+        |  count(DISTINCT user_id) AS n_distinct
         |FROM events
         |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
         |GROUP BY 1, 2""".stripMargin,

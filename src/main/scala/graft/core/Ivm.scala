@@ -142,22 +142,40 @@ object Ivm {
       .agg(sum(col("support")).as("support"))
       .filter(col("support") =!= 0)
 
+  /** Positive-support reader with the loud negative-support check shared
+    * by every support-table view.
+    */
+  private def positiveSupport(state: DataFrame, what: String): DataFrame =
+    state
+      .withColumn("support",
+        when(col("support") < 0, raise_error(concat(
+          lit(s"Ivm.$what: negative support — a retraction " +
+            "arrived for a value never inserted; support="),
+          col("support").cast("string"))))
+          .otherwise(col("support")))
+      .filter(col("support") > 0)
+
   /** Current min/max per key off the support table — only values whose
     * support survived retraction count. This is why retracting the
     * current minimum is safe: the runner-up is still a row here.
     */
   def extremaFromSupport(state: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame =
-    state
-      .withColumn("support",
-        when(col("support") < 0, raise_error(concat(
-          lit("Ivm.extremaFromSupport: negative support — a retraction " +
-            "arrived for a value never inserted; support="),
-          col("support").cast("string"))))
-          .otherwise(col("support")))
-      .filter(col("support") > 0)
+    positiveSupport(state, "extremaFromSupport")
       .groupBy(keys.map(col): _*)
       .agg(min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Current per-key DISTINCT-value count off the support table — the
+    * textbook non-distributive aggregate IVM makes maintainable: the
+    * support rows ARE the distinct (key, value) pairs, so the live
+    * distinct count is one count of support > 0 rows. Retraction only
+    * removes a value when its LAST copy is retracted (support hits 0),
+    * which a scalar count could never know.
+    */
+  def distinctFromSupport(state: DataFrame, keys: Seq[String]): DataFrame =
+    positiveSupport(state, "distinctFromSupport")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
 
   /** Append-only join-view delta: the three new-match terms. Old states
     * appear once each, joined against a delta — with the state tables

@@ -107,6 +107,19 @@ class IvmSpec extends SparkTestBase {
       || e.getCause != null && e.getCause.getMessage.contains("negative support"))
   }
 
+  test("distinctFromSupport: a value leaves only when its LAST copy is retracted") {
+    val ins = Seq(("a", 7, 1), ("a", 7, 1), ("a", 9, 1)).toDF("k", "u", "op")
+    val del1 = Seq(("a", 7, -1)).toDF("k", "u", "op") // one of two copies
+    val st1 = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, keys, "u", "op"),
+      Ivm.supportState(del1, keys, "u", "op"), keys, "u")
+    assert(Ivm.distinctFromSupport(st1, keys).collect().map(_.getLong(1)).toSeq == Seq(2L))
+    val del2 = Seq(("a", 7, -1)).toDF("k", "u", "op") // the last copy
+    val st2 = Ivm.mergeSupportStates(
+      st1, Ivm.supportState(del2, keys, "u", "op"), keys, "u")
+    assert(Ivm.distinctFromSupport(st2, keys).collect().map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
   test("joinDelta: J_old ∪ ΔJ reproduces the full recomputed join") {
     val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "a")
     val aNew = Seq((2, "a3"), (3, "a4")).toDF("k", "a")
