@@ -6330,6 +6330,77 @@ object SparkEntry {
         .select(col("event_type"), col("ubucket"), col("n_distinct"))
     }),
 
+    // --- beyond-reference: feature-hashing vectorizer (hashing trick) ---
+    // Weinberger et al. 2009: token → bucket via hash, ± sign via a
+    // second hash bit, per-doc sparse vector = signed counts per bucket —
+    // the fixed-width featurizer that needs NO vocabulary table, so at
+    // 100 TB there is no dictionary build, no OOV, and the plan is one
+    // explode + one (doc, bucket) partial-combining agg, sparse
+    // end-to-end (never densified). The gate hashes per-doc integer
+    // invariants (nnz, squared norm, bucket-weighted checksum) — exact
+    // integer arithmetic, zero libm; the md5 bucket/sign replay in
+    // DuckDB via the established conv/substr idiom.
+    "q_feature_hash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(trim(col("text")), "\\s+"), _ =!= "")).as("tok"))
+      val h = md5(col("tok"))
+      val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % 64
+      val sgn = when(
+        conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L)
+      toks.select(col("doc_id"), bucket.as("bucket"), sgn.as("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn")).as("w"))
+        .filter(col("w") =!= 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_nonzero"),
+          sum(col("w") * col("w")).as("sq_norm"),
+          sum(col("bucket") * col("w")).as("checksum"))
+    }),
+
+    // --- beyond-reference: positional phrase search ----------------------
+    // Retrieval-engine phrase query: the corpus's top-3 trigram phrases
+    // (discovered in-query, so nothing is hard-coded against regenerating
+    // testdata) are located through a POSITIONAL POSTINGS probe — w1
+    // postings seed, w2/w3 postings pre-pruned by a broadcast term
+    // semi-join, then equi-joins on (doc, pos+1)/(doc, pos+2). At 100 TB
+    // the probe touches only the query terms' postings rows — never a
+    // text scan. The oracle counts the same phrases by shingle counting:
+    // two DIFFERENT algorithms that must agree exactly.
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // one tokenize pass feeds trigram discovery and the three probes
+      val posts = docs.select(col("doc_id"),
+        posexplode(filter(split(trim(col("text")), "\\s+"), _ =!= ""))
+          .as(Seq("pos", "tok")))
+        .localCheckpoint(eager = false)
+      val tri = docs
+        .select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(3)
+        .select(col("gram"),
+          split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"),
+          split(col("gram"), " ").getItem(2).as("w3"))
+      val probe = posts.join(broadcast(tri), col("tok") === col("w1"))
+        .select(col("gram"), col("w2"), col("w3"), col("doc_id"), col("pos"))
+      def pruned(wCol: String, d: String, q: String, tk: String) =
+        posts.join(broadcast(tri.select(col(wCol)).distinct()),
+            col("tok") === col(wCol), "leftsemi")
+          .select(col("doc_id").as(d), col("pos").as(q), col("tok").as(tk))
+      probe
+        .join(pruned("w2", "d2", "q2", "t2"),
+          col("d2") === col("doc_id") && col("q2") === col("pos") + 1 &&
+            col("t2") === col("w2"))
+        .join(pruned("w3", "d3", "q3", "t3"),
+          col("d3") === col("doc_id") && col("q3") === col("pos") + 2 &&
+            col("t3") === col("w3"))
+        .groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12124,6 +12195,44 @@ object SparkEntry {
         |FROM events
         |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS BIGINT) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+        |  FROM b GROUP BY 1, 2 HAVING sum(sgn) <> 0)
+        |SELECT doc_id, count(*) AS n_nonzero,
+        |  CAST(sum(w * w) AS BIGINT) AS sq_norm,
+        |  CAST(sum(bucket * w) AS BIGINT) AS checksum
+        |FROM w GROUP BY 1""".stripMargin,
+
+    // Phrase search: the oracle counts the top-3 trigrams by SHINGLE
+    // counting — a different algorithm than the engine's positional
+    // postings joins; exact agreement is the point.
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [] END) AS gram
+        |  FROM toks),
+        |top3 AS (SELECT gram, count(*) AS n FROM grams
+        |  GROUP BY 1 ORDER BY n DESC, gram LIMIT 3)
+        |SELECT g.gram, count(DISTINCT g.doc_id) AS n_docs, count(*) AS n_occ
+        |FROM grams g JOIN top3 USING (gram)
+        |GROUP BY 1""".stripMargin,
 
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
