@@ -111,6 +111,9 @@ object GraftExtensions {
     "graft_mg_entries" -> (es => MgEntries(es.head)),
     "graft_topk" -> (es => TopKAgg(
       Cast(es(0), DoubleType), Cast(es(1), LongType), constInt(es(2), "top-k size"))),
+    "graft_wordpiece" -> (es => WordPieceEncode(
+      es(0), constStringSeq(es(1), "piece inventory"),
+      constInt(es(2), "max piece length"))),
     "graft_topk_merge" -> (es => TopKMergeAgg(es.head)),
     "graft_topk_entries" -> (es => TopKEntries(es.head)),
   )

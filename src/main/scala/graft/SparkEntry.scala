@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Cleanup, Dedup, Ivm, Preference, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
 import graft.similarity.{Ann, KCenter, KMeans, MlpScore, Mmr, NearDup, RandomProjection, SemDeDup, SetSimJoin, SparseSim}
-import graft.text.{SubstringDedup, TextAnalysis}
+import graft.text.{SubstringDedup, TextAnalysis, WordPiece}
 
 /** Driver contract — one named query per implemented operator family from
   * SURVEY.md §2, each with a DuckDB-runnable oracle in [[SparkEntry.oracleSql]].
@@ -6401,6 +6401,35 @@ object SparkEntry {
           count(lit(1)).as("n_occ"))
     }),
 
+    // --- beyond-reference: WordPiece subword tokenizer ------------------
+    // Fit: exactly-64-piece inventory = every corpus character (totality)
+    // + top multi-char substrings by occurrences × length, ties
+    // lexicographic — all integer arithmetic, so the oracle re-derives
+    // the ENTIRE vocabulary exactly (no contract booleans).
+    "q_wordpiece_vocab" -> ((s, dir) =>
+      WordPiece.buildVocab(t(s, dir, "documents"), "text",
+        vocabSize = 64, maxPieceLen = 6)),
+
+    // Encode: greedy longest-match segmentation of every document against
+    // the fitted inventory — a broadcast-model codegen kernel, zero
+    // shuffles on the corpus side (the BERT-tokenizer inference shape).
+    // The oracle replays fit AND the greedy walk (recursive CTE) and
+    // must match the canonical segmentation string md5 per document —
+    // the strongest possible cross-engine check for a tokenizer.
+    "q_wordpiece_encode" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = WordPiece.buildVocab(t(s, dir, "documents"), "text",
+        vocabSize = 64, maxPieceLen = 6)
+        .select("piece").as[String].collect().toSeq.sorted
+      t(s, dir, "documents")
+        .select(col("doc_id"), WordPiece.encode(col("text"), vocab, 6).as("e"))
+        .select(col("doc_id"), col("e.n_words").as("n_words"),
+          col("e.n_pieces").as("n_pieces"), col("e.n_unk").as("n_unk"),
+          col("e.n_piece_chars").as("sum_piece_len"),
+          md5(col("e.seg")).as("seg_md5"))
+        .filter(col("n_words") > 0)
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12234,6 +12263,49 @@ object SparkEntry {
         |FROM grams g JOIN top3 USING (gram)
         |GROUP BY 1""".stripMargin,
 
+    // WordPiece: the oracle re-derives the full vocabulary (integer
+    // scores, lexicographic ties) — shared CTE block with the encode
+    // oracle, which additionally replays the greedy walk recursively.
+    "q_wordpiece_vocab" ->
+      s"""WITH $wordpieceVocabCtes
+         |SELECT piece, score FROM chars
+         |UNION ALL SELECT piece, score FROM multi""".stripMargin,
+
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordpieceVocabCtes,
+         |vocab AS (SELECT piece FROM chars UNION ALL SELECT piece FROM multi),
+         |dwords AS (SELECT DISTINCT w FROM words),
+         |walk AS (
+         |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS seg, 0 AS unk FROM dwords
+         |  UNION ALL
+         |  SELECT w, pos + l,
+         |    seg || CASE WHEN pos = 1 THEN '' ELSE chr(31) END ||
+         |      CASE WHEN hit THEN substr(w, pos, l) ELSE substr(w, pos, 1) END,
+         |    unk + CASE WHEN hit THEN 0 ELSE 1 END
+         |  FROM (
+         |    SELECT w, pos, seg, unk,
+         |      CASE WHEN substr(w, pos, 6) IN (SELECT piece FROM vocab WHERE len(piece) = 6) THEN 6
+         |           WHEN substr(w, pos, 5) IN (SELECT piece FROM vocab WHERE len(piece) = 5) THEN 5
+         |           WHEN substr(w, pos, 4) IN (SELECT piece FROM vocab WHERE len(piece) = 4) THEN 4
+         |           WHEN substr(w, pos, 3) IN (SELECT piece FROM vocab WHERE len(piece) = 3) THEN 3
+         |           WHEN substr(w, pos, 2) IN (SELECT piece FROM vocab WHERE len(piece) = 2) THEN 2
+         |           WHEN substr(w, pos, 1) IN (SELECT piece FROM vocab WHERE len(piece) = 1) THEN 1
+         |           ELSE 0 END AS ml
+         |    FROM walk WHERE pos <= len(w)) t(w, pos, seg, unk, ml),
+         |    LATERAL (SELECT CASE WHEN ml = 0 THEN 1 ELSE ml END AS l, ml > 0 AS hit) x
+         |),
+         |segw AS (SELECT w, seg, unk, len(string_split(seg, chr(31))) AS npieces
+         |  FROM walk WHERE pos = len(w) + 1),
+         |wpos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS wi FROM toks)
+         |SELECT p.doc_id,
+         |  count(*) AS n_words,
+         |  CAST(sum(s.npieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(s.unk) AS BIGINT) AS n_unk,
+         |  CAST(sum(len(replace(s.seg, chr(31), ''))) AS BIGINT) AS sum_piece_len,
+         |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
+         |FROM wpos p JOIN segw s USING (w)
+         |GROUP BY 1""".stripMargin,
+
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
     "q_topk_agg" ->
@@ -12253,6 +12325,32 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rank <= 8""".stripMargin,
   )
+
+  /** WordPiece fit as CTEs, shared by the q_wordpiece_vocab /
+    * q_wordpiece_encode oracles: token counts → substring explosion
+    * (every start × length ≤ 6, multiplicity included) → integer score =
+    * occurrences × length → all single chars + top multi-char pieces to
+    * a 64-piece inventory, ties lexicographic — mirrors
+    * [[graft.text.WordPiece.buildVocab]] decision for decision.
+    */
+  private val wordpieceVocabCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |words0 AS (SELECT unnest(t) AS w FROM toks),
+      |words AS (SELECT w, count(*) AS f FROM words0 GROUP BY 1),
+      |subs AS (
+      |  SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS piece, f
+      |  FROM words,
+      |    unnest(range(1, len(w) + 1)) AS ts(s),
+      |    unnest(range(1, least(6, len(w) - s + 1) + 1)) AS tl(l)),
+      |scored AS (SELECT piece, CAST(sum(f) * len(piece) AS BIGINT) AS score
+      |  FROM subs GROUP BY 1),
+      |chars AS (SELECT piece, score FROM scored WHERE len(piece) = 1),
+      |multi AS (SELECT piece, score FROM scored WHERE len(piece) > 1
+      |  QUALIFY row_number() OVER (ORDER BY score DESC, piece)
+      |    <= 64 - (SELECT count(*) FROM chars))""".stripMargin
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:
     * CTEs `e, c0, d0, p1..p7, c1..c7, d1..d7` (picks carry `cid, rad`).

@@ -188,6 +188,13 @@ object GraftFunctions {
   def topKEntries(state: Column): Column =
     GraftShim.toColumn(TopKEntries(GraftShim.toExpression(state)))
 
+  /** Greedy longest-match subword segmentation against a frozen piece
+    * inventory → struct<n_words,n_pieces,n_unk,n_piece_chars,seg> (see
+    * [[graft.text.WordPiece]]).
+    */
+  def wordpieceEncode(text: Column, pieces: Seq[String], maxLen: Int): Column =
+    GraftShim.toColumn(WordPieceEncode(GraftShim.toExpression(text), pieces, maxLen))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.
