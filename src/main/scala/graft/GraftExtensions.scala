@@ -22,11 +22,15 @@ import graft.functions._
   * same builders into an already-running session's function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder))
     }
+    // Library-level Catalyst rule: fuse the HOF token-count idiom into
+    // the one-pass kernel, plan-wide (see graft.plans.FuseTokenCount).
+    ext.injectOptimizerRule(_ => graft.plans.FuseTokenCount)
+  }
 }
 
 object GraftExtensions {
@@ -111,6 +115,7 @@ object GraftExtensions {
     "graft_mg_entries" -> (es => MgEntries(es.head)),
     "graft_topk" -> (es => TopKAgg(
       Cast(es(0), DoubleType), Cast(es(1), LongType), constInt(es(2), "top-k size"))),
+    "graft_token_count" -> (es => TokenCount(es.head)),
     "graft_wordpiece" -> (es => WordPieceEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constInt(es(2), "max piece length"))),

@@ -26,6 +26,9 @@ object ScaleBench {
     val reps = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      // the library extension: kernel SQL surface + the FuseTokenCount
+      // optimizer rule — the documented way to run the engine
+      .withExtensions(new GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

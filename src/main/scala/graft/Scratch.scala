@@ -16,6 +16,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
     val spark = SparkSession.builder()
+      // the library extension: kernel SQL surface + the FuseTokenCount
+      // optimizer rule — the documented way to run the engine
+      .withExtensions(new GraftExtensions())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,6 +79,21 @@ object Scratch {
     time("join: delta terms only (count)") {
       // append-only delta on one side: ΔA ⋈ B (B unchanged) — the daily term
       aDelta.join(broadcast(cust), Seq("c_custkey")).count()
+    }
+
+    // ----- FuseTokenCount kernel vs HOF chain -----
+    // the '\\s{1,}' regex dodges the rule, so this times the UNFUSED
+    // chain against the fused one on identical data
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).localCheckpoint()
+    println(s"[scratch] docs rows: ${docs.count()}")
+    time("token count: HOF chain (unfused)") {
+      docs.select(sum(size(filter(split(trim(col("text")), "\\s{1,}"),
+        _ =!= "")))).collect()
+    }
+    time("token count: fused kernel (rule-rewritten)") {
+      docs.select(sum(size(filter(split(trim(col("text")), "\\s+"),
+        _ =!= "")))).collect()
     }
     spark.stop()
   }
