@@ -6401,6 +6401,53 @@ object SparkEntry {
           count(lit(1)).as("n_occ"))
     }),
 
+    // --- beyond-reference: mergeable MinHash set signatures -------------
+    // Signatures as UNION-mergeable sketches: per-(source, shard) partial
+    // signatures (16 column-wise mins over md5-hashed shingles) merge by
+    // ELEMENTWISE MIN into the per-source corpus signature — min(h(A∪B))
+    // = min(min(h(A)), min(h(B))), the property that lets a standing
+    // corpus signature absorb a day's batch without rescanning history.
+    // Exact-replay twist on the xxhash64 production path (NearDup): md5
+    // hashes make every signature component, match count, AND the exact
+    // shingle-set Jaccard identically computable in DuckDB — the gate
+    // hashes the real values, no envelope booleans.
+    "q_minhash_union" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def h(i: Int): Column = conv(substring(
+        md5(concat(lit(s"${i}_"), col("sh"))), 1, 8), 16, 10).cast("long")
+      val sh = docs.select(col("source"), (col("doc_id") % 4).as("shard"),
+        explode(array_distinct(TextAnalysis.wordShingles(col("text"), 3))).as("sh"))
+        .localCheckpoint(eager = false) // feeds signatures AND exact sets
+      val sigAggs = (0 until 16).map(i => min(h(i)).as(s"sig$i"))
+      val partial = sh.groupBy("source", "shard").agg(sigAggs.head, sigAggs.tail: _*)
+      val mergeAggs = (0 until 16).map(i => min(col(s"sig$i")).as(s"sig$i"))
+      val merged = partial.groupBy("source").agg(mergeAggs.head, mergeAggs.tail: _*)
+      val sets = sh.select(col("source"), col("sh")).distinct()
+      val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sets.as("x").join(sets.as("y"),
+          col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L))
+        .reduceLeft(_ + _)
+      val pairs = merged.as("a")
+        .join(broadcast(merged.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          nMatch.as("n_match_sig"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("n_match_sig"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).as("n_union"),
+          (col("n_match_sig") / lit(16.0)).as("est_jaccard"),
+          (coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+            .as("jaccard"))
+    }),
+
     // --- beyond-reference: WordPiece subword tokenizer ------------------
     // Fit: exactly-64-piece inventory = every corpus character (totality)
     // + top multi-char substrings by occurrences × length, ties
@@ -12262,6 +12309,51 @@ object SparkEntry {
         |SELECT g.gram, count(DISTINCT g.doc_id) AS n_docs, count(*) AS n_occ
         |FROM grams g JOIN top3 USING (gram)
         |GROUP BY 1""".stripMargin,
+
+    "q_minhash_union" -> {
+      val sigP = (0 until 16).map(i =>
+        s"min(CAST('0x' || substr(md5('${i}_' || sh), 1, 8) AS BIGINT)) AS sig$i")
+        .mkString(",\n    ")
+      val sigM = (0 until 16).map(i => s"min(sig$i) AS sig$i").mkString(", ")
+      val matches = (0 until 16)
+        .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\\s+'),
+         |    x -> x <> '') AS t
+         |  FROM documents),
+         |hs AS (
+         |  SELECT source, doc_id % 4 AS shard, unnest(list_distinct(
+         |    CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END)) AS sh
+         |  FROM toks),
+         |partial AS (
+         |  SELECT source, shard,
+         |    $sigP
+         |  FROM hs GROUP BY 1, 2),
+         |merged AS (SELECT source, $sigM FROM partial GROUP BY 1),
+         |sets AS (SELECT DISTINCT source, sh FROM hs),
+         |sizes AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
+         |inter AS (
+         |  SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_inter
+         |  FROM sets x JOIN sets y ON x.sh = y.sh AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST($matches AS BIGINT) AS n_match_sig
+         |  FROM merged a JOIN merged b ON a.source < b.source)
+         |SELECT p.source_a, p.source_b, p.n_match_sig,
+         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+         |  p.n_match_sig / 16.0 AS est_jaccard,
+         |  CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |    / CAST(na.n + nb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN sizes na ON p.source_a = na.source
+         |JOIN sizes nb ON p.source_b = nb.source
+         |LEFT JOIN inter i ON p.source_a = i.source_a AND p.source_b = i.source_b""".stripMargin
+    },
 
     // WordPiece: the oracle re-derives the full vocabulary (integer
     // scores, lexicographic ties) — shared CTE block with the encode
