@@ -6477,6 +6477,27 @@ object SparkEntry {
         .filter(col("n_words") > 0)
     }),
 
+    // OOV: fit on the even half, encode the odd half with a Cyrillic
+    // suffix appended (the q_script_detect synthesis trick — the stored
+    // corpus is pure Latin, so unseen characters must be introduced
+    // in-query, identically in both engines). The unknown-character path
+    // fires for real: every encoded doc carries n_unk > 0, gate-hashed.
+    "q_wordpiece_oov" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vocab = WordPiece.buildVocab(docs.filter(col("doc_id") % 2 === 0),
+        "text", vocabSize = 64, maxPieceLen = 6)
+        .select("piece").as[String].collect().toSeq.sorted
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), WordPiece.encode(
+          concat(col("text"), lit(scriptSuffixes(1))), vocab, 6).as("e"))
+        .select(col("doc_id"), col("e.n_words").as("n_words"),
+          col("e.n_pieces").as("n_pieces"), col("e.n_unk").as("n_unk"),
+          col("e.n_piece_chars").as("sum_piece_len"),
+          md5(col("e.seg")).as("seg_md5"))
+        .filter(col("n_words") > 0)
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12359,44 +12380,17 @@ object SparkEntry {
     // scores, lexicographic ties) — shared CTE block with the encode
     // oracle, which additionally replays the greedy walk recursively.
     "q_wordpiece_vocab" ->
-      s"""WITH $wordpieceVocabCtes
+      s"""WITH ${wordpieceVocabCtes("TRUE")}
          |SELECT piece, score FROM chars
          |UNION ALL SELECT piece, score FROM multi""".stripMargin,
 
-    "q_wordpiece_encode" ->
-      s"""WITH RECURSIVE $wordpieceVocabCtes,
-         |vocab AS (SELECT piece FROM chars UNION ALL SELECT piece FROM multi),
-         |dwords AS (SELECT DISTINCT w FROM words),
-         |walk AS (
-         |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS seg, 0 AS unk FROM dwords
-         |  UNION ALL
-         |  SELECT w, pos + l,
-         |    seg || CASE WHEN pos = 1 THEN '' ELSE chr(31) END ||
-         |      CASE WHEN hit THEN substr(w, pos, l) ELSE substr(w, pos, 1) END,
-         |    unk + CASE WHEN hit THEN 0 ELSE 1 END
-         |  FROM (
-         |    SELECT w, pos, seg, unk,
-         |      CASE WHEN substr(w, pos, 6) IN (SELECT piece FROM vocab WHERE len(piece) = 6) THEN 6
-         |           WHEN substr(w, pos, 5) IN (SELECT piece FROM vocab WHERE len(piece) = 5) THEN 5
-         |           WHEN substr(w, pos, 4) IN (SELECT piece FROM vocab WHERE len(piece) = 4) THEN 4
-         |           WHEN substr(w, pos, 3) IN (SELECT piece FROM vocab WHERE len(piece) = 3) THEN 3
-         |           WHEN substr(w, pos, 2) IN (SELECT piece FROM vocab WHERE len(piece) = 2) THEN 2
-         |           WHEN substr(w, pos, 1) IN (SELECT piece FROM vocab WHERE len(piece) = 1) THEN 1
-         |           ELSE 0 END AS ml
-         |    FROM walk WHERE pos <= len(w)) t(w, pos, seg, unk, ml),
-         |    LATERAL (SELECT CASE WHEN ml = 0 THEN 1 ELSE ml END AS l, ml > 0 AS hit) x
-         |),
-         |segw AS (SELECT w, seg, unk, len(string_split(seg, chr(31))) AS npieces
-         |  FROM walk WHERE pos = len(w) + 1),
-         |wpos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS wi FROM toks)
-         |SELECT p.doc_id,
-         |  count(*) AS n_words,
-         |  CAST(sum(s.npieces) AS BIGINT) AS n_pieces,
-         |  CAST(sum(s.unk) AS BIGINT) AS n_unk,
-         |  CAST(sum(len(replace(s.seg, chr(31), ''))) AS BIGINT) AS sum_piece_len,
-         |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
-         |FROM wpos p JOIN segw s USING (w)
-         |GROUP BY 1""".stripMargin,
+    "q_wordpiece_encode" -> wordpieceEncodeSql("TRUE", "TRUE"),
+
+    // OOV path: fit on even docs, encode odd docs with the Cyrillic
+    // suffix appended in-query (identical synthesis both engines), so
+    // unknown characters actually fire and n_unk > 0 rows are gate-hashed.
+    "q_wordpiece_oov" -> wordpieceEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
+      s"text || '${scriptSuffixes(1)}'"),
 
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
@@ -12425,11 +12419,11 @@ object SparkEntry {
     * a 64-piece inventory, ties lexicographic — mirrors
     * [[graft.text.WordPiece.buildVocab]] decision for decision.
     */
-  private val wordpieceVocabCtes: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+  private def wordpieceVocabCtes(fitFilter: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
       |    x -> x <> '') AS t
-      |  FROM documents),
+      |  FROM documents WHERE $fitFilter),
       |words0 AS (SELECT unnest(t) AS w FROM toks),
       |words AS (SELECT w, count(*) AS f FROM words0 GROUP BY 1),
       |subs AS (
@@ -12443,6 +12437,52 @@ object SparkEntry {
       |multi AS (SELECT piece, score FROM scored WHERE len(piece) > 1
       |  QUALIFY row_number() OVER (ORDER BY score DESC, piece)
       |    <= 64 - (SELECT count(*) FROM chars))""".stripMargin
+
+  /** WordPiece encode oracle: fit the inventory on `fitFilter` docs,
+    * replay the greedy walk (recursive CTE) over the DISTINCT words of
+    * `encFilter` docs, reassemble per doc in word order, md5 the
+    * canonical segmentation. q_wordpiece_encode uses TRUE/TRUE;
+    * q_wordpiece_oov splits fit/encode so unknowns actually fire.
+    */
+  private def wordpieceEncodeSql(fitFilter: String, encFilter: String,
+      encText: String = "text"): String =
+    s"""WITH RECURSIVE ${wordpieceVocabCtes(fitFilter)},
+       |vocab AS (SELECT piece FROM chars UNION ALL SELECT piece FROM multi),
+       |etoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim($encText), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM documents WHERE $encFilter),
+       |dwords AS (SELECT DISTINCT unnest(t) AS w FROM etoks),
+       |walk AS (
+       |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS seg, 0 AS unk FROM dwords
+       |  UNION ALL
+       |  SELECT w, pos + l,
+       |    seg || CASE WHEN pos = 1 THEN '' ELSE chr(31) END ||
+       |      CASE WHEN hit THEN substr(w, pos, l) ELSE substr(w, pos, 1) END,
+       |    unk + CASE WHEN hit THEN 0 ELSE 1 END
+       |  FROM (
+       |    SELECT w, pos, seg, unk,
+       |      CASE WHEN substr(w, pos, 6) IN (SELECT piece FROM vocab WHERE len(piece) = 6) THEN 6
+       |           WHEN substr(w, pos, 5) IN (SELECT piece FROM vocab WHERE len(piece) = 5) THEN 5
+       |           WHEN substr(w, pos, 4) IN (SELECT piece FROM vocab WHERE len(piece) = 4) THEN 4
+       |           WHEN substr(w, pos, 3) IN (SELECT piece FROM vocab WHERE len(piece) = 3) THEN 3
+       |           WHEN substr(w, pos, 2) IN (SELECT piece FROM vocab WHERE len(piece) = 2) THEN 2
+       |           WHEN substr(w, pos, 1) IN (SELECT piece FROM vocab WHERE len(piece) = 1) THEN 1
+       |           ELSE 0 END AS ml
+       |    FROM walk WHERE pos <= len(w)) t(w, pos, seg, unk, ml),
+       |    LATERAL (SELECT CASE WHEN ml = 0 THEN 1 ELSE ml END AS l, ml > 0 AS hit) x
+       |),
+       |segw AS (SELECT w, seg, unk, len(string_split(seg, chr(31))) AS npieces
+       |  FROM walk WHERE pos = len(w) + 1),
+       |wpos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS wi FROM etoks)
+       |SELECT p.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(s.npieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(s.unk) AS BIGINT) AS n_unk,
+       |  CAST(sum(len(replace(s.seg, chr(31), ''))) AS BIGINT) AS sum_piece_len,
+       |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
+       |FROM wpos p JOIN segw s USING (w)
+       |GROUP BY 1""".stripMargin
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:
     * CTEs `e, c0, d0, p1..p7, c1..c7, d1..d7` (picks carry `cid, rad`).
