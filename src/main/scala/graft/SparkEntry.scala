@@ -6305,6 +6305,32 @@ object SparkEntry {
           col("min_v").as("min_day"), col("max_v").as("max_day"))
     }),
 
+    // Retraction THROUGH a join: a signed order changelog (insert all,
+    // then purge pre-1996 'F' orders — a retention delete) joins the
+    // customer dimension with its op intact, and the per-nation view
+    // folds as signed sums — deletes propagate through joins by
+    // multiplicity algebra (m_join = m_A · m_B), never by rescanning.
+    "q_ivm_join_retract" -> ((s, dir) => {
+      val keys = Seq("c_nationkey")
+      val orders = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"),
+        col("o_orderdate"), col("o_orderstatus"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val purgeCut = to_timestamp(lit("1996-01-01"))
+      val ins = orders.withColumn("op", lit(1))
+      val dels = orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderdate") < purgeCut)
+        .withColumn("op", lit(-1))
+      val st = Ivm.mergeSignedStates(
+        Ivm.signedAggState(ins.join(broadcast(cust), Seq("c_custkey")), keys, "v", "op"),
+        Ivm.signedAggState(dels.join(broadcast(cust), Seq("c_custkey")), keys, "v", "op"),
+        keys)
+      Ivm.finishSigned(st)
+        .select(col("c_nationkey"), col("n").as("n_orders"),
+          col("sum_v").cast("double").as("revenue"))
+    }),
+
     // COUNT DISTINCT under retraction — the textbook non-distributive
     // IVM case: the (key, user, support) table is the state that makes
     // it maintainable, because a user leaves the view only when their
@@ -12285,6 +12311,13 @@ object SparkEntry {
         |FROM events
         |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_ivm_join_retract" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "q_ivm_distinct" ->
       """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS ubucket,
