@@ -6546,6 +6546,35 @@ object SparkEntry {
           col("e.id").as("event_id"), col("e.v").as("value"))
     }),
 
+    // Standing leaderboard: the same top-k state folded INCREMENTALLY —
+    // three ten-day batches, each merge step persisted like a daily
+    // pipeline persists the standing state. Exactness of the state
+    // (order-free total order) means the fold must equal the one-shot
+    // window ranking bit-for-bit; maintenance cost is O(|delta| + k·keys)
+    // per day, never a history rescan.
+    "q_topk_incremental" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          dayofmonth(col("ts")).as("day"))
+      def stateOf(b: DataFrame) = b.groupBy("event_type")
+        .agg(GraftFunctions.topK(col("value"), col("event_id"), 5).as("st"))
+      val batches = Seq(
+        ev.filter(col("day") <= 10),
+        ev.filter(col("day") > 10 && col("day") <= 20),
+        ev.filter(col("day") > 20))
+      val state = batches.tail.foldLeft(stateOf(batches.head))((acc, b) =>
+        acc.unionByName(stateOf(b))
+          .groupBy("event_type")
+          .agg(GraftFunctions.topKMerge(col("st")).as("st"))
+          .localCheckpoint(eager = false))
+      state
+        .select(col("event_type"),
+          explode(GraftFunctions.topKEntries(col("st"))).as("e"))
+        .select(col("event_type"), col("e.rank").as("rank"),
+          col("e.id").as("event_id"), col("e.v").as("value"))
+    }),
+
     // Deterministic reservoir sample as the same aggregate: A-Res
     // (Efraimidis & Spiridakis 2006) with the randomness replaced by an
     // md5-uniform key, so the k-per-group sample is growth-stable,
@@ -12428,6 +12457,16 @@ object SparkEntry {
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
     "q_topk_agg" ->
+      """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL) t
+        |WHERE rank <= 5""".stripMargin,
+
+    // identical oracle to q_topk_agg: the incremental fold must land on
+    // the same exact ranking
+    "q_topk_incremental" ->
       """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
         |FROM (SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type

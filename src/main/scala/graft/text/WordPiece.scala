@@ -39,23 +39,29 @@ object WordPiece {
       transform(sequence(lit(1), least(lit(maxLen), length(w) - s + 1)), l =>
         w.substr(s, l))))
 
-  /** Fit: (piece, score) vocabulary of exactly `vocabSize` rows — every
-    * single character seen in the corpus (segmentation totality), plus
-    * the top multi-char substrings by score = occurrences × length,
-    * ties broken lexicographically. Runs two jobs (char count, then the
-    * plan) — the usual fit-API shape.
+  /** Corpus → (w, f) word-frequency table: the ONLY corpus-sized pass of
+    * the fit, and exactly the shape a standing word-count state table
+    * maintains (see [[vocabFromWordCounts]] and the continual-refit pin
+    * in StreamingSpec).
     */
-  def buildVocab(
-      docs: DataFrame,
-      textCol: String,
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(split(trim(col(textCol)), "\\s+"), _ =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Fit from a (w, f) word-count table — the vocabulary depends on the
+    * corpus ONLY through word frequencies, so a refit from an
+    * incrementally-maintained standing count state (Ivm / ivmAppender)
+    * is bit-identical to a full-corpus fit without rescanning history:
+    * the continual-tokenizer maintenance loop.
+    */
+  def vocabFromWordCounts(
+      words: DataFrame,
       vocabSize: Int = 64,
       maxPieceLen: Int = 6,
   ): DataFrame = {
     require(maxPieceLen >= 2 && maxPieceLen <= 16,
       s"maxPieceLen in [2,16], got $maxPieceLen")
-    val words = docs
-      .select(explode(filter(split(trim(col(textCol)), "\\s+"), _ =!= "")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
     val pieces = words
       .select(col("f"), explode(substrings(col("w"), maxPieceLen)).as("piece"))
       .groupBy("piece").agg(sum(col("f")).as("occ"))
@@ -71,6 +77,20 @@ object WordPiece {
       .limit(vocabSize - nChars)
     chars.unionByName(multi)
   }
+
+  /** Fit: (piece, score) vocabulary of exactly `vocabSize` rows — every
+    * single character seen in the corpus (segmentation totality), plus
+    * the top multi-char substrings by score = occurrences × length,
+    * ties broken lexicographically. Runs two jobs (char count, then the
+    * plan) — the usual fit-API shape.
+    */
+  def buildVocab(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int = 64,
+      maxPieceLen: Int = 6,
+  ): DataFrame =
+    vocabFromWordCounts(wordCounts(docs, textCol), vocabSize, maxPieceLen)
 
   /** Encode `text` against a frozen piece inventory: greedy longest
     * match per word; a character with no vocabulary entry is emitted as

@@ -682,6 +682,41 @@ class StreamingSpec extends SparkTestBase {
     assert(v0.exceptAll(p0).isEmpty && p0.exceptAll(v0).isEmpty)
   }
 
+  test("continual tokenizer: refit from ivmAppender word-count state == full-corpus fit") {
+    import graft.text.WordPiece
+    val dir = tmpDir("wpiv_in")
+    val statePath = tmpDir("wpiv_state")
+    val ckpt = tmpDir("wpiv_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+    parts(2).coalesce(1).write.mode("append").parquet(dir)
+
+    // standing word-count state: one IVM appender keyed on the word
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(explode(filter(split(trim($"text"), "\\s+"), _ =!= "")).as("w"))
+      .withColumn("v", lit(1).cast("decimal(18,6)"))
+    val q = DocsStream.ivmAppender(stream, statePath, ckpt,
+      keys = Seq("w"), valueCol = "v")
+    try q.processAllAvailable() finally q.stop()
+
+    // refit from the standing counts — NO corpus rescan — must equal the
+    // one-shot fit exactly (vocabulary is a function of word counts only)
+    val standingCounts = spark.read.parquet(s"$statePath/batch=2")
+      .select($"w", $"n".as("f"))
+    val refit = WordPiece.vocabFromWordCounts(standingCounts, 48, 6)
+      .as[(String, Long)].collect().toMap
+    val oneShot = WordPiece.buildVocab(corpus, "text", 48, 6)
+      .as[(String, Long)].collect().toMap
+    assert(refit == oneShot,
+      "refit from standing state must reproduce the full-corpus vocabulary")
+  }
+
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
     import graft.similarity.SemDeDup
     val tau = new java.math.BigDecimal("0.35")
