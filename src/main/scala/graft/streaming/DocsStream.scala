@@ -606,6 +606,32 @@ object DocsStream {
   def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.filter(!coalesce(TextAnalysis.containsValidPan(col(textCol)), lit(false)))
 
+  /** Stateless TOKENIZER-HEALTH gate: drop documents whose WordPiece
+    * unknown-piece rate exceeds `maxUnkPct` percent — the
+    * vocabulary/script-mismatch filter an ingest runs once a tokenizer
+    * is frozen (a doc the tokenizer can't cover degrades training).
+    * One greedy-kernel walk per doc ([[graft.functions.WordPieceEncode]],
+    * frozen inventory rides the codegen'd projection); the rate compare
+    * is exact integer arithmetic (n_unk·100 ≤ pct·n_pieces — no float
+    * thresholds). Survivors keep an `unk_pct_x100`-free schema: the gate
+    * is a pure filter, so stream ≡ batch by construction; StreamingSpec
+    * pins it on a mixed-script feed. Null-text docs drop (nothing to
+    * tokenize — same convention as the quality gates).
+    */
+  def unkRateGate(
+      docs: DataFrame,
+      pieces: Seq[String],
+      maxPieceLen: Int = 6,
+      maxUnkPct: Int = 10,
+      textCol: String = "text",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    val e = GraftFunctions.wordpieceEncode(col(textCol), pieces, maxPieceLen)
+    docs.filter(coalesce(
+      e.getField("n_unk") * 100 <= lit(maxUnkPct.toLong) * e.getField("n_pieces"),
+      lit(false)))
+  }
+
   /** Stateless BLOCKLIST gate: drop any document containing one of
     * `blocked` (case-insensitive), annotate survivors with the total hit
     * count across the watchlist — ONE Aho-Corasick walk per document

@@ -682,6 +682,45 @@ class StreamingSpec extends SparkTestBase {
     assert(v0.exceptAll(p0).isEmpty && p0.exceptAll(v0).isEmpty)
   }
 
+  test("unkRateGate: mixed-script feed filters identically streamed and batch") {
+    import graft.text.WordPiece
+    val dir = tmpDir("unk_in")
+    val outP = tmpDir("unk_out")
+    val ckpt = tmpDir("unk_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+      .filter(length(trim($"text")) > 0)
+    // odd docs get a Cyrillic tail the vocabulary never saw
+    val feed = base
+      .select($"doc_id",
+        when($"doc_id" % 2 === 1,
+          concat($"text", lit(" \u043f\u0440\u0438\u0432\u0435\u0442")))
+          .otherwise($"text").as("text"),
+        lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val vocab = WordPiece.buildVocab(base, "text", 64, 6)
+      .select("piece").as[String].collect().toSeq.sorted
+    val parts = (0 to 1).map(i => feed.filter($"doc_id" % 3 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.unkRateGate(stream, vocab, maxPieceLen = 6, maxUnkPct = 3)
+      .writeStream.format("parquet")
+      .option("path", outP).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    val batch = DocsStream.unkRateGate(
+      feed.filter($"doc_id" % 3 <= 1), vocab, maxPieceLen = 6, maxUnkPct = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.forall(_ % 2 == 0),
+      "suffixed (odd) docs must drop, clean (even) docs must survive")
+  }
+
   test("continual tokenizer: refit from ivmAppender word-count state == full-corpus fit") {
     import graft.text.WordPiece
     val dir = tmpDir("wpiv_in")
