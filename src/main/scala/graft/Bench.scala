@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    // Sketch queries (q_approx_stats, q_sketch_merge) carry exact
+    // Five sketch queries (q_sketch_intersect, q_approx_stats,
+    // q_sketch_merge, q_quantile_sketch, q_weighted_quantile — the full
+    // list, see BENCH.md "Benched vs verified plans") carry exact
     // contract columns that exist ONLY to satisfy the DuckDB oracle —
     // Bench times the approx path a user would run; Verify (no property)
-    // keeps the exact shape the oracle hash-compares.
-    System.setProperty("graft.bench.approxOnly", "true")
+    // keeps the exact shape the oracle hash-compares. Set
+    // SPARK_GRAFT_EXACT=1 to time the verified-exact shapes instead
+    // (used to produce the BENCH.md dual-plan table).
+    if (!sys.env.contains("SPARK_GRAFT_EXACT"))
+      System.setProperty("graft.bench.approxOnly", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

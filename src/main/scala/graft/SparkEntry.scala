@@ -5921,10 +5921,15 @@ object SparkEntry {
     // store ships beside PQ. The dim min/max model is 64 rows —
     // aggregated once, carried back as two in-row arrays on a broadcast
     // 1-row cross join — and the quantize + reconstruct + squared-error
-    // fold runs INSIDE the row (zip_with + aggregate over a decimal
+    // fold runs INSIDE the row (zip_with + aggregate over a LONG
     // accumulator): the corpus never shuffles; the label rollup moves 10
     // rows. Codes are reconstruction-centered (q + 0.5); a constant
-    // dimension quantizes to code 0 with zero error.
+    // dimension quantizes to code 0 with zero error. Each squared error
+    // quantizes to an exact micro-integer (floor(err·1e12) — IEEE double
+    // arithmetic then floor, identical on any engine) so every output
+    // column is BIGINT: wide decimals never reach the output schema
+    // (the r11 lesson — >18-precision decimal outputs render
+    // engine-dependently; see `GateLintSpec`).
     "q_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val stats = emb
@@ -5934,13 +5939,12 @@ object SparkEntry {
         .select(
           transform(col("st"), x => x.getField("mn").cast("double")).as("mns"),
           transform(col("st"), x => x.getField("mx").cast("double")).as("mxs"))
-      val zero = lit(BigDecimal(0)).cast("decimal(28,12)")
       def term(v: Column, mn: Column, mx: Column): Column = {
         val range = mx - mn
         val q = least(floor(((v - mn) / range) * lit(256.0)), lit(255.0))
         val recon = mn + (q + lit(0.5)) * range / lit(256.0)
-        when(range === lit(0.0), zero)
-          .otherwise(((v - recon) * (v - recon)).cast("decimal(28,12)"))
+        when(range === lit(0.0), lit(0L))
+          .otherwise(floor(((v - recon) * (v - recon)) * lit(1e12)))
       }
       emb.crossJoin(broadcast(stats))
         .select(col("vec_id"), col("label"),
@@ -5948,12 +5952,12 @@ object SparkEntry {
             zip_with(col("embedding").cast("array<double>"),
               arrays_zip(col("mns"), col("mxs")),
               (v, mm) => term(v, mm.getField("mns"), mm.getField("mxs"))),
-            zero,
-            (acc, x) => (acc + x).cast("decimal(28,12)")).as("sse"))
+            lit(0L),
+            (acc, x) => acc + x).as("sse_e12"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          sum(col("sse")).cast("decimal(38,12)").as("sse_total"),
-          max(col("sse")).as("sse_max"))
+          sum(col("sse_e12")).as("sse_total_e12"),
+          max(col("sse_e12")).as("sse_max_e12"))
     }),
 
     // --- beyond-reference: order-free table content digest ---------------
@@ -5987,11 +5991,15 @@ object SparkEntry {
       // The 48-bit row hashes sum through decimal(38,0): a bigint
       // accumulator would overflow silently past ~3×10^4 billion rows;
       // decimal is exact at any table size and hash-identical to
-      // DuckDB's hugeint sum.
+      // DuckDB's hugeint sum. The OUTPUT then folds mod 2^53 back to
+      // BIGINT — still an order-free content digest (commutative sum mod
+      // a constant), but wide decimals never reach the output schema
+      // (the r11 lesson; see `GateLintSpec`).
       parts.reduce(_ unionByName _)
         .groupBy("tbl")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast("decimal(38,0)")).as("digest"))
+          (sum(col("h").cast("decimal(38,0)")) % lit(9007199254740992L))
+            .cast("long").as("digest"))
     }),
 
     // --- beyond-reference: readability scoring (Flesch reading ease) -----
@@ -6012,19 +6020,22 @@ object SparkEntry {
           greatest(runs(col("text"), "[.!?]+"), lit(1.0)).as("sents"),
           runs(low, "[aeiouy]+").as("sylls"))
         // Both denominators clamp to 1 (empty docs would put NaN through
-        // the formula — Spark's decimal cast nulls it silently while
-        // DuckDB's VARCHAR→DECIMAL chain hard-errors: divergent failure
-        // modes, so neither may occur). sum_words stays UNclamped.
-        .withColumn("flesch",
-          (lit(206.835) -
+        // the formula). sum_words stays UNclamped. The per-doc score
+        // quantizes to micro-units via floor(flesch·1e6) — IEEE double
+        // arithmetic then floor is engine-identical and the sum is an
+        // exact order-free BIGINT, with no double→decimal repr hop and
+        // no wide-decimal output column (the r11 lesson; see
+        // `GateLintSpec`).
+        .withColumn("flesch_micro",
+          floor((lit(206.835) -
             lit(1.015) * (greatest(col("words"), lit(1.0)) / col("sents")) -
             lit(84.6) * (col("sylls") / greatest(col("words"), lit(1.0))))
-            .cast("decimal(28,12)"))
+            * lit(1e6)))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("words").cast("decimal(18,0)")).as("sum_words"),
-          sum(col("sylls").cast("decimal(18,0)")).as("sum_sylls"),
-          sum(col("flesch")).cast("decimal(38,12)").as("sum_flesch"))
+          sum(col("words").cast("long")).as("sum_words"),
+          sum(col("sylls").cast("long")).as("sum_sylls"),
+          sum(col("flesch_micro")).as("sum_flesch_micro"))
     }),
 
     // --- beyond-reference: mergeable deterministic quantile sketch -------
@@ -12138,8 +12149,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     // Same affine quantizer, term-for-term: double arithmetic is IEEE-
-    // identical, each squared error quantizes through decimal(28,12)
-    // BEFORE the order-free sums.
+    // identical, each squared error quantizes to an exact micro-integer
+    // (floor(err·1e12)) BEFORE the order-free BIGINT sums.
     "q_sq8" ->
       """WITH x AS (SELECT vec_id, label,
         |    CAST(generate_subscripts(embedding, 1) AS INT) AS d,
@@ -12152,18 +12163,19 @@ object SparkEntry {
         |    END AS qc
         |  FROM x JOIN dim USING (d)),
         |tm AS (SELECT vec_id, label,
-        |    CASE WHEN mx = mn THEN CAST(0 AS DECIMAL(28,12))
-        |      ELSE CAST((v - (mn + (qc + 0.5) * (mx - mn) / 256.0))
+        |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((v - (mn + (qc + 0.5) * (mx - mn) / 256.0))
         |               * (v - (mn + (qc + 0.5) * (mx - mn) / 256.0))
-        |           AS DECIMAL(28,12))
+        |               * 1e12)
+        |           AS BIGINT)
         |    END AS term
         |  FROM q),
         |pv AS (SELECT vec_id, label,
-        |    CAST(sum(term) AS DECIMAL(28,12)) AS sse
+        |    CAST(sum(term) AS BIGINT) AS sse_e12
         |  FROM tm GROUP BY 1, 2)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-        |  CAST(sum(sse) AS DECIMAL(38,12)) AS sse_total,
-        |  max(sse) AS sse_max
+        |  CAST(sum(sse_e12) AS BIGINT) AS sse_total_e12,
+        |  max(sse_e12) AS sse_max_e12
         |FROM pv GROUP BY 1""".stripMargin,
 
     // Identical row serialization ('|' joins, decimal(18,2) before any
@@ -12190,16 +12202,14 @@ object SparkEntry {
         |      1, 12) AS BIGINT)
         |  FROM supplier)
         |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(h) AS DECIMAL(38,0)) AS digest
+        |  CAST(sum(h) % 9007199254740992 AS BIGINT) AS digest
         |FROM rows_ GROUP BY 1""".stripMargin,
 
     // The run-counting identity len(replace(p,'X')) − len(remove(p)),
     // symbol-for-symbol; sentence-less docs clamp to 1. The flesch
-    // double quantizes through VARCHAR: Spark's double→decimal Cast
-    // rounds the SHORTEST-REPR string (BigDecimal.valueOf), not the
-    // exact binary expansion — DuckDB's double→VARCHAR→DECIMAL chain is
-    // the semantics-identical mirror (a direct double→DECIMAL cast
-    // rounds the binary value and drifts one ulp on repr-boundary rows).
+    // double quantizes via floor(flesch·1e6): IEEE double arithmetic
+    // then floor, engine-identical, summed as exact BIGINT — no
+    // double→VARCHAR repr hop, no wide-decimal output.
     "q_readability" ->
       """WITH d AS (SELECT source,
         |    CAST(length(regexp_replace(text, '\S+', 'X', 'g'))
@@ -12210,14 +12220,14 @@ object SparkEntry {
         |       - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS DOUBLE) AS sylls
         |  FROM documents),
         |f AS (SELECT source, words, sylls,
-        |    CAST(CAST(206.835 - 1.015 * (greatest(words, 1.0) / sents)
-        |                      - 84.6 * (sylls / greatest(words, 1.0))
-        |      AS VARCHAR) AS DECIMAL(28,12)) AS flesch
+        |    CAST(floor((206.835 - 1.015 * (greatest(words, 1.0) / sents)
+        |                        - 84.6 * (sylls / greatest(words, 1.0)))
+        |               * 1e6) AS BIGINT) AS flesch_micro
         |  FROM d)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CAST(words AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS sum_words,
-        |  CAST(sum(CAST(sylls AS DECIMAL(18,0))) AS DECIMAL(28,0)) AS sum_sylls,
-        |  CAST(sum(flesch) AS DECIMAL(38,12)) AS sum_flesch
+        |  CAST(sum(CAST(words AS BIGINT)) AS BIGINT) AS sum_words,
+        |  CAST(sum(CAST(sylls AS BIGINT)) AS BIGINT) AS sum_sylls,
+        |  CAST(sum(flesch_micro) AS BIGINT) AS sum_flesch_micro
         |FROM f GROUP BY 1""".stripMargin,
 
     // Contract oracle: exact n/n_months; the 2%-rank-error envelope is
@@ -12316,7 +12326,11 @@ object SparkEntry {
     // view from persisted state + delta algebra, DuckDB scans everything
     // once — hash equality proves the maintenance is exact, not
     // approximately right. Decimal casts mirror Spark's double→decimal
-    // (shortest-repr VARCHAR hop, see q_readability).
+    // Cast, which rounds the SHORTEST-REPR string (BigDecimal.valueOf):
+    // DuckDB's double→VARCHAR→DECIMAL chain is the semantics-identical
+    // mirror (a direct double→DECIMAL cast rounds the binary expansion
+    // and drifts one ulp on repr-boundary rows). These decimals stay
+    // INTERNAL (≤18 precision where they do surface; see GateLintSpec).
     "q_ivm_agg" ->
       """SELECT event_type, CAST(user_id % 10 AS INTEGER) AS ubucket,
         |  count(*) AS n,

@@ -88,7 +88,14 @@ final class MgSummary(val k: Int) extends Serializable {
     out.writeInt(k)
     out.writeLong(n)
     out.writeInt(counts.size)
-    counts.forEach { (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // Length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 encoded bytes, and whitespace
+    // tokens in noisy web corpora can exceed that — a crash at
+    // serialization time, long after the offending insert.
+    counts.forEach { (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +108,13 @@ object MgSummary {
     mg.n = in.readLong()
     val size = in.readInt()
     var i = 0
-    while (i < size) { mg.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      mg.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     mg
   }
 

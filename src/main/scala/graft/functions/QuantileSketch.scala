@@ -195,6 +195,10 @@ object MrlSketch {
 
   /** Static entry for generated code: quantiles of a serialized sketch. */
   def quantilesOf(bytes: Array[Byte], fractions: Array[Double]): ArrayData = {
+    // Zero-length bytes → null, matching MgEntries/TopKEntries: a
+    // persisted empty merge-agg buffer or user-stored empty binary must
+    // probe to null, not EOFException mid-deserialize.
+    if (bytes == null || bytes.isEmpty) return null
     val sk = deserialize(bytes)
     if (sk.count == 0L) null
     else ArrayData.toArrayData(fractions.map(sk.quantile))

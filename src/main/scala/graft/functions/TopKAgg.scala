@@ -85,10 +85,31 @@ final class TopKState(val k: Int) extends Serializable {
     }
   }
 
+  /** (v,id) already kept? O(k) linear probe — k is small by contract,
+    * and the check only runs on the merge path (per-row inserts are
+    * distinct by construction of the id).
+    */
+  private def contains(v: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < size) {
+      if (ids(i) == id && java.lang.Double.compare(vs(i), v) == 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Merge is a set union, not a multiset fold: a (v,id) pair present in
+    * both states inserts once, so folding overlapping or replayed states
+    * (standing-index maintenance re-delivering a shard) cannot
+    * double-count an entry and evict a genuinely distinct one.
+    */
   def merge(o: TopKState): TopKState = {
     require(o.k == k, s"TopKState.merge: k mismatch ($k vs ${o.k})")
     var i = 0
-    while (i < o.size) { insert(o.vs(i), o.ids(i)); i += 1 }
+    while (i < o.size) {
+      if (!contains(o.vs(i), o.ids(i))) insert(o.vs(i), o.ids(i))
+      i += 1
+    }
     this
   }
 

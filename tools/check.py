@@ -7,12 +7,73 @@ Usage: python3 tools/check.py <sfDir> <outDir>
      over the sfDir parquet tables
   3. compares rows (sorted by all columns, columns sorted by name) against
      the Spark parquet dump — exact equality, like the driver's hash check
+  4. REPR pass (r11 lesson): reads the Spark parquet AGAIN via
+     pyarrow→pandas (python objects, no DuckDB coercion) and diffs value
+     REPRS against the DuckDB pandas fetch. The value-level compare in
+     step 3 reads BOTH sides through DuckDB, so it is blind to read-path
+     render divergence — r11's three hash-red queries (q_readability,
+     q_sq8, q_table_digest) were value-identical but emitted
+     decimal(38,x) columns that pyarrow renders as decimal.Decimal while
+     DuckDB's pandas fetch coerces to float64. This pass flags that
+     class before the driver does.
 """
 import json
 import math
 import sys
 
 import duckdb
+
+try:
+    import pyarrow.parquet as _pq
+except Exception:  # pragma: no cover - pyarrow is present on the driver
+    _pq = None
+
+
+def _pyobj(v):
+    """numpy scalar → python scalar; leave Decimal/str/bytes/None as-is.
+    Dates normalize to ISO strings: DuckDB's pandas fetch promotes DATE
+    to midnight Timestamp while pyarrow keeps datetime.date — a dtype
+    artifact the driver's comparator also normalizes (r11's 5 date-typed
+    queries were green), not a render divergence."""
+    import datetime
+    if hasattr(v, "item") and type(v).__module__.startswith("numpy"):
+        v = v.item()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def repr_divergence(name, duck_df, spark_glob):
+    """Return a message if the two read paths RENDER the (row/schema/
+    value-identical) result differently — None when reprs agree."""
+    if _pq is None:
+        return None
+    import glob as _glob
+    frames = [_pq.read_table(f).to_pandas() for f in sorted(_glob.glob(spark_glob))]
+    import pandas as pd
+    pa_df = pd.concat(frames, ignore_index=True) if frames else None
+    if pa_df is None:
+        return f"{name}: no spark parquet files for repr pass"
+    cols = sorted(duck_df.columns)
+    if sorted(pa_df.columns) != cols:
+        return f"{name}: repr pass column mismatch"
+    a = sorted((tuple(_pyobj(v) for v in r)
+                for r in duck_df[cols].itertuples(index=False)), key=repr)
+    b = sorted((tuple(_pyobj(v) for v in r)
+                for r in pa_df[cols].itertuples(index=False)), key=repr)
+    bad = [(x, y) for x, y in zip(a, b) if repr(x) != repr(y)]
+    if len(a) != len(b):
+        return f"{name}: repr pass row count differ"
+    if bad:
+        return (f"{name}: {len(bad)} repr-divergent rows (duckdb-fetch vs "
+                f"pyarrow read of the SAME values); first: duckdb={bad[0][0]!r} "
+                f"pyarrow={bad[0][1]!r} — wide decimal / engine-specific "
+                f"float render in the output schema?")
+    return None
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -119,6 +180,13 @@ def main(sf_dir, out_dir):
         bad = [(a, b) for a, b in zip(w, g) if repr(a) != repr(b)]
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: oracle={bad[0][0]} spark={bad[0][1]}")
+            n_fail += 1
+            continue
+        # Values agree through DuckDB — now prove the two READ PATHS
+        # render them identically (the driver hashes renders, not values).
+        div = repr_divergence(name, got, f"{out_dir}/{name}/*.parquet")
+        if div:
+            print(f"FAIL {div}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(w)} rows)")
