@@ -6459,7 +6459,19 @@ object SparkEntry {
       val partial = sh.groupBy("source", "shard").agg(sigAggs.head, sigAggs.tail: _*)
       val mergeAggs = (0 until 16).map(i => min(col(s"sig$i")).as(s"sig$i"))
       val merged = partial.groupBy("source").agg(mergeAggs.head, mergeAggs.tail: _*)
-      val sets = sh.select(col("source"), col("sh")).distinct()
+      // Exact-verification side: Jaccard over the df-CAPPED shingle
+      // universe (source-df ≤ 64, mirrored in the oracle). At 20 sources
+      // the cap cannot bind, so the value IS the true Jaccard; at corpus
+      // scale it bounds the shingle self-join below to ≤ C(64,2) pairs
+      // per shingle — the prefix-filter treatment the PPJoin path
+      // already applies, without which one corpus-universal shingle
+      // multiplies by S². The production signature path above is
+      // UNcapped and never self-joins.
+      val setsAll = sh.select(col("source"), col("sh")).distinct()
+      val sets = setsAll.join(
+        setsAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64).select("sh"),
+        Seq("sh"), "leftsemi")
       val sizes = sets.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = sets.as("x").join(sets.as("y"),
           col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
@@ -12430,7 +12442,11 @@ object SparkEntry {
          |    $sigP
          |  FROM hs GROUP BY 1, 2),
          |merged AS (SELECT source, $sigM FROM partial GROUP BY 1),
-         |sets AS (SELECT DISTINCT source, sh FROM hs),
+         |sets0 AS (SELECT DISTINCT source, sh FROM hs),
+         |sets AS (
+         |  SELECT s.source, s.sh FROM sets0 s
+         |  JOIN (SELECT sh FROM sets0 GROUP BY sh HAVING count(*) <= 64) r
+         |  ON s.sh = r.sh),
          |sizes AS (SELECT source, count(*) AS n FROM sets GROUP BY 1),
          |inter AS (
          |  SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_inter
