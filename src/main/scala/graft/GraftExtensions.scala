@@ -64,6 +64,12 @@ object GraftExtensions {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toDoubleArray().toSeq
   }
+  private def constLongSeq(e: Expression, what: String): Seq[Long] = {
+    require(e.foldable, s"$what must be a constant array")
+    Cast(e, ArrayType(LongType)).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
 
   /** Name → expression builder for every kernel. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -119,6 +125,10 @@ object GraftExtensions {
     "graft_wordpiece" -> (es => WordPieceEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constInt(es(2), "max piece length"))),
+    "graft_unigram" -> (es => UnigramEncode(
+      es(0), constStringSeq(es(1), "piece inventory"),
+      constLongSeq(es(2), "piece log-probs (micro-nats)"),
+      constInt(es(3), "max piece length"))),
     "graft_topk_merge" -> (es => TopKMergeAgg(es.head)),
     "graft_topk_entries" -> (es => TopKEntries(es.head)),
   )

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{Cleanup, Dedup, Ivm, Preference, Rank, Readers, Reshape, Scd, Stats, Union}
 import graft.graph.PageRank
 import graft.similarity.{Ann, KCenter, KMeans, MlpScore, Mmr, NearDup, RandomProjection, SemDeDup, SetSimJoin, SparseSim}
-import graft.text.{SubstringDedup, TextAnalysis, WordPiece}
+import graft.text.{SubstringDedup, TextAnalysis, Unigram, WordPiece}
 
 /** Driver contract — one named query per implemented operator family from
   * SURVEY.md §2, each with a DuckDB-runnable oracle in [[SparkEntry.oracleSql]].
@@ -6547,6 +6547,57 @@ object SparkEntry {
         .filter(col("n_words") > 0)
     }),
 
+    // --- beyond-reference: unigram-LM (SentencePiece) tokenizer ---------
+    // The third tokenizer family: same deterministic piece inventory as
+    // WordPiece, but pieces carry integer micro-nat log-probs and encode
+    // is VITERBI max-probability segmentation (Kudo 2018) — globally
+    // optimal per word where WordPiece is greedy. ln fires once per
+    // vocabulary piece then quantizes (floor(1e6·ln)), so the DP is pure
+    // BIGINT arithmetic and the oracle replays fit + forward DP +
+    // backward path reconstruction EXACTLY (two recursive CTEs, the
+    // canonical path = shortest last piece achieving dp[i]).
+    "q_unigram_vocab" -> ((s, dir) =>
+      Unigram.buildVocab(t(s, dir, "documents"), "text",
+        vocabSize = 64, maxPieceLen = 6)),
+
+    // Encode: broadcast-model codegen kernel, zero corpus shuffles (the
+    // same scan-side-projection tier as WordPiece/BPE apply). Per-doc
+    // md5 of the canonical segmentation + the exact integer Viterbi
+    // score total — the DP's optimality is hash-checked, not sampled.
+    "q_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val model = Unigram.buildVocab(t(s, dir, "documents"), "text",
+        vocabSize = 64, maxPieceLen = 6)
+        .select("piece", "lp").as[(String, Long)].collect().toSeq.sortBy(_._1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), Unigram.encode(col("text"), model, 6).as("e"))
+        .select(col("doc_id"), col("e.n_words").as("n_words"),
+          col("e.n_pieces").as("n_pieces"), col("e.n_unk").as("n_unk"),
+          col("e.score_total").as("score_total"),
+          md5(col("e.seg")).as("seg_md5"))
+        .filter(col("n_words") > 0)
+    }),
+
+    // OOV: fit on the even half, encode the odd half with the Cyrillic
+    // suffix (q_wordpiece_oov's in-query synthesis) — unknown characters
+    // take the derived unk penalty (min vocab lp − 1e6) inside the DP,
+    // and n_unk > 0 rows are gate-hashed.
+    "q_unigram_oov" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val model = Unigram.buildVocab(docs.filter(col("doc_id") % 2 === 0),
+        "text", vocabSize = 64, maxPieceLen = 6)
+        .select("piece", "lp").as[(String, Long)].collect().toSeq.sortBy(_._1)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), Unigram.encode(
+          concat(col("text"), lit(scriptSuffixes(1))), model, 6).as("e"))
+        .select(col("doc_id"), col("e.n_words").as("n_words"),
+          col("e.n_pieces").as("n_pieces"), col("e.n_unk").as("n_unk"),
+          col("e.score_total").as("score_total"),
+          md5(col("e.seg")).as("seg_md5"))
+        .filter(col("n_words") > 0)
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12484,6 +12535,21 @@ object SparkEntry {
     "q_wordpiece_oov" -> wordpieceEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
       s"text || '${scriptSuffixes(1)}'"),
 
+    // Unigram-LM: the oracle re-derives the full (piece, micro-nat
+    // log-prob) model — ln fires on exact BIGINT ratios and quantizes
+    // immediately, so the model rows hash-compare directly.
+    "q_unigram_vocab" ->
+      s"""WITH ${unigramVocabCtes("TRUE")}
+         |SELECT piece, lp FROM uvocab""".stripMargin,
+
+    // Full Viterbi replay: forward DP + backward canonical path, per-doc
+    // segmentation md5 AND the exact optimal integer score — the
+    // strongest cross-engine check a DP tokenizer can get.
+    "q_unigram_encode" -> unigramEncodeSql("TRUE", "TRUE"),
+
+    "q_unigram_oov" -> unigramEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
+      s"text || '${scriptSuffixes(1)}'"),
+
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
     "q_topk_agg" ->
@@ -12584,6 +12650,98 @@ object SparkEntry {
        |  CAST(sum(len(replace(s.seg, chr(31), ''))) AS BIGINT) AS sum_piece_len,
        |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
        |FROM wpos p JOIN segw s USING (w)
+       |GROUP BY 1""".stripMargin
+
+  /** Unigram-LM fit CTEs: the WordPiece inventory selection carrying
+    * occurrence counts, then micro-nat log-probs floor(1e6·ln(occ/Σocc))
+    * normalized over the selected vocabulary, the derived unknown
+    * penalty (min lp − 1e6), and the piece→lp lookup map the Viterbi
+    * CTEs probe. Shares nothing with wordpieceVocabCtes textually so
+    * the two can appear in one statement if ever needed.
+    */
+  private def unigramVocabCtes(fitFilter: String): String =
+    s"""utoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents WHERE $fitFilter),
+      |uwords0 AS (SELECT unnest(t) AS w FROM utoks),
+      |uwords AS (SELECT w, count(*) AS f FROM uwords0 GROUP BY 1),
+      |usubs AS (
+      |  SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS piece, f
+      |  FROM uwords,
+      |    unnest(range(1, len(w) + 1)) AS ts(s),
+      |    unnest(range(1, least(6, len(w) - s + 1) + 1)) AS tl(l)),
+      |uscored AS (SELECT piece, CAST(sum(f) AS BIGINT) AS occ,
+      |  CAST(sum(f) * len(piece) AS BIGINT) AS score FROM usubs GROUP BY 1),
+      |uchars AS (SELECT piece, occ FROM uscored WHERE len(piece) = 1),
+      |umulti AS (SELECT piece, occ FROM uscored WHERE len(piece) > 1
+      |  QUALIFY row_number() OVER (ORDER BY score DESC, piece)
+      |    <= 64 - (SELECT count(*) FROM uchars)),
+      |uvoc AS (SELECT piece, occ FROM uchars UNION ALL SELECT piece, occ FROM umulti),
+      |utot AS (SELECT CAST(sum(occ) AS DOUBLE) AS t FROM uvoc),
+      |uvocab AS (SELECT piece,
+      |  CAST(floor(1e6 * ln(CAST(occ AS DOUBLE) / t)) AS BIGINT) AS lp
+      |  FROM uvoc, utot),
+      |uunk AS (SELECT min(lp) - 1000000 AS ulp FROM uvocab),
+      |vmapt AS (SELECT map(list(piece ORDER BY piece),
+      |  list(lp ORDER BY piece)) AS vm FROM uvocab)""".stripMargin
+
+  /** Unigram encode oracle: fit on `fitFilter` docs, then per DISTINCT
+    * word of `encFilter` docs run the forward Viterbi DP (recursive CTE
+    * carrying the dp prefix as a BIGINT list) and the backward canonical
+    * path reconstruction (second recursive CTE, shortest last piece
+    * achieving dp[i]), reassemble per doc in word order, md5 the
+    * segmentation — the DP twin of wordpieceEncodeSql's greedy walk.
+    */
+  private def unigramEncodeSql(fitFilter: String, encFilter: String,
+      encText: String = "text"): String =
+    s"""WITH RECURSIVE ${unigramVocabCtes(fitFilter)},
+       |etoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim($encText), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM documents WHERE $encFilter),
+       |dwords AS (SELECT DISTINCT unnest(t) AS w FROM etoks),
+       |vit AS (
+       |  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM dwords
+       |  UNION ALL
+       |  SELECT w, i + 1, list_append(dp, (
+       |    SELECT max(dp[j + 1] + CASE
+       |        WHEN len(map_extract(vm, substr(w, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT)))) > 0
+       |          THEN map_extract(vm, substr(w, CAST(j + 1 AS INT), CAST(i + 1 - j AS INT)))[1]
+       |        WHEN i = j THEN ulp
+       |        ELSE NULL END)
+       |    FROM unnest(range(greatest(0, i + 1 - 6), i + 1)) AS tj(j)))
+       |  FROM vit, vmapt, uunk WHERE i < len(w)),
+       |vfin AS (SELECT w, dp FROM vit WHERE i = len(w)),
+       |bwalk AS (
+       |  SELECT w, dp, vm, ulp, len(w) AS i, CAST('' AS VARCHAR) AS seg,
+       |    0 AS np, 0 AS unk
+       |  FROM vfin, vmapt, uunk
+       |  UNION ALL
+       |  SELECT w, dp, vm, ulp, i - l,
+       |    substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)) ||
+       |      CASE WHEN seg = '' THEN '' ELSE chr(31) END || seg,
+       |    np + 1,
+       |    unk + CASE WHEN len(map_extract(vm,
+       |      substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)))) > 0 THEN 0 ELSE 1 END
+       |  FROM (
+       |    SELECT w, dp, vm, ulp, i, seg, np, unk,
+       |      (SELECT min(l) FROM unnest(range(1, least(6, i) + 1)) AS tl(l)
+       |       WHERE dp[CAST(i - l + 1 AS INT)] + CASE
+       |           WHEN len(map_extract(vm, substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)))) > 0
+       |             THEN map_extract(vm, substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)))[1]
+       |           WHEN l = 1 THEN ulp ELSE NULL END = dp[CAST(i + 1 AS INT)]) AS l
+       |    FROM bwalk WHERE i > 0) t),
+       |useg AS (SELECT w, seg, np, unk FROM bwalk WHERE i = 0),
+       |wsc AS (SELECT w, dp[CAST(len(w) + 1 AS INT)] AS sc FROM vfin),
+       |uwpos AS (SELECT doc_id, unnest(t) AS w,
+       |  unnest(range(1, len(t) + 1)) AS wi FROM etoks)
+       |SELECT p.doc_id, count(*) AS n_words,
+       |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(s.unk) AS BIGINT) AS n_unk,
+       |  CAST(sum(f.sc) AS BIGINT) AS score_total,
+       |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
+       |FROM uwpos p JOIN useg s USING (w) JOIN wsc f USING (w)
        |GROUP BY 1""".stripMargin
 
   /** Generated k-center rounds shared by the q_kcenter / q_knee oracles:

@@ -195,6 +195,14 @@ object GraftFunctions {
   def wordpieceEncode(text: Column, pieces: Seq[String], maxLen: Int): Column =
     GraftShim.toColumn(WordPieceEncode(GraftShim.toExpression(text), pieces, maxLen))
 
+  /** Viterbi unigram-LM segmentation against a frozen (piece, micro-nat
+    * log-prob) model → struct<n_words,n_pieces,n_unk,score_total,seg>
+    * (see [[graft.text.Unigram]]).
+    */
+  def unigramEncode(text: Column, model: Seq[(String, Long)], maxLen: Int): Column =
+    GraftShim.toColumn(UnigramEncode(GraftShim.toExpression(text),
+      model.map(_._1), model.map(_._2), maxLen))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.

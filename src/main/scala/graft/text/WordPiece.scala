@@ -55,17 +55,27 @@ object WordPiece {
     * is bit-identical to a full-corpus fit without rescanning history:
     * the continual-tokenizer maintenance loop.
     */
+  /** (piece, occ, score) over all substrings of the word table up to
+    * `maxPieceLen`: occ = corpus occurrences (per start position ×
+    * word frequency), score = occ × length — the shared seed statistic
+    * of the WordPiece (greedy) and [[Unigram]] (Viterbi) fits.
+    */
+  def pieceCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen in [2,16], got $maxPieceLen")
+    words
+      .select(col("f"), explode(substrings(col("w"), maxPieceLen)).as("piece"))
+      .groupBy("piece").agg(sum(col("f")).as("occ"))
+      .select(col("piece"), col("occ"),
+        (col("occ") * length(col("piece"))).as("score"))
+  }
+
   def vocabFromWordCounts(
       words: DataFrame,
       vocabSize: Int = 64,
       maxPieceLen: Int = 6,
   ): DataFrame = {
-    require(maxPieceLen >= 2 && maxPieceLen <= 16,
-      s"maxPieceLen in [2,16], got $maxPieceLen")
-    val pieces = words
-      .select(col("f"), explode(substrings(col("w"), maxPieceLen)).as("piece"))
-      .groupBy("piece").agg(sum(col("f")).as("occ"))
-      .select(col("piece"), (col("occ") * length(col("piece"))).as("score"))
+    val pieces = pieceCounts(words, maxPieceLen).select("piece", "score")
     val chars = pieces.filter(length(col("piece")) === 1)
     val nChars = chars.count().toInt
     require(nChars < vocabSize,
