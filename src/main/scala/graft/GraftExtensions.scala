@@ -125,6 +125,7 @@ object GraftExtensions {
     "graft_wordpiece" -> (es => WordPieceEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constInt(es(2), "max piece length"))),
+    "graft_dtw" -> (es => DtwBand(es(0), es(1), constInt(es(2), "band radius"))),
     "graft_unigram" -> (es => UnigramEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constLongSeq(es(2), "piece log-probs (micro-nats)"),

@@ -6598,6 +6598,40 @@ object SparkEntry {
         .filter(col("n_words") > 0)
     }),
 
+    // --- beyond-reference: banded dynamic-time-warping distance ---------
+    // Sakoe–Chiba DTW (radius 3) between per-type daily series — the
+    // classic elastic-alignment distance for run-behavior clustering.
+    // Series assemble on a GLOBAL day spine (equal lengths, missing
+    // days = 0) with values micro-quantized per row (floor(v·1e6), IEEE-
+    // identical) so the whole DP is exact BIGINT arithmetic. The DP runs
+    // in a codegen'd kernel (O(n·r) time, O(r) memory — the band rows
+    // slide, the n×m matrix never exists) over broadcast 5-row sides;
+    // the oracle replays it with a recursive CTE advancing one band row
+    // per step, the 7 in-band cells unrolled as chained LATERALs
+    // (left-to-right dependency inside a row). At corpus scale the pair
+    // grid is bounded by the type universe, not the event count — the
+    // series build is the only corpus-sized pass (one groupBy).
+    "q_dtw" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("q"))
+      val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val series = daily.groupBy("event_type")
+        .agg(map_from_entries(collect_list(struct(col("day"), col("q")))).as("m"))
+        .crossJoin(broadcast(spine))
+        .select(col("event_type"),
+          transform(sequence(col("mn"), col("mx")),
+            d => coalesce(element_at(col("m"), d), lit(0L))).as("v"))
+      series.as("x").join(broadcast(series.as("y")),
+          col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          size(col("x.v")).cast("long").as("n"),
+          GraftFunctions.dtwBand(col("x.v"), col("y.v"), 3).as("dtw_e6"))
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12550,6 +12584,12 @@ object SparkEntry {
     "q_unigram_oov" -> unigramEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
       s"text || '${scriptSuffixes(1)}'"),
 
+    // Banded DTW: identical micro-quantization, identical band algebra —
+    // the recursive CTE advances one band row per step with the 7
+    // in-band cells unrolled as chained LATERALs (dp[i][j-1] is a
+    // within-row dependency), INF = 1e15 shared with the kernel.
+    "q_dtw" -> dtwOracleSql,
+
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
     "q_topk_agg" ->
@@ -12651,6 +12691,58 @@ object SparkEntry {
        |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
        |FROM wpos p JOIN segw s USING (w)
        |GROUP BY 1""".stripMargin
+
+  /** q_dtw oracle: banded (radius 3) DTW replay. Forward-only DP — one
+    * recursive-CTE step per band row, the 7 in-band cells generated as
+    * chained LATERALs because dp[i][j-1] is a left-to-right dependency
+    * INSIDE the row (same trick budget as the Viterbi CTEs: carry the
+    * state as a list, unroll the intra-row scan). In offset space
+    * (o = j − i + 3): dp[i−1][j] sits at prev index o+2, dp[i−1][j−1] at
+    * o+1, dp[i][j−1] is the previous lateral. INF = 1e15, matching
+    * [[graft.functions.DtwImpl.Inf]]; out-of-list probes coalesce to INF.
+    */
+  private def dtwOracleSql: String = {
+    val inf = "1000000000000000"
+    val lats = (0 until 7).map { o =>
+      val prevUp = s"coalesce(dp[${o + 2}], $inf)"
+      val prevDiag = s"coalesce(dp[${o + 1}], $inf)"
+      val curLeft = if (o == 0) s"CAST($inf AS BIGINT)" else s"x${o - 1}.c${o - 1}"
+      s"""LATERAL (SELECT CASE WHEN i - 3 + $o BETWEEN 1 AND m THEN
+         |      abs(a[CAST(i AS INT)] - b[CAST(i - 3 + $o AS INT)]) +
+         |      least($prevUp, $prevDiag, $curLeft)
+         |    ELSE CAST($inf AS BIGINT) END AS c$o) x$o""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       |    CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS q
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+       |grid AS (
+       |  SELECT s.t, ds.d
+       |  FROM (SELECT DISTINCT event_type AS t FROM daily) s, spine,
+       |    unnest(range(mn, mx + 1)) AS ds(d)),
+       |series AS (
+       |  SELECT grid.t AS event_type, list(coalesce(dd.q, 0) ORDER BY grid.d) AS v
+       |  FROM grid LEFT JOIN daily dd ON dd.event_type = grid.t AND dd.day = grid.d
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    x.v AS a, y.v AS b, len(x.v) AS n, len(y.v) AS m
+       |  FROM series x JOIN series y ON x.event_type < y.event_type),
+       |dtw AS (
+       |  SELECT type_a, type_b, a, b, n, m, 0 AS i,
+       |    [CAST($inf AS BIGINT), $inf, $inf, 0, $inf, $inf, $inf] AS dp
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT type_a, type_b, a, b, n, m, i,
+       |    [x0.c0, x1.c1, x2.c2, x3.c3, x4.c4, x5.c5, x6.c6]
+       |  FROM (SELECT type_a, type_b, a, b, n, m, i + 1 AS i, dp
+       |        FROM dtw WHERE i < n) t,
+       |    $lats)
+       |SELECT type_a, type_b, CAST(n AS BIGINT) AS n, dp[4] AS dtw_e6
+       |FROM dtw WHERE i = n""".stripMargin
+  }
 
   /** Unigram-LM fit CTEs: the WordPiece inventory selection carrying
     * occurrence counts, then micro-nat log-probs floor(1e6·ln(occ/Σocc))

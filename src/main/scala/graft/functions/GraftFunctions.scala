@@ -203,6 +203,13 @@ object GraftFunctions {
     GraftShim.toColumn(UnigramEncode(GraftShim.toExpression(text),
       model.map(_._1), model.map(_._2), maxLen))
 
+  /** Banded (Sakoe–Chiba) DTW distance between two BIGINT series (see
+    * [[graft.functions.DtwBand]]).
+    */
+  def dtwBand(a: Column, b: Column, radius: Int): Column =
+    GraftShim.toColumn(DtwBand(GraftShim.toExpression(a),
+      GraftShim.toExpression(b), radius))
+
   /** Register every kernel into a running session's function registry.
     * Same builders as [[graft.GraftExtensions]] — use the extension for
     * at-build injection, this for sessions you didn't construct.
