@@ -6598,6 +6598,33 @@ object SparkEntry {
         .filter(col("n_words") > 0)
     }),
 
+    // --- beyond-reference: Matryoshka truncation recall ------------------
+    // The MRL question (Kusupati et al. 2022): how much ANN recall does a
+    // 4×-cheaper 16-dim PREFIX of the 64-dim embedding keep? Exact top-10
+    // by full-dim cosine vs top-10 by prefix cosine for 16 probe queries,
+    // overlap counted per probe — the offline eval every embedding-
+    // truncation rollout runs. Both sides are the proven brute-force
+    // shape (probes broadcast, corpus scanned once per side, ties by id);
+    // output is pure integers, so the gate hash-checks the SETS, not
+    // float renders.
+    "q_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def top10(e: DataFrame) = Ann.bruteForceTopK(
+          queries = e.filter(col("vec_id") < 16), corpus = e,
+          idCol = "vec_id", vecCol = "embedding", k = 10)
+        .select(col("qid"), col("vec_id").as("vid"))
+      val full = top10(emb)
+      val trunc = top10(emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding")))
+        .select(col("qid").as("tqid"), col("vid").as("tvid"))
+      full
+        .join(trunc,
+          col("qid") === col("tqid") && col("vid") === col("tvid"), "left")
+        .groupBy(col("qid"))
+        .agg(lit(10L).as("k"),
+          count(col("tvid")).as("n_overlap"))
+    }),
+
     // --- beyond-reference: banded dynamic-time-warping distance ---------
     // Sakoe–Chiba DTW (radius 3) between per-type daily series — the
     // classic elastic-alignment distance for run-behavior clustering.
@@ -12583,6 +12610,31 @@ object SparkEntry {
 
     "q_unigram_oov" -> unigramEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
       s"text || '${scriptSuffixes(1)}'"),
+
+    // Matryoshka recall: both top-10 sets re-derived brute-force (full
+    // cosine and 16-dim-prefix cosine), overlap counted — integer output,
+    // the sims never surface.
+    "q_matryoshka" ->
+      """WITH f AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 16 AND c.vec_id <> q.vec_id),
+        |g AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+        |                 CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 16 AND c.vec_id <> q.vec_id),
+        |ft AS (SELECT qid, vid FROM f WHERE rn <= 10),
+        |gt AS (SELECT qid, vid FROM g WHERE rn <= 10)
+        |SELECT ft.qid, CAST(10 AS BIGINT) AS k,
+        |  CAST(count(gt.vid) AS BIGINT) AS n_overlap
+        |FROM ft LEFT JOIN gt ON ft.qid = gt.qid AND ft.vid = gt.vid
+        |GROUP BY 1""".stripMargin,
 
     // Banded DTW: identical micro-quantization, identical band algebra —
     // the recursive CTE advances one band row per step with the 7
