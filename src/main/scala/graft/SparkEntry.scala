@@ -6598,6 +6598,31 @@ object SparkEntry {
         .filter(col("n_words") > 0)
     }),
 
+    // --- beyond-reference: 3-dim z-order cells ---------------------------
+    // Layout.zValueN's 3-dim interleave (bit i of dim d at position
+    // 3i+d, the 0x1249… mask cascade) surfaced as a gate query: the
+    // per-cell min/max rectangles ARE the data-skipping evidence a
+    // 3-dim z-clustered layout buys (Delta/Iceberg z-order semantics),
+    // and the oracle replays the full mask cascade in SQL bit algebra —
+    // every interleaved bit is hash-checked.
+    "q_zorder3_cells" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long").as("day"),
+          floor(col("o_totalprice") / lit(1000.0)).as("kilo"))
+        .withColumn("cell",
+          shiftright(graft.core.Layout.zValueN(
+            Seq(col("o_custkey"), col("day"), col("kilo"))), 27))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min("day").as("min_day"), max("day").as("max_day"),
+          min("kilo").as("min_kilo"), max("kilo").as("max_kilo"))
+    }),
+
     // --- beyond-reference: Matryoshka truncation recall ------------------
     // The MRL question (Kusupati et al. 2022): how much ANN recall does a
     // 4×-cheaper 16-dim PREFIX of the 64-dim embedding keep? Exact top-10
@@ -12611,6 +12636,11 @@ object SparkEntry {
     "q_unigram_oov" -> unigramEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
       s"text || '${scriptSuffixes(1)}'"),
 
+    // 3-dim z-order: the spread16x3 mask cascade replayed in SQL bit
+    // algebra (decimal constants of the 0x1f00000000ffff … 0x1249249249249249
+    // masks), three interleaved dims, same >>27 cell fold.
+    "q_zorder3_cells" -> zorder3OracleSql,
+
     // Matryoshka recall: both top-10 sets re-derived brute-force (full
     // cosine and 16-dim-prefix cosine), overlap counted — integer output,
     // the sims never surface.
@@ -12743,6 +12773,33 @@ object SparkEntry {
        |  md5(string_agg(s.seg, chr(30) ORDER BY p.wi)) AS seg_md5
        |FROM wpos p JOIN segw s USING (w)
        |GROUP BY 1""".stripMargin
+
+  /** q_zorder3_cells oracle: Layout.spread16x3's mask cascade as SQL bit
+    * algebra, generated per dimension (bit i → position 3i), combined
+    * x | y<<1 | z<<2 exactly like zValueN.
+    */
+  private def zorder3OracleSql: String = {
+    val masks = Seq(0xFFFFL, 0x1f00000000ffffL, 0x1f0000ff0000ffL,
+      0x100f00f00f00f00fL, 0x10c30c30c30c30c3L, 0x1249249249249249L)
+    val shifts = Seq(32, 16, 8, 4, 2)
+    def spread(col: String): String =
+      masks.tail.zip(shifts).foldLeft(s"($col & ${masks.head})") {
+        case (e, (m, sh)) => s"(($e | ($e << $sh)) & $m)"
+      }
+    s"""WITH d AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS kilo
+       |  FROM orders),
+       |z AS (SELECT o_custkey, day, kilo,
+       |  (${spread("o_custkey")} | (${spread("day")} << 1)
+       |   | (${spread("kilo")} << 2)) AS zval FROM d)
+       |SELECT zval >> 27 AS cell, CAST(count(*) AS BIGINT) AS n,
+       |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       |  min(day) AS min_day, max(day) AS max_day,
+       |  min(kilo) AS min_kilo, max(kilo) AS max_kilo
+       |FROM z GROUP BY cell""".stripMargin
+  }
 
   /** q_dtw oracle: banded (radius 3) DTW replay. Forward-only DP — one
     * recursive-CTE step per band row, the 7 in-band cells generated as

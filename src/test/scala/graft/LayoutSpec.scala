@@ -309,4 +309,23 @@ class LayoutSpec extends SparkTestBase {
     assert(hits(sdir, "y", 30000L) == 16 && hits(sdir, "z", 450L) == 16,
       "x-sorted baseline must not prune the other dims")
   }
+
+  test("zValueN(3): bit i of dim d lands at position 3i+d (reference interleave)") {
+    // mask-cascade vs the naive bit-by-bit definition (q_zorder3_cells
+    // hash-checks the same algebra against DuckDB's replay)
+    def refZ(x: Long, y: Long, z: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc |
+          (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val probes = Seq((0L, 0L, 0L), (65535L, 65535L, 65535L), (1L, 2L, 4L),
+      (12345L, 54321L, 4097L), (0xAAAAL, 0x5555L, 0xF0F0L))
+    val got = probes.toDF("x", "y", "z")
+      .select(Layout.zValueN(Seq($"x", $"y", $"z")).as("zv"))
+      .as[Long].collect().toSeq
+    assert(got == probes.map { case (x, y, z) => refZ(x, y, z) },
+      s"mask cascade diverges from the bit-by-bit interleave: $got")
+  }
 }
