@@ -754,6 +754,16 @@ class StreamingSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(refit == oneShot,
       "refit from standing state must reproduce the full-corpus vocabulary")
+
+    // the Unigram fit is a function of the SAME word-count state — the
+    // continual-refit story holds for the Viterbi tokenizer too, log-prob
+    // for log-prob (ln of exact counts, quantized)
+    val ugRefit = graft.text.Unigram.vocabFromWordCounts(standingCounts, 48, 6)
+      .as[(String, Long)].collect().toMap
+    val ugOneShot = graft.text.Unigram.buildVocab(corpus, "text", 48, 6)
+      .as[(String, Long)].collect().toMap
+    assert(ugRefit == ugOneShot,
+      "unigram refit from standing state must reproduce the full-corpus model")
   }
 
   test("semDedupAppender: streamed micro-batches == the sequential batch-API fold") {
