@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Library-level Catalyst rule: fuse the HOF token-count idiom into
     // the one-pass kernel, plan-wide (see graft.plans.FuseTokenCount).
     ext.injectOptimizerRule(_ => graft.plans.FuseTokenCount)
+    // First-class plan node: AS-OF JOIN (logical node + strategy +
+    // physical sort-merge exec — see graft.plans.AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -1523,6 +1523,31 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    // --- beyond-reference: as-of join as a FIRST-CLASS plan node --------
+    // The same as-of semantics through the injected physical operator
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec, the rung-(c)
+    // extension path): each side shuffles once on its key, sorts by
+    // (key, time) — both inserted by EnsureRequirements from the declared
+    // distribution/ordering — and one merge pass per co-partition carries
+    // O(1) state. No union row, no window frame, no post-filter; the
+    // oracle is the same DuckDB ASOF LEFT JOIN as q_asof_join, so the
+    // custom exec is hash-checked against a genuinely independent
+    // implementation.
+    "q_asof_physical" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("asof_orderkey"))
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("asof_orderkey"))
+      graft.core.AsOf
+        .asOfJoinExec(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("asof_orderkey"))
+        .select("event_id", "user_id", "asof_orderkey")
+    }),
+
     // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
     // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
     // training pipeline needs them (inter-event gaps, trailing windows).
@@ -8727,6 +8752,16 @@ object SparkEntry {
         |FROM fr GROUP BY media_id""".stripMargin,
 
     "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    // Same independent oracle for the physical operator: the custom exec
+    // must reproduce DuckDB's native ASOF LEFT JOIN bit-for-bit.
+    "q_asof_physical" ->
       """WITH o AS (
         |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS asof_orderkey
         |  FROM orders GROUP BY 1, 2),

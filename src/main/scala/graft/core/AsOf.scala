@@ -88,4 +88,46 @@ object AsOf {
       .filter(col("_side") === 1)
       .select((lCols.map(c => col(s"_lrow.$c")) ++ payload.map(p => col(s"_asof.$p"))): _*)
   }
+
+  /** [[asOfJoin]] through the injected PHYSICAL operator
+    * ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinExec`): same inclusive
+    * left-outer semantics, but one streaming merge per co-partition with
+    * O(1) state instead of the union-window construction — no null-padded
+    * union rows, no window frame, and the output keeps the left side's
+    * clustering and (key, time) order. Requires the session built with
+    * `GraftExtensions` (the strategy is injected there); an AsOfJoinPlan
+    * reaching the planner without it fails loudly as an unplanned node.
+    */
+  def asOfJoinExec(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      payload: Seq[String],
+  ): DataFrame = {
+    require(payload.intersect(left.columns.toSeq).isEmpty,
+      s"payload collides with left columns: ${payload.intersect(left.columns.toSeq)}")
+    val spark = left.sparkSession
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side through fresh exprIds so a self-join can
+    // never alias attributes across the two legs
+    val rPlan = right
+      .select(right.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asOfJoinExec: no column '$n' on $side side"))
+    val (lk, lt) = (attr(lPlan, leftKey, "left"), attr(lPlan, leftTime, "left"))
+    val (rk, rt) = (attr(rPlan, rightKey, "right"), attr(rPlan, rightTime, "right"))
+    require(lk.dataType == rk.dataType,
+      s"asOfJoinExec: key types differ (${lk.dataType} vs ${rk.dataType})")
+    require(lt.dataType == rt.dataType,
+      s"asOfJoinExec: time types differ (${lt.dataType} vs ${rt.dataType})")
+    val pay = payload.map(attr(rPlan, _, "right"))
+    org.apache.spark.sql.GraftShim.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
+  }
 }

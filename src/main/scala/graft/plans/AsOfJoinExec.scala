@@ -1,0 +1,172 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class plan node — the rung-(c) extension path:
+  * custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`,
+  * injected via `SparkSessionExtensions.injectPlannerStrategy`.
+  *
+  * Semantics (inclusive, left-outer): for every left row, the payload of
+  * the LATEST right row with the same key and `r.time <= l.time` — DuckDB
+  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`. Callers keep at most
+  * one right row per (key, time); null keys/times never match (SQL
+  * equality/inequality semantics), but null-key left rows are preserved
+  * with null payload (left-outer).
+  *
+  * Why a physical operator when [[graft.core.AsOf.asOfJoin]] already
+  * avoids the quadratic pair blowup: the union-and-window construction
+  * pays for (a) a UNION row wide enough to carry BOTH sides' payloads
+  * (null-padded structs on every row), (b) a window operator whose
+  * `last(_, ignoreNulls)` frame scan re-touches each partition, and
+  * (c) a post-filter dropping the right-side rows back out. This
+  * operator shuffles each side ONLY on its key, sorts each side by
+  * (key, time) — both steps supplied by `EnsureRequirements` from the
+  * declared distribution/ordering, so AQE still plans the exchanges —
+  * and then streams ONE merge pass per co-partition with O(1) state
+  * (the single carried right row). Nothing is ever null-padded, no
+  * window frame exists, and the output preserves the left side's
+  * partitioning and ordering for downstream reuse.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute])
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, pay) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, pay) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children arrive clustered on their keys and
+  * sorted by (key, time) — declared, not hand-built, so the planner owns
+  * the exchanges — and each co-partition merges in one forward pass.
+  * The only retained state is the most recent matching right row (one
+  * `copy()` per consumed right row), so memory is O(1) per partition
+  * regardless of key cardinality or time-series length. A hot key
+  * serializes through one task exactly like any clustered operator —
+  * the chunked-salting cure in [[graft.core.AsOf]]'s scaladoc applies
+  * unchanged.
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // the merge is left-driven and order-preserving: downstream operators
+  // keep both the clustering and the (key, time) sort for free
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyE = BindReferences.bindReference(leftKey: Expression, left.output)
+    val lTimeE = BindReferences.bindReference(leftTime: Expression, left.output)
+    val rKeyE = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rTimeE = BindReferences.bindReference(rightTime: Expression, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val payloadAttrs = payload
+    val rightOutput = right.output
+    val leftOutput = left.output
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val payProj = UnsafeProjection.create(
+        payloadAttrs.map(a => BindReferences.bindReference(a: Expression, rightOutput)))
+      // bind against NULLABLE payload attrs: the unmatched-row nullPay
+      // fields must go through the BoundReference null check (a
+      // non-nullable binding would read primitive zeros instead)
+      val resultProj = UnsafeProjection.create(
+        outAttrs.map(a => BindReferences.bindReference(
+          a: Expression, leftOutput ++ payloadAttrs.map(_.withNullability(true)))))
+      val nullPay = new GenericInternalRow(payloadAttrs.length)
+      val joined = new JoinedRow
+      // O(1) state: the latest matching right row (payload-projected and
+      // copied out of the iterator's reused buffer) and its key
+      var carryPay: InternalRow = null
+      var carryKey: Any = null
+
+      lIter.map { lRow =>
+        val lk = lKeyE.eval(lRow)
+        val lt = lTimeE.eval(lRow)
+        if (lk == null || lt == null) {
+          // SQL semantics: null key/time matches nothing; row preserved
+          resultProj(joined(lRow, nullPay))
+        } else {
+          // advance the right side through every row at or before (lk, lt)
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyE.eval(head)
+            val rt = rTimeE.eval(head)
+            if (rk == null || rt == null) {
+              rBuf.next() // unmatchable; discard
+            } else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) {
+                // keys are ascending on both sides: a right key below the
+                // current left key can never match any later left row
+                rBuf.next()
+              } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
+                carryPay = payProj(head).copy()
+                carryKey = rk match {
+                  case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                  case v => v
+                }
+                rBuf.next()
+              } else {
+                done = true
+              }
+            }
+          }
+          val matched = carryPay != null && keyOrd.compare(carryKey, lk) == 0
+          resultProj(joined(lRow, if (matched) carryPay else nullPay))
+        }
+      }
+    }
+  }
+}

@@ -21,6 +21,16 @@ object GraftShim {
   def toExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a custom LogicalPlan as a DataFrame — the entry point for
+    * graft's injected plan nodes (e.g. [[graft.plans.AsOfJoinPlan]]).
+    * `Dataset.ofRows` is private[sql]; this is the sanctioned crossing.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+  ): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Block until every queued listener event (including
     * QueryExecutionListener dispatches, which ride the shared
     * LiveListenerBus) has been delivered — lets a writer read

@@ -72,6 +72,71 @@ class AsOfSpec extends SparkTestBase {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("asOfJoinExec (physical operator): identical to asOfJoin on the hand cases") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 15L, 9.0),
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 5L, 100), ("A", 20L, 200), ("A", 25L, 300),
+      ("A", 99L, 400), ("B", 15L, 500), ("C", 50L, 600),
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), Option(r.get(3))))
+      .toSet
+    val want = AsOf.asOfJoin(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), Option(r.get(3))))
+      .toSet
+    assert(got == want)
+  }
+
+  test("asOfJoinExec: null keys/times follow SQL semantics (rows kept, no match)") {
+    val quotes = Seq(
+      (Some("A"), Some(10L), 1.0),
+      (None: Option[String], Some(5L), 99.0),
+      (Some("A"), None: Option[Long], 88.0),
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (Some("A"), Some(20L), 1),
+      (None: Option[String], Some(20L), 2),
+      (Some("A"), None: Option[Long], 3),
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+      .collect().map(r => (r.getAs[Int]("qty"), Option(r.get(3)))).toMap
+    assert(got == Map(1 -> Some(1.0), 2 -> None, 3 -> None))
+  }
+
+  test("asOfJoinExec == asOfJoin on testdata (string keys exercised too)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"user_id", (unix_micros($"ts".cast("timestamp")) * 1000).as("ts"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("ok"))
+      .select($"o_custkey", (unix_micros($"o_orderdate".cast("timestamp")) * 1000).as("odn"), $"ok")
+    val exec = AsOf.asOfJoinExec(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("ok"))
+    val comp = AsOf.asOfJoin(ev, ord, "user_id", "ts", "o_custkey", "odn", Seq("ok"))
+    assert(exec.count() == ev.count())
+    assert(exec.exceptAll(comp).isEmpty && comp.exceptAll(exec).isEmpty)
+    // string-keyed variant: events joined to a per-type dictionary
+    val l = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"event_type", (unix_micros($"ts".cast("timestamp"))).as("ts"))
+    val dict = l.groupBy($"event_type", ($"ts" - pmod($"ts", lit(86400000000L))).as("day_us"))
+      .agg(max("event_id").as("day_first"))
+    val e2 = AsOf.asOfJoinExec(l, dict, "event_type", "ts", "event_type", "day_us", Seq("day_first"))
+    val c2 = AsOf.asOfJoin(l, dict, "event_type", "ts", "event_type", "day_us", Seq("day_first"))
+    assert(e2.exceptAll(c2).isEmpty && c2.exceptAll(e2).isEmpty)
+  }
+
+  test("asOfJoinExec plan: custom exec node, no Window, both sides clustered+sorted") {
+    val p = SparkEntry.queries("q_asof_physical")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"expected the custom exec in the plan:\n$p")
+    assert(!p.contains("Window"), s"the physical operator must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no generic join may appear:\n$p")
+  }
+
   test("Reshape.zipWithPadStatic is equivalent to the lambda zipWithPad") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").limit(500)
     val dyn = df.select(explode(Reshape.zipWithPad(
