@@ -1548,6 +1548,25 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    // Forward direction (pandas merge_asof direction='forward'): earliest
+    // order at-or-after each event — same physical operator, peek-not-
+    // carry merge; DuckDB oracles it natively with ASOF ... ON l.t <= r.t.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("next_orderkey"))
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("next_orderkey"))
+      graft.core.AsOf
+        .asOfJoinExec(ev, ord, "user_id", "ts", "o_custkey", "odn",
+          Seq("next_orderkey"), forward = true)
+        .select("event_id", "user_id", "next_orderkey")
+    }),
+
     // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
     // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
     // training pipeline needs them (inter-event gaps, trailing windows).
@@ -8758,6 +8777,15 @@ object SparkEntry {
         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
         |SELECT e.event_id, e.user_id, o.asof_orderkey
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    // Forward as-of: DuckDB's native ASOF with the inequality flipped.
+    "q_asof_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id, o.next_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn <= o.odn""".stripMargin,
 
     // Same independent oracle for the physical operator: the custom exec
     // must reproduce DuckDB's native ASOF LEFT JOIN bit-for-bit.

@@ -97,6 +97,11 @@ object AsOf {
     * clustering and (key, time) order. Requires the session built with
     * `GraftExtensions` (the strategy is injected there); an AsOfJoinPlan
     * reaching the planner without it fails loudly as an unplanned node.
+    *
+    * `forward = true` flips the direction (pandas merge_asof
+    * direction='forward'): the EARLIEST right row with `r.time >=
+    * l.time` — DuckDB `ASOF JOIN ... ON l.t <= r.t`. Same merge pass,
+    * peek instead of carry.
     */
   def asOfJoinExec(
       left: DataFrame,
@@ -106,6 +111,7 @@ object AsOf {
       rightKey: String,
       rightTime: String,
       payload: Seq[String],
+      forward: Boolean = false,
   ): DataFrame = {
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload collides with left columns: ${payload.intersect(left.columns.toSeq)}")
@@ -128,6 +134,6 @@ object AsOf {
       s"asOfJoinExec: time types differ (${lt.dataType} vs ${rt.dataType})")
     val pay = payload.map(attr(rPlan, _, "right"))
     org.apache.spark.sql.GraftShim.ofRows(spark,
-      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay))
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay, forward))
   }
 }

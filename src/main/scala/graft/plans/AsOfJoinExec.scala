@@ -42,7 +42,8 @@ case class AsOfJoinPlan(
     leftTime: Attribute,
     rightKey: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute])
+    payload: Seq[Attribute],
+    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -54,8 +55,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, pay) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, pay) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, pay, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, pay, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +78,8 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightKey: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute])
+    payload: Seq[Attribute],
+    forward: Boolean = false)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -136,8 +138,9 @@ case class AsOfJoinExec(
         if (lk == null || lt == null) {
           // SQL semantics: null key/time matches nothing; row preserved
           resultProj(joined(lRow, nullPay))
-        } else {
-          // advance the right side through every row at or before (lk, lt)
+        } else if (!forward) {
+          // BACKWARD (default): latest right row with rt <= lt — consume
+          // everything at or before (lk, lt), carrying the last match
           var done = false
           while (!done && rBuf.hasNext) {
             val head = rBuf.head
@@ -165,6 +168,28 @@ case class AsOfJoinExec(
           }
           val matched = carryPay != null && keyOrd.compare(carryKey, lk) == 0
           resultProj(joined(lRow, if (matched) carryPay else nullPay))
+        } else {
+          // FORWARD: earliest right row with rt >= lt — discard strictly-
+          // before rows (left times ascend, so they can never match a
+          // later left row either) and PEEK the head without consuming
+          // (one right row may serve many left rows)
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyE.eval(head)
+            val rt = rTimeE.eval(head)
+            if (rk == null || rt == null) rBuf.next()
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0 || (c == 0 && timeOrd.compare(rt, lt) < 0)) rBuf.next()
+              else done = true
+            }
+          }
+          val matched = rBuf.hasNext && {
+            val rk = rKeyE.eval(rBuf.head)
+            rk != null && keyOrd.compare(rk, lk) == 0
+          }
+          resultProj(joined(lRow, if (matched) payProj(rBuf.head) else nullPay))
         }
       }
     }

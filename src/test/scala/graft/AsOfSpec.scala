@@ -128,6 +128,46 @@ class AsOfSpec extends SparkTestBase {
     assert(e2.exceptAll(c2).isEmpty && c2.exceptAll(e2).isEmpty)
   }
 
+  test("asOfJoinExec forward: earliest right row at-or-after; ties inclusive; peek not consume") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0), ("B", 15L, 9.0),
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 5L, 100),  // -> 10 (1.0)
+      ("A", 20L, 200), // tie inclusive -> 2.0
+      ("A", 25L, 300), // -> 30 (3.0)
+      ("A", 99L, 400), // after all -> null
+      ("B", 15L, 500), // -> 9.0
+      ("B", 16L, 600), // after B's only quote -> null
+      ("C", 50L, 700), // no key -> null
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = true)
+      .collect()
+      .map(r => (r.getInt(2), Option(r.get(3)))).toMap
+    assert(got == Map(100 -> Some(1.0), 200 -> Some(2.0), 300 -> Some(3.0),
+      400 -> None, 500 -> Some(9.0), 600 -> None, 700 -> None))
+  }
+
+  test("asOfJoinExec forward == naive range-join + top-1 on testdata") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"user_id", (unix_micros($"ts".cast("timestamp")) * 1000).as("ts"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("ok"))
+      .select($"o_custkey", (unix_micros($"o_orderdate".cast("timestamp")) * 1000).as("odn"), $"ok")
+    val exec = AsOf.asOfJoinExec(ev, ord, "user_id", "ts", "o_custkey", "odn",
+      Seq("ok"), forward = true)
+    val naive = ev
+      .join(ord, ev("user_id") === ord("o_custkey") && ord("odn") >= ev("ts"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy($"odn".asc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"ts", $"ok")
+    assert(exec.count() == ev.count())
+    assert(exec.exceptAll(naive).isEmpty && naive.exceptAll(exec).isEmpty)
+  }
+
   test("asOfJoinExec plan: custom exec node, no Window, both sides clustered+sorted") {
     val p = SparkEntry.queries("q_asof_physical")(spark, sf)
       .queryExecution.executedPlan.toString
