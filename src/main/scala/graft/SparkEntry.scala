@@ -1567,6 +1567,27 @@ object SparkEntry {
         .select("event_id", "user_id", "next_orderkey")
     }),
 
+    // Tolerance bound (merge_asof tolerance, the stale-quote guard): a
+    // matched order older than 30 days yields null payload — in-operator,
+    // not a post-filter; the oracle post-NULLifies DuckDB's unbounded
+    // ASOF match, which is semantically identical because the asof
+    // candidate is unique per left row.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("asof_orderkey"))
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("asof_orderkey"))
+      graft.core.AsOf
+        .asOfJoinExec(ev, ord, "user_id", "ts", "o_custkey", "odn",
+          Seq("asof_orderkey"), toleranceNs = Some(30L * 86400 * 1000000000L))
+        .select("event_id", "user_id", "asof_orderkey")
+    }),
+
     // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
     // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
     // training pipeline needs them (inter-event gaps, trailing windows).
@@ -8776,6 +8797,18 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2),
         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
         |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    // Tolerance: the asof candidate is unique per left row, so
+    // post-NULLifying DuckDB's unbounded match == the in-operator bound.
+    "q_asof_tolerance" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.tsn - o.odn <= 2592000000000000 THEN o.ok ELSE NULL END
+        |    AS asof_orderkey
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
 
     // Forward as-of: DuckDB's native ASOF with the inequality flipped.

@@ -102,6 +102,11 @@ object AsOf {
     * direction='forward'): the EARLIEST right row with `r.time >=
     * l.time` — DuckDB `ASOF JOIN ... ON l.t <= r.t`. Same merge pass,
     * peek instead of carry.
+    *
+    * `toleranceNs` bounds the match distance (merge_asof tolerance —
+    * the stale-quote guard): a candidate farther than `toleranceNs`
+    * from the left time yields null payload instead. Requires LONG
+    * time columns (arithmetic, not just ordering).
     */
   def asOfJoinExec(
       left: DataFrame,
@@ -112,6 +117,7 @@ object AsOf {
       rightTime: String,
       payload: Seq[String],
       forward: Boolean = false,
+      toleranceNs: Option[Long] = None,
   ): DataFrame = {
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload collides with left columns: ${payload.intersect(left.columns.toSeq)}")
@@ -134,6 +140,6 @@ object AsOf {
       s"asOfJoinExec: time types differ (${lt.dataType} vs ${rt.dataType})")
     val pay = payload.map(attr(rPlan, _, "right"))
     org.apache.spark.sql.GraftShim.ofRows(spark,
-      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay, forward))
+      graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay, forward, toleranceNs))
   }
 }

@@ -43,7 +43,8 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false,
+    toleranceNs: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -55,8 +56,8 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, pay, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, pay, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, pay, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, pay, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -79,8 +80,15 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    forward: Boolean = false)
+    forward: Boolean = false,
+    toleranceNs: Option[Long] = None)
     extends BinaryExecNode {
+  // tolerance needs time arithmetic, not just ordering — long times only
+  toleranceNs.foreach { t =>
+    require(t >= 0, s"asOfJoin tolerance must be >= 0, got $t")
+    require(leftTime.dataType == org.apache.spark.sql.types.LongType,
+      s"asOfJoin tolerance requires LONG time columns, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -131,6 +139,9 @@ case class AsOfJoinExec(
       // copied out of the iterator's reused buffer) and its key
       var carryPay: InternalRow = null
       var carryKey: Any = null
+      var carryTime: Long = 0L
+      val tol = toleranceNs.getOrElse(Long.MaxValue)
+      val unbounded = toleranceNs.isEmpty
 
       lIter.map { lRow =>
         val lk = lKeyE.eval(lRow)
@@ -160,13 +171,15 @@ case class AsOfJoinExec(
                   case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
                   case v => v
                 }
+                if (!unbounded) carryTime = rt.asInstanceOf[Long]
                 rBuf.next()
               } else {
                 done = true
               }
             }
           }
-          val matched = carryPay != null && keyOrd.compare(carryKey, lk) == 0
+          val matched = carryPay != null && keyOrd.compare(carryKey, lk) == 0 &&
+            (unbounded || lt.asInstanceOf[Long] - carryTime <= tol)
           resultProj(joined(lRow, if (matched) carryPay else nullPay))
         } else {
           // FORWARD: earliest right row with rt >= lt — discard strictly-
@@ -187,7 +200,9 @@ case class AsOfJoinExec(
           }
           val matched = rBuf.hasNext && {
             val rk = rKeyE.eval(rBuf.head)
-            rk != null && keyOrd.compare(rk, lk) == 0
+            rk != null && keyOrd.compare(rk, lk) == 0 &&
+              (unbounded ||
+                rTimeE.eval(rBuf.head).asInstanceOf[Long] - lt.asInstanceOf[Long] <= tol)
           }
           resultProj(joined(lRow, if (matched) payProj(rBuf.head) else nullPay))
         }

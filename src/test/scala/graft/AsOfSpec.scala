@@ -168,6 +168,29 @@ class AsOfSpec extends SparkTestBase {
     assert(exec.exceptAll(naive).isEmpty && naive.exceptAll(exec).isEmpty)
   }
 
+  test("asOfJoinExec tolerance: stale matches null out, in-window matches keep payload") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 100L, 2.0)).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 12L, 1),   // 2 from quote@10, within tol 5 -> 1.0
+      ("A", 50L, 2),   // 40 from quote@10, beyond tol -> null
+      ("A", 100L, 3),  // exact tie, distance 0 -> 2.0
+      ("A", 105L, 4),  // distance 5 == tol, inclusive -> 2.0
+      ("A", 106L, 5),  // distance 6 > tol -> null
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt",
+        Seq("px"), toleranceNs = Some(5L))
+      .collect().map(r => (r.getInt(2), Option(r.get(3)))).toMap
+    assert(got == Map(1 -> Some(1.0), 2 -> None, 3 -> Some(2.0),
+      4 -> Some(2.0), 5 -> None))
+    // forward + tolerance compose
+    val fw = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = true, toleranceNs = Some(5L))
+      .collect().map(r => (r.getInt(2), Option(r.get(3)))).toMap
+    assert(fw == Map(1 -> None, 2 -> None, 3 -> Some(2.0),
+      4 -> None, 5 -> None),
+      s"forward: only the exact-time trade has a quote within +5, got $fw")
+  }
+
   test("asOfJoinExec plan: custom exec node, no Window, both sides clustered+sorted") {
     val p = SparkEntry.queries("q_asof_physical")(spark, sf)
       .queryExecution.executedPlan.toString
