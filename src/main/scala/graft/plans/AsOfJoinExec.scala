@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** AS-OF JOIN as a first-class plan node — the rung-(c) extension path:
   * custom `LogicalPlan` + `SparkStrategy` + physical `SparkPlan`,
@@ -93,6 +94,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
@@ -122,6 +127,8 @@ case class AsOfJoinExec(
     val rightOutput = right.output
     val leftOutput = left.output
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
@@ -146,6 +153,7 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyE.eval(lRow)
         val lt = lTimeE.eval(lRow)
+        numOutputRows += 1
         if (lk == null || lt == null) {
           // SQL semantics: null key/time matches nothing; row preserved
           resultProj(joined(lRow, nullPay))
@@ -180,6 +188,7 @@ case class AsOfJoinExec(
           }
           val matched = carryPay != null && keyOrd.compare(carryKey, lk) == 0 &&
             (unbounded || lt.asInstanceOf[Long] - carryTime <= tol)
+          if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) carryPay else nullPay))
         } else {
           // FORWARD: earliest right row with rt >= lt — discard strictly-
@@ -204,6 +213,7 @@ case class AsOfJoinExec(
               (unbounded ||
                 rTimeE.eval(rBuf.head).asInstanceOf[Long] - lt.asInstanceOf[Long] <= tol)
           }
+          if (matched) numMatched += 1
           resultProj(joined(lRow, if (matched) payProj(rBuf.head) else nullPay))
         }
       }
