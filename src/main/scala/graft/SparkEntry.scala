@@ -6715,6 +6715,37 @@ object SparkEntry {
           count(col("tvid")).as("n_overlap"))
     }),
 
+    // --- beyond-reference: tokenizer bake-off ----------------------------
+    // The eval every tokenizer rollout runs: greedy WordPiece vs Viterbi
+    // unigram-LM fitted on the SAME corpus with the SAME inventory
+    // statistic, compared on compression (pieces per corpus) per source —
+    // BOTH kernels in ONE scan projection (two broadcast models, zero
+    // corpus shuffles before the 20-row rollup). sum_chars is tokenizer-
+    // independent (segmentations are total), so (sum_chars, wp_pieces,
+    // ug_pieces) IS the chars-per-piece comparison in exact integers.
+    // The oracle replays both fits and both walks in one statement —
+    // the two CTE chains were kept textually disjoint for exactly this.
+    "q_tokenizer_compare" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val wpVocab = WordPiece.buildVocab(docs, "text", vocabSize = 64, maxPieceLen = 6)
+        .select("piece").as[String].collect().toSeq.sorted
+      val ugModel = Unigram.buildVocab(docs, "text", vocabSize = 64, maxPieceLen = 6)
+        .select("piece", "lp").as[(String, Long)].collect().toSeq.sortBy(_._1)
+      docs
+        .select(col("source"),
+          WordPiece.encode(col("text"), wpVocab, 6).as("w"),
+          Unigram.encode(col("text"), ugModel, 6).as("u"))
+        .filter(col("w.n_words") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w.n_piece_chars")).as("sum_chars"),
+          sum(col("w.n_pieces")).as("wp_pieces"),
+          sum(col("w.n_unk")).as("wp_unk"),
+          sum(col("u.n_pieces")).as("ug_pieces"),
+          sum(col("u.n_unk")).as("ug_unk"))
+    }),
+
     // --- beyond-reference: banded dynamic-time-warping distance ---------
     // Sakoe–Chiba DTW (radius 3) between per-type daily series — the
     // classic elastic-alignment distance for run-behavior clustering.
@@ -12732,6 +12763,35 @@ object SparkEntry {
     "q_unigram_oov" -> unigramEncodeSql("doc_id % 2 = 0", "doc_id % 2 = 1",
       s"text || '${scriptSuffixes(1)}'"),
 
+    // Tokenizer bake-off: BOTH fit+walk chains replayed in one statement
+    // (the CTE names are disjoint by construction), rolled up per source.
+    // Zero-word docs drop via join absence, mirroring the n_words > 0
+    // filter.
+    "q_tokenizer_compare" ->
+      s"""WITH RECURSIVE ${wordpieceEncodeCtes("TRUE", "TRUE")},
+         |${unigramEncodeCtes("TRUE", "TRUE")},
+         |wpd AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(s.npieces) AS BIGINT) AS np,
+         |    CAST(sum(s.unk) AS BIGINT) AS unk,
+         |    CAST(sum(len(replace(s.seg, chr(31), ''))) AS BIGINT) AS ch
+         |  FROM wpos p JOIN segw s USING (w) GROUP BY 1),
+         |ugd AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(s.np) AS BIGINT) AS np,
+         |    CAST(sum(s.unk) AS BIGINT) AS unk
+         |  FROM uwpos p JOIN useg s USING (w) GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(wpd.ch) AS BIGINT) AS sum_chars,
+         |  CAST(sum(wpd.np) AS BIGINT) AS wp_pieces,
+         |  CAST(sum(wpd.unk) AS BIGINT) AS wp_unk,
+         |  CAST(sum(ugd.np) AS BIGINT) AS ug_pieces,
+         |  CAST(sum(ugd.unk) AS BIGINT) AS ug_unk
+         |FROM documents d
+         |JOIN wpd ON wpd.doc_id = d.doc_id
+         |JOIN ugd ON ugd.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
+
     // 3-dim z-order: the spread16x3 mask cascade replayed in SQL bit
     // algebra (decimal constants of the 0x1f00000000ffff … 0x1249249249249249
     // masks), three interleaved dims, same >>27 cell fold.
@@ -12830,9 +12890,12 @@ object SparkEntry {
     * canonical segmentation. q_wordpiece_encode uses TRUE/TRUE;
     * q_wordpiece_oov splits fit/encode so unknowns actually fire.
     */
-  private def wordpieceEncodeSql(fitFilter: String, encFilter: String,
+  /** WordPiece encode CTE block (etoks .. wpos), shareable with the
+    * unigram chain in one statement (names are disjoint by design).
+    */
+  private def wordpieceEncodeCtes(fitFilter: String, encFilter: String,
       encText: String = "text"): String =
-    s"""WITH RECURSIVE ${wordpieceVocabCtes(fitFilter)},
+    s"""${wordpieceVocabCtes(fitFilter)},
        |vocab AS (SELECT piece FROM chars UNION ALL SELECT piece FROM multi),
        |etoks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim($encText), '\\s+'),
@@ -12860,7 +12923,11 @@ object SparkEntry {
        |),
        |segw AS (SELECT w, seg, unk, len(string_split(seg, chr(31))) AS npieces
        |  FROM walk WHERE pos = len(w) + 1),
-       |wpos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS wi FROM etoks)
+       |wpos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS wi FROM etoks)""".stripMargin
+
+  private def wordpieceEncodeSql(fitFilter: String, encFilter: String,
+      encText: String = "text"): String =
+    s"""WITH RECURSIVE ${wordpieceEncodeCtes(fitFilter, encFilter, encText)}
        |SELECT p.doc_id,
        |  count(*) AS n_words,
        |  CAST(sum(s.npieces) AS BIGINT) AS n_pieces,
@@ -12990,16 +13057,20 @@ object SparkEntry {
     * achieving dp[i]), reassemble per doc in word order, md5 the
     * segmentation — the DP twin of wordpieceEncodeSql's greedy walk.
     */
-  private def unigramEncodeSql(fitFilter: String, encFilter: String,
+  /** Unigram encode CTE block (u-prefixed names, textually disjoint from
+    * the WordPiece walk so both chains can share one statement — see
+    * q_tokenizer_compare): uetoks .. uwpos.
+    */
+  private def unigramEncodeCtes(fitFilter: String, encFilter: String,
       encText: String = "text"): String =
-    s"""WITH RECURSIVE ${unigramVocabCtes(fitFilter)},
-       |etoks AS (
+    s"""${unigramVocabCtes(fitFilter)},
+       |uetoks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim($encText), '\\s+'),
        |    x -> x <> '') AS t
        |  FROM documents WHERE $encFilter),
-       |dwords AS (SELECT DISTINCT unnest(t) AS w FROM etoks),
+       |udwords AS (SELECT DISTINCT unnest(t) AS w FROM uetoks),
        |vit AS (
-       |  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM dwords
+       |  SELECT w, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM udwords
        |  UNION ALL
        |  SELECT w, i + 1, list_append(dp, (
        |    SELECT max(dp[j + 1] + CASE
@@ -13032,7 +13103,11 @@ object SparkEntry {
        |useg AS (SELECT w, seg, np, unk FROM bwalk WHERE i = 0),
        |wsc AS (SELECT w, dp[CAST(len(w) + 1 AS INT)] AS sc FROM vfin),
        |uwpos AS (SELECT doc_id, unnest(t) AS w,
-       |  unnest(range(1, len(t) + 1)) AS wi FROM etoks)
+       |  unnest(range(1, len(t) + 1)) AS wi FROM uetoks)""".stripMargin
+
+  private def unigramEncodeSql(fitFilter: String, encFilter: String,
+      encText: String = "text"): String =
+    s"""WITH RECURSIVE ${unigramEncodeCtes(fitFilter, encFilter, encText)}
        |SELECT p.doc_id, count(*) AS n_words,
        |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
        |  CAST(sum(s.unk) AS BIGINT) AS n_unk,
