@@ -6780,6 +6780,39 @@ object SparkEntry {
           GraftFunctions.dtwBand(col("x.v"), col("y.v"), 3).as("dtw_e6"))
     }),
 
+    // --- beyond-reference: DTW nearest neighbor --------------------------
+    // kNN-by-DTW, the classic time-series classification shape: each
+    // probe user's daily series matched to its nearest other probe by
+    // banded DTW (argmin with (dtw, nn) tie-break). The probe set is
+    // id-bounded — exactly how a production run blocks the quadratic pair
+    // grid (cluster reps / LSH buckets / probe samples), so the kernel
+    // cost is probes², never users². Same micro-integer series and the
+    // same kernel as q_dtw.
+    "q_dtw_knn" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      val daily = t(s, dir, "events")
+        .filter(col("user_id") < 64)
+        .groupBy(col("user_id"),
+          floor(tsUs(col("ts")) / 86400000000L).cast("long").as("day"))
+        .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("q"))
+      val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val series = daily.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("day"), col("q")))).as("m"))
+        .crossJoin(broadcast(spine))
+        .select(col("user_id"),
+          transform(sequence(col("mn"), col("mx")),
+            d => coalesce(element_at(col("m"), d), lit(0L))).as("v"))
+      series.as("x").join(broadcast(series.as("y")),
+          col("x.user_id") =!= col("y.user_id"))
+        .select(col("x.user_id").as("user_id"),
+          col("y.user_id").as("cand"),
+          GraftFunctions.dtwBand(col("x.v"), col("y.v"), 3).as("d"))
+        .groupBy("user_id")
+        .agg(min(struct(col("d"), col("cand"))).as("best"))
+        .select(col("user_id"), col("best.cand").as("nn_user"),
+          col("best.d").as("dtw_e6"))
+    }),
+
     // --- beyond-reference: exact bounded top-k aggregate ----------------
     // graft_topk: top-5 events by value per type WITHOUT a window — the
     // aggregate partial-combines map-side, so exchanges carry ≤ k pairs
@@ -12828,6 +12861,10 @@ object SparkEntry {
     // within-row dependency), INF = 1e15 shared with the kernel.
     "q_dtw" -> dtwOracleSql,
 
+    // DTW-kNN: the same band-row recursion over the probe pair grid,
+    // argmin by (dtw, candidate) per probe.
+    "q_dtw_knn" -> dtwKnnOracleSql,
+
     // Exact top-k: the aggregate's two-level build+merge must equal the
     // direct window ranking — total order (value DESC, event_id ASC).
     "q_topk_agg" ->
@@ -12973,9 +13010,12 @@ object SparkEntry {
     * o+1, dp[i][j−1] is the previous lateral. INF = 1e15, matching
     * [[graft.functions.DtwImpl.Inf]]; out-of-list probes coalesce to INF.
     */
-  private def dtwOracleSql: String = {
+  /** The 7 chained in-band LATERALs of one DTW band-row step (shared by
+    * the q_dtw and q_dtw_knn oracles).
+    */
+  private def dtwLaterals: String = {
     val inf = "1000000000000000"
-    val lats = (0 until 7).map { o =>
+    (0 until 7).map { o =>
       val prevUp = s"coalesce(dp[${o + 2}], $inf)"
       val prevDiag = s"coalesce(dp[${o + 1}], $inf)"
       val curLeft = if (o == 0) s"CAST($inf AS BIGINT)" else s"x${o - 1}.c${o - 1}"
@@ -12984,6 +13024,11 @@ object SparkEntry {
          |      least($prevUp, $prevDiag, $curLeft)
          |    ELSE CAST($inf AS BIGINT) END AS c$o) x$o""".stripMargin
     }.mkString(",\n    ")
+  }
+
+  private def dtwOracleSql: String = {
+    val inf = "1000000000000000"
+    val lats = dtwLaterals
     s"""WITH RECURSIVE daily AS (
        |  SELECT event_type,
        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
@@ -13014,6 +13059,44 @@ object SparkEntry {
        |    $lats)
        |SELECT type_a, type_b, CAST(n AS BIGINT) AS n, dp[4] AS dtw_e6
        |FROM dtw WHERE i = n""".stripMargin
+  }
+
+  /** q_dtw_knn oracle: same band-row recursion over the id-bounded probe
+    * pair grid, argmin by (dtw, candidate) per probe.
+    */
+  private def dtwKnnOracleSql: String = {
+    val inf = "1000000000000000"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       |    CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS q
+       |  FROM events WHERE user_id < 64 GROUP BY 1, 2),
+       |spine AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+       |grid AS (
+       |  SELECT s.u, ds.d
+       |  FROM (SELECT DISTINCT user_id AS u FROM daily) s, spine,
+       |    unnest(range(mn, mx + 1)) AS ds(d)),
+       |series AS (
+       |  SELECT grid.u AS user_id, list(coalesce(dd.q, 0) ORDER BY grid.d) AS v
+       |  FROM grid LEFT JOIN daily dd ON dd.user_id = grid.u AND dd.day = grid.d
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.user_id AS uid, y.user_id AS cand,
+       |    x.v AS a, y.v AS b, len(x.v) AS n, len(y.v) AS m
+       |  FROM series x JOIN series y ON x.user_id <> y.user_id),
+       |dtw AS (
+       |  SELECT uid, cand, a, b, n, m, 0 AS i,
+       |    [CAST($inf AS BIGINT), $inf, $inf, 0, $inf, $inf, $inf] AS dp
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT uid, cand, a, b, n, m, i,
+       |    [x0.c0, x1.c1, x2.c2, x3.c3, x4.c4, x5.c5, x6.c6]
+       |  FROM (SELECT uid, cand, a, b, n, m, i + 1 AS i, dp
+       |        FROM dtw WHERE i < n) t,
+       |    $dtwLaterals)
+       |SELECT uid AS user_id, cand AS nn_user, dp[4] AS dtw_e6
+       |FROM dtw WHERE i = n
+       |QUALIFY row_number() OVER (PARTITION BY uid ORDER BY dp[4], cand) = 1""".stripMargin
   }
 
   /** Unigram-LM fit CTEs: the WordPiece inventory selection carrying
