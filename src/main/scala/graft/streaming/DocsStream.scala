@@ -632,6 +632,28 @@ object DocsStream {
       lit(false)))
   }
 
+  /** [[unkRateGate]] for a frozen UNIGRAM-LM model: same exact-integer
+    * rate compare, but the walk is the Viterbi kernel
+    * ([[graft.functions.UnigramEncode]]) — the health gate matching the
+    * tokenizer actually deployed matters because greedy and Viterbi
+    * segmentations count unknowns identically only on text both can
+    * cover; near the vocabulary's edge the deployed model's own rate is
+    * the truthful signal. Same stream ≡ batch / null-drop conventions.
+    */
+  def unigramUnkRateGate(
+      docs: DataFrame,
+      model: Seq[(String, Long)],
+      maxPieceLen: Int = 6,
+      maxUnkPct: Int = 10,
+      textCol: String = "text",
+  ): DataFrame = {
+    import graft.functions.GraftFunctions
+    val e = GraftFunctions.unigramEncode(col(textCol), model, maxPieceLen)
+    docs.filter(coalesce(
+      e.getField("n_unk") * 100 <= lit(maxUnkPct.toLong) * e.getField("n_pieces"),
+      lit(false)))
+  }
+
   /** Stateless BLOCKLIST gate: drop any document containing one of
     * `blocked` (case-insensitive), annotate survivors with the total hit
     * count across the watchlist — ONE Aho-Corasick walk per document

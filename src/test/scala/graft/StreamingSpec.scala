@@ -719,6 +719,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(batch.nonEmpty && batch.forall(_ % 2 == 0),
       "suffixed (odd) docs must drop, clean (even) docs must survive")
+
+    // the unigram-model variant of the same gate: Viterbi walk, same
+    // exact-integer rate compare, same stream-visible feed
+    val ugModel = graft.text.Unigram.buildVocab(base, "text", 64, 6)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val ugOutP = tmpDir("unk_ug_out")
+    val ugCkpt = tmpDir("unk_ug_ckpt")
+    val q2 = DocsStream.unigramUnkRateGate(
+        spark.readStream.schema(docsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir),
+        ugModel, maxPieceLen = 6, maxUnkPct = 3)
+      .writeStream.format("parquet")
+      .option("path", ugOutP).option("checkpointLocation", ugCkpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ugStreamed = spark.read.parquet(ugOutP).select("doc_id").as[Long].collect().toSet
+    val ugBatch = DocsStream.unigramUnkRateGate(
+      feed.filter($"doc_id" % 3 <= 1), ugModel, maxPieceLen = 6, maxUnkPct = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ugStreamed == ugBatch)
+    assert(ugBatch.nonEmpty && ugBatch.forall(_ % 2 == 0),
+      "unigram gate: suffixed docs drop, clean docs survive")
   }
 
   test("continual tokenizer: refit from ivmAppender word-count state == full-corpus fit") {
