@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Library-level Catalyst rule: fuse the HOF token-count idiom into
     // the one-pass kernel, plan-wide (see graft.plans.FuseTokenCount).
     ext.injectOptimizerRule(_ => graft.plans.FuseTokenCount)
+    // Rule #2: fuse the run-counting double-regexp_replace algebra into
+    // the one-scan kernels (see graft.plans.FuseRegexCount).
+    ext.injectOptimizerRule(_ => graft.plans.FuseRegexCount)
     // First-class plan node: AS-OF JOIN (logical node + strategy +
     // physical sort-merge exec — see graft.plans.AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -125,6 +128,10 @@ object GraftExtensions {
     "graft_topk" -> (es => TopKAgg(
       Cast(es(0), DoubleType), Cast(es(1), LongType), constInt(es(2), "top-k size"))),
     "graft_token_count" -> (es => TokenCount(es.head)),
+    "graft_regex_count" ->
+      (es => RegexCount(es.head, constString(es(1), "regex pattern"))),
+    "graft_regex_matched_chars" ->
+      (es => RegexMatchedChars(es.head, constString(es(1), "regex pattern"))),
     "graft_wordpiece" -> (es => WordPieceEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constInt(es(2), "max piece length"))),

@@ -5,19 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for perf work — not part of the library surface.
   *
-  * Current experiment: IVM amortization. At N× events, compare the cost
-  * of maintaining the q_ivm_agg view for ONE day's delta (read standing
-  * state + aggState(delta) + merge + write new state) against the full
-  * one-shot recompute — the claim is maintenance ~ O(|delta| + |state|),
-  * independent of history size. Same shape for the join view: the three
-  * joinDelta terms against a 1-day orders delta vs the full join.
+  * Current experiment: FuseRegexCount. The readability/script-detect
+  * family counts pattern runs with the double-regexp_replace identity —
+  * two full regex-engine passes plus two rewritten string copies per
+  * row. The injected rule fuses that to the one-scan RegexCount /
+  * RegexMatchedChars kernels. Measure the full q_readability-shaped
+  * scan (3 run counts per doc) both ways on sf0.1 documents; the
+  * "unfused" control is the XY/Y replacement twin the rule deliberately
+  * leaves alone (same two-scan work, same values).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      // the library extension: kernel SQL surface + the FuseTokenCount
-      // optimizer rule — the documented way to run the engine
       .withExtensions(new GraftExtensions())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,74 +27,54 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
-    import graft.core.Ivm
 
     def time[A](label: String)(f: => A): A = {
       f // warm pass: JIT + parquet footer caches; report the steady run
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-
-    val keys = Seq("event_type", "ubucket")
-    // Recompute cost grows with the corpus; maintenance cost must NOT —
-    // measure both at two corpus sizes with the SAME one-day delta.
-    for (dir <- Seq("/root/testdata/sf0.1", sfDir)) {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("event_type"), (col("user_id") % 10).cast("int").as("ubucket"),
-          col("value").cast("decimal(18,6)").as("v"), dayofmonth(col("ts")).as("day"))
-      val n = ev.count()
-      time(s"agg: full one-shot recompute over $n rows") {
-        Ivm.aggState(ev, keys, "v").collect().length
+      var best = Long.MaxValue; var r: A = null.asInstanceOf[A]
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime(); r = f
+        best = math.min(best, System.nanoTime() - t0)
       }
-      val statePath = "target/testtmp/ivm_scale_state"
-      // standing state = history through day 29 (built once; not
-      // maintenance); the delta lands as its own file, as a daily ingest
-      // would — maintenance never touches the history table at all.
-      Ivm.aggState(ev.filter(col("day") <= 29), keys, "v")
-        .write.mode("overwrite").parquet(statePath)
-      ev.filter(col("day") === 30)
-        .write.mode("overwrite").parquet(statePath + "_delta")
-      val dn = spark.read.parquet(statePath + "_delta").count()
-      time(s"agg: maintain one-day delta ($dn rows) against $n-row history") {
-        val delta = Ivm.aggState(spark.read.parquet(statePath + "_delta"), keys, "v")
-        Ivm.mergeAggStates(spark.read.parquet(statePath), delta, keys)
-          .write.mode("overwrite").parquet(statePath + "_next")
-        spark.read.parquet(statePath + "_next").count()
-      }
+      println(f"[scratch] $label: ${best / 1e9}%.2f s"); r
     }
 
-    // ----- join view -----
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"), col("o_orderdate"))
-    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-      .select(col("c_custkey"), col("c_nationkey"))
-    println(s"[scratch] orders rows: ${orders.count()}, customer rows: ${cust.count()}")
-    time("join: full recompute (count)") {
-      orders.join(cust, Seq("c_custkey")).count()
-    }
-    val cut = to_timestamp(lit("2001-07-01")) // last-month delta
-    val aOld = orders.filter(col("o_orderdate") < cut)
-    val aDelta = orders.filter(col("o_orderdate") >= cut)
-    println(s"[scratch] orders delta rows: ${aDelta.count()}")
-    time("join: delta terms only (count)") {
-      // append-only delta on one side: ΔA ⋈ B (B unchanged) — the daily term
-      aDelta.join(broadcast(cust), Seq("c_custkey")).count()
-    }
-
-    // ----- FuseTokenCount kernel vs HOF chain -----
-    // the '\\s{1,}' regex dodges the rule, so this times the UNFUSED
-    // chain against the fused one on identical data
+    import org.apache.spark.sql.Column
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("text")).localCheckpoint()
-    println(s"[scratch] docs rows: ${docs.count()}")
-    time("token count: HOF chain (unfused)") {
-      docs.select(sum(size(filter(split(trim(col("text")), "\\s{1,}"),
-        _ =!= "")))).collect()
+
+    def fused(c: Column, pat: String): Column =
+      length(regexp_replace(c, pat, "X")) - length(regexp_replace(c, pat, ""))
+    def twin(c: Column, pat: String): Column =
+      length(regexp_replace(c, pat, "XY")) - length(regexp_replace(c, pat, "Y"))
+
+    def readabilityScan(runs: (Column, String) => Column) = {
+      val low = lower(col("text"))
+      docs.select(
+        runs(col("text"), "\\S+").cast("long").as("words"),
+        runs(col("text"), "[.!?]+").cast("long").as("sents"),
+        runs(low, "[aeiouy]+").cast("long").as("sylls"))
+        .agg(sum("words"), sum("sents"), sum("sylls")).collect()
     }
-    time("token count: fused kernel (rule-rewritten)") {
-      docs.select(sum(size(filter(split(trim(col("text")), "\\s+"),
-        _ =!= "")))).collect()
-    }
+
+    val a = time("readability-shape scan, UNFUSED double regexp_replace")(
+      readabilityScan(twin))
+    val b = time("readability-shape scan, FUSED graft_regex_count")(
+      readabilityScan(fused))
+    require(a.head == b.head, s"value drift: ${a.head} vs ${b.head}")
+
+    // matched-chars shape (q_script_detect's volume counter)
+    def volUnfused = docs.select(
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z]+", "Y")) +
+        fused(col("text"), "[a-zA-Z]+")).cast("long").as("v"))
+      .agg(sum("v")).collect()
+    def volFused = docs.select(
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z]+", ""))).cast("long").as("v"))
+      .agg(sum("v")).collect()
+    val c1 = time("matched-chars scan, UNFUSED")(volUnfused)
+    val c2 = time("matched-chars scan, FUSED graft_regex_matched_chars")(volFused)
+    require(c1.head == c2.head, s"value drift: ${c1.head} vs ${c2.head}")
+
     spark.stop()
   }
 }

@@ -73,6 +73,19 @@ object GraftFunctions {
   def winnowAnchors(text: Column, k: Int, w: Int): Column =
     GraftShim.toColumn(WinnowAnchors(GraftShim.toExpression(text), k, w))
 
+  /** One-scan non-overlapping match count of a constant Java regex —
+    * the fused form of `length(regexp_replace(c,p,"X")) -
+    * length(regexp_replace(c,p,""))` (see plans.FuseRegexCount).
+    */
+  def regexCount(text: Column, pattern: String): Column =
+    GraftShim.toColumn(RegexCount(GraftShim.toExpression(text), pattern))
+
+  /** One-scan code points covered by matches — the fused form of
+    * `length(c) - length(regexp_replace(c,p,""))`.
+    */
+  def regexMatchedChars(text: Column, pattern: String): Column =
+    GraftShim.toColumn(RegexMatchedChars(GraftShim.toExpression(text), pattern))
+
   /** One-pass text statistics (token/char counts, stopword hits, lang). */
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))

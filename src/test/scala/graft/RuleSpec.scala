@@ -74,4 +74,95 @@ class RuleSpec extends SparkTestBase {
     val got = spark.sql("SELECT graft_token_count(' a  b\tc ')").collect()(0).getInt(0)
     assert(got == 3)
   }
+
+  // ---- FuseRegexCount: the run-counting double-regexp algebra ----------
+
+  /** The exact run-count idiom the rule targets. */
+  private def runCount(c: Column, pat: String): Column =
+    length(regexp_replace(c, pat, "X")) - length(regexp_replace(c, pat, ""))
+
+  /** Value twin the rule deliberately does NOT match (replacements of
+    * 2 and 1 chars — the diff is still the match count).
+    */
+  private def runCountTwin(c: Column, pat: String): Column =
+    length(regexp_replace(c, pat, "XY")) - length(regexp_replace(c, pat, "Y"))
+
+  /** Regex edge rows: unicode (incl. a supplementary code point inside
+    * and outside matches), empties, no-match, adjacent matches, null.
+    */
+  private lazy val redge: DataFrame = {
+    val p = tmpDir("rule_regex_edge")
+    Seq(Some(""), Some("abcab"), Some("aaa"), Some("a.b!c?d"),
+      Some("x y\tz"), Some("café café"), Some("a😀b c"),
+      Some("😀😀"), Some("no digits here"),
+      Some("1a22b333"), None)
+      .toDF("t").coalesce(1).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("run-count idiom is rewritten to graft_regex_count; both regex scans gone") {
+    val df = redge.select(runCount($"t", "[0-9]+").as("n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_regex_count"), plan)
+    assert(!plan.contains("regexp_replace"), s"double scan should be gone:\n$plan")
+  }
+
+  test("run-count value identity on regex edges incl. nulls and unicode") {
+    for (pat <- Seq("[0-9]+", "\\S+", "[aeiouy]+", "ab", "q", "a*")) {
+      val got = redge.select(runCount($"t", pat)).collect()
+        .map(r => Option(r.get(0))).toSeq
+      val want = redge.select(runCountTwin($"t", pat)).collect()
+        .map(r => Option(r.get(0))).toSeq
+      assert(got == want, s"pattern '$pat': got=$got want=$want")
+    }
+  }
+
+  test("matched-chars idiom fuses and equals the two-column difference") {
+    for (pat <- Seq("[0-9]+", "\\s+", "😀", "a*")) {
+      val df = redge.select(
+        (length($"t") - length(regexp_replace($"t", pat, ""))).as("n"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_regex_matched_chars"), s"'$pat':\n$plan")
+      // Oracle: the same two lengths collected separately, diffed here.
+      val parts = redge.select(length($"t").as("a"),
+        length(regexp_replace($"t", pat, "")).as("b")).collect()
+        .map(r => if (r.isNullAt(0) || r.isNullAt(1)) None
+                  else Some(r.getInt(0) - r.getInt(1))).toSeq
+      val got = df.collect().map(r => Option(r.get(0))).toSeq
+      assert(got == parts, s"pattern '$pat': got=$got want=$parts")
+    }
+  }
+
+  test("non-matching regexp shapes are left alone") {
+    val noFuse = Seq(
+      // different patterns on the two sides
+      length(regexp_replace($"t", "[0-9]+", "X")) -
+        length(regexp_replace($"t", "[a-z]+", "")),
+      // replacement with appendReplacement meta-semantics
+      length(regexp_replace($"t", "[0-9]+", "$")) -
+        length(regexp_replace($"t", "[0-9]+", "")),
+      // 2-char replacement (not the 1-vs-0 identity)
+      length(regexp_replace($"t", "[0-9]+", "XY")) -
+        length(regexp_replace($"t", "[0-9]+", ""))
+    )
+    for (c <- noFuse) {
+      val plan = redge.select(c).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_regex_count") &&
+        !plan.contains("graft_regex_matched_chars"), plan)
+    }
+    // Non-default search position (SQL 4-arg surface): left alone.
+    redge.createOrReplaceTempView("redge_v")
+    val sqlPlan = spark.sql(
+      """SELECT length(regexp_replace(t, '[0-9]+', 'X', 2))
+        |     - length(regexp_replace(t, '[0-9]+', '', 2)) FROM redge_v"""
+        .stripMargin).queryExecution.optimizedPlan.toString
+    assert(!sqlPlan.contains("graft_regex_count"), sqlPlan)
+  }
+
+  test("SQL surface: graft_regex_count / graft_regex_matched_chars registered") {
+    val r = spark.sql(
+      "SELECT graft_regex_count('abcab', 'ab'), " +
+        "graft_regex_matched_chars('a1b22c333', '[0-9]+')").collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 6)
+  }
 }
