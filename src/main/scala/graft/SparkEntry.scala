@@ -6432,6 +6432,36 @@ object SparkEntry {
         .select(col("event_type"), col("ubucket"), col("n_distinct"))
     }),
 
+    // TOP-K under retraction — the aggregate family the append-only
+    // leaderboard fold (q_topk_incremental) cannot maintain under
+    // deletes: retracting the reigning #1 needs the runner-up, which a
+    // ≤k scalar state no longer has. The id-grain support table is the
+    // fix (same contract as q_ivm_distinct: live rows ARE the state;
+    // exactness under arbitrary retraction requires them), and the READ
+    // stays bounded — TopKAgg carries ≤k pairs per key per exchange, so
+    // a skewed key never window-sorts its live set. Same changelog as
+    // q_ivm_retract (TTL-expire days 1-10, retract 'error' entirely —
+    // which deletes whole reigning leaderboards, not just tail rows).
+    "q_ivm_topk_retract" -> ((s, dir) => {
+      val keys = Seq("event_type")
+      val grain = keys :+ "value"
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"),
+          dayofmonth(col("ts")).as("day"))
+      val ins1 = ev.filter(col("day") <= 15).withColumn("op", lit(1))
+      val ins2 = ev.filter(col("day") > 15).withColumn("op", lit(1))
+      val dels = ev.filter(col("day") <= 10 || col("event_type") === "error")
+        .withColumn("op", lit(-1))
+      val st = Seq(ins2, dels).foldLeft(
+        Ivm.supportState(ins1, grain, "event_id", "op"))((acc, b) =>
+        Ivm.mergeSupportStates(acc, Ivm.supportState(b, grain, "event_id", "op"),
+          grain, "event_id").localCheckpoint(eager = false))
+      Ivm.topKFromSupport(st, keys, "value", "event_id", 5)
+        .select(col("event_type"), col("rank").cast("int").as("rank"),
+          col("event_id"), col("value"))
+    }),
+
     // --- beyond-reference: feature-hashing vectorizer (hashing trick) ---
     // Weinberger et al. 2009: token → bucket via hash, ± sign via a
     // second hash bit, per-doc sparse vector = signed counts per bucket —
@@ -12677,6 +12707,18 @@ object SparkEntry {
         |FROM events
         |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
         |GROUP BY 1, 2""".stripMargin,
+
+    // full recompute over the live rows: the maintained leaderboard must
+    // equal the one-shot window ranking bit-for-bit
+    "q_ivm_topk_retract" ->
+      """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND date_part('day', ts) > 10 AND event_type <> 'error') t
+        |WHERE rank <= 5""".stripMargin,
 
     "q_feature_hash" ->
       """WITH toks AS (

@@ -177,6 +177,41 @@ object Ivm {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
 
+  /** Maintained per-key EXACT top-k leaderboard off an ID-GRAIN support
+    * table (keys..., value, id, support) — build it with [[supportState]]
+    * at grain `keys :+ valueCol` and "value" column = the row id, so a
+    * retraction removes exactly the row that was inserted. Retracting the
+    * reigning #1 is safe for the same reason [[extremaFromSupport]] is:
+    * every live candidate is still a support row, so the runner-up
+    * promotes on read.
+    *
+    * State-size honesty: exact top-k under ARBITRARY retraction requires
+    * the live row set as state (any row can become top-k after enough
+    * deletes) — the same contract as [[distinctFromSupport]], not the
+    * bounded ≤k scalar state of the append-only leaderboard fold
+    * (q_topk_incremental). What stays bounded is the READ: the
+    * [[graft.functions.TopKAgg]] aggregate carries ≤k (value, id) pairs
+    * per key per exchange — a partial-combining agg, never a window sort
+    * of the live set — so a skewed key costs k pairs per map partition,
+    * not a single-reducer sort of its millions of live rows. Maintenance
+    * stays O(|delta| + |state-merge|) per batch like every fold here.
+    *
+    * Output: (keys..., rank, id, value) in the canonical exact order
+    * (value DESC, id ASC), rank 1-based — bit-identical to a one-shot
+    * window ranking of the live rows.
+    */
+  def topKFromSupport(state: DataFrame, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions
+    positiveSupport(state, "topKFromSupport")
+      .groupBy(keys.map(col): _*)
+      .agg(GraftFunctions.topK(col(valueCol), col(idCol), k).as("st"))
+      .select((keys.map(col) :+
+        explode(GraftFunctions.topKEntries(col("st"))).as("e")): _*)
+      .select((keys.map(col) :+ col("e.rank").as("rank") :+
+        col("e.id").as(idCol) :+ col("e.v").as(valueCol)): _*)
+  }
+
   /** Append-only join-view delta: the three new-match terms. Old states
     * appear once each, joined against a delta — with the state tables
     * bucketed on `usingKeys`, each term is a delta-pruned (or broadcast)

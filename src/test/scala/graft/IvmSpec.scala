@@ -149,4 +149,44 @@ class IvmSpec extends SparkTestBase {
     val want = asMap(direct)
     assert(got == want)
   }
+
+  test("top-k under retraction: retracting the reigning #1 (and #2) promotes runners-up") {
+    // id-grain support table: grain = (k, value), "value" column = id
+    val grain = Seq("k", "v")
+    val ins = Seq(("a", 9.0, 101L, 1), ("a", 8.0, 102L, 1), ("a", 7.0, 103L, 1),
+      ("a", 6.0, 104L, 1), ("b", 5.0, 201L, 1), ("b", 4.0, 202L, 1))
+      .toDF("k", "v", "id", "op")
+    // delete a's #1 AND #2, and ALL of b — a whole leaderboard vanishes
+    val del = Seq(("a", 9.0, 101L, -1), ("a", 8.0, 102L, -1),
+      ("b", 5.0, 201L, -1), ("b", 4.0, 202L, -1)).toDF("k", "v", "id", "op")
+    val st = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, grain, "id", "op"),
+      Ivm.supportState(del, grain, "id", "op"), grain, "id")
+    val got = Ivm.topKFromSupport(st, Seq("k"), "v", "id", 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(("a", 1, 103L, 7.0), ("a", 2, 104L, 6.0)), got.toString)
+  }
+
+  test("top-k fold over an insert/retract changelog equals the one-shot window ranking") {
+    // q_ivm_topk_retract in miniature on real data: live set = day > 10
+    val grain = Seq("k", "v")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("k"), col("event_id").as("id"),
+        col("value").as("v"), dayofmonth(col("ts")).as("day"))
+    val ins = ev.withColumn("op", lit(1))
+    val dels = ev.filter(col("day") <= 10).withColumn("op", lit(-1))
+    val st = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, grain, "id", "op"),
+      Ivm.supportState(dels, grain, "id", "op"), grain, "id")
+    val got = Ivm.topKFromSupport(st, Seq("k"), "v", "id", 3)
+    val want = ev.filter(col("day") > 10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("v").desc, col("id"))))
+      .filter(col("rank") <= 3)
+      .select(col("k"), col("rank"), col("id"), col("v"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
