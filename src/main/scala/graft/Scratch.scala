@@ -39,7 +39,15 @@ object Scratch {
     }
 
     import org.apache.spark.sql.Column
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // The suite corpus is small (~300 chars/doc), so whole-query numbers
+    // are job-overhead-bounded; SPARK_GRAFT_REPEAT inflates per-row text
+    // to measure the pure per-row kernel factor (the number that scales
+    // to 100 TB, where the scan IS the cost).
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = (if (rep > 1) docs0.withColumn("text", repeat(col("text"), rep))
+                else docs0).persist()
+    docs.count()
 
     def fused(c: Column, pat: String): Column =
       length(regexp_replace(c, pat, "X")) - length(regexp_replace(c, pat, ""))

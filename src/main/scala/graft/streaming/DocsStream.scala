@@ -496,6 +496,52 @@ object DocsStream {
       .start()
   }
 
+  /** STANDING LEADERBOARD MAINTENANCE: the exact-top-k member of the
+    * appender family — each micro-batch condenses to per-group
+    * [[graft.functions.TopKAgg]] states (≤k (value, id) pairs each,
+    * canonical value DESC / id ASC order) and folds into the standing
+    * leaderboards with the MERGE aggregate. Like [[ivmAppender]] the
+    * state is EXACT, so the stream ≡ batch pin is full equality: the
+    * standing top-k after N micro-batches is bit-identical to a one-shot
+    * window ranking of everything ingested (StreamingSpec asserts it) —
+    * at a standing cost of k pairs per group, never a history rescan.
+    * Doubly replay-tolerant: the versioned state layout replays cleanly
+    * like every appender here, AND TopKState.merge is a (value, id) SET
+    * union, so an at-least-once re-delivery of the same pair cannot
+    * double-insert and evict a genuinely distinct entry. (Top-k under
+    * RETRACTION is deliberately not this operator — deletes need the
+    * live-row support table, see [[graft.core.Ivm.topKFromSupport]].)
+    */
+  def topKAppender(
+      docs: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Int = 10,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.GraftFunctions
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch
+          .groupBy(col(groupCol).as("g"))
+          .agg(GraftFunctions.topK(col(valueCol), col(idCol), k).as("sk"))
+        val versions = stateVersionsBelow(spark, statePath, batchId)
+        val merged =
+          if (versions.isEmpty) fresh
+          else fresh.unionByName(
+            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            .groupBy("g")
+            .agg(GraftFunctions.topKMerge(col("sk")).as("sk"))
+        merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+  }
+
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

@@ -275,6 +275,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"span assembly must stay gram/doc keyed:\n$p")
   }
 
+  test("q_readability: FuseRegexCount live in the registry plan — zero regexp_replace") {
+    val p = plan("q_readability")
+    assert(countOccurrences(p, "graft_regex_count") >= 3,
+      s"all three run counts must plan as the one-scan kernel:\n$p")
+    assert(!p.contains("regexp_replace"),
+      s"the double-scan idiom must be fused away:\n$p")
+  }
+
+  test("q_ivm_topk_retract: maintained leaderboard read is a bounded agg, not a window") {
+    val p = plan("q_ivm_topk_retract")
+    assert(p.contains("graft_topk"), s"TopKAgg read expected:\n$p")
+    assert(!p.contains("Window"),
+      s"the live set must never be window-sorted:\n$p")
+  }
+
   test("q_attribution: first/last/purchase lookups ride ONE exchange (user_id)") {
     val p = plan("q_attribution")
     // one shuffle collects per-user sequences + one small agg exchange on

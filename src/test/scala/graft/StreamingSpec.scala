@@ -682,6 +682,53 @@ class StreamingSpec extends SparkTestBase {
     assert(v0.exceptAll(p0).isEmpty && p0.exceptAll(v0).isEmpty)
   }
 
+  test("topKAppender: standing leaderboard == one-shot window ranking, bit for bit") {
+    val dir = tmpDir("topk_in")
+    val statePath = tmpDir("topk_state")
+    val ckpt = tmpDir("topk_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val parts = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i).localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+    parts(2).coalesce(1).write.mode("append").parquet(dir)
+
+    // score = char length (ties broken by doc_id via the canonical order)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("g", $"doc_id" % 4)
+      .withColumn("v", length($"text").cast("double"))
+      .select($"g", $"doc_id".as("id"), $"v")
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.topKAppender(shape(stream), statePath, ckpt,
+      groupCol = "g", valueCol = "v", idCol = "id", k = 5)
+    try q.processAllAvailable() finally q.stop()
+
+    import graft.functions.GraftFunctions
+    val standing = spark.read.parquet(s"$statePath/batch=2")
+      .select($"g", explode(GraftFunctions.topKEntries($"sk")).as("e"))
+      .select($"g", $"e.rank".as("rank"), $"e.id".as("id"), $"e.v".as("v"))
+    val oneShot = shape(corpus)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy($"v".desc, $"id")))
+      .filter($"rank" <= 5)
+      .select($"g", $"rank", $"id", $"v")
+    assert(standing.exceptAll(oneShot).isEmpty && oneShot.exceptAll(standing).isEmpty,
+      "standing leaderboard after 3 micro-batches must equal the one-shot ranking")
+    // replay tolerance beyond the versioned layout: folding batch 0's
+    // state into the final state twice changes nothing (set-union merge)
+    val replayed = spark.read.parquet(s"$statePath/batch=2")
+      .unionByName(spark.read.parquet(s"$statePath/batch=0"))
+      .groupBy("g").agg(GraftFunctions.topKMerge($"sk").as("sk"))
+      .select($"g", explode(GraftFunctions.topKEntries($"sk")).as("e"))
+      .select($"g", $"e.rank".as("rank"), $"e.id".as("id"), $"e.v".as("v"))
+    assert(replayed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(replayed).isEmpty,
+      "re-delivering an already-folded state must be a no-op")
+  }
+
   test("unkRateGate: mixed-script feed filters identically streamed and batch") {
     import graft.text.WordPiece
     val dir = tmpDir("unk_in")
