@@ -496,6 +496,49 @@ object DocsStream {
       .start()
   }
 
+  /** STANDING CHANGELOG (CDC) MAINTENANCE: the retraction-capable member
+    * of the appender family — the input stream is a SIGNED changelog
+    * (rows carry `opCol` = +1 insert / -1 retract, the shape every CDC
+    * feed and streaming changelog engine emits), each micro-batch
+    * condenses to its [[graft.core.Ivm.signedAggState]] and folds with
+    * [[graft.core.Ivm.mergeSignedStates]]. Unlike [[ivmAppender]]
+    * (append-only), deletes maintain the view: keys whose support
+    * reaches zero leave it, and a retraction for a row never inserted
+    * fails LOUDLY at read time ([[graft.core.Ivm.finishSigned]] — read
+    * the standing state through it). Stream ≡ batch is full equality:
+    * the finished state after N micro-batches equals a one-shot
+    * aggregate of the surviving multiset, bit for bit (StreamingSpec).
+    * State size is key cardinality; the fold is O(|delta| + one
+    * co-partitioned state merge) — the usual contract. `valueCol` must
+    * already be deterministic (decimal-cast); same versioned replay-safe
+    * layout as every appender here.
+    */
+  def changelogAppender(
+      docs: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      keys: Seq[String],
+      valueCol: String,
+      opCol: String = "op",
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.core.Ivm
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = Ivm.signedAggState(batch, keys, valueCol, opCol)
+        val versions = stateVersionsBelow(spark, statePath, batchId)
+        val merged =
+          if (versions.isEmpty) fresh
+          else Ivm.mergeSignedStates(
+            spark.read.parquet(s"$statePath/batch=${versions.max}"),
+            fresh, keys)
+        merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      }
+      .start()
+  }
+
   /** STANDING LEADERBOARD MAINTENANCE: the exact-top-k member of the
     * appender family — each micro-batch condenses to per-group
     * [[graft.functions.TopKAgg]] states (≤k (value, id) pairs each,

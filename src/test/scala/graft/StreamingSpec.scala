@@ -682,6 +682,55 @@ class StreamingSpec extends SparkTestBase {
     assert(v0.exceptAll(p0).isEmpty && p0.exceptAll(v0).isEmpty)
   }
 
+  test("changelogAppender: CDC stream with retractions == one-shot agg of survivors") {
+    import graft.core.Ivm
+    val dir = tmpDir("cdc_in")
+    val statePath = tmpDir("cdc_state")
+    val ckpt = tmpDir("cdc_ckpt")
+    // deterministic changelog off the corpus: g = doc_id % 4, v = length;
+    // batch 2 retracts every doc_id % 3 == 0 row AND all of g == 3
+    val base = spark.read.parquet(s"$sf/documents.parquet").limit(90)
+      .select(($"doc_id" % 4).as("g"), $"doc_id".as("id"),
+        length($"text").cast("decimal(18,6)").as("v"))
+      .localCheckpoint()
+    val ins = base.withColumn("op", lit(1))
+    val parts = Seq(
+      ins.filter($"id" % 2 === 0),
+      ins.filter($"id" % 2 === 1),
+      base.filter($"id" % 3 === 0 || $"g" === 3).withColumn("op", lit(-1)))
+      .map(_.select($"g", $"v", $"op").localCheckpoint())
+    parts(0).coalesce(1).write.mode("overwrite").parquet(dir)
+    parts(1).coalesce(1).write.mode("append").parquet(dir)
+    parts(2).coalesce(1).write.mode("append").parquet(dir)
+
+    val cdcSchema = new org.apache.spark.sql.types.StructType()
+      .add("g", "long").add("v", "decimal(18,6)").add("op", "int")
+    val stream = spark.readStream.schema(cdcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocsStream.changelogAppender(stream, statePath, ckpt,
+      keys = Seq("g"), valueCol = "v")
+    try q.processAllAvailable() finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", $"n", $"sum_v".cast("decimal(38,6)").as("sum_v"))
+    val standing = canon(Ivm.finishSigned(
+      spark.read.parquet(s"$statePath/batch=2")))
+    val oneShot = canon(base
+      .filter(!($"id" % 3 === 0 || $"g" === 3))
+      .groupBy("g").agg(count(lit(1)).as("n"), sum($"v").as("sum_v")))
+    assert(standing.exceptAll(oneShot).isEmpty && oneShot.exceptAll(standing).isEmpty,
+      "finished changelog state must equal the one-shot survivor aggregate")
+    // the fully-retracted key left the view
+    assert(standing.filter($"g" === 3).isEmpty)
+    // a retraction for a row never inserted fails loudly at read time
+    val bogus = Seq((99L, BigDecimal(1), -1)).toDF("g", "v", "op")
+      .select($"g", $"v".cast("decimal(18,6)").as("v"), $"op")
+    val poisoned = Ivm.mergeSignedStates(
+      spark.read.parquet(s"$statePath/batch=2"),
+      Ivm.signedAggState(bogus, Seq("g"), "v", "op"), Seq("g"))
+    intercept[Exception] { Ivm.finishSigned(poisoned).collect() }
+  }
+
   test("topKAppender: standing leaderboard == one-shot window ranking, bit for bit") {
     val dir = tmpDir("topk_in")
     val statePath = tmpDir("topk_state")
