@@ -85,5 +85,16 @@ object FuseRegexCount extends Rule[LogicalPlan] {
           if litRep(rep2, 0) && posOne(p2) && s1.dataType == StringType &&
             s1.deterministic && s1.semanticEquals(s2) =>
         RegexMatchedChars(s1, re2.toString)
+
+      // Match count via array materialization:
+      // size(regexp_extract_all(s, p, 0)) builds the full match array
+      // per row only to take its length — one entry per find() match
+      // (idx 0 = the whole match; other group indexes also emit one
+      // entry per match, but only idx 0 is fused to keep the guard
+      // trivially airtight). Null convention follows the matched size's
+      // own legacy flag, exactly like FuseTokenCount.
+      case Size(RegExpExtractAll(s, LitPattern(re), Literal(0, _)), legacy) =>
+        if (legacy) Coalesce(Seq(RegexCount(s, re.toString), Literal(-1)))
+        else RegexCount(s, re.toString)
     }
 }

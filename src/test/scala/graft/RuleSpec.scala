@@ -159,6 +159,25 @@ class RuleSpec extends SparkTestBase {
     assert(!sqlPlan.contains("graft_regex_count"), sqlPlan)
   }
 
+  test("size(regexp_extract_all(s,p,0)) fuses; group-index > 0 left alone") {
+    for (pat <- Seq("[0-9]+", "ab", "a*", "😀")) {
+      val df = redge.select(
+        size(regexp_extract_all($"t", lit(pat), lit(0))).as("n"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_regex_count"), s"'$pat':\n$plan")
+      // value oracle: the run-count twin (same match count, not fused)
+      val want = redge.select(runCountTwin($"t", pat)).collect()
+        .map(r => Option(r.get(0))).toSeq
+      val got = df.collect().map(r => Option(r.get(0))).toSeq
+      assert(got == want, s"pattern '$pat': got=$got want=$want")
+    }
+    // a capture-group index other than 0 is NOT the fused shape
+    val p1 = redge.select(
+      size(regexp_extract_all($"t", lit("(a)b"), lit(1)))).queryExecution
+      .optimizedPlan.toString
+    assert(!p1.contains("graft_regex_count"), p1)
+  }
+
   test("SQL surface: graft_regex_count / graft_regex_matched_chars registered") {
     val r = spark.sql(
       "SELECT graft_regex_count('abcab', 'ab'), " +
