@@ -6432,6 +6432,35 @@ object SparkEntry {
         .select(col("event_type"), col("ubucket"), col("n_distinct"))
     }),
 
+    // QUANTILES under retraction — sketches are the append-only shape
+    // (mergeable, O(k) state) but CANNOT retract; the support table
+    // makes order statistics exact under arbitrary insert/delete churn
+    // because the live distribution IS the state, at distinct-value
+    // grain (integer-floored values here, so the state is value-bounded
+    // like q_ivm_retract's day grain — NOT row-bounded). Type-1 lower
+    // quantile (smallest value with cumulative support ≥ ceil(f·N)) is
+    // pure integer/IEEE-identical arithmetic, so the gate hashes it
+    // cross-engine. Same TTL changelog as the rest of the family.
+    "q_ivm_quantile_retract" -> ((s, dir) => {
+      val keys = Seq("event_type")
+      val grain = keys :+ "v"
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value")).cast("int").as("v"),
+          dayofmonth(col("ts")).as("day"))
+      val ins1 = ev.filter(col("day") <= 15).withColumn("op", lit(1))
+      val ins2 = ev.filter(col("day") > 15).withColumn("op", lit(1))
+      val dels = ev.filter(col("day") <= 10 || col("event_type") === "error")
+        .withColumn("op", lit(-1))
+      val st = Seq(ins2, dels).foldLeft(
+        Ivm.supportState(ins1, keys, "v", "op"))((acc, b) =>
+        Ivm.mergeSupportStates(acc, Ivm.supportState(b, keys, "v", "op"),
+          keys, "v").localCheckpoint(eager = false))
+      Ivm.quantileFromSupport(st, keys, "v",
+        Seq("p25_v" -> 0.25, "median_v" -> 0.5, "p90_v" -> 0.9))
+    }),
+
     // TOP-K under retraction — the aggregate family the append-only
     // leaderboard fold (q_topk_incremental) cannot maintain under
     // deletes: retracting the reigning #1 needs the runner-up, which a
@@ -12707,6 +12736,29 @@ object SparkEntry {
         |FROM events
         |WHERE date_part('day', ts) > 10 AND event_type <> 'error'
         |GROUP BY 1, 2""".stripMargin,
+
+    // full recompute over the live rows: type-1 quantiles off the
+    // support-table shape, mirrored arithmetic (ceil(f*N) on identical
+    // IEEE doubles)
+    "q_ivm_quantile_retract" ->
+      """WITH sup AS (
+        |  SELECT event_type, CAST(floor(value) AS INTEGER) AS v,
+        |    count(*) AS support
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND date_part('day', ts) > 10 AND event_type <> 'error'
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v,
+        |    sum(support) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(support) OVER (PARTITION BY event_type) AS tot
+        |  FROM sup)
+        |SELECT event_type,
+        |  min(CASE WHEN cum >= ceil(0.25 * tot) THEN v END) AS p25_v,
+        |  min(CASE WHEN cum >= ceil(0.5 * tot) THEN v END) AS median_v,
+        |  min(CASE WHEN cum >= ceil(0.9 * tot) THEN v END) AS p90_v
+        |FROM c GROUP BY 1""".stripMargin,
 
     // full recompute over the live rows: the maintained leaderboard must
     // equal the one-shot window ranking bit-for-bit

@@ -177,6 +177,34 @@ object Ivm {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
 
+  /** Maintained per-key EXACT quantiles off the support table — the
+    * order-statistics member of the support-table family. The sketch
+    * path ([[graft.functions.QuantileSketchAgg]]) is the append-only
+    * 100 TB shape, but sketches cannot retract; with a (key, value,
+    * support) table the live distribution IS the state, so any quantile
+    * is exact under arbitrary insert/delete churn. Type-1 (lower)
+    * quantile, the deterministic convention: smallest value whose
+    * cumulative support ≥ ceil(f · N) — engine-identical arithmetic, so
+    * the cross-engine gate can hash it. The per-key window runs over the
+    * SUPPORT TABLE (distinct values per key — days, buckets, integer
+    * grains — not live rows): state-sized, the same bound as
+    * [[extremaFromSupport]]'s groupBy.
+    */
+  def quantileFromSupport(state: DataFrame, keys: Seq[String],
+      valueCol: String, quantiles: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val whole = Window.partitionBy(keys.map(col): _*)
+    val aggs = quantiles.map { case (name, f) =>
+      min(when(col("cum") >= ceil(lit(f) * col("tot")), col(valueCol))).as(name)
+    }
+    positiveSupport(state, "quantileFromSupport")
+      .withColumn("cum", sum(col("support")).over(byVal))
+      .withColumn("tot", sum(col("support")).over(whole))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Maintained per-key EXACT top-k leaderboard off an ID-GRAIN support
     * table (keys..., value, id, support) — build it with [[supportState]]
     * at grain `keys :+ valueCol` and "value" column = the row id, so a

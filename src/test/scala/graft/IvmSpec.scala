@@ -150,6 +150,24 @@ class IvmSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("quantiles under retraction: deletes shift the maintained median exactly (type-1)") {
+    // live multiset after the delta: a -> {1, 2, 3, 4}    (5 retracted)
+    //                                b -> {10, 10, 20}    (one copy of 10 retracted)
+    val ins = Seq(("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 1), ("a", 5, 1),
+      ("b", 10, 1), ("b", 10, 1), ("b", 10, 1), ("b", 20, 1))
+      .toDF("k", "v", "op")
+    val del = Seq(("a", 5, -1), ("b", 10, -1)).toDF("k", "v", "op")
+    val st = Ivm.mergeSupportStates(
+      Ivm.supportState(ins, keys, "v", "op"),
+      Ivm.supportState(del, keys, "v", "op"), keys, "v")
+    val got = Ivm.quantileFromSupport(st, keys, "v",
+      Seq("med" -> 0.5, "p75" -> 0.75)).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // type-1: a N=4 → med at cum>=2 is 2, p75 at cum>=3 is 3
+    //         b N=3 → med at cum>=2 is 10 (support 2 survives), p75 at cum>=ceil(2.25)=3 is 20
+    assert(got == Map("a" -> ((2, 3)), "b" -> ((10, 20))), got.toString)
+  }
+
   test("top-k under retraction: retracting the reigning #1 (and #2) promotes runners-up") {
     // id-grain support table: grain = (k, value), "value" column = id
     val grain = Seq("k", "v")
