@@ -31,7 +31,12 @@ object LabelProp {
     * (both-direction graphs make this every node).
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
+    // The edge list is re-joined EVERY round — checkpoint it like the
+    // node set, or each round replays the caller's full edge-derivation
+    // lineage (q_communities: a lineitem scan + basket pair explosion +
+    // aggregate, 4× without this; measured 7.40 → 2.87 s at sf0.1).
     val e = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
