@@ -177,10 +177,19 @@ object SubstringDedup {
   private def sharedHits(grams: DataFrame, minDocs: Int, hotGramOcc: Int): DataFrame = {
     require(minDocs >= 2 && hotGramOcc >= 2,
       s"need minDocs>=2, hotGramOcc>=2; got ($minDocs, $hotGramOcc)")
+    // The gram stream has THREE consumers here (the stats groupBy + the
+    // hot/cold semi-join left sides) and stats has two (hot, cold) —
+    // uncheckpointed, the corpus scan + gram kernel replays FOUR times
+    // (idle A/B: q_substring_dedup 6.9 → 4.4 s, q_substring_scrub 7.4 → 5.3 s).
+    // Materializing the gram stream is the deliberate trade: winnowed
+    // anchors are ~2/(window+1) of the corpus, and one stored copy beats
+    // three recomputes of the corpus scan; stride-1 callers who cannot
+    // afford the copy should prefer the winnowed path at scale anyway.
+    val g = grams.localCheckpoint(false)
     // minDocs == 2 (the operator's natural setting) needs only min≠max —
     // O(1) agg state; higher thresholds pay the exact countDistinct.
-    val base = grams.groupBy("gram")
-    val stats =
+    val base = g.groupBy("gram")
+    val stats = (
       if (minDocs == 2)
         base.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
             count(lit(1)).as("occ"))
@@ -188,10 +197,11 @@ object SubstringDedup {
       else
         base.agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
           .filter(col("nd") >= minDocs)
+    ).localCheckpoint(false)
     val hot = stats.filter(col("occ") >= hotGramOcc).select("gram")
     val cold = stats.filter(col("occ") < hotGramOcc).select("gram")
-    grams.join(broadcast(hot), Seq("gram"), "left_semi")
-      .unionByName(grams.join(cold, Seq("gram"), "left_semi"))
+    g.join(broadcast(hot), Seq("gram"), "left_semi")
+      .unionByName(g.join(cold, Seq("gram"), "left_semi"))
       .select("doc_id", "pos")
   }
 
