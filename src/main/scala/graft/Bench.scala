@@ -67,33 +67,57 @@ object Bench {
     // workspace) carries the COMPLETE per-query map — the printed JSON
     // line is tail-window-limited to ~85 entries, which both loses
     // round-over-round history for 2/3 of the registry and starves this
-    // self-defense. Prefer it; fall back to the newest BENCH_r*.json.
-    val priorMins: Map[String, Double] = {
-      def parse(f: java.io.File): Map[String, Double] =
-        try {
-          val full = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-          // Parse ONLY the "queries" map: BENCH_FULL.json may carry a
-          // trailing "firstPass" object with the LOADED values of
-          // escalation-flagged queries, and a whole-file regex would let
-          // those override the calm mins via toMap last-wins — exactly
-          // the baseline corruption this defense exists to prevent.
-          val cut = full.indexOf("\"firstPass\"")
-          val txt = if (cut >= 0) full.substring(0, cut) else full
-          // The queries map is flat {"name":sec,...}; query keys are the
-          // q_*/b_* entries (top-level keys like "value"/"warmup" never
-          // collide with those prefixes).
-          "\"([qb]_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap
-        } catch { case _: Throwable => Map.empty[String, Double] }
+    // self-defense. The PINNED baseline (BASELINE_BENCH.json, committed:
+    // the r12-final idle full-registry run, see BASELINE.md "Pinned
+    // per-query baseline") takes precedence as the regression
+    // denominator — a fixed, idle-calibrated anchor that a loaded prior
+    // round cannot corrupt; queries added after the pin fall back to
+    // BENCH_FULL.json, then the newest BENCH_r*.json.
+    def parseQueryMins(f: java.io.File): Map[String, Double] =
+      try {
+        val full = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // Parse ONLY min-bearing maps: BENCH_FULL.json may carry trailing
+        // "firstPass"/"maxes" objects with the LOADED values of each
+        // query, and a whole-file regex would let those override the calm
+        // mins via toMap last-wins — exactly the baseline corruption this
+        // defense exists to prevent.
+        val cut = Seq(full.indexOf("\"firstPass\""), full.indexOf("\"maxes\""))
+          .filter(_ >= 0).sorted.headOption.getOrElse(full.length)
+        val txt = full.substring(0, cut)
+        // The query maps are flat {"name":sec,...}; query keys are the
+        // q_*/b_* entries (top-level keys like "value"/"warmup" never
+        // collide with those prefixes).
+        "\"([qb]_[a-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    // Every baseline below (pin AND history) is calibrated at the
+    // driver's bench scale; a profiling run at another SF (target/sf1,
+    // target/sf10 scaling tables) must not compare against it — per-query
+    // times legitimately scale with the data.
+    val isGateScale = new java.io.File(sfDir).getName == "sf0.1"
+    val pinFile = new java.io.File("BASELINE_BENCH.json")
+    val pinnedMins: Map[String, Double] =
+      if (isGateScale && pinFile.isFile) parseQueryMins(pinFile) else Map.empty
+    // The pin's own warmup seconds: the fixed-work reference that turns
+    // THIS run's warmup into a load verdict (see `loaded` below).
+    val pinnedWarmup: Option[Double] =
+      if (!isGateScale || !pinFile.isFile) None
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(pinFile.toPath), "UTF-8")
+        "\"warmup\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    val priorMins: Map[String, Double] = if (!isGateScale) Map.empty else {
       val full = new java.io.File("BENCH_FULL.json")
-      val fromFull = if (full.isFile) parse(full) else Map.empty[String, Double]
-      if (fromFull.nonEmpty) fromFull
-      else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        .lastOption.map(parse).getOrElse(Map.empty)
+      val fromFull = if (full.isFile) parseQueryMins(full) else Map.empty[String, Double]
+      val history =
+        if (fromFull.nonEmpty) fromFull
+        else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(parseQueryMins).getOrElse(Map.empty)
+      history ++ pinnedMins // pin wins where both know the query
     }
     // Caches present BEFORE the timed loop belong to the caller (Bench is
     // a main today, but the session is shared state) — rep cleanup below
@@ -120,6 +144,12 @@ object Bench {
     // oracled query now times a contract harness (e.g. the LSH candidate
     // generators); they are excluded from Verify and the oracle gate.
     val allEntries = (SparkEntry.queries ++ SparkEntry.benchProbes).toSeq.sortBy(_._1)
+    // Per-query WORST rep: the loaded half of the calm/loaded pair
+    // persisted for every query in BENCH_FULL.json ("maxes") — min says
+    // what the engine costs, max says what this container did to it, and
+    // a reader diagnosing a contended gate artifact needs both sides for
+    // the whole registry, not just the escalation-flagged tail.
+    val repMaxes = scala.collection.mutable.Map.empty[String, Double]
     val firstPass = allEntries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -136,6 +166,7 @@ object Bench {
       // second load indicator — large "spread" = noisy run, trust the
       // mins less when comparing across rounds.
       spreadSum += times.max - times.min
+      repMaxes(name) = times.max
       name -> times.min
     }
     // Loaded-run escalation (r9 verdict item 6): when the whole run shows
@@ -152,7 +183,11 @@ object Bench {
     val results =
       if (spreadSum > 30.0 && flagged.nonEmpty) {
         System.err.println(s"[bench] loaded run (spread ${spreadSum.round} s); tail re-rep of ${flagged.size} flagged queries")
-        val retimed = flagged.map(n => n -> rep(n, fnByName(n))).toMap
+        val retimed = flagged.map { n =>
+          val t = rep(n, fnByName(n))
+          repMaxes(n) = math.max(repMaxes.getOrElse(n, t), t)
+          n -> t
+        }.toMap
         firstPass.map { case (n, v) => n -> math.min(v, retimed.getOrElse(n, v)) }
       } else firstPass
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -173,10 +208,24 @@ object Bench {
     // comma-decimal locale would emit 0,412 and corrupt the JSON.
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // Load verdict for the whole artifact: the warmup is FIXED work (same
+    // range-sum + ten 1-row scans every run), so warmup > 1.5× the pinned
+    // idle run's warmup means the container was contended while THIS
+    // artifact was recorded — read the per-query mins (and the pinned
+    // baseline), not the raw totals. Spread is the second trigger: bursty
+    // contention can miss the warmup window yet still inflate reps.
+    // Calibration (r12 artifacts): idle full run warmup 6.83 s /
+    // spread-per-entry 0.34; the pathological gate run 10.86 s / 4.8; the
+    // two intermediate loaded runs 9.89/0.50 and 6.93/0.96. Per-ENTRY
+    // spread (not the raw sum — it scales with registry size), and only
+    // on full-scale runs: a small SPARK_GRAFT_ONLY subset is dominated by
+    // first-rep codegen spread that means nothing about the container.
+    val loaded = pinnedWarmup.exists(w => warmupSec > 1.5 * w) ||
+      (results.size >= 50 && spreadSum > 0.7 * results.size)
     def render(fmt: String, rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + trim0(num(fmt, v)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfName","warmup":${num("%.2f", warmupSec)},"spread":${num("%.2f", spreadSum)}}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfName","warmup":${num("%.2f", warmupSec)},"spread":${num("%.2f", spreadSum)},"loaded":$loaded}"""
     }
     // The COMPLETE per-query map goes to BENCH_FULL.json in the cwd (the
     // workspace persists across rounds, so next round's priorMins and any
@@ -191,10 +240,22 @@ object Bench {
           .mkString("{", ",", "}")
         s""","firstPass":$fp"""
       } else ""
-    // Full-registry runs only: a SPARK_GRAFT_ONLY profiling subset must
-    // not clobber the complete history the next round's priorMins reads.
-    if (only.isEmpty) {
-      val fullLine = render("%.3f", results).stripSuffix("}") + fpJson + "}"
+    // The loaded half of every query's calm/loaded pair (worst rep seen,
+    // incl. tail re-reps) — BENCH_FULL.json only; the printed line stays
+    // within its tail window. Keep this map LAST in the file:
+    // parseQueryMins cuts at "maxes"/"firstPass" so these can never
+    // contaminate the next run's regression denominators.
+    val maxJson = {
+      val mx = results.map { case (k, _) =>
+        "\"" + k + "\":" + trim0(num("%.3f", repMaxes.getOrElse(k, 0.0))) }
+        .mkString("{", ",", "}")
+      s""","maxes":$mx"""
+    }
+    // Full-registry gate-scale runs only: a SPARK_GRAFT_ONLY profiling
+    // subset or an off-scale (sf1/sf10) table run must not clobber the
+    // complete history the next round's priorMins reads.
+    if (only.isEmpty && isGateScale) {
+      val fullLine = render("%.3f", results).stripSuffix("}") + fpJson + maxJson + "}"
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
     }

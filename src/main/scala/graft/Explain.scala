@@ -16,6 +16,9 @@ object Explain {
     val qargs = if (finalPlan) rest.drop(1) else rest
     val names = if (qargs.nonEmpty) qargs else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
+      // match the production session: plans must show the injected
+      // fusion rules and the as-of strategy, not the pre-extension shape
+      .withExtensions(new GraftExtensions())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

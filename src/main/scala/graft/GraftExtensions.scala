@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rule #2: fuse the run-counting double-regexp_replace algebra into
     // the one-scan kernels (see graft.plans.FuseRegexCount).
     ext.injectOptimizerRule(_ => graft.plans.FuseRegexCount)
+    // Rule #3: fuse nested regexp_replace rulebook chains into the
+    // single-pipeline scrub kernel (see graft.plans.FuseRegexChain).
+    ext.injectOptimizerRule(_ => graft.plans.FuseRegexChain)
     // First-class plan node: AS-OF JOIN (logical node + strategy +
     // physical sort-merge exec — see graft.plans.AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -132,6 +135,9 @@ object GraftExtensions {
       (es => RegexCount(es.head, constString(es(1), "regex pattern"))),
     "graft_regex_matched_chars" ->
       (es => RegexMatchedChars(es.head, constString(es(1), "regex pattern"))),
+    "graft_regex_chain" -> (es => RegexChainReplace(es.head,
+      constStringSeq(es(1), "pattern list"),
+      constStringSeq(es(2), "replacement list"))),
     "graft_wordpiece" -> (es => WordPieceEncode(
       es(0), constStringSeq(es(1), "piece inventory"),
       constInt(es(2), "max piece length"))),

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fail fast rather than default to a machine-specific absolute path:
+    // profiling numbers against an unintended scale dir are worse than
+    // no numbers
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", sys.error(
+      "Scratch: set SPARK_GRAFT_SF_DIR to the parquet scale dir to profile " +
+        "(e.g. target/sf1 from MakeScale, or a testdata sf dir)"))
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
       .master("local[32]")

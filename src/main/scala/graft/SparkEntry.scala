@@ -1588,6 +1588,30 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    // SKEW path of the physical as-of: the same semantics through
+    // AsOf.asOfJoinExecSalted — time-chunked composite (key, chunk) keys
+    // spread a hot key across tasks, per-chunk seed rows keep the merge
+    // exact (monotone bucketizer ⇒ one seed per chunk dominates all
+    // earlier-chunk candidates). Same unmodified AsOfJoinExec underneath;
+    // the DuckDB ASOF oracle hash-checks that salting changed nothing.
+    // AsOfSpec additionally pins the no-single-task-serialization claim
+    // on a synthetic 50%-hot key.
+    "q_asof_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("asof_orderkey"))
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("asof_orderkey"))
+      graft.core.AsOf
+        .asOfJoinExecSalted(ev, ord, "user_id", "ts", "o_custkey", "odn",
+          Seq("asof_orderkey"), chunks = 8)
+        .select("event_id", "user_id", "asof_orderkey")
+    }),
+
     // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
     // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
     // training pipeline needs them (inter-event gaps, trailing windows).
@@ -6443,7 +6467,6 @@ object SparkEntry {
     // cross-engine. Same TTL changelog as the rest of the family.
     "q_ivm_quantile_retract" -> ((s, dir) => {
       val keys = Seq("event_type")
-      val grain = keys :+ "v"
       val ev = t(s, dir, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"),
@@ -6487,6 +6510,42 @@ object SparkEntry {
         Ivm.mergeSupportStates(acc, Ivm.supportState(b, grain, "event_id", "op"),
           grain, "event_id").localCheckpoint(eager = false))
       Ivm.topKFromSupport(st, keys, "value", "event_id", 5)
+        .select(col("event_type"), col("rank").cast("int").as("rank"),
+          col("event_id"), col("value"))
+    }),
+
+    // TOP-K under retraction with BOUNDED state — the compacting trade
+    // the exact support table (q_ivm_topk_retract, state = live rows)
+    // cannot make: keep only the top k·m rows per key plus a live
+    // counter; deletes below the buffer's watermark touch ONLY the
+    // counter, and the buffer invariant (every hidden row sorts below
+    // every buffered row) keeps reads bit-identical to a full recompute
+    // until deletes gnaw the buffer below k with rows still hidden —
+    // then the read fails LOUDLY and Ivm.topKBoundedRebuild re-seeds
+    // exactly those keys from the changelog (IvmSpec drives that path;
+    // this churn stays within the m·k slack, as a tuned buffer should).
+    // Same changelog as q_ivm_topk_retract; same full-recompute oracle —
+    // state here is ~k·m rows/key vs the live set (BENCH.md pins the
+    // growth gap).
+    "q_ivm_topk_bounded" -> ((s, dir) => {
+      val keys = Seq("event_type")
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"),
+          dayofmonth(col("ts")).as("day"))
+      val ins1 = ev.filter(col("day") <= 15).withColumn("op", lit(1))
+      val ins2 = ev.filter(col("day") > 15).withColumn("op", lit(1))
+      val dels = ev.filter(col("day") <= 10 || col("event_type") === "error")
+        .withColumn("op", lit(-1))
+      val st0 = Ivm.topKBoundedInit(ins1, keys, "value", "event_id", k = 5, m = 4)
+      val st = Seq(ins2, dels).foldLeft(st0) { (acc, b) =>
+        val next = Ivm.topKBoundedMerge(acc, b, keys, "value", "event_id", "op",
+          k = 5, m = 4)
+        Ivm.TopKBoundedState(
+          next.buffer.localCheckpoint(eager = false),
+          next.meta.localCheckpoint(eager = false))
+      }
+      Ivm.topKFromBounded(st, keys, "value", "event_id", 5)
         .select(col("event_type"), col("rank").cast("int").as("rank"),
           col("event_id"), col("value"))
     }),
@@ -8946,6 +9005,16 @@ object SparkEntry {
     // Same independent oracle for the physical operator: the custom exec
     // must reproduce DuckDB's native ASOF LEFT JOIN bit-for-bit.
     "q_asof_physical" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    // And for the salted skew path: salting is internal plumbing — the
+    // answer must stay bit-identical to DuckDB's native ASOF.
+    "q_asof_salted" ->
       """WITH o AS (
         |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS asof_orderkey
         |  FROM orders GROUP BY 1, 2),
@@ -12763,6 +12832,18 @@ object SparkEntry {
     // full recompute over the live rows: the maintained leaderboard must
     // equal the one-shot window ranking bit-for-bit
     "q_ivm_topk_retract" ->
+      """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND date_part('day', ts) > 10 AND event_type <> 'error') t
+        |WHERE rank <= 5""".stripMargin,
+
+    // the bounded-buffer variant maintains a different state but must
+    // read back the IDENTICAL leaderboard while churn stays in-buffer
+    "q_ivm_topk_bounded" ->
       """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value
         |FROM (SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type

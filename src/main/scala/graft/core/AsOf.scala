@@ -142,4 +142,127 @@ object AsOf {
     org.apache.spark.sql.GraftShim.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, lt, rk, rt, pay, forward, toleranceNs))
   }
+
+  /** [[asOfJoinExec]] with the HOT-KEY (skew) cure implemented: the key
+    * space is salted into `chunks` time-range buckets and the SAME
+    * physical operator merges on the composite (key, chunk) struct, so a
+    * key holding 50%+ of the rows spreads across up to `chunks` tasks
+    * instead of serializing through one.
+    *
+    * Exactness argument (the reason ONE seed row per chunk suffices):
+    * the bucketizer is MONOTONE in time (equal-width ranges over the
+    * left side's [min, max] span), so for a left row in chunk c every
+    * earlier-chunk right row is strictly before c's start. The best of
+    * those is therefore the same row for every left row in c — the
+    * per-(key, chunk) "seed": the LATEST right row from chunks < c
+    * (backward; earliest from chunks > c for forward). Each chunk's
+    * right side is its own-bucket rows plus that one seed, and the merge
+    * inside the chunk is the unsalted merge verbatim — AsOfSpec pins
+    * value identity against both [[asOfJoin]] and [[asOfJoinExec]].
+    *
+    * Cost: one bounded driver action (left time min/max — two longs), a
+    * per-(key, chunk) boundary aggregation of the right side (≤ `chunks`
+    * rows per key), and ≤ `chunks` seed replicas per key — O(keys ×
+    * chunks) extra rows, independent of row count. Requires LONG time
+    * columns (the bucketizer does arithmetic), like `toleranceNs`.
+    *
+    * When to use: this is the explicit skew path; the unsalted
+    * [[asOfJoinExec]] stays preferable when keys are well-distributed
+    * (no seed fan-out, no composite-key compare in the merge).
+    */
+  def asOfJoinExecSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceNs: Option[Long] = None,
+      chunks: Int = 8,
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(chunks >= 2, s"asOfJoinExecSalted: chunks must be >= 2, got $chunks")
+    val lCols = left.columns.toSeq
+    require(payload.intersect(lCols).isEmpty,
+      s"payload collides with left columns: ${payload.intersect(lCols)}")
+    val reserved = Set("_kc", "_chunk", "_bk", "_row", "_tc")
+    val clash = (lCols ++ right.columns).filter(reserved)
+    require(clash.isEmpty, s"input columns collide with asOfJoinExecSalted internals: $clash")
+    require(left.schema(leftTime).dataType == LongType &&
+      right.schema(rightTime).dataType == LongType,
+      "asOfJoinExecSalted requires LONG time columns (time-range bucketizer)")
+    val keyDt = left.schema(leftKey).dataType
+
+    // one bounded driver action: the left span — two longs, any scale
+    val bounds = left.agg(min(col(leftTime)), max(col(leftTime))).head()
+    if (bounds.isNullAt(0))
+      // no non-null left time can match anything; the unsalted exec
+      // already handles the all-null-payload outcome
+      return asOfJoinExec(left, right, leftKey, leftTime, rightKey, rightTime,
+        payload, forward, toleranceNs)
+    val tmin = bounds.getLong(0)
+    val tmax = bounds.getLong(1)
+    val span = math.max(1.0, (tmax - tmin).toDouble + 1.0)
+    // monotone, clamped: rights before the left span land in chunk 0,
+    // after it in chunk chunks-1 — monotonicity is all exactness needs
+    def bucket(tc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      greatest(lit(0), least(lit(chunks - 1),
+        floor((tc - lit(tmin)).cast("double") / lit(span) * chunks).cast("int")))
+    // identical struct TYPE on both sides (field names + nullability),
+    // or the exec's key-type equality check rejects the pair
+    val kcType = StructType(Seq(
+      StructField("_k", keyDt, nullable = true),
+      StructField("_c", IntegerType, nullable = true)))
+
+    val l2 = left
+      .withColumn("_chunk",
+        when(col(leftTime).isNull, lit(0)).otherwise(bucket(col(leftTime))))
+      .withColumn("_kc",
+        struct(col(leftKey).as("_k"), col("_chunk").as("_c")).cast(kcType))
+
+    // rights with null key/time can never match; dropping them here also
+    // keeps the composite struct non-null-field so a null-key LEFT row
+    // (struct(null, 0) is a non-null struct) finds no partner
+    val rBase = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .withColumn("_chunk", bucket(col(rightTime)))
+    val rDataCols = right.columns.toSeq
+    // per (key, chunk) boundary row: latest for backward (the row a later
+    // chunk would carry in), earliest for forward (the row an earlier
+    // chunk would peek)
+    val boundaryRow = struct(rDataCols.map(col): _*)
+    val pick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (forward) min_by else max_by
+    val perChunk = rBase
+      .groupBy(col(rightKey).as("_bk"), col("_chunk"))
+      .agg(pick(boundaryRow, col(rightTime)).as("_row"))
+    // fan each boundary row out to every chunk it can seed; Spark's
+    // sequence() runs DESCENDING when start > stop, so guard the empty case
+    val targets =
+      if (forward)
+        when(col("_chunk") > 0, sequence(lit(0), col("_chunk") - 1))
+          .otherwise(lit(Array.empty[Int]))
+      else
+        when(col("_chunk") < chunks - 1, sequence(col("_chunk") + 1, lit(chunks - 1)))
+          .otherwise(lit(Array.empty[Int]))
+    val seedPick: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (forward) min_by else max_by
+    val seeds = perChunk
+      .select(col("_bk"), col("_chunk"), col("_row"), explode(targets).as("_tc"))
+      .groupBy(col("_bk"), col("_tc"))
+      // nearest donor chunk wins: max source chunk for backward, min for
+      // forward — (key, source-chunk) rows are unique, so no tie exists
+      .agg(seedPick(col("_row"), col("_chunk")).as("_row"))
+      .select((rDataCols.map(c => col(s"_row.$c").as(c)) :+ col("_tc").as("_chunk")): _*)
+    val r2 = rBase.select((rDataCols.map(col) :+ col("_chunk")): _*)
+      .unionByName(seeds)
+      .withColumn("_kc",
+        struct(col(rightKey).as("_k"), col("_chunk").as("_c")).cast(kcType))
+
+    asOfJoinExec(l2, r2, "_kc", leftTime, "_kc", rightTime, payload,
+      forward, toleranceNs)
+      .select((lCols.map(col) ++ payload.map(col)): _*)
+  }
 }

@@ -240,6 +240,185 @@ object Ivm {
         col("e.id").as(idCol) :+ col("e.v").as(valueCol)): _*)
   }
 
+  // ---- bounded-state top-k under retraction -------------------------
+
+  /** State of the BOUNDED top-k-under-retraction view: `buffer` holds the
+    * top min(B, live) rows per key as plain (keys..., id, value) rows
+    * (B = k·m), `meta` the per-key live-row count (keys..., n_live). The
+    * hidden-count d = n_live − |buffer| is always derived, never stored.
+    */
+  final case class TopKBoundedState(buffer: DataFrame, meta: DataFrame)
+
+  /** Bounded-state top-k under retraction — the compacting complement of
+    * [[topKFromSupport]]'s exact contract. The support table is exact
+    * under ARBITRARY retraction but its state IS the live row set; this
+    * variant keeps only the top B = k·m rows per key (the k answers plus
+    * an (m−1)·k overflow buffer) and a live-row counter, trading
+    * unbounded-churn exactness for state ≪ live set:
+    *
+    *  - inserts/deletes that touch the buffer maintain it directly;
+    *  - deletes below the buffer's watermark only decrement the hidden
+    *    count (they can never affect the top k while the buffer holds
+    *    ≥ k rows);
+    *  - inserts below the watermark (while rows remain hidden) only
+    *    increment it — the buffer invariant "every hidden row sorts
+    *    below every buffered row" is what keeps reads exact;
+    *  - only when deletes gnaw the buffer below k rows WHILE hidden rows
+    *    remain ([[topKBoundedUnderflowKeys]] non-empty) is the answer
+    *    unknowable from bounded state — the classic bounded-IVM trade:
+    *    rebuild exactly those keys from the changelog
+    *    ([[topKBoundedRebuild]]) and continue.
+    *
+    * Reads ([[topKFromBounded]]) are bit-identical to a one-shot window
+    * ranking of the live rows whenever no key is in underflow — IvmSpec
+    * pins equality through heavy churn and the q_ivm_topk_bounded oracle
+    * recomputes it from scratch in DuckDB.
+    *
+    * Contracts: (key, id) unique among live rows (the changelog grain);
+    * ids LONG, values DOUBLE ([[graft.functions.TopKAgg]]'s heap); one
+    * batch never inserts and deletes the same (key, id) — split such
+    * churn across batches like any changelog. `m ≥ 2` (m = 1 leaves no
+    * slack and underflows on the first in-buffer delete).
+    */
+  def topKBoundedInit(batch: DataFrame, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int, m: Int): TopKBoundedState = {
+    import graft.functions.GraftFunctions
+    require(k >= 1 && m >= 2, s"topKBounded: need k >= 1, m >= 2; got k=$k m=$m")
+    val b = k * m
+    val buffer = batch
+      .groupBy(keys.map(col): _*)
+      .agg(GraftFunctions.topK(col(valueCol), col(idCol), b).as("st"))
+      .select((keys.map(col) :+
+        explode(GraftFunctions.topKEntries(col("st"))).as("e")): _*)
+      .select((keys.map(col) :+ col("e.id").as(idCol) :+ col("e.v").as(valueCol)): _*)
+    val meta = batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_live"))
+    TopKBoundedState(buffer, meta)
+  }
+
+  /** Fold a signed delta batch (rows carry `opCol` ∈ {+1, −1}; deletes
+    * identified by (keys, id)) into the bounded state. O(|delta| +
+    * |buffer-merge|) per batch; the buffer side never exceeds B rows per
+    * key in or out. A retraction reaching below even the hidden count
+    * fails loudly at the next read (negative derived d), matching the
+    * support-table family's discipline.
+    */
+  def topKBoundedMerge(st: TopKBoundedState, delta: DataFrame, keys: Seq[String],
+      valueCol: String, idCol: String, opCol: String, k: Int, m: Int): TopKBoundedState = {
+    import graft.functions.GraftFunctions
+    val b = k * m
+    val kc = keys.map(col)
+    val ins = delta.filter(col(opCol) === 1).select((kc :+ col(idCol) :+ col(valueCol)): _*)
+    val dels = delta.filter(col(opCol) === -1).select((kc :+ col(idCol)): _*)
+
+    // per-key buffer size + watermark (worst buffered entry under the
+    // (value DESC, id ASC) total order): min of struct(value, -id)
+    val stats = st.buffer.groupBy(kc: _*).agg(
+      count(lit(1)).as("_nbuf"),
+      min(struct(col(valueCol).as("_wv"), (-col(idCol)).as("_wni"))).as("_wm"))
+    // hidden deletes: not present in the buffer, so they must be among
+    // the d hidden rows — they only lower the derived d
+    val dh = dels.join(st.buffer.select((kc :+ col(idCol)): _*),
+        keys :+ idCol, "left_anti")
+      .groupBy(kc: _*).agg(count(lit(1)).as("_dh"))
+    // routing view: d' = hidden count AFTER hidden deletes; inserts below
+    // the watermark stay hidden only while d' > 0 (otherwise the buffer
+    // must absorb everything — nothing is hidden to sort above them)
+    val routing = st.meta
+      .join(stats, keys, "left")
+      .join(dh, keys, "left")
+      .select(kc ++ Seq(
+        (col("n_live") - coalesce(col("_nbuf"), lit(0L))
+          - coalesce(col("_dh"), lit(0L))).as("_dprime"),
+        col("_wm._wv").as("_wmv"), (-col("_wm._wni")).as("_wmi")): _*)
+    val insBuf = ins.join(routing, keys, "left")
+      .filter(coalesce(col("_dprime"), lit(0L)) <= 0 ||
+        !(col(valueCol) < col("_wmv") ||
+          (col(valueCol) === col("_wmv") && col(idCol) > col("_wmi"))))
+      .select((kc :+ col(idCol) :+ col(valueCol)): _*)
+
+    val merged = st.buffer.join(dels, keys :+ idCol, "left_anti")
+      .unionByName(insBuf)
+      .groupBy(kc: _*)
+      .agg(GraftFunctions.topK(col(valueCol), col(idCol), b).as("st"))
+      .select((kc :+ explode(GraftFunctions.topKEntries(col("st"))).as("e")): _*)
+      .select((kc :+ col("e.id").as(idCol) :+ col("e.v").as(valueCol)): _*)
+    // live count is a plain signed fold — the derived d absorbs every
+    // hidden/overflow movement without bookkeeping
+    // zero-count keys are KEPT (a later batch may re-insert; reads emit
+    // nothing for them anyway) — same convention as mergeSignedStates
+    val meta = st.meta.unionByName(
+        delta.groupBy(kc: _*).agg(sum(col(opCol).cast("long")).as("n_live")))
+      .groupBy(kc: _*).agg(sum(col("n_live")).as("n_live"))
+    TopKBoundedState(merged, meta)
+  }
+
+  /** Keys whose bounded state can no longer answer top-k exactly: buffer
+    * shrunk below k while rows remain hidden. Empty ⇒ the next
+    * [[topKFromBounded]] is exact; non-empty ⇒ rebuild those keys from
+    * the changelog ([[topKBoundedRebuild]]).
+    */
+  def topKBoundedUnderflowKeys(st: TopKBoundedState, keys: Seq[String],
+      k: Int): DataFrame = {
+    val nbuf = st.buffer.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nbuf"))
+    st.meta.join(nbuf, keys, "left")
+      .select((keys.map(col) :+ coalesce(col("_nbuf"), lit(0L)).as("_nbuf") :+
+        col("n_live")): _*)
+      .filter(col("_nbuf") < k && col("n_live") > col("_nbuf"))
+      .select(keys.map(col): _*)
+  }
+
+  /** Rebuild exactly the underflowed keys from the changelog's live rows
+    * (the caller's retained source of truth) and graft them back into
+    * the bounded state — the O(|underflow-keys' rows|) escape hatch, not
+    * an O(corpus) rescan: `liveRows` is pre-filtered by a semi-join on
+    * the (few) underflowed keys.
+    */
+  def topKBoundedRebuild(st: TopKBoundedState, liveRows: DataFrame,
+      keys: Seq[String], valueCol: String, idCol: String, k: Int, m: Int): TopKBoundedState = {
+    val bad = topKBoundedUnderflowKeys(st, keys, k)
+    val rebuilt = topKBoundedInit(
+      liveRows.join(bad, keys, "left_semi"), keys, valueCol, idCol, k, m)
+    TopKBoundedState(
+      st.buffer.join(bad, keys, "left_anti").unionByName(rebuilt.buffer),
+      st.meta.join(bad, keys, "left_anti").unionByName(rebuilt.meta))
+  }
+
+  /** Read the bounded view: (keys..., rank, id, value), rank 1-based in
+    * the canonical (value DESC, id ASC) order — bit-identical to a
+    * one-shot window ranking of the live rows. Loud on both invalid
+    * states: negative derived d (retraction of a row never inserted) and
+    * underflow (answer unknowable from bounded state — rebuild first).
+    */
+  def topKFromBounded(st: TopKBoundedState, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions
+    val nbuf = st.buffer.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nbuf"))
+    val checked = st.meta.join(nbuf, keys, "left")
+      .select((keys.map(col) :+ coalesce(col("_nbuf"), lit(0L)).as("_nbuf") :+
+        col("n_live")): _*)
+      .withColumn("_ok",
+        when(col("n_live") < col("_nbuf"), raise_error(concat(
+          lit("Ivm.topKFromBounded: negative hidden count — a retraction " +
+            "arrived for a row never inserted; n_live="),
+          col("n_live").cast("string"))))
+          .when(col("_nbuf") < k && col("n_live") > col("_nbuf"), raise_error(concat(
+            lit("Ivm.topKFromBounded: buffer underflow (buffered="),
+            col("_nbuf").cast("string"), lit(" of k="), lit(k).cast("string"),
+            lit(" with rows hidden) — rebuild the key from the changelog " +
+              "(topKBoundedRebuild) before reading"))))
+          .otherwise(lit(1)))
+      .filter(col("_ok") === 1) // forces the check columns to evaluate
+      .select(keys.map(col): _*)
+    st.buffer
+      .groupBy(keys.map(col): _*)
+      .agg(GraftFunctions.topK(col(valueCol), col(idCol), k).as("st"))
+      .select((keys.map(col) :+
+        explode(GraftFunctions.topKEntries(col("st"))).as("e")): _*)
+      .select((keys.map(col) :+ col("e.rank").as("rank") :+
+        col("e.id").as(idCol) :+ col("e.v").as(valueCol)): _*)
+      .join(checked, keys, "left_semi")
+  }
+
   /** Append-only join-view delta: the three new-match terms. Old states
     * appear once each, joined against a delta — with the state tables
     * bucketed on `usingKeys`, each term is a delta-pruned (or broadcast)

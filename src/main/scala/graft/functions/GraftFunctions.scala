@@ -86,6 +86,14 @@ object GraftFunctions {
   def regexMatchedChars(text: Column, pattern: String): Column =
     GraftShim.toColumn(RegexMatchedChars(GraftShim.toExpression(text), pattern))
 
+  /** Ordered regex rulebook in one fused pipeline — the direct-API form
+    * of the nested `regexp_replace` fold plans.FuseRegexChain rewrites
+    * (sequential semantics preserved exactly; see RegexChainImpl).
+    */
+  def regexChain(text: Column, rules: Seq[(String, String)]): Column =
+    GraftShim.toColumn(RegexChainReplace(GraftShim.toExpression(text),
+      rules.map(_._1), rules.map(_._2)))
+
   /** One-pass text statistics (token/char counts, stopword hits, lang). */
   def textStats(text: Column): Column =
     GraftShim.toColumn(TextStats(GraftShim.toExpression(text)))

@@ -70,8 +70,10 @@ object AsOfJoinStrategy extends SparkStrategy {
   * `copy()` per consumed right row), so memory is O(1) per partition
   * regardless of key cardinality or time-series length. A hot key
   * serializes through one task exactly like any clustered operator —
-  * the chunked-salting cure in [[graft.core.AsOf]]'s scaladoc applies
-  * unchanged.
+  * the IMPLEMENTED cure is [[graft.core.AsOf.asOfJoinExecSalted]]:
+  * time-chunked composite keys carried through THIS exec unchanged
+  * (the struct-key ordering and the InternalRow carry-copy below are
+  * what make that path safe).
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -175,8 +177,13 @@ case class AsOfJoinExec(
                 rBuf.next()
               } else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
                 carryPay = payProj(head).copy()
+                // the evaluated key may be a VIEW into the iterator's
+                // reused row buffer (UTF8String, or an InternalRow for
+                // struct keys — the salted composite-key path) — copy it
+                // out or the carried key silently mutates under us
                 carryKey = rk match {
                   case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+                  case r: InternalRow => r.copy()
                   case v => v
                 }
                 if (!unbounded) carryTime = rt.asInstanceOf[Long]

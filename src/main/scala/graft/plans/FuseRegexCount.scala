@@ -40,6 +40,12 @@ import graft.functions.{RegexCount, RegexMatchedChars}
   *    the count form is in [0, length]), so ANSI/TRY/legacy eval modes
   *    are all value-identical to the plain kernel result.
   *
+  * Known (accepted) behavior shift: the kernels compile their pattern at
+  * codegen time (`addReferenceObj`), so an INVALID literal regex throws
+  * during planning, where the unfused `regexp_replace` idiom throws at
+  * execution — same exception, earlier surface. Values on every valid
+  * pattern are identical.
+  *
   * Injected via `injectOptimizerRule` (GraftExtensions); the rewrite
   * produces no further match, so the fixed point is stable.
   */

@@ -402,14 +402,14 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch
-          .groupBy(col(groupCol).as("g"))
+          .groupBy(col(groupCol))
           .agg(GraftFunctions.quantileSketch(col(valueCol), k).as("sk"))
         val versions = stateVersionsBelow(spark, statePath, batchId)
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
             spark.read.parquet(s"$statePath/batch=${versions.max}"))
-            .groupBy("g")
+            .groupBy(groupCol)
             .agg(GraftFunctions.quantileSketchMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
       }
@@ -441,14 +441,14 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch
-          .groupBy(col(groupCol).as("g"))
+          .groupBy(col(groupCol))
           .agg(GraftFunctions.mgTopK(col(termCol), k).as("sk"))
         val versions = stateVersionsBelow(spark, statePath, batchId)
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
             spark.read.parquet(s"$statePath/batch=${versions.max}"))
-            .groupBy("g")
+            .groupBy(groupCol)
             .agg(GraftFunctions.mgMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
       }
@@ -554,6 +554,10 @@ object DocsStream {
     * double-insert and evict a genuinely distinct entry. (Top-k under
     * RETRACTION is deliberately not this operator — deletes need the
     * live-row support table, see [[graft.core.Ivm.topKFromSupport]].)
+    *
+    * State schema (shared by the sketch-appender family): the caller's
+    * `groupCol` name is preserved as the key column; the summary column
+    * is always "sk".
     */
   def topKAppender(
       docs: DataFrame,
@@ -571,14 +575,14 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fresh = batch
-          .groupBy(col(groupCol).as("g"))
+          .groupBy(col(groupCol))
           .agg(GraftFunctions.topK(col(valueCol), col(idCol), k).as("sk"))
         val versions = stateVersionsBelow(spark, statePath, batchId)
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
             spark.read.parquet(s"$statePath/batch=${versions.max}"))
-            .groupBy("g")
+            .groupBy(groupCol)
             .agg(GraftFunctions.topKMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
       }

@@ -200,6 +200,94 @@ class AsOfSpec extends SparkTestBase {
       s"no generic join may appear:\n$p")
   }
 
+  test("asOfJoinExecSalted: identical to asOfJoin/asOfJoinExec on the hand cases") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0),
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 5L, 100), ("A", 20L, 200), ("A", 25L, 300), ("A", 99L, 400),
+      ("B", 15L, 500), ("C", 50L, 600),
+    ).toDF("sym", "tt", "qty")
+    val salted = AsOf.asOfJoinExecSalted(
+      trades, quotes, "sym", "tt", "sym", "qt", Seq("px"), chunks = 4)
+    val compose = AsOf.asOfJoin(trades, quotes, "sym", "tt", "sym", "qt", Seq("px"))
+    assert(salted.exceptAll(compose).isEmpty && compose.exceptAll(salted).isEmpty)
+    // null keys/times still follow SQL semantics through the struct key
+    val q2 = Seq(
+      (Some("A"), Some(10L), 1.0),
+      (None: Option[String], Some(5L), 99.0),
+      (Some("A"), None: Option[Long], 88.0),
+    ).toDF("sym", "qt", "px")
+    val t2 = Seq(
+      (Some("A"), Some(20L), 1),
+      (None: Option[String], Some(20L), 2),
+      (Some("A"), None: Option[Long], 3),
+    ).toDF("sym", "tt", "qty")
+    val got = AsOf.asOfJoinExecSalted(t2, q2, "sym", "tt", "sym", "qt", Seq("px"), chunks = 4)
+      .collect().map(r => (r.getAs[Int]("qty"), Option(r.get(3)))).toMap
+    assert(got == Map(1 -> Some(1.0), 2 -> None, 3 -> None))
+  }
+
+  test("asOfJoinExecSalted: a 50%-hot key spreads across tasks, values unchanged") {
+    // hot key H owns 60% of left rows, spanning the whole time axis —
+    // the shape that serializes the unsalted exec through one task
+    val hotL = (0 until 1500).map(i => ("H", i.toLong * 10, i))
+    val coldL = (0 until 1000).map(i => (s"k${i % 50}", i.toLong * 15, 10000 + i))
+    val trades = (hotL ++ coldL).toDF("sym", "tt", "qty").repartition(8)
+    val hotR = (0 until 30).map(i => ("H", i.toLong * 500, i * 1.0))
+    val coldR = (0 until 200).map(i => (s"k${i % 50}", i.toLong * 70, 100.0 + i))
+    val quotes = (hotR ++ coldR).toDF("sym", "qt", "px")
+
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(1000L))) {
+      val salted = AsOf.asOfJoinExecSalted(trades, quotes, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = fwd, toleranceNs = tol, chunks = 8)
+      val unsalted = AsOf.asOfJoinExec(trades, quotes, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = fwd, toleranceNs = tol)
+      assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty,
+        s"salted != unsalted at forward=$fwd tolerance=$tol")
+    }
+
+    // the serialization pin: the hot key's rows must be PROCESSED by
+    // several tasks. The exec preserves its (composite-key-clustered)
+    // partitioning through the output projection, so counting hot rows
+    // per output partition measures exactly how many merge tasks shared
+    // the key — the unsalted exec is the 1-partition control. AQE's
+    // small-shuffle coalescing would re-merge the tiny test buckets into
+    // one partition and hide the very property under test; pin it off
+    // (and widen the 4-partition test default) for this block only.
+    def hotSpread(df: org.apache.spark.sql.DataFrame): Int = df
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val n = it.count(_.getAs[String]("sym") == "H")
+        if (n > 0) Iterator.single(i) else Iterator.empty
+      }.collect().length
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val (oldCoalesce, oldParts) = (spark.conf.get(coalesceKey), spark.conf.get(partsKey))
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(partsKey, "16")
+      val saltedSpread = hotSpread(AsOf.asOfJoinExecSalted(
+        trades, quotes, "sym", "tt", "sym", "qt", Seq("px"), chunks = 8))
+      val unsaltedSpread = hotSpread(AsOf.asOfJoinExec(
+        trades, quotes, "sym", "tt", "sym", "qt", Seq("px")))
+      assert(unsaltedSpread == 1,
+        s"control: unsalted hot key should sit in 1 task, got $unsaltedSpread")
+      assert(saltedSpread >= 4,
+        s"salted hot key should spread across >=4 of 8 chunk-tasks, got $saltedSpread")
+    } finally {
+      spark.conf.set(coalesceKey, oldCoalesce)
+      spark.conf.set(partsKey, oldParts)
+    }
+  }
+
+  test("asOfJoinExecSalted plan: still the custom exec, no window, no generic join") {
+    val p = SparkEntry.queries("q_asof_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"expected the custom exec in the plan:\n$p")
+    assert(!p.contains("Window"), s"the salted path must not plan a window:\n$p")
+  }
+
   test("Reshape.zipWithPadStatic is equivalent to the lambda zipWithPad") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").limit(500)
     val dyn = df.select(explode(Reshape.zipWithPad(

@@ -207,4 +207,89 @@ class IvmSpec extends SparkTestBase {
       .select(col("k"), col("rank"), col("id"), col("v"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  private def boundedRead(st: Ivm.TopKBoundedState, k: Int) =
+    Ivm.topKFromBounded(st, Seq("k"), "v", "id", k)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+      .sortBy(_._1)
+
+  test("bounded top-k: hidden-side churn touches only the counter; reads stay exact") {
+    // key "a": ids 1..10, value = id — buffer (k=2, m=2 → B=4) holds
+    // {10, 9, 8, 7}; ids 1..6 are hidden; watermark = (7.0, id 7)
+    val init = (1L to 10L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")
+    val st0 = Ivm.topKBoundedInit(init, keys, "v", "id", k = 2, m = 2)
+    // insert below the watermark (11 → hidden) and into the buffer
+    // (12 @ 8.5 → evicts 7 to hidden); delete one buffered row (9),
+    // two hidden rows (2, 11)
+    val d1 = Seq(("a", 11L, 3.5, 1), ("a", 12L, 8.5, 1)).toDF("k", "id", "v", "op")
+    val d2 = Seq(("a", 9L, 9.0, -1), ("a", 2L, 2.0, -1), ("a", 11L, 3.5, -1))
+      .toDF("k", "id", "v", "op")
+    val st = Seq(d1, d2).foldLeft(st0)(
+      Ivm.topKBoundedMerge(_, _, keys, "v", "id", "op", k = 2, m = 2))
+    // live = {1,3,4,5,6,7,8,10,12@8.5}: top-2 = 10, 12
+    assert(boundedRead(st, 2) == List((1, 10L, 10.0), (2, 12L, 8.5)))
+    // the eviction of 7 kept order: buffer still answers exactly at its
+    // current size (3 rows: 10, 12, 8)
+    assert(Ivm.topKBoundedUnderflowKeys(st, keys, 2).isEmpty)
+    // state stays bounded: never more than B = 4 buffer rows
+    assert(st.buffer.groupBy("k").count().collect().forall(_.getLong(1) <= 4))
+  }
+
+  test("bounded top-k: underflow fails loudly, rebuild from the changelog recovers") {
+    val init = (1L to 10L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")
+    val st0 = Ivm.topKBoundedInit(init, keys, "v", "id", k = 2, m = 2)
+    // gnaw the whole buffer {10,9,8,7} away while 1..6 stay hidden
+    val dels = Seq(7L, 8L, 9L, 10L).map(i => ("a", i, i.toDouble, -1))
+      .toDF("k", "id", "v", "op")
+    val st = Ivm.topKBoundedMerge(st0, dels, keys, "v", "id", "op", k = 2, m = 2)
+    assert(Ivm.topKBoundedUnderflowKeys(st, keys, 2)
+      .collect().map(_.getString(0)).toList == List("a"))
+    val ex = intercept[Exception] { boundedRead(st, 2) }
+    assert(ex.getMessage != null) // loud, not silent-wrong
+    // the caller's changelog knows the live rows; rebuild just that key
+    val live = (1L to 6L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")
+    val fixed = Ivm.topKBoundedRebuild(st, live, keys, "v", "id", k = 2, m = 2)
+    assert(boundedRead(fixed, 2) == List((1, 6L, 6.0), (2, 5L, 5.0)))
+    assert(Ivm.topKBoundedUnderflowKeys(fixed, keys, 2).isEmpty)
+  }
+
+  test("bounded top-k: retraction of a never-inserted row fails loudly") {
+    val init = Seq(("a", 1L, 1.0), ("a", 2L, 2.0)).toDF("k", "id", "v")
+    val st0 = Ivm.topKBoundedInit(init, keys, "v", "id", k = 1, m = 2)
+    val bogus = Seq(("a", 999L, 5.0, -1)).toDF("k", "id", "v", "op")
+    val st = Ivm.topKBoundedMerge(st0, bogus, keys, "v", "id", "op", k = 1, m = 2)
+    intercept[Exception] { boundedRead(st, 1) }
+  }
+
+  test("bounded top-k fold on real data equals the one-shot window ranking") {
+    // q_ivm_topk_bounded in miniature — same churn, bounded state
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("k"), col("event_id").as("id"),
+        col("value").as("v"), dayofmonth(col("ts")).as("day"))
+    val ins1 = ev.filter(col("day") <= 15).withColumn("op", lit(1))
+    val ins2 = ev.filter(col("day") > 15).withColumn("op", lit(1))
+    val dels = ev.filter(col("day") <= 10).withColumn("op", lit(-1))
+    val st0 = Ivm.topKBoundedInit(ins1, keys, "v", "id", k = 3, m = 4)
+    val st = Seq(ins2, dels).foldLeft(st0) { (acc, b) =>
+      val n = Ivm.topKBoundedMerge(acc, b, keys, "v", "id", "op", k = 3, m = 4)
+      Ivm.TopKBoundedState(n.buffer.localCheckpoint(), n.meta.localCheckpoint())
+    }
+    val got = Ivm.topKFromBounded(st, keys, "v", "id", 3)
+    val want = ev.filter(col("day") > 10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("v").desc, col("id"))))
+      .filter(col("rank") <= 3)
+      .select(col("k"), col("rank"), col("id"), col("v"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the bound that motivates the variant: state rows ≪ live rows
+    val liveRows = ev.filter(col("day") > 10).count()
+    val stateRows = st.buffer.count() + st.meta.count()
+    assert(stateRows <= 13 * st.meta.count(), "state must stay <= (k*m + 1) rows per key")
+    // sf0.001 has only ~130 live rows/key; the gap widens with scale
+    // (state is O(keys), live is O(rows)) — BENCH.md pins it at sf1
+    assert(stateRows < liveRows / 5,
+      s"bounded state ($stateRows) should be far below the live set ($liveRows)")
+  }
 }

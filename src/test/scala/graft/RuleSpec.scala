@@ -184,4 +184,69 @@ class RuleSpec extends SparkTestBase {
         "graft_regex_matched_chars('a1b22c333', '[0-9]+')").collect()(0)
     assert(r.getInt(0) == 2 && r.getInt(1) == 6)
   }
+
+  // ---- FuseRegexChain: the ordered rulebook fold ------------------------
+
+  /** Rulebooks whose value depends on SEQUENTIAL semantics: pass 2 must
+    * see pass 1's output (b→c sees a→b's rewrites), replacements carry
+    * $-group refs, patterns overlap. Any alternation shortcut diverges
+    * on these; the fused kernel must not.
+    */
+  private val chainRules = Seq(
+    Seq("[0-9]+" -> "<NUM>", "[a-z]+@[a-z.]+" -> "<EMAIL>", "\\s+$" -> ""),
+    Seq("a" -> "b", "b" -> "c"),                  // cascading rewrites
+    Seq("(c)af(é)" -> "$2af$1", "é+" -> "E"),     // group refs then overlap
+    Seq("😀" -> "[emoji]", "\\[emoji\\]" -> "!"), // replacement re-matched
+    Seq("(a)\\1*" -> "A", "q" -> ""),             // backref: no pre-filter
+  )
+
+  private def unfusedChain(c: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  test("nested rulebook chain is rewritten to one graft_regex_chain kernel") {
+    val df = redge.select(unfusedChain($"t", chainRules.head).as("s"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_regex_chain"), plan)
+    assert(!plan.contains("regexp_replace"), s"all three passes should fuse:\n$plan")
+  }
+
+  test("rulebook value identity incl. nulls, cascades, $-refs, backrefs") {
+    for (rules <- chainRules) {
+      // genuinely-unfused twin: each pass is a SINGLE regexp_replace on
+      // its own collected frame (never nested, so CollapseProject cannot
+      // rebuild the shape the rule fuses)
+      var want: Seq[Option[String]] =
+        redge.collect().map(r => Option(r.getString(0))).toSeq
+      for ((p, rep) <- rules)
+        want = want.toDF("s").select(regexp_replace($"s", p, rep))
+          .collect().map(r => Option(r.getString(0))).toSeq
+      val got = redge.select(
+        graft.functions.GraftFunctions.regexChain($"t", rules).as("s"))
+        .collect().map(r => Option(r.getString(0))).toSeq
+      assert(got == want, s"rules $rules: got=$got want=$want")
+    }
+  }
+
+  test("a non-literal or positioned pass breaks the chain there; the rest fuses") {
+    redge.createOrReplaceTempView("redge_chain_v")
+    // outer pass at position 2: not fused; the inner 2-pass chain is
+    val plan = spark.sql(
+      """SELECT regexp_replace(
+        |  regexp_replace(regexp_replace(t, 'a', 'b'), 'b', 'c'),
+        |  'c', 'd', 2) FROM redge_chain_v""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_regex_chain"), plan)
+    assert(plan.contains("regexp_replace"), s"the positioned pass must survive:\n$plan")
+    // a single pass (no nesting) is never touched
+    val single = redge.select(regexp_replace($"t", "a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!single.contains("graft_regex_chain"), single)
+  }
+
+  test("SQL surface: graft_regex_chain registered") {
+    val r = spark.sql(
+      "SELECT graft_regex_chain('a1 b2', array('[0-9]', 'a|b'), array('#', 'X'))")
+      .collect()(0)
+    assert(r.getString(0) == "X# X#")
+  }
 }
