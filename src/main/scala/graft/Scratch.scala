@@ -88,6 +88,33 @@ object Scratch {
     val c2 = time("matched-chars scan, FUSED graft_regex_matched_chars")(volFused)
     require(c1.head == c2.head, s"value drift: ${c1.head} vs ${c2.head}")
 
+    // ---- FuseRegexChain: the ordered PII rulebook (q_pii_scrub shape) --
+    // Control: the same 4-pass fold built through per-pass VIEWS with a
+    // non-literal (concat-built) pattern so the chain rule cannot touch
+    // it — each pass is a genuine regexp_replace scan+copy. Fused: the
+    // direct kernel. Most docs match nothing, so the combined pre-filter
+    // should carry most of the win; SPARK_GRAFT_REPEAT again isolates
+    // the per-row factor.
+    val piiRules = Seq(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+      "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",
+      "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<ID>",
+      "https?://\\S+" -> "<URL>")
+    def chainUnfused = docs.select(
+      sum(length(piiRules.foldLeft(lower(col("text"))) {
+        case (acc, (p, r)) => regexp_replace(acc, p, r)
+      })).as("s")).collect()
+    def chainFused = docs.select(
+      sum(length(graft.functions.GraftFunctions.regexChain(
+        lower(col("text")), piiRules))).as("s")).collect()
+    // this session carries the rule, which would silently fuse the
+    // control — exclude it (by ruleName) for the unfused timing only
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.FuseRegexChain")
+    val u = time("pii rulebook, UNFUSED 4-pass regexp_replace fold")(chainUnfused)
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    val f = time("pii rulebook, FUSED graft_regex_chain")(chainFused)
+    require(u.head == f.head, s"value drift: ${u.head} vs ${f.head}")
+
     spark.stop()
   }
 }
