@@ -6538,13 +6538,29 @@ object SparkEntry {
       val dels = ev.filter(col("day") <= 10 || col("event_type") === "error")
         .withColumn("op", lit(-1))
       val st0 = Ivm.topKBoundedInit(ins1, keys, "value", "event_id", k = 5, m = 4)
-      val st = Seq(ins2, dels).foldLeft(st0) { (acc, b) =>
+      val folded = Seq(ins2, dels).foldLeft(st0) { (acc, b) =>
         val next = Ivm.topKBoundedMerge(acc, b, keys, "value", "event_id", "op",
           k = 5, m = 4)
         Ivm.TopKBoundedState(
           next.buffer.localCheckpoint(eager = false),
           next.meta.localCheckpoint(eager = false))
       }
+      // The FULL bounded protocol includes the rebuild decision: check
+      // which keys underflowed (deletes beyond the m·k slack — at sf10
+      // the replicated corpus makes deletes perfectly value-correlated
+      // and wipes whole buffers at once) and re-seed exactly those from
+      // the changelog's live rows. The check is a bounded driver action
+      // over the (checkpointed, ≤keys-sized) state — the same decision a
+      // real maintenance job makes before paying for a changelog read;
+      // at the gate scales nothing underflows and the rebuild lineage is
+      // never even planned, so the oracle checks the maintained path.
+      val st =
+        if (Ivm.topKBoundedUnderflowKeys(folded, keys, 5).isEmpty) folded
+        else Ivm.topKBoundedRebuild(
+          folded,
+          ev.filter(!(col("day") <= 10 || col("event_type") === "error"))
+            .select(col("event_type"), col("event_id"), col("value")),
+          keys, "value", "event_id", k = 5, m = 4)
       Ivm.topKFromBounded(st, keys, "value", "event_id", 5)
         .select(col("event_type"), col("rank").cast("int").as("rank"),
           col("event_id"), col("value"))

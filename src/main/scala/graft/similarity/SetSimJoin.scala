@@ -157,12 +157,16 @@ object SetSimJoin {
       .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
       .filter(size(col("ts")) > 0)
     val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
-    // Dictionary pruned to the batch's vocabulary first (broadcast
-    // semi-join on the SMALL side — the incrementalNeighbors pattern):
-    // the corpus-scale token dictionary never broadcasts whole.
-    val dictPruned = dict.join(broadcast(toks.select("tok").distinct()), Seq("tok"), "left_semi")
+    // Dictionary pruned to the batch's vocabulary first: the corpus-scale
+    // token dictionary never joins whole. NO forced broadcast hint — AQE
+    // broadcasts at runtime when the batch vocabulary is genuinely small
+    // (the production shape) and falls back to a shuffled semi when a
+    // corpus-proportional batch would otherwise OOM the driver (the r13
+    // sf10 lesson: a forced batch-vocab broadcast at 100x sat at 68 GB
+    // RSS without completing).
+    val dictPruned = dict.join(toks.select("tok").distinct(), Seq("tok"), "left_semi")
     val ordered = toks
-      .join(broadcast(dictPruned), Seq("tok"), "left")
+      .join(dictPruned, Seq("tok"), "left")
       .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
       .groupBy("sid")
       .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
@@ -310,12 +314,15 @@ object SetSimJoin {
       .filter(size(col("ts")) > 0)
     val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
     // The batch vocabulary feeds THREE semi-joins (dictionary prune,
-    // index postings, index prefixes) — checkpoint the small distinct
-    // set once instead of re-running the batch explode per consumer.
+    // index postings, index prefixes) — checkpoint the distinct set once
+    // instead of re-running the batch explode per consumer. No forced
+    // broadcast on any of them: AQE broadcasts small batch vocabularies
+    // at runtime and shuffles corpus-proportional ones (see
+    // selfJoinIncrement — the r13 sf10 lesson).
     val batchVocab = toks.select("tok").distinct().localCheckpoint(false)
-    val dictPruned = dict.join(broadcast(batchVocab), Seq("tok"), "left_semi")
+    val dictPruned = dict.join(batchVocab, Seq("tok"), "left_semi")
     val ordered = toks
-      .join(broadcast(dictPruned), Seq("tok"), "left")
+      .join(dictPruned, Seq("tok"), "left")
       .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
       .groupBy("sid")
       .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
@@ -344,10 +351,11 @@ object SetSimJoin {
       .distinct()
     // index postings restricted to the batch vocabulary: a standing
     // store's token lists only join where the batch can actually hit
+    // (AQE-decided join strategy, same rationale as above)
     val iPosts = postingsOf(idxSets)
-      .join(broadcast(batchVocab), Seq("tok"), "left_semi")
+      .join(batchVocab, Seq("tok"), "left_semi")
     val iPrefix = prefixOf(idxSets)
-      .join(broadcast(batchVocab), Seq("tok"), "left_semi")
+      .join(batchVocab, Seq("tok"), "left_semi")
     def verify(c: DataFrame, aSets: DataFrame, bSets: DataFrame, side: String) = c
       .join(aSets.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
       .join(bSets.select(col("sid").as("db"), col("arr").as("ab")), "db")

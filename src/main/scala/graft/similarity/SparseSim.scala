@@ -188,15 +188,18 @@ object SparseSim {
     val newTf = termFreqs(newDocs, idCol, textCol, shingleLen)
       .localCheckpoint(eager = false) // two consumers: term set + model weighting
     val batchTerms = newTf.select("term").distinct()
-    // Index pruned to the batch's term set — broadcast semi-join, the
-    // corpus-scale table never shuffles on account of one batch. The
+    // Index pruned to the batch's term set BEFORE any scoring join. The
     // index IS read twice (model distinct + scoring join) — deliberately
     // NOT checkpointed: materializing would capture batch-local
     // partitioning and discard the stored bucket layout, re-introducing
     // the index-side exchange a term-bucketed index exists to remove
-    // (LayoutSpec pins the exchange count). Both reads are cut by the
-    // broadcast semi before any shuffle.
-    val idx = index.join(broadcast(batchTerms), Seq("term"), "left_semi")
+    // (LayoutSpec pins the exchange count). The semi-join strategy is
+    // AQE-decided, NOT a forced broadcast: a production batch's term set
+    // is small and converts to a runtime broadcast for free, while a
+    // corpus-proportional batch (the benchmark's 10% slice at sf10 —
+    // millions of salted shingles) would OOM the driver as a forced
+    // broadcast (r13 measured: 68 GB RSS, never completed).
+    val idx = index.join(batchTerms, Seq("term"), "left_semi")
     val newP = postingsFromTf(newTf, idx)
       .localCheckpoint(eager = false) // two consumers: cross a-side + internal both sides
     val a = newP.select(col("term"), col("doc_id").as("doc_a"), col("u").as("ua"))
@@ -474,7 +477,9 @@ object SparseSim {
         explode(graft.functions.GraftFunctions.wordShingles(toks, shingleLen)).as("term"))
       .distinct()
     val perTerm = index
-      .join(broadcast(qterms), Seq("term"))
+      // AQE-decided: a handful of queries broadcast at runtime; a
+      // corpus-proportional query batch must not be forced to
+      .join(qterms, Seq("term"))
       .filter(col("doc_id") =!= col("q_id")) // overlap-safe self-exclusion
       .withColumn(
         "idf",

@@ -151,12 +151,15 @@ object SubstringDedup {
       s"need gramLen>=2, window>=2, minSpan>=gramLen; got ($gramLen, $window, $minSpan)")
     val newAnchors = winnowAnchorStream(newDocs, idCol, textCol, gramLen, window)
     // Corpus-shared: new positions whose gram exists anywhere in the
-    // index. The index is cut down by the new batch's gram set FIRST
-    // (broadcast semi-join — the batch is the small side by design), so
-    // the corpus-scale table never shuffles on account of one batch.
+    // index. The index is cut down by the new batch's gram set FIRST, so
+    // the corpus-scale table never joins whole. Join strategy is
+    // AQE-decided, not a forced broadcast: a small ingest batch converts
+    // to a runtime broadcast anyway, and a corpus-proportional batch
+    // (benchmark slices at 100x) must shuffle instead of OOMing the
+    // driver (the r13 sf10 lesson, see SparseSim.incrementalNeighbors).
     val batchGrams = newAnchors.select("gram").distinct()
     val indexGrams = anchorIndex
-      .join(broadcast(batchGrams), Seq("gram"), "left_semi")
+      .join(batchGrams, Seq("gram"), "left_semi")
       .select("gram").distinct()
     val crossHits = newAnchors
       .join(indexGrams, Seq("gram"), "left_semi")
