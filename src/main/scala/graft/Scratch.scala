@@ -110,10 +110,37 @@ object Scratch {
     // this session carries the rule, which would silently fuse the
     // control — exclude it (by ruleName) for the unfused timing only
     spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.FuseRegexChain")
+    val controlPlan = docs.select(piiRules.foldLeft(lower(col("text"))) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }).queryExecution.optimizedPlan.toString
+    require(controlPlan.contains("regexp_replace"),
+      s"excludedRules did not disable the rule; control is fused:\n$controlPlan")
     val u = time("pii rulebook, UNFUSED 4-pass regexp_replace fold")(chainUnfused)
     spark.conf.unset("spark.sql.optimizer.excludedRules")
     val f = time("pii rulebook, FUSED graft_regex_chain")(chainFused)
     require(u.head == f.head, s"value drift: ${u.head} vs ${f.head}")
+
+    // Match-HEAVY rulebook: every pass rewrites every row, so the
+    // unfused chain pays 4 full rebuild+decode+encode cycles per row
+    // where the kernel pays 4 rebuilds + 1 decode + 1 encode — the
+    // copy-dominated regime (normalization rulebooks, not PII scrubs).
+    val heavyRules = Seq(
+      "[aeiouy]+" -> "V",
+      "[0-9]+" -> "N",
+      "\\s{2,}" -> " ",
+      "[.,;:!?]+" -> "")
+    def heavyUnfused = docs.select(
+      sum(length(heavyRules.foldLeft(lower(col("text"))) {
+        case (acc, (p, r)) => regexp_replace(acc, p, r)
+      })).as("s")).collect()
+    def heavyFused = docs.select(
+      sum(length(graft.functions.GraftFunctions.regexChain(
+        lower(col("text")), heavyRules))).as("s")).collect()
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.FuseRegexChain")
+    val hu = time("match-heavy rulebook, UNFUSED")(heavyUnfused)
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    val hf = time("match-heavy rulebook, FUSED graft_regex_chain")(heavyFused)
+    require(hu.head == hf.head, s"value drift: ${hu.head} vs ${hf.head}")
 
     spark.stop()
   }

@@ -19,20 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a UTF8String between every pair of passes);
   *  - a pass whose pattern has no match costs one `find()` and ZERO
   *    copies (the unfused idiom still rebuilds the string);
-  *  - an optional combined pre-filter (alternation of all patterns):
-  *    when NO pattern matches — the common case for PII rulebooks over
-  *    clean text — the row costs one scan total and returns the INPUT
-  *    UTF8String untouched. Alternation shifts group numbering, so any
-  *    pattern containing a backreference (`\1`) or a named-group
-  *    construct (`(?<`) disables only the pre-filter; the sequential
-  *    passes never merge patterns and stay exact regardless.
+  *  - a clean row (no pattern matches anywhere — the common case for a
+  *    PII rulebook) returns the INPUT UTF8String untouched: no copy, no
+  *    re-encode.
   *
-  * This is deliberately NOT the single-pass "ordered alternation" scrub:
-  * leftmost-match-wins alternation diverges from sequential semantics
-  * whenever matches of different patterns overlap (pattern 1 claims its
-  * matches across the WHOLE string before pattern 2 sees any of it), and
-  * that divergence is not statically checkable — so a value-identity
-  * fusion rule cannot use it.
+  * Two rejected designs, measured on the sf0.1 corpus (REPEAT=8):
+  *  - a combined alternation PRE-FILTER (one `(?:p1)|(?:p2)|...` scan
+  *    deciding whether any pass needs to run) was 20% SLOWER than just
+  *    running the passes: alternation forfeits each pattern's own engine
+  *    optimizations (literal-prefix Boyer-Moore, fail-fast first-char
+  *    classes) and re-tries every branch at every position, while a
+  *    non-matching sequential pass is already a single cheap scan;
+  *  - the single-pass "ordered alternation" SCRUB (replace while
+  *    scanning once) diverges from sequential semantics whenever matches
+  *    of different patterns overlap (pattern 1 claims its matches across
+  *    the WHOLE string before pattern 2 sees any of it) — not statically
+  *    checkable, so a value-identity fusion rule cannot use it.
   */
 final class RegexChainImpl(
     val patterns: Array[String], val replacements: Array[String])
@@ -43,28 +45,8 @@ final class RegexChainImpl(
   @transient private lazy val compiled: Array[Pattern] =
     patterns.map(Pattern.compile)
 
-  /** `\<digit>` backreference or a named-group construct anywhere in a
-    * pattern poisons the combined alternation (group renumbering /
-    * duplicate group names) — conservatively includes escaped
-    * backslash-digit false positives; a skipped pre-filter only costs
-    * speed, never correctness.
-    */
-  private def alternationUnsafe(p: String): Boolean = {
-    var i = 0
-    while (i < p.length - 1) {
-      if (p.charAt(i) == '\\' && Character.isDigit(p.charAt(i + 1))) return true
-      i += 1
-    }
-    p.contains("(?<")
-  }
-
-  @transient private lazy val prefilter: Pattern =
-    if (patterns.exists(alternationUnsafe)) null
-    else Pattern.compile(patterns.map(p => s"(?:$p)").mkString("|"))
-
   def apply(input: UTF8String): UTF8String = {
     var s = input.toString
-    if (prefilter != null && !prefilter.matcher(s).find()) return input
     var changed = false
     var i = 0
     while (i < compiled.length) {
