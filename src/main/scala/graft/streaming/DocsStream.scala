@@ -167,6 +167,67 @@ object DocsStream {
       }
       .start()
 
+  /** Streaming CROSS-DOC SUBSTRING dedup gate against the standing
+    * anchor index: each micro-batch detects winnow-anchored shared spans
+    * vs the STORED corpus
+    * ([[graft.text.SubstringDedup.incrementalSharedSpans]], cross-index
+    * spans only — the symmetric batch-internal detection would flag BOTH
+    * copies of an in-batch duplicate and drop the content entirely,
+    * so the micro-batch is the gate's dedup horizon, exactly like
+    * [[dedupedDocs]]'s within-watermark contract), appends per-doc
+    * decisions (shared_chars, n_spans, keep = shared fraction ≤
+    * `maxSharedFrac`) to `resultsPath`, and folds the SURVIVORS' anchors
+    * into `indexPath` — later batches see them, so a later copy of any
+    * kept document gets gated. Seed `indexPath` with an offline
+    * [[graft.text.SubstringDedup.buildAnchorIndex]] of the base corpus.
+    *
+    * Micro-batches run serially and the index is append-only, so any
+    * micro-batching of a feed yields the sequential-fold semantics —
+    * StreamingSpec pins stream ≡ the hand-driven batch-API fold, plus
+    * the three gate behaviors (stored-content copy dropped, fresh doc
+    * kept, copy of a STREAMED survivor dropped).
+    */
+  def substringDedupAppender(
+      docs: DataFrame,
+      indexPath: String,
+      resultsPath: String,
+      checkpointPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramLen: Int = 24,
+      window: Int = 16,
+      minSpan: Int = 60,
+      maxSharedFrac: Double = 0.5,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.text.SubstringDedup
+    docsStreamForeach(docs, checkpointPath) { batch =>
+      val spark = batch.sparkSession
+      val idx = spark.read.parquet(indexPath)
+      val spans = SubstringDedup.incrementalSharedSpans(
+        batch, idCol, textCol, idx, gramLen, window, minSpan,
+        includeBatchInternal = false)
+      val cover = spans.groupBy("doc_id")
+        .agg(sum(col("span_len")).as("shared_chars"), count(lit(1)).as("n_spans"))
+      val res = batch
+        .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+        .join(cover, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("shared_chars"), lit(0L)).as("shared_chars"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("n_chars"),
+          (coalesce(col("shared_chars"), lit(0L)).cast("double") <=
+            lit(maxSharedFrac) * col("n_chars").cast("double")).as("keep"))
+        .localCheckpoint() // decisions must pre-date the index append
+      res.write.mode("append").parquet(resultsPath)
+      val survivors = batch.join(
+        res.filter(col("keep")).select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      SubstringDedup.buildAnchorIndex(survivors, idCol, textCol, gramLen, window)
+        .write.mode("append").parquet(indexPath)
+    }
+  }
+
   /** Streaming SEMANTIC dedup against a standing
     * [[graft.similarity.SemDeDup.SemIndex]]: each micro-batch of
     * (id, embedding) rows assigns to the FROZEN centroids, dedups

@@ -137,6 +137,13 @@ object SubstringDedup {
     * shuffle, so per-batch cost scales with the BATCH, not the corpus —
     * with a gram-bucketed index even that shuffle disappears.
     */
+  /** @param includeBatchInternal also detect batch-internal sharing
+    *        (both copies flagged — the symmetric detection contract).
+    *        `false` restricts to batch-vs-INDEX spans: the dedup-GATE
+    *        shape ([[graft.streaming.DocsStream.substringDedupAppender]]),
+    *        where flagging both in-batch copies would drop content
+    *        entirely instead of keeping one.
+    */
   def incrementalSharedSpans(
       newDocs: DataFrame,
       idCol: String,
@@ -146,6 +153,7 @@ object SubstringDedup {
       window: Int = 16,
       minSpan: Int = 60,
       hotGramOcc: Int = 4096,
+      includeBatchInternal: Boolean = true,
   ): DataFrame = {
     require(gramLen >= 2 && window >= 2 && minSpan >= gramLen,
       s"need gramLen>=2, window>=2, minSpan>=gramLen; got ($gramLen, $window, $minSpan)")
@@ -165,8 +173,11 @@ object SubstringDedup {
       .join(indexGrams, Seq("gram"), "left_semi")
       .select("doc_id", "pos")
     // Batch-internal sharing: the ordinary detection over the new batch.
-    val withinHits = sharedHits(newAnchors, minDocs = 2, hotGramOcc = hotGramOcc)
-    val hits = crossHits.unionByName(withinHits).dropDuplicates("doc_id", "pos")
+    val hits =
+      if (!includeBatchInternal) crossHits.dropDuplicates("doc_id", "pos")
+      else crossHits
+        .unionByName(sharedHits(newAnchors, minDocs = 2, hotGramOcc = hotGramOcc))
+        .dropDuplicates("doc_id", "pos")
     assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen + window)
   }
 

@@ -927,6 +927,74 @@ class StreamingSpec extends SparkTestBase {
     assert(keptIds == baseKept ++ survivors, "kept store must grow by the survivors only")
   }
 
+  test("substringDedupAppender: stored-copy gated, fresh kept, streamed-survivor copy gated") {
+    import graft.text.SubstringDedup
+    // deterministic corpus: ~50-token sentences, each token unique to
+    // its base string so cross-doc sharing exists ONLY where planted
+    def sentence(tag: String): String =
+      (1 to 50).map(i => s"$tag$i").mkString(" ")
+    val seedText = sentence("seed")
+    val freshA = sentence("alpha")
+    val freshB = sentence("beta")
+    val seed = Seq((1L, seedText)).toDF("doc_id", "text")
+
+    val (idxP, resP, ckP, inP) = (tmpDir("ssd_idx"), tmpDir("ssd_res"),
+      tmpDir("ssd_ck"), tmpDir("ssd_in"))
+    SubstringDedup.buildAnchorIndex(seed, "doc_id", "text", gramLen = 16, window = 8)
+      .write.mode("overwrite").parquet(idxP)
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // batch 1: a copy of STORED content (drop) + a fresh doc (keep)
+    val b1 = Seq((11L, s"intro11 $seedText outro11"), (12L, freshA))
+      .toDF("doc_id", "text").withColumn("ingest_time", lit(t0))
+    // batch 2: a copy of batch-1's SURVIVOR (drop — proves the fold),
+    // a fresh doc (keep), and a copy of the DROPPED doc 11's content
+    // (drop — via the seed index, not via 11, whose anchors never landed)
+    val b2 = Seq((21L, s"pre21 $freshA post21"), (22L, freshB),
+      (23L, s"x23 $seedText y23"))
+      .toDF("doc_id", "text").withColumn("ingest_time", lit(t0))
+    b1.coalesce(1).write.mode("overwrite").parquet(inP)
+    Thread.sleep(1100) // distinct mod-times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(inP)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = DocsStream.substringDedupAppender(stream, idxP, resP, ckP,
+      gramLen = 16, window = 8, minSpan = 40, maxSharedFrac = 0.5)
+    try q.processAllAvailable() finally q.stop()
+
+    val keeps = spark.read.parquet(resP)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keeps == Map(11L -> false, 12L -> true, 21L -> false,
+      22L -> true, 23L -> false), s"gate decisions wrong: $keeps")
+
+    // the index grew by exactly the survivors' doc ids
+    val idxDocs = spark.read.parquet(idxP).select("doc_id").as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 12L, 22L),
+      s"anchor index must hold seed + survivors only: $idxDocs")
+
+    // stream ≡ the hand-driven sequential batch-API fold
+    def decide(batch: org.apache.spark.sql.DataFrame,
+        idx: org.apache.spark.sql.DataFrame): Map[Long, Boolean] = {
+      val spans = SubstringDedup.incrementalSharedSpans(batch, "doc_id", "text",
+        idx, gramLen = 16, window = 8, minSpan = 40, includeBatchInternal = false)
+      val cover = spans.groupBy("doc_id").agg(sum($"span_len").as("sc"))
+      batch.join(cover, Seq("doc_id"), "left")
+        .select($"doc_id",
+          (coalesce($"sc", lit(0L)).cast("double") <=
+            lit(0.5) * length($"text").cast("double")).as("keep"))
+        .as[(Long, Boolean)].collect().toMap
+    }
+    val idx0 = SubstringDedup.buildAnchorIndex(seed, "doc_id", "text", 16, 8)
+      .localCheckpoint()
+    val d1 = decide(b1, idx0)
+    val surv1 = b1.filter($"doc_id".isin(d1.filter(_._2).keys.toSeq: _*))
+    val idx1 = idx0.unionByName(
+      SubstringDedup.buildAnchorIndex(surv1, "doc_id", "text", 16, 8)).localCheckpoint()
+    val d2 = decide(b2, idx1)
+    assert(d1 ++ d2 == keeps, "streamed decisions must equal the sequential batch fold")
+  }
+
   test("qualityModelGated: distilled-classifier gate, stream == batch score+filter") {
     import graft.text.QualityModel
     val docs = spark.read.parquet(s"$sf/documents.parquet")
