@@ -92,9 +92,9 @@ object Scratch {
     // Control: the same 4-pass fold built through per-pass VIEWS with a
     // non-literal (concat-built) pattern so the chain rule cannot touch
     // it — each pass is a genuine regexp_replace scan+copy. Fused: the
-    // direct kernel. Most docs match nothing, so the combined pre-filter
-    // should carry most of the win; SPARK_GRAFT_REPEAT again isolates
-    // the per-row factor.
+    // direct kernel. Most docs match nothing, so the kernel's zero-copy
+    // no-match skip (one decode + N find()s, no rebuild) carries the
+    // win; SPARK_GRAFT_REPEAT again isolates the per-row factor.
     val piiRules = Seq(
       "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
       "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",

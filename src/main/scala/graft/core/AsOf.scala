@@ -204,12 +204,22 @@ object AsOf {
         payload, forward, toleranceNs)
     val tmin = bounds.getLong(0)
     val tmax = bounds.getLong(1)
-    val span = math.max(1.0, (tmax - tmin).toDouble + 1.0)
+    // ALL bucket arithmetic in double space: a LONG subtraction here
+    // ((rt - tmin) with rt far from the left span, or a left span wider
+    // than Long.MaxValue) wraps negative and would clamp a POST-span
+    // right row into chunk 0 — for a forward join that breaks the
+    // monotonicity invariant the seed proof needs (the misplaced row
+    // never seeds later chunks → wrong NULL payloads). Doubles lose
+    // low-bit precision past 2^53 but long→double is monotone
+    // non-decreasing, which is ALL the exactness argument requires of
+    // the bucketizer; ties collapsing into one chunk are still correct.
+    val span = math.max(1.0, tmax.toDouble - tmin.toDouble + 1.0)
     // monotone, clamped: rights before the left span land in chunk 0,
-    // after it in chunk chunks-1 — monotonicity is all exactness needs
+    // after it in chunk chunks-1 — monotonicity is all exactness needs.
+    // Clamp BEFORE the int cast: the quotient can exceed Int range.
     def bucket(tc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      greatest(lit(0), least(lit(chunks - 1),
-        floor((tc - lit(tmin)).cast("double") / lit(span) * chunks).cast("int")))
+      greatest(lit(0.0), least(lit((chunks - 1).toDouble),
+        floor((tc.cast("double") - lit(tmin.toDouble)) / lit(span) * chunks))).cast("int")
     // identical struct TYPE on both sides (field names + nullability),
     // or the exec's key-type equality check rejects the pair
     val kcType = StructType(Seq(

@@ -19,10 +19,12 @@ import graft.functions.RegexChainReplace
   * re-encodes — N scans and up to 4·N copies per row even when nothing
   * matches. This rule collapses any maximal literal chain (length ≥ 2)
   * into ONE [[graft.functions.RegexChainReplace]] kernel, which replays
-  * the identical sequential passes through a single String pipeline
-  * with a combined no-match pre-filter (see RegexChainImpl's scaladoc
-  * for why it is NOT leftmost-alternation: that would change semantics
-  * on overlapping matches).
+  * the identical sequential passes through a single String pipeline:
+  * one decode, per-pass `find()` with a ZERO-COPY skip when a pass
+  * matches nothing, one re-encode. (A combined alternation pre-filter
+  * was prototyped and deleted — it measured ~20% SLOWER and risks
+  * semantic drift on overlapping matches; RegexChainImpl's scaladoc
+  * records that rejected design.)
   *
   * Guards (RuleSpec pins each):
   *  - every pattern and replacement in the chain is a non-null string

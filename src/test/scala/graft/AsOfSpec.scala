@@ -281,6 +281,41 @@ class AsOfSpec extends SparkTestBase {
     }
   }
 
+  test("asOfJoinExecSalted: extreme time domains cannot overflow the bucketizer") {
+    // r13 ADVICE pin: (rightTime - tmin) as a LONG subtraction wraps when
+    // a right row sits far outside the left span (or when the left span
+    // itself exceeds Long.MaxValue), clamping a POST-span row into chunk
+    // 0 — a forward join then never seeds it into later chunks, and left
+    // rows whose ONLY forward match is that row get a wrong NULL. The
+    // bucketizer now computes in double space; pin both overflow shapes
+    // against the unsalted exec.
+    // (a) right row at Long.MaxValue with the left span crossing zero
+    //     (tmin < 0 => rt - tmin wraps negative as a long)
+    val l1 = (-100L to 100L by 10L).zipWithIndex
+      .map { case (t, i) => ("k", t, i) }.toDF("sym", "tt", "qty")
+    val r1 = Seq(("k", Long.MaxValue, 7.0)).toDF("sym", "qt", "px")
+    val sFwd = AsOf.asOfJoinExecSalted(l1, r1, "sym", "tt", "sym", "qt",
+      Seq("px"), forward = true, chunks = 8)
+    val uFwd = AsOf.asOfJoinExec(l1, r1, "sym", "tt", "sym", "qt",
+      Seq("px"), forward = true)
+    assert(sFwd.exceptAll(uFwd).isEmpty && uFwd.exceptAll(sFwd).isEmpty)
+    assert(sFwd.filter($"px".isNull).count() == 0,
+      "the MaxValue row is every left row's only forward match — no NULLs allowed")
+    // (b) left span wider than Long.MaxValue (tmax - tmin wraps as a long)
+    val l2 = Seq(("k", Long.MinValue + 10, 1), ("k", 0L, 2),
+      ("k", Long.MaxValue - 10, 3)).toDF("sym", "tt", "qty")
+    val r2 = Seq(("k", Long.MinValue + 5, 1.0), ("k", -5L, 2.0),
+      ("k", Long.MaxValue - 20, 3.0)).toDF("sym", "qt", "px")
+    for (fwd <- Seq(false, true)) {
+      val s = AsOf.asOfJoinExecSalted(l2, r2, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = fwd, chunks = 4)
+      val u = AsOf.asOfJoinExec(l2, r2, "sym", "tt", "sym", "qt",
+        Seq("px"), forward = fwd)
+      assert(s.exceptAll(u).isEmpty && u.exceptAll(s).isEmpty,
+        s"span-overflow domain drifted from unsalted at forward=$fwd")
+    }
+  }
+
   test("asOfJoinExecSalted plan: still the custom exec, no window, no generic join") {
     val p = SparkEntry.queries("q_asof_salted")(spark, sf)
       .queryExecution.executedPlan.toString
