@@ -178,14 +178,31 @@ object DocsStream {
     * decisions (shared_chars, n_spans, keep = shared fraction ≤
     * `maxSharedFrac`) to `resultsPath`, and folds the SURVIVORS' anchors
     * into `indexPath` — later batches see them, so a later copy of any
-    * kept document gets gated. Seed `indexPath` with an offline
-    * [[graft.text.SubstringDedup.buildAnchorIndex]] of the base corpus.
+    * kept document gets gated. Seed the standing index with an offline
+    * [[graft.text.SubstringDedup.buildAnchorIndex]] of the base corpus
+    * written at `indexPath/batch=-1` (the versioned layout below).
+    *
+    * REPLAY SAFETY (r13 ADVICE): foreachBatch is at-least-once, and the
+    * pre-r14 blind appends corrupted on batch re-execution — the index
+    * already held the replayed batch's survivors' anchors, so a survivor
+    * matched its OWN anchors, the recomputed decision flipped
+    * keep=true→false, and `resultsPath` ended up with CONTRADICTORY
+    * decisions for one doc (plus duplicated anchors). Both sinks now
+    * ride the versioned layout the sketch appenders use: a batch reads
+    * ONLY index versions STRICTLY BELOW its own id (exactly the corpus
+    * it saw the first time — the index is append-only, so the union of
+    * versions < id IS that corpus) and OVERWRITES its own `batch=<id>`
+    * partition under each sink, so a replay recomputes identical
+    * decisions and replaces rather than duplicates. Readers consume the
+    * whole partitioned dataset at `indexPath`/`resultsPath`.
     *
     * Micro-batches run serially and the index is append-only, so any
     * micro-batching of a feed yields the sequential-fold semantics —
-    * StreamingSpec pins stream ≡ the hand-driven batch-API fold, plus
-    * the three gate behaviors (stored-content copy dropped, fresh doc
-    * kept, copy of a STREAMED survivor dropped).
+    * StreamingSpec pins stream ≡ the hand-driven batch-API fold, the
+    * three gate behaviors (stored-content copy dropped, fresh doc
+    * kept, copy of a STREAMED survivor dropped), and a REAL replay
+    * (commit log truncated, stream restarted): decisions and index
+    * bit-identical, no duplicates.
     */
   def substringDedupAppender(
       docs: DataFrame,
@@ -200,32 +217,45 @@ object DocsStream {
       maxSharedFrac: Double = 0.5,
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.text.SubstringDedup
-    docsStreamForeach(docs, checkpointPath) { batch =>
-      val spark = batch.sparkSession
-      val idx = spark.read.parquet(indexPath)
-      val spans = SubstringDedup.incrementalSharedSpans(
-        batch, idCol, textCol, idx, gramLen, window, minSpan,
-        includeBatchInternal = false)
-      val cover = spans.groupBy("doc_id")
-        .agg(sum(col("span_len")).as("shared_chars"), count(lit(1)).as("n_spans"))
-      val res = batch
-        .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
-        .join(cover, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("shared_chars"), lit(0L)).as("shared_chars"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          col("n_chars"),
-          (coalesce(col("shared_chars"), lit(0L)).cast("double") <=
-            lit(maxSharedFrac) * col("n_chars").cast("double")).as("keep"))
-        .localCheckpoint() // decisions must pre-date the index append
-      res.write.mode("append").parquet(resultsPath)
-      val survivors = batch.join(
-        res.filter(col("keep")).select(col("doc_id").as(idCol)),
-        Seq(idCol), "left_semi")
-      SubstringDedup.buildAnchorIndex(survivors, idCol, textCol, gramLen, window)
-        .write.mode("append").parquet(indexPath)
-    }
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val versions = stateVersionsBelow(spark, indexPath, batchId)
+        // Union of versions strictly below this batch's id = the corpus
+        // state this batch saw the first time it ran (append-only index);
+        // explicit leaf paths keep the partition column out of the schema.
+        val idx =
+          if (versions.isEmpty)
+            // unseeded cold start: an empty index with the right schema
+            SubstringDedup.buildAnchorIndex(
+              batch.limit(0), idCol, textCol, gramLen, window)
+          else spark.read.parquet(versions.map(v => s"$indexPath/batch=$v"): _*)
+        val spans = SubstringDedup.incrementalSharedSpans(
+          batch, idCol, textCol, idx, gramLen, window, minSpan,
+          includeBatchInternal = false)
+        val cover = spans.groupBy("doc_id")
+          .agg(sum(col("span_len")).as("shared_chars"), count(lit(1)).as("n_spans"))
+        val res = batch
+          .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+          .join(cover, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("shared_chars"), lit(0L)).as("shared_chars"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            col("n_chars"),
+            (coalesce(col("shared_chars"), lit(0L)).cast("double") <=
+              lit(maxSharedFrac) * col("n_chars").cast("double")).as("keep"))
+          .localCheckpoint() // two consumers: results write + survivor join
+        res.write.mode("overwrite").parquet(s"$resultsPath/batch=$batchId")
+        val survivors = batch.join(
+          res.filter(col("keep")).select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_semi")
+        SubstringDedup.buildAnchorIndex(survivors, idCol, textCol, gramLen, window)
+          .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+      }
+      .start()
   }
 
   /** Streaming SEMANTIC dedup against a standing
@@ -432,6 +462,25 @@ object DocsStream {
       .filter(_ < batchId)
   }
 
+  /** Load a sketch-appender state version, accepting the LEGACY key
+    * column: state written before r13 named the key column with the
+    * literal "g" instead of the caller's `groupCol`. Resuming a stream
+    * over such a statePath would fail LOUDLY at the first merged batch
+    * (unionByName: old files carry "g", the fresh aggregation carries
+    * `groupCol`) — rename on load instead, so pre-existing quantile/
+    * mg/topK state stores stay readable across the upgrade; every
+    * version written from here on carries `groupCol`.
+    */
+  private def loadKeyedState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (groupCol != "g" && df.columns.contains("g") && !df.columns.contains(groupCol))
+      df.withColumnRenamed("g", groupCol)
+    else df
+  }
+
   /** STANDING QUANTILE-SKETCH MAINTENANCE: each micro-batch sketches
     * `valueCol` per `groupCol` with the mergeable deterministic
     * [[graft.functions.MrlSketch]] aggregate and FOLDS it into the
@@ -469,7 +518,7 @@ object DocsStream {
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
-            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            loadKeyedState(spark, s"$statePath/batch=${versions.max}", groupCol))
             .groupBy(groupCol)
             .agg(GraftFunctions.quantileSketchMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
@@ -508,7 +557,7 @@ object DocsStream {
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
-            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            loadKeyedState(spark, s"$statePath/batch=${versions.max}", groupCol))
             .groupBy(groupCol)
             .agg(GraftFunctions.mgMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
@@ -618,7 +667,9 @@ object DocsStream {
     *
     * State schema (shared by the sketch-appender family): the caller's
     * `groupCol` name is preserved as the key column; the summary column
-    * is always "sk".
+    * is always "sk". Versions written before r13 carry the literal "g"
+    * as the key column — loads rename transparently ([[loadKeyedState]])
+    * so an existing state store survives the upgrade.
     */
   def topKAppender(
       docs: DataFrame,
@@ -642,13 +693,75 @@ object DocsStream {
         val merged =
           if (versions.isEmpty) fresh
           else fresh.unionByName(
-            spark.read.parquet(s"$statePath/batch=${versions.max}"))
+            loadKeyedState(spark, s"$statePath/batch=${versions.max}", groupCol))
             .groupBy(groupCol)
             .agg(GraftFunctions.topKMerge(col("sk")).as("sk"))
         merged.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
       }
       .start()
   }
+
+  /** STANDING AS-OF ENRICHMENT: the streaming member of the as-of
+    * family (r13 verdict item 6) — each events micro-batch is enriched
+    * with the latest-at-or-before (earliest-at-or-after when
+    * `forward`) dimension row per key through the custom physical
+    * operator [[graft.core.AsOf.asOfJoinExec]], against the STANDING
+    * dimension at `dimPath`: a slowly-APPENDED parquet table (quote
+    * feed, reference prices, sensor calibrations) maintained outside
+    * this stream. The snapshot is re-read each micro-batch, so a
+    * dimension row that lands between micro-batches enriches every
+    * LATER batch — the standing contract, same shape as
+    * [[bm25ServeStream]]'s frozen-index serving but with a moving
+    * index. Enriched rows land at `resultsPath/batch=<id>` (overwrite:
+    * a replayed batch REPLACES its partition, never duplicates;
+    * readers consume the whole partitioned dataset).
+    *
+    * This is the BIG-dimension member of the streaming as-of pair:
+    * [[graft.streaming.EventsStream.asOfEnrich]] broadcasts a per-key
+    * version-history array inside the streaming plan (the SCD lookup —
+    * right when the dimension fits the broadcast budget); this appender
+    * runs the full sort-merge physical operator per micro-batch, so the
+    * dimension can be arbitrarily large and freshly re-read each batch.
+    *
+    * Stream ≡ batch: per micro-batch the output IS
+    * `asOfJoinExec(batch, snapshot, …)` by construction — StreamingSpec
+    * pins equality against the batch operator per snapshot, plus the
+    * growth-visibility split (a dim row appended mid-stream enriches
+    * the later batch only). Time columns follow the exec's contract
+    * (same type both sides; LONG epoch-ns when `toleranceNs` is set).
+    *
+    * Replay caveat — the one input this appender does not own: output
+    * is a pure function of (batch, dimension snapshot), and the
+    * snapshot can GROW between a batch's first run and a replay, so a
+    * replayed batch may re-enrich against later dimension rows
+    * (fresher, but not bit-identical). When bit-exact replay matters
+    * more than freshness, version the dimension like the appender
+    * states (append to `dimPath/batch=<id>` and enrich against a
+    * pinned view).
+    */
+  def asOfEnrichAppender(
+      events: DataFrame,
+      dimPath: String,
+      resultsPath: String,
+      checkpointPath: String,
+      leftKey: String,
+      leftTime: String,
+      rightKey: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean = false,
+      toleranceNs: Option[Long] = None,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimPath)
+        graft.core.AsOf.asOfJoinExec(batch, dim, leftKey, leftTime,
+            rightKey, rightTime, payload, forward, toleranceNs)
+          .write.mode("overwrite").parquet(s"$resultsPath/batch=$batchId")
+      }
+      .start()
 
   private def docsStreamForeach(df: DataFrame, checkpointPath: String)(
       f: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =

@@ -599,6 +599,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("quantileAppender: legacy 'g'-keyed state versions stay readable after the groupCol rename") {
+    import graft.functions.{GraftFunctions, MrlSketch}
+    // r13 ADVICE pin: state written before the key column followed the
+    // caller's groupCol carries the literal "g"; resuming a stream with
+    // groupCol="src" over it used to fail at unionByName on the first
+    // merged batch. loadKeyedState renames on load — the fold must both
+    // SUCCEED and keep exact counts (legacy + streamed).
+    val dir = tmpDir("qlg_in")
+    val statePath = tmpDir("qlg_state")
+    val ckpt = tmpDir("qlg_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def toks(c: org.apache.spark.sql.Column) =
+      size(filter(split(trim(c), "\\s+"), _ =!= ""))
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+      .select($"doc_id", $"text", lit(t0).as("ingest_time"))
+      .localCheckpoint()
+    val hist = corpus.filter($"doc_id" % 2 === 0)
+    val live = corpus.filter($"doc_id" % 2 =!= 0)
+    // the legacy version a pre-r13 writer would have left behind
+    hist.select(($"doc_id" % 4).as("g"), toks($"text").as("v"))
+      .groupBy("g").agg(GraftFunctions.quantileSketch($"v", 64).as("sk"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=-1")
+    live.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("n_tokens", toks($"text"))
+      .withColumn("src", $"doc_id" % 4)
+    val q = DocsStream.quantileAppender(stream, statePath, ckpt,
+      groupCol = "src", valueCol = "n_tokens", k = 64)
+    try q.processAllAvailable() finally q.stop()
+
+    val standing = spark.read.parquet(s"$statePath/batch=0")
+      .select("src", "sk").as[(Long, Array[Byte])].collect().toMap
+    val exactSizes = corpus.select(($"doc_id" % 4).as("g")).groupBy("g").count()
+      .as[(Long, Long)].collect().toMap
+    assert(standing.keySet == exactSizes.keySet,
+      s"merged state must cover every group: ${standing.keySet} vs ${exactSizes.keySet}")
+    standing.foreach { case (g, bytes) =>
+      assert(MrlSketch.deserialize(bytes).count == exactSizes(g),
+        s"group $g: legacy+streamed count must be exact")
+    }
+  }
+
   test("mgAppender: standing summaries keep n exact and every heavy term present+bounded") {
     import graft.functions.MgSummary
     val dir = tmpDir("mg_in")
@@ -940,8 +984,9 @@ class StreamingSpec extends SparkTestBase {
 
     val (idxP, resP, ckP, inP) = (tmpDir("ssd_idx"), tmpDir("ssd_res"),
       tmpDir("ssd_ck"), tmpDir("ssd_in"))
+    // seed contract: the versioned layout's batch=-1 (below every real id)
     SubstringDedup.buildAnchorIndex(seed, "doc_id", "text", gramLen = 16, window = 8)
-      .write.mode("overwrite").parquet(idxP)
+      .write.mode("overwrite").parquet(s"$idxP/batch=-1")
 
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     // batch 1: a copy of STORED content (drop) + a fresh doc (keep)
@@ -993,6 +1038,80 @@ class StreamingSpec extends SparkTestBase {
       SubstringDedup.buildAnchorIndex(surv1, "doc_id", "text", 16, 8)).localCheckpoint()
     val d2 = decide(b2, idx1)
     assert(d1 ++ d2 == keeps, "streamed decisions must equal the sequential batch fold")
+
+    // REAL replay (the r13 ADVICE failure mode): truncate the commit log
+    // so batch 1 re-executes on restart. The pre-r14 blind appends
+    // corrupted here — the replayed survivor (22) matched its OWN anchors
+    // already in the index, flipped to keep=false, and appended a second,
+    // contradictory decision row. The versioned layout must instead
+    // reproduce decisions and index bit-identically, with no duplicates.
+    val resBefore = spark.read.parquet(resP)
+      .select("doc_id", "shared_chars", "n_spans", "n_chars", "keep")
+      .collect().toSeq.sortBy(_.getLong(0))
+    val idxBefore = spark.read.parquet(idxP).count()
+    assert(new java.io.File(s"$ckP/commits/1").delete(),
+      "test harness: expected commit file for batch 1")
+    new java.io.File(s"$ckP/commits/.1.crc").delete() // ChecksumFs sidecar
+    // stop() returns before the manager deregisters the query; starting
+    // the restart too early trips the concurrent-checkpoint guard
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val stream2 = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q2 = DocsStream.substringDedupAppender(stream2, idxP, resP, ckP,
+      gramLen = 16, window = 8, minSpan = 40, maxSharedFrac = 0.5)
+    try q2.processAllAvailable() finally q2.stop()
+    val resAfter = spark.read.parquet(resP)
+      .select("doc_id", "shared_chars", "n_spans", "n_chars", "keep")
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(resAfter == resBefore,
+      s"replayed batch must reproduce identical decisions, no duplicates:\n$resAfter\nvs\n$resBefore")
+    assert(spark.read.parquet(idxP).count() == idxBefore,
+      "replayed batch must replace, not duplicate, its anchor partition")
+  }
+
+  test("asOfEnrichAppender: micro-batch enrichment == batch as-of; dim growth visible to later batches only") {
+    import graft.core.AsOf
+    val (dimP, resP, ckP, inP) = (tmpDir("aoe_dim"), tmpDir("aoe_res"),
+      tmpDir("aoe_ck"), tmpDir("aoe_in"))
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val dim0 = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 5L, 9.0))
+      .toDF("sym", "qt", "px")
+    dim0.write.mode("overwrite").parquet(dimP)
+    val e0 = Seq(("A", 15L, 100), ("B", 50L, 200), ("C", 9L, 300))
+      .toDF("sym", "tt", "qty").withColumn("ingest_time", lit(t0))
+    e0.coalesce(1).write.mode("overwrite").parquet(inP)
+
+    def start() = DocsStream.asOfEnrichAppender(
+      spark.readStream.schema(e0.schema).option("maxFilesPerTrigger", 1).parquet(inP),
+      dimP, resP, ckP, "sym", "tt", "sym", "qt", Seq("px"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // the dimension grows AFTER batch 0 ran; only batch 1's events see it
+    Seq(("A", 18L, 3.0)).toDF("sym", "qt", "px").write.mode("append").parquet(dimP)
+    val e1 = Seq(("A", 19L, 400), ("B", 4L, 500)).toDF("sym", "tt", "qty")
+      .withColumn("ingest_time", lit(t0))
+    e1.coalesce(1).write.mode("append").parquet(inP)
+    while (spark.streams.active.nonEmpty) Thread.sleep(50) // q1 deregisters async
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(resP).select("qty", "px")
+      .as[(Int, Option[Double])].collect().toMap
+    // batch 0 vs dim0: A@15→1.0 (the 18-quote did not exist yet),
+    // B@50→9.0, C@9→null; batch 1 vs the grown dim: A@19→3.0 (growth
+    // visible), B@4→null (nothing at-or-before 4)
+    assert(got == Map(100 -> Some(1.0), 200 -> Some(9.0), 300 -> None,
+      400 -> Some(3.0), 500 -> None), s"enrichment drifted: $got")
+
+    // stream ≡ batch: each partition equals the batch exec on its snapshot
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"sym", $"tt", $"qty", $"px").collect().toSet
+    assert(rows(spark.read.parquet(s"$resP/batch=0")) ==
+      rows(AsOf.asOfJoinExec(e0, dim0, "sym", "tt", "sym", "qt", Seq("px"))))
+    assert(rows(spark.read.parquet(s"$resP/batch=1")) ==
+      rows(AsOf.asOfJoinExec(e1, spark.read.parquet(dimP),
+        "sym", "tt", "sym", "qt", Seq("px"))))
   }
 
   test("qualityModelGated: distilled-classifier gate, stream == batch score+filter") {
