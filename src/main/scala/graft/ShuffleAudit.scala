@@ -19,6 +19,14 @@ import org.apache.spark.sql.SparkSession
   * shuffle grows faster than its input (ratio rising across sf0.1 → sf1
   * → sf10) is the one that breaks first on a 1000-executor cluster.
   *
+  * The same rows persist to `SHUFFLEAUDIT.json` in the cwd (r13 verdict
+  * item 5), merge-on-write keyed by the scale dir's basename — the
+  * committed sf0.1/sf1/sf10 sweep is a TRACKED artifact, so a scale
+  * regression (a new forced broadcast, an amplification phase change)
+  * shows up as a git diff instead of a BENCH.md re-read.
+  * ShuffleAuditSpec lints the committed file for full watchlist
+  * coverage at every swept scale.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=target/sf10 runMain graft.ShuffleAudit q1 q2 ...
   * (no args = the BENCH.md scaling-table family)
   */
@@ -67,6 +75,7 @@ object ShuffleAudit {
     })
 
     val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val measured = Seq.newBuilder[(String, Double, Long, Long, Long)]
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[audit] unknown query: $name")
@@ -81,6 +90,7 @@ object ShuffleAudit {
             val in = inputBytes.sum(); val sh = shuffleBytes.sum()
             val amp = if (in > 0) sh.toDouble / in else Double.NaN
             println(f"""{"q":"$name","sec":$sec%.2f,"input_mb":${in / 1048576.0}%.1f,"shuffle_mb":${sh / 1048576.0}%.1f,"shuffle_rows":${shuffleRows.sum()},"amplification":$amp%.3f}""")
+            measured += ((name, sec, in, sh, shuffleRows.sum()))
           } catch {
             case e: Throwable => System.err.println(s"[audit] $name failed: $e")
           }
@@ -89,6 +99,50 @@ object ShuffleAudit {
           }
       }
     }
+    persist(new java.io.File(sfDir).getName, measured.result())
     spark.stop()
+  }
+
+  /** Merge this sweep's rows into SHUFFLEAUDIT.json under `scaleKey` —
+    * existing scales/queries are preserved, re-audited queries replaced.
+    * Values are rounded (sec 2dp, MB 1dp, amplification 3dp) so that a
+    * re-run with unchanged behavior diffs quietly.
+    */
+  private def persist(
+      scaleKey: String,
+      rows: Seq[(String, Double, Long, Long, Long)]): Unit = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (rows.isEmpty) return
+    try {
+      val om = new ObjectMapper()
+      val f = new java.io.File("SHUFFLEAUDIT.json")
+      val root = (if (f.isFile) om.readTree(f) else null) match {
+        case o: ObjectNode => o
+        case _ => om.createObjectNode()
+      }
+      val scaleNode = root.get(scaleKey) match {
+        case o: ObjectNode => o
+        case _ =>
+          val n = om.createObjectNode(); root.set[ObjectNode](scaleKey, n); n
+      }
+      def r(v: Double, dp: Int): Double = {
+        val m = math.pow(10, dp); math.round(v * m) / m
+      }
+      rows.foreach { case (name, sec, in, sh, shRows) =>
+        val e = om.createObjectNode()
+        e.put("sec", r(sec, 2))
+        e.put("input_mb", r(in / 1048576.0, 1))
+        e.put("shuffle_mb", r(sh / 1048576.0, 1))
+        e.put("shuffle_rows", shRows)
+        if (in > 0) e.put("amplification", r(sh.toDouble / in, 3))
+        else e.putNull("amplification") // NaN is not JSON
+        scaleNode.set[ObjectNode](name, e)
+      }
+      om.writerWithDefaultPrettyPrinter().writeValue(f, root)
+      System.err.println(s"[audit] merged ${rows.size} rows into SHUFFLEAUDIT.json under $scaleKey")
+    } catch {
+      case e: Throwable => System.err.println(s"[audit] SHUFFLEAUDIT.json write failed: $e")
+    }
   }
 }
