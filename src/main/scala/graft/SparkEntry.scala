@@ -1612,6 +1612,29 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_orderkey")
     }),
 
+    // FORWARD salted as-of: the seed here propagates BACKWARD (earliest
+    // right row from chunks > c), the direction the r14 bucketizer
+    // overflow fix protects — a post-span right row misbucketed into
+    // chunk 0 would never seed later chunks and silently NULL their
+    // matches. DuckDB's native ASOF with the inequality flipped
+    // hash-checks the whole path cross-engine at gate scale (AsOfSpec
+    // pins the synthetic extreme-domain shapes).
+    "q_asof_salted_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), tsNs(col("ts")).as("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("next_orderkey"))
+        .select(
+          col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("odn"),
+          col("next_orderkey"))
+      graft.core.AsOf
+        .asOfJoinExecSalted(ev, ord, "user_id", "ts", "o_custkey", "odn",
+          Seq("next_orderkey"), forward = true, chunks = 8)
+        .select("event_id", "user_id", "next_orderkey")
+    }),
+
     // --- beyond-reference: lead/lag + frame spec (time-series deltas) --
     // SURVEY §2.6 notes the reference never uses lead/lag/frames; a
     // training pipeline needs them (inter-event gaps, trailing windows).
@@ -9037,6 +9060,16 @@ object SparkEntry {
         |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
         |SELECT e.event_id, e.user_id, o.asof_orderkey
         |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn >= o.odn""".stripMargin,
+
+    // Forward + salted: salting stays internal plumbing in the flipped
+    // direction too.
+    "q_asof_salted_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ns(o_orderdate) AS odn, max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events)
+        |SELECT e.event_id, e.user_id, o.next_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tsn <= o.odn""".stripMargin,
 
     "q_window_lag" ->
       """SELECT o_orderkey, o_custkey,
