@@ -7039,6 +7039,33 @@ object SparkEntry {
         .select(col("event_type"), col("e.rank").as("rank"),
           col("e.id").as("event_id"))
     }),
+
+    // --- beyond-reference: edge-WEIGHTED PageRank ----------------------
+    // q_pagerank's co-purchase graph keeps the pair multiplicity it
+    // already computes (n = co-basket count) instead of flattening every
+    // edge to weight 1: mass now flows in proportion to how OFTEN two
+    // parts co-occur, so a part reached through a few strong
+    // partnerships outranks one reached through many one-off baskets —
+    // the centrality a recommender actually wants. Same dataflow as
+    // q_pagerank (one shuffle per round, decimal(28,12) contribution
+    // quantization, adaptive driver escape below 2M edges — both paths
+    // bit-identical, GraphSpec-pinned), oracle = the same 8-round
+    // recursive CTE with sum(w) out-mass in place of out-degree.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("n"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("n")))
+      PageRank.runWeightedAdaptive(edges, "n", iters = 8)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -7564,6 +7591,41 @@ object SparkEntry {
         |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i
         |  LEFT JOIN (
         |    SELECT e.dst AS node, sum(CAST(p.rank / d.deg AS DECIMAL(28,12))) AS mass
+        |    FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) m ON m.node = n.node
+        |  WHERE i.nit <= 8)
+        |SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE it = 8""".stripMargin,
+
+    // Weighted variant: identical recursion, but pairs keep their
+    // co-basket multiplicity n, out-mass normalizes by sum(w) instead of
+    // out-degree, and each contribution is rank·w/wsum — same
+    // decimal(28,12) quantization so the cross-engine hash is exact.
+    "q_pagerank_weighted" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (SELECT a, b, count(*) AS n FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst, n AS w FROM pairs
+        |          UNION ALL SELECT b, a, n FROM pairs),
+        |deg AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM deg),
+        |pr AS (
+        |  SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it FROM nodes
+        |  UNION ALL
+        |  SELECT n.node,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + 0.85 * CAST(COALESCE(m.mass, 0) AS DOUBLE) AS rank,
+        |         i.nit
+        |  FROM nodes n
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM pr GROUP BY it) i
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, sum(CAST(p.rank * e.w / d.wsum AS DECIMAL(28,12))) AS mass
         |    FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = e.src
         |    GROUP BY e.dst) m ON m.node = n.node
         |  WHERE i.nit <= 8)

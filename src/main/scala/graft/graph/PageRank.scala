@@ -56,8 +56,36 @@ object PageRank {
     runWithTeleport(edges, iters, damping, checkpointEvery,
       tele = when(isSeed, lit(1.0)).otherwise(lit(0.0)))
 
+  /** Edge-weighted PageRank: mass splits over out-edges in proportion to
+    * the edge weight instead of uniformly —
+    * r ← (1−d) + d·Σ_in r·w/Σ_out w. The natural centrality for graphs
+    * whose edges carry multiplicities (co-purchase counts, citation
+    * counts, link frequencies): a node reached through HEAVY edges
+    * outranks one reached through the same number of light ones.
+    *
+    * `edges` carries (src, dst, `weightCol`) with strictly positive
+    * integer weights. Same loop, same decimal(28,12) contribution
+    * quantization, same one-shuffle-per-round shape as [[run]] — the
+    * unweighted path is the w ≡ 1 special case (rank·1/deg is an IEEE
+    * identity with rank/deg, so [[run]]'s results are unchanged by the
+    * shared implementation).
+    */
+  def runWeighted(
+      edges: DataFrame,
+      weightCol: String,
+      iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 3,
+  ): DataFrame =
+    runWithTeleport(
+      edges.select(col("src"), col("dst"), col(weightCol).cast("long").as("w")),
+      iters, damping, checkpointEvery, tele = lit(1.0), weighted = true)
+
   /** Shared power-iteration loop over an arbitrary per-node teleport
-    * column (evaluated against the node id as `node`).
+    * column (evaluated against the node id as `node`). When `weighted`,
+    * `edges` carries a long `w` column and contributions are r·w/Σw;
+    * otherwise the classic r/deg (kept byte-identical — existing plans
+    * must not move).
     */
   private def runWithTeleport(
       edges: DataFrame,
@@ -65,11 +93,17 @@ object PageRank {
       damping: Double,
       checkpointEvery: Int,
       tele: org.apache.spark.sql.Column,
+      weighted: Boolean = false,
   ): DataFrame = {
     require(iters >= 0 && damping >= 0 && damping < 1 && checkpointEvery > 0,
       s"bad pagerank config iters=$iters d=$damping checkpointEvery=$checkpointEvery")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src").select(col("src"), col("dst"), col("deg")).localCheckpoint(false)
+    val deg =
+      if (weighted) edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      else edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val eCols =
+      if (weighted) Seq(col("src"), col("dst"), col("w"), col("deg"))
+      else Seq(col("src"), col("dst"), col("deg"))
+    val e = edges.join(deg, "src").select(eCols: _*).localCheckpoint(false)
     val nodes = deg.select(col("src").as("node"), tele.as("tele")).localCheckpoint(false)
 
     var rank = nodes.select(col("node"), col("tele").as("rank"))
@@ -78,9 +112,12 @@ object PageRank {
     // grows O(iters/checkpointEvery × |V|) over a long run.
     var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
+      val contrib =
+        if (weighted) (col("rank") * col("w") / col("deg")).cast("decimal(28,12)")
+        else (col("rank") / col("deg")).cast("decimal(28,12)")
       val inMass = e
         .join(rank, e("src") === rank("node"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).cast("decimal(28,12)").as("contrib"))
+        .select(col("dst").as("node"), contrib.as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_mass"))
       rank = nodes
@@ -132,6 +169,43 @@ object PageRank {
       val mass = collection.mutable.Map.empty[Long, java.math.BigDecimal]
       es.foreach { case (s, d) =>
         val contrib = java.math.BigDecimal.valueOf(rank(s) / deg(s))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        mass.updateWith(d)(prev => Some(prev.fold(contrib)(_.add(contrib))))
+      }
+      rank = nodes.map { n =>
+        n -> ((1.0 - damping) + damping * mass.get(n).fold(0.0)(_.doubleValue))
+      }.toMap
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+  }
+
+  /** [[runWeighted]] with the same small-graph escape hatch as
+    * [[runAdaptive]] — identical sizing rule, identical quantization,
+    * BIT-IDENTICAL to the distributed weighted path: the driver's
+    * `rank·w/wsum` promotes the long weight to double exactly like
+    * Spark's mixed-type arithmetic, and each contribution lands in the
+    * same HALF_UP decimal(28,12) before the order-free exact sum.
+    */
+  def runWeightedAdaptive(
+      edges: DataFrame,
+      weightCol: String,
+      iters: Int,
+      damping: Double = 0.85,
+      maxDriverEdges: Long = 2_000_000L,
+  ): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col(weightCol).cast("long").as("w")).localCheckpoint(false)
+    if (e.count() > maxDriverEdges) return runWeighted(e, "w", iters, damping)
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wsum = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = wsum.keys.toArray.sorted
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val mass = collection.mutable.Map.empty[Long, java.math.BigDecimal]
+      es.foreach { case (s, d, w) =>
+        val contrib = java.math.BigDecimal.valueOf(rank(s) * w / wsum(s))
           .setScale(12, java.math.RoundingMode.HALF_UP)
         mass.updateWith(d)(prev => Some(prev.fold(contrib)(_.add(contrib))))
       }

@@ -46,6 +46,33 @@ class GraphSpec extends SparkTestBase {
     assert(driver == dist, s"paths diverge:\n driver=$driver\n dist=$dist")
   }
 
+  test("weighted: w≡1 equals unweighted; heavy edge pulls rank; paths bit-identical") {
+    val edges = undirected((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (3L, 4L))
+    // w ≡ 1 must reproduce the unweighted result EXACTLY (rank·1/deg is
+    // an IEEE identity with rank/deg — the shared-loop guarantee).
+    val flat = edges.withColumn("w", lit(1L))
+    val unw = PageRank.run(edges, iters = 7).as[(Long, Double)].collect().toMap
+    val w1 = PageRank.runWeighted(flat, "w", iters = 7).as[(Long, Double)].collect().toMap
+    assert(unw == w1, s"w≡1 diverged from unweighted:\n unw=$unw\n w1=$w1")
+
+    // Asymmetric weights shift mass: triangle 0-1-2 with edge 0-1 carrying
+    // weight 10 vs weight-1 everywhere else — node 1 now receives most of
+    // 0's out-mass (10/12 of it), so rank(1) must beat rank(2); in the
+    // unweighted graph the two are symmetric and exactly equal.
+    val tri = Seq((0L, 1L, 10L), (1L, 0L, 10L), (0L, 2L, 1L), (2L, 0L, 1L),
+      (1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val wr = PageRank.runWeighted(tri, "w", iters = 20).as[(Long, Double)].collect().toMap
+    assert(wr(1L) > wr(2L), s"heavy edge failed to pull rank: $wr")
+    assert(math.abs(wr.values.sum - 3.0) < 1e-6, s"mass leaked: ${wr.values.sum}")
+
+    // Driver escape hatch ≡ distributed, weighted edition.
+    val driver = PageRank.runWeightedAdaptive(tri, "w", iters = 7)
+      .as[(Long, Double)].collect().toMap
+    val dist = PageRank.runWeightedAdaptive(tri, "w", iters = 7, maxDriverEdges = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(driver == dist, s"weighted paths diverge:\n driver=$driver\n dist=$dist")
+  }
+
   test("isolated-direction node keeps the damping floor") {
     // 1 -> 2 only: node 1 has no in-edges, so it settles at 1-d = 0.15.
     // (Node 2 is not in the src set — documented contract.)
