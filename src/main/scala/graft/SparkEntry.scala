@@ -7066,6 +7066,53 @@ object SparkEntry {
       PageRank.runWeightedAdaptive(edges, "n", iters = 8)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
     }),
+
+    // --- beyond-reference: interpolated Kneser-Ney bigram LM -----------
+    // q_bigram_lm's MLE model assigns unseen bigrams NOTHING (null p) —
+    // useless as a quality filter the moment a doc contains one novel
+    // pair. Kneser-Ney is the standard fix and the model real data
+    // pipelines score with: discount D=0.75 off every seen bigram,
+    // redistribute the held-out mass over the CONTINUATION distribution
+    // (how many distinct left-contexts a word follows — "Francisco" is
+    // frequent but only ever follows "San", so its continuation
+    // probability is tiny). P(w2|w1) = max(c−D,0)/c(w1) +
+    // (D·N1+(w1·)/c(w1))·N1+(·w2)/N1+(··); unseen prefix backs off to
+    // the continuation distribution alone. Every term is an integer
+    // count ratio in fixed IEEE op order and the per-doc sum runs
+    // through decimal(28,12), so the oracle hashes exactly. Scale shape:
+    // 3 count aggregations over the train shingles + one broadcast
+    // scalar (type count) + doc-keyed aggregation — no cross-doc state,
+    // same corpus-linear profile as q_bigram_lm.
+    "q_kn_lm" -> ((s, dir) => {
+      val D = lit(0.75)
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.wordShingles(col("text"), 2)).as("bg"))
+        .withColumn("pfx", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .localCheckpoint(false) // feeds 4 count passes + the scoring join
+      val train = bi.filter(col("doc_id") % 10 =!= 9)
+      val bgc = train.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      val pfxStats = train.groupBy("pfx")
+        .agg(count(lit(1)).as("c_pfx"), countDistinct(col("bg")).as("n1_fwd"))
+      val contStats = train.select("pfx", "w2").distinct()
+        .groupBy("w2").agg(count(lit(1)).as("n1_bwd"))
+      val nTypes = train.select("bg").distinct().agg(count(lit(1)).as("n_types"))
+      val pcont = coalesce(col("n1_bwd"), lit(0L)) / col("n_types")
+      val p = when(col("c_pfx").isNotNull,
+        greatest(coalesce(col("c_bg"), lit(0L)) - D, lit(0.0)) / col("c_pfx")
+          + ((D * col("n1_fwd")) / col("c_pfx")) * pcont)
+        .otherwise(pcont)
+      bi.join(bgc, Seq("bg"), "left")
+        .join(pfxStats, Seq("pfx"), "left")
+        .join(contStats, Seq("w2"), "left")
+        .crossJoin(broadcast(nTypes))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          count(when(col("c_pfx").isNull, 1)).as("n_unseen_pfx"),
+          sum(p.cast("decimal(28,12)")).cast("double").as("sum_p"),
+          min(p).as("min_p"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -9768,6 +9815,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  min(p) AS min_p
         |FROM bi LEFT JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
+
+    // Kneser-Ney oracle: the same count CTEs spelled independently —
+    // bigram counts, prefix totals + distinct continuations, backward
+    // continuation types, global type count — composed in the exact
+    // IEEE op order of the Spark expression (greatest/COALESCE guards
+    // included), per-doc sum through decimal(28,12).
+    "q_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE [] END) AS bg
+        |  FROM toks),
+        |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS pfx,
+        |              split_part(bg, ' ', 2) AS w2 FROM bi),
+        |tr AS (SELECT * FROM b2 WHERE doc_id % 10 <> 9),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM tr GROUP BY 1),
+        |pfxs AS (SELECT pfx, count(*) AS c_pfx, count(DISTINCT bg) AS n1_fwd
+        |  FROM tr GROUP BY 1),
+        |conts AS (SELECT w2, count(*) AS n1_bwd
+        |  FROM (SELECT DISTINCT pfx, w2 FROM tr) GROUP BY 1),
+        |nt AS (SELECT count(DISTINCT bg) AS n_types FROM tr),
+        |scored AS (
+        |  SELECT b2.doc_id, p.c_pfx,
+        |    CASE WHEN p.c_pfx IS NOT NULL THEN
+        |      greatest(COALESCE(c.c_bg, 0) - 0.75, 0.0) / p.c_pfx
+        |        + ((0.75 * p.n1_fwd) / p.c_pfx) * (COALESCE(ct.n1_bwd, 0) / nt.n_types)
+        |    ELSE (COALESCE(ct.n1_bwd, 0) / nt.n_types) END AS pr
+        |  FROM b2 LEFT JOIN bgc c USING (bg) LEFT JOIN pfxs p USING (pfx)
+        |       LEFT JOIN conts ct USING (w2) CROSS JOIN nt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c_pfx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_pfx,
+        |  CAST(sum(CAST(pr AS DECIMAL(28,12))) AS DOUBLE) AS sum_p,
+        |  min(pr) AS min_p
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q_funnel_events" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),

@@ -29,6 +29,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_kn_lm: KN probabilities bounded; train docs fully in-model") {
+    // Interpolated Kneser-Ney normalizes to 1 over the vocab, so every
+    // individual P(w2|w1) sits in [0,1] — sum_p can't exceed the bigram
+    // count and min_p can't go negative. Train-split docs (doc_id%10!=9)
+    // contributed every one of their prefixes to the model, so their
+    // unseen-prefix count is structurally 0 and (their own bigram having
+    // c_bg>=1, hence a live continuation) min_p strictly positive.
+    val rows = SparkEntry.queries("q_kn_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, nBg) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"))
+      val (sumP, minP) = (r.getAs[Double]("sum_p"), r.getAs[Double]("min_p"))
+      assert(minP >= 0.0 && minP <= 1.0, s"doc $doc min_p $minP outside [0,1]")
+      assert(sumP >= 0.0 && sumP <= nBg + 1e-9, s"doc $doc sum_p $sumP > n_bigrams $nBg")
+      if (doc % 10 != 9) {
+        assert(r.getAs[Long]("n_unseen_pfx") == 0L, s"train doc $doc has unseen prefix")
+        assert(minP > 0.0, s"train doc $doc min_p must be strictly positive")
+      }
+    }
+  }
+
   test("q_rbo stays inside truncated-RBO bounds; identical lists would cap at 1-p^10") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_rbo")(spark, sf)
