@@ -7113,6 +7113,58 @@ object SparkEntry {
           sum(p.cast("decimal(28,12)")).cast("double").as("sum_p"),
           min(p).as("min_p"))
     }),
+
+    // --- beyond-reference: zone-map pruning audit ----------------------
+    // q_zorder_cells emits the per-cell bounding boxes; this query
+    // CLOSES THE LOOP and measures what those boxes buy: for the same
+    // orders table laid out (a) z-ordered on (custkey, day) and (b)
+    // linearly sorted on custkey alone, evaluate two predicate shapes —
+    // a 2-dim rectangle and a day-ONLY range — against each layout's
+    // zone map and report zones scanned vs pruned and the rows behind
+    // them. The structural story a 100 TB layout decision rests on:
+    // the linear layout prunes custkey predicates perfectly but scans
+    // ~100% of zones for a day-only predicate (every zone's day range
+    // spans the whole domain); z-order bounds BOTH dims, so both shapes
+    // prune. Two groupBy shuffles (zone build + rollup), no windows, no
+    // global sort — the audit itself scales like any aggregation.
+    "q_zonemap_prune" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      val hitBoth = col("o_custkey").between(100, 300) && col("day").between(1500, 1700)
+      val hitDay = col("day").between(1500, 1700)
+      val z = base.withColumn("layout", lit("zorder"))
+        .withColumn("cell",
+          shiftright(graft.core.Layout.zValue2(col("o_custkey"), col("day")), 18))
+      val l = base.withColumn("layout", lit("linear"))
+        .withColumn("cell", floor(col("o_custkey") / 128).cast("long"))
+      val zones = z.unionByName(l)
+        .groupBy("layout", "cell")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(hitBoth, lit(1L)).otherwise(lit(0L))).as("hit_both"),
+          sum(when(hitDay, lit(1L)).otherwise(lit(0L))).as("hit_day"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min("day").as("min_day"), max("day").as("max_day"))
+        .localCheckpoint(false) // two predicate rollups share the build
+      val ovBoth = col("max_ck") >= 100 && col("min_ck") <= 300 &&
+        col("max_day") >= 1500 && col("min_day") <= 1700
+      val ovDay = col("max_day") >= 1500 && col("min_day") <= 1700
+      def rollup(pred: String, ov: Column, hit: Column) = zones
+        .groupBy("layout")
+        .agg(
+          count(lit(1)).as("n_zones"),
+          sum(when(ov, lit(1L)).otherwise(lit(0L))).as("n_scanned"),
+          sum(when(ov, col("n")).otherwise(lit(0L))).as("rows_scanned"),
+          sum(col("n")).as("n_rows"),
+          sum(hit).as("n_match"))
+        .withColumn("pred", lit(pred))
+      rollup("both", ovBoth, col("hit_both"))
+        .unionByName(rollup("day_only", ovDay, col("hit_day")))
+        .select("layout", "pred", "n_zones", "n_scanned", "rows_scanned",
+          "n_rows", "n_match")
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -8718,6 +8770,53 @@ object SparkEntry {
         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
         |  min(day) AS min_day, max(day) AS max_day
         |FROM z GROUP BY cell""".stripMargin,
+
+    // Zone-map pruning audit: the q_zorder_cells spread cascade builds
+    // the z-layout zones, a custkey/128 bucket builds the linear ones;
+    // both predicate shapes roll up scanned-vs-pruned from the zone
+    // bounding boxes. Pure integer counts — hash-exact by construction.
+    "q_zonemap_prune" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |b AS (SELECT *, o_custkey & 65535 AS xb, day & 65535 AS yb FROM d),
+        |s1 AS (SELECT *, ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
+        |s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+        |s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+        |s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+        |r AS (SELECT o_custkey, day, ((x4 | (y4 << 1)) >> 18) AS zcell,
+        |             CAST(floor(o_custkey / 128) AS BIGINT) AS lcell FROM s4),
+        |zones AS (
+        |  SELECT 'zorder' AS layout, zcell AS cell, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_custkey BETWEEN 100 AND 300
+        |                   AND day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT) AS hit_both,
+        |    CAST(sum(CASE WHEN day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT) AS hit_day,
+        |    min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        |    min(day) AS min_day, max(day) AS max_day
+        |  FROM r GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'linear', lcell, CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey BETWEEN 100 AND 300
+        |                   AND day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(o_custkey), max(o_custkey), min(day), max(day)
+        |  FROM r GROUP BY 2)
+        |SELECT layout, 'both' AS pred, CAST(count(*) AS BIGINT) AS n_zones,
+        |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
+        |                 AND max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
+        |                 AND max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(hit_both) AS BIGINT) AS n_match
+        |FROM zones GROUP BY 1
+        |UNION ALL
+        |SELECT layout, 'day_only', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT),
+        |  CAST(sum(n) AS BIGINT),
+        |  CAST(sum(hit_day) AS BIGINT)
+        |FROM zones GROUP BY 1""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (
