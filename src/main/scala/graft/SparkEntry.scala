@@ -7165,6 +7165,30 @@ object SparkEntry {
         .select("layout", "pred", "n_zones", "n_scanned", "rows_scanned",
           "n_rows", "n_match")
     }),
+
+    // --- beyond-reference: Hilbert-curve clustering cells --------------
+    // q_zorder_cells' sibling on the locality-optimal curve: the Morton
+    // layout jumps a long diagonal at every quadrant seam, the Hilbert
+    // walk never does (consecutive indexes are Manhattan-adjacent —
+    // LayoutSpec proves it exhaustively at 8-bit resolution), so
+    // consecutive runs cover tighter regions and min/max footers prune
+    // harder. Same cell-occupancy + bounding-box evidence as the Morton
+    // query; the 16-level flip/swap walk runs as a collapsed projection
+    // chain of codegen'd integer ops (Layout.withHilbert), and the
+    // oracle replays the identical walk as 16 generated CTE rounds.
+    "q_hilbert_cells" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+      graft.core.Layout.withHilbert(base, "o_custkey", "day", "hval")
+        .withColumn("cell", shiftright(col("hval"), 18))
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min("day").as("min_day"), max("day").as("max_day"))
+    }),
   )
 
   /** One-row top-principal-component fit over the first 16 embedding
@@ -13299,6 +13323,10 @@ object SparkEntry {
     // masks), three interleaved dims, same >>27 cell fold.
     "q_zorder3_cells" -> zorder3OracleSql,
 
+    // Hilbert walk replayed as 16 generated CTE rounds (same cell fold
+    // and bounding-box evidence as the Morton twin).
+    "q_hilbert_cells" -> hilbertOracleSql,
+
     // Matryoshka recall: both top-10 sets re-derived brute-force (full
     // cosine and 16-dim-prefix cosine), overlap counted — integer output,
     // the sims never surface.
@@ -13468,6 +13496,37 @@ object SparkEntry {
        |  min(day) AS min_day, max(day) AS max_day,
        |  min(kilo) AS min_kilo, max(kilo) AS max_kilo
        |FROM z GROUP BY cell""".stripMargin
+  }
+
+  /** q_hilbert_cells oracle: Layout.withHilbert's 16-level xy→d walk
+    * replayed as generated CTE rounds — per level, the quadrant digit
+    * lands via xor(3·rx, ry) (s² promoted to BIGINT: at the top level
+    * 3·s² overflows INT32) and the flip/swap rotation carries (hx, hy)
+    * into the subquadrant frame. Pure integer algebra, hash-exact.
+    */
+  private def hilbertOracleSql: String = {
+    val rounds = (0 until 16).map { r =>
+      val s = 1L << (15 - r)
+      s"""h${r + 1} AS (
+         |  SELECT o_custkey, day,
+         |    hd + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS hd,
+         |    CASE WHEN ry = 1 THEN hx WHEN rx = 0 THEN hy ELSE ${s - 1} - hy END AS hx,
+         |    CASE WHEN ry = 1 THEN hy WHEN rx = 0 THEN hx ELSE ${s - 1} - hx END AS hy
+         |  FROM (SELECT hx, hy, hd, o_custkey, day,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       |  FROM orders),
+       |h0 AS (SELECT o_custkey, day, o_custkey & 65535 AS hx, day & 65535 AS hy,
+       |       CAST(0 AS BIGINT) AS hd FROM d),
+       |""".stripMargin + rounds + s"""
+       |SELECT hd >> 18 AS cell, CAST(count(*) AS BIGINT) AS n,
+       |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       |  min(day) AS min_day, max(day) AS max_day
+       |FROM h16 GROUP BY cell""".stripMargin
   }
 
   /** q_dtw oracle: banded (radius 3) DTW replay. Forward-only DP — one

@@ -131,6 +131,61 @@ object Layout {
   def zValue2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
 
+  /** Hilbert-curve index of two integer dimensions, appended to `df` as
+    * `out` — the locality-OPTIMAL alternative to [[zValue2]]: where the
+    * Morton curve makes a long diagonal jump at every quadrant seam
+    * (consecutive z values can be up to 2^bits apart in space), every
+    * pair of consecutive Hilbert values is Manhattan-ADJACENT, so a
+    * consecutive run of rows covers an even tighter region and parquet
+    * min/max footers prune harder on both dims (LayoutSpec pins the
+    * adjacency invariant exhaustively at 8-bit resolution and the
+    * tighter-rectangle win over Morton on the orders layout).
+    *
+    * The classic xy→d walk (Hamilton's algorithm): per bit level from
+    * the top, quadrant digit d += s²·((3·rx) xor ry), then the
+    * flip/swap rotation carries (x, y) into the subquadrant frame. The
+    * level-(i+1) state depends on level-i state, so the walk is emitted
+    * as a CHAIN OF PROJECTIONS (one per level, Catalyst collapses them
+    * into a single codegen'd stage) rather than one nested Column — a
+    * nested expression would double in size per level. Same 16-bit
+    * domain contract as [[zValue2]]: pre-bucket wider dims.
+    */
+  def withHilbert(
+      df: DataFrame,
+      x: String,
+      y: String,
+      out: String,
+      bits: Int = 16,
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"hilbert bits out of range: $bits")
+    var cur = df
+      .withColumn("__hx", col(x).cast("long").bitwiseAND(lit((1L << bits) - 1)))
+      .withColumn("__hy", col(y).cast("long").bitwiseAND(lit((1L << bits) - 1)))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 1, col("__hx"))
+            .when(col("__rx") === 0, col("__hy"))
+            .otherwise(lit(s - 1) - col("__hy")))
+        .withColumn("__ny",
+          when(col("__ry") === 1, col("__hy"))
+            .when(col("__rx") === 0, col("__hx"))
+            .otherwise(lit(s - 1) - col("__hx")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
+  }
+
   /** Write `df` parquet files clustered by the z-order of two dimension
     * columns: range-repartition on the z-value (balanced files regardless
     * of density skew — fixed-width cells would not be), sort within each

@@ -195,6 +195,44 @@ class LayoutSpec extends SparkTestBase {
     assert(got == pairs.map { case (x, y) => morton(x & 0xFFFF, y & 0xFFFF) })
   }
 
+  test("withHilbert: base quadrant order, exhaustive bijection + unit-step adjacency at 8 bits") {
+    // bits=1: the defining U shape — (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3.
+    val base = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+    val d1 = Layout.withHilbert(base, "x", "y", "d", bits = 1)
+      .select("x", "y", "d").as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => (x, y) -> d }.toMap
+    assert(d1 == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L), s"$d1")
+
+    // bits=8, EXHAUSTIVE over all 65536 grid points: the index must be a
+    // bijection onto [0, 65536) and every consecutive pair of indexes
+    // must be Manhattan-ADJACENT — the locality property Morton lacks
+    // (z-order jumps a diagonal at every quadrant seam). This is the
+    // whole reason the curve exists, so it is pinned exhaustively, not
+    // sampled.
+    val n = 256
+    val grid = spark.range(n.toLong * n)
+      .select(($"id" / n).cast("long").as("x"), ($"id" % n).as("y"))
+    val walk = Layout.withHilbert(grid, "x", "y", "d", bits = 8)
+      .select("d", "x", "y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(walk.length == n * n)
+    assert(walk.head._1 == 0L && walk.last._1 == (n.toLong * n - 1), "not a bijection")
+    assert(walk.map(_._1).distinct.length == n * n, "duplicate indexes")
+    walk.sliding(2).foreach { case Array((_, x0, y0), (d, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"non-adjacent step at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+
+    // And the payoff vs Morton on the same grid: mean Manhattan jump
+    // between consecutive sort positions is exactly 1.0 for Hilbert,
+    // strictly worse for z-order.
+    val mortonWalk = grid.select(Layout.zValue2($"x", $"y").as("d"), $"x", $"y")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val mortonJump = mortonWalk.sliding(2).map { case Array((_, x0, y0), (_, x1, y1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0)
+    }.sum.toDouble / (n * n - 1)
+    assert(mortonJump > 1.0, s"morton mean jump $mortonJump should exceed hilbert's exact 1.0")
+  }
+
   test("zOrderWrite: files prune on BOTH dims; single-dim sort and unscaled z do not") {
     val orders = spark.read.parquet(s"$sf/orders.parquet").select(
       $"o_custkey",
