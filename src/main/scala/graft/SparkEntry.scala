@@ -7117,15 +7117,17 @@ object SparkEntry {
     // --- beyond-reference: zone-map pruning audit ----------------------
     // q_zorder_cells emits the per-cell bounding boxes; this query
     // CLOSES THE LOOP and measures what those boxes buy: for the same
-    // orders table laid out (a) z-ordered on (custkey, day) and (b)
-    // linearly sorted on custkey alone, evaluate two predicate shapes —
-    // a 2-dim rectangle and a day-ONLY range — against each layout's
-    // zone map and report zones scanned vs pruned and the rows behind
-    // them. The structural story a 100 TB layout decision rests on:
-    // the linear layout prunes custkey predicates perfectly but scans
-    // ~100% of zones for a day-only predicate (every zone's day range
-    // spans the whole domain); z-order bounds BOTH dims, so both shapes
-    // prune. Two groupBy shuffles (zone build + rollup), no windows, no
+    // orders table laid out (a) z-ordered on (custkey, day), (b)
+    // linearly sorted on custkey alone, and (c) Hilbert-ordered on the
+    // same two dims, evaluate two predicate shapes — a 2-dim rectangle
+    // and a day-ONLY range — against each layout's zone map and report
+    // zones scanned vs pruned and the rows behind them. The structural
+    // story a 100 TB layout decision rests on: the linear layout prunes
+    // custkey predicates perfectly but scans ~100% of zones for a
+    // day-only predicate (every zone's day range spans the whole
+    // domain); both space-filling curves bound BOTH dims, so both
+    // shapes prune, with Hilbert's unit-step walk giving the tightest
+    // boxes. Two groupBy shuffles (zone build + rollup), no windows, no
     // global sort — the audit itself scales like any aggregation.
     "q_zonemap_prune" -> ((s, dir) => {
       val base = t(s, dir, "orders").select(
@@ -7139,7 +7141,11 @@ object SparkEntry {
           shiftright(graft.core.Layout.zValue2(col("o_custkey"), col("day")), 18))
       val l = base.withColumn("layout", lit("linear"))
         .withColumn("cell", floor(col("o_custkey") / 128).cast("long"))
-      val zones = z.unionByName(l)
+      val h = graft.core.Layout.withHilbert(base, "o_custkey", "day", "hval")
+        .withColumn("layout", lit("hilbert"))
+        .withColumn("cell", shiftright(col("hval"), 18))
+        .drop("hval")
+      val zones = z.unionByName(l).unionByName(h)
         .groupBy("layout", "cell")
         .agg(
           count(lit(1)).as("n"),
@@ -8796,51 +8802,11 @@ object SparkEntry {
         |FROM z GROUP BY cell""".stripMargin,
 
     // Zone-map pruning audit: the q_zorder_cells spread cascade builds
-    // the z-layout zones, a custkey/128 bucket builds the linear ones;
-    // both predicate shapes roll up scanned-vs-pruned from the zone
-    // bounding boxes. Pure integer counts — hash-exact by construction.
-    "q_zonemap_prune" ->
-      """WITH d AS (
-        |  SELECT o_custkey,
-        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
-        |  FROM orders),
-        |b AS (SELECT *, o_custkey & 65535 AS xb, day & 65535 AS yb FROM d),
-        |s1 AS (SELECT *, ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
-        |s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
-        |s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
-        |s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
-        |r AS (SELECT o_custkey, day, ((x4 | (y4 << 1)) >> 18) AS zcell,
-        |             CAST(floor(o_custkey / 128) AS BIGINT) AS lcell FROM s4),
-        |zones AS (
-        |  SELECT 'zorder' AS layout, zcell AS cell, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN o_custkey BETWEEN 100 AND 300
-        |                   AND day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT) AS hit_both,
-        |    CAST(sum(CASE WHEN day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT) AS hit_day,
-        |    min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
-        |    min(day) AS min_day, max(day) AS max_day
-        |  FROM r GROUP BY 2
-        |  UNION ALL
-        |  SELECT 'linear', lcell, CAST(count(*) AS BIGINT),
-        |    CAST(sum(CASE WHEN o_custkey BETWEEN 100 AND 300
-        |                   AND day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(sum(CASE WHEN day BETWEEN 1500 AND 1700 THEN 1 ELSE 0 END) AS BIGINT),
-        |    min(o_custkey), max(o_custkey), min(day), max(day)
-        |  FROM r GROUP BY 2)
-        |SELECT layout, 'both' AS pred, CAST(count(*) AS BIGINT) AS n_zones,
-        |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
-        |                 AND max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
-        |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
-        |                 AND max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
-        |  CAST(sum(n) AS BIGINT) AS n_rows,
-        |  CAST(sum(hit_both) AS BIGINT) AS n_match
-        |FROM zones GROUP BY 1
-        |UNION ALL
-        |SELECT layout, 'day_only', CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT),
-        |  CAST(sum(n) AS BIGINT),
-        |  CAST(sum(hit_day) AS BIGINT)
-        |FROM zones GROUP BY 1""".stripMargin,
+    // the z-layout zones, a custkey/128 bucket the linear ones, the
+    // generated Hilbert walk the curve's; both predicate shapes roll up
+    // scanned-vs-pruned from the zone bounding boxes. Pure integer
+    // counts — hash-exact by construction.
+    "q_zonemap_prune" -> zonemapOracleSql,
 
     "q_ann_topk" ->
       """SELECT qid, vec_id, round(sim, 6) AS sim, rn FROM (
@@ -13504,7 +13470,11 @@ object SparkEntry {
     * 3·s² overflows INT32) and the flip/swap rotation carries (hx, hy)
     * into the subquadrant frame. Pure integer algebra, hash-exact.
     */
-  private def hilbertOracleSql: String = {
+  /** The 16 generated Hilbert walk rounds h0..h16 over a CTE `d`
+    * carrying (o_custkey, day) — shared by the q_hilbert_cells and
+    * q_zonemap_prune oracles.
+    */
+  private def hilbertWalkCtes: String = {
     val rounds = (0 until 16).map { r =>
       val s = 1L << (15 - r)
       s"""h${r + 1} AS (
@@ -13516,18 +13486,71 @@ object SparkEntry {
          |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
          |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$r))""".stripMargin
     }.mkString(",\n")
+    """h0 AS (SELECT o_custkey, day, o_custkey & 65535 AS hx, day & 65535 AS hy,
+      |       CAST(0 AS BIGINT) AS hd FROM d),
+      |""".stripMargin + rounds
+  }
+
+  /** q_zonemap_prune oracle: one rows CTE feeds all three layouts'
+    * zone aggregations (z-spread cascade for Morton, custkey/128 for
+    * linear, the shared [[hilbertWalkCtes]] for the curve), then the two
+    * predicate rollups read only zone bounding boxes. Pure integers.
+    */
+  private def zonemapOracleSql: String = {
+    val predBoth = "o_custkey BETWEEN 100 AND 300 AND day BETWEEN 1500 AND 1700"
+    val predDay = "day BETWEEN 1500 AND 1700"
+    def zoneAgg(layout: String, cellExpr: String, src: String): String =
+      s"""  SELECT '$layout' AS layout, $cellExpr AS cell, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN $predBoth THEN 1 ELSE 0 END) AS BIGINT) AS hit_both,
+         |    CAST(sum(CASE WHEN $predDay THEN 1 ELSE 0 END) AS BIGINT) AS hit_day,
+         |    min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         |    min(day) AS min_day, max(day) AS max_day
+         |  FROM $src GROUP BY 2""".stripMargin
     s"""WITH d AS (
        |  SELECT o_custkey,
        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
        |  FROM orders),
-       |h0 AS (SELECT o_custkey, day, o_custkey & 65535 AS hx, day & 65535 AS hy,
-       |       CAST(0 AS BIGINT) AS hd FROM d),
-       |""".stripMargin + rounds + s"""
+       |b AS (SELECT *, o_custkey & 65535 AS xb, day & 65535 AS yb FROM d),
+       |s1 AS (SELECT *, ((xb | (xb << 8)) & 16711935) AS x1, ((yb | (yb << 8)) & 16711935) AS y1 FROM b),
+       |s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+       |s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+       |s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+       |r AS (SELECT o_custkey, day, ((x4 | (y4 << 1)) >> 18) AS zcell,
+       |             CAST(floor(o_custkey / 128) AS BIGINT) AS lcell FROM s4),
+       |""".stripMargin + hilbertWalkCtes + s""",
+       |zones AS (
+       |${zoneAgg("zorder", "zcell", "r")}
+       |  UNION ALL
+       |${zoneAgg("linear", "lcell", "r")}
+       |  UNION ALL
+       |${zoneAgg("hilbert", "(hd >> 18)", "h16")})
+       |SELECT layout, 'both' AS pred, CAST(count(*) AS BIGINT) AS n_zones,
+       |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
+       |                 AND max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       |  CAST(sum(CASE WHEN max_ck >= 100 AND min_ck <= 300
+       |                 AND max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(hit_both) AS BIGINT) AS n_match
+       |FROM zones GROUP BY 1
+       |UNION ALL
+       |SELECT layout, 'day_only', CAST(count(*) AS BIGINT),
+       |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(sum(CASE WHEN max_day >= 1500 AND min_day <= 1700 THEN n ELSE 0 END) AS BIGINT),
+       |  CAST(sum(n) AS BIGINT),
+       |  CAST(sum(hit_day) AS BIGINT)
+       |FROM zones GROUP BY 1""".stripMargin
+  }
+
+  private def hilbertOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+       |  FROM orders),
+       |""".stripMargin + hilbertWalkCtes + s"""
        |SELECT hd >> 18 AS cell, CAST(count(*) AS BIGINT) AS n,
        |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
        |  min(day) AS min_day, max(day) AS max_day
        |FROM h16 GROUP BY cell""".stripMargin
-  }
 
   /** q_dtw oracle: banded (radius 3) DTW replay. Forward-only DP — one
     * recursive-CTE step per band row, the 7 in-band cells generated as

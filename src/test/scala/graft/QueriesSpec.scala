@@ -53,14 +53,14 @@ class QueriesSpec extends SparkTestBase {
   test("q_zonemap_prune: layouts agree on truth; z-order skips where linear can't") {
     val rows = SparkEntry.queries("q_zonemap_prune")(spark, sf).collect()
       .map(r => (r.getAs[String]("layout"), r.getAs[String]("pred")) -> r).toMap
-    assert(rows.size == 4, s"expected 2 layouts x 2 preds, got ${rows.keySet}")
+    assert(rows.size == 6, s"expected 3 layouts x 2 preds, got ${rows.keySet}")
     Seq("both", "day_only").foreach { pred =>
-      val (lin, zo) = (rows(("linear", pred)), rows(("zorder", pred)))
-      // Zone maps are lossy indexes, never wrong: both layouts must see
+      val perLayout = Seq("linear", "zorder", "hilbert").map(l => rows((l, pred)))
+      // Zone maps are lossy indexes, never wrong: all layouts must see
       // the same ground truth, and no scan set may miss a matching row.
-      assert(lin.getAs[Long]("n_match") == zo.getAs[Long]("n_match"))
-      assert(lin.getAs[Long]("n_rows") == zo.getAs[Long]("n_rows"))
-      Seq(lin, zo).foreach { r =>
+      assert(perLayout.map(_.getAs[Long]("n_match")).distinct.size == 1)
+      assert(perLayout.map(_.getAs[Long]("n_rows")).distinct.size == 1)
+      perLayout.foreach { r =>
         assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("n_match"),
           s"$pred ${r.getAs[String]("layout")}: pruned away matching rows")
         assert(r.getAs[Long]("n_scanned") <= r.getAs[Long]("n_zones"))
@@ -68,13 +68,15 @@ class QueriesSpec extends SparkTestBase {
     }
     // The structural claim: a custkey-sorted layout cannot skip ANY zone
     // for a day-only predicate (every zone's day range spans the whole
-    // domain), while the z-order layout must skip at least some.
+    // domain), while both space-filling curves must skip some.
     val linDay = rows(("linear", "day_only"))
     assert(linDay.getAs[Long]("n_scanned") == linDay.getAs[Long]("n_zones"),
       "linear layout unexpectedly pruned a day-only predicate")
-    val zoDay = rows(("zorder", "day_only"))
-    assert(zoDay.getAs[Long]("n_scanned") < zoDay.getAs[Long]("n_zones"),
-      "z-order layout failed to prune a day-only predicate")
+    Seq("zorder", "hilbert").foreach { curve =>
+      val r = rows((curve, "day_only"))
+      assert(r.getAs[Long]("n_scanned") < r.getAs[Long]("n_zones"),
+        s"$curve layout failed to prune a day-only predicate")
+    }
   }
 
   test("q_rbo stays inside truncated-RBO bounds; identical lists would cap at 1-p^10") {
