@@ -143,12 +143,14 @@ object Layout {
     *
     * The classic xy→d walk (Hamilton's algorithm): per bit level from
     * the top, quadrant digit d += s²·((3·rx) xor ry), then the
-    * flip/swap rotation carries (x, y) into the subquadrant frame. The
-    * level-(i+1) state depends on level-i state, so the walk is emitted
-    * as a CHAIN OF PROJECTIONS (one per level, Catalyst collapses them
-    * into a single codegen'd stage) rather than one nested Column — a
-    * nested expression would double in size per level. Same 16-bit
-    * domain contract as [[zValue2]]: pre-bucket wider dims.
+    * flip/swap rotation carries (x, y) into the subquadrant frame.
+    * Level-(i+1) state depends on level-i state, so a declarative
+    * formulation needs one projection PER LEVEL (CollapseProject cannot
+    * fuse them without exponential expression blowup — measured: 35
+    * stacked Project nodes for bits=16); the walk runs instead as the
+    * codegen'd [[graft.functions.HilbertIndex]] expression, one static
+    * call per row inside whole-stage codegen. Same 16-bit domain
+    * contract as [[zValue2]]: pre-bucket wider dims.
     */
   def withHilbert(
       df: DataFrame,
@@ -156,35 +158,8 @@ object Layout {
       y: String,
       out: String,
       bits: Int = 16,
-  ): DataFrame = {
-    require(bits >= 1 && bits <= 16, s"hilbert bits out of range: $bits")
-    var cur = df
-      .withColumn("__hx", col(x).cast("long").bitwiseAND(lit((1L << bits) - 1)))
-      .withColumn("__hy", col(y).cast("long").bitwiseAND(lit((1L << bits) - 1)))
-      .withColumn("__hd", lit(0L))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      cur = cur
-        .withColumn("__rx",
-          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("__ry",
-          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("__hd", col("__hd") +
-          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
-        .withColumn("__nx",
-          when(col("__ry") === 1, col("__hx"))
-            .when(col("__rx") === 0, col("__hy"))
-            .otherwise(lit(s - 1) - col("__hy")))
-        .withColumn("__ny",
-          when(col("__ry") === 1, col("__hy"))
-            .when(col("__rx") === 0, col("__hx"))
-            .otherwise(lit(s - 1) - col("__hx")))
-        .withColumn("__hx", col("__nx"))
-        .withColumn("__hy", col("__ny"))
-    }
-    cur.withColumn(out, col("__hd"))
-      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx", "__ny")
-  }
+  ): DataFrame =
+    df.withColumn(out, graft.functions.GraftFunctions.hilbert(col(x), col(y), bits))
 
   /** Write `df` parquet files clustered by the z-order of two dimension
     * columns: range-repartition on the z-value (balanced files regardless

@@ -946,6 +946,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object HilbertImpl {
+  /** Hilbert index of (x, y) on the order-`bits` curve — the classic
+    * xy→d walk (per level from the top: quadrant digit (3·rx) xor ry,
+    * then the flip/swap rotation into the subquadrant frame). Static so
+    * generated code calls it directly; the imperative loop is the whole
+    * point — the same walk as a Column chain needs one projection per
+    * level because each level's state feeds the next.
+    */
+  def index(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** hilbert(x, y) — Hilbert-curve index of two long dimensions at the
+  * given bit order. One codegen'd call per row where the equivalent
+  * declarative formulation stacks `bits` dependent projections (each
+  * level's (x, y, d) feeds the next, so CollapseProject cannot fuse them
+  * without exponential expression blowup). Domain contract matches
+  * Layout.zValue2: low `bits` bits, pre-bucket wider dims.
+  */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 16, s"hilbert bits out of range: $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertImpl.index(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HilbertImpl.index($a, $b, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
+    copy(left = l, right = r)
+}
+
 object BpeEncodeImpl {
   /** Greedy BPE segmentation of one word under a FROZEN merge list
     * (flattened pairs: [a0,b0,a1,b1,…], rank order). Semantics match the

@@ -20,6 +20,14 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.toColumn(CosineSimilarity(GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** Hilbert-curve index of two integer dims at bit order `bits` (one
+    * codegen'd walk per row; see [[HilbertIndex]]).
+    */
+  def hilbert(x: Column, y: Column, bits: Int = 16): Column =
+    GraftShim.toColumn(HilbertIndex(
+      GraftShim.toExpression(x.cast("long")),
+      GraftShim.toExpression(y.cast("long")), bits))
+
   /** Jaro-Winkler similarity (DuckDB-exact semantics; see kernel doc). */
   def jaroWinkler(a: Column, b: Column): Column =
     GraftShim.toColumn(JaroWinkler(GraftShim.toExpression(a), GraftShim.toExpression(b)))
