@@ -7067,6 +7067,39 @@ object SparkEntry {
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
     }),
 
+    // --- beyond-reference: multi-source hop-bounded shortest paths -----
+    // The co-purchase graph again, now asked a PATH question: the
+    // cheapest route from each of three seed parts to every part within
+    // 6 hops, where an edge costs floor(1000/n) — strong partnerships
+    // (high co-basket count n) are cheap, one-off pairings expensive.
+    // That is the "how close is this item to these anchors" proximity a
+    // substitution recommender wants, and it needs Bellman-Ford, not a
+    // join. Costs are LONG end to end, so cross-engine parity is
+    // structural (no float accumulates across a path); the hop bound is
+    // the semantic contract shared with the recursive-CTE oracle, which
+    // states each round as a min over relaxations of a zero-cost
+    // self-loop-augmented edge set — exactly ShortestPath.run's
+    // carry ∪ relax. Sparse state: only reached (source, node) pairs
+    // ever shuffle (ShortestPath.scala scale notes).
+    "q_sssp" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .withColumn("w", floor(lit(1000.0) / col("n").cast("double")).cast("long"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val sources = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(3).select(col("src").as("source"))
+      graft.graph.ShortestPath.runAdaptive(edges, sources, iters = 6)
+        .select(col("source"), col("node").as("part"), col("dist"))
+    }),
+
     // --- beyond-reference: interpolated Kneser-Ney bigram LM -----------
     // q_bigram_lm's MLE model assigns unseen bigrams NOTHING (null p) —
     // useless as a quality filter the moment a doc contains one novel
@@ -7759,6 +7792,43 @@ object SparkEntry {
         |    GROUP BY e.dst) m ON m.node = n.node
         |  WHERE i.nit <= 8)
         |SELECT node AS part, round(rank, 6) AS rank FROM pr WHERE it = 8""".stripMargin,
+
+    // Hop-bounded Bellman-Ford as a recursive CTE: each round is a min
+    // over one-edge relaxations of the previous round's reached set,
+    // with a zero-cost self-loop per node supplying the carried dist —
+    // the same carry ∪ relax round ShortestPath.run executes. State is
+    // sparse (reached pairs only), mirroring the Spark side.
+    "q_sssp" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (
+        |  SELECT a, b, CAST(floor(1000.0 / count(*)) AS BIGINT) AS w
+        |  FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM pairs
+        |          UNION ALL SELECT b, a, w FROM pairs),
+        |srcs AS (SELECT src AS source
+        |         FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 3)),
+        |loop_edges AS (SELECT src, dst, w FROM edges
+        |               UNION ALL
+        |               SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM edges),
+        |bf AS (
+        |  SELECT source, source AS node, CAST(0 AS BIGINT) AS dist, 0 AS it FROM srcs
+        |  UNION ALL
+        |  SELECT m.source, m.node, m.dist, i.nit
+        |  FROM (SELECT p.source, e.dst AS node, min(p.dist + e.w) AS dist
+        |        FROM bf p JOIN loop_edges e ON e.src = p.node
+        |        GROUP BY p.source, e.dst) m
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM bf GROUP BY it) i
+        |  WHERE i.nit <= 6)
+        |SELECT source, node AS part, dist FROM bf WHERE it = 6""".stripMargin,
 
     // Personalized variant: identical recursion with the seed-masked
     // teleport (init = teleport; floor = (1-d)*tele).

@@ -1,0 +1,123 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed multi-source shortest paths by hop-bounded Bellman-Ford —
+  * the path-cost member of the graph kit beside [[PageRank]] (centrality)
+  * and NearDup's connected components (reachability). Reference scope:
+  * the reference's interaction parsers only ever need 1-hop joins; path
+  * cost over the derived graphs (e.g. co-purchase proximity) is
+  * beyond-reference capability with the same edge tables.
+  *
+  * SEMANTICS — after `iters` relaxation rounds, `dist(source, node)` is
+  * the EXACT minimum total edge cost over paths from `source` to `node`
+  * using at most `iters` edges (unreached pairs are absent). The hop
+  * bound is the semantic contract, not an approximation knob: it is what
+  * a bounded recursive-CTE oracle computes, it is well-defined on graphs
+  * with cycles, and on graphs whose diameter is below the bound it IS
+  * the unbounded shortest path. Costs are LONG integers end to end —
+  * no float anywhere, so cross-engine parity is structural (the same
+  * reason [[graft.functions.DamerauLevenshteinImpl]] is integer DP).
+  *
+  * Scale shape: the state is SPARSE — only (source, reached-node) rows
+  * exist, so round r shuffles O(sources × nodes-within-r-hops), never
+  * |V|×|sources|. Each round is ONE shuffle: state joins the (localCheck-
+  * pointed, reused) edge table on `src` and min-aggregates on
+  * (source, dst) with map-side partial min. Multi-source costs no extra
+  * rounds — the source id rides the state key through the same joins.
+  * Lineage is capped with the [[PageRank]] eager-checkpoint cadence.
+  */
+object ShortestPath {
+
+  /** Sparse Bellman-Ford. `edges` carries (`src`, `dst`, `w`) with
+    * non-negative LONG costs (directed — undirected callers emit both
+    * directions); `sources` carries one `source` column. Output:
+    * (source, node, dist), one row per reached pair, sources included at
+    * dist 0.
+    */
+  def run(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      checkpointEvery: Int = 3,
+  ): DataFrame = {
+    require(iters >= 0 && checkpointEvery > 0,
+      s"bad sssp config iters=$iters checkpointEvery=$checkpointEvery")
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    var state = sources
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist"))
+    var prevCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      // Carry ∪ relax, then exact min per (source, node). The union is
+      // the zero-cost-self-loop identity: a kept dist is a relaxation
+      // over the implicit (node, node, 0) edge, which is how the
+      // recursive-CTE oracle states the same round.
+      val relaxed = state
+        .join(e, state("node") === e("src"))
+        .select(col("source"), col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      state = state
+        .unionByName(relaxed)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+      if (i % checkpointEvery == 0) {
+        state = state.localCheckpoint() // eager: owns its blocks first
+        prevCkpt.foreach(_.unpersist())
+        prevCkpt = Some(state)
+      }
+    }
+    state
+  }
+
+  /** [[run]] with the small-graph escape hatch every iterative operator
+    * in this repo has (NearDup.connectedComponentsAdaptive, PageRank
+    * .runAdaptive): a graph under `maxDriverEdges` long-triples iterates
+    * in driver memory instead of paying `iters` rounds of scheduler
+    * latency. Both paths are BIT-IDENTICAL by construction — pure long
+    * arithmetic admits no accumulation-order effects, so equality is
+    * structural (ShortestPathSpec asserts it anyway). EAGER: sizing the
+    * edge list runs a count job; the edge subtree is lazily
+    * checkpointed so both paths share one materialization. Long node
+    * ids only (ANSI casts throw on non-numeric ids).
+    */
+  def runAdaptive(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      maxDriverEdges: Long = 2000000L,
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .localCheckpoint(eager = false)
+    if (e.count() <= maxDriverEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val srcs = sources.select(col("source").cast("long")).collect().map(_.getLong(0))
+      // Per-source Bellman-Ford over a LongMap keyed by node; `iters`
+      // sweeps of full-edge relaxation reproduces the hop-bounded
+      // semantics exactly (dist after sweep r = min cost over <= r edges
+      // requires reading the PREVIOUS sweep's map, so sweeps copy).
+      import spark.implicits._
+      srcs.toSeq.flatMap { s =>
+        var dist = scala.collection.mutable.LongMap(s -> 0L)
+        var i = 0
+        while (i < iters) {
+          val next = dist.clone()
+          es.foreach { case (u, v, w) =>
+            dist.get(u).foreach { du =>
+              val cand = du + w
+              if (next.get(v).forall(_ > cand)) next(v) = cand
+            }
+          }
+          dist = next
+          i += 1
+        }
+        dist.toSeq.map { case (n, d) => (s, n, d) }
+      }.toDF("source", "node", "dist")
+    } else run(e, sources, iters)
+  }
+}

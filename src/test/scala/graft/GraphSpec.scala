@@ -215,4 +215,55 @@ class GraphSpec extends SparkTestBase {
     val r3 = graft.graph.KCore.peel(edges, k = 2, rounds = 3)
     assert(r3.count() == 0L, "three peels exhaust a 6-path")
   }
+
+  // --- ShortestPath: hop-bounded Bellman-Ford ------------------------
+
+  /** Weighted directed triangle with a shortcut: 1→2 (cost 10), 2→3
+    * (cost 10), 1→3 direct (cost 25). Two hops beat the direct edge
+    * ONLY once the hop budget allows them.
+    */
+  private def weighted(tris: (Long, Long, Long)*) =
+    tris.toDF("src", "dst", "w")
+
+  test("sssp: hop bound is the semantic contract — cheaper 2-hop path needs 2 rounds") {
+    val edges = weighted((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+    val srcs = Seq(1L).toDF("source")
+    val one = graft.graph.ShortestPath.run(edges, srcs, iters = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 25L),
+      s"after ONE relaxation the direct edge must win: $one")
+    val two = graft.graph.ShortestPath.run(edges, srcs, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(two == Map(1L -> 0L, 2L -> 10L, 3L -> 20L),
+      s"round 2 must discover the cheaper 2-hop route: $two")
+  }
+
+  test("sssp: multi-source rides the same rounds; unreached pairs are absent") {
+    // 1→2→3 and an island 9→8; sources 1 and 9 never mix distances.
+    val edges = weighted((1L, 2L, 1L), (2L, 3L, 2L), (9L, 8L, 7L))
+    val srcs = Seq(1L, 9L).toDF("source")
+    val got = graft.graph.ShortestPath.run(edges, srcs, iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 3L),
+      (9L, 9L, 0L), (9L, 8L, 7L)), s"got $got")
+  }
+
+  test("sssp: adaptive driver path is identical to distributed relaxation") {
+    // Random-ish dense little graph exercising carries, ties, and cycles.
+    val tris = for {
+      a <- 0L to 9L; b <- 0L to 9L
+      if a != b && (a * 7 + b * 3) % 4 == 0
+    } yield (a, b, ((a * 13 + b * 5) % 9) + 1)
+    val edges = weighted(tris: _*)
+    val srcs = Seq(0L, 5L).toDF("source")
+    val dist = graft.graph.ShortestPath.run(edges, srcs, iters = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val drv = graft.graph.ShortestPath.runAdaptive(edges, srcs, iters = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dist == drv, s"driver/distributed drift: ${dist.diff(drv)} vs ${drv.diff(dist)}")
+    // And the adaptive threshold at 0 forces the distributed branch.
+    val forced = graft.graph.ShortestPath.runAdaptive(edges, srcs, iters = 5,
+      maxDriverEdges = 0L).as[(Long, Long, Long)].collect().toSet
+    assert(forced == dist)
+  }
 }
