@@ -3380,6 +3380,29 @@ object SparkEntry {
         .withColumn("u1", round(col("u1"), 6))
         .withColumn("z", round(col("z"), 12))),
 
+    // --- beyond-reference: two-sample energy distance --------------------
+    // The metric-weighted drift test beside q_ks_test (sup-gap) and
+    // q_mannwhitney (rank shift): per ship month, how far apart are the
+    // RETURNED ('R') and ACCEPTED ('A') price distributions, in price
+    // units? Energy distance is zero iff the distributions match, so it
+    // catches shape drift KS underweights in the tails. The O(n²)
+    // pairwise |diff| sums fold to one pass over the sorted DISTINCT
+    // cent domain (order-statistic identity, Stats.energyDistance) —
+    // the windows run over the price DOMAIN, not the rows, and every
+    // accumulator is an exact integer until the final IEEE expression.
+    "q_energy_dist" -> ((s, dir) =>
+      Stats.energyDistance(
+        t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        group = month(col("l_shipdate").cast("timestamp")),
+        valueInt = (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(14,0)").cast("long"),
+        inSample1 = col("l_returnflag") === "R")
+        .withColumnRenamed("g", "ship_month")
+        .withColumn("e_xx", round(col("e_xx"), 6))
+        .withColumn("e_yy", round(col("e_yy"), 6))
+        .withColumn("e_xy", round(col("e_xy"), 6))
+        .withColumn("energy", round(col("energy"), 6))),
+
     // --- beyond-reference: SCD2 interval construction --------------------
     // Slowly-changing-dimension build from a change stream: each user's
     // purchase "spend tier" (floor(value/25)) becomes half-open validity
@@ -10610,6 +10633,41 @@ object SparkEntry {
         |      (CAST(n1 + n2 + 1 AS DOUBLE)
         |       - CAST(tiesum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 12) AS z
         |FROM u""".stripMargin,
+
+    // Energy distance via the same order-statistic reduction the Spark
+    // side runs: exclusive prefix count/sum windows over the distinct
+    // cent domain, exact integer charges, one IEEE expression at the end
+    // (identical op order → identical bits; round(6) is ulp armor).
+    "q_energy_dist" ->
+      """WITH pts AS (
+        |  SELECT CAST(month(l_shipdate) AS INT) AS g,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s1
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |g AS (SELECT g, v, sum(s1) AS cx, sum(1 - s1) AS cy FROM pts GROUP BY g, v),
+        |c AS (
+        |  SELECT g, v, cx, cy,
+        |    coalesce(sum(cx) OVER w, 0) AS pxlt,
+        |    coalesce(sum(cy) OVER w, 0) AS pylt,
+        |    coalesce(sum(cx * v) OVER w, 0) AS sxlt,
+        |    coalesce(sum(cy * v) OVER w, 0) AS sylt
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT g,
+        |    CAST(sum(cx) AS BIGINT) AS nx, CAST(sum(cy) AS BIGINT) AS ny,
+        |    sum(cx * (v * pxlt - sxlt)) AS sxx,
+        |    sum(cy * (v * pylt - sylt)) AS syy,
+        |    sum(cy * (v * pxlt - sxlt)) + sum(cx * (v * pylt - sylt)) AS sxy
+        |  FROM c GROUP BY g)
+        |SELECT g AS ship_month, nx, ny,
+        |  round(CAST(sxx AS DOUBLE) * 2.0 / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE)), 6) AS e_xx,
+        |  round(CAST(syy AS DOUBLE) * 2.0 / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS e_yy,
+        |  round(CAST(sxy AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS e_xy,
+        |  round(2.0 * (CAST(sxy AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |    - CAST(sxx AS DOUBLE) * 2.0 / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+        |    - CAST(syy AS DOUBLE) * 2.0 / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)), 6) AS energy
+        |FROM m WHERE nx > 0 AND ny > 0""".stripMargin,
 
     "q_scd2" ->
       """WITH p AS (

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import graft.functions.GraftFunctions.erfc
 
 /** Statistical column library — SURVEY.md §2.9 math/statistics.
@@ -650,5 +650,74 @@ object Stats {
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+  }
+
+  /** Two-sample ENERGY DISTANCE per group — Székely & Rizzo's
+    * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| over 1-D integer-valued samples
+    * (values arrive pre-scaled to exact integers, e.g. price cents).
+    * Unlike [[ksTest2]] (sup of CDF gap) it weighs the WHOLE
+    * distribution difference with metric units, and unlike [[welchT]]
+    * it is zero IFF the distributions are equal — the two-sample test a
+    * drift monitor wants when shape matters, not just location.
+    *
+    * Exactness discipline: the naive statistic is an O(n²) pairwise
+    * sum; this reduces each Σ|a−b| to ONE pass over the sorted DISTINCT
+    * value domain via the order-statistic identity
+    *   Σ_{i<j}|x_i−x_j| = Σ_v cx_v·(v·PxLT_v − SxLT_v)
+    * (each unordered pair charged at its larger value; PxLT/SxLT =
+    * count/sum of the sample strictly below v), and the cross term is
+    * the same identity charged on whichever sample holds the larger
+    * element. Every accumulator is an exact integer (long window sums,
+    * decimal(38,0) final sums — magnitudes ≤ n²·vmax), so the statistic
+    * reduces to a fixed IEEE expression over exact integers at the very
+    * end: bit-equal on any partitioning and across engines, the
+    * [[mannWhitneyU]] rule.
+    *
+    * Scale: one partial-agg shuffle collapses rows to the per-group
+    * DISTINCT value domain; the prefix-sum windows then run over that
+    * reduced domain (for cent-valued metrics, bounded by the price
+    * range — not the row count), keyed on the group. A single group
+    * whose value domain outgrows one task takes the Rank.rowNumberDesc
+    * bucketed-prefix-sum treatment; at the domain sizes money-like
+    * columns have, the reduction IS the scale plan.
+    *
+    * Output: (g, nx, ny, e_xx, e_yy, e_xy, energy), groups having both
+    * samples only; energy ≥ 0, = 0 iff the samples are identical
+    * multisets.
+    */
+  def energyDistance(df: DataFrame, group: Column, valueInt: Column, inSample1: Column): DataFrame = {
+    val base = df.select(
+      group.as("g"), valueInt.cast(LongType).as("v"),
+      when(inSample1, 1L).otherwise(0L).as("s1"))
+    val g = base.groupBy(col("g"), col("v")).agg(
+      sum(col("s1")).as("cx"), sum(lit(1L) - col("s1")).as("cy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val c = g.select(col("g"), col("v"), col("cx"), col("cy"),
+      coalesce(sum(col("cx")).over(w), lit(0L)).as("pxlt"),
+      coalesce(sum(col("cy")).over(w), lit(0L)).as("pylt"),
+      coalesce(sum(dec(col("cx")) * dec(col("v"))).over(w), dec(lit(0L))).as("sxlt"),
+      coalesce(sum(dec(col("cy")) * dec(col("v"))).over(w), dec(lit(0L))).as("sylt"))
+    // Per-value charges: (v·PxLT − SxLT) = Σ over the x's below v of
+    // (v − x), all ≥ 0 by construction — decimal throughout.
+    val chgX = dec(col("v")) * dec(col("pxlt")) - col("sxlt")
+    val chgY = dec(col("v")) * dec(col("pylt")) - col("sylt")
+    val agg = c.groupBy(col("g")).agg(
+      sum(col("cx")).as("nx"),
+      sum(col("cy")).as("ny"),
+      sum(dec(col("cx")) * chgX).as("sxx"),
+      sum(dec(col("cy")) * chgY).as("syy"),
+      (sum(dec(col("cy")) * chgX) + sum(dec(col("cx")) * chgY)).as("sxy"),
+    ).filter(col("nx") > 0 && col("ny") > 0)
+    val d = (c0: Column) => c0.cast(DoubleType)
+    val exx = d(col("sxx")) * lit(2.0) / (d(col("nx")) * d(col("nx")))
+    val eyy = d(col("syy")) * lit(2.0) / (d(col("ny")) * d(col("ny")))
+    val exy = d(col("sxy")) / (d(col("nx")) * d(col("ny")))
+    agg.select(
+      col("g"), col("nx"), col("ny"),
+      exx.as("e_xx"), eyy.as("e_yy"), exy.as("e_xy"),
+      (lit(2.0) * exy - exx - eyy).as("energy"))
   }
 }

@@ -290,4 +290,33 @@ class StatsSpec extends SparkTestBase {
       s"heavily-connected items should rank above sparse ones: ${v("x")._3} vs ${v("z")._3}")
     assert(v.values.forall(t => t._2 > 0 && t._3 > 0), "all-positive data -> positive factors")
   }
+
+  test("energyDistance: order-statistic reduction equals the O(n²) definition") {
+    // Two deliberately tie-heavy samples; brute force the V-statistic
+    // definition and demand the folded kernel reproduce it exactly.
+    val xs = Seq(3L, 7L, 7L, 12L, 20L)
+    val ys = Seq(1L, 7L, 9L, 9L, 15L, 30L)
+    val df = (xs.map(v => ("g1", v, true)) ++ ys.map(v => ("g1", v, false)))
+      .toDF("grp", "v", "isx")
+    val got = Stats.energyDistance(df, col("grp"), col("v"), col("isx"))
+      .collect().head
+    def meanAbs(a: Seq[Long], b: Seq[Long]): Double =
+      a.flatMap(x => b.map(y => math.abs(x - y))).sum.toDouble / (a.size * b.size)
+    val exx = meanAbs(xs, xs); val eyy = meanAbs(ys, ys); val exy = meanAbs(xs, ys)
+    assert(got.getLong(1) == xs.size && got.getLong(2) == ys.size)
+    assert(math.abs(got.getDouble(3) - exx) < 1e-12, s"e_xx ${got.getDouble(3)} != $exx")
+    assert(math.abs(got.getDouble(4) - eyy) < 1e-12, s"e_yy ${got.getDouble(4)} != $eyy")
+    assert(math.abs(got.getDouble(5) - exy) < 1e-12, s"e_xy ${got.getDouble(5)} != $exy")
+    assert(math.abs(got.getDouble(6) - (2 * exy - exx - eyy)) < 1e-12)
+    assert(got.getDouble(6) > 0, "different distributions -> strictly positive energy")
+  }
+
+  test("energyDistance: zero iff identical multisets; one-sample groups drop") {
+    val same = Seq(2L, 5L, 5L, 9L)
+    val df = (same.map(v => ("dup", v, true)) ++ same.map(v => ("dup", v, false)) ++
+      Seq(("solo", 4L, true))).toDF("grp", "v", "isx")
+    val rows = Stats.energyDistance(df, col("grp"), col("v"), col("isx")).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("dup"), "one-sample group must drop")
+    assert(rows.head.getDouble(6) == 0.0, s"identical samples must read EXACTLY zero energy")
+  }
 }
