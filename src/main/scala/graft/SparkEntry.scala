@@ -3502,6 +3502,40 @@ object SparkEntry {
           max(col("dl")).as("max_dl"))
     }),
 
+    // --- beyond-reference: Fellegi-Sunter EM linkage calibration ---------
+    // q_entity_match thresholds at a HAND-PICKED 0.85; this learns what
+    // agreement is worth, unlabeled: sorted-neighborhood candidate pairs
+    // over part (block p_type, order p_name, 3 forward neighbors — the
+    // q_sorted_neighbor linear idiom, never n²) are compared on brand
+    // equality / size proximity / name JW, and two EM rounds estimate
+    // the m/u probabilities and match prevalence λ. Each round is ONE
+    // aggregation; the E-step weight is a fixed IEEE tree whose
+    // parameters ride a broadcast 1-row cross join, quantized to
+    // decimal(28,12) before every sum (Linkage.fellegiSunterEM — the
+    // PageRank mass discipline, so the oracle adds the same integers).
+    "q_fellegi_sunter" -> ((s, dir) => {
+      val w = Window.partitionBy("p_type").orderBy(col("p_name"), col("p_partkey"))
+      val led = t(s, dir, "part").select(
+        Seq(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size")) ++
+          (1 to 3).flatMap(i => Seq(
+            lead(col("p_partkey"), i).over(w).as(s"k$i"),
+            lead(col("p_name"), i).over(w).as(s"n$i"),
+            lead(col("p_brand"), i).over(w).as(s"b$i"),
+            lead(col("p_size"), i).over(w).as(s"s$i"))): _*)
+      val pairs = (1 to 3).map(i => led.filter(col(s"k$i").isNotNull).select(
+        (col("p_brand") === col(s"b$i")).cast("int").as("a_brand"),
+        (abs(col("p_size") - col(s"s$i")) <= 2).cast("int").as("a_size"),
+        (graft.functions.GraftFunctions.jaroWinkler(col("p_name"), col(s"n$i")) >= 0.85)
+          .cast("int").as("a_name")))
+        .reduce(_ unionByName _)
+      graft.core.Linkage.fellegiSunterEM(
+        pairs, Seq("a_brand", "a_size", "a_name"), iters = 2)
+        .select(col("n_pairs"), round(col("lam"), 9).as("lam"),
+          round(col("m_a_brand"), 9).as("m_brand"), round(col("u_a_brand"), 9).as("u_brand"),
+          round(col("m_a_size"), 9).as("m_size"), round(col("u_a_size"), 9).as("u_size"),
+          round(col("m_a_name"), 9).as("m_name"), round(col("u_a_name"), 9).as("u_name"))
+    }),
+
     // --- beyond-reference: Welch's unequal-variance t-test ---------------
     // The parametric member of the two-sample family (q_ks_test shape,
     // q_mannwhitney rank-order, this one mean-difference) on the same
@@ -10860,6 +10894,11 @@ object SparkEntry {
         |SELECT d_key, d_name, c_custkey AS matched_key, round(sim, 6) AS sim
         |FROM r WHERE rn = 1""".stripMargin,
 
+    // Generated helper: the EM rounds must be textually identical per
+    // iteration (and op-for-op identical to Linkage.fellegiSunterEM),
+    // so the SQL is built by the same fold that builds the Spark plan.
+    "q_fellegi_sunter" -> fellegiSunterOracleSql,
+
     "q_auc" ->
       """WITH d AS (
         |  SELECT source, n_chars AS v,
@@ -13590,6 +13629,64 @@ object SparkEntry {
        |  min(day) AS min_day, max(day) AS max_day,
        |  min(kilo) AS min_kilo, max(kilo) AS max_kilo
        |FROM z GROUP BY cell""".stripMargin
+  }
+
+  /** q_fellegi_sunter oracle: Linkage.fellegiSunterEM's two EM rounds
+    * generated by the same fold that builds the Spark plan — per round,
+    * the E-step weight expression (left-assoc field products, one IEEE
+    * division) over pairs CROSS JOIN the previous parameter row, then
+    * the M-step sums of the decimal(28,12)-quantized weights. Identical
+    * op order per round, exact integer accumulation between rounds.
+    */
+  private def fellegiSunterOracleSql: String = {
+    val ks = Seq("a_brand", "a_size", "a_name")
+    def fProd(p: String) =
+      ks.map(k => s"(CASE WHEN $k = 1 THEN $p.m_$k ELSE 1.0 - $p.m_$k END)").mkString(" * ")
+    def gProd(p: String) =
+      ks.map(k => s"(CASE WHEN $k = 1 THEN $p.u_$k ELSE 1.0 - $p.u_$k END)").mkString(" * ")
+    def eStep(i: Int, p: String) =
+      s"""e$i AS (
+         |  SELECT ${ks.mkString(", ")},
+         |    ($p.lam * (${fProd(p)})) /
+         |      ($p.lam * (${fProd(p)}) + (1.0 - $p.lam) * (${gProd(p)})) AS w
+         |  FROM pairs CROSS JOIN $p)"""
+    def clampO(e: String) = s"least(greatest($e, 1e-6), 1.0 - 1e-6)"
+    val wq = "CAST(w AS DECIMAL(28,12))"
+    val wn = "CAST(1.0 - w AS DECIMAL(28,12))"
+    def mStep(i: Int) =
+      s"""p$i AS (
+         |  SELECT count(*) AS n,
+         |    ${clampO(s"CAST(sum($wq) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS lam,
+         |${ks.map(k =>
+           s"    ${clampO(s"CAST(sum(CASE WHEN $k = 1 THEN $wq ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS DOUBLE) / CAST(sum($wq) AS DOUBLE)")} AS m_$k,\n" +
+           s"    ${clampO(s"CAST(sum(CASE WHEN $k = 1 THEN $wn ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS DOUBLE) / CAST(sum($wn) AS DOUBLE)")} AS u_$k")
+           .mkString(",\n")}
+         |  FROM e$i)"""
+    val leadCols = (1 to 3).flatMap(i => Seq(
+      s"lead(p_partkey, $i) OVER w AS k$i", s"lead(p_name, $i) OVER w AS n$i",
+      s"lead(p_brand, $i) OVER w AS b$i", s"lead(p_size, $i) OVER w AS s$i")).mkString(",\n    ")
+    val branches = (1 to 3).map(i =>
+      s"""  SELECT CAST(p_brand = b$i AS INT) AS a_brand,
+         |    CAST(abs(p_size - s$i) <= 2 AS INT) AS a_size,
+         |    CAST(jaro_winkler_similarity(p_name, n$i) >= 0.85 AS INT) AS a_name
+         |  FROM pw WHERE k$i IS NOT NULL""").mkString("\n  UNION ALL\n")
+    s"""WITH pw AS (
+       |  SELECT p_partkey, p_name, p_brand, p_size,
+       |    $leadCols
+       |  FROM part WINDOW w AS (PARTITION BY p_type ORDER BY p_name, p_partkey)),
+       |pairs AS (
+       |$branches),
+       |p0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam,
+       |  ${ks.map(k => s"CAST(0.9 AS DOUBLE) AS m_$k, CAST(0.1 AS DOUBLE) AS u_$k").mkString(",\n  ")}),
+       |${eStep(1, "p0")},
+       |${mStep(1)},
+       |${eStep(2, "p1")},
+       |${mStep(2)}
+       |SELECT n AS n_pairs, round(lam, 9) AS lam,
+       |  round(m_a_brand, 9) AS m_brand, round(u_a_brand, 9) AS u_brand,
+       |  round(m_a_size, 9) AS m_size, round(u_a_size, 9) AS u_size,
+       |  round(m_a_name, 9) AS m_name, round(u_a_name, 9) AS u_name
+       |FROM p2""".stripMargin
   }
 
   /** q_hilbert_cells oracle: Layout.withHilbert's 16-level xy→d walk

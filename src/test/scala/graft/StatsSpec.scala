@@ -319,4 +319,42 @@ class StatsSpec extends SparkTestBase {
     assert(rows.map(_.getString(0)).toSet == Set("dup"), "one-sample group must drop")
     assert(rows.head.getDouble(6) == 0.0, s"identical samples must read EXACTLY zero energy")
   }
+
+  test("fellegiSunterEM: one hand-computed round; separable data orders m above u") {
+    // 4 pairs agreeing on both fields, 16 agreeing on neither: EM must
+    // sharpen toward a small match class with m >> u on both fields.
+    val pairs = (Seq.fill(4)((1, 1)) ++ Seq.fill(16)((0, 0))).toDF("f1", "f2")
+    val got = graft.core.Linkage.fellegiSunterEM(pairs, Seq("f1", "f2"), iters = 1)
+      .collect().head
+    // Hand E-step with lam=.1, m=.9, u=.1: agree-agree pair
+    // w = .1*.81/(.1*.81 + .9*.01) = .9, disagree-disagree
+    // w = .1*.01/(.1*.01 + .9*.81) = .001369863...; quantized 28,12.
+    val wAA = 0.1 * (0.9 * 0.9) / (0.1 * (0.9 * 0.9) + (1.0 - 0.1) * (0.1 * 0.1))
+    val wDD = 0.1 * (0.1 * 0.1) / (0.1 * (0.1 * 0.1) + (1.0 - 0.1) * (0.9 * 0.9))
+    def q(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sw = q(wAA) * 4 + q(wDD) * 16
+    val lam = (sw / 20).toDouble
+    val m1 = (q(wAA) * 4 / sw).toDouble
+    val u1 = ((q(1.0 - wAA) * 4) / (q(1.0 - wAA) * 4 + q(1.0 - wDD) * 16)).toDouble
+    assert(got.getLong(0) == 20L)
+    assert(math.abs(got.getDouble(1) - lam) < 1e-12, s"lam ${got.getDouble(1)} != $lam")
+    assert(math.abs(got.getDouble(2) - m1) < 1e-12, s"m_f1 ${got.getDouble(2)} != $m1")
+    assert(math.abs(got.getDouble(3) - u1) < 1e-12, s"u_f1 ${got.getDouble(3)} != $u1")
+    // Symmetric fields estimate identically; more rounds keep m above u.
+    assert(got.getDouble(2) == got.getDouble(4) && got.getDouble(3) == got.getDouble(5))
+    val it3 = graft.core.Linkage.fellegiSunterEM(pairs, Seq("f1", "f2"), iters = 3)
+      .collect().head
+    assert(it3.getDouble(2) > it3.getDouble(3), "EM must keep m_f1 > u_f1")
+    assert(it3.getDouble(1) > 0 && it3.getDouble(1) < 1)
+  }
+
+  test("fellegiSunterEM: clamp keeps degenerate all-agree input finite") {
+    val pairs = Seq.fill(8)((1, 1)).toDF("f1", "f2")
+    val got = graft.core.Linkage.fellegiSunterEM(pairs, Seq("f1", "f2"), iters = 3)
+      .collect().head
+    (1 to 5).foreach { i =>
+      val v = got.getDouble(i)
+      assert(!v.isNaN && v >= 1e-6 && v <= 1.0 - 1e-6, s"col $i escaped the clamp: $v")
+    }
+  }
 }
