@@ -2987,6 +2987,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_transitions"))
     }),
 
+    // --- beyond-reference: frequent sequence mining (GSP/PrefixSpan core)
+    // q_event_paths counts ADJACENT transitions; this mines gap-allowed
+    // ordered patterns A→B and A→B→C with session support (12 h
+    // inactivity gap — q_sessionize's idiom at mining granularity).
+    // Over the bounded type alphabet, per-session existence folds to
+    // order statistics (min/max occurrence times and one B-after-A
+    // minimum — SeqMine.scala's exactness argument), so no session is
+    // ever scanned per pattern and nothing recursive grows: supports
+    // are counts over (session, type)-grain aggregate rows, exact longs
+    // end to end.
+    "q_seq_mining" -> ((s, dir) =>
+      graft.core.SeqMine.frequentSequences(
+        t(s, dir, "events"),
+        user = col("user_id"), tsUs = tsUs(col("ts")), typ = col("event_type"),
+        tieBreak = col("event_id"),
+        gapUs = 12L * 3600 * 1000000, minSupport = 50L)),
+
     // --- beyond-reference: ordered group concatenation (LISTAGG) ---------
     // Time-ordered sequence building (the "events → training sequence"
     // collapse): per customer, order priorities concatenated in
@@ -10453,6 +10470,41 @@ object SparkEntry {
         |  FROM e)
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
         |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // Same order-statistic folding as SeqMine: sessionize (12 h gap),
+    // per-(session, type) min/max, pair rule mn(A) < mx(B), triple rule
+    // mx(C) > min{ t(B) > mn(A) }. Integer µs throughout.
+    "q_seq_mining" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS a, event_id AS tb
+        |  FROM events),
+        |lg AS (
+        |  SELECT u, t, a,
+        |    lag(t) OVER (PARTITION BY u ORDER BY t, tb) AS pt, tb
+        |  FROM e),
+        |sm AS (
+        |  SELECT u, t, a,
+        |    sum(CASE WHEN pt IS NULL OR t - pt > 43200000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY t, tb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lg),
+        |bounds AS (
+        |  SELECT u, sid, a, min(t) AS mn, max(t) AS mx FROM sm GROUP BY 1, 2, 3),
+        |p2 AS (
+        |  SELECT x.a AS a1, y.a AS a2, count(*) AS support
+        |  FROM bounds x JOIN bounds y ON x.u = y.u AND x.sid = y.sid
+        |  WHERE x.mn < y.mx GROUP BY 1, 2),
+        |mba AS (
+        |  SELECT s.u, s.sid, b.a AS a1, s.a AS a2, min(s.t) AS m2
+        |  FROM sm s JOIN bounds b ON s.u = b.u AND s.sid = b.sid
+        |  WHERE s.t > b.mn GROUP BY 1, 2, 3, 4),
+        |p3 AS (
+        |  SELECT m.a1, m.a2, c.a AS a3, count(*) AS support
+        |  FROM mba m JOIN bounds c ON m.u = c.u AND m.sid = c.sid
+        |  WHERE c.mx > m.m2 GROUP BY 1, 2, 3)
+        |SELECT a1 || '>' || a2 AS pattern, 2 AS k, support FROM p2 WHERE support >= 50
+        |UNION ALL
+        |SELECT a1 || '>' || a2 || '>' || a3 AS pattern, 3 AS k, support
+        |FROM p3 WHERE support >= 50""".stripMargin,
 
     "q_listagg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frequent SEQUENCE mining over sessionized event streams — the
+  * gap-allowed generalization of q_event_paths' adjacent transitions
+  * (GSP/PrefixSpan's bounded-length core): which ordered type patterns
+  * A→B and A→B→C occur — with ANY events in between — in at least
+  * `minSupport` sessions?
+  *
+  * The classic miners grow a pattern lattice; over a SMALL alphabet
+  * (event types, not items) the lattice is the fixed T²+T³ candidate
+  * set and existence per session folds to ORDER STATISTICS — no
+  * per-session subsequence scan, no pattern-growth recursion:
+  *   A→B   exists  iff  min t(A)  <  max t(B)
+  *   A→B→C exists  iff  max t(C)  >  min{ t(B) : t(B) > min t(A) }
+  * (both sides exact integer µs; a same-type repeat A→A needs two
+  * events by the same identity). Each support is then one count per
+  * candidate over per-(session, type) aggregate rows.
+  *
+  * Scale shape: sessionization is ONE user-keyed window Exchange (the
+  * q_sessionize idiom — lag + running sum share the sort); the bounds
+  * table collapses events to (session, type) rows — corpus × nothing;
+  * the only alphabet-proportional step is the B-after-A pass, which
+  * joins raw events to per-session type minima: |E|·T rows, partial
+  * min-aggregated map-side. Nothing is ever sessions × patterns
+  * materialized beyond (session, A, B) triples — T²-bounded per
+  * session. Supports are exact longs; no float anywhere.
+  *
+  * Output: (pattern "a>b"/"a>b>c", k, support), support ≥ `minSupport`.
+  */
+object SeqMine {
+
+  def frequentSequences(
+      events: DataFrame,
+      user: Column,
+      tsUs: Column,
+      typ: Column,
+      tieBreak: Column,
+      gapUs: Long,
+      minSupport: Long,
+  ): DataFrame = {
+    val e = events.select(user.as("u"), tsUs.as("t"), typ.as("a"), tieBreak.as("tb"))
+    val w = Window.partitionBy("u").orderBy("t", "tb")
+    val sess = e
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("u"), col("sid"), col("t"), col("a"))
+      .localCheckpoint(eager = false) // consumed by bounds AND the B-after pass
+    val bounds = sess.groupBy(col("u"), col("sid"), col("a"))
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .localCheckpoint(eager = false) // three consumers below
+    val p2 = bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn"))
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a2"), col("mx")),
+        Seq("u", "sid"))
+      .filter(col("mn") < col("mx"))
+      .groupBy(col("a1"), col("a2"))
+      .agg(count(lit(1)).as("support"))
+    val mba = sess
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn")),
+        Seq("u", "sid"))
+      .filter(col("t") > col("mn"))
+      .groupBy(col("u"), col("sid"), col("a1"), col("a").as("a2"))
+      .agg(min(col("t")).as("m2"))
+    val p3 = mba
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a3"), col("mx")),
+        Seq("u", "sid"))
+      .filter(col("mx") > col("m2"))
+      .groupBy(col("a1"), col("a2"), col("a3"))
+      .agg(count(lit(1)).as("support"))
+    p2.select(concat_ws(">", col("a1"), col("a2")).as("pattern"),
+        lit(2).as("k"), col("support"))
+      .unionByName(
+        p3.select(concat_ws(">", col("a1"), col("a2"), col("a3")).as("pattern"),
+          lit(3).as("k"), col("support")))
+      .filter(col("support") >= minSupport)
+  }
+}
