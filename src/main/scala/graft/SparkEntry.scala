@@ -7174,6 +7174,43 @@ object SparkEntry {
         .select(col("source"), col("node").as("part"), col("dist"))
     }),
 
+    // --- beyond-reference: INCREMENTAL shortest paths (edge addition) --
+    // The IVM member of the path family: ~1/5 of the co-purchase edges
+    // arrive "late" ((a+b)%5 hash split — symmetric, so both directions
+    // of an undirected pair ride the same batch), and the converged
+    // base distances absorb them through ShortestPath.incrementalAdd's
+    // improvement wavefront instead of a recompute: distances only
+    // DECREASE under edge addition, so relaxing the stale state through
+    // the delta seeds exactly the affected region and each wave is a
+    // frontier × edges join, not state × edges. The oracle knows
+    // nothing of the split — it converges over the FULL edge set, which
+    // is the point: incremental fold ≡ batch fixpoint (fixpoints are
+    // unique; GraphSpec pins the same equality on random splits).
+    "q_sssp_incremental" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .withColumn("w", floor(lit(1000.0) / col("n").cast("double")).cast("long"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"), col("a"), col("b"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w"), col("a"), col("b")))
+        .localCheckpoint(eager = false) // base/delta split + the full set
+      val isLate = pmod(col("a") + col("b"), lit(5)) === 0
+      val base = edges.filter(!isLate).select(col("src"), col("dst"), col("w"))
+      val delta = edges.filter(isLate).select(col("src"), col("dst"), col("w"))
+      val sources = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(3).select(col("src").as("source"))
+      val baseDist = graft.graph.ShortestPath.runConverged(base, sources, maxIters = 30)
+      graft.graph.ShortestPath
+        .incrementalAdd(baseDist, edges.select(col("src"), col("dst"), col("w")), delta)
+        .select(col("source"), col("node").as("part"), col("dist"))
+    }),
+
     // --- beyond-reference: interpolated Kneser-Ney bigram LM -----------
     // q_bigram_lm's MLE model assigns unseen bigrams NOTHING (null p) —
     // useless as a quality filter the moment a doc contains one novel
@@ -7903,6 +7940,42 @@ object SparkEntry {
         |  CROSS JOIN (SELECT it + 1 AS nit FROM bf GROUP BY it) i
         |  WHERE i.nit <= 6)
         |SELECT source, node AS part, dist FROM bf WHERE it = 6""".stripMargin,
+
+    // CONVERGED variant of the q_sssp recursion — the oracle never sees
+    // the base/delta split; incremental fold ≡ batch fixpoint. Empirics
+    // at the gate scale: stable from round 10; 14 is margin (the CTE
+    // carries the full state per round, so extra rounds are idempotent).
+    "q_sssp_incremental" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (
+        |  SELECT a, b, CAST(floor(1000.0 / count(*)) AS BIGINT) AS w
+        |  FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM pairs
+        |          UNION ALL SELECT b, a, w FROM pairs),
+        |srcs AS (SELECT src AS source
+        |         FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 3)),
+        |loop_edges AS (SELECT src, dst, w FROM edges
+        |               UNION ALL
+        |               SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM edges),
+        |bf AS (
+        |  SELECT source, source AS node, CAST(0 AS BIGINT) AS dist, 0 AS it FROM srcs
+        |  UNION ALL
+        |  SELECT m.source, m.node, m.dist, i.nit
+        |  FROM (SELECT p.source, e.dst AS node, min(p.dist + e.w) AS dist
+        |        FROM bf p JOIN loop_edges e ON e.src = p.node
+        |        GROUP BY p.source, e.dst) m
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM bf GROUP BY it) i
+        |  WHERE i.nit <= 14)
+        |SELECT source, node AS part, dist FROM bf WHERE it = 14""".stripMargin,
 
     // Personalized variant: identical recursion with the seed-masked
     // teleport (init = teleport; floor = (1-d)*tele).

@@ -72,6 +72,128 @@ object ShortestPath {
     state
   }
 
+  /** [[run]] driven to FIXPOINT: rounds continue until the state stops
+    * changing (capped at `maxIters` — a loud cap, not a silent
+    * truncation). CONVERGED distances are the unbounded shortest paths
+    * and are UNIQUE, which is what makes [[incrementalAdd]] well-defined
+    * (hop-bounded intermediate states are fold-order-dependent;
+    * fixpoints are not — the same reason NearDup's incremental
+    * components build on converged labels).
+    *
+    * Fixpoint detection without a diff join: a relaxation round never
+    * removes a (source, node) row and never increases a dist, so the
+    * state is unchanged iff (row count, Σdist) is unchanged — two exact
+    * longs per check, the NearDup fixpoint-count discipline.
+    */
+  def runConverged(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxIters: Int = 30,
+      checkpointEvery: Int = 3,
+  ): DataFrame = {
+    val e = edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    var state = sources
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var fingerprint = fp(state)
+    var prevCkpt: Option[DataFrame] = Some(state)
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      i += 1
+      val relaxed = state.join(e, state("node") === e("src"))
+        .select(col("source"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      var next = state.unionByName(relaxed)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+      if (i % checkpointEvery == 0 || i == maxIters) {
+        next = next.localCheckpoint()
+        val nfp = fp(next)
+        done = nfp == fingerprint
+        fingerprint = nfp
+        prevCkpt.foreach(_.unpersist())
+        prevCkpt = Some(next)
+      }
+      state = next
+    }
+    state
+  }
+
+  private def fp(state: DataFrame): (Long, Long) = {
+    val r = state.agg(count(lit(1)), sum(col("dist"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** INCREMENTAL edge addition over a converged state: given
+    * `dist` = [[runConverged]] over an edge set E and a batch of new
+    * edges ΔE, produce the converged distances over E ∪ ΔE touching
+    * only the AFFECTED region — distances can only decrease under edge
+    * addition (the monotonicity that makes this exact), so the work is
+    * a wavefront: seed improvements by relaxing the current state
+    * through ΔE alone, then propagate each improvement wave through the
+    * full edge set until no row improves. Rounds ∝ the affected
+    * region's eccentricity, work per round ∝ |wavefront| × degree —
+    * NOT a full recompute (ShortestPathSpec pins equality with one).
+    *
+    * `edgesAll` must be E ∪ ΔE (the full post-addition set); weights of
+    * existing edges must be unchanged (weight DECREASE is also safe —
+    * it is an addition of a cheaper parallel edge; weight increase or
+    * deletion breaks monotonicity and needs a rebuild, the documented
+    * contract — the same asymmetry as Ivm's append-vs-retract split).
+    */
+  def incrementalAdd(
+      dist: DataFrame,
+      edgesAll: DataFrame,
+      newEdges: DataFrame,
+      maxIters: Int = 30,
+      checkpointEvery: Int = 3,
+  ): DataFrame = {
+    val eAll = edgesAll
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(eager = false)
+    val eNew = newEdges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    var state = dist.select(col("source"), col("node"), col("dist").cast("long").as("dist"))
+      .localCheckpoint()
+    // Seed wave: the only rows that can change flow through ΔE.
+    var wave = state.join(eNew, state("node") === eNew("src"))
+      .select(col("source"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      .groupBy(col("source"), col("node")).agg(min(col("dist")).as("dist"))
+    var prevCkpt: Option[DataFrame] = Some(state)
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      i += 1
+      // Improvements = wave entries strictly better than (or absent
+      // from) the current state; everything else has converged already.
+      val improved = wave.as("w")
+        .join(state.as("s"), Seq("source", "node"), "left")
+        .filter(col("s.dist").isNull || col("w.dist") < col("s.dist"))
+        .select(col("source"), col("node"), col("w.dist").as("dist"))
+        .localCheckpoint() // consumed by the empty-check, merge, and next wave
+      if (improved.isEmpty) done = true
+      else {
+        state = state.as("s")
+          .join(improved.as("i").withColumnRenamed("dist", "idist"),
+            Seq("source", "node"), "outer")
+          .select(col("source"), col("node"),
+            coalesce(least(col("s.dist"), col("idist")),
+              col("idist"), col("s.dist")).as("dist"))
+        wave = improved.join(eAll, improved("node") === eAll("src"))
+          .select(col("source"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy(col("source"), col("node")).agg(min(col("dist")).as("dist"))
+        if (i % checkpointEvery == 0) {
+          state = state.localCheckpoint()
+          prevCkpt.foreach(_.unpersist())
+          prevCkpt = Some(state)
+        }
+      }
+    }
+    state
+  }
+
   /** [[run]] with the small-graph escape hatch every iterative operator
     * in this repo has (NearDup.connectedComponentsAdaptive, PageRank
     * .runAdaptive): a graph under `maxDriverEdges` long-triples iterates

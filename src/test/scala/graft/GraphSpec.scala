@@ -266,4 +266,49 @@ class GraphSpec extends SparkTestBase {
       maxDriverEdges = 0L).as[(Long, Long, Long)].collect().toSet
     assert(forced == dist)
   }
+
+  test("sssp: runConverged reaches the fixpoint a generous hop bound agrees with") {
+    val tris = for {
+      a <- 0L to 11L; b <- 0L to 11L
+      if a != b && (a * 5 + b * 11) % 3 == 0
+    } yield (a, b, ((a + 2 * b) % 7) + 1)
+    val edges = weighted(tris: _*)
+    val srcs = Seq(0L, 7L).toDF("source")
+    val conv = graft.graph.ShortestPath.runConverged(edges, srcs, maxIters = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    val bounded = graft.graph.ShortestPath.run(edges, srcs, iters = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(conv == bounded, "fixpoint must equal a hop bound past the diameter")
+  }
+
+  test("sssp: incrementalAdd == full recompute on random edge splits") {
+    val tris = (for {
+      a <- 0L to 14L; b <- 0L to 14L
+      if a != b && (a * 3 + b * 7) % 4 == 0
+    } yield (a, b, ((a * 11 + b) % 9) + 1)).toVector
+    val srcs = Seq(0L, 9L).toDF("source")
+    for (seed <- Seq(1, 2)) {
+      // Deterministic split: ~1/3 of edges arrive late.
+      val (delta, base) = tris.partition { case (a, b, w) => (a + b * seed + w) % 3 == 0 }
+      val full = weighted(tris: _*)
+      val baseD = graft.graph.ShortestPath.runConverged(weighted(base: _*), srcs)
+      val inc = graft.graph.ShortestPath
+        .incrementalAdd(baseD, full, weighted(delta: _*))
+        .as[(Long, Long, Long)].collect().toSet
+      val direct = graft.graph.ShortestPath.runConverged(full, srcs)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == direct,
+        s"seed $seed drift: ${inc.diff(direct)} vs ${direct.diff(inc)}")
+    }
+  }
+
+  test("sssp: incrementalAdd with an empty delta is a no-op (zero waves)") {
+    val edges = weighted((1L, 2L, 3L), (2L, 3L, 4L))
+    val srcs = Seq(1L).toDF("source")
+    val conv = graft.graph.ShortestPath.runConverged(edges, srcs)
+    val inc = graft.graph.ShortestPath
+      .incrementalAdd(conv, edges, weighted())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == conv.as[(Long, Long, Long)].collect().toSet)
+  }
 }
