@@ -3488,6 +3488,28 @@ object SparkEntry {
         blockLen = 4, minSim = 0.85)
     }),
 
+    // --- beyond-reference: reciprocal (mutual-argmax) entity match -------
+    // q_entity_match's one-directional argmax lets many dirty probes pile
+    // onto one popular roster row; this keeps a pair only when each side
+    // is the OTHER's single best (ties by id, both directions) — the 1:1
+    // precision tightening review queues are built on. Same block join
+    // and JW scoring, run ONCE: the two argmax windows re-key the same
+    // scored pairs (Linkage.reciprocalBestMatch).
+    "q_reciprocal_match" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val dirty = c.select(
+        col("c_custkey").as("d_key"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(lit("C"), substring(col("c_name"), 3, 64)))
+          .when(pmod(col("c_custkey"), lit(3)) === 1,
+            concat(substring(col("c_name"), 1, 6), lit("m"), substring(col("c_name"), 7, 64)))
+          .otherwise(concat(lit("Cuts"), substring(col("c_name"), 5, 64)))
+          .as("d_name"))
+      graft.core.Linkage.reciprocalBestMatch(
+        dirty, "d_key", "d_name", c, "c_custkey", "c_name",
+        blockLen = 4, minSim = 0.85)
+    }),
+
     // --- beyond-reference: edit-distance audit of the typo classes -------
     // The metric contrast the linkage kit is built on, read directly:
     // per injected typo class (dropped char / doubled char /
@@ -11018,6 +11040,29 @@ object SparkEntry {
         |  FROM j)
         |SELECT d_key, d_name, c_custkey AS matched_key, round(sim, 6) AS sim
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Mutual argmax: the q_entity_match candidate CTE with row_number
+    // in BOTH directions, both filtered to 1.
+    "q_reciprocal_match" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |d AS (
+        |  SELECT c_custkey AS d_key,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'C' || substr(c_name, 3, 64)
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 6) || 'm' || substr(c_name, 7, 64)
+        |         ELSE 'Cuts' || substr(c_name, 5, 64) END AS d_name
+        |  FROM c),
+        |j AS (
+        |  SELECT d.d_key, d.d_name, c.c_custkey,
+        |    jaro_winkler_similarity(d.d_name, c.c_name) AS sim
+        |  FROM d JOIN c ON right(d.d_name, 4) = right(c.c_name, 4)
+        |  WHERE jaro_winkler_similarity(d.d_name, c.c_name) >= 0.85),
+        |r AS (
+        |  SELECT d_key, d_name, c_custkey, sim,
+        |    row_number() OVER (PARTITION BY d_key ORDER BY sim DESC, c_custkey) AS rp,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY sim DESC, d_key) AS rr
+        |  FROM j)
+        |SELECT d_key, d_name, c_custkey AS matched_key, round(sim, 6) AS sim
+        |FROM r WHERE rp = 1 AND rr = 1""".stripMargin,
 
     // Generated helper: the EM rounds must be textually identical per
     // iteration (and op-for-op identical to Linkage.fellegiSunterEM),

@@ -32,16 +32,60 @@ object Linkage {
       blockLen: Int = 4,
       minSim: Double = 0.85,
   ): DataFrame = {
+    val w = Window.partitionBy(col("d_key")).orderBy(col("sim").desc, col("matched_key"))
+    scored(probes, probeId, probeName, roster, rosterId, rosterName, blockLen, minSim)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d_key"), col("d_name"), col("matched_key"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Blocked candidate scoring shared by [[bestMatch]] and
+    * [[reciprocalBestMatch]]: (d_key, d_name, matched_key, sim ≥
+    * minSim) per in-block pair.
+    */
+  private def scored(
+      probes: DataFrame, probeId: String, probeName: String,
+      roster: DataFrame, rosterId: String, rosterName: String,
+      blockLen: Int, minSim: Double,
+  ): DataFrame = {
     val p = probes.select(col(probeId).as("d_key"), col(probeName).as("d_name"),
       right(col(probeName), lit(blockLen)).as("blk"))
     val r = roster.select(col(rosterId).as("matched_key"), col(rosterName).as("r_name"),
       right(col(rosterName), lit(blockLen)).as("blk"))
-    val w = Window.partitionBy(col("d_key")).orderBy(col("sim").desc, col("matched_key"))
     p.join(r, Seq("blk"))
       .withColumn("sim", graft.functions.GraftFunctions.jaroWinkler(col("d_name"), col("r_name")))
       .filter(col("sim") >= minSim)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  }
+
+  /** RECIPROCAL best match — the mutual-argmax tightening of
+    * [[bestMatch]]: keep (probe, roster) pairs where each side is the
+    * other's single best candidate (ties broken by id, both
+    * directions). The standard precision move in entity resolution:
+    * one-directional argmax happily maps MANY dirty probes onto one
+    * popular roster row; mutuality caps the mapping at 1:1 and drops
+    * exactly the ambiguous probes a human would route to review.
+    *
+    * Same blocked candidate set and codegen'd JW scoring as
+    * [[bestMatch]] (shared [[scored]] plan — the two argmax windows
+    * re-key the SAME scored pairs, so the block join runs once);
+    * deterministic by (sim desc, id asc) in both directions.
+    */
+  def reciprocalBestMatch(
+      probes: DataFrame,
+      probeId: String,
+      probeName: String,
+      roster: DataFrame,
+      rosterId: String,
+      rosterName: String,
+      blockLen: Int = 4,
+      minSim: Double = 0.85,
+  ): DataFrame = {
+    val wP = Window.partitionBy(col("d_key")).orderBy(col("sim").desc, col("matched_key"))
+    val wR = Window.partitionBy(col("matched_key")).orderBy(col("sim").desc, col("d_key"))
+    scored(probes, probeId, probeName, roster, rosterId, rosterName, blockLen, minSim)
+      .withColumn("rp", row_number().over(wP))
+      .withColumn("rr", row_number().over(wR))
+      .filter(col("rp") === 1 && col("rr") === 1)
       .select(col("d_key"), col("d_name"), col("matched_key"), round(col("sim"), 6).as("sim"))
   }
 

@@ -147,4 +147,21 @@ class CoreSpec extends SparkTestBase {
       .as[(String, String)].collect().toMap
     assert(m == Map("g1" -> "EFO_A", "g2" -> "EFO_B", "g3" -> "EFO_C"))
   }
+
+  test("reciprocalBestMatch: mutuality drops the loser of a roster collision") {
+    import org.apache.spark.sql.functions._
+    // Probes "smith" and "smyth" both best-match roster "smith"; only
+    // the exact probe survives mutuality, and bestMatch keeps BOTH.
+    // Blocking key: last 2 chars ("th" shared by all).
+    val probes = Seq((1L, "smith"), (2L, "smyth")).toDF("pid", "pname")
+    val roster = Seq((10L, "smith")).toDF("rid", "rname")
+    val rbm = graft.core.Linkage.reciprocalBestMatch(
+      probes, "pid", "pname", roster, "rid", "rname", blockLen = 2, minSim = 0.5)
+      .select("d_key", "matched_key").as[(Long, Long)].collect().toSet
+    assert(rbm == Set((1L, 10L)), s"only the mutual best survives: $rbm")
+    val bm = graft.core.Linkage.bestMatch(
+      probes, "pid", "pname", roster, "rid", "rname", blockLen = 2, minSim = 0.5)
+      .select("d_key", "matched_key").as[(Long, Long)].collect().toSet
+    assert(bm == Set((1L, 10L), (2L, 10L)), "one-directional argmax keeps both")
+  }
 }
