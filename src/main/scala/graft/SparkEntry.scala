@@ -3953,6 +3953,27 @@ object SparkEntry {
       graft.graph.KCore.peel(edges, k = 3, rounds = 6)
     }),
 
+    // --- beyond-reference: k-truss peeling (triangle cohesion) ---------
+    // The triangle-grade sibling of q_kcore on the same basket graph:
+    // an edge survives only while ≥ k−2 triangles witness it, so
+    // hub-and-spoke stars (which a k-core keeps) fall away and what
+    // remains is the community-core mesh. graph.KTruss: per round one
+    // |E|·deg canonical triangle join with map-side counts; same
+    // fixed-round contract as KCore, oracle = the identical chain
+    // unrolled as MATERIALIZED CTEs.
+    "q_ktruss" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+        .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(posexplode(col("items")).as(Seq("pos", "a")), col("items"))
+        .select(col("a"), explode(slice(col("items"), col("pos") + 2, size(col("items")))).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+        .select(col("a"), col("b"))
+      graft.graph.KTruss.peel(pairs, k = 3, rounds = 2)
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("support"))
+    }),
+
     // --- beyond-reference: Kaplan-Meier reorder survival ---------------
     // Time-to-reorder per market segment: each consecutive order pair is
     // an event observation (gap days), each customer's last order a
@@ -7808,6 +7829,33 @@ object SparkEntry {
     * previous round. MATERIALIZED is load-bearing: every e_i is
     * referenced three times by e_{i+1}, so inlining would blow up 3^R.
     */
+  /** q_ktruss oracle: KTruss.peel's round chain unrolled — per round the
+    * symmetric adjacency, the canonical triangle-support count (inner
+    * join drops zero-support edges, exactly like the Spark count), and
+    * the ≥ k−2 filter.
+    */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM c${r - 1} UNION ALL SELECT b, a FROM c${r - 1}),
+         |p$r AS MATERIALIZED (
+         |  SELECT e.a, e.b, count(*) AS support
+         |  FROM c${r - 1} e
+         |  JOIN s$r x ON x.u = e.a JOIN s$r y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY 1, 2 HAVING count(*) >= ${k - 2}),
+         |c$r AS MATERIALIZED (SELECT a, b FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ip AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |pr AS MATERIALIZED (
+       |  SELECT a.item AS ia, b.item AS ib
+       |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |c0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pr),
+       |$chain
+       |SELECT a AS part_a, b AS part_b, support FROM p$rounds""".stripMargin
+  }
+
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       s"""n$r AS (SELECT src FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $k),
@@ -11189,6 +11237,7 @@ object SparkEntry {
         |CROSS JOIN nb""".stripMargin,
 
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
+    "q_ktruss" -> ktrussOracleSql(k = 3, rounds = 2),
 
     "q_km_survival" ->
       """WITH o AS (

@@ -302,6 +302,36 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  // --- KTruss: fixed-round triangle-support peeling ------------------
+
+  private def canon(pairs: (Long, Long)*) = pairs.toDF("a", "b")
+
+  test("ktruss: pendant dies, triangle survives with support 1; stars vanish") {
+    // Triangle 1-2-3 plus pendant 3-4: the pendant is in no triangle.
+    val got = graft.graph.KTruss.peel(
+      canon((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)), s"got $got")
+    // A star has maximal k-core-ness at the hub but NO triangles.
+    val star = graft.graph.KTruss.peel(
+      canon((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)), k = 3, rounds = 1)
+    assert(star.count() == 0L, "a star must peel to empty — the k-core contrast")
+  }
+
+  test("ktruss: shared edge carries support 2; k=4 peel cascades across rounds") {
+    // Triangles 1-2-3 and 1-3-4 share edge 1-3 (support 2, others 1).
+    val edges = canon((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (3L, 4L))
+    val r1 = graft.graph.KTruss.peel(edges, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((1L, 3L, 2L)), s"round 1 keeps only the doubly-witnessed edge: $r1")
+    // Its witnesses died with the other edges: round 2 must empty it.
+    assert(graft.graph.KTruss.peel(edges, k = 4, rounds = 2).count() == 0L,
+      "the fixed-round contract exposes the cascade")
+    // At k=3 the bowtie is stable: both triangles survive intact.
+    val r3 = graft.graph.KTruss.peel(edges, k = 3, rounds = 3)
+    assert(r3.count() == 5L)
+  }
+
   test("sssp: incrementalAdd with an empty delta is a no-op (zero waves)") {
     val edges = weighted((1L, 2L, 3L), (2L, 3L, 4L))
     val srcs = Seq(1L).toDF("source")
