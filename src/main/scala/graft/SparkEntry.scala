@@ -3974,6 +3974,44 @@ object SparkEntry {
         .select(col("a").as("part_a"), col("b").as("part_b"), col("support"))
     }),
 
+    // --- beyond-reference: degree assortativity (Newman's r) -----------
+    // One number the whole graph kit reads together: do high-degree
+    // parts co-purchase with high-degree parts (r > 0, hub-clustered)
+    // or with leaves (r < 0, hub-and-spoke)? Newman's r is Pearson over
+    // the (deg src, deg dst) pairs of the SYMMETRIZED edge list —
+    // degrees are exact integers, so the q_corr_manual discipline costs
+    // nothing: decimal moment sums (order-free), one fixed IEEE tree.
+    // Scale: a degree aggregation + two stats-sized joins back to edges.
+    "q_assortativity" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+        .groupBy("ok").agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(posexplode(col("items")).as(Seq("pos", "a")), col("items"))
+        .select(col("a"), explode(slice(col("items"), col("pos") + 2, size(col("items")))).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(eager = false) // degree agg + two rejoin consumers
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val pairsDeg = sym
+        .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val d = (c: Column) => c.cast("double")
+      pairsDeg.agg(
+        count(lit(1)).as("n_edges"),
+        sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"),
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+        .select(col("n_edges"),
+          round((d(col("n_edges")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n_edges")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n_edges")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 9)
+            .as("assortativity"))
+    }),
+
     // --- beyond-reference: Kaplan-Meier reorder survival ---------------
     // Time-to-reorder per market segment: each consecutive order pair is
     // an event observation (gap days), each customer's last order a
@@ -11238,6 +11276,32 @@ object SparkEntry {
 
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 6),
     "q_ktruss" -> ktrussOracleSql(k = 3, rounds = 2),
+
+    "q_assortativity" ->
+      """WITH ip AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |pr AS (
+        |  SELECT a.item AS ia, b.item AS ib
+        |  FROM ip a JOIN ip b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT ia AS src, ib AS dst FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        |pd AS (
+        |  SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM sym e JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM pd)
+        |SELECT n_edges,
+        |  round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+        |    AS assortativity
+        |FROM m""".stripMargin,
 
     "q_km_survival" ->
       """WITH o AS (
