@@ -29,9 +29,56 @@ import org.apache.spark.sql.functions._
   * materialized beyond (session, A, B) triples — T²-bounded per
   * session. Supports are exact longs; no float anywhere.
   *
-  * Output: (pattern "a>b"/"a>b>c", k, support), support ≥ `minSupport`.
+  * Split into [[sessionize]] → [[sessionPatterns]] → count so the
+  * streaming appender (EventsStream.seqMiningAppender) mines CLOSED
+  * sessions per micro-batch with the identical per-session stage and
+  * only the final count becomes an incremental fold.
   */
 object SeqMine {
+
+  /** Gap-based sessionization to (u, sid, t, a, tb): one user-keyed
+    * window (lag + running sum share the Exchange and sort).
+    */
+  private[graft] def sessionize(e: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("t", "tb")
+    e.withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("u"), col("sid"), col("t"), col("a"), col("tb"))
+  }
+
+  /** Per-session pattern existence rows (u, sid, pattern, k) for every
+    * 2- and 3-sequence the session witnesses — the order-statistic
+    * folding above, support aggregation left to the caller (batch:
+    * count; streaming: incremental count over closed sessions).
+    */
+  private[graft] def sessionPatterns(sessIn: DataFrame): DataFrame = {
+    val sess = sessIn.localCheckpoint(eager = false) // bounds + B-after pass
+    val bounds = sess.groupBy(col("u"), col("sid"), col("a"))
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .localCheckpoint(eager = false) // three consumers below
+    val p2 = bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn"))
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a2"), col("mx")),
+        Seq("u", "sid"))
+      .filter(col("mn") < col("mx"))
+      .select(col("u"), col("sid"),
+        concat_ws(">", col("a1"), col("a2")).as("pattern"), lit(2).as("k"))
+    val mba = sess
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn")),
+        Seq("u", "sid"))
+      .filter(col("t") > col("mn"))
+      .groupBy(col("u"), col("sid"), col("a1"), col("a").as("a2"))
+      .agg(min(col("t")).as("m2"))
+    val p3 = mba
+      .join(bounds.select(col("u"), col("sid"), col("a").as("a3"), col("mx")),
+        Seq("u", "sid"))
+      .filter(col("mx") > col("m2"))
+      .select(col("u"), col("sid"),
+        concat_ws(">", col("a1"), col("a2"), col("a3")).as("pattern"), lit(3).as("k"))
+    p2.unionByName(p3)
+  }
 
   def frequentSequences(
       events: DataFrame,
@@ -43,41 +90,9 @@ object SeqMine {
       minSupport: Long,
   ): DataFrame = {
     val e = events.select(user.as("u"), tsUs.as("t"), typ.as("a"), tieBreak.as("tb"))
-    val w = Window.partitionBy("u").orderBy("t", "tb")
-    val sess = e
-      .withColumn("prev_t", lag(col("t"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L).otherwise(0L))
-      .withColumn("sid", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("u"), col("sid"), col("t"), col("a"))
-      .localCheckpoint(eager = false) // consumed by bounds AND the B-after pass
-    val bounds = sess.groupBy(col("u"), col("sid"), col("a"))
-      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
-      .localCheckpoint(eager = false) // three consumers below
-    val p2 = bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn"))
-      .join(bounds.select(col("u"), col("sid"), col("a").as("a2"), col("mx")),
-        Seq("u", "sid"))
-      .filter(col("mn") < col("mx"))
-      .groupBy(col("a1"), col("a2"))
+    sessionPatterns(sessionize(e, gapUs))
+      .groupBy(col("pattern"), col("k"))
       .agg(count(lit(1)).as("support"))
-    val mba = sess
-      .join(bounds.select(col("u"), col("sid"), col("a").as("a1"), col("mn")),
-        Seq("u", "sid"))
-      .filter(col("t") > col("mn"))
-      .groupBy(col("u"), col("sid"), col("a1"), col("a").as("a2"))
-      .agg(min(col("t")).as("m2"))
-    val p3 = mba
-      .join(bounds.select(col("u"), col("sid"), col("a").as("a3"), col("mx")),
-        Seq("u", "sid"))
-      .filter(col("mx") > col("m2"))
-      .groupBy(col("a1"), col("a2"), col("a3"))
-      .agg(count(lit(1)).as("support"))
-    p2.select(concat_ws(">", col("a1"), col("a2")).as("pattern"),
-        lit(2).as("k"), col("support"))
-      .unionByName(
-        p3.select(concat_ws(">", col("a1"), col("a2"), col("a3")).as("pattern"),
-          lit(3).as("k"), col("support")))
       .filter(col("support") >= minSupport)
   }
 }

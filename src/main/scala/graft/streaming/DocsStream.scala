@@ -447,7 +447,7 @@ object DocsStream {
     * java.io.File listing returns null for every non-local URI and
     * would silently seed each batch from the EMPTY state).
     */
-  private def stateVersionsBelow(
+  private[streaming] def stateVersionsBelow(
       spark: org.apache.spark.sql.SparkSession,
       statePath: String,
       batchId: Long): Array[Long] = {

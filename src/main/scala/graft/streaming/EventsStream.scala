@@ -345,6 +345,94 @@ object EventsStream {
       }
       .start()
 
+  /** STANDING FREQUENT-SEQUENCE MINING: fold each micro-batch into
+    * [[graft.core.SeqMine]]'s session-pattern supports without ever
+    * rescanning history. The batch unions the standing OPEN-EVENTS
+    * buffer with the new events, sessionizes (the exact batch stage),
+    * CLOSES every session that can no longer grow, mines the closed
+    * sessions with the identical per-session pattern stage, and writes
+    * (a) the closed sessions' (pattern, k, support) delta and (b) the
+    * surviving open events back to the buffer. Support totals are the
+    * SUM over delta versions ([[seqSupports]]); only the final count
+    * becomes an incremental fold — per-session existence is computed
+    * once, exactly, when the session closes.
+    *
+    * CLOSURE RULE — a session closes when its last event precedes the
+    * batch maximum by MORE THAN 2×gap. Under the bounded-disorder
+    * contract (events in later batches carry t ≥ this batch's max − gap,
+    * the dedupedDocs within-watermark discipline) that is exact, not
+    * heuristic: a future event can only join a session whose last event
+    * is within gap of it, i.e. lastT ≥ (maxT − gap) − gap — every such
+    * session is still in the buffer, including both sides of any
+    * to-be-bridged pair. Sessions still open when the stream pauses are
+    * in the buffer, not the results (callers flush by mining the buffer
+    * — the StreamingSpec equality does exactly that).
+    *
+    * REPLAY SAFETY: both sinks ride the versioned layout (r14
+    * discipline). The buffer is REPLACE-state — a batch reads the
+    * single LATEST version strictly below its id (not the union: each
+    * version is the full open set) and overwrites its own `batch=<id>`
+    * partition under both paths, so a re-executed batch reads exactly
+    * what it read the first time and replaces rather than duplicates.
+    *
+    * State size = open events only (sessions close after 2×gap of
+    * silence), the same bounded tier as the sketch appenders.
+    */
+  def seqMiningAppender(
+      events: DataFrame,
+      statePath: String,
+      resultsPath: String,
+      checkpointPath: String,
+      gapUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id",
+  ): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.select(
+          col(userCol).as("u"),
+          unix_micros(col(tsCol).cast("timestamp")).as("t"),
+          col(typeCol).as("a"), col(tieCol).as("tb"))
+        val versions = DocsStream.stateVersionsBelow(spark, statePath, batchId)
+        val buffered =
+          if (versions.isEmpty) batch.limit(0)
+          else spark.read.parquet(s"$statePath/batch=${versions.max}")
+        val all = buffered.unionByName(batch)
+        val sess = graft.core.SeqMine.sessionize(all, gapUs)
+          .localCheckpoint() // three consumers: closure split (semi + anti) + horizon
+        // In-plan closure horizon (1-row broadcast, no collected scalar).
+        val horizon = sess.agg((max(col("t")) - lit(2L * gapUs)).as("h"))
+        val closedKeys = sess.groupBy(col("u"), col("sid"))
+          .agg(max(col("t")).as("lastT"))
+          .crossJoin(broadcast(horizon))
+          .filter(col("lastT") < col("h"))
+          .select(col("u"), col("sid"))
+        val closed = sess.join(closedKeys, Seq("u", "sid"), "left_semi")
+        val open = sess.join(closedKeys, Seq("u", "sid"), "left_anti")
+        graft.core.SeqMine.sessionPatterns(closed)
+          .groupBy(col("pattern"), col("k"))
+          .agg(count(lit(1)).as("support"))
+          .write.mode("overwrite").parquet(s"$resultsPath/batch=$batchId")
+        open.select(col("u"), col("t"), col("a"), col("tb"))
+          .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Reader for [[seqMiningAppender]]'s delta versions: total supports
+    * with the batch threshold applied at read time.
+    */
+  def seqSupports(spark: SparkSession, resultsPath: String, minSupport: Long): DataFrame =
+    spark.read.parquet(resultsPath)
+      .groupBy(col("pattern"), col("k"))
+      .agg(sum(col("support")).as("support"))
+      .filter(col("support") >= minSupport)
+
   /** Drive a streaming DataFrame to a named in-memory table and block
     * until the backlog drains — the local smoke harness.
     */

@@ -1376,4 +1376,76 @@ class StreamingSpec extends SparkTestBase {
         s"only the valid-checksum PAN doc should drop, got $streamed")
     } finally q.stop()
   }
+
+  test("seqMiningAppender: closed sessions mined once, cross-batch bridge buffered, stream ≡ batch; replay idempotent") {
+    import graft.core.SeqMine
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    def ev(rows: (Long, Long, String, Long)*) =
+      rows.toDF("user_id", "t", "event_type", "event_id")
+        .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+          col("event_type"), col("event_id"))
+    // gap = 100 µs. Batch 1: user 1 session (a b c) + user 2 opener (d).
+    // Batch 2: user 1 far-later (a b) — closes the first session — and
+    // user 2's BRIDGE (e at t=120, within gap of 50: one session across
+    // batches, provable only if the buffer carried d). Batch 3: user 1
+    // far-later (c) closes the (a b) session; its own opener stays open.
+    val b1 = ev((1L, 0L, "a", 1L), (1L, 10L, "b", 2L), (1L, 20L, "c", 3L),
+      (2L, 50L, "d", 4L))
+    val b2 = ev((1L, 10000L, "a", 5L), (1L, 10010L, "b", 6L), (2L, 120L, "e", 7L))
+    val b3 = ev((1L, 20000L, "c", 8L))
+    val (inP, stP, resP, ckP) = (tmpDir("seq_in"), tmpDir("seq_state"),
+      tmpDir("seq_res"), tmpDir("seq_ck"))
+    b1.coalesce(1).write.mode("overwrite").parquet(inP)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(inP)
+    Thread.sleep(1100)
+    b3.coalesce(1).write.mode("append").parquet(inP)
+
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q = EventsStream.seqMiningAppender(stream, stP, resP, ckP, gapUs = 100L)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = EventsStream.seqSupports(spark, resP, minSupport = 1L)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed(("a>b", 2)) == 2L, s"both closed user-1 sessions witness a>b: $streamed")
+    assert(streamed(("a>b>c", 3)) == 1L && streamed(("d>e", 2)) == 1L,
+      s"bridged user-2 session must mine as ONE session: $streamed")
+    assert(!streamed.keySet.exists(_._1.contains("c>")) || streamed.get(("c>", 2)).isEmpty)
+
+    // stream + open-buffer flush ≡ one batch mine over the whole feed
+    val latest = new java.io.File(stP).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    val buffer = spark.read.parquet(s"$stP/batch=$latest")
+    val flushed = SeqMine.sessionPatterns(SeqMine.sessionize(buffer, 100L))
+      .groupBy(col("pattern"), col("k")).agg(count(lit(1)).as("support"))
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(flushed.isEmpty, s"the lone trailing event mines nothing: $flushed")
+    val full = SeqMine.frequentSequences(
+      b1.unionByName(b2).unionByName(b3),
+      user = col("user_id"), tsUs = unix_micros(col("ts")), typ = col("event_type"),
+      tieBreak = col("event_id"), gapUs = 100L, minSupport = 1L)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val total = (streamed.keySet ++ flushed.keySet).map(k =>
+      k -> (streamed.getOrElse(k, 0L) + flushed.getOrElse(k, 0L))).toMap
+    assert(total == full, s"stream + flush must equal the batch mine: $total vs $full")
+
+    // REAL replay: re-execute batch 1 — versioned sinks must reproduce
+    // identical supports and buffer (no duplicates, no drift).
+    assert(new java.io.File(s"$ckP/commits/1").delete(),
+      "test harness: expected commit file for batch 1")
+    new java.io.File(s"$ckP/commits/.1.crc").delete()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+    val stream2 = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inP)
+    val q2 = EventsStream.seqMiningAppender(stream2, stP, resP, ckP, gapUs = 100L)
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = EventsStream.seqSupports(spark, resP, minSupport = 1L)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(replayed == streamed, s"replay must be idempotent: $replayed vs $streamed")
+  }
 }
