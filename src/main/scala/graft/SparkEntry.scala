@@ -3621,6 +3621,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tri"))
     }),
 
+    // --- beyond-reference: local clustering coefficient ----------------
+    // q_triangles' counts normalized per node: of the deg·(deg−1)/2
+    // possible ties among a part's neighbors, what fraction close into
+    // triangles? The per-node cohesion read beside the global
+    // q_assortativity number. Integer counts (triangle enumeration +
+    // degree agg), one IEEE tree; nodes of degree < 2 are excluded
+    // (coefficient undefined).
+    "q_clustering_coef" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("pos", "pa")), col("ps"))
+        .select(col("pa"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("pa"), col("pb"))
+        .localCheckpoint(false) // degree + triangle consumers
+      val deg = edges.select(col("pa").as("part")).unionByName(edges.select(col("pb").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("deg"))
+      val tris = edges.select(col("pa").as("a"), col("pb").as("b"))
+        .join(edges.select(col("pa").as("b"), col("pb").as("c")), Seq("b"))
+        .join(edges.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tris, Seq("part"), "left")
+        .select(col("part"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")), 9)
+            .as("clustering"))
+    }),
+
     // --- beyond-reference: population-stability index (PSI) --------------
     // The binned drift monitor ML dashboards actually alert on, beside
     // q_ks_test's exact statistic: reference = even sources, current =
@@ -5902,6 +5936,50 @@ object SparkEntry {
             .as("spearman_rho"))
     }),
 
+    // --- beyond-reference: Kendall tau-b rank agreement ----------------
+    // The pairwise sibling of q_spearman: per ship month, do suppliers
+    // rank the same by total quantity as by total revenue? Tau-b counts
+    // concordant minus discordant supplier PAIRS with the standard tie
+    // correction — every count is an exact integer (sign() is three
+    // decimal comparisons, never a float subtraction), and tau is one
+    // IEEE tree at the end. Scale: the pair join is per-month over the
+    // supplier DIMENSION (aggregate rows, bounded by the roster — never
+    // lineitem²); tie counts ride the same aggregate.
+    "q_kendall_tau" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val m = t(s, dir, "lineitem").select(
+          month(col("l_shipdate").cast("timestamp")).as("mth"),
+          col("l_suppkey"),
+          col("l_quantity").cast("decimal(12,2)").as("q"),
+          col("l_extendedprice").cast("decimal(12,2)").as("r"))
+        .groupBy("mth", "l_suppkey")
+        .agg(sum(col("q")).as("qty"), sum(col("r")).as("rev"))
+        .localCheckpoint(eager = false) // pair join (both sides) + ties + counts
+      val sgn = (a: Column, b: Column) =>
+        when(a > b, 1L).when(a < b, -1L).otherwise(0L)
+      val pairs = m.select(col("mth"), col("l_suppkey").as("ka"),
+          col("qty").as("qa"), col("rev").as("ra"))
+        .join(m.select(col("mth"), col("l_suppkey").as("kb"),
+          col("qty").as("qb"), col("rev").as("rb")), Seq("mth"))
+        .filter(col("ka") < col("kb"))
+        .groupBy("mth")
+        .agg(sum(sgn(col("qa"), col("qb")) * sgn(col("ra"), col("rb"))).as("cmd"))
+      // DOUBLED tie/pair counts (c(c−1), n(n−1)) keep everything in
+      // exact longs — the mannWhitneyU 2·rank trick; the single /2 folds
+      // into the final tree as 2·cmd / sqrt(...).
+      val tq = m.groupBy(col("mth"), col("qty")).agg(count(lit(1)).as("c"))
+        .groupBy("mth").agg(sum(col("c") * (col("c") - 1)).as("t1x2"))
+      val tr = m.groupBy(col("mth"), col("rev")).agg(count(lit(1)).as("c"))
+        .groupBy("mth").agg(sum(col("c") * (col("c") - 1)).as("t2x2"))
+      val nn = m.groupBy("mth").agg(count(lit(1)).as("n_supp"))
+        .withColumn("n0x2", col("n_supp") * (col("n_supp") - 1))
+      nn.join(pairs, Seq("mth")).join(tq, Seq("mth")).join(tr, Seq("mth"))
+        .select(col("mth"), col("n_supp"), col("cmd"),
+          round(lit(2.0) * d(col("cmd")) /
+            sqrt(d(col("n0x2") - col("t1x2")) * d(col("n0x2") - col("t2x2"))), 9)
+            .as("tau_b"))
+    }),
+
     // --- beyond-reference: Mann-Kendall trend test ------------------------
     // The nonparametric "is this series trending?" beside q_acf/q_holt:
     // S = Σ sign(v_b − v_a) over all day pairs per event type (sign on
@@ -7292,6 +7370,37 @@ object SparkEntry {
         .select(col("source"), col("node").as("part"), col("dist"))
     }),
 
+    // --- beyond-reference: harmonic centrality of the seed parts -------
+    // The centrality READOUT of the q_sssp state: Σ 1/dist over reached
+    // parts — harmonic, not closeness, so disconnected pairs cost zero
+    // instead of poisoning the mean. Per-term 1/dist is one correctly-
+    // rounded IEEE division of exact longs, quantized to decimal(28,12)
+    // before the sum (the PageRank mass discipline: partitioning cannot
+    // reorder a decimal sum).
+    "q_harmonic_centrality" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = baskets
+        .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+        .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .withColumn("w", floor(lit(1000.0) / col("n").cast("double")).cast("long"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val sources = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(3).select(col("src").as("source"))
+      graft.graph.ShortestPath.runAdaptive(edges, sources, iters = 6)
+        .filter(col("dist") > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_reached"),
+          sum((lit(1.0) / col("dist").cast("double")).cast("decimal(28,12)")).as("hsum"))
+        .select(col("source"), col("n_reached"),
+          round(col("hsum").cast("double"), 9).as("harmonic"))
+    }),
+
     // --- beyond-reference: interpolated Kneser-Ney bigram LM -----------
     // q_bigram_lm's MLE model assigns unseen bigrams NOTHING (null p) —
     // useless as a quality filter the moment a doc contains one novel
@@ -8084,6 +8193,44 @@ object SparkEntry {
         |  CROSS JOIN (SELECT it + 1 AS nit FROM bf GROUP BY it) i
         |  WHERE i.nit <= 14)
         |SELECT source, node AS part, dist FROM bf WHERE it = 14""".stripMargin,
+
+    // Harmonic readout of the q_sssp recursion: per-term 1/dist
+    // quantized decimal(28,12) before the sum (order-free), self rows
+    // (dist 0) excluded.
+    "q_harmonic_centrality" ->
+      """WITH RECURSIVE
+        |baskets AS (
+        |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+        |  FROM lineitem GROUP BY l_orderkey),
+        |cand AS (
+        |  SELECT ps[i] AS a, ps[j] AS b
+        |  FROM baskets,
+        |       unnest(generate_series(1, len(ps))) t1(i),
+        |       unnest(generate_series(1, len(ps))) t2(j)
+        |  WHERE i < j),
+        |pairs AS (
+        |  SELECT a, b, CAST(floor(1000.0 / count(*)) AS BIGINT) AS w
+        |  FROM cand GROUP BY a, b HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM pairs
+        |          UNION ALL SELECT b, a, w FROM pairs),
+        |srcs AS (SELECT src AS source
+        |         FROM (SELECT DISTINCT src FROM edges ORDER BY src LIMIT 3)),
+        |loop_edges AS (SELECT src, dst, w FROM edges
+        |               UNION ALL
+        |               SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM edges),
+        |bf AS (
+        |  SELECT source, source AS node, CAST(0 AS BIGINT) AS dist, 0 AS it FROM srcs
+        |  UNION ALL
+        |  SELECT m.source, m.node, m.dist, i.nit
+        |  FROM (SELECT p.source, e.dst AS node, min(p.dist + e.w) AS dist
+        |        FROM bf p JOIN loop_edges e ON e.src = p.node
+        |        GROUP BY p.source, e.dst) m
+        |  CROSS JOIN (SELECT it + 1 AS nit FROM bf GROUP BY it) i
+        |  WHERE i.nit <= 6)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_reached,
+        |  round(CAST(sum(CAST(1.0 / CAST(dist AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE), 9)
+        |    AS harmonic
+        |FROM bf WHERE it = 6 AND dist > 0 GROUP BY source""".stripMargin,
 
     // Personalized variant: identical recursion with the seed-masked
     // teleport (init = teleport; floor = (1-d)*tele).
@@ -11107,6 +11254,32 @@ object SparkEntry {
         |  SELECT unnest([a, b, c]) AS part FROM tri)
         |GROUP BY 1""".stripMargin,
 
+    "q_clustering_coef" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT part, count(*) AS deg FROM (
+        |    SELECT pa AS part FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |tn AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT unnest([a, b, c]) AS part FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.part, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+        |  round(2.0 * CAST(coalesce(tn.n_tri, 0) AS DOUBLE) /
+        |    (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)), 9) AS clustering
+        |FROM deg d LEFT JOIN tn ON tn.part = d.part
+        |WHERE d.deg >= 2""".stripMargin,
+
     "q_entity_match" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),
         |d AS (
@@ -13033,6 +13206,36 @@ object SparkEntry {
         |     sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6) + 0
         |    AS spearman_rho
         |FROM mo""".stripMargin,
+
+    // Tau-b with DOUBLED tie/pair counts (exact longs; the mannWhitneyU
+    // 2· trick) — sign() as three decimal comparisons, one IEEE tree.
+    "q_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT CAST(month(l_shipdate) AS INT) AS mth, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT x.mth,
+        |    CAST(sum((CASE WHEN x.qty > y.qty THEN 1 WHEN x.qty < y.qty THEN -1 ELSE 0 END)
+        |           * (CASE WHEN x.rev > y.rev THEN 1 WHEN x.rev < y.rev THEN -1 ELSE 0 END)) AS BIGINT) AS cmd
+        |  FROM m x JOIN m y ON x.mth = y.mth AND x.l_suppkey < y.l_suppkey
+        |  GROUP BY 1),
+        |tq AS (
+        |  SELECT mth, CAST(sum(c * (c - 1)) AS BIGINT) AS t1x2 FROM (
+        |    SELECT mth, qty, count(*) AS c FROM m GROUP BY 1, 2) GROUP BY 1),
+        |tr AS (
+        |  SELECT mth, CAST(sum(c * (c - 1)) AS BIGINT) AS t2x2 FROM (
+        |    SELECT mth, rev, count(*) AS c FROM m GROUP BY 1, 2) GROUP BY 1),
+        |nn AS (
+        |  SELECT mth, CAST(count(*) AS BIGINT) AS n_supp,
+        |    CAST(count(*) * (count(*) - 1) AS BIGINT) AS n0x2
+        |  FROM m GROUP BY 1)
+        |SELECT nn.mth, nn.n_supp, cd.cmd,
+        |  round(2.0 * CAST(cd.cmd AS DOUBLE) /
+        |    sqrt(CAST(nn.n0x2 - tq.t1x2 AS DOUBLE) * CAST(nn.n0x2 - tr.t2x2 AS DOUBLE)), 9) AS tau_b
+        |FROM nn JOIN cd ON cd.mth = nn.mth
+        |JOIN tq ON tq.mth = nn.mth JOIN tr ON tr.mth = nn.mth""".stripMargin,
 
     // sign() on exact decimals; tie-corrected variance from exact
     // integer group sizes; one division by 18.
