@@ -2996,13 +2996,15 @@ object SparkEntry {
     // minimum — SeqMine.scala's exactness argument), so no session is
     // ever scanned per pattern and nothing recursive grows: supports
     // are counts over (session, type)-grain aggregate rows, exact longs
-    // end to end.
+    // end to end. The threshold is RELATIVE (2% of sessions, in-plan
+    // broadcast scalar) so the same query discriminates at every scale
+    // instead of emptying below sf0.01.
     "q_seq_mining" -> ((s, dir) =>
-      graft.core.SeqMine.frequentSequences(
+      graft.core.SeqMine.frequentSequencesFrac(
         t(s, dir, "events"),
         user = col("user_id"), tsUs = tsUs(col("ts")), typ = col("event_type"),
         tieBreak = col("event_id"),
-        gapUs = 12L * 3600 * 1000000, minSupport = 50L)),
+        gapUs = 12L * 3600 * 1000000, minSupportFrac = 0.02)),
 
     // --- beyond-reference: ordered group concatenation (LISTAGG) ---------
     // Time-ordered sequence building (the "events → training sequence"
@@ -10828,11 +10830,17 @@ object SparkEntry {
         |p3 AS (
         |  SELECT m.a1, m.a2, c.a AS a3, count(*) AS support
         |  FROM mba m JOIN bounds c ON m.u = c.u AND m.sid = c.sid
-        |  WHERE c.mx > m.m2 GROUP BY 1, 2, 3)
-        |SELECT a1 || '>' || a2 AS pattern, 2 AS k, support FROM p2 WHERE support >= 50
+        |  WHERE c.mx > m.m2 GROUP BY 1, 2, 3),
+        |ns AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT u, sid FROM sm)),
+        |thr AS (
+        |  SELECT CAST(ceil(0.02 * CAST(n_sessions AS DOUBLE)) AS BIGINT) AS t FROM ns)
+        |SELECT a1 || '>' || a2 AS pattern, 2 AS k, support
+        |FROM p2, thr WHERE support >= t
         |UNION ALL
         |SELECT a1 || '>' || a2 || '>' || a3 AS pattern, 3 AS k, support
-        |FROM p3 WHERE support >= 50""".stripMargin,
+        |FROM p3, thr WHERE support >= t""".stripMargin,
 
     "q_listagg" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -95,4 +95,32 @@ object SeqMine {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** [[frequentSequences]] with a RELATIVE threshold — support ≥
+    * ceil(frac · total sessions), the scale-stable way to say "frequent"
+    * (an absolute count silently empties at smaller corpora and stops
+    * discriminating at larger ones). The session total rides in as a
+    * broadcast 1-row cross join (in-plan scalar, no collected count).
+    */
+  def frequentSequencesFrac(
+      events: DataFrame,
+      user: Column,
+      tsUs: Column,
+      typ: Column,
+      tieBreak: Column,
+      gapUs: Long,
+      minSupportFrac: Double,
+  ): DataFrame = {
+    val e = events.select(user.as("u"), tsUs.as("t"), typ.as("a"), tieBreak.as("tb"))
+    val sess = sessionize(e, gapUs).localCheckpoint(eager = false) // patterns + count
+    val nSess = sess.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    sessionPatterns(sess)
+      .groupBy(col("pattern"), col("k"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nSess))
+      .filter(col("support") >=
+        ceil(lit(minSupportFrac) * col("n_sessions").cast("double")).cast("long"))
+      .select(col("pattern"), col("k"), col("support"))
+  }
 }
