@@ -181,6 +181,46 @@ object PageRank {
     nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
   }
 
+  /** [[runPersonalized]] with the same small-graph escape hatch as
+    * [[runAdaptive]] — identical sizing rule, identical decimal(28,12)
+    * HALF_UP contribution quantization, BIT-IDENTICAL blend order. The
+    * teleport column is evaluated by Spark itself over the collected
+    * node set (one LocalRelation projection, no shuffle), so the driver
+    * tier sees exactly the per-node teleport the distributed loop
+    * would — seed predicates cannot drift between the paths.
+    */
+  def runPersonalizedAdaptive(
+      edges: DataFrame,
+      isSeed: org.apache.spark.sql.Column,
+      iters: Int,
+      damping: Double = 0.85,
+      maxDriverEdges: Long = 2_000_000L,
+  ): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint(false)
+    if (e.count() > maxDriverEdges) return runPersonalized(e, isSeed, iters, damping)
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = deg.keys.toArray.sorted
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tele = nodes.toSeq.toDF("node")
+      .select(col("node"), when(isSeed, lit(1.0)).otherwise(lit(0.0)).as("tele"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var rank = nodes.map(n => n -> tele(n)).toMap
+    for (_ <- 1 to iters) {
+      val mass = collection.mutable.Map.empty[Long, java.math.BigDecimal]
+      es.foreach { case (s, d) =>
+        val contrib = java.math.BigDecimal.valueOf(rank(s) / deg(s))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        mass.updateWith(d)(prev => Some(prev.fold(contrib)(_.add(contrib))))
+      }
+      rank = nodes.map { n =>
+        n -> ((1.0 - damping) * tele(n) + damping * mass.get(n).fold(0.0)(_.doubleValue))
+      }.toMap
+    }
+    nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank")
+  }
+
   /** [[runWeighted]] with the same small-graph escape hatch as
     * [[runAdaptive]] — identical sizing rule, identical quantization,
     * BIT-IDENTICAL to the distributed weighted path: the driver's

@@ -194,6 +194,100 @@ object ShortestPath {
     state
   }
 
+  /** [[runConverged]] with the same small-graph escape hatch as
+    * [[runAdaptive]]: under `maxDriverEdges` long-triples the fixpoint
+    * iterates in driver memory (full-edge relaxation sweeps with
+    * early-exit on an unchanged sweep — each sweep reads the previous
+    * sweep's map, exactly one distributed round) instead of paying up to
+    * `maxIters` rounds of scheduler latency. Pure long min-plus admits no
+    * accumulation-order effects and converged fixpoints are unique, so
+    * the two paths are bit-identical (GraphSpec pins it). The sizing
+    * count shares the lazily-checkpointed edge subtree with whichever
+    * path runs.
+    */
+  def runConvergedAdaptive(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxIters: Int = 30,
+      checkpointEvery: Int = 3,
+      maxDriverEdges: Long = 2000000L,
+  ): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("long"))
+      .localCheckpoint(eager = false)
+    if (e.count() <= maxDriverEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val srcs = sources.select(col("source").cast("long")).collect().map(_.getLong(0))
+      driverConverged(e.sparkSession,
+        srcs.map(s => s -> scala.collection.mutable.LongMap(s -> 0L)).toSeq, es, maxIters)
+    } else runConverged(e, sources, maxIters, checkpointEvery)
+  }
+
+  /** [[incrementalAdd]] with the driver escape hatch: under
+    * `maxDriverEdges` the converged base state (bounded by
+    * sources × reached nodes — the same state every distributed round
+    * shuffles anyway) and the post-addition edge set collect, and
+    * relaxation sweeps run to the fixpoint in driver memory. Distances
+    * only decrease under edge addition and the fixpoint is unique, so
+    * sweeping the FULL edge set from the stale state converges to
+    * exactly what the distributed improvement wavefront converges to
+    * (GraphSpec pins driver ≡ distributed ≡ full recompute).
+    */
+  def incrementalAddAdaptive(
+      dist: DataFrame,
+      edgesAll: DataFrame,
+      newEdges: DataFrame,
+      maxIters: Int = 30,
+      checkpointEvery: Int = 3,
+      maxDriverEdges: Long = 2000000L,
+  ): DataFrame = {
+    val eAll = edgesAll
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("long"))
+      .localCheckpoint(eager = false)
+    if (eAll.count() <= maxDriverEdges) {
+      val es = eAll.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val state = dist
+        .select(col("source").cast("long"), col("node").cast("long"), col("dist").cast("long"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (s, rows) =>
+          s -> scala.collection.mutable.LongMap(rows.map(r => r.getLong(1) -> r.getLong(2)): _*)
+        }.toSeq
+      driverConverged(eAll.sparkSession, state, es, maxIters)
+    } else incrementalAdd(dist, eAll, newEdges, maxIters, checkpointEvery)
+  }
+
+  /** Shared driver-memory fixpoint: full-edge relaxation sweeps from the
+    * given per-source state, early-exit when a sweep changes nothing,
+    * loudly capped at `maxIters` sweeps like the distributed rounds.
+    */
+  private def driverConverged(
+      spark: org.apache.spark.sql.SparkSession,
+      init: Seq[(Long, scala.collection.mutable.LongMap[Long])],
+      es: Array[(Long, Long, Long)],
+      maxIters: Int,
+  ): DataFrame = {
+    import spark.implicits._
+    init.flatMap { case (s, init0) =>
+      var dist = init0
+      var i = 0
+      var changed = true
+      while (i < maxIters && changed) {
+        val next = dist.clone()
+        changed = false
+        es.foreach { case (u, v, w) =>
+          dist.get(u).foreach { du =>
+            val cand = du + w
+            if (next.get(v).forall(_ > cand)) { next(v) = cand; changed = true }
+          }
+        }
+        dist = next
+        i += 1
+      }
+      dist.toSeq.map { case (n, d) => (s, n, d) }
+    }.toDF("source", "node", "dist")
+  }
+
   /** [[run]] with the small-graph escape hatch every iterative operator
     * in this repo has (NearDup.connectedComponentsAdaptive, PageRank
     * .runAdaptive): a graph under `maxDriverEdges` long-triples iterates

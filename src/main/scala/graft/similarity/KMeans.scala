@@ -99,6 +99,72 @@ object KMeans {
     cents
   }
 
+  /** FUSED multi-subspace Lloyd — the PQ codebook fit
+    * ([[Ann.pqCodebooks]]) done in ONE Spark job per iteration instead of
+    * one fit per subspace. The m per-subspace fits are independent, but
+    * each costs (assign + agg + collect) jobs over the same corpus; at m=8
+    * that was ~24 jobs (and 8 extra localCheckpoints) per PQ query, all
+    * scheduler latency at bench scale and ~m redundant corpus scans at
+    * 100 TB. Here every iteration computes ALL subspace assignments in one
+    * codegen'd projection, posexplodes to (s, cluster, subvec) — each
+    * element of the input crosses the (partially-aggregated) shuffle
+    * exactly once, unlike the full-dim posexplode [[lloyd]]'s scaladoc
+    * rejects — and one groupBy(s, cluster) yields every subspace's decimal
+    * sums together.
+    *
+    * BIT-IDENTICAL to the per-subspace loop by construction: the same
+    * scored-struct assignment (shared [[scoredBest]] builder — same
+    * cosineSim kernel, tie-break, NaN pin), the same per-subspace init
+    * (first k rows by id, sliced), and the same decimal(28,12) per-element
+    * sums — decimal addition is exact, so neither fusion nor partitioning
+    * can reorder a result (SimilaritySpec pins fused ≡ per-subspace).
+    *
+    * @param normed (id, v: array<double>) with |v| = m·dsub — callers pass
+    *               the already-normalized corpus; checkpointed here once.
+    */
+  def fitSubspaces(
+      normed: DataFrame,
+      m: Int,
+      dsub: Int,
+      k: Int,
+      iters: Int,
+  ): Array[Array[Array[Double]]] = {
+    require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
+      s"bad pq-fit config m=$m dsub=$dsub k=$k iters=$iters")
+    val v = normed.select(col("id"), col("v")).localCheckpoint(false)
+    val initRows = v.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(initRows.length > 0, "kmeans: empty input")
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map(full => full.slice(s * dsub, s * dsub + dsub))
+    }
+    val sums = (0 until dsub).map(i =>
+      sum(element_at(col("sv"), i + 1).cast("decimal(28,12)")).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val subCols = (0 until m).map { s =>
+        val sub = slice(col("v"), s * dsub + 1, dsub)
+        struct(
+          (-scoredBest(sub, cents(s)).getField("negc")).as("cluster"),
+          sub.as("sv"))
+      }
+      val updated = v
+        .select(posexplode(array(subCols: _*)).as(Seq("s", "sc")))
+        .select(col("s"), col("sc.cluster").as("cluster"), col("sc.sv").as("sv"))
+        .groupBy(col("s"), col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      updated.foreach { r =>
+        val s = r.getAs[Int]("s")
+        val c = r.getAs[Int]("cluster")
+        val n = r.getAs[Long]("n").toDouble
+        next(s)(c) = Array.tabulate(dsub)(i => r.getAs[java.math.BigDecimal](s"s$i").doubleValue / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** Assignment against FROZEN centroids — the standing-index path
     * (SemDeDup's incremental store, IVF serving): no fit, one
     * broadcast-literal codegen'd projection over the batch. Same
@@ -124,22 +190,29 @@ object KMeans {
     * the cosine floor (−1) instead, making bad input visible as its own
     * deterministic worst-sim assignment.
     */
-  private def assign(v: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        nanvl(cosineSim(col("v"), array(c.map(lit(_)): _*)), lit(-2.0)).as("sim"),
-        lit(-i).as("negc"),
-      )
-    }
+  private def assign(v: DataFrame, cents: Array[Array[Double]]): DataFrame =
     v.select(
       col("id"),
       col("v"),
-      array_max(array(scored: _*)).as("best"),
+      scoredBest(col("v"), cents).as("best"),
     ).select(
       col("id"),
       col("v"),
       (-col("best.negc")).as("cluster"),
       col("best.sim").as("sim"),
     )
-  }
+
+  /** The argmax struct shared by every assignment path (full-dim fit,
+    * frozen-model assign, fused subspace fit): max over
+    * struct(sim, -cluster) — ties to the LOWER cluster id, NaN sims
+    * pinned to −2.0 (see [[assign]]'s scaladoc). Centralized so the
+    * fused and per-subspace fits cannot drift.
+    */
+  private def scoredBest(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        nanvl(cosineSim(vec, array(c.map(lit(_)): _*)), lit(-2.0)).as("sim"),
+        lit(-i).as("negc"),
+      )
+    }: _*))
 }

@@ -341,4 +341,92 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(inc == conv.as[(Long, Long, Long)].collect().toSet)
   }
+
+  // ---- r14 driver-tier pins: every new adaptive escape hatch must be
+  // bit-identical to its distributed path (the PageRank.runAdaptive
+  // discipline — equality, not approximation).
+
+  test("sssp: runConvergedAdaptive / incrementalAddAdaptive == distributed") {
+    val tris = (for {
+      a <- 0L to 12L; b <- 0L to 12L
+      if a != b && (a * 3 + b * 7) % 4 == 0
+    } yield (a, b, ((a * 11 + b) % 9) + 1)).toVector
+    val srcs = Seq(0L, 9L).toDF("source")
+    val full = weighted(tris: _*)
+    val drv = graft.graph.ShortestPath.runConvergedAdaptive(full, srcs)
+      .as[(Long, Long, Long)].collect().toSet
+    val dist = graft.graph.ShortestPath.runConvergedAdaptive(full, srcs,
+      maxDriverEdges = 0L).as[(Long, Long, Long)].collect().toSet
+    assert(drv == dist, s"converged driver/distributed drift: ${drv.diff(dist)} / ${dist.diff(drv)}")
+    val (delta, base) = tris.partition { case (a, b, w) => (a + b + w) % 3 == 0 }
+    val baseD = graft.graph.ShortestPath.runConvergedAdaptive(weighted(base: _*), srcs)
+    val incDrv = graft.graph.ShortestPath
+      .incrementalAddAdaptive(baseD, full, weighted(delta: _*))
+      .as[(Long, Long, Long)].collect().toSet
+    val incDist = graft.graph.ShortestPath
+      .incrementalAddAdaptive(baseD, full, weighted(delta: _*), maxDriverEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incDrv == incDist && incDrv == dist,
+      s"incremental driver/distributed drift:\n drv=$incDrv\n dist=$incDist\n full=$dist")
+  }
+
+  test("LabelProp.runAdaptive == run (long weights); non-long falls through") {
+    import graft.graph.LabelProp
+    val edges = (Seq((0L, 1L, 5L), (1L, 2L, 5L), (3L, 4L, 7L), (2L, 3L, 1L)) ++
+      Seq((1L, 0L, 5L), (2L, 1L, 5L), (4L, 3L, 7L), (3L, 2L, 1L)))
+      .toDF("src", "dst", "weight")
+    val drv = LabelProp.runAdaptive(edges, iters = 4).as[(Long, Long)].collect().toSet
+    val dist = LabelProp.run(edges, iters = 4).as[(Long, Long)].collect().toSet
+    assert(drv == dist, s"LabelProp drift:\n drv=$drv\n dist=$dist")
+    // the forced-distributed branch agrees too
+    val forced = LabelProp.runAdaptive(edges, iters = 4, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(forced == dist)
+    // fractional weights must take the distributed path (exact-vote guard)
+    val frac = edges.withColumn("weight", col("weight").cast("double") / 2.0)
+    val fd = LabelProp.runAdaptive(frac, iters = 2).as[(Long, Long)].collect().toSet
+    assert(fd == LabelProp.run(frac, iters = 2).as[(Long, Long)].collect().toSet)
+  }
+
+  test("Hits.runAdaptive == run, all three round budgets") {
+    import graft.graph.Hits
+    val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
+      .toDF("src", "dst")
+    for (r <- 1 to 3) {
+      val drv = Hits.runAdaptive(edges, rounds = r)
+        .as[(String, Long, Long, Double)].collect().toSet
+      val dist = Hits.run(edges, rounds = r)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(drv == dist, s"HITS drift at rounds=$r:\n drv=$drv\n dist=$dist")
+    }
+  }
+
+  test("KCore.peelAdaptive == peel; KTruss.peelAdaptive == peel") {
+    // clique 0-3 (deg 3) + a pendant chain 3-4-5: peeling at k=3 must
+    // keep only the clique, and the truss support inside it is 2.
+    val cliquePairs = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val canon = (cliquePairs ++ Seq((3L, 4L), (4L, 5L))).toDF("a", "b")
+    val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+    val kcDrv = graft.graph.KCore.peelAdaptive(sym, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    val kcDist = graft.graph.KCore.peel(sym, k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(kcDrv == kcDist, s"KCore drift:\n drv=$kcDrv\n dist=$kcDist")
+    val ktDrv = graft.graph.KTruss.peelAdaptive(canon, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val ktDist = graft.graph.KTruss.peel(canon, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ktDrv == ktDist, s"KTruss drift:\n drv=$ktDrv\n dist=$ktDist")
+  }
+
+  test("PageRank.runPersonalizedAdaptive == runPersonalized, bit-identical") {
+    val edges = undirected((0L, 1L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val seed = col("node") % 2 === 0
+    val drv = PageRank.runPersonalizedAdaptive(edges, seed, iters = 6)
+      .as[(Long, Double)].collect().toMap
+    val dist = PageRank.runPersonalizedAdaptive(edges, seed, iters = 6,
+      maxDriverEdges = 0L).as[(Long, Double)].collect().toMap
+    assert(drv == dist, s"PPR drift:\n drv=$drv\n dist=$dist")
+  }
 }

@@ -450,6 +450,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(fit() == m, "rerun diverged — fit not deterministic")
   }
 
+  test("fitSubspaces == independent per-subspace KMeans.centroids, bit for bit") {
+    // 8-dim vectors, m=2 subspaces of 4 dims: the fused one-job-per-
+    // iteration fit must reproduce the per-subspace Lloyd loop EXACTLY
+    // (same init, same assignment tie-breaks, same decimal sums).
+    val rows = (0 until 14).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11).toDouble - 5.0 + 0.25 * d))
+    }
+    val df = rows.toDF("id", "v")
+    val fused = KMeans.fitSubspaces(df, m = 2, dsub = 4, k = 3, iters = 3)
+    val solo = (0 until 2).map { s =>
+      KMeans.centroids(
+        df.select(col("id"), slice(col("v"), s * 4 + 1, 4).as("v")),
+        "id", "v", k = 3, dim = 4, iters = 3)
+    }.toArray
+    assert(fused.length == solo.length)
+    for (s <- fused.indices; c <- fused(s).indices)
+      assert(fused(s)(c).toSeq == solo(s)(c).toSeq,
+        s"subspace $s centroid $c drifted:\n fused=${fused(s)(c).toSeq}\n solo=${solo(s)(c).toSeq}")
+  }
+
   test("kmeans assignment is a fixpoint once converged") {
     val a = KMeans.lloyd(blobs, "vec_id", "embedding", k = 2, dim = 4, iters = 2)
       .select("id", "cluster", "sim").as[(Long, Int, Double)].collect().toSet
