@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for perf work — not part of the library surface.
   *
-  * Current experiment: FuseRegexCount. The readability/script-detect
-  * family counts pattern runs with the double-regexp_replace identity —
-  * two full regex-engine passes plus two rewritten string copies per
-  * row. The injected rule fuses that to the one-scan RegexCount /
-  * RegexMatchedChars kernels. Measure the full q_readability-shaped
-  * scan (3 run counts per doc) both ways on sf0.1 documents; the
-  * "unfused" control is the XY/Y replacement twin the rule deliberately
-  * leaves alone (same two-scan work, same values).
+  * Current experiment (r14): split the remaining bench-scale hot queries
+  * into their stages to see which ones carry the seconds.
+  *  - the basket-pair substrate (lineitem → co-purchase edges) feeds ~10
+  *    graph queries; time its three stages separately;
+  *  - q_bradley_terry = comp aggregation (real work) vs MM rounds
+  *    (bounded model) — which side is the 3.4 s?
+  *  - the trivial-query floor: one small join, timed end-to-end, tells
+  *    us the per-query fixed cost nothing algorithmic can beat.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -43,105 +43,78 @@ object Scratch {
       println(f"[scratch] $label: ${best / 1e9}%.2f s"); r
     }
 
-    import org.apache.spark.sql.Column
-    // The suite corpus is small (~300 chars/doc), so whole-query numbers
-    // are job-overhead-bounded; SPARK_GRAFT_REPEAT inflates per-row text
-    // to measure the pure per-row kernel factor (the number that scales
-    // to 100 TB, where the scan IS the cost).
-    val rep = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-    val docs = (if (rep > 1) docs0.withColumn("text", repeat(col("text"), rep))
-                else docs0).persist()
-    docs.count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    def fused(c: Column, pat: String): Column =
-      length(regexp_replace(c, pat, "X")) - length(regexp_replace(c, pat, ""))
-    def twin(c: Column, pat: String): Column =
-      length(regexp_replace(c, pat, "XY")) - length(regexp_replace(c, pat, "Y"))
+    // ---- basket-pair substrate stages ---------------------------------
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def baskets = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    def rawPairs = baskets
+      .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+    def pairs = rawPairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    time("baskets only (groupBy collect_set)")(noop(baskets))
+    time("baskets + pair explosion (no second agg)")(noop(rawPairs))
+    time("full pair substrate (second agg + filter)")(noop(pairs))
+    val nPairsRaw = rawPairs.count()
+    val nPairs = pairs.count()
+    println(s"[scratch] raw pair rows: $nPairsRaw, surviving (n>=2): $nPairs")
 
-    def readabilityScan(runs: (Column, String) => Column) = {
-      val low = lower(col("text"))
-      docs.select(
-        runs(col("text"), "\\S+").cast("long").as("words"),
-        runs(col("text"), "[.!?]+").cast("long").as("sents"),
-        runs(low, "[aeiouy]+").cast("long").as("sylls"))
-        .agg(sum("words"), sum("sents"), sum("sylls")).collect()
+    // ---- q_bradley_terry split ----------------------------------------
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    def cTab = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    def comp = {
+      val c = cTab
+      val a = c.toDF("user_id", "ta", "ca")
+      val b = c.toDF("user_id", "tb", "cb")
+      a.join(b, Seq("user_id"))
+        .filter(col("ta") =!= col("tb") && col("ca") > col("cb"))
+        .groupBy(col("ta").as("winner"), col("tb").as("loser"))
+        .agg(count(lit(1)).as("n"))
     }
+    time("bradley_terry: comp aggregation only")(noop(comp))
+    time("bradley_terry: full (comp + 3 MM rounds)")(
+      noop(graft.core.Preference.bradleyTerry(comp, "winner", "loser", "n", iters = 3)))
 
-    val a = time("readability-shape scan, UNFUSED double regexp_replace")(
-      readabilityScan(twin))
-    val b = time("readability-shape scan, FUSED graft_regex_count")(
-      readabilityScan(fused))
-    require(a.head == b.head, s"value drift: ${a.head} vs ${b.head}")
+    // ---- substring-dedup stages ----------------------------------------
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    println(s"[scratch] docs: ${docs.count()} rows, ${docs.agg(sum(length(col("text")))).head().getLong(0)} chars")
+    import graft.text.SubstringDedup
+    time("substr: gramStream stride-1 gen only")(
+      noop(SubstringDedup.gramStream(docs, "doc_id", "text", 40, 1)))
+    time("substr: sharedSpans full")(
+      noop(SubstringDedup.sharedSpans(docs, "doc_id", "text", gramLen = 40, minSpan = 60)))
+    time("substr: removeShared full (scrub)")(
+      noop(SubstringDedup.removeShared(docs, "doc_id", "text", gramLen = 40, minSpan = 60)))
 
-    // matched-chars shape (q_script_detect's volume counter)
-    def volUnfused = docs.select(
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[a-zA-Z]+", "Y")) +
-        fused(col("text"), "[a-zA-Z]+")).cast("long").as("v"))
-      .agg(sum("v")).collect()
-    def volFused = docs.select(
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[a-zA-Z]+", ""))).cast("long").as("v"))
-      .agg(sum("v")).collect()
-    val c1 = time("matched-chars scan, UNFUSED")(volUnfused)
-    val c2 = time("matched-chars scan, FUSED graft_regex_matched_chars")(volFused)
-    require(c1.head == c2.head, s"value drift: ${c1.head} vs ${c2.head}")
+    // ---- containment/setsim incremental stages -------------------------
+    import graft.similarity.SetSimJoin
+    val shingles = graft.text.TextAnalysis.wordShingles(col("text"), 3)
+    time("setsim: buildIndex only")({
+      val (a, b) = SetSimJoin.buildIndex(docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      noop(a); noop(b)
+    })
+    time("containment_incremental: full")({
+      val idx = SetSimJoin.buildIndex(docs.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      noop(SetSimJoin.containmentIncrement(docs.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5))
+    })
+    time("setsim_incremental: full")({
+      val idx2 = SetSimJoin.buildIndex(docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), shingles)
+      noop(SetSimJoin.selfJoinIncrement(docs.filter(col("doc_id") % 2 === 0), col("doc_id"), shingles, idx2, t = 0.5))
+    })
 
-    // ---- FuseRegexChain: the ordered PII rulebook (q_pii_scrub shape) --
-    // Control: the same 4-pass fold built through per-pass VIEWS with a
-    // non-literal (concat-built) pattern so the chain rule cannot touch
-    // it — each pass is a genuine regexp_replace scan+copy. Fused: the
-    // direct kernel. Most docs match nothing, so the kernel's zero-copy
-    // no-match skip (one decode + N find()s, no rebuild) carries the
-    // win; SPARK_GRAFT_REPEAT again isolates the per-row factor.
-    val piiRules = Seq(
-      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
-      "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",
-      "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<ID>",
-      "https?://\\S+" -> "<URL>")
-    def chainUnfused = docs.select(
-      sum(length(piiRules.foldLeft(lower(col("text"))) {
-        case (acc, (p, r)) => regexp_replace(acc, p, r)
-      })).as("s")).collect()
-    def chainFused = docs.select(
-      sum(length(graft.functions.GraftFunctions.regexChain(
-        lower(col("text")), piiRules))).as("s")).collect()
-    // this session carries the rule, which would silently fuse the
-    // control — exclude it (by ruleName) for the unfused timing only
-    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.FuseRegexChain")
-    val controlPlan = docs.select(piiRules.foldLeft(lower(col("text"))) {
-      case (acc, (p, r)) => regexp_replace(acc, p, r)
-    }).queryExecution.optimizedPlan.toString
-    require(controlPlan.contains("regexp_replace"),
-      s"excludedRules did not disable the rule; control is fused:\n$controlPlan")
-    val u = time("pii rulebook, UNFUSED 4-pass regexp_replace fold")(chainUnfused)
-    spark.conf.unset("spark.sql.optimizer.excludedRules")
-    val f = time("pii rulebook, FUSED graft_regex_chain")(chainFused)
-    require(u.head == f.head, s"value drift: ${u.head} vs ${f.head}")
-
-    // Match-HEAVY rulebook: every pass rewrites every row, so the
-    // unfused chain pays 4 full rebuild+decode+encode cycles per row
-    // where the kernel pays 4 rebuilds + 1 decode + 1 encode — the
-    // copy-dominated regime (normalization rulebooks, not PII scrubs).
-    val heavyRules = Seq(
-      "[aeiouy]+" -> "V",
-      "[0-9]+" -> "N",
-      "\\s{2,}" -> " ",
-      "[.,;:!?]+" -> "")
-    def heavyUnfused = docs.select(
-      sum(length(heavyRules.foldLeft(lower(col("text"))) {
-        case (acc, (p, r)) => regexp_replace(acc, p, r)
-      })).as("s")).collect()
-    def heavyFused = docs.select(
-      sum(length(graft.functions.GraftFunctions.regexChain(
-        lower(col("text")), heavyRules))).as("s")).collect()
-    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.FuseRegexChain")
-    val hu = time("match-heavy rulebook, UNFUSED")(heavyUnfused)
-    spark.conf.unset("spark.sql.optimizer.excludedRules")
-    val hf = time("match-heavy rulebook, FUSED graft_regex_chain")(heavyFused)
-    require(hu.head == hf.head, s"value drift: ${hu.head} vs ${hf.head}")
-
+    // ---- trivial-query floor ------------------------------------------
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    time("floor: orders join customer + agg")(
+      noop(ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), sum("o_totalprice"))))
+    time("floor: single parquet scan + count agg")(
+      noop(ord.groupBy("o_orderstatus").agg(count(lit(1)))))
     spark.stop()
   }
 }

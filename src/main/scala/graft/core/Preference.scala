@@ -35,8 +35,10 @@ object Preference {
     * Returns (item, wins, strength) after `iters` rounds.
     */
   def bradleyTerry(comp: DataFrame, winnerCol: String, loserCol: String,
-                   nCol: String, iters: Int = 3): DataFrame = {
+                   nCol: String, iters: Int = 3,
+                   maxDriverPairs: Int = 2000000): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters in [1,16], got $iters")
+    require(maxDriverPairs >= 0, s"maxDriverPairs must be >= 0, got $maxDriverPairs")
     val base = comp.select(
       col(winnerCol).as("w"), col(loserCol).as("l"),
       col(nCol).cast("long").as("n"))
@@ -56,17 +58,61 @@ object Preference {
     // headOption shape: an EMPTY comparison table skips the guard and
     // falls through to the prior behavior (an empty model), instead of
     // throwing an opaque NoSuchElementException here.
-    pairT.select(col("i").as("item")).distinct()
+    val anchor = pairT.select(col("i").as("item")).distinct()
       .orderBy(col("item").asc).limit(1)
       .join(wins, Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("w0"))
-      .take(1).headOption.foreach { anchorWins =>
-        require(anchorWins.getLong(1) > 0L,
-          s"bradleyTerry: anchor item '${anchorWins.get(0)}' (smallest by " +
-            "key) has zero wins - its strength is 0 and rescaling by it " +
-            "would NaN the model; drop winless items or re-key so the " +
-            "anchor has at least one recorded win.")
+      .take(1).headOption
+    anchor.foreach { anchorWins =>
+      require(anchorWins.getLong(1) > 0L,
+        s"bradleyTerry: anchor item '${anchorWins.get(0)}' (smallest by " +
+          "key) has zero wins - its strength is 0 and rescaling by it " +
+          "would NaN the model; drop winless items or re-key so the " +
+          "anchor has at least one recorded win.")
+    }
+    // DRIVER MM tier (r14): the model tables are bounded by the item
+    // vocabulary BY CONSTRUCTION (≤ T² pair rows — the same tier the
+    // distributed loop already broadcasts every round), so iterating the
+    // MM rounds as T²-row joins pays ~2 s of per-round planning and
+    // scheduling at bench scale for work a driver loop does in
+    // microseconds. Collect the two model tables once and replay the
+    // identical arithmetic: term = BigDecimal(nij/(si+sj)) HALF_UP to
+    // scale 12 (Spark's double→decimal(28,12) cast), exact order-free
+    // sum, the same double divisions, the same fixed anchor item —
+    // bit-identical (PreferenceSpec pins driver == distributed). A model
+    // beyond `maxDriverPairs` falls through to the distributed rounds
+    // unchanged; the corpus-scale comp aggregation is distributed either
+    // way.
+    val ptRows = pairT.limit(maxDriverPairs + 1).collect()
+    if (anchor.nonEmpty && ptRows.length <= maxDriverPairs) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val winsMap = wins.collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val pt = ptRows.map(r => (r.get(0), r.get(1), r.getLong(2)))
+      val items = pt.map(_._1).distinct
+      val refItem = anchor.get.get(0)
+      var sm: Map[Any, Double] = items.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val den = scala.collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
+        pt.foreach { case (i, j, nij) =>
+          val term = java.math.BigDecimal.valueOf(nij.toDouble / (sm(i) + sm(j)))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          den.updateWith(i)(p => Some(p.fold(term)(_.add(term))))
+        }
+        val sr = items.map(it =>
+          it -> winsMap.getOrElse(it, 0L).toDouble / den(it).doubleValue).toMap
+        val refv = sr(refItem)
+        sm = items.map(it => it -> sr(it) / refv).toMap
       }
+      val itemType = comp.schema(winnerCol).dataType
+      val schema = StructType(Seq(
+        StructField("item", itemType, nullable = true),
+        StructField("wins", LongType, nullable = false),
+        StructField("strength", DoubleType, nullable = true)))
+      val out = items.map(it => Row(it, winsMap.getOrElse(it, 0L), sm(it)))
+      import scala.jdk.CollectionConverters._
+      return comp.sparkSession.createDataFrame(out.toSeq.asJava, schema)
+    }
     var s = pairT.select(col("i").as("item")).distinct()
       .withColumn("s", lit(1.0))
     for (_ <- 1 to iters) {

@@ -193,26 +193,38 @@ object SetSimJoin {
         (lit(1) + least(col("a.m") - col("a.pos") - 1, col("b.m") - col("b.pos") - 1))
           .cast("double") >=
           lit(t / (1.0 + t)) * (col("a.m") + col("b.m")).cast("double") - lit(1e-9)
-    val candCross = bPrefix.alias("a")
-      .join(iPrefix.alias("b"), col("a.tok") === col("b.tok") && prune)
-      .select(col("a.sid").as("da"), col("b.sid").as("db"))
-    val candInternal = bPrefix.alias("a")
-      .join(bPrefix.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid") && prune)
-      .select(col("a.sid").as("da"), col("b.sid").as("db"))
-    val verify = (cands: DataFrame, partner: DataFrame, side: String) => cands.distinct()
+    // FUSED candidate + verify (r14): the cross (batch×index) and
+    // internal (batch×batch) pipelines used to run as two separate
+    // join+distinct+verify chains — ~8 operators for rows the SAME probe
+    // prefix generates. Doc-id disjointness (the documented contract)
+    // makes the partner's side a FUNCTION of its id, so one union'd
+    // postings side with an origin flag produces the identical candidate
+    // set in ONE join (the internal a<b order constraint applies only to
+    // batch-side partners), and one verify pair of joins against the
+    // union'd set store replays the identical arithmetic. Row-identical
+    // to the two-pipeline formulation (SimilaritySpec's incremental pins
+    // cover both sides).
+    val posts = iPrefix.withColumn("bidx", lit(true))
+      .unionByName(bPrefix.withColumn("bidx", lit(false)))
+    val cand = bPrefix.alias("a")
+      .join(posts.alias("b"), col("a.tok") === col("b.tok") &&
+        (col("b.bidx") || col("a.sid") < col("b.sid")) && prune)
+      .select(col("a.sid").as("da"), col("b.sid").as("db"), col("b.bidx").as("bidx"))
+      .distinct()
+    val allSets = idxSets.select(col("sid"), col("arr"), col("m"))
+      .unionByName(ordered.select(col("sid"), col("arr"), col("m")))
+    cand
       .join(ordered.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
-      .join(partner.select(col("sid").as("db"), col("arr").as("ab"), col("m").as("mb")), "db")
+      .join(allSets.select(col("sid").as("db"), col("arr").as("ab"), col("m").as("mb")), "db")
       .withColumn("inter", size(array_intersect(col("aa"), col("ab"))))
       .withColumn("un", col("ma") + col("mb") - col("inter"))
       .filter(col("inter").cast("double") >= lit(t) * col("un").cast("double"))
       .select(
-        col("da").as("batch_id"), col("db").as("partner_id"), lit(side).as("side"),
+        col("da").as("batch_id"), col("db").as("partner_id"),
+        when(col("bidx"), lit("index")).otherwise(lit("batch")).as("side"),
         col("inter").cast("long").as("inter"),
         col("un").cast("long").as("un"),
         (col("inter").cast("double") / col("un").cast("double")).as("jaccard"))
-    verify(candCross, idxSets, "index")
-      .unionByName(verify(candInternal, ordered, "batch"))
   }
 
   /** Directed containment self-join: all (a, b), a ≠ b, with
@@ -344,11 +356,6 @@ object SetSimJoin {
         (lit(1) + least(col("m") - col("pos") - 1, col("mb") - col("posb") - 1))
           .cast("double") >=
           ceil(lit(t) * col("m").cast("double")) - lit(1e-9)
-    def cands(probe: DataFrame, posts: DataFrame) = probe
-      .join(posts, Seq("tok"))
-      .filter(col("sid") =!= col("bsid") && lenPrune)
-      .select(col("sid").as("da"), col("bsid").as("db"))
-      .distinct()
     // index postings restricted to the batch vocabulary: a standing
     // store's token lists only join where the batch can actually hit
     // (AQE-decided join strategy, same rationale as above)
@@ -356,18 +363,41 @@ object SetSimJoin {
       .join(batchVocab, Seq("tok"), "left_semi")
     val iPrefix = prefixOf(idxSets)
       .join(batchVocab, Seq("tok"), "left_semi")
-    def verify(c: DataFrame, aSets: DataFrame, bSets: DataFrame, side: String) = c
-      .join(aSets.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
-      .join(bSets.select(col("sid").as("db"), col("arr").as("ab")), "db")
+    // FUSED candidate + verify (r14): the three directed pipelines
+    // (batch_in_index / index_in_batch / batch_in_batch) each ran their
+    // own join + distinct + two verify joins — 12 operators for
+    // candidates one union'd join produces. Doc-id disjointness (the
+    // documented contract) makes each side label a FUNCTION of
+    // (da, db) membership, so: probe = batch prefixes ∪ (vocab-pruned)
+    // index prefixes, posts = batch postings ∪ (vocab-pruned) index
+    // postings, one candidate join with the index×index combination
+    // filtered out (those pairs were emitted when their rows arrived),
+    // one verify against the union'd set store, side derived from the
+    // origin flags. Row-identical to the three-pipeline formulation
+    // (SimilaritySpec's containment pins cover all three sides).
+    val probe = prefixOf(ordered).withColumn("pidx", lit(false))
+      .unionByName(iPrefix.withColumn("pidx", lit(true)))
+    val posts = postingsOf(ordered).withColumn("bidx", lit(false))
+      .unionByName(iPosts.withColumn("bidx", lit(true)))
+    val cand = probe
+      .join(posts, Seq("tok"))
+      .filter(col("sid") =!= col("bsid") && !(col("pidx") && col("bidx")) && lenPrune)
+      .select(col("sid").as("da"), col("bsid").as("db"), col("pidx"), col("bidx"))
+      .distinct()
+    val allSets = idxSets.select(col("sid"), col("arr"), col("m"))
+      .unionByName(ordered.select(col("sid"), col("arr"), col("m")))
+    cand
+      .join(allSets.select(col("sid").as("da"), col("arr").as("aa"), col("m").as("ma")), "da")
+      .join(allSets.select(col("sid").as("db"), col("arr").as("ab")), "db")
       .withColumn("inter", size(array_intersect(col("aa"), col("ab"))))
       .filter(col("inter").cast("double") >= lit(t) * col("ma").cast("double"))
       .select(
-        col("da").as("doc_a"), col("db").as("doc_b"), lit(side).as("side"),
+        col("da").as("doc_a"), col("db").as("doc_b"),
+        when(!col("pidx") && col("bidx"), lit("batch_in_index"))
+          .when(col("pidx") && !col("bidx"), lit("index_in_batch"))
+          .otherwise(lit("batch_in_batch")).as("side"),
         col("inter").cast("long").as("inter"),
         col("ma").cast("long").as("size_a"),
         (col("inter").cast("double") / col("ma").cast("double")).as("containment"))
-    verify(cands(prefixOf(ordered), iPosts), ordered, idxSets, "batch_in_index")
-      .unionByName(verify(cands(iPrefix, postingsOf(ordered)), idxSets, ordered, "index_in_batch"))
-      .unionByName(verify(cands(prefixOf(ordered), postingsOf(ordered)), ordered, ordered, "batch_in_batch"))
   }
 }

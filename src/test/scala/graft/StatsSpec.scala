@@ -260,6 +260,20 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(s("a")._2 - 1.0) < 1e-12, "smallest item anchors the rescale at 1")
   }
 
+  test("bradleyTerry: driver MM tier == distributed rounds, bit for bit") {
+    val comp = Seq(
+      ("a", "b", 9L), ("b", "a", 1L),
+      ("b", "c", 9L), ("c", "b", 1L),
+      ("a", "c", 9L), ("c", "a", 1L),
+      ("a", "d", 5L), ("b", "d", 5L), ("c", "d", 5L))
+      .toDF("winner", "loser", "n")
+    def run(maxDriverPairs: Int) = graft.core.Preference
+      .bradleyTerry(comp, "winner", "loser", "n", iters = 4, maxDriverPairs = maxDriverPairs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(2000000) == run(0),
+      "driver MM loop drifted from the distributed rounds")
+  }
+
   test("bradleyTerry refuses a winless anchor instead of NaNing the model") {
     // The rescale anchors on the smallest item key; if that item never
     // won, refv = 0 and every strength would silently become NaN/Inf.
