@@ -79,6 +79,15 @@ object GraftExtensions {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toLongArray().toSeq
   }
+  private def constDouble3d(e: Expression, what: String): Array[Array[Array[Double]]] = {
+    require(e.foldable, s"$what must be a constant nested array")
+    val outer = Cast(e, ArrayType(ArrayType(ArrayType(DoubleType)))).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(outer.numElements()) { i =>
+      val mid = outer.getArray(i)
+      Array.tabulate(mid.numElements())(j => mid.getArray(j).toDoubleArray())
+    }
+  }
 
   /** Name → expression builder for every kernel. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -148,5 +157,7 @@ object GraftExtensions {
       constInt(es(3), "max piece length"))),
     "graft_topk_merge" -> (es => TopKMergeAgg(es.head)),
     "graft_topk_entries" -> (es => TopKEntries(es.head)),
+    "graft_pq_encode" -> (es => PqEncodeCodes(es(0), constDouble3d(es(1), "codebooks"))),
+    "graft_adc" -> (es => AdcDistance(es(0), es(1))),
   )
 }

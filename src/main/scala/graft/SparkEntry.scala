@@ -5956,6 +5956,16 @@ object SparkEntry {
           col("l_extendedprice").cast("decimal(12,2)").as("r"))
         .groupBy("mth", "l_suppkey")
         .agg(sum(col("q")).as("qty"), sum(col("r")).as("rev"))
+        // r14: AQE coalesces this tiny aggregate to ~1 partition, and the
+        // explosive per-month pair join below then expands ~12M rows in a
+        // single task. A deterministic keyed repartition spreads the probe
+        // side BEFORE the checkpoint pins the layout (explosion skew fixed
+        // at the source). EXPLICIT partition count (AQE re-coalesces a
+        // bare keyed repartition), derived from the session conf so it
+        // scales with the configured parallelism, never a local-mode
+        // constant. Idle A/B at 32 cores: 2.92 → 2.02 s.
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("mth"), col("l_suppkey"))
         .localCheckpoint(eager = false) // pair join (both sides) + ties + counts
       val sgn = (a: Column, b: Column) =>
         when(a > b, 1L).when(a < b, -1L).otherwise(0L)
@@ -6909,13 +6919,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       def h(i: Int): Column = conv(substring(
         md5(concat(lit(s"${i}_"), col("sh"))), 1, 8), 16, 10).cast("long")
-      val sh = docs.select(col("source"), (col("doc_id") % 4).as("shard"),
-        explode(array_distinct(TextAnalysis.wordShingles(col("text"), 3))).as("sh"))
+      // r14: signatures hash the DISTINCT (source, shingle) set — min-hash
+      // over duplicated rows is identical (min of repeated values), and the
+      // exact-verification side needs exactly that distinct anyway, so the
+      // 16 per-row md5s run once per distinct shingle instead of once per
+      // (doc, shingle) occurrence and the two paths share one shuffle. The
+      // (source, shard) partial-agg level is gone with it: min() already
+      // partial-aggregates map-side, so the shard tier bought nothing the
+      // hash aggregate doesn't do by itself. Idle A/B at sf0.1: 4.56 →
+      // 1.82 s, output bit-identical (same oracle, same hash).
+      val setsAll = docs.select(col("source"),
+          explode(array_distinct(TextAnalysis.wordShingles(col("text"), 3))).as("sh"))
+        .distinct()
         .localCheckpoint(eager = false) // feeds signatures AND exact sets
       val sigAggs = (0 until 16).map(i => min(h(i)).as(s"sig$i"))
-      val partial = sh.groupBy("source", "shard").agg(sigAggs.head, sigAggs.tail: _*)
-      val mergeAggs = (0 until 16).map(i => min(col(s"sig$i")).as(s"sig$i"))
-      val merged = partial.groupBy("source").agg(mergeAggs.head, mergeAggs.tail: _*)
+      val merged = setsAll.groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
       // Exact-verification side: Jaccard over the df-CAPPED shingle
       // universe (source-df ≤ 64, mirrored in the oracle). At 20 sources
       // the cap cannot bind, so the value IS the true Jaccard; at corpus
@@ -6924,7 +6942,6 @@ object SparkEntry {
       // already applies, without which one corpus-universal shingle
       // multiplies by S². The production signature path above is
       // UNcapped and never self-joins.
-      val setsAll = sh.select(col("source"), col("sh")).distinct()
       val sets = setsAll.join(
         setsAll.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64).select("sh"),
@@ -7327,8 +7344,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .withColumn("w", floor(lit(1000.0) / col("n").cast("double")).cast("long"))
+      // r14: the substrate feeds THREE jobs (sources collect, the sizing
+      // count, the edge collect/driver-BF input) — checkpointed once; the
+      // incremental sibling already did this, which is why it ran FASTER
+      // than the plain query (1.77 vs 2.86 s idle) before this fix.
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .localCheckpoint(eager = false)
       val sources = edges.select(col("src")).distinct()
         .orderBy(col("src")).limit(3).select(col("src").as("source"))
       graft.graph.ShortestPath.runAdaptive(edges, sources, iters = 6)
@@ -7395,8 +7417,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .withColumn("w", floor(lit(1000.0) / col("n").cast("double")).cast("long"))
+      // r14: checkpoint the multi-job substrate once (see q_sssp).
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .localCheckpoint(eager = false)
       val sources = edges.select(col("src")).distinct()
         .orderBy(col("src")).limit(3).select(col("src").as("source"))
       graft.graph.ShortestPath.runAdaptive(edges, sources, iters = 6)

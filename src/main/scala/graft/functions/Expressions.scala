@@ -1481,3 +1481,109 @@ case class UnicodeNorm(child: Expression, formName: String)
   override protected def withNewChildInternal(newChild: Expression): UnicodeNorm =
     copy(child = newChild)
 }
+
+object PqImpl {
+  /** All m subspace codes of one vector in one pass — bit-identical to the
+    * HOF formulation it replaces (Ann.pqEncode's
+    * array_sort(zip_with(cents, sequence, struct(l2sq, cid)))[1]): per
+    * subspace, per centroid, the squared-L2 folds left-to-right from 0.0
+    * with (x−y)·(x−y) in element order (exactly aggregate ∘ zip_with),
+    * and the argmin follows Spark's struct ordering — strict `<` keeps
+    * the EARLIEST (lowest-cid) minimum on ties, and a NaN distance never
+    * wins unless every distance is NaN (SQLOrderingUtil ranks NaN above
+    * all doubles), in which case cid 0 wins the tie like the sort does.
+    * Contract: vector elements non-null (the embeddings contract);
+    * |v| = m·dsub.
+    */
+  def encode(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = books(s)
+      val dsub = cents(0).length
+      val off = s * dsub
+      var best = 0.0
+      var bc = 0
+      var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val dd = v.getDouble(off + j) - c(j)
+          acc = acc + dd * dd
+          j += 1
+        }
+        if (ci == 0 || acc < best ||
+            (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(acc))) {
+          best = acc
+          bc = ci
+        }
+        ci += 1
+      }
+      out(s) = bc
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance: Σ_s lut[s][codes[s]], folded from 0.0 in subspace
+    * order — exactly the aggregate ∘ zip_with ∘ element_at fold it
+    * replaces. Codes must index into their LUT rows (true by
+    * construction: both derive from the same codebooks).
+    */
+  def adc(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc = acc + lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** graft_pq_encode(vec) → array<int>: every PQ subspace code of a vector
+  * in ONE codegen'd call. The HOF formulation it replaces ran m·ksub
+  * interpreted `aggregate(zip_with(...))` distance folds plus an
+  * array_sort per subspace PER ROW — the corpus-side encode pass of
+  * every PQ query (Ann.pqEncode) and the single hottest interpreted
+  * loop the ANN family had. Codebooks are a plan-time constant embedded
+  * via addReferenceObj (the BpeEncode / AhoCorasick model-as-literal
+  * pattern). Bit-identical by PqImpl.encode's fold/ordering argument
+  * (SimilaritySpec pins kernel ≡ HOF on real embeddings).
+  */
+case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "graft_pq_encode: empty codebooks")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override def nullSafeEval(v: Any): Any =
+    PqImpl.encode(v.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqImpl.encode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** graft_adc(codes, lut) → double: the PQ asymmetric-distance sum as one
+  * codegen'd call — the compressed-domain scan's per-row hot loop
+  * (corpus × queries rows in Ann.adcScan), previously an interpreted
+  * aggregate ∘ zip_with fold. Bit-identical fold order (PqImpl.adc).
+  */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc"
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    PqImpl.adc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqImpl.adc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
+    copy(left = l, right = r)
+}

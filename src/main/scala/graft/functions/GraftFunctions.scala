@@ -20,6 +20,18 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftShim.toColumn(CosineSimilarity(GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** All m PQ subspace codes of a vector in one codegen'd pass (codebooks
+    * embedded as a plan-time constant); see [[PqEncodeCodes]].
+    */
+  def pqEncodeCodes(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftShim.toColumn(PqEncodeCodes(GraftShim.toExpression(vec), books))
+
+  /** PQ asymmetric (ADC) distance Σ_s lut[s][codes[s]] as one codegen'd
+    * call; see [[AdcDistance]].
+    */
+  def adcDistance(codes: Column, lut: Column): Column =
+    GraftShim.toColumn(AdcDistance(GraftShim.toExpression(codes), GraftShim.toExpression(lut)))
+
   /** Hilbert-curve index of two integer dims at bit order `bits` (one
     * codegen'd walk per row; see [[HilbertIndex]]).
     */

@@ -322,6 +322,25 @@ object Ann {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    // ONE codegen'd kernel call per row (r14): the HOF formulation below
+    // ([[pqEncodeHof]], kept as the executable spec — the cosineSimHof
+    // precedent) evaluated m·ksub interpreted aggregate∘zip_with distance
+    // folds plus an array_sort per subspace PER CORPUS ROW — the ANN
+    // family's hottest interpreted loop. Bit-identical fold order and
+    // argmin tie/NaN rule (see PqImpl.encode; SimilaritySpec pins
+    // kernel ≡ HOF on the real embeddings table).
+    normalized(corpus, idCol, vecCol)
+      .select(col("id").as(idCol),
+        graft.functions.GraftFunctions.pqEncodeCodes(col("v"), codebooks).as("codes"))
+
+  /** The no-custom-code formulation of [[pqEncode]] — kept as the
+    * executable spec the kernel is equivalence-tested against.
+    */
+  private[graft] def pqEncodeHof(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
@@ -406,9 +425,18 @@ object Ann {
 
   /** The compressed-domain distance: per subspace, the stored code picks
     * its LUT entry; the m entries sum in subspace order (the oracle's
-    * list_reduce replays the same fold).
+    * list_reduce replays the same fold). ONE codegen'd kernel call (r14)
+    * — this is the per-row hot loop of the corpus × queries ADC scan;
+    * the interpreted aggregate∘zip_with fold it replaces is kept as the
+    * executable spec in [[adcSumHof]] (SimilaritySpec pins kernel ≡ HOF).
     */
   private def adcSum: Column =
+    graft.functions.GraftFunctions.adcDistance(col("codes"), col("lut"))
+
+  /** The no-custom-code formulation of [[adcSum]] — the kernel's
+    * executable spec.
+    */
+  private[graft] def adcSumHof: Column =
     aggregate(
       zip_with(col("codes"), col("lut"), (code, row) => element_at(row, code + 1)),
       lit(0.0), (acc, x) => acc + x)

@@ -967,4 +967,35 @@ class SimilaritySpec extends SparkTestBase {
     val meanSq = ratios.map(r => r * r).sum / ratios.length
     assert(meanSq > 0.6 && meanSq < 1.4, s"E[d2p/d2o] should be ~1, got $meanSq")
   }
+
+  test("PQ kernels == HOF executable specs, bit for bit (encode + ADC scan)") {
+    // The r14 codegen kernels (PqEncodeCodes / AdcDistance) must replay
+    // the interpreted HOF formulations EXACTLY — same per-element fold
+    // order, same argmin tie/NaN rule — on the real embeddings table.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+      m = 8, ksub = 16, iters = 2)
+    val kernel = Ann.pqEncode(emb, "vec_id", "embedding", books)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val hof = Ann.pqEncodeHof(emb, "vec_id", "embedding", books)
+      .select(col("vec_id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(kernel.size == hof.size && kernel.nonEmpty)
+    kernel.foreach { case (id, cs) =>
+      assert(cs == hof(id), s"codes drifted for vec $id: kernel=$cs hof=${hof(id)}")
+    }
+    // ADC distance over a hand-built (codes, lut) frame: kernel fold ==
+    // HOF fold on every row, including irregular LUT values.
+    val rows = Seq(
+      (Seq(0, 2, 1), Seq(Seq(1.5, 2.0, -0.25), Seq(0.0, 4.0, 8.5), Seq(-1.0, 0.125, 3.0))),
+      (Seq(2, 0, 0), Seq(Seq(0.1, 0.2, 0.3), Seq(7.0, -2.5, 1.0), Seq(2.25, 0.0, -4.5))),
+    ).toDF("codes", "lut")
+    val both = rows
+      .select(
+        graft.functions.GraftFunctions.adcDistance(col("codes"), col("lut")).as("k"),
+        Ann.adcSumHof.as("h"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (k, h) => assert(k == h, s"adc drifted: kernel=$k hof=$h") }
+  }
 }
