@@ -925,6 +925,28 @@ object CosineImpl {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+
+  /** Dense overload for driver-tier replays (KMeans' small-input escape
+    * hatch): the IDENTICAL loop over primitive arrays — same accumulation
+    * order, same zero-norm rule — so a driver-side assignment is
+    * bit-equal to the kernel's.
+    */
+  def compute(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
 }
 
 /** cosine_sim(a, b) over array<float> or array<double> — the ANN scoring

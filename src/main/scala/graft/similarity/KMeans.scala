@@ -75,12 +75,80 @@ object KMeans {
       .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
       .localCheckpoint(false)
 
+  /** Vector-count bound for the driver-tier fits — the KMeans sibling of
+    * the graph kit's 2M-edge escape hatch (PageRank.runAdaptive et al.):
+    * an input under the bound fits in driver memory (200k × 64 dims ≈
+    * 100 MB) and the Lloyd rounds run as driver sweeps instead of one
+    * scheduled job each; past the bound the distributed loop is
+    * unchanged. Both paths are BIT-IDENTICAL: the driver assignment
+    * calls the same CosineImpl arithmetic with the same argmax
+    * tie/NaN-pin rule, and the centroid update replays Spark's exact
+    * double→decimal(28,12) HALF_UP quantization and exact decimal sums
+    * (order-free by exactness), so neither tier nor partitioning can
+    * move a result (SimilaritySpec pins driver ≡ distributed for both
+    * fit shapes). Inputs must be NaN/null-free vectors (the embeddings
+    * contract — a NaN would cast to decimal NULL distributed-side).
+    */
+  private def maxDriverVecs: Long =
+    sys.props.get("graft.kmeans.maxDriverVecs").map(_.toLong).getOrElse(200000L)
+
+  /** Spark Cast(double → decimal(28,12)) replay: shortest-string
+    * BigDecimal (Decimal.apply(Double) semantics) rounded HALF_UP to
+    * scale 12 — the per-element quantization the distributed sums apply.
+    */
+  private def dec12(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** The scoredBest argmax on the driver: same cosine arithmetic
+    * (CosineImpl dense overload), NaN pinned to −2.0, strict `>` keeps
+    * the lowest cluster id on ties — exactly array_max's struct order.
+    */
+  private def bestClusterDriver(vec: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0.0
+    var bi = 0
+    var i = 0
+    while (i < cents.length) {
+      var sim = graft.functions.CosineImpl.compute(vec, cents(i))
+      if (java.lang.Double.isNaN(sim)) sim = -2.0
+      if (i == 0 || sim > best) { best = sim; bi = i }
+      i += 1
+    }
+    bi
+  }
+
   private def fitOn(v: DataFrame, k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans config k=$k iters=$iters dim=$dim")
+    // Init = first k vectors by id, via the same tiny distributed job on
+    // BOTH tiers (no driver re-implementation of id ordering to drift).
     var cents: Array[Array[Double]] =
       v.orderBy(col("id")).limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
     require(cents.length > 0, "kmeans: empty input")
+
+    if (iters > 0 && v.count() <= maxDriverVecs) {
+      // Driver tier (see maxDriverVecs): one collect of the checkpointed
+      // vectors, then `iters` in-memory sweeps — replaces iters scheduled
+      // (assign + 64-decimal-agg + collect) jobs.
+      val vecs = v.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length, dim)(java.math.BigDecimal.ZERO)
+        val counts = new Array[Long](cents.length)
+        vecs.foreach { vec =>
+          val c = bestClusterDriver(vec, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < dim) { sums(c)(d) = sums(c)(d).add(dec12(vec(d))); d += 1 }
+        }
+        val next = cents.map(_.clone())
+        for (c <- cents.indices if counts(c) > 0) {
+          val n = counts(c).toDouble
+          next(c) = Array.tabulate(dim)(d => sums(c)(d).doubleValue / n)
+        }
+        cents = next
+      }
+      return cents
+    }
 
     val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1).cast("decimal(28,12)")).as(s"s$i"))
     for (_ <- 1 to iters) {
@@ -137,6 +205,34 @@ object KMeans {
     require(initRows.length > 0, "kmeans: empty input")
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       initRows.map(full => full.slice(s * dsub, s * dsub + dsub))
+    }
+    if (iters > 0 && v.count() <= maxDriverVecs) {
+      // Driver tier (see maxDriverVecs / fitOn): every subspace's
+      // assignment + exact decimal sums per in-memory sweep — replaces
+      // one scheduled (posexplode + agg + collect) job per iteration.
+      val vecs = v.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to iters) {
+        val sums = Array.tabulate(m)(s => Array.fill(cents(s).length, dsub)(java.math.BigDecimal.ZERO))
+        val counts = Array.tabulate(m)(s => new Array[Long](cents(s).length))
+        vecs.foreach { vec =>
+          var s = 0
+          while (s < m) {
+            val sub = java.util.Arrays.copyOfRange(vec, s * dsub, s * dsub + dsub)
+            val c = bestClusterDriver(sub, cents(s))
+            counts(s)(c) += 1
+            var d = 0
+            while (d < dsub) { sums(s)(c)(d) = sums(s)(c)(d).add(dec12(sub(d))); d += 1 }
+            s += 1
+          }
+        }
+        val next = cents.map(_.map(_.clone()))
+        for (s <- 0 until m; c <- cents(s).indices if counts(s)(c) > 0) {
+          val n = counts(s)(c).toDouble
+          next(s)(c) = Array.tabulate(dsub)(d => sums(s)(c)(d).doubleValue / n)
+        }
+        cents = next
+      }
+      return cents
     }
     val sums = (0 until dsub).map(i =>
       sum(element_at(col("sv"), i + 1).cast("decimal(28,12)")).as(s"s$i"))

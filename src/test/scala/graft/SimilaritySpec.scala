@@ -968,6 +968,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(meanSq > 0.6 && meanSq < 1.4, s"E[d2p/d2o] should be ~1, got $meanSq")
   }
 
+  test("KMeans driver tier == distributed fits, bit for bit (fitOn + fitSubspaces)") {
+    // The r14 vector-count escape hatch (the graph kit's 2M-edge pattern)
+    // must reproduce the distributed Lloyd loops EXACTLY — same cosine
+    // assignment/tie rule, same double→decimal(28,12) HALF_UP sums — on
+    // the real embeddings table.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      val coarse = KMeans.centroids(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 3)
+      val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
+        m = 8, ksub = 16, iters = 2)
+      (coarse, books)
+    }
+    val (cDrv, bDrv) = run() // default bound: driver tier
+    System.setProperty("graft.kmeans.maxDriverVecs", "0")
+    try {
+      val (cDist, bDist) = run() // bound 0: distributed loops
+      for (i <- cDrv.indices)
+        assert(cDrv(i).toSeq == cDist(i).toSeq, s"coarse centroid $i drifted")
+      for (s <- bDrv.indices; c <- bDrv(s).indices)
+        assert(bDrv(s)(c).toSeq == bDist(s)(c).toSeq, s"codebook ($s,$c) drifted")
+    } finally System.clearProperty("graft.kmeans.maxDriverVecs")
+  }
+
   test("PQ kernels == HOF executable specs, bit for bit (encode + ADC scan)") {
     // The r14 codegen kernels (PqEncodeCodes / AdcDistance) must replay
     // the interpreted HOF formulations EXACTLY — same per-element fold
