@@ -159,5 +159,7 @@ object GraftExtensions {
     "graft_topk_entries" -> (es => TopKEntries(es.head)),
     "graft_pq_encode" -> (es => PqEncodeCodes(es(0), constDouble3d(es(1), "codebooks"))),
     "graft_adc" -> (es => AdcDistance(es(0), es(1))),
+    "graft_gram_hashes" -> (es => GramHashes(es(0),
+      constInt(es(1), "gram length"), constInt(es(2), "stride"))),
   )
 }

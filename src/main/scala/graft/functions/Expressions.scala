@@ -1609,3 +1609,70 @@ case class AdcDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
     copy(left = l, right = r)
 }
+
+object GramHashesImpl {
+  /** xxhash64 (seed 42, Spark's xxhash64) of every `gramLen`-code-point
+    * window at `stride`, hashed over the window's UTF-8 bytes ZERO-COPY
+    * (one offset walk, no per-gram string materialization). Element i
+    * covers the gram starting at 1-based code-point position
+    * 1 + i·stride — exactly [[graft.text.SubstringDedup.gramStream]]'s
+    * position convention, so `substr(text, pos, gramLen)` reads the
+    * hashed gram's literal text back. Equal gram text ⇒ equal bytes ⇒
+    * equal hash (UTF-8 is injective), which is the property the
+    * hash-then-verify detection relies on.
+    */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              gramLen: Int, stride: Int): ArrayData = {
+    val nChars = text.numChars()
+    val n = nChars - gramLen + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val offs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (c < nChars) {
+      offs(c) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      c += 1
+    }
+    offs(nChars) = text.numBytes()
+    val m = 1 + (n - 1) / stride
+    val out = new Array[Any](m)
+    var i = 0
+    var p = 0
+    while (p < n) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + offs(p), offs(p + gramLen) - offs(p), 42L)
+      i += 1
+      p += stride
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft_gram_hashes(text, gramLen, stride) → array<long>: the hash half
+  * of hash-then-verify substring-dedup detection
+  * ([[graft.text.SubstringDedup.sharedSpans]]). Replaces materializing a
+  * `gramLen`-char string PER POSITION (a ~gramLen× byte amplification
+  * that was generated, checkpointed, aggregated and semi-joined as text)
+  * with one long per position; candidate positions are later verified by
+  * their literal gram text, so collisions only enlarge the candidate
+  * set, never the result.
+  */
+case class GramHashes(child: Expression, gramLen: Int, stride: Int)
+    extends UnaryExpression {
+  require(gramLen >= 2 && stride >= 1, s"bad gram-hash config ($gramLen, $stride)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+  override def nullSafeEval(t: Any): Any =
+    GramHashesImpl.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], gramLen, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramHashesImpl.compute($c, $gramLen, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}

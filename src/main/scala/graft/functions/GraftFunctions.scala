@@ -93,6 +93,12 @@ object GraftFunctions {
   def winnowAnchors(text: Column, k: Int, w: Int): Column =
     GraftShim.toColumn(WinnowAnchors(GraftShim.toExpression(text), k, w))
 
+  /** xxhash64 of every gramLen-char window at `stride`, zero-copy — the
+    * hash half of hash-then-verify substring dedup (see [[GramHashes]]).
+    */
+  def gramHashes(text: Column, gramLen: Int, stride: Int): Column =
+    GraftShim.toColumn(GramHashes(GraftShim.toExpression(text), gramLen, stride))
+
   /** One-scan non-overlapping match count of a constant Java regex —
     * the fused form of `length(regexp_replace(c,p,"X")) -
     * length(regexp_replace(c,p,""))` (see plans.FuseRegexCount).

