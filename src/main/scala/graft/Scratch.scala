@@ -34,6 +34,8 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields",
+        sys.env.getOrElse("SCRATCH_MAXFIELDS", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -240,6 +242,39 @@ object Scratch {
       val (a, b) = SetSimJoin.buildIndex(d2.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
       noop(a); noop(b)
     }
+    time("setsim: buildIndex toks-checkpointed variant") {
+      val base = d2.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("sid"), array_distinct(shingles).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+        .localCheckpoint(false)
+      val dict = toks.groupBy("tok").agg(count(lit(1)).as("dfr"))
+      val ordered = toks
+        .join(dict, "tok")
+        .groupBy("sid")
+        .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+        .select(col("sid"),
+          transform(col("pairs"), e => e.getField("tok")).as("arr"),
+          size(col("pairs")).as("m"))
+      noop(ordered.localCheckpoint(false)); noop(dict.localCheckpoint(false))
+    }
+    time("setsim: buildIndex stage1 toks+dict only") {
+      val base = d2.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("sid"), array_distinct(shingles).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+      noop(toks.groupBy("tok").agg(count(lit(1)).as("dfr")))
+    }
+    time("setsim: buildIndex stage2 collect_list only") {
+      val base = d2.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("sid"), array_distinct(shingles).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+      val dict = toks.groupBy("tok").agg(count(lit(1)).as("dfr"))
+      noop(toks.join(dict, "tok")
+        .groupBy("sid")
+        .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs")))
+    }
     time("containment_incremental: full") {
       val idx = SetSimJoin.buildIndex(d2.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
       noop(SetSimJoin.containmentIncrement(d2.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5))
@@ -293,6 +328,23 @@ object Scratch {
         d2, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
       noop(NearDup.incrementalComponents(baseLabels, newPairs, "doc_id_a", "doc_id_b")
         .select(col("id").as("doc_id"), col("label").as("cluster")))
+    }
+
+    // ---- pca moment aggregate (153 decimal aggs — codegen-fallback probe)
+    time("pca: moment agg alone") {
+      def x(i: Int) = element_at(col("embedding"), i).cast("double")
+      val moCols =
+        (1 to 16).map(i => sum(x(i).cast("decimal(28,12)")).cast("double").as(s"s$i")) ++
+          (for { i <- 1 to 16; j <- i to 16 }
+            yield sum((x(i) * x(j)).cast("decimal(28,12)")).cast("double").as(s"p${i}_$j"))
+      noop(emb.agg(count(lit(1)).cast("double").as("n"), moCols: _*))
+    }
+    time("pca: moment agg, double sums (no decimal) — diagnostic only") {
+      def x(i: Int) = element_at(col("embedding"), i).cast("double")
+      val moCols =
+        (1 to 16).map(i => sum(x(i)).as(s"s$i")) ++
+          (for { i <- 1 to 16; j <- i to 16 } yield sum(x(i) * x(j)).as(s"p${i}_$j"))
+      noop(emb.agg(count(lit(1)).cast("double").as("n"), moCols: _*))
     }
 
     // ---- trivial-query floor ------------------------------------------

@@ -7571,7 +7571,6 @@ object SparkEntry {
   private def pcaTopComponent(emb: DataFrame): DataFrame = {
     val dim = 16
     def x(i: Int) = element_at(col("embedding"), i).cast("double")
-    def cv(i: Int, j: Int) = if (i <= j) col(s"c${i}_$j") else col(s"c${j}_$i")
     val moCols =
       (1 to dim).map(i => sum(x(i).cast("decimal(28,12)")).cast("double").as(s"s$i")) ++
         (for { i <- 1 to dim; j <- i to dim }
@@ -7580,20 +7579,32 @@ object SparkEntry {
     val covCols = for { i <- 1 to dim; j <- i to dim }
       yield (col(s"p${i}_$j") / col("n")
         - (col(s"s$i") / col("n")) * (col(s"s$j") / col("n"))).as(s"c${i}_$j")
-    var df = mo.select(col("n") +: covCols: _*)
-      .select(col("*") +: (1 to dim).map(i => lit(0.25).as(s"v0_$i")): _*)
-    for (t <- 1 to 3) {
-      df = df.select(col("*") +: (1 to dim).map { i =>
-        (1 to dim).map(j => cv(i, j) * col(s"v${t - 1}_$j"))
-          .reduceLeft(_ + _).as(s"w${t}_$i")
-      }: _*)
-      df = df.select(col("*"),
-        sqrt((1 to dim).map(i => col(s"w${t}_$i") * col(s"w${t}_$i"))
-          .reduceLeft(_ + _)).as(s"nrm$t"))
-      df = df.select(col("*") +: (1 to dim).map(i =>
-        (col(s"w${t}_$i") / col(s"nrm$t")).as(s"v${t}_$i")): _*)
+    // r14: the three power rounds ran as nested 16×16-term column chains
+    // over the 1-ROW covariance frame — CollapseProject re-expands each
+    // round's terms into the next, so the final expression trees grow
+    // ~16× per round and the query spent its time PLANNING/codegen'ing a
+    // single-row projection (idle A/B: q_pca_power 2.10 → measured in
+    // OPTIMIZATION_r14.md). The covariance row is a BOUNDED driver
+    // readout (1 + dim·(dim+1)/2 doubles — the KMeans-model-collect
+    // class), and the rounds replay on the driver with the IDENTICAL
+    // left-associated IEEE chains (reduceLeft ≡ Spark's binary-Add
+    // association, same op order, same values), so the emitted literals
+    // are bit-equal to the old column arithmetic — the unchanged DuckDB
+    // oracle (pcaPowerCtes) keeps proving it every run.
+    val covRow = mo.select(col("n") +: covCols: _*).head()
+    def cval(i: Int, j: Int): Double =
+      covRow.getAs[Double](s"c${math.min(i, j)}_${math.max(i, j)}")
+    var v = Array.fill(dim)(0.25)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim)(i0 =>
+        (1 to dim).map(j => cval(i0 + 1, j) * v(j - 1)).reduceLeft(_ + _))
+      nrm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+      v = w.map(_ / nrm)
     }
-    df
+    emb.sparkSession.range(1).select(
+      v.zipWithIndex.map { case (x, i) => lit(x).as(s"v3_${i + 1}") } :+
+        lit(nrm).as("nrm3"): _*)
   }
 
   // ---------------------------------------------------------------------
