@@ -279,6 +279,56 @@ object Scratch {
       val idx = SetSimJoin.buildIndex(d2.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
       noop(SetSimJoin.containmentIncrement(d2.filter(col("doc_id") % 4 === 0), col("doc_id"), shingles, idx, t = 0.5))
     }
+    // ---- containmentIncrement sub-stages (index prebuilt+materialized) --
+    locally {
+      val t = 0.5
+      val (idxSets0, dict0) = SetSimJoin.buildIndex(d2.filter(col("doc_id") % 4 =!= 0), col("doc_id"), shingles)
+      noop(idxSets0); noop(dict0) // materialize the standing halves outside the timed region
+      val batch = d2.filter(col("doc_id") % 4 === 0)
+      def mkParts() = {
+        val base = batch.select(col("doc_id").as("sid"), array_distinct(shingles).as("ts"))
+          .filter(size(col("ts")) > 0)
+        val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
+        val batchVocab = toks.select("tok").distinct().localCheckpoint(false)
+        val dictPruned = dict0.join(batchVocab, Seq("tok"), "left_semi")
+        val ordered = toks
+          .join(dictPruned, Seq("tok"), "left")
+          .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
+          .groupBy("sid")
+          .agg(sort_array(collect_list(struct(col("dfr"), col("tok")))).as("pairs"))
+          .select(col("sid"),
+            transform(col("pairs"), e => e.getField("tok")).as("arr"),
+            size(col("pairs")).as("m"))
+          .localCheckpoint(false)
+        (batchVocab, ordered)
+      }
+      time("cinc: batch ordered build only") { val (_, o) = mkParts(); noop(o) }
+      time("cinc: candidates (join+distinct) only") {
+        val (bv, o) = mkParts()
+        def prefixOf(sets: org.apache.spark.sql.DataFrame) = sets.select(
+          col("sid"), col("m"),
+          posexplode(slice(col("arr"), lit(1),
+            col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))).as(Seq("pos", "tok")))
+        def postingsOf(sets: org.apache.spark.sql.DataFrame) = sets.select(
+          col("sid").as("bsid"), col("m").as("mb"),
+          posexplode(col("arr")).as(Seq("posb", "tok")))
+        val lenPrune =
+          col("mb").cast("double") >= ceil(lit(t) * col("m").cast("double")) - lit(1e-9) &&
+            (lit(1) + least(col("m") - col("pos") - 1, col("mb") - col("posb") - 1))
+              .cast("double") >=
+              ceil(lit(t) * col("m").cast("double")) - lit(1e-9)
+        val iPosts = postingsOf(idxSets0).join(bv, Seq("tok"), "left_semi")
+        val iPrefix = prefixOf(idxSets0).join(bv, Seq("tok"), "left_semi")
+        val probe = prefixOf(o).withColumn("pidx", lit(false))
+          .unionByName(iPrefix.withColumn("pidx", lit(true)))
+        val posts = postingsOf(o).withColumn("bidx", lit(false))
+          .unionByName(iPosts.withColumn("bidx", lit(true)))
+        noop(probe.join(posts, Seq("tok"))
+          .filter(col("sid") =!= col("bsid") && !(col("pidx") && col("bidx")) && lenPrune)
+          .select(col("sid").as("da"), col("bsid").as("db"), col("pidx"), col("bidx"))
+          .distinct())
+      }
+    }
     time("setsim_incremental: full") {
       val idx2 = SetSimJoin.buildIndex(d2.filter(col("doc_id") % 2 =!= 0), col("doc_id"), shingles)
       noop(SetSimJoin.selfJoinIncrement(d2.filter(col("doc_id") % 2 === 0), col("doc_id"), shingles, idx2, t = 0.5))
@@ -291,6 +341,26 @@ object Scratch {
     import graft.similarity.SparseSim
     time("sparse: postings build only")(
       noop(SparseSim.postings(d2, "doc_id", "text", shingleLen = 3, dfCap = 100)))
+    time("sparse: postings window-norm variant") {
+      val toks0 = graft.text.TextAnalysis.tokens(col("text"))
+      val tf = d2.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.wordShingles(toks0, 3)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d2.agg(count(lit(1)).as("n_docs"))
+      val w = tf
+        .join(df.filter(col("df") <= 100), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") < col("n_docs"))
+        .withColumn("w",
+          col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")))
+      val byDoc = Window.partitionBy("doc_id")
+      noop(w.withColumn("norm",
+          sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).over(byDoc).cast("double")))
+        .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u")))
+    }
     time("sparse_topk: full")(
       noop(SparseSim.topKNeighbors(
         SparseSim.postings(d2, "doc_id", "text", shingleLen = 3, dfCap = 100), k = 5)))
