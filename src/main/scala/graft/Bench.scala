@@ -295,11 +295,17 @@ object Bench {
     }
     // Full-registry gate-scale runs only: a SPARK_GRAFT_ONLY profiling
     // subset or an off-scale (sf1/sf10) table run must not clobber the
-    // complete history the next round's priorMins reads.
+    // complete history the next round's priorMins reads. The canonical
+    // file is additionally gated on the DEFAULT core count (r14 verdict
+    // item 1: the driver's local[8] scaling sweep overwrote the 32-core
+    // map, so the next round's fallback regression denominators became
+    // 8-core mins) — an off-core run writes a cpu-suffixed sibling
+    // instead, so its map survives without corrupting the history.
     if (only.isEmpty && isGateScale) {
       val fullLine = render("%.3f", results).stripSuffix("}") + fpJson + maxJson + "}"
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+      val target = if (cpus == "32") "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(target), fullLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $target write failed: $e") }
     }
     // Cascade until the line fits with ~wiggle room: full 3-decimal map →
     // full 2-decimal → the largest slowest-N subset that fits (totals

@@ -81,11 +81,21 @@ object GraftExtensions {
   }
   private def constDouble3d(e: Expression, what: String): Array[Array[Array[Double]]] = {
     require(e.foldable, s"$what must be a constant nested array")
+    // Null-check every level: a null cast result or null mid/inner
+    // array/element would otherwise surface as a bare NPE instead of the
+    // require-style diagnostic the other const* helpers give.
     val outer = Cast(e, ArrayType(ArrayType(ArrayType(DoubleType)))).eval()
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(outer != null, s"$what must be a non-null constant nested array")
     Array.tabulate(outer.numElements()) { i =>
       val mid = outer.getArray(i)
-      Array.tabulate(mid.numElements())(j => mid.getArray(j).toDoubleArray())
+      require(mid != null, s"$what must not contain null subarrays (outer index $i)")
+      Array.tabulate(mid.numElements()) { j =>
+        val inner = mid.getArray(j)
+        require(inner != null && !(0 until inner.numElements()).exists(inner.isNullAt),
+          s"$what must not contain null inner arrays/elements (index $i,$j)")
+        inner.toDoubleArray()
+      }
     }
   }
 
@@ -161,5 +171,6 @@ object GraftExtensions {
     "graft_adc" -> (es => AdcDistance(es(0), es(1))),
     "graft_gram_hashes" -> (es => GramHashes(es(0),
       constInt(es(1), "gram length"), constInt(es(2), "stride"))),
+    "graft_successor_pairs" -> (es => SuccessorPairs(es(0))),
   )
 }

@@ -4920,13 +4920,15 @@ object SparkEntry {
     // PCA over the first 16 embedding dimensions: the covariance matrix
     // condenses to ONE row of 152 exact-decimal moment aggregates (the
     // KMeans wide-agg shape — never a posexplode, which would shuffle
-    // 16× the data), and three power-iteration rounds then run entirely
-    // INSIDE that row as unrolled column arithmetic — zero driver
-    // actions, zero extra scans; at 100 TB the whole query is one
-    // map-side-combining pass. Every sum quantizes through
-    // DECIMAL(28,12) (the PQ-oracle convention) and every dot product
-    // is a left-associated 16-term chain, so Spark and DuckDB walk
-    // identical IEEE trees; λ is the final iterate's norm.
+    // 16× the data); that bounded 137-double row is read to the driver
+    // (pcaTopComponent's .head() — building this query is an EAGER
+    // action) and the three power-iteration rounds replay there with
+    // identical left-associated IEEE chains, landing back as literals;
+    // at 100 TB the whole query is one map-side-combining pass. Every
+    // sum quantizes through DECIMAL(28,12) (the PQ-oracle convention)
+    // and every dot product is a left-associated 16-term chain, so
+    // Spark and DuckDB walk identical IEEE trees; λ is the final
+    // iterate's norm.
     "q_pca_power" -> ((s, dir) =>
       pcaTopComponent(t(s, dir, "embeddings"))
         .select(posexplode(array((1 to 16).map(i => col(s"v3_$i")): _*))
@@ -7564,9 +7566,11 @@ object SparkEntry {
 
   /** One-row top-principal-component fit over the first 16 embedding
     * dims: 152 exact-decimal moment aggregates condense the covariance,
-    * then three power-iteration rounds run as unrolled column arithmetic
-    * (columns v3_1..v3_16 + nrm3). Shared by q_pca_power/q_pca_project;
-    * the SQL twin is [[pcaPowerCtes]].
+    * the bounded covariance row collects to the driver (.head() — an
+    * EAGER action at query-build time), and three power-iteration
+    * rounds replay there with identical IEEE chains, returning a 1-row
+    * literal frame (columns v3_1..v3_16 + nrm3). Shared by
+    * q_pca_power/q_pca_project; the SQL twin is [[pcaPowerCtes]].
     */
   private def pcaTopComponent(emb: DataFrame): DataFrame = {
     val dim = 16

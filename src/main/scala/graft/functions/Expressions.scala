@@ -1676,3 +1676,72 @@ case class GramHashes(child: Expression, gramLen: Int, stride: Int)
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
 }
+
+object SuccessorPairsImpl {
+  /** All (i < j) element pairs of an array as one struct array — the
+    * successor-pair emission every bucket/basket pairing site used to
+    * spell as `posexplode(arr)` + `explode(slice(arr, pos + 2, size))`.
+    * That chain materializes the FULL parent array once per generator
+    * row (n copies of an n-array) plus one slice allocation per
+    * position — O(n²) element copies spread over two Generate nodes.
+    * Here the same n·(n−1)/2 pair multiset is built in one pass and one
+    * allocation, and the consumer keeps a single builtin explode (still
+    * whole-stage-codegen). Row multiset is IDENTICAL to the old chain:
+    * (arr(i), arr(j)) for every i < j, in the same order, null elements
+    * passed through as null struct fields.
+    */
+  def compute(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // n(n−1)/2 must stay an Int (and a sane allocation): every call site
+    // bounds n by construction (basket size, maxBucket, dfCap, maxDeg).
+    require(n <= 46340, s"successor_pairs: array too large to pair ($n elements)")
+    val elems = arr.toObjectArray(et)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        out(idx) = InternalRow(elems(i), elems(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** graft_successor_pairs(arr) → array<struct<a, b>>: all unordered (i<j)
+  * element pairs, each exactly once — explode this instead of the
+  * two-Generate posexplode×slice chain (see [[SuccessorPairsImpl]]).
+  */
+case class SuccessorPairs(child: Expression) extends UnaryExpression {
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"graft_successor_pairs needs an array input, got $other")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, cn) =>
+      ArrayType(
+        StructType(Seq(StructField("a", et, cn), StructField("b", et, cn))),
+        containsNull = false)
+    case other => throw new IllegalArgumentException(
+      s"graft_successor_pairs needs an array input, got $other")
+  }
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_successor_pairs"
+  override def nullSafeEval(v: Any): Any =
+    SuccessorPairsImpl.compute(v.asInstanceOf[ArrayData], elemType)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType,
+      "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SuccessorPairsImpl.compute($c, $et)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SuccessorPairs =
+    copy(child = newChild)
+}

@@ -99,6 +99,13 @@ object GraftFunctions {
   def gramHashes(text: Column, gramLen: Int, stride: Int): Column =
     GraftShim.toColumn(GramHashes(GraftShim.toExpression(text), gramLen, stride))
 
+  /** All (i<j) element pairs of an array as array<struct<a,b>> in one
+    * codegen'd pass — explode this instead of the posexplode×slice
+    * successor chain (see [[SuccessorPairs]]).
+    */
+  def successorPairs(arr: Column): Column =
+    GraftShim.toColumn(SuccessorPairs(GraftShim.toExpression(arr)))
+
   /** One-scan non-overlapping match count of a constant Java regex —
     * the fused form of `length(regexp_replace(c,p,"X")) -
     * length(regexp_replace(c,p,""))` (see plans.FuseRegexCount).

@@ -50,9 +50,10 @@ object KMeans {
       k: Int,
       dim: Int,
       iters: Int,
+      maxDriverVecs: Long = defaultMaxDriverVecs,
   ): DataFrame = {
     val v = prepared(vecs, idCol, vecCol)
-    assign(v, fitOn(v, k, dim, iters))
+    assign(v, fitOn(v, k, dim, iters, maxDriverVecs))
   }
 
   /** Just the fitted centroid matrix (k×dim) — the offline artifact
@@ -66,8 +67,9 @@ object KMeans {
       k: Int,
       dim: Int,
       iters: Int,
+      maxDriverVecs: Long = defaultMaxDriverVecs,
   ): Array[Array[Double]] =
-    fitOn(prepared(vecs, idCol, vecCol), k, dim, iters)
+    fitOn(prepared(vecs, idCol, vecCol), k, dim, iters, maxDriverVecs)
 
   /** Checkpoint once: the fit consumes the cast vectors iters+1 times. */
   private def prepared(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -78,19 +80,42 @@ object KMeans {
   /** Vector-count bound for the driver-tier fits — the KMeans sibling of
     * the graph kit's 2M-edge escape hatch (PageRank.runAdaptive et al.):
     * an input under the bound fits in driver memory (200k × 64 dims ≈
-    * 100 MB) and the Lloyd rounds run as driver sweeps instead of one
-    * scheduled job each; past the bound the distributed loop is
-    * unchanged. Both paths are BIT-IDENTICAL: the driver assignment
-    * calls the same CosineImpl arithmetic with the same argmax
-    * tie/NaN-pin rule, and the centroid update replays Spark's exact
-    * double→decimal(28,12) HALF_UP quantization and exact decimal sums
-    * (order-free by exactness), so neither tier nor partitioning can
-    * move a result (SimilaritySpec pins driver ≡ distributed for both
-    * fit shapes). Inputs must be NaN/null-free vectors (the embeddings
-    * contract — a NaN would cast to decimal NULL distributed-side).
+    * 100 MB as primitive arrays) and the Lloyd rounds run as driver
+    * sweeps instead of one scheduled job each; past the bound the
+    * distributed loop is unchanged. The actual gate is an ELEMENT budget
+    * — count × dim ≤ bound × 64, i.e. the bound names how many
+    * 64-dim-reference vectors fit, and a higher-dimensional corpus
+    * proportionally lowers the row count the driver will take (r14
+    * advice: a row-count-only gate let a 512-dim corpus under 200k rows
+    * collect 8× the intended bytes). Both paths are BIT-IDENTICAL: the
+    * driver assignment calls the same CosineImpl arithmetic with the
+    * same argmax tie/NaN-pin rule, and the centroid update replays
+    * Spark's exact double→decimal(28,12) HALF_UP quantization and exact
+    * decimal sums (order-free by exactness), so neither tier nor
+    * partitioning can move a result (SimilaritySpec pins driver ≡
+    * distributed for both fit shapes). Inputs must be NaN/null-free
+    * vectors (the embeddings contract — a NaN would cast to decimal
+    * NULL distributed-side). Callers can pass an explicit bound (tests,
+    * forced-distributed bench probes); the sys-prop only sets the
+    * default.
     */
-  private def maxDriverVecs: Long =
+  private[similarity] def defaultMaxDriverVecs: Long =
     sys.props.get("graft.kmeans.maxDriverVecs").map(_.toLong).getOrElse(200000L)
+
+  /** count × dim within the driver element budget (bound × 64-dim ref)? */
+  private def fitsDriver(n: Long, dim: Int, maxDriverVecs: Long): Boolean =
+    n * dim <= maxDriverVecs * 64L
+
+  /** Collect an array<double> column as primitive arrays — the Dataset
+    * encoder path writes straight into Array[Double] (no per-element
+    * boxing, no Row/Seq wrappers), roughly 5× leaner on driver heap than
+    * Row.getSeq for the same vectors.
+    */
+  private def collectVectors(v: DataFrame): Array[Array[Double]] = {
+    val ds = v.select(col("v"))
+    import ds.sparkSession.implicits._
+    ds.as[Array[Double]].collect()
+  }
 
   /** Spark Cast(double → decimal(28,12)) replay: shortest-string
     * BigDecimal (Decimal.apply(Double) semantics) rounded HALF_UP to
@@ -117,7 +142,12 @@ object KMeans {
     bi
   }
 
-  private def fitOn(v: DataFrame, k: Int, dim: Int, iters: Int): Array[Array[Double]] = {
+  private def fitOn(
+      v: DataFrame,
+      k: Int,
+      dim: Int,
+      iters: Int,
+      maxDriverVecs: Long = defaultMaxDriverVecs): Array[Array[Double]] = {
     require(k > 0 && iters >= 0 && dim > 0, s"bad kmeans config k=$k iters=$iters dim=$dim")
     // Init = first k vectors by id, via the same tiny distributed job on
     // BOTH tiers (no driver re-implementation of id ordering to drift).
@@ -126,11 +156,11 @@ object KMeans {
         .map(_.getSeq[Double](1).toArray)
     require(cents.length > 0, "kmeans: empty input")
 
-    if (iters > 0 && v.count() <= maxDriverVecs) {
-      // Driver tier (see maxDriverVecs): one collect of the checkpointed
-      // vectors, then `iters` in-memory sweeps — replaces iters scheduled
-      // (assign + 64-decimal-agg + collect) jobs.
-      val vecs = v.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (iters > 0 && fitsDriver(v.count(), dim, maxDriverVecs)) {
+      // Driver tier (see defaultMaxDriverVecs): one collect of the
+      // checkpointed vectors, then `iters` in-memory sweeps — replaces
+      // iters scheduled (assign + 64-decimal-agg + collect) jobs.
+      val vecs = collectVectors(v)
       for (_ <- 1 to iters) {
         val sums = Array.fill(cents.length, dim)(java.math.BigDecimal.ZERO)
         val counts = new Array[Long](cents.length)
@@ -196,6 +226,7 @@ object KMeans {
       dsub: Int,
       k: Int,
       iters: Int,
+      maxDriverVecs: Long = defaultMaxDriverVecs,
   ): Array[Array[Array[Double]]] = {
     require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
       s"bad pq-fit config m=$m dsub=$dsub k=$k iters=$iters")
@@ -206,11 +237,11 @@ object KMeans {
     var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       initRows.map(full => full.slice(s * dsub, s * dsub + dsub))
     }
-    if (iters > 0 && v.count() <= maxDriverVecs) {
-      // Driver tier (see maxDriverVecs / fitOn): every subspace's
+    if (iters > 0 && fitsDriver(v.count(), m * dsub, maxDriverVecs)) {
+      // Driver tier (see defaultMaxDriverVecs / fitOn): every subspace's
       // assignment + exact decimal sums per in-memory sweep — replaces
       // one scheduled (posexplode + agg + collect) job per iteration.
-      val vecs = v.select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val vecs = collectVectors(v)
       for (_ <- 1 to iters) {
         val sums = Array.tabulate(m)(s => Array.fill(cents(s).length, dsub)(java.math.BigDecimal.ZERO))
         val counts = Array.tabulate(m)(s => new Array[Long](cents(s).length))

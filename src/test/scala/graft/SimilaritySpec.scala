@@ -974,21 +974,22 @@ class SimilaritySpec extends SparkTestBase {
     // assignment/tie rule, same double→decimal(28,12) HALF_UP sums — on
     // the real embeddings table.
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    def run(): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-      val coarse = KMeans.centroids(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 3)
+    // The bound is threaded as an explicit parameter (r14 advice: a
+    // sys-prop mutation here could flip another in-flight fit's tier if
+    // suites ever ran concurrently in one JVM).
+    def run(bound: Long): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      val coarse = KMeans.centroids(emb, "vec_id", "embedding", k = 8, dim = 64, iters = 3,
+        maxDriverVecs = bound)
       val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64,
-        m = 8, ksub = 16, iters = 2)
+        m = 8, ksub = 16, iters = 2, maxDriverVecs = bound)
       (coarse, books)
     }
-    val (cDrv, bDrv) = run() // default bound: driver tier
-    System.setProperty("graft.kmeans.maxDriverVecs", "0")
-    try {
-      val (cDist, bDist) = run() // bound 0: distributed loops
-      for (i <- cDrv.indices)
-        assert(cDrv(i).toSeq == cDist(i).toSeq, s"coarse centroid $i drifted")
-      for (s <- bDrv.indices; c <- bDrv(s).indices)
-        assert(bDrv(s)(c).toSeq == bDist(s)(c).toSeq, s"codebook ($s,$c) drifted")
-    } finally System.clearProperty("graft.kmeans.maxDriverVecs")
+    val (cDrv, bDrv) = run(200000L) // default bound: driver tier
+    val (cDist, bDist) = run(0L) // bound 0: distributed loops
+    for (i <- cDrv.indices)
+      assert(cDrv(i).toSeq == cDist(i).toSeq, s"coarse centroid $i drifted")
+    for (s <- bDrv.indices; c <- bDrv(s).indices)
+      assert(bDrv(s)(c).toSeq == bDist(s)(c).toSeq, s"codebook ($s,$c) drifted")
   }
 
   test("PQ kernels == HOF executable specs, bit for bit (encode + ADC scan)") {
