@@ -38,9 +38,12 @@ object LinkPred {
       .join(deg.filter(col("deg") <= maxDeg), "src")
       .groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("ns"), max(col("deg")).as("degz"))
-      .select(col("degz"), posexplode(col("ns")).as(Seq("pos", "a")), col("ns"))
-      .select(col("degz"), col("a"),
-        explode(slice(col("ns"), col("pos") + 2, size(col("ns")))).as("b"))
+      // r15: successor pairs in one codegen'd kernel call + one explode
+      // (the posexplode×slice chain duplicated the neighbor list per
+      // position; fan-out stays ≤ maxDeg²/2 either way).
+      .select(col("degz"),
+        explode(graft.functions.GraftFunctions.successorPairs(col("ns"))).as("pr"))
+      .select(col("degz"), col("pr.a").as("a"), col("pr.b").as("b"))
       .withColumn("w", (lit(1.0) / log(col("degz").cast("double"))).cast("decimal(28,12)"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"), sum(col("w")).as("aa"))

@@ -43,6 +43,35 @@ object NearDup {
       )
     }: _*)
 
+  /** `(idCol, sig)` minhash signatures of every doc with ≥ shingleLen
+    * tokens — the corpus pass shared by the one-shot and incremental
+    * candidate generators (r15: q_dedup_clusters_incremental runs BOTH
+    * over the same base corpus; computing signatures once and
+    * checkpointing saves a full tokenize+minhash corpus pass).
+    *
+    * Single-pass custom expression (graft.functions.MinHashShingles):
+    * ~7× faster than the k-pass HOF formulation in [[minhashSignature]].
+    * Too-short docs are dropped on token count BEFORE the kernel runs: a
+    * post-hoc `sig.isNotNull` filter gets collapsed below the projection
+    * and evaluates the whole minhash kernel twice per row (once in the
+    * Filter's null check, once in the Project).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 20,
+  ): DataFrame =
+    docs
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
+      .select(
+        col(idCol),
+        graft.functions.GraftFunctions
+          .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
+          .as("sig"),
+      )
+
   /** MinHash-LSH candidate pairs over a document table.
     *
     * @return (idCol_a, idCol_b) candidate pairs, idA < idB, deduplicated.
@@ -55,23 +84,24 @@ object NearDup {
       numHashes: Int = 20,
       bands: Int = 4,
       maxBucket: Int = 1000,
+  ): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignatures(docs, idCol, textCol, shingleLen, numHashes),
+      idCol, numHashes, bands, maxBucket)
+
+  /** [[minhashCandidates]] from a precomputed [[minhashSignatures]] frame
+    * — callers that also feed the signatures elsewhere (the incremental
+    * clusters query) checkpoint them once and share the corpus pass.
+    */
+  def minhashCandidatesFromSigs(
+      sigs: DataFrame,
+      idCol: String,
+      numHashes: Int = 20,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Single-pass custom expression (graft.functions.MinHashShingles):
-    // ~7× faster than the k-pass HOF formulation in [[minhashSignature]].
-    // Too-short docs are dropped on token count BEFORE the kernel runs: a
-    // post-hoc `sig.isNotNull` filter gets collapsed below the projection
-    // and evaluates the whole minhash kernel twice per row (once in the
-    // Filter's null check, once in the Project).
-    val sig = docs
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
-      .select(
-        col(idCol),
-        graft.functions.GraftFunctions
-          .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
-          .as("sig"),
-      )
-    val buckets = sig
+    val buckets = sigs
       .select(col(idCol), col("sig"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(struct(col(idCol).as("id"), col("sig")).as("member"), col("b.band"), col("b.bucket"))
     firstBandPairs(buckets, rowsPerBand, maxBucket)
@@ -159,18 +189,29 @@ object NearDup {
       numHashes: Int = 20,
       bands: Int = 4,
       maxBucket: Int = 1000,
+  ): DataFrame =
+    incrementalCandidatesFromSigs(
+      minhashSignatures(newDocs, idCol, textCol, shingleLen, numHashes),
+      minhashSignatures(oldDocs, idCol, textCol, shingleLen, numHashes),
+      idCol, numHashes, bands, maxBucket)
+
+  /** [[incrementalCandidates]] from precomputed [[minhashSignatures]]
+    * frames — the old side is usually the standing corpus whose
+    * signatures the caller already built (or holds as the stored index),
+    * so re-running the corpus tokenize+minhash pass here would double
+    * the dominant scan.
+    */
+  def incrementalCandidatesFromSigs(
+      newSigs: DataFrame,
+      oldSigs: DataFrame,
+      idCol: String,
+      numHashes: Int = 20,
+      bands: Int = 4,
+      maxBucket: Int = 1000,
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    def sigOf(docs: DataFrame, isNew: Boolean) = docs
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= shingleLen)
-      .select(
-        col(idCol),
-        graft.functions.GraftFunctions
-          .minhashShingles(TextAnalysis.tokens(col(textCol)), shingleLen, numHashes)
-          .as("sig"),
-        lit(isNew).as("is_new"),
-      )
-    val all = sigOf(newDocs, isNew = true).unionByName(sigOf(oldDocs, isNew = false))
+    val all = newSigs.withColumn("is_new", lit(true))
+      .unionByName(oldSigs.withColumn("is_new", lit(false)))
     val buckets = all
       .select(
         struct(col(idCol).as("id"), col("sig"), col("is_new")).as("member"),
@@ -219,8 +260,12 @@ object NearDup {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) between (2, maxBucket))
     sized
-      .select(posexplode(array_sort(col("ids"))).as(Seq("pos", "a")), col("ids"))
-      .select(col("a"), explode(slice(array_sort(col("ids")), col("pos") + 2, size(col("ids")))).as("b"))
+      // r15: successor pairs via the codegen'd kernel (fan-out ≤
+      // maxBucket²/2, tiny at the default 20) — the old chain also
+      // re-sorted `ids` once per position inside the slice.
+      .select(explode(graft.functions.GraftFunctions.successorPairs(
+        array_sort(col("ids")))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -164,14 +164,18 @@ object SetSimJoin {
       .select(id.as("sid"), array_distinct(tokenSet).as("ts"))
       .filter(size(col("ts")) > 0)
     val toks = base.select(col("sid"), explode(col("ts")).as("tok"))
-    // Dictionary pruned to the batch's vocabulary first: the corpus-scale
-    // token dictionary never joins whole. NO forced broadcast hint — AQE
+    // The batch vocabulary feeds TWO semi-joins (dictionary prune +
+    // index-prefix prune below) — checkpoint the distinct set once (the
+    // containmentIncrement discipline). NO forced broadcast hint — AQE
     // broadcasts at runtime when the batch vocabulary is genuinely small
     // (the production shape) and falls back to a shuffled semi when a
     // corpus-proportional batch would otherwise OOM the driver (the r13
     // sf10 lesson: a forced batch-vocab broadcast at 100x sat at 68 GB
     // RSS without completing).
-    val dictPruned = dict.join(toks.select("tok").distinct(), Seq("tok"), "left_semi")
+    val batchVocab = toks.select("tok").distinct().localCheckpoint(false)
+    // Dictionary pruned to the batch's vocabulary first: the corpus-scale
+    // token dictionary never joins whole.
+    val dictPruned = dict.join(batchVocab, Seq("tok"), "left_semi")
     val ordered = toks
       .join(dictPruned, Seq("tok"), "left")
       .withColumn("dfr", coalesce(col("dfr"), lit(0L)))
@@ -187,11 +191,19 @@ object SetSimJoin {
       col("sid"), col("m"),
       posexplode(slice(col("arr"), lit(1), col("p"))).as(Seq("pos", "tok")))
     // Index-side prefixes from the STORED arrays — same prefix rule, no
-    // index-side recompute of order.
+    // index-side recompute of order — PRUNED to the batch vocabulary
+    // before they shuffle (r15, the containmentIncrement pattern): a
+    // candidate needs a.tok = b.tok and every probe token is a batch
+    // token by construction, so dropping index prefix rows outside the
+    // batch vocabulary loses nothing while the index-side exchange
+    // shrinks from corpus-proportional to batch-proportional — at
+    // production batch ≪ index ratios this is the dominant join input
+    // (guide §3.2: reduce the big side before shuffling it).
     val iPrefix = idxSets
       .withColumn("p", col("m") - ceil(lit(t) * col("m")).cast("int") + lit(1))
       .select(col("sid"), col("m"),
         posexplode(slice(col("arr"), lit(1), col("p"))).as(Seq("pos", "tok")))
+      .join(batchVocab, Seq("tok"), "left_semi")
     // The selfJoin PPJoin prunes (length + positional, ε-guarded — see
     // there) applied inside both candidate joins.
     val prune =

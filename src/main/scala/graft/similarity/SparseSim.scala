@@ -82,6 +82,17 @@ object SparseSim {
     // NOT checkpointed: topKNeighbors consumes them exactly once
     // (successor-pair emission, no self-join); callers that fan out
     // should checkpoint at their own multi-consumer point.
+    // r15 note (measured rejection, the window-norm precedent): folding
+    // the norm into a per-doc collect_list aggregate (agg+join → one
+    // exchange) A/B'd NEUTRAL on the postings build (1.62 vs 1.56 s)
+    // and REGRESSED the multi-consumer pipelines (q_rbo 2.68 → 3.3–4.1,
+    // q_sparse_incremental 2.93 → 4.0–4.6 s): the "saved" norms
+    // exchange is partial-aggregated (one row per doc per map
+    // partition, negligible bytes), while the fold trades the codegen'd
+    // hash aggregate for an object-mode collect AND removes the `w`
+    // checkpoint every fan-out consumer relied on. Shuffle BYTES do not
+    // fall, so the 5→4-shuffle reading of the postings build
+    // overcounted a tiny exchange. Kept: agg + join.
     val tf = termFreqs(docs, idCol, textCol, shingleLen)
       .localCheckpoint(eager = false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -228,7 +239,10 @@ object SparseSim {
   def topKNeighbors(postings: DataFrame, k: Int = 5): DataFrame = {
     // Successor-pair emission (the NearDup bucket pattern): ONE shuffle
     // groups each term's posting list, then every a<b pair falls out of
-    // posexplode + a successor slice — codegen'd Generates, no
+    // the graft_successor_pairs kernel + one builtin explode (r15: the
+    // old posexplode + slice chain re-materialized the full posting
+    // list per position — two Generate nodes and O(df²) array copies
+    // per term; the kernel builds the pair array in one pass). No
     // self-join, no second exchange of the postings, and each unordered
     // pair is produced exactly once. List width is bounded by the
     // postings' dfCap, so per-row fan-out is ≤ cap(cap−1)/2.
@@ -237,8 +251,8 @@ object SparseSim {
       .agg(collect_list(struct(col("doc_id"), col("u"))).as("ps"))
       .filter(size(col("ps")) >= 2)
       .select(array_sort(col("ps")).as("ps"))
-      .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
-      .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+      .select(explode(graft.functions.GraftFunctions.successorPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(
         count(lit(1)).as("n_shared"),

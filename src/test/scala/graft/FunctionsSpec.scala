@@ -267,4 +267,42 @@ class FunctionsSpec extends SparkTestBase {
     GraftFunctions.registerAll(spark)
     assert(spark.sql("SELECT graft_damerau_levenshtein('CA', 'ABC') AS d").head().getInt(0) == 2)
   }
+
+  test("successorPairs kernel == posexplode+slice successor chain (longs, structs, edges)") {
+    import org.apache.spark.sql.functions._
+    // Long arrays incl. empty / single / null-array / null-element rows.
+    val longs = Seq(
+      (1L, Seq[java.lang.Long](3L, 1L, 7L, 5L)),
+      (2L, Seq[java.lang.Long](9L)),
+      (3L, Seq.empty[java.lang.Long]),
+      (4L, null),
+      (5L, Seq[java.lang.Long](2L, null, 4L)),
+    ).toDF("id", "ps")
+    def viaChain(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+      .select(col("id"), col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+      .select("id", "a", "b")
+    def viaKernel(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), explode(GraftFunctions.successorPairs(col("ps"))).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(sortedRows(viaKernel(longs)) == sortedRows(viaChain(longs)))
+    // Struct-element arrays (the SparseSim posting-list shape).
+    val structs = Seq((1L, Seq((10L, 0.5), (20L, 0.25), (30L, 0.75))))
+      .toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        e => struct(e.getField("_1").as("doc_id"), e.getField("_2").as("u"))).as("ps"))
+    val viaChainS = structs
+      .select(posexplode(col("ps")).as(Seq("pos", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("pos") + 2, size(col("ps")))).as("b"))
+      .select(col("a.doc_id"), col("a.u"), col("b.doc_id"), col("b.u"))
+    val viaKernelS = structs
+      .select(explode(GraftFunctions.successorPairs(col("ps"))).as("p"))
+      .select(col("p.a.doc_id"), col("p.a.u"), col("p.b.doc_id"), col("p.b.u"))
+    assert(sortedRows(viaKernelS) == sortedRows(viaChainS))
+    // SQL registration path.
+    assert(spark.sql(
+      "SELECT size(graft_successor_pairs(array(1, 2, 3, 4))) AS n").head().getInt(0) == 6)
+  }
 }

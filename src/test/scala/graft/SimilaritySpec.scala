@@ -1022,4 +1022,35 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Double, Double)].collect()
     both.foreach { case (k, h) => assert(k == h, s"adc drifted: kernel=$k hof=$h") }
   }
+
+  test("SparseSim folded normalization == norm-agg+join reference, bit for bit") {
+    // r15: the per-doc L2 norm folds into the same aggregate that
+    // collects the doc's terms (one keyed exchange instead of agg+join).
+    // Exact decimal sums are order-free, so u must be BIT-identical to
+    // the old two-step formulation on the real documents table.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val got = SparseSim.postings(docs, "doc_id", "text", shingleLen = 3, dfCap = 100)
+      .select("doc_id", "term", "u")
+      .as[(Long, String, Double)].collect().toSet
+    // Reference: the pre-r15 shape — norm aggregation joined back on doc.
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(toks, 3)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df.filter(col("df") <= 100), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") < col("n_docs"))
+      .withColumn("w", col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")).as("norm"))
+    val want = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("u"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
 }
